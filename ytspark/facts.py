@@ -1,0 +1,82 @@
+"""Typed mart construction: cast projection + UNION ALL (SURVEY §2 T9/T11/T13).
+
+Reference: dbt mart ``models/marts/YT_Facts_stg.sql`` — 7 per-channel
+CTEs each casting 10 columns (``::varchar(n)/datetime/int/Boolean``,
+lines 3-12) stacked with ``UNION ALL`` (lines 103-115).
+
+Spark-first translation: the per-channel CTEs are slices of ONE
+partitioned bronze DataFrame, so the cast+union collapses into a single
+projection over the whole table — Catalyst's CollapseProject +
+partition pruning make the 7-way union shape unnecessary. Both forms
+are provided; they are semantically identical and the single-projection
+form is the one that scales (no 7× plan duplication, one scan).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _cast_long(col: Column, lenient: bool) -> Column:
+    # Snowflake `::int` is 38-digit NUMBER; LongType avoids int32
+    # overflow on real view counts (SURVEY §7.4).
+    return col.try_cast("long") if lenient else col.cast("long")
+
+
+def cast_projection(df: DataFrame, *, lenient: bool = False) -> DataFrame:
+    """The reference's 10-column typed cast list (YT_Facts_stg.sql:3-12).
+
+    ``lenient=False`` matches Snowflake semantics under ANSI mode
+    (bad cast → error); ``lenient=True`` uses ``try_cast`` (bad → NULL).
+    Renames per reference: ``url``→``url_``, ``country``→``Country``,
+    ``viewCount``→``view_count``, ``publishedAt``→``PublishedAt``.
+    """
+    ts = (lambda c: c.try_cast("timestamp")) if lenient else (lambda c: c.cast("timestamp"))
+    return df.select(
+        F.col("title").cast("string").alias("title"),
+        F.col("customUrl").cast("string").alias("customUrl"),
+        ts(F.col("publishedAt")).alias("PublishedAt"),
+        F.col("url").cast("string").alias("url_"),
+        F.col("country").cast("string").alias("Country"),
+        _cast_long(F.col("viewCount"), lenient).alias("view_count"),
+        _cast_long(F.col("subscriberCount"), lenient).alias("subscriberCount"),
+        _cast_long(F.col("videoCount"), lenient).alias("videoCount"),
+        F.col("madeForKids").cast("boolean").alias("madeForKids"),
+        F.col("timestamp").cast("timestamp").alias("timestamp"),
+    )
+
+
+def union_all(dfs: list[DataFrame], *, by_name: bool = True) -> DataFrame:
+    """7-way bag union (T11). Reference uses positional UNION ALL with
+    identical column lists, so by-name == positional; ``unionByName``
+    is the safer default and tolerates column-order drift upstream."""
+    op = (lambda a, b: a.unionByName(b)) if by_name else DataFrame.unionAll
+    return reduce(op, dfs)
+
+
+def build_mart(bronze: DataFrame, *, lenient: bool = False) -> DataFrame:
+    """Single-scan mart: cast projection over the whole partitioned
+    bronze table. Logically identical to the reference's
+    slice→cast→UNION ALL; physically one scan + one projection."""
+    return cast_projection(bronze, lenient=lenient)
+
+
+def build_mart_union(
+    bronze: DataFrame, channel_keys: list[str], *, lenient: bool = False
+) -> DataFrame:
+    """Faithful 7-CTE shape: per-channel filter slices, cast each, union.
+
+    Kept for parity demonstration; ``build_mart`` is the production
+    path. With bronze partitioned by ``channel_key`` each slice is
+    partition-pruned, so even this shape reads each partition once.
+    """
+    slices = [
+        cast_projection(
+            bronze.where(F.col("channel_key") == k), lenient=lenient
+        )
+        for k in channel_keys
+    ]
+    return union_all(slices)

@@ -1,0 +1,41 @@
+"""Bronze storage layer (SURVEY §2 T8, S2–S5).
+
+The reference's physical model is one CSV per channel in S3, rewritten
+in full every poll (``dags/extract.py:118-129``) and truncate-reloaded
+into one Snowflake table per channel (``:167-169``) — O(history) I/O per
+tick. The engine's layout is the same LOGICAL table with O(delta)
+physics: append-only Parquet partitioned by ``channel_key``.
+
+At 100 TB the partitioning choice is the whole game: per-entity
+partition pruning makes per-channel reads O(channel), appends never
+rewrite history, and the snapshot fact table stays sorted-by-arrival
+within partitions for cheap latest-snapshot queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def append_bronze(df: DataFrame, path: str) -> None:
+    """Incremental append (T8). Union semantics identical to the
+    reference's ``pd.concat([new, existing])`` + full rewrite, with
+    O(delta) instead of O(history) I/O."""
+    df.write.mode("append").partitionBy("channel_key").parquet(path)
+
+
+def overwrite_bronze(df: DataFrame, path: str) -> None:
+    """Full-refresh mode — the reference's truncate-and-reload semantics
+    (S4, ``dags/extract.py:167-169``) as an explicit option."""
+    df.write.mode("overwrite").partitionBy("channel_key").parquet(path)
+
+
+def read_bronze(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def save_table(df: DataFrame, name: str, *, mode: str = "overwrite") -> None:
+    """Warehouse-table sink analogue (S4/S5): ``saveAsTable`` with
+    schema derived from the DataFrame (the reference's
+    ``write_pandas(auto_create_table=True)``, ``dags/extract.py:171``)."""
+    df.write.mode(mode).saveAsTable(name)
