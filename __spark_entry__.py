@@ -1,38 +1,49 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship query; ``queries``/``oracle_sql`` expose the
+full registered query surface of the ytspark engine (see
+``ytspark.queries.registry``): the reference-pipeline operators
+(cast+union mart, append, snapshot analytics), the relational battery
+(joins/aggregates/windows/set-ops/rollup/pivot), the LLM-data-pipeline
+operators (dedup, similarity, text analysis), and a real Structured
+Streaming query.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Top revenue customers — exercises the scan→broadcast-join→aggregate→
+    top-k spine of the engine.
+    """
+    from ytspark.queries import registry
+
+    return registry()["top_revenue_customers"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2 (+ the
+    large-scale pipeline operators). Each callable takes (spark, sf_dir)
+    and returns a DataFrame with columns aliased to match the oracle."""
+    from ytspark.queries import registry
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: q.fn for name, q in registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL per query; keys without oracles
+    (hash-function-dependent ops: MinHash/SimHash/LSH) are omitted and
+    get the driver's rows-only check."""
+    from ytspark.queries import registry
+
+    return {name: q.oracle for name, q in registry().items() if q.oracle is not None}

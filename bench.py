@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced with a noop write (full execution, no driver
+collect). One warm-up of a small query amortizes session/JIT startup
+out of the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_regional_revenue",
+    "q6_revenue_forecast",
+    "q4_order_priority",
+    "top_revenue_customers",
+    "mart_union_cast",
+    "events_hourly_rollup",
+    "events_sessionization",
+    "events_latest_snapshot",
+    "dedup_exact_stats",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "knn_cosine_bruteforce",
+    "knn_cosine_lsh",
+    "text_stats",
+    "doc_fingerprint_rolling",
+    "streaming_hourly_counts",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from ytspark import get_spark
+    from ytspark.queries import registry
+
+    spark = get_spark("ytspark-bench")
+    reg = registry()
+
+    def force(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    # warm-up: session, parquet footer caches, codegen paths
+    force(reg["limit_head"].fn(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = reg[name]
+        t0 = time.perf_counter()
+        force(q.fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -50,6 +50,32 @@ def channel_key(col: F.Column) -> F.Column:
     return F.array_join(F.split(first_seg, " "), "_")
 
 
+def transform_responses(
+    responses: DataFrame,
+    *,
+    list_policy: str = "drop",
+    drop_columns: tuple[str, ...] = schemas.V1_DROP_COLUMNS,
+    ingest_ts: str | None = None,
+) -> DataFrame:
+    """The pure-DataFrame ingest transform: explode items → flatten
+    (T1–T4) → drop (T5) → ingestion ``timestamp`` (T6) →
+    ``channel_key`` partition column (T7).
+
+    Works identically on a batch DataFrame and a streaming DataFrame
+    (the Structured Streaming path reuses it unchanged). ``ingest_ts``
+    pins the stamp for deterministic tests; production uses
+    ``current_timestamp()``.
+    """
+    items = responses.select(F.explode("items").alias("item")).select("item.*")
+    flat = flatten(items, list_policy=list_policy)
+    flat = flat.drop(*[c for c in drop_columns if c in flat.columns])
+    ts = F.lit(ingest_ts).cast("timestamp") if ingest_ts else F.current_timestamp()
+    return (
+        flat.withColumn("timestamp", ts)
+        .withColumn("channel_key", channel_key(F.col("title")))
+    )
+
+
 def ingest(
     spark: SparkSession,
     payloads: Iterable[dict],
@@ -58,17 +84,11 @@ def ingest(
     drop_columns: tuple[str, ...] = schemas.V1_DROP_COLUMNS,
     ingest_ts: str | None = None,
 ) -> DataFrame:
-    """Full ingest transform for one poll tick.
-
-    flatten (T1–T4) → drop (T5) → ingestion ``timestamp`` (T6) →
-    ``channel_key`` partition column (T7). ``ingest_ts`` pins the stamp
-    for deterministic tests; production uses ``current_timestamp()``.
-    """
-    items = payloads_to_df(spark, payloads)
-    flat = flatten(items, list_policy=list_policy)
-    flat = flat.drop(*[c for c in drop_columns if c in flat.columns])
-    ts = F.lit(ingest_ts).cast("timestamp") if ingest_ts else F.current_timestamp()
-    return (
-        flat.withColumn("timestamp", ts)
-        .withColumn("channel_key", channel_key(F.col("title")))
+    """Full ingest transform for one poll tick of API payload dicts."""
+    responses = spark.createDataFrame(list(payloads), schema=schemas.API_RESPONSE)
+    return transform_responses(
+        responses,
+        list_policy=list_policy,
+        drop_columns=drop_columns,
+        ingest_ts=ingest_ts,
     )

@@ -1,0 +1,198 @@
+"""Similarity search over the ``embeddings`` table (64-dim float
+vectors): brute-force cosine top-k as the exact baseline, plus a
+random-hyperplane-LSH bucketed variant as the scale path.
+
+Scale notes:
+
+- Brute force is a broadcast nested-loop: the QUERY set is broadcast
+  (it's small), the corpus streams — so cost is O(|corpus| × |queries|)
+  with no shuffle of the corpus. Exact, and the right baseline.
+- The LSH variant buckets corpus and queries by sign-pattern of h
+  random hyperplanes and only scores within a bucket — candidate count
+  drops ~2^h-fold; recall is tunable with multiple tables. At 100 TB
+  you'd persist the bucketed corpus (partitioned by bucket id), making
+  each query a partition-pruned scan.
+- Dot products run as built-in higher-order functions
+  (``zip_with`` + sequential ``aggregate`` fold in double precision) —
+  deterministic order, JVM-side, no Python.
+- Cross-engine hashing: cosine is rounded to 6 dp in both engines; the
+  fold order matches DuckDB's ``list_dot_product``, and ranking ties
+  break on ``vec_id``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ytspark.queries import register
+from ytspark.session import load_tables
+
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+TOP_K = 10
+N_HYPERPLANES = 8
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right double fold — deterministic bits."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+@register(
+    "knn_cosine_bruteforce",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ROUND(LIST_DOT_PRODUCT(q.qv, e.embedding::DOUBLE[])
+               / (SQRT(LIST_DOT_PRODUCT(q.qv, q.qv))
+                  * SQRT(LIST_DOT_PRODUCT(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6)
+           AS cos_sim
+  FROM q, embeddings e
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cos_sim FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rk
+  FROM scored
+) WHERE rk <= {TOP_K}
+""",
+    doc="Exact cosine top-k: broadcast query set × streamed corpus, "
+        "zip_with/aggregate dot products, per-query rank window.",
+    tags=("similarity", "knn"),
+)
+def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    corpus = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    queries = corpus.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+
+
+def hyperplane(dim: int, seed: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane (pure Python,
+    fixed LCG — no RNG state, reproducible across runs/engines)."""
+    vals = []
+    x = seed * 6364136223846793005 + 1442695040888963407
+    for _ in range(dim):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        vals.append(((x >> 11) / float(1 << 53)) * 2.0 - 1.0)
+    return vals
+
+
+def bucket_id(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket: bit i = 1 iff dot(vec, plane_i) > 0."""
+    bits = None
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(v) for v in p])
+        bit = F.when(dot(vec, plane) > 0, F.lit(1 << i)).otherwise(0)
+        bits = bit if bits is None else bits + bit
+    return bits
+
+
+@register(
+    "knn_cosine_lsh",
+    oracle=None,  # approximate — recall measured against brute force in tests
+    doc="ANN via random-hyperplane LSH: corpus and queries bucketed by "
+        "8-bit sign pattern; exact cosine only within the query's bucket. "
+        "The 100 TB path persists the corpus partitioned by bucket.",
+    tags=("similarity", "knn", "lsh"),
+)
+def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    dim = 64
+    planes = [hyperplane(dim, seed=s + 1) for s in range(N_HYPERPLANES)]
+    corpus = emb.select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    ).withColumn("bucket", bucket_id(F.col("v"), planes))
+    queries = corpus.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        corpus.join(
+            F.broadcast(queries),
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim")
+        .orderBy("query_id", "cos_sim", "neighbor_id")
+    )
+
+
+@register(
+    "embedding_label_stats",
+    oracle="""
+SELECT label,
+       COUNT(*) AS n_vectors,
+       CAST(SUM(CAST(ROUND(SQRT(LIST_DOT_PRODUCT(embedding::DOUBLE[], embedding::DOUBLE[])), 6)
+                     AS DECIMAL(18,6))) AS DOUBLE) AS total_norm
+FROM embeddings
+GROUP BY label
+""",
+    doc="Per-label vector stats: deterministic norms (rounded, decimal-"
+        "summed) — the sanity profile before similarity work.",
+    tags=("similarity", "aggregate"),
+)
+def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    n = F.round(norm(as_double(F.col("embedding"))), 6).cast("decimal(18,6)")
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(n).cast("double").alias("total_norm"),
+        )
+    )

@@ -1,0 +1,189 @@
+"""Text-analysis operators over the ``documents`` table: token/char
+statistics, quality scoring, language-ID heuristic, rolling-hash
+document fingerprinting.
+
+All hot-path expressions are built-in column functions (split,
+array_distinct, aggregate, regexp_count …) — JVM-side, codegen'd, no
+Python in the loop — so they scale to 100 TB document corpora with the
+scan. The only shuffle any of these needs is the final aggregate, and
+the per-document computations are embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ytspark.queries import register
+from ytspark.session import load_tables
+
+# Stopword lists for the n-gram/stopword language heuristic. The scoring
+# is a deterministic token-membership count — expressible identically in
+# ANSI SQL, which is what makes the operator oracle-checkable.
+LANG_STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "de", "que", "y"),
+    "fr": ("le", "la", "les", "et", "est"),
+}
+
+
+def tokens(col: Column) -> Column:
+    return F.split(col, " ")
+
+
+def token_count(col: Column) -> Column:
+    return F.array_size(tokens(col))
+
+
+def stopword_hits(col: Column, words: tuple[str, ...]) -> Column:
+    wl = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(wl, t)))
+
+
+@register(
+    "text_stats",
+    oracle="""
+SELECT doc_id,
+       LENGTH(text) AS n_chars,
+       LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+       LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS n_distinct_tokens,
+       CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE)
+         / LEN(STRING_SPLIT(text, ' ')) AS ttr,
+       CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+         / LEN(STRING_SPLIT(text, ' ')) AS avg_token_len
+FROM documents
+""",
+    doc="Per-document token/char statistics + type-token ratio (quality "
+        "signal for corpus filtering). Pure columnar expressions.",
+    tags=("text",),
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = tokens(F.col("text"))
+    n_tokens = F.array_size(toks)
+    n_distinct = F.array_size(F.array_distinct(toks))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        (n_distinct.cast("double") / n_tokens).alias("ttr"),
+        (
+            F.length(F.regexp_replace(F.col("text"), " ", "")).cast("double")
+            / n_tokens
+        ).alias("avg_token_len"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN LEN(STRING_SPLIT(text, ' ')) BETWEEN 50 AND 400 THEN 1 ELSE 0 END
+     + CASE WHEN CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE)
+                 / LEN(STRING_SPLIT(text, ' ')) >= 0.1 THEN 1 ELSE 0 END
+     + CASE WHEN LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                 t -> t IN ('the', 'a', 'of', 'and', 'to'))) > 0
+            THEN 1 ELSE 0 END
+       AS quality_score
+FROM documents
+""",
+    doc="Rule-based quality score (length band + lexical diversity + "
+        "stopword presence) — the standard pre-training corpus filter shape.",
+    tags=("text", "quality"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = tokens(F.col("text"))
+    n_tokens = F.array_size(toks)
+    ttr = F.array_size(F.array_distinct(toks)).cast("double") / n_tokens
+    has_stop = stopword_hits(F.col("text"), LANG_STOPWORDS["en"]) > 0
+    score = (
+        F.when(n_tokens.between(50, 400), 1).otherwise(0)
+        + F.when(ttr >= 0.1, 1).otherwise(0)
+        + F.when(has_stop, 1).otherwise(0)
+    )
+    return docs.select("doc_id", score.alias("quality_score"))
+
+
+@register(
+    "lang_id_heuristic",
+    oracle="""
+SELECT doc_id,
+       CASE
+         WHEN LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                  t -> t IN ('der', 'die', 'das', 'und', 'ist')))
+            > LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                  t -> t IN ('the', 'a', 'of', 'and', 'to'))) THEN 'de'
+         WHEN LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                  t -> t IN ('the', 'a', 'of', 'and', 'to'))) > 0 THEN 'en'
+         ELSE 'und'
+       END AS lang_pred
+FROM documents
+""",
+    doc="Stopword-count language ID (n-gram heuristic family). Output is "
+        "the deterministic argmax, so Spark and the SQL oracle agree "
+        "token for token.",
+    tags=("text", "langid"),
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    de = stopword_hits(F.col("text"), LANG_STOPWORDS["de"])
+    en = stopword_hits(F.col("text"), LANG_STOPWORDS["en"])
+    pred = (
+        F.when(de > en, "de").when(en > 0, "en").otherwise("und")
+    )
+    return docs.select("doc_id", pred.alias("lang_pred"))
+
+
+@register(
+    "token_count_regex",
+    oracle=r"""
+SELECT doc_id,
+       LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+')) AS n_word_tokens,
+       LEN(REGEXP_EXTRACT_ALL(text, '[a-z]{1,4}')) AS n_bpe_pieces
+FROM documents
+""",
+    doc="Regex token counting: whitespace-free word tokens plus a "
+        "BPE-ish bounded-piece count (greedy ≤4-char chunks).",
+    tags=("text", "tokens"),
+)
+def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(r"[a-z]+")).alias("n_word_tokens"),
+        F.regexp_count(F.col("text"), F.lit(r"[a-z]{1,4}")).alias("n_bpe_pieces"),
+    )
+
+
+@register(
+    "doc_fingerprint_rolling",
+    oracle="""
+SELECT doc_id,
+       LIST_REDUCE(
+         LIST_PREPEND(CAST(7 AS BIGINT),
+           LIST_TRANSFORM(STRING_SPLIT(text, ' '),
+                          t -> CAST(LENGTH(t) * 131 + UNICODE(t) AS BIGINT))),
+         (acc, x) -> (acc * 1000003 + x) % 2147483647
+       ) AS fingerprint
+FROM documents
+""",
+    doc="Order-sensitive polynomial rolling hash over the token stream — "
+        "a document fingerprint that distinguishes permuted near-dups. "
+        "Pure-integer math so both engines agree exactly.",
+    tags=("text", "fingerprint"),
+)
+def doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    token_vals = F.transform(
+        tokens(F.col("text")),
+        lambda t: (F.length(t) * F.lit(131) + F.ascii(t)).cast("bigint"),
+    )
+    fp = F.aggregate(
+        token_vals,
+        F.lit(7).cast("bigint"),
+        lambda acc, x: (acc * F.lit(1000003) + x) % F.lit(2147483647),
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))

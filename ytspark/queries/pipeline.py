@@ -1,0 +1,197 @@
+"""Driver-testdata analogues of the reference pipeline operators
+(FIXTURES.md §4 mapping): cast+union mart ↦ customer slices; the
+append/snapshot time-series analytics ↦ the ``events`` stream table.
+
+These are the `queries()` faces of SURVEY §2 T8–T13 and of
+``ytspark.analytics`` — same code paths, oracle-checkable data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ytspark.facts import union_all
+from ytspark.queries import register
+from ytspark.session import load_tables
+
+
+@register(
+    "mart_union_cast",
+    oracle="""
+SELECT * FROM (
+  SELECT CAST(c_custkey AS BIGINT) AS entity_key,
+         CAST(c_name AS VARCHAR) AS entity_name,
+         CAST(c_acctbal AS DOUBLE) AS acctbal,
+         'BUILDING' AS channel
+  FROM customer WHERE c_mktsegment = 'BUILDING'
+  UNION ALL
+  SELECT CAST(c_custkey AS BIGINT), CAST(c_name AS VARCHAR),
+         CAST(c_acctbal AS DOUBLE), 'MACHINERY'
+  FROM customer WHERE c_mktsegment = 'MACHINERY'
+  UNION ALL
+  SELECT CAST(c_custkey AS BIGINT), CAST(c_name AS VARCHAR),
+         CAST(c_acctbal AS DOUBLE), 'AUTOMOBILE'
+  FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+)
+""",
+    doc="T9+T11 mart shape on testdata: per-slice typed cast projections "
+        "stacked with UNION ALL (reference YT_Facts_stg.sql:3-12,103-115).",
+    tags=("union", "cast", "pipeline"),
+)
+def mart_union_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_tables(spark, sf_dir, "customer")["customer"]
+
+    def slice_(segment: str) -> DataFrame:
+        return cust.where(F.col("c_mktsegment") == segment).select(
+            F.col("c_custkey").cast("bigint").alias("entity_key"),
+            F.col("c_name").cast("string").alias("entity_name"),
+            F.col("c_acctbal").cast("double").alias("acctbal"),
+            F.lit(segment).alias("channel"),
+        )
+
+    return union_all([slice_("BUILDING"), slice_("MACHINERY"), slice_("AUTOMOBILE")])
+
+
+@register(
+    "incremental_append_union",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM (
+  SELECT * FROM events WHERE ts <  TIMESTAMP '2024-01-15 00:00:00'
+  UNION ALL
+  SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+)
+GROUP BY event_type
+""",
+    doc="T8 incremental append: history ∪ delta (bag union, duplicates "
+        "preserved) then aggregate — the engine's O(delta) append model.",
+    tags=("union", "pipeline", "aggregate"),
+)
+def incremental_append_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    history = ev.where(F.col("ts") < cut)
+    delta = ev.where(F.col("ts") >= cut)
+    return (
+        history.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "events_latest_snapshot",
+    oracle="""
+SELECT user_id, event_id, event_type, ts FROM (
+  SELECT user_id, event_id, event_type, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+    doc="Latest snapshot per entity (ytspark.analytics.latest_snapshot on "
+        "the events analogue of the channel-snapshot table).",
+    tags=("window", "pipeline"),
+)
+def events_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "ts")
+    )
+
+
+@register(
+    "events_value_growth",
+    oracle="""
+SELECT event_id, user_id, value,
+       value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS value_delta
+FROM events
+""",
+    doc="Per-entity snapshot delta via LAG (analytics.growth) — the "
+        "'views gained per tick' query over the snapshot model.",
+    tags=("window", "pipeline"),
+)
+def events_value_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        (F.col("value") - F.lag("value").over(w)).alias("value_delta"),
+    )
+
+
+@register(
+    "events_hourly_rollup",
+    oracle="""
+SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY DATE_TRUNC('hour', ts), event_type
+""",
+    doc="Tumbling calendar rollup (analytics.period_rollup): the O2 "
+        "micro-batch cadence materialized as an hourly aggregate.",
+    tags=("aggregate", "time", "pipeline"),
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "events_sessionization",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id,
+       CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM gaps GROUP BY user_id
+""",
+    doc="Sessionization (30-min inactivity gap): lag + cumulative flag — "
+        "the batch equivalent of a session window.",
+    tags=("window", "sessionize", "pipeline"),
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | (F.col("ts").cast("long") - prev_ts.cast("long") > 30 * 60),
+        1,
+    ).otherwise(0)
+    return (
+        ev.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("bigint").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

@@ -1,0 +1,438 @@
+"""Relational query battery (SURVEY §2.10 — the operator categories the
+reference delegates to Snowflake, re-expressed as Spark built-ins).
+
+Each query is declared with the DataFrame API so Catalyst owns the
+physical plan: filters/projections push into the parquet scan, small
+dimensions broadcast, aggregates get map-side partials, top-k compiles
+to TakeOrderedAndProject. Oracles are ANSI SQL for DuckDB.
+
+Determinism contract for cross-engine hashing: monetary aggregates go
+through DECIMAL (see ``ytspark.functions.core``); every output column
+is aliased identically in both implementations; ties in rankings are
+broken by a unique key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ytspark.queries import register
+from ytspark.session import load_tables
+
+# ---------------------------------------------------------------- helpers
+
+# revenue = extendedprice * (1 - discount), exact decimal per row
+_REV_SQL = "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(4,2))"
+
+
+def _rev() -> F.Column:
+    return F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(4,2)")
+
+
+def _dsum(col: F.Column, alias: str) -> F.Column:
+    return F.sum(col).cast("double").alias(alias)
+
+
+# ---------------------------------------------------------------- queries
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM({rev}) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""".format(rev=_REV_SQL),
+    doc="TPC-H Q1-style pricing summary: filtered scan + grouped aggregate "
+        "with map-side partials; exact decimal money math.",
+    tags=("aggregate", "filter"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1999-01-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity").cast("decimal(18,2)"), "sum_qty"),
+            _dsum(F.col("l_extendedprice").cast("decimal(18,2)"), "sum_base_price"),
+            _dsum(_rev(), "sum_disc_price"),
+            (F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_top_orders",
+    oracle="""
+SELECT o.o_orderkey, o.o_orderdate,
+       CAST(SUM({rev}) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""".format(rev=_REV_SQL),
+    doc="TPC-H Q3-style: selective dim filter broadcast-joined into the fact, "
+        "grouped revenue, global top-k (TakeOrderedAndProject).",
+    tags=("join", "aggregate", "topk"),
+)
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    cutoff = F.lit("1998-06-01 00:00:00").cast("timestamp")
+    cust = t["customer"].where(F.col("c_mktsegment") == "BUILDING")
+    orders = t["orders"].where(F.col("o_orderdate") < cutoff)
+    li = t["lineitem"].where(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(_dsum(_rev(), "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_regional_revenue",
+    oracle="""
+SELECT n.n_name,
+       CAST(SUM({rev}) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n.n_name
+""".format(rev=_REV_SQL),
+    doc="TPC-H Q5-style multi-way join: fact-fact shuffle join + broadcast "
+        "dims (supplier/nation/region), local-supplier predicate.",
+    tags=("join", "aggregate"),
+)
+def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
+    )
+    o = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    return (
+        t["lineitem"]
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(_dsum(_rev(), "revenue"))
+    )
+
+
+@register(
+    "q6_revenue_forecast",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+""",
+    doc="TPC-H Q6-style scalar aggregate: all predicates push to the parquet "
+        "scan; single-stage partial+final agg.",
+    tags=("aggregate", "filter", "pushdown"),
+)
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _dsum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * F.col("l_discount").cast("decimal(4,2)"),
+                "revenue",
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY o_orderpriority
+""",
+    doc="TPC-H Q4-style EXISTS as a left-semi join, then grouped count.",
+    tags=("join", "semi", "aggregate"),
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    o = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = t["lineitem"]
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "top_revenue_customers",
+    oracle="""
+SELECT c.c_custkey, c.c_name,
+       CAST(SUM({rev}) AS DOUBLE) AS revenue,
+       COUNT(DISTINCT o.o_orderkey) AS n_orders
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY c.c_custkey, c.c_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 10
+""".format(rev=_REV_SQL),
+    doc="Customer lifetime revenue ranking: two joins, distinct count, top-k.",
+    tags=("join", "aggregate", "topk", "distinct"),
+)
+def top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            _dsum(_rev(), "revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "nation_customer_stats",
+    oracle="""
+SELECT r.r_name, n.n_name,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+""",
+    doc="Dimension-chain broadcast joins + grouped stats (the Power BI-style "
+        "reporting query over the reference's architecture diagram).",
+    tags=("join", "aggregate"),
+)
+def nation_customer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "customer", "nation", "region")
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _dsum(bal, "total_acctbal"),
+            (F.sum(bal).cast("double") / F.count(F.lit(1))).alias("avg_acctbal"),
+        )
+    )
+
+
+@register(
+    "rollup_order_status",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+""",
+    doc="GROUP BY ROLLUP hierarchy totals (absent in reference; built-in).",
+    tags=("aggregate", "rollup"),
+)
+def rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum(F.col("o_totalprice").cast("decimal(18,2)"), "total_price"),
+    )
+
+
+@register(
+    "pivot_segment_status",
+    oracle="""
+SELECT c.c_mktsegment,
+       COUNT(*) FILTER (WHERE o.o_orderstatus = 'F') AS n_f,
+       COUNT(*) FILTER (WHERE o.o_orderstatus = 'O') AS n_o,
+       COUNT(*) FILTER (WHERE o.o_orderstatus = 'P') AS n_p
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+    doc="Pivot (status columns per segment) = conditional aggregation.",
+    tags=("aggregate", "pivot"),
+)
+def pivot_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    joined = t["orders"].join(
+        F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey")
+    )
+    pivoted = (
+        joined.groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "c_mktsegment",
+        F.coalesce("F", F.lit(0)).alias("n_f"),
+        F.coalesce("O", F.lit(0)).alias("n_o"),
+        F.coalesce("P", F.lit(0)).alias("n_p"),
+    )
+
+
+@register(
+    "nations_without_suppliers",
+    oracle="""
+SELECT n_name FROM nation JOIN customer ON c_nationkey = n_nationkey
+WHERE c_acctbal > 9000
+EXCEPT
+SELECT n_name FROM nation JOIN supplier ON s_nationkey = n_nationkey
+WHERE s_acctbal > 5000
+""",
+    doc="Set difference (EXCEPT DISTINCT): nations with a high-balance "
+        "customer but no high-balance supplier.",
+    tags=("setop",),
+)
+def nations_without_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "nation", "customer", "supplier")
+    with_cust = (
+        t["nation"]
+        .join(t["customer"], F.col("c_nationkey") == F.col("n_nationkey"))
+        .where(F.col("c_acctbal") > 9000)
+        .select("n_name")
+    )
+    with_supp = (
+        t["nation"]
+        .join(t["supplier"], F.col("s_nationkey") == F.col("n_nationkey"))
+        .where(F.col("s_acctbal") > 5000)
+        .select("n_name")
+    )
+    # subtract == EXCEPT DISTINCT (bag-removing exceptAll would be wrong here)
+    return with_cust.subtract(with_supp)
+
+
+@register(
+    "limit_head",
+    oracle="SELECT o_orderkey, o_custkey, o_orderstatus FROM orders ORDER BY o_orderkey LIMIT 5",
+    doc="T12 (v2 load truncation, dags/optimized_extract.py:106) as a "
+        "deterministic ordered LIMIT.",
+    tags=("limit",),
+)
+def limit_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    return (
+        o.select("o_orderkey", "o_custkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+        .limit(5)
+    )
+
+
+@register(
+    "top3_orders_per_priority",
+    oracle="""
+SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+) WHERE rk <= 3
+""",
+    doc="Top-k per group via rank window; deterministic key tiebreak.",
+    tags=("window", "topk"),
+)
+def top3_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "customer_running_revenue",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_total
+FROM orders
+WHERE o_custkey <= 50
+""",
+    doc="Cumulative windowed sum per entity (exact decimal accumulator).",
+    tags=("window",),
+)
+def customer_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")["orders"].where(F.col("o_custkey") <= 50)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )

@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
@@ -43,10 +44,29 @@ def get_spark(app_name: str = "ytspark", *, session_tz: str = "UTC") -> SparkSes
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str):
-    """Read driver testdata parquet tables, returning a dict of DataFrames."""
+    """Read driver testdata parquet tables, returning a dict of DataFrames.
+
+    The ``events`` table is written with nanosecond parquet timestamps,
+    which Spark's vectorized reader rejects; it is read via the
+    nanos-as-long legacy mode and truncated to microseconds (matching
+    DuckDB's read of the same file).
+    """
     if not names:
         names = (
             "region", "nation", "customer", "supplier", "part",
             "orders", "lineitem", "events", "documents", "embeddings",
         )
-    return {n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet")) for n in names}
+    out = {}
+    for n in names:
+        path = os.path.join(sf_dir, f"{n}.parquet")
+        if n == "events":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path)
+            if dict(df.dtypes).get("ts") == "bigint":
+                df = df.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                )
+            out[n] = df
+        else:
+            out[n] = spark.read.parquet(path)
+    return out

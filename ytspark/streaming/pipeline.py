@@ -1,0 +1,61 @@
+"""Micro-batch ingestion pipeline (SURVEY §2 O1–O3).
+
+``run_microbatch_ingest`` is the Spark-native equivalent of the
+reference's `extract ≫ load` DAG chain (``dags/extract.py:196-217``):
+each micro-batch runs the same pure transform the batch path uses
+(``ingest.transform_responses``) and appends to the same partitioned
+bronze parquet — one code path, two execution modes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from ytspark import schemas
+from ytspark.ingest import transform_responses
+
+
+def read_payload_stream(spark: SparkSession, payload_dir: str) -> DataFrame:
+    """File-source stream of API-response JSON files (one poll tick per
+    file drop — the S3-landing pattern the reference polls)."""
+    return (
+        spark.readStream.schema(schemas.API_RESPONSE)
+        .option("maxFilesPerTrigger", 64)
+        .json(payload_dir)
+    )
+
+
+def run_microbatch_ingest(
+    spark: SparkSession,
+    payload_dir: str,
+    bronze_path: str,
+    checkpoint_dir: str,
+    *,
+    list_policy: str = "drop",
+    processing_time: str | None = None,
+) -> StreamingQuery:
+    """extract ≫ load as a streaming query.
+
+    ``processing_time=None`` → ``availableNow`` (process backlog, stop):
+    the O2 external-scheduler cadence. ``processing_time="5 minutes"``
+    → the optimized DAG's continuous micro-batch mode
+    (``dags/optimized_extract.py:118``).
+    """
+    stream = read_payload_stream(spark, payload_dir)
+    bronze = transform_responses(stream, list_policy=list_policy)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # O1 task chain body: the load stage of the reference DAG.
+        batch_df.write.mode("append").partitionBy("channel_key").parquet(bronze_path)
+
+    writer = (
+        bronze.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
