@@ -43,7 +43,7 @@ def register(
 
 def registry() -> dict[str, Query]:
     # import for side effects: module bodies register their queries
-    from ytspark.queries import pipeline, relational  # noqa: F401
+    from ytspark.queries import decision_support, pipeline, relational  # noqa: F401
     from ytspark.operators import dedup, similarity, temporal, text  # noqa: F401
     from ytspark.streaming import queries as streaming_queries  # noqa: F401
 

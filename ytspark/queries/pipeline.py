@@ -132,6 +132,36 @@ def events_value_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_json_props",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(props->>'$.k' AS BIGINT)) AS total_k,
+       MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+""",
+    doc="Semi-structured extraction: JSON props column parsed JVM-side "
+        "(get_json_object; from_json is the typed alternative) then "
+        "aggregated — the flatten-at-the-edge regime of SURVEY §1.3 "
+        "applied to a JSON payload column.",
+    tags=("json", "semi-structured", "aggregate"),
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("total_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@register(
     "events_hourly_rollup",
     oracle="""
 SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
