@@ -1,0 +1,138 @@
+"""Unit tests for the custom operators: as-of join, multimodal binary
+plumbing, MinHash/LSH internals."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from ytspark.operators.multimodal import (
+    attach_fake_media,
+    decode_image,
+    media_features,
+    sample_frames,
+)
+from ytspark.operators.temporal import asof_join
+
+
+def _ts(s: str) -> datetime.datetime:
+    return datetime.datetime.fromisoformat(s)
+
+
+class TestAsofJoin:
+    def _frames(self, spark):
+        left = spark.createDataFrame(
+            [
+                Row(k=1, lts=_ts("2024-01-01T10:00:00"), tag="a"),
+                Row(k=1, lts=_ts("2024-01-01T12:00:00"), tag="b"),
+                Row(k=2, lts=_ts("2024-01-01T09:00:00"), tag="c"),
+            ]
+        )
+        right = spark.createDataFrame(
+            [
+                Row(k=1, rts=_ts("2024-01-01T09:30:00"), payload=10.0),
+                Row(k=1, rts=_ts("2024-01-01T11:00:00"), payload=20.0),
+                Row(k=1, rts=_ts("2024-01-01T12:00:00"), payload=30.0),
+                Row(k=2, rts=_ts("2024-01-01T09:30:00"), payload=99.0),
+            ]
+        )
+        return left, right
+
+    def test_backward_semantics(self, spark):
+        left, right = self._frames(spark)
+        out = {
+            r["tag"]: r
+            for r in asof_join(
+                left, right, key="k", left_ts="lts", right_ts="rts",
+                payload=["rts", "payload"],
+            ).collect()
+        }
+        # a @10:00 sees the 09:30 row
+        assert out["a"]["asof_payload"] == 10.0
+        # b @12:00: right row at EXACTLY 12:00 is visible (<= semantics)
+        assert out["b"]["asof_payload"] == 30.0
+        # c @09:00: no prior right row -> NULLs, row preserved (left join)
+        assert out["c"]["asof_payload"] is None
+
+    def test_left_columns_preserved(self, spark):
+        left, right = self._frames(spark)
+        res = asof_join(
+            left, right, key="k", left_ts="lts", right_ts="rts", payload=["payload"]
+        )
+        assert res.columns == ["k", "lts", "tag", "asof_payload"]
+        assert res.count() == left.count()
+
+
+class TestMultimodal:
+    def _media(self, spark, sf_dir):
+        from ytspark.session import load_tables
+
+        docs = load_tables(spark, sf_dir, "documents")["documents"]
+        return attach_fake_media(docs.limit(20))
+
+    def test_schema(self, spark, sf_dir):
+        media = self._media(spark, sf_dir)
+        assert dict(media.dtypes)["media"] == "binary"
+        assert dict(media.dtypes)["meta"].startswith("struct<format:string")
+
+    def test_features_roundtrip(self, spark, sf_dir):
+        import hashlib
+
+        media = self._media(spark, sf_dir)
+        feats = {r["doc_id"]: r for r in media_features(media).collect()}
+        for row in media.collect():
+            f = feats[row["doc_id"]]
+            assert f["n_bytes"] == len(row["media"])
+            assert f["checksum"] == hashlib.md5(bytes(row["media"])).hexdigest()
+            w, h = row["meta"]["width"], row["meta"]["height"]
+            assert f["thumb_w"] == w * 64 // max(w, h)
+            assert max(f["thumb_w"], f["thumb_h"]) == 64
+
+    def test_frame_sampling_expansion(self, spark, sf_dir):
+        media = self._media(spark, sf_dir)
+        frames = sample_frames(media)
+        per_doc = frames.groupBy("doc_id").count().collect()
+        assert len(per_doc) == media.count()  # every asset emits >= 1 frame
+        one = frames.where(F.col("frame_idx") == 0).count()
+        assert one == media.count()  # frame 0 always sampled
+
+    def test_metadata_only_projection_skips_payload(self, spark, sf_dir):
+        media = self._media(spark, sf_dir)
+        plan = (
+            media.select("doc_id", "meta.format")._jdf.queryExecution()
+            .optimizedPlan().toString()
+        )
+        assert "media" not in plan  # payload column pruned from the scan
+
+    def test_decode_stub_raises(self):
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\x89PNG...", "png")
+
+
+class TestMinhash:
+    def test_signature_deterministic_and_sized(self, spark, sf_dir):
+        from ytspark.operators.dedup import N_PERMUTATIONS, minhash_signatures_df
+        from ytspark.session import load_tables
+
+        docs = load_tables(spark, sf_dir, "documents")["documents"].limit(10)
+        a = {r["doc_id"]: r["sig"] for r in minhash_signatures_df(docs).collect()}
+        b = {r["doc_id"]: r["sig"] for r in minhash_signatures_df(docs).collect()}
+        assert a == b  # deterministic across runs
+        assert all(len(s) == N_PERMUTATIONS for s in a.values())
+
+    def test_identical_docs_identical_sigs(self, spark):
+        from ytspark.operators.dedup import minhash_signatures_df
+
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+                Row(doc_id=2, text="the quick brown fox jumps over the lazy dog"),
+                Row(doc_id=3, text="a completely different document body here now"),
+            ]
+        )
+        sigs = {r["doc_id"]: r["sig"] for r in minhash_signatures_df(docs).collect()}
+        assert sigs[1] == sigs[2]
+        assert sigs[1] != sigs[3]

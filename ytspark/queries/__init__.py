@@ -44,7 +44,13 @@ def register(
 def registry() -> dict[str, Query]:
     # import for side effects: module bodies register their queries
     from ytspark.queries import decision_support, pipeline, relational  # noqa: F401
-    from ytspark.operators import dedup, similarity, temporal, text  # noqa: F401
+    from ytspark.operators import (  # noqa: F401
+        dedup,
+        multimodal,
+        similarity,
+        temporal,
+        text,
+    )
     from ytspark.streaming import queries as streaming_queries  # noqa: F401
 
     return dict(_REGISTRY)
