@@ -25,19 +25,26 @@ HEADLINE = [
     "q5_regional_revenue",
     "q6_revenue_forecast",
     "q4_order_priority",
+    "q7_nation_trade",
+    "q9_product_profit",
+    "q18_large_orders",
     "top_revenue_customers",
     "mart_union_cast",
     "events_hourly_rollup",
     "events_sessionization",
     "events_latest_snapshot",
+    "asof_last_click_before_purchase",
+    "range_join_clicks_after_purchase",
     "dedup_exact_stats",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    "dedup_embedding_cosine",
     "knn_cosine_bruteforce",
     "knn_cosine_lsh",
     "text_stats",
     "doc_fingerprint_rolling",
+    "multimodal_decode_stats",
     "streaming_hourly_counts",
 ]
 

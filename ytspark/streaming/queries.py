@@ -1,11 +1,14 @@
 """Streaming queries registered in the engine query surface.
 
-``streaming_hourly_counts`` runs a REAL Structured Streaming job
-(file-source readStream over the events parquet, watermark + tumbling
-window, availableNow trigger, memory sink) and returns the materialized
-result — which must equal the batch date_trunc rollup, so it is fully
+Every query here runs a REAL Structured Streaming job (file-source
+readStream over the events parquet, availableNow trigger, memory sink)
+and returns the materialized result — each is constructed so its final
+answer equals a batch-computable relation, so all are fully
 oracle-checkable. This pins the streaming/batch unification the engine
-claims (same semantics in both modes).
+claims (same semantics in both modes): tumbling windows + watermark
+(hourly counts), sliding windows, session windows, stateful
+deduplication (dropDuplicatesWithinWatermark), and an arbitrary
+stateful operator via applyInPandasWithState.
 """
 
 from __future__ import annotations
@@ -17,6 +20,37 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ytspark.queries import register
+
+
+def _events_stream(spark: SparkSession, sf_dir: str, max_files: int | None = None):
+    """File-source stream over the events table (stage dir holds a
+    symlink to the parquet file — the file source needs a directory).
+    Returns the stream with ``ts`` normalized to TimestampType."""
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    stage = tempfile.mkdtemp(prefix="ytspark_stream_")
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    reader = spark.readStream.schema(schema)
+    if max_files is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files)
+    stream = reader.parquet(stage)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def _run_to_memory(windowed, sink: str, output_mode: str = "complete"):
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
 
 
 @register(
@@ -34,25 +68,7 @@ GROUP BY 1, 2
     tags=("streaming", "window", "aggregate"),
 )
 def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = os.path.join(sf_dir, "events.parquet")
-    # events.parquet carries nanosecond timestamps: read nanos-as-long,
-    # truncate to micros (same treatment as the batch path in
-    # ytspark.session.load_tables).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(path).schema
-    # the file-stream source needs a DIRECTORY; stage a symlink to the
-    # single parquet file in a scratch dir
-    stage = tempfile.mkdtemp(prefix="ytspark_stream_")
-    link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(path, link)
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 8)
-        .parquet(stage)
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _events_stream(spark, sf_dir, max_files=8)
     windowed = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
@@ -62,17 +78,156 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink = f"stream_hourly_{abs(hash(sf_dir)) % 10_000_000}"
-    q = (
-        windowed.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    _run_to_memory(windowed, sink)
     return spark.table(sink).select(
         F.col("w.start").alias("hour"),
         "event_type",
         "n_events",
         "total_value",
     )
+
+
+@register(
+    "streaming_sliding_counts",
+    oracle="""
+SELECT DATE_TRUNC('hour', e.ts) - o.off * INTERVAL 1 HOUR AS window_start,
+       e.event_type,
+       COUNT(*) AS n_events
+FROM events e CROSS JOIN (SELECT UNNEST([0, 1]) AS off) o
+GROUP BY 1, 2
+""",
+    doc="Sliding window (2 h length, 1 h slide) over the event stream: "
+        "each event lands in two overlapping windows. Oracle materializes "
+        "the same two windows per event with an offset cross join.",
+    tags=("streaming", "window", "aggregate"),
+)
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _events_stream(spark, sf_dir)
+    windowed = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    sink = f"stream_sliding_{abs(hash(sf_dir)) % 10_000_000}"
+    _run_to_memory(windowed, sink)
+    return spark.table(sink).select(
+        F.col("w.start").alias("window_start"), "event_type", "n_events"
+    )
+
+
+@register(
+    "streaming_session_windows",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id,
+       CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM gaps GROUP BY user_id
+""",
+    doc="Native streaming session windows (session_window, 30-min gap) "
+        "per user; a session closes when the NEXT event is >= gap away, "
+        "matching the batch lag-based sessionization (strict-inequality "
+        "edge: session_window merges only gaps strictly under 30 min).",
+    tags=("streaming", "session", "stateful"),
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _events_stream(spark, sf_dir)
+    sess = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_in_session"))
+    )
+    sink = f"stream_session_{abs(hash(sf_dir)) % 10_000_000}"
+    _run_to_memory(sess, sink)
+    return (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_in_session").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "streaming_dedup_events",
+    oracle="""
+SELECT event_type, COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+""",
+    doc="Stateful streaming deduplication: the stream is unioned with "
+        "itself (every event arrives twice) and "
+        "dropDuplicatesWithinWatermark on event_id restores exactly-once "
+        "— final counts equal the plain batch counts.",
+    tags=("streaming", "dedup", "stateful"),
+)
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doubled = _events_stream(spark, sf_dir).unionByName(
+        _events_stream(spark, sf_dir)
+    )
+    deduped = doubled.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    sink = f"stream_dedup_{abs(hash(sf_dir)) % 10_000_000}"
+    _run_to_memory(deduped, sink, output_mode="append")
+    return spark.table(sink).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+@register(
+    "streaming_stateful_user_stats",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       MAX(value) AS max_value,
+       MIN(value) AS min_value
+FROM events
+GROUP BY user_id
+""",
+    doc="Arbitrary stateful streaming operator via applyInPandasWithState: "
+        "per-user running (count, max, min) state updated per micro-batch "
+        "in an Arrow-batched kernel — the custom-operator escape hatch "
+        "for semantics window/session aggregates can't express.",
+    tags=("streaming", "stateful", "pandas-udf"),
+)
+def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    # single file + no maxFilesPerTrigger -> one micro-batch, so each
+    # group emits exactly one (final) row into the append sink.
+    stream = _events_stream(spark, sf_dir)
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, mx, mn = state.get if state.exists else (0, None, None)
+        for pdf in pdfs:
+            n += len(pdf)
+            bmax = pdf["value"].max()
+            bmin = pdf["value"].min()
+            mx = bmax if mx is None else max(mx, bmax)
+            mn = bmin if mn is None else min(mn, bmin)
+        state.update((n, mx, mn))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [mx], "min_value": [mn]}
+        )
+
+    stats = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, max_value double, min_value double",
+        stateStructType="n bigint, mx double, mn double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = f"stream_state_{abs(hash(sf_dir)) % 10_000_000}"
+    _run_to_memory(stats, sink, output_mode="append")
+    return spark.table(sink)
