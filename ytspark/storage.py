@@ -39,3 +39,22 @@ def save_table(df: DataFrame, name: str, *, mode: str = "overwrite") -> None:
     schema derived from the DataFrame (the reference's
     ``write_pandas(auto_create_table=True)``, ``dags/extract.py:171``)."""
     df.write.mode(mode).saveAsTable(name)
+
+
+def read_csv(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """CSV source (S2 — the reference's accumulated per-channel CSV,
+    ``dags/extract.py:119-120``). With ``schema=None`` this infers like
+    ``pd.read_csv`` did (schema-on-read regime, SURVEY §1.3); passing an
+    explicit schema is the engine default — inference costs an extra
+    full scan and types drift between polls."""
+    reader = spark.read.option("header", True)
+    if schema is not None:
+        return reader.schema(schema).csv(path)
+    return reader.option("inferSchema", True).csv(path)
+
+
+def write_csv(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    """CSV sink (S3 — interchange/export only). The bronze layer is
+    parquet; CSV remains for compatibility with the reference's S3
+    object layout (``dags/extract.py:122-129``)."""
+    df.write.mode(mode).option("header", True).csv(path)
