@@ -1,0 +1,81 @@
+"""Plan-shape tests for the scale utilities: bucketed joins must not
+shuffle; salted joins must match the plain join exactly."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from ytspark.plans.scale import bucketed_join, salted_join, write_bucketed
+from ytspark.session import load_tables
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, no_broadcast):
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    suffix = uuid.uuid4().hex[:8]
+    lt, rt = f"li_b_{suffix}", f"ord_b_{suffix}"
+    li = t["lineitem"].select(F.col("l_orderkey").alias("okey"), "l_quantity")
+    od = t["orders"].select(F.col("o_orderkey").alias("okey"), "o_totalprice")
+    try:
+        write_bucketed(li, lt, "okey", n_buckets=8)
+        write_bucketed(od, rt, "okey", n_buckets=8)
+        joined = bucketed_join(spark, lt, rt, "okey")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: no shuffle either side
+        # sanity: same result as the plain (shuffling) join
+        plain = li.join(od, on="okey").count()
+        assert joined.count() == plain
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {lt}")
+        spark.sql(f"DROP TABLE IF EXISTS {rt}")
+
+
+def test_unbucketed_join_does_exchange(spark, sf_dir, no_broadcast):
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    joined = t["lineitem"].join(
+        t["orders"], F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    assert "Exchange" in _plan(joined)  # the baseline the buckets remove
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    orders = t["orders"].withColumnRenamed("o_custkey", "custkey")
+    cust = t["customer"].withColumnRenamed("c_custkey", "custkey")
+    salted = salted_join(
+        orders, cust, "custkey", salt_col="o_orderkey", n_salts=4
+    )
+    plain = orders.join(cust, on="custkey")
+    assert salted.count() == plain.count()
+    a = sorted(
+        (r["o_orderkey"], r["c_name"]) for r in salted.select("o_orderkey", "c_name").collect()
+    )
+    b = sorted(
+        (r["o_orderkey"], r["c_name"]) for r in plain.select("o_orderkey", "c_name").collect()
+    )
+    assert a == b
+
+
+def test_salt_distribution_balanced(spark, sf_dir):
+    t = load_tables(spark, sf_dir, "orders")
+    salted = t["orders"].withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col("o_orderkey")), F.lit(8)).cast("int")
+    )
+    counts = [r["count"] for r in salted.groupBy("__salt").count().collect()]
+    assert len(counts) == 8
+    assert max(counts) < 2 * min(counts)  # roughly uniform split

@@ -1,0 +1,78 @@
+"""Scale patterns: shuffle-elimination and skew-mitigation utilities.
+
+These are the plan-shaping tools the 100 TB deployment leans on; each
+has a test asserting the PLAN property (no exchange / balanced keys),
+not just the result.
+
+- **Bucketing** pre-shuffles a table ONCE at write time: two tables
+  bucketed by the same key into the same bucket count join with NO
+  exchange on either side (Spark's bucketed scan exposes the hash
+  distribution to the planner). For a fact table joined on the same key
+  by every query — lineitem ⨝ orders on the order key here, or the
+  per-channel snapshot fact on channel_key — this converts the
+  per-query shuffle into a one-time write cost.
+- **Salting** splits a skewed key across N sub-keys: the skewed side
+  gets a deterministic salt derived from a high-cardinality column, the
+  other side is replicated N ways. AQE's skew-join splitting
+  (spark.sql.adaptive.skewJoin, on in ytspark.session) handles
+  moderate skew automatically; explicit salting is for the pathological
+  key that exceeds a single executor regardless of split factor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 32,
+    *,
+    sort: bool = True,
+) -> None:
+    """Persist ``df`` bucketed (and optionally sorted) by ``key``.
+
+    Joins/aggregations on ``key`` between tables written with the same
+    bucket spec run shuffle-free (and sort-free when sorted).
+    """
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, key)
+    if sort:
+        writer = writer.sortBy(key)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, key: str, how: str = "inner"
+) -> DataFrame:
+    """Join two same-spec bucketed tables on their bucket key — planner
+    emits SortMergeJoin with no Exchange on either side."""
+    return spark.table(left_table).join(spark.table(right_table), on=key, how=how)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    *,
+    salt_col: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: ``left`` (the skewed side) is salted
+    deterministically from ``salt_col``; ``right`` is replicated
+    ``n_salts`` ways. Result is row-identical to the plain join.
+
+    The salt must derive from a column (not rand()) so retries/AQE
+    re-execution stay deterministic.
+    """
+    salted_l = left.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(n_salts)).cast("int")
+    )
+    replicated_r = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    joined = salted_l.join(replicated_r, on=[key, "__salt"], how=how)
+    return joined.drop("__salt")
