@@ -112,6 +112,27 @@ class TestMultimodal:
             decode_image(b"\x89PNG...", "png")
 
 
+class TestNgramJaccard:
+    def test_df_cap_keeps_recall(self, spark, sf_dir):
+        """The df-capped (scale) mode must find the same ≥0.8 pairs the
+        exact mode finds — hot shingles carry no similarity signal."""
+        from ytspark.operators.dedup import ngram_jaccard_pairs
+        from ytspark.session import load_tables
+
+        docs = load_tables(spark, sf_dir, "documents")["documents"]
+        exact = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(docs, max_df=None).collect()
+        }
+        capped = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(docs, max_df=20).collect()
+        }
+        assert set(capped) == set(exact)  # full recall on this corpus
+        for k, v in capped.items():
+            assert abs(v - exact[k]) < 1e-12  # identical exact scores
+
+
 class TestMinhash:
     def test_signature_deterministic_and_sized(self, spark, sf_dir):
         from ytspark.operators.dedup import N_PERMUTATIONS, minhash_signatures_df
