@@ -133,6 +133,27 @@ class TestNgramJaccard:
             assert abs(v - exact[k]) < 1e-12  # identical exact scores
 
 
+class TestAnnRecall:
+    def _topk_sets(self, df):
+        import collections
+
+        out = collections.defaultdict(set)
+        for r in df.collect():
+            out[r["query_id"]].add(r["neighbor_id"])
+        return out
+
+    def test_ivf_recall_vs_bruteforce(self, spark, sf_dir):
+        from ytspark.operators.similarity import knn_cosine_bruteforce, knn_cosine_ivf
+
+        bf = self._topk_sets(knn_cosine_bruteforce(spark, sf_dir))
+        ivf = self._topk_sets(knn_cosine_ivf(spark, sf_dir))
+        recalls = [len(bf[q] & ivf[q]) / len(bf[q]) for q in bf]
+        assert len(recalls) == 10
+        # uniform random 64-dim vectors are the worst case for IVF;
+        # probing 4/16 cells must still beat the 25% cell-coverage floor
+        assert sum(recalls) / len(recalls) >= 0.3
+
+
 class TestMinhash:
     def test_signature_deterministic_and_sized(self, spark, sf_dir):
         from ytspark.operators.dedup import N_PERMUTATIONS, minhash_signatures_df

@@ -1,0 +1,33 @@
+"""PySpark 4 Python DataSource for the YouTube source (SURVEY §2 S1)."""
+
+from __future__ import annotations
+
+from ytspark.ingest import transform_responses
+from ytspark.sources.youtube import REFERENCE_CHANNEL_TITLES
+from ytspark.sources.youtube_datasource import read_youtube, register_youtube_source
+
+
+def test_format_read_one_row_per_channel(spark):
+    register_youtube_source(spark)
+    df = (
+        spark.read.format("youtube")
+        .option("channels", "MrBeast,PewDiePie")
+        .option("tick", "3")
+        .load()
+    )
+    rows = df.collect()
+    assert sorted(r["channel"] for r in rows) == ["MrBeast", "PewDiePie"]
+    assert all(r["tick"] == 3 for r in rows)
+    # one input partition per channel (the fan-out property)
+    assert df.rdd.getNumPartitions() == 2
+
+
+def test_typed_read_feeds_ingest_transform(spark):
+    responses = read_youtube(spark, tick=1)
+    bronze = transform_responses(responses, ingest_ts="2026-01-01 00:00:00")
+    rows = bronze.collect()
+    assert len(rows) == len(REFERENCE_CHANNEL_TITLES)
+    by_key = {r["channel_key"]: r for r in rows}
+    # the reference's slug semantics survive the DataSource path
+    assert "Cocomelon___Nursery_Rhymes" in by_key
+    assert by_key["MrBeast"]["subscriberCount"] is not None

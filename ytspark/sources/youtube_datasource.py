@@ -1,0 +1,96 @@
+"""PySpark 4 Python DataSource for the YouTube channels API (SURVEY §2
+S1: ``spark.read.format("youtube")``).
+
+The reference fans out over channels in a sequential driver loop
+(``dags/extract.py:146-148``); this source makes the fan-out Spark's
+problem: **one input partition per channel**, so N channels fetch in
+parallel across executors, and everything downstream is one DataFrame.
+
+The fetch boundary is pluggable: without network access the partitions
+emit the deterministic fixture payloads (``ytspark.sources.youtube``);
+a production deployment replaces ``_fetch`` with the HTTPS call — the
+plan, partitioning, and downstream lineage are identical.
+
+Rows are ``(channel, tick, payload_json)`` — the raw-landing shape; use
+``read_youtube`` for the parsed/typed view (from_json against the
+declared API schema, then the same explode the batch path uses).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from ytspark import schemas
+from ytspark.sources.youtube import REFERENCE_CHANNEL_TITLES, channel_payload
+
+SOURCE_NAME = "youtube"
+
+
+class ChannelPartition(InputPartition):
+    def __init__(self, title: str, tick: int):
+        self.title = title
+        self.tick = tick
+
+
+def _fetch(title: str, tick: int) -> dict:
+    """The network boundary. Fixture-backed here; swap for the
+    ``channels().list`` HTTPS GET in production."""
+    return channel_payload(title, tick=tick)
+
+
+class YouTubeReader(DataSourceReader):
+    def __init__(self, options):
+        raw = options.get("channels", ",".join(REFERENCE_CHANNEL_TITLES))
+        self.titles = [t for t in raw.split(",") if t]
+        self.tick = int(options.get("tick", 0))
+
+    def partitions(self):
+        # one partition per channel: the reference's sequential loop
+        # becomes cluster-parallel fetch fan-out (O3).
+        return [ChannelPartition(t, self.tick) for t in self.titles]
+
+    def read(self, partition: ChannelPartition):
+        payload = _fetch(partition.title, partition.tick)
+        yield (partition.title, partition.tick, json.dumps(payload))
+
+
+class YouTubeDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return SOURCE_NAME
+
+    def schema(self) -> str:
+        return "channel string, tick int, payload_json string"
+
+    def reader(self, schema) -> YouTubeReader:
+        return YouTubeReader(self.options)
+
+
+def register_youtube_source(spark: SparkSession) -> None:
+    spark.dataSource.register(YouTubeDataSource)
+
+
+def read_youtube(
+    spark: SparkSession,
+    channels: tuple[str, ...] = REFERENCE_CHANNEL_TITLES,
+    *,
+    tick: int = 0,
+) -> DataFrame:
+    """Typed view over the source: parse the raw payload against the
+    declared API schema and explode to one row per channel item — the
+    exact input shape ``ingest.transform_responses`` consumes."""
+    register_youtube_source(spark)
+    raw = (
+        spark.read.format(SOURCE_NAME)
+        .option("channels", ",".join(channels))
+        .option("tick", str(tick))
+        .load()
+    )
+    parsed = raw.select(
+        F.from_json(F.col("payload_json"), schemas.API_RESPONSE).alias("resp")
+    )
+    return parsed.select("resp.*")
