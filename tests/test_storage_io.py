@@ -22,6 +22,30 @@ def test_csv_roundtrip_inferred(spark, sf_dir):
     assert dict(back.dtypes)["n_nationkey"] in ("int", "bigint")
 
 
+def test_compact_bronze_collapses_files(spark):
+    import glob
+    import tempfile
+
+    from ytspark import ingest
+    from ytspark.sources.youtube import poll_tick
+
+    path = tempfile.mkdtemp(prefix="ytspark_compact_") + "/bronze"
+    for tick in range(5):
+        storage.append_bronze(
+            ingest.ingest(spark, poll_tick(tick=tick),
+                          ingest_ts=f"2026-01-01 0{tick}:00:00"),
+            path,
+        )
+    before_rows = spark.read.parquet(path).count()
+    files_before = len(glob.glob(path + "/channel_key=*/*.parquet"))
+    storage.compact_bronze(spark, path)
+    files_after = len(glob.glob(path + "/channel_key=*/*.parquet"))
+    n_partitions = len(glob.glob(path + "/channel_key=*"))
+    assert spark.read.parquet(path).count() == before_rows  # lossless
+    assert files_after == n_partitions  # exactly one file per partition
+    assert files_after < files_before
+
+
 def test_csv_explicit_schema(spark, sf_dir):
     nation = load_tables(spark, sf_dir, "nation")["nation"]
     path = tempfile.mkdtemp(prefix="ytspark_csv_") + "/nation"

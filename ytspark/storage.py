@@ -41,6 +41,44 @@ def save_table(df: DataFrame, name: str, *, mode: str = "overwrite") -> None:
     df.write.mode(mode).saveAsTable(name)
 
 
+def compact_bronze(
+    spark: SparkSession, path: str, *, files_per_partition: int = 1
+) -> None:
+    """Compact the append-only bronze table in place.
+
+    Every poll appends one small file per channel partition; at a
+    5-minute cadence that is ~100k files/channel/year — death by
+    metadata at 100 TB. Compaction rewrites each ``channel_key``
+    partition to ``files_per_partition`` files. The rewrite is
+    atomic-enough for a single-writer pipeline (the reference's model);
+    a multi-writer deployment would put Delta/Iceberg under this call
+    and get real transactionality with the same engine code above it.
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    if files_per_partition == 1:
+        compacted = df.repartition("channel_key")
+    else:
+        # salt splits each channel across exactly files_per_partition
+        # writer tasks (salt determinism is irrelevant for file layout)
+        compacted = (
+            df.withColumn(
+                "__salt",
+                F.pmod(F.monotonically_increasing_id(), F.lit(files_per_partition)),
+            )
+            .repartition("channel_key", "__salt")
+            .drop("__salt")
+        )
+    # stage → swap: never read and overwrite the same location in one job
+    staging = path.rstrip("/") + "__compact_tmp"
+    compacted.write.mode("overwrite").partitionBy("channel_key").parquet(staging)
+    import shutil
+
+    shutil.rmtree(path)
+    shutil.move(staging, path)
+
+
 def read_csv(spark: SparkSession, path: str, schema=None) -> DataFrame:
     """CSV source (S2 — the reference's accumulated per-channel CSV,
     ``dags/extract.py:119-120``). With ``schema=None`` this infers like
