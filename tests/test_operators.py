@@ -165,6 +165,30 @@ class TestMinhash:
         assert a == b  # deterministic across runs
         assert all(len(s) == N_PERMUTATIONS for s in a.values())
 
+    def test_cluster_transitive_closure(self, spark, tmp_path):
+        """A~B and B~C must land in ONE cluster labeled min(doc_id)."""
+        import os
+
+        from ytspark.session import load_tables
+
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+        rows = [
+            (1, base + "one extra tail"),
+            (2, base + "one extra tail word"),
+            (3, base + "one other tail word"),
+            (10, "totally unrelated text " * 20),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+        sf_dir = str(tmp_path / "mini")
+        os.makedirs(sf_dir, exist_ok=True)
+        docs.write.mode("overwrite").parquet(os.path.join(sf_dir, "documents.parquet"))
+        from ytspark.operators.dedup import dedup_minhash_clusters
+
+        clusters = dedup_minhash_clusters(spark, sf_dir).collect()
+        assert len(clusters) == 1
+        assert clusters[0]["cluster_id"] == 1
+        assert clusters[0]["n_docs"] == 3
+
     def test_identical_docs_identical_sigs(self, spark):
         from ytspark.operators.dedup import minhash_signatures_df
 

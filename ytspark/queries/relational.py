@@ -408,6 +408,55 @@ def top3_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "segment_price_percentiles",
+    oracle="""
+SELECT c.c_mktsegment,
+       ROUND(QUANTILE_CONT(o.o_totalprice, 0.5), 4) AS median_price,
+       ROUND(QUANTILE_CONT(o.o_totalprice, 0.9), 4) AS p90_price,
+       COUNT(*) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+    doc="Exact percentiles (linear interpolation) per segment — Spark's "
+        "exact percentile aggregate, same interpolation as QUANTILE_CONT.",
+    tags=("aggregate", "percentile"),
+)
+def segment_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    return (
+        t["orders"]
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.percentile("o_totalprice", 0.5), 4).alias("median_price"),
+            F.round(F.percentile("o_totalprice", 0.9), 4).alias("p90_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "events_user_reach_sketch",
+    oracle=None,  # HLL sketches are implementation-specific — rows-only
+    doc="Approximate distinct users per event type via HyperLogLog "
+        "(approx_count_distinct, rsd=2%) next to the exact count — the "
+        "sketch path that replaces the exact shuffle at 100 TB (the "
+        "sketch is mergeable: map-side partials, tiny exchange).",
+    tags=("aggregate", "sketch", "approx"),
+)
+def events_user_reach_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "customer_running_revenue",
     oracle="""
 SELECT o_custkey, o_orderkey,
