@@ -71,6 +71,42 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     assert a == b
 
 
+def test_q5_plan_broadcasts_dims_and_pushes_filters(spark, sf_dir):
+    """Plan-regression pin for the join-heavy family: dims broadcast,
+    order-date predicate reaches the parquet scan, columns pruned."""
+    import io
+    import contextlib
+
+    from ytspark.queries import registry
+
+    df = registry()["q5_regional_revenue"].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan  # pushed filter
+    # lineitem scan pruned to the 4 referenced columns
+    assert "struct<l_orderkey:bigint,l_suppkey:bigint,l_extendedprice:double,l_discount:double>" in plan
+
+
+def test_q1_scan_agg_pushes_predicate(spark, sf_dir):
+    import io
+    import contextlib
+
+    from ytspark.queries import registry
+
+    df = registry()["q1_pricing_summary"].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "LessThanOrEqual(l_shipdate" in plan  # predicate at the scan
+    assert "Exchange" in plan  # exactly the one agg shuffle
+    assert plan.count("Exchange hashpartitioning") <= 2  # partial->final only
+
+
 def test_salt_distribution_balanced(spark, sf_dir):
     t = load_tables(spark, sf_dir, "orders")
     salted = t["orders"].withColumn(

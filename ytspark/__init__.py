@@ -18,9 +18,16 @@ idiomatic Spark engine:
 - ``queries``    — relational query library exercised against the driver
                    testdata (joins/aggregations/windows — SURVEY §2.10).
 - ``operators``  — large-scale pipeline operators: dedup (exact, MinHash
-                   LSH, SimHash, n-gram Jaccard), similarity search,
+                   LSH + clustering, SimHash, n-gram Jaccard,
+                   embedding-cosine), similarity search (brute force,
+                   hyperplane LSH, IVF), temporal joins (as-of, range),
                    text analysis, multimodal column plumbing.
-- ``streaming``  — Structured Streaming micro-batch mode (O1–O3).
+- ``plans``      — scale patterns: bucketed co-located joins,
+                   deterministic skew salting.
+- ``sources``    — YouTube channel API: fixture payloads and the
+                   PySpark 4 Python DataSource (format("youtube")).
+- ``streaming``  — Structured Streaming micro-batch mode (O1–O3) and
+                   streaming queries (windows, sessions, stateful ops).
 
 Everything is DataFrame-first: logical plans are declared with the
 DataFrame/SQL API and Catalyst/Tungsten pick the physical strategy.
