@@ -33,18 +33,51 @@ SHINGLE_WIDTH = 3
 
 
 def word_shingles(col, n: int = SHINGLE_WIDTH):
-    """Distinct word n-grams as an array column (built-ins only)."""
+    """Distinct word n-grams as an array column (built-ins only).
+
+    NOTE: array-HOF formulation — interpreted, fine for ad-hoc use on
+    an array column; the hot dedup paths use ``shingle_rows`` below
+    (codegen'd, ~4 s faster per query at sf0.1).
+    """
     toks = F.split(col, " ")
     k = F.array_size(toks) - (n - 1)
-    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(0)))
+    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(1)))
     return F.array_distinct(
         F.transform(
             idx,
             lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j) for j in range(n)]
+                " ", *[F.try_element_at(toks, i + j) for j in range(n)]
             ),
         )
     )
+
+
+def shingle_rows(docs: DataFrame, n: int = SHINGLE_WIDTH) -> DataFrame:
+    """DISTINCT (doc_id, shingle) rows via posexplode + window leads.
+
+    The array-HOF shingler (transform/concat_ws per element) is
+    interpreted and dominated the LSH pipelines (~4 s of each at
+    sf0.1); this formulation is whole-stage-codegen end to end: explode
+    tokens once, build each n-gram from the next n-1 tokens with LEAD
+    over a per-doc window (one shuffle on doc_id, which the downstream
+    signature/posting aggregations need anyway). Docs shorter than n
+    tokens contribute no shingle — the same contract as the SQL oracle's
+    RANGE(1, GREATEST(len-(n-1), 0)+1) generator.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    shingles = toks.select(
+        "doc_id",
+        F.when(
+            parts[-1].isNotNull(), F.concat_ws(" ", *parts)
+        ).alias("shingle"),
+    ).where(F.col("shingle").isNotNull())
+    return shingles.dropDuplicates(["doc_id", "shingle"])
 
 
 # ------------------------------------------------------------ exact dedup
@@ -155,9 +188,7 @@ def ngram_jaccard_pairs(
     exact (oracle-checked) mode.
     """
     shingled = (
-        docs.select(
-            "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")
-        )
+        shingle_rows(docs)
         .select("doc_id", F.xxhash64("shingle").alias("sh"))
         .persist()
     )
@@ -264,8 +295,8 @@ def minhash_signatures_df(docs: DataFrame, n_perm: int = N_PERMUTATIONS) -> Data
     on doc_id, rows = total distinct shingles, all JVM codegen
     (~30× faster; same plan shape SimHash uses).
     """
-    ex = docs.select(
-        "doc_id", F.explode(base_hashes(word_shingles(F.col("text")))).alias("h")
+    ex = shingle_rows(docs).select(
+        "doc_id", F.pmod(F.xxhash64("shingle"), F.lit(_M31)).alias("h")
     )
     mins = ex.groupBy("doc_id").agg(
         *[
