@@ -184,6 +184,55 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_stream_stream_join",
+    oracle="""
+SELECT p.event_id AS purchase_id,
+       COUNT(*) AS n_attributed_clicks
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR
+ AND c.ts <= p.ts
+GROUP BY p.event_id
+""",
+    doc="Stream-stream inner join with event-time range (click "
+        "attribution: clicks in the hour before each purchase, same "
+        "user). Both sides watermarked; the time-range condition bounds "
+        "each side's join state. Joined rows land in an append sink; "
+        "the per-purchase rollup equals the batch join (oracle-checked).",
+    tags=("streaming", "join", "stateful"),
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir)
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    ).select("purchase_id", "c_ts")
+    sink = f"stream_ssjoin_{abs(hash(sf_dir)) % 10_000_000}"
+    _run_to_memory(joined, sink, output_mode="append")
+    return spark.table(sink).groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("n_attributed_clicks")
+    )
+
+
+@register(
     "streaming_stateful_user_stats",
     oracle="""
 SELECT user_id,
