@@ -107,6 +107,40 @@ def test_q1_scan_agg_pushes_predicate(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") <= 2  # partial->final only
 
 
+def _formatted_plan(spark, sf_dir, name: str) -> str:
+    import io
+    import contextlib
+
+    from ytspark.queries import registry
+
+    df = registry()[name].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q8_seven_table_star_broadcasts_all_dims(spark, sf_dir):
+    """Q8's seven-table star: every dim side broadcast, the p_type
+    filter pushed to the part scan, exactly one fact-fact shuffle
+    join (lineitem ⨝ orders on the orderkey)."""
+    plan = _formatted_plan(spark, sf_dir, "q8_market_share")
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "CartesianProduct" not in plan
+    assert "EqualTo(p_type,ECONOMY)" in plan  # pushed to the part scan
+    assert plan.count("SortMergeJoin") <= 1  # only lineitem ⨝ orders may shuffle
+
+
+def test_q21_decorrelated_single_fact_pass(spark, sf_dir):
+    """Q21's EXISTS/NOT EXISTS pair is decorrelated into one per-order
+    aggregate: the plan must not contain a cartesian product or a
+    per-row correlated subquery, and the supplier dim broadcasts."""
+    plan = _formatted_plan(spark, sf_dir, "q21_waiting_suppliers")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "EqualTo(o_orderstatus,F)" in plan  # pushed to the orders scan
+
+
 def test_salt_distribution_balanced(spark, sf_dir):
     t = load_tables(spark, sf_dir, "orders")
     salted = t["orders"].withColumn(

@@ -437,6 +437,368 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q8_market_share",
+    oracle=f"""
+WITH trade AS (
+  SELECT EXTRACT(YEAR FROM o.o_orderdate) AS order_year,
+         {_REV_SQL} AS rev,
+         sn.n_name AS supp_nation
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+  JOIN region r ON cn.n_regionkey = r.r_regionkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+)
+SELECT order_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN rev
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+            / CAST(SUM(rev) AS DOUBLE) AS mkt_share
+FROM trade
+GROUP BY order_year
+""",
+    doc="TPC-H Q8 shape: NATION_7's share of ECONOMY-part revenue sold "
+        "into the ASIA customer market, per order year. Seven-table "
+        "star join — every dimension broadcast, single shuffle on the "
+        "orderkey for the fact-fact join, conditional-sum ratio in "
+        "exact decimals cast to double at the end.",
+    tags=("join", "aggregate"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(
+        spark, sf_dir,
+        "lineitem", "orders", "customer", "supplier", "nation", "region", "part",
+    )
+    asia = (
+        t["nation"]
+        .join(
+            F.broadcast(t["region"].where(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    sn = t["nation"].select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    p = t["part"].where(F.col("p_type") == "ECONOMY").select("p_partkey")
+    nation7_rev = F.when(F.col("supp_nation") == "NATION_7", _rev()).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(asia), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            (F.sum(nation7_rev).cast("double") / F.sum(_rev()).cast("double")).alias(
+                "mkt_share"
+            )
+        )
+    )
+
+
+@register(
+    "q11_important_parts",
+    oracle="""
+WITH part_value AS (
+  SELECT l.l_partkey,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+             * CAST(l.l_quantity AS DECIMAL(18,2))) AS val
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_regionkey = 2
+  GROUP BY l.l_partkey
+)
+SELECT l_partkey AS p_partkey, CAST(val AS DOUBLE) AS stock_value
+FROM part_value, (SELECT SUM(val) AS total FROM part_value) t
+WHERE val > 0.001 * total
+""",
+    doc="TPC-H Q11 shape (no partsupp table: inventory value proxied by "
+        "extendedprice x quantity of observed shipments from region-2 "
+        "suppliers): parts holding > 0.1% of the region's total value. "
+        "The scalar global-total subquery stays in-plan as a broadcast "
+        "cross join over the reused grouped aggregate — no driver "
+        "collect, and the grouped agg is computed once and reused on "
+        "both sides.",
+    tags=("join", "aggregate", "subquery", "having"),
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "lineitem", "supplier", "nation")
+    region2_supp = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"].where(F.col("n_regionkey") == 2)),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    val = F.col("l_extendedprice").cast("decimal(18,2)") * F.col("l_quantity").cast(
+        "decimal(18,2)"
+    )
+    part_value = (
+        t["lineitem"]
+        .join(F.broadcast(region2_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(val).alias("val"))
+    )
+    total = part_value.agg(F.sum("val").alias("total"))
+    return (
+        part_value.crossJoin(F.broadcast(total))
+        .where(F.col("val") > F.lit(0.001) * F.col("total"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("val").cast("double").alias("stock_value"),
+        )
+    )
+
+
+@register(
+    "q12_late_lines_by_class",
+    oracle="""
+SELECT l.l_linestatus AS ship_class,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 30 DAY
+  AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l.l_linestatus
+""",
+    doc="TPC-H Q12 shape (no shipmode/commitdate columns: linestatus "
+        "stands in for shipmode; 'late' = shipped 30+ days after the "
+        "order date): priority mix of late lines per class. The "
+        "shipdate range predicate pushes into the parquet scan; the "
+        "date-vs-date comparison is a post-join residual.",
+    tags=("join", "aggregate", "filter"),
+)
+def q12_late_lines_by_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    li = t["lineitem"].where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t["orders"]
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .groupBy(F.col("l_linestatus").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q13_customer_order_distribution",
+    oracle="""
+WITH c_orders AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM c_orders
+GROUP BY c_count
+""",
+    doc="TPC-H Q13 shape (priority filter stands in for the absent "
+        "comment-pattern exclusion): distribution of customers by order "
+        "count, including zero-order customers via the outer join. Two "
+        "cascaded aggregations; the second groups on the first's output "
+        "so AQE coalesces its tiny shuffle.",
+    tags=("join", "outer", "aggregate"),
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    c_orders = (
+        t["customer"]
+        .join(
+            t["orders"].where(F.col("o_orderpriority") != "4-NOT SPECIFIED"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return c_orders.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+WITH revenue AS (
+  SELECT l_suppkey, CAST(SUM({_REV_SQL}) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+""",
+    doc="TPC-H Q15 shape: the supplier(s) with maximum quarterly revenue. "
+        "The revenue 'view' is computed once; the scalar MAX subquery is "
+        "a broadcast cross join against it (in-plan, no collect). Sums "
+        "are exact decimals cast to double only at the end, so the "
+        "max-equality comparison is engine-stable.",
+    tags=("join", "aggregate", "subquery", "window"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "lineitem", "supplier")
+    revenue = (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_rev()).cast("double").alias("total_revenue"))
+    )
+    top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.crossJoin(F.broadcast(top))
+        .where(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q20_potential_promotion",
+    oracle="""
+SELECT s.s_suppkey, s.s_name, n.n_name
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_regionkey = 1
+  AND s.s_suppkey IN (
+    SELECT q.l_suppkey
+    FROM (SELECT l_suppkey, l_partkey, SUM(l_quantity) AS qty
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          GROUP BY l_suppkey, l_partkey) q
+    JOIN part p ON q.l_partkey = p.p_partkey
+    WHERE p.p_name LIKE 'blue%' AND q.qty > 50
+  )
+""",
+    doc="TPC-H Q20 shape (no partsupp/availqty: the excess-stock "
+        "predicate becomes 'shipped > 50 units of one blue part in "
+        "1996'): region-1 suppliers who moved heavy volume of "
+        "blue-named parts — grouped fact aggregate, broadcast part "
+        "filter, IN -> left-semi join into the supplier dim.",
+    tags=("join", "semi", "aggregate"),
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "supplier", "nation", "lineitem", "part")
+    qty = (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    blue = t["part"].where(F.col("p_name").like("blue%")).select("p_partkey")
+    heavy = (
+        qty.join(F.broadcast(blue), F.col("l_partkey") == F.col("p_partkey"))
+        .where(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"].where(F.col("n_regionkey") == 1)),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+SELECT s.s_name, COUNT(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 45 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 45 DAY)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 20
+""",
+    doc="TPC-H Q21 shape (no commit/receipt dates: 'kept waiting' = "
+        "shipped 45+ days after the order date on a finished order): "
+        "suppliers who were the sole late supplier on a multi-supplier "
+        "order. The correlated EXISTS/NOT EXISTS pair is decorrelated "
+        "into one per-order aggregate (distinct suppliers, distinct "
+        "late suppliers) joined back to the late lines — one pass over "
+        "the fact instead of two correlated probes, the same rewrite "
+        "Catalyst cannot do automatically across the DataFrame API.",
+    tags=("join", "semi", "anti", "aggregate", "topk"),
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "supplier", "lineitem", "orders")
+    o_f = t["orders"].where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = (
+        t["lineitem"]
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn(
+            "is_late",
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS"),
+        )
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_supps"
+        ),
+    )
+    late_lines = li.where(F.col("is_late")).select(
+        F.col("l_orderkey").alias("ll_orderkey"), "l_suppkey"
+    )
+    return (
+        late_lines.join(
+            per_order.where((F.col("n_supps") > 1) & (F.col("n_late_supps") == 1)),
+            F.col("ll_orderkey") == F.col("l_orderkey"),
+        )
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
+
+
+@register(
     "cube_segment_priority",
     oracle="""
 SELECT c.c_mktsegment, o.o_orderpriority,
