@@ -52,8 +52,19 @@ def word_shingles(col, n: int = SHINGLE_WIDTH):
     )
 
 
-def shingle_rows(docs: DataFrame, n: int = SHINGLE_WIDTH) -> DataFrame:
-    """DISTINCT (doc_id, shingle) rows via posexplode + window leads.
+def shingle_rows(
+    docs: DataFrame, n: int = SHINGLE_WIDTH, distinct: bool = True
+) -> DataFrame:
+    """(doc_id, shingle) rows via posexplode + window leads — DISTINCT
+    per doc by default.
+
+    ``distinct=False`` skips the dedup for consumers that are invariant
+    to shingle multiplicity (MinHash: min over duplicates == min over
+    distinct). That matters for the plan: the window partitions by
+    doc_id, but ``dropDuplicates`` re-shuffles on (doc_id, shingle) and
+    so breaks the doc_id partitioning the downstream per-doc aggregate
+    would have reused — two avoidable exchanges of the widest
+    intermediate in the pipeline.
 
     The array-HOF shingler (transform/concat_ws per element) is
     interpreted and dominated the LSH pipelines (~4 s of each at
@@ -77,7 +88,7 @@ def shingle_rows(docs: DataFrame, n: int = SHINGLE_WIDTH) -> DataFrame:
             parts[-1].isNotNull(), F.concat_ws(" ", *parts)
         ).alias("shingle"),
     ).where(F.col("shingle").isNotNull())
-    return shingles.dropDuplicates(["doc_id", "shingle"])
+    return shingles.dropDuplicates(["doc_id", "shingle"]) if distinct else shingles
 
 
 # ------------------------------------------------------------ exact dedup
@@ -295,7 +306,7 @@ def minhash_signatures_df(docs: DataFrame, n_perm: int = N_PERMUTATIONS) -> Data
     on doc_id, rows = total distinct shingles, all JVM codegen
     (~30× faster; same plan shape SimHash uses).
     """
-    ex = shingle_rows(docs).select(
+    ex = shingle_rows(docs, distinct=False).select(
         "doc_id", F.pmod(F.xxhash64("shingle"), F.lit(_M31)).alias("h")
     )
     mins = ex.groupBy("doc_id").agg(
@@ -458,29 +469,60 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    # one xxhash64 per token (explode → hash → groupBy), then 64 per-bit
-    # ±1 vote sums as aggregate columns — map-side partials keep the
-    # shuffle at one row per (doc, 64 votes) regardless of doc length.
+    # one xxhash64 per token (explode → hash → groupBy), then the 64
+    # per-bit popcounts packed 2-per-bigint into 32 SUM aggregates
+    # (lane k∈{0,1} of aggregate g holds the count of set bit 2g+k,
+    # shifted by 32k). The unpacked 64-sum formulation emits a huge
+    # whole-stage-codegen method that dominates cold runtime (~4.2 s
+    # vs ~0.9 s at sf0.1); the packed one halves warm time too, and
+    # map-side partials still keep the shuffle at one row per doc.
+    # Lane headroom: counts < 2^32, so docs up to 2^30 tokens are safe
+    # (the high lane's partial sum stays below 2^62).
     tok_hashes = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
     ).select("doc_id", F.xxhash64(F.col("tok")).alias("h"))
     votes = tok_hashes.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
         *[
             F.sum(
-                F.when(
-                    F.shiftright(F.col("h"), bit).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
-            ).alias(f"v{bit}")
-            for bit in range(64)
-        ]
+                sum(
+                    F.shiftleft(
+                        F.shiftrightunsigned(F.col("h"), 2 * g + k).bitwiseAND(
+                            F.lit(1)
+                        ),
+                        32 * k,
+                    )
+                    for k in range(2)
+                )
+            ).alias(f"p{g}")
+            for g in range(32)
+        ],
     )
-    simhash = None
+    terms = []
     for bit in range(64):
+        g, k = bit // 2, bit % 2
+        ones = F.shiftrightunsigned(F.col(f"p{g}"), 32 * k).bitwiseAND(
+            F.lit(0xFFFFFFFF)
+        )
+        # majority vote: +1 per set bit, -1 per clear bit ⟹ sum > 0
+        # ⟺ 2·ones > n (ties → bit stays 0, same as the ±1-sum form)
         # bit 63 is the sign bit of a signed bigint: setting it == adding -2^63
         weight = F.lit(2**bit).cast("bigint") if bit < 63 else F.lit(-(2**63)).cast("bigint")
-        term = F.when(F.col(f"v{bit}") > 0, weight).otherwise(F.lit(0).cast("bigint"))
-        simhash = term if simhash is None else simhash + term
-    sig = votes.select("doc_id", simhash.alias("simhash"))
+        terms.append(
+            F.when(2 * ones > F.col("n"), weight).otherwise(F.lit(0).cast("bigint"))
+        )
+    # balanced-tree sum: a left-deep 64-add chain generates one deeply
+    # nested codegen expression whose JIT compile dominates cold runs
+    while len(terms) > 1:
+        terms = [
+            terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    simhash = terms[0]
+    # persist() is load-bearing (same as the MinHash path): the signature
+    # table feeds BOTH sides of the chunk self-join — without the
+    # materialization boundary the explode→hash→vote pipeline runs twice.
+    sig = votes.select("doc_id", simhash.alias("simhash")).persist()
     chunks = sig.select(
         "doc_id",
         "simhash",

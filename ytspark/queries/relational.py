@@ -485,3 +485,163 @@ def customer_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("running_total"),
     )
+
+
+@register(
+    "daily_revenue_moving_avg",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS day_rev
+  FROM orders GROUP BY 1
+)
+SELECT STRFTIME(day, '%Y-%m-%d') AS day,
+       CAST(day_rev AS DOUBLE) AS day_revenue,
+       CAST(SUM(day_rev) OVER w AS DOUBLE) / COUNT(*) OVER w AS ma7
+FROM daily
+WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+""",
+    doc="7-day trailing moving average of daily revenue: sliding ROWS "
+        "frame over the day-grain pre-aggregate. The global (unpartitioned) "
+        "window runs on ONE row per day — the fact-size shuffle happens in "
+        "the grouped aggregate, so the single-partition window step is "
+        "O(days), fine at any fact scale.",
+    tags=("window", "frame", "aggregate"),
+)
+def daily_revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("day_rev")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    return daily.select(
+        # string day: DateType round-trips as midnight timestamps through
+        # pandas, which breaks the cross-engine value-hash
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("day_rev").cast("double").alias("day_revenue"),
+        (F.sum("day_rev").over(w).cast("double") / F.count(F.lit(1)).over(w)).alias(
+            "ma7"
+        ),
+    )
+
+
+@register(
+    "customer_balance_quartiles",
+    oracle="""
+SELECT quartile, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM (SELECT c_acctbal,
+             NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+      FROM customer)
+GROUP BY quartile
+""",
+    doc="NTILE(4) balance quartiles with a unique-key tiebreak, then "
+        "per-quartile totals. Like the moving average, the NTILE window "
+        "is global — at 100 TB the same split comes from "
+        "approx-percentile cutoffs + a bucketing join instead; this is "
+        "the exact small-dimension form.",
+    tags=("window", "ntile", "aggregate"),
+)
+def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_tables(spark, sf_dir, "customer")["customer"]
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select(
+            F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("bal").cast("double").alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "segment_balance_moments",
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       CAST(SUM(b) AS DOUBLE) / COUNT(*) AS mean_bal,
+       SQRT((CAST(SUM(b * b) AS DOUBLE)
+             - CAST(SUM(b) AS DOUBLE) * CAST(SUM(b) AS DOUBLE) / COUNT(*))
+            / (COUNT(*) - 1)) AS stddev_bal
+FROM (SELECT c_mktsegment, CAST(c_acctbal AS DECIMAL(18,2)) AS b FROM customer)
+GROUP BY c_mktsegment
+""",
+    doc="Mean/stddev of balances per segment computed from EXACT decimal "
+        "power sums (Σx, Σx²) cast to double only at the end — native "
+        "stddev_samp aggregates doubles in partition order, which is not "
+        "reproducible across engines or even across runs; the moment form "
+        "is deterministic and still one map-side-partial aggregate.",
+    tags=("aggregate", "stats"),
+)
+def segment_balance_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_tables(spark, sf_dir, "customer")["customer"]
+    b = F.col("c_acctbal").cast("decimal(18,2)")
+    n = F.count(F.lit(1))
+    sum_b = F.sum(b).cast("double")
+    sum_b2 = F.sum(b * b).cast("double")
+    return c.groupBy("c_mktsegment").agg(
+        n.alias("n_customers"),
+        (sum_b / n).alias("mean_bal"),
+        F.sqrt((sum_b2 - sum_b * sum_b / n) / (n - F.lit(1))).alias("stddev_bal"),
+    )
+
+
+@register(
+    "event_type_first_last",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       ARG_MIN(value, event_id) AS first_value,
+       ARG_MAX(value, event_id) AS last_value
+FROM events
+GROUP BY event_type
+""",
+    doc="min_by/max_by selector aggregates keyed on the unique event_id "
+        "(deterministic — no ordering ties possible): first/last observed "
+        "value per event type without a window or self-join.",
+    tags=("aggregate", "selector"),
+)
+def event_type_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min_by("value", "event_id").alias("first_value"),
+        F.max_by("value", "event_id").alias("last_value"),
+    )
+
+
+@register(
+    "grouping_sets_segment_priority",
+    oracle="""
+SELECT c.c_mktsegment, o.o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
+""",
+    doc="Explicit GROUP BY GROUPING SETS (two one-dim rollups + grand "
+        "total — a set CUBE/ROLLUP can't express) through the engine's "
+        "Spark SQL surface: the joined frame is exposed as a temp view "
+        "and the grouping-set expansion happens in Catalyst's Aggregate "
+        "(Expand) node, same as the DataFrame cube/rollup path.",
+    tags=("aggregate", "grouping-sets", "sql"),
+)
+def grouping_sets_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    t["orders"].join(
+        F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey")
+    ).createOrReplaceTempView("__gs_orders_customers")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_price
+        FROM __gs_orders_customers
+        GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
+        """
+    )
