@@ -202,3 +202,27 @@ class TestMinhash:
         sigs = {r["doc_id"]: r["sig"] for r in minhash_signatures_df(docs).collect()}
         assert sigs[1] == sigs[2]
         assert sigs[1] != sigs[3]
+
+
+class TestBatchMap:
+    def test_minmax_normalize_bounds_and_constant_group(self, spark):
+        from ytspark.operators.batchmap import minmax_normalize
+
+        rows = [
+            (1, 10, 5.0),
+            (2, 10, 15.0),
+            (3, 10, 10.0),
+            (4, 20, 7.0),  # constant group → 0.5
+            (5, 20, 7.0),
+        ]
+        df = spark.createDataFrame(rows, "event_id bigint, user_id bigint, value double")
+        out = {
+            r["event_id"]: r["norm_value"]
+            for r in minmax_normalize(
+                df, key_cols=["user_id"], value_col="value", out_col="norm_value"
+            ).collect()
+        }
+        assert out[1] == 0.0
+        assert out[2] == 1.0
+        assert out[3] == 0.5
+        assert out[4] == 0.5 and out[5] == 0.5

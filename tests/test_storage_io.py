@@ -46,6 +46,24 @@ def test_compact_bronze_collapses_files(spark):
     assert files_after < files_before
 
 
+def test_json_roundtrip_nested(spark):
+    """JSONL round-trip preserves nested structs end to end, and the
+    explicit-schema read keeps field order (the first-wins flatten
+    contract depends on it; inference would alphabetize)."""
+    from ytspark import flatten
+    from ytspark.sources.youtube import poll_tick
+    from ytspark.ingest import payloads_to_df
+
+    raw = payloads_to_df(spark, poll_tick(tick=0))
+    path = tempfile.mkdtemp(prefix="ytspark_json_") + "/payloads"
+    storage.write_json(raw, path)
+    back = storage.read_json(spark, path, schema=raw.schema)
+    assert back.schema == raw.schema
+    assert back.count() == raw.count()
+    # flatten over the round-tripped frame gives the same columns
+    assert flatten.flatten(back).columns == flatten.flatten(raw).columns
+
+
 def test_csv_explicit_schema(spark, sf_dir):
     nation = load_tables(spark, sf_dir, "nation")["nation"]
     path = tempfile.mkdtemp(prefix="ytspark_csv_") + "/nation"

@@ -29,6 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # one-row scalar subqueries, intentional pairwise scoring)
 EXPECTED_NESTED_LOOP = {
     "q22_idle_customers",        # broadcast one-row scalar threshold
+    "q11_important_parts",       # broadcast one-row scalar total (HAVING > frac)
     "knn_cosine_bruteforce",     # broadcast query set, != predicate
     "knn_cosine_lsh",            # bucket equality is in the BNLJ condition
 }

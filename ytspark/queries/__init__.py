@@ -45,6 +45,7 @@ def registry() -> dict[str, Query]:
     # import for side effects: module bodies register their queries
     from ytspark.queries import decision_support, pipeline, relational  # noqa: F401
     from ytspark.operators import (  # noqa: F401
+        batchmap,
         dedup,
         multimodal,
         similarity,

@@ -96,3 +96,22 @@ def write_csv(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
     parquet; CSV remains for compatibility with the reference's S3
     object layout (``dags/extract.py:122-129``)."""
     df.write.mode(mode).option("header", True).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSONL source — the reference's native payload shape (the YouTube
+    API returns nested JSON, ``dags/extract.py:77-83``); reading saved
+    response files through this path then ``flatten.flatten`` reproduces
+    the v1 ``pd.json_normalize`` pipeline without pandas. Explicit
+    schema skips Spark's inference scan AND pins nested struct field
+    order — inference sorts keys alphabetically, which silently changes
+    the first-wins column-collision outcome (SURVEY §7.4)."""
+    reader = spark.read
+    if schema is not None:
+        return reader.schema(schema).json(path)
+    return reader.json(path)
+
+
+def write_json(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    """JSONL sink (interchange/export; one JSON object per line)."""
+    df.write.mode(mode).json(path)
