@@ -233,6 +233,44 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_static_enrich_join",
+    oracle="""
+SELECT c.c_mktsegment, e.event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+""",
+    doc="Stream-static enrichment join: the event stream joins the "
+        "static customer dimension (broadcast — the static side is "
+        "planned per micro-batch like any batch join, no streaming "
+        "state), then a running aggregate by (segment, event type). "
+        "This is the reference pipeline's dimension-enrichment shape "
+        "(Power BI over the mart) in streaming form; at scale the "
+        "static dim refreshes per batch and stays broadcast-sized or "
+        "becomes a shuffle join automatically.",
+    tags=("streaming", "join", "aggregate"),
+)
+def streaming_static_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    stream = _events_stream(spark, sf_dir)
+    cust = spark.read.parquet(_os.path.join(sf_dir, "customer.parquet")).select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = stream.join(
+        F.broadcast(cust), stream.user_id == cust.c_custkey, "inner"
+    )
+    agg = enriched.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+    sink = f"stream_enrich_{abs(hash(sf_dir)) % 10_000_000}"
+    _run_to_memory(agg, sink)
+    return spark.table(sink)
+
+
+@register(
     "streaming_stateful_user_stats",
     oracle="""
 SELECT user_id,
