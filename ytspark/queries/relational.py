@@ -367,6 +367,110 @@ def nations_without_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "intersect_all_segments",
+    oracle="""
+SELECT c_mktsegment FROM customer WHERE c_acctbal > 8000
+INTERSECT ALL
+SELECT c_mktsegment FROM customer WHERE c_acctbal < 2000
+""",
+    doc="INTERSECT ALL (bag semantics — each segment appears "
+        "min(count_left, count_right) times, unlike the distinct "
+        "intersect in intersect_active_nations). Spark plans it as a "
+        "grouped count on each side + generator replication.",
+    tags=("setop", "bag"),
+)
+def intersect_all_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_tables(spark, sf_dir, "customer")["customer"]
+    rich = c.where(F.col("c_acctbal") > 8000).select("c_mktsegment")
+    poor = c.where(F.col("c_acctbal") < 2000).select("c_mktsegment")
+    return rich.intersectAll(poor)
+
+
+@register(
+    "except_all_order_priorities",
+    oracle="""
+SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+EXCEPT ALL
+SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+""",
+    doc="EXCEPT ALL (bag difference — multiplicities subtract, rows "
+        "survive count_left - count_right times; the distinct EXCEPT in "
+        "nations_without_suppliers would collapse them).",
+    tags=("setop", "bag"),
+)
+def except_all_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    open_p = o.where(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    done_p = o.where(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    return open_p.exceptAll(done_p)
+
+
+@register(
+    "scalar_function_battery",
+    oracle="""
+SELECT o_orderkey,
+       UPPER(o_orderpriority) AS pri_upper,
+       LOWER(o_orderstatus) AS status_lower,
+       SUBSTRING(o_orderpriority, 1, 1) AS pri_code,
+       LENGTH(o_orderpriority) AS pri_len,
+       REPLACE(o_orderpriority, '-', '_') AS pri_snake,
+       CONCAT(o_orderstatus, ':', o_orderpriority) AS status_pri,
+       ABS(o_totalprice - 100000.0) AS dist_from_100k,
+       MOD(o_orderkey, 7) AS key_mod7,
+       FLOOR(o_totalprice / 1000.0) AS price_k_floor,
+       CEIL(o_totalprice / 1000.0) AS price_k_ceil,
+       EXTRACT(YEAR FROM o_orderdate) AS y,
+       EXTRACT(MONTH FROM o_orderdate) AS m,
+       EXTRACT(DAY FROM o_orderdate) AS d,
+       STRFTIME(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+       CASE WHEN o_totalprice > 200000 THEN 'big'
+            WHEN o_totalprice > 50000 THEN 'mid'
+            ELSE 'small' END AS size_band
+FROM orders
+WHERE o_orderkey <= 500
+""",
+    doc="Scalar-function parity battery (SURVEY §2.10 'scalar function "
+        "library'): string (upper/lower/substring/length/replace/"
+        "concat), numeric (abs/mod/floor/ceil), datetime (extract, "
+        "interval arithmetic, formatting), and conditional CASE — one "
+        "projected row per order, every value hash-checked cross-engine. "
+        "All whole-stage-codegen'd column expressions; no UDFs.",
+    tags=("functions", "scalar"),
+)
+def scalar_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")["orders"].where(
+        F.col("o_orderkey") <= 500
+    )
+    return o.select(
+        "o_orderkey",
+        F.upper("o_orderpriority").alias("pri_upper"),
+        F.lower("o_orderstatus").alias("status_lower"),
+        F.substring("o_orderpriority", 1, 1).alias("pri_code"),
+        F.length("o_orderpriority").alias("pri_len"),
+        F.replace(
+            F.col("o_orderpriority"), F.lit("-"), F.lit("_")
+        ).alias("pri_snake"),
+        F.concat(
+            F.col("o_orderstatus"), F.lit(":"), F.col("o_orderpriority")
+        ).alias("status_pri"),
+        F.abs(F.col("o_totalprice") - 100000.0).alias("dist_from_100k"),
+        F.pmod(F.col("o_orderkey"), F.lit(7)).alias("key_mod7"),
+        F.floor(F.col("o_totalprice") / 1000.0).alias("price_k_floor"),
+        F.ceil(F.col("o_totalprice") / 1000.0).alias("price_k_ceil"),
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.date_format(
+            F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd"
+        ).alias("due_date"),
+        F.when(F.col("o_totalprice") > 200000, "big")
+        .when(F.col("o_totalprice") > 50000, "mid")
+        .otherwise("small")
+        .alias("size_band"),
+    )
+
+
+@register(
     "limit_head",
     oracle="SELECT o_orderkey, o_custkey, o_orderstatus FROM orders ORDER BY o_orderkey LIMIT 5",
     doc="T12 (v2 load truncation, dags/optimized_extract.py:106) as a "
