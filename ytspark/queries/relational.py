@@ -367,6 +367,41 @@ def nations_without_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "salted_skew_join_revenue",
+    oracle="""
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+    doc="Deterministic-salt skew-join (ytspark.plans.scale.salted_join, "
+        "8 salts): the orders side is salted from its unique order key, "
+        "the customer side replicated 8 ways, restoring balance when one "
+        "customer dominates the key distribution. The oracle is the "
+        "PLAIN join — the driver gate proves row-identical results, the "
+        "property that makes salting safe to deploy. (Salt from a "
+        "column, never rand(): AQE retries must be deterministic.)",
+    tags=("join", "skew", "salt", "aggregate"),
+)
+def salted_skew_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ytspark.plans.scale import salted_join
+
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    orders = t["orders"].withColumnRenamed("o_custkey", "custkey")
+    cust = t["customer"].withColumnRenamed("c_custkey", "custkey")
+    joined = salted_join(
+        orders, cust, "custkey", salt_col="o_orderkey", n_salts=8
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+@register(
     "intersect_all_segments",
     oracle="""
 SELECT c_mktsegment FROM customer WHERE c_acctbal > 8000
