@@ -187,3 +187,64 @@ def doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: (acc * F.lit(1000003) + x) % F.lit(2147483647),
     )
     return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+@register(
+    "corpus_curation_pipeline",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, source, lang, text,
+         CASE WHEN LEN(STRING_SPLIT(text, ' ')) BETWEEN 50 AND 400 THEN 1 ELSE 0 END
+       + CASE WHEN CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE)
+                   / LEN(STRING_SPLIT(text, ' ')) >= 0.1 THEN 1 ELSE 0 END
+       + CASE WHEN LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                   t -> t IN ('the', 'a', 'of', 'and', 'to'))) > 0
+              THEN 1 ELSE 0 END AS q
+  FROM documents
+),
+kept AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY MD5(text) ORDER BY doc_id) AS rn
+  FROM scored
+  WHERE q >= 2 AND lang IN ('en', 'de', 'es', 'fr')
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(LEN(STRING_SPLIT(text, ' '))) AS total_tokens,
+       CAST(SUM(q) AS BIGINT) AS total_quality
+FROM kept WHERE rn = 1
+GROUP BY source
+""",
+    doc="End-to-end corpus curation — the composed shape every "
+        "training-data pipeline runs: quality-score filter (length band "
+        "+ lexical diversity + stopword presence, >= 2 of 3) → language "
+        "allowlist → exact dedup with keep-first-by-doc_id canonical "
+        "selection (hash window, not a self-join) → per-source "
+        "accounting. One lineage, two shuffles (dedup window + final "
+        "agg); the filters run at the scan, so the dedup shuffle only "
+        "carries surviving docs. The same composition slots MinHash "
+        "blocking in place of the MD5 window at near-dup scale.",
+    tags=("text", "dedup", "pipeline", "quality"),
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = tokens(F.col("text"))
+    n_tokens = F.array_size(toks)
+    ttr = F.array_size(F.array_distinct(toks)).cast("double") / n_tokens
+    q = (
+        F.when(n_tokens.between(50, 400), 1).otherwise(0)
+        + F.when(ttr >= 0.1, 1).otherwise(0)
+        + F.when(stopword_hits(F.col("text"), LANG_STOPWORDS["en"]) > 0, 1).otherwise(0)
+    )
+    scored = docs.select("doc_id", "source", "lang", "text", q.alias("q"))
+    kept = scored.where(
+        (F.col("q") >= 2) & F.col("lang").isin("en", "de", "es", "fr")
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    canonical = kept.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return canonical.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.array_size(tokens(F.col("text")))).alias("total_tokens"),
+        F.sum("q").cast("bigint").alias("total_quality"),
+    )
