@@ -575,6 +575,77 @@ def segment_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "segment_price_approx_quantiles",
+    oracle=None,  # sketch results are implementation-specific — rows-only
+    doc="Approximate percentiles via Spark's mergeable quantile sketch "
+        "(approx_percentile, Greenwald-Khanna variant, rel. err 0.01) "
+        "next to the exact values — the sketch path that replaces the "
+        "exact per-group sort at 100 TB (partials merge map-side, the "
+        "exchange carries one sketch per group, not the rows). The "
+        "exact twin query segment_price_percentiles is the "
+        "oracle-checked baseline.",
+    tags=("aggregate", "percentile", "sketch", "approx"),
+)
+def segment_price_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    return (
+        t["orders"]
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.percentile_approx("o_totalprice", 0.5, 100).alias("approx_median"),
+            F.percentile_approx("o_totalprice", 0.9, 100).alias("approx_p90"),
+            F.round(F.percentile("o_totalprice", 0.5), 4).alias("exact_median"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "brand_revenue_share",
+    oracle="""
+WITH brand_rev AS (
+  SELECT p.p_type, p.p_brand,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+             * CAST(1 - l.l_discount AS DECIMAL(4,2))) AS rev
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_type, p.p_brand
+)
+SELECT p_type, p_brand,
+       CAST(rev AS DOUBLE) AS revenue,
+       CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER (PARTITION BY p_type) AS DOUBLE)
+         AS share_of_type
+FROM brand_rev
+""",
+    doc="Ratio-to-report: each brand's share of its part-type's revenue "
+        "via an unframed partition window over the grouped aggregate — "
+        "the window input is one row per (type, brand), so the window "
+        "cost is dimension-sized regardless of fact scale. Exact decimal "
+        "sums; the double division happens on identical operands in both "
+        "engines.",
+    tags=("window", "aggregate", "ratio"),
+)
+def brand_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    brand_rev = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type", "p_brand")
+        .agg(F.sum(_rev()).alias("rev"))
+    )
+    w = Window.partitionBy("p_type")
+    return brand_rev.select(
+        "p_type",
+        "p_brand",
+        F.col("rev").cast("double").alias("revenue"),
+        (F.col("rev").cast("double") / F.sum("rev").over(w).cast("double")).alias(
+            "share_of_type"
+        ),
+    )
+
+
+@register(
     "events_user_reach_sketch",
     oracle=None,  # HLL sketches are implementation-specific — rows-only
     doc="Approximate distinct users per event type via HyperLogLog "
