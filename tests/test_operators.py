@@ -153,6 +153,29 @@ class TestAnnRecall:
         # probing 4/16 cells must still beat the 25% cell-coverage floor
         assert sum(recalls) / len(recalls) >= 0.3
 
+    def test_multitable_lsh_recall_dominates_single_table(self, spark, sf_dir):
+        from ytspark.operators.similarity import (
+            knn_cosine_bruteforce,
+            knn_cosine_lsh,
+            knn_cosine_lsh_multitable,
+        )
+
+        bf = self._topk_sets(knn_cosine_bruteforce(spark, sf_dir))
+        single = self._topk_sets(knn_cosine_lsh(spark, sf_dir))
+        multi = self._topk_sets(knn_cosine_lsh_multitable(spark, sf_dir))
+
+        def mean_recall(approx):
+            return sum(len(bf[q] & approx[q]) / len(bf[q]) for q in bf) / len(bf)
+
+        r1, rt = mean_recall(single), mean_recall(multi)
+        # unioning 4 independent tables can only widen the candidate set
+        assert rt >= r1
+        # absolute recall at this fixture is intrinsically low: 8-bit
+        # tables give 256 buckets over a ~50-vector corpus, so candidate
+        # lists are sparse (the bits/density dial belongs to deployment);
+        # the property under test is table-union dominance, not tuning
+        assert rt >= 0.05
+
 
 class TestMinhash:
     def test_signature_deterministic_and_sized(self, spark, sf_dir):

@@ -315,3 +315,80 @@ def embedding_scalar_quantization(spark: SparkSession, sf_dir: str) -> DataFrame
         guard(F.array_min(codes)).alias("code_min"),
         guard(F.array_max(codes)).alias("code_max"),
     )
+
+
+N_LSH_TABLES = 4
+
+
+@register(
+    "knn_cosine_lsh_multitable",
+    oracle=None,  # approximate — recall measured against brute force in tests
+    doc="ANN via MULTI-TABLE hyperplane LSH: 4 independent 8-bit tables; "
+        "a candidate qualifies if it collides with the query in ANY "
+        "table (union of buckets), then is scored exactly once. Each "
+        "extra table multiplies recall's miss probability by the "
+        "single-table miss rate at ~linear candidate cost — the standard "
+        "recall/cost dial. At 100 TB the corpus persists once per table "
+        "partitioned by (table_id, bucket), and a query probes "
+        "n_tables partitions.",
+    tags=("similarity", "knn", "lsh", "multitable"),
+)
+def knn_cosine_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    dim = 64
+    tables = [
+        [hyperplane(dim, seed=1009 * t + s + 1) for s in range(N_HYPERPLANES)]
+        for t in range(N_LSH_TABLES)
+    ]
+    base = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    # one row per (vector, table): explode the per-table bucket ids
+    buckets = base.select(
+        "vec_id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table_id"),
+                        bucket_id(F.col("v"), tables[t]).alias("bucket"),
+                    )
+                    for t in range(N_LSH_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "v", "tb.table_id", "tb.bucket")
+    queries = buckets.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("table_id").alias("q_table"),
+        F.col("bucket").alias("qbucket"),
+    )
+    # score inside the join projection, then collapse multi-table hits
+    # (same pattern as the MinHash band join: the shuffle carries the
+    # scalar score, not the vectors)
+    cand = (
+        buckets.join(
+            F.broadcast(queries),
+            (F.col("table_id") == F.col("q_table"))
+            & (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.first("cos_sim").alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim")
+        .orderBy("query_id", F.col("cos_sim").desc(), "neighbor_id")
+    )
