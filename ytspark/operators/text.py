@@ -248,3 +248,61 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.array_size(tokens(F.col("text")))).alias("total_tokens"),
         F.sum("q").cast("bigint").alias("total_quality"),
     )
+
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+@register(
+    "doc_overlap_chunks",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS t,
+         LEN(STRING_SPLIT(text, ' ')) AS n
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id AS c_doc_id, n,
+         UNNEST(RANGE(0, GREATEST(n - {CHUNK_TOKENS - CHUNK_STRIDE}, 1),
+                      {CHUNK_STRIDE})) AS start
+  FROM toks
+)
+SELECT c.c_doc_id AS doc_id,
+       (c.start // {CHUNK_STRIDE}) AS chunk_idx,
+       ARRAY_TO_STRING(t.t[c.start + 1 : c.start + {CHUNK_TOKENS}], ' ')
+         AS chunk_text,
+       LEAST({CHUNK_TOKENS}, c.n - c.start) AS n_chunk_tokens
+FROM chunks c JOIN toks t ON c.c_doc_id = t.doc_id
+""",
+    doc="Overlapping token-window chunking (64-token chunks, 48-token "
+        "stride = 16 overlap) — the document → embedding-unit expansion "
+        "every RAG/pre-training pipeline runs before vectorization. "
+        "Pure built-ins: one sequence-of-starts per doc, posexplode, "
+        "array slice + join — a 1→N row expansion with NO shuffle "
+        "(chunks inherit the scan partitioning; embed/dedup stages "
+        "downstream do their own keying). Tail rule: a final short "
+        "chunk exists only if it adds tokens beyond the overlap.",
+    tags=("text", "chunking", "pipeline"),
+)
+def doc_overlap_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    overlap = CHUNK_TOKENS - CHUNK_STRIDE
+    toks = tokens(F.col("text"))
+    n = F.array_size(toks)
+    upper = F.greatest(n - overlap, F.lit(1))  # exclusive bound on starts
+    last_start = ((upper - F.lit(1)) / CHUNK_STRIDE).cast("int") * CHUNK_STRIDE
+    starts = F.sequence(F.lit(0), last_start, F.lit(CHUNK_STRIDE))
+    exploded = docs.select(
+        "doc_id", toks.alias("t"), n.alias("n"), F.explode(starts).alias("start")
+    )
+    return exploded.select(
+        "doc_id",
+        (F.col("start") / CHUNK_STRIDE).cast("bigint").alias("chunk_idx"),
+        F.concat_ws(
+            " ", F.slice(F.col("t"), F.col("start") + 1, CHUNK_TOKENS)
+        ).alias("chunk_text"),
+        F.least(F.lit(CHUNK_TOKENS), F.col("n") - F.col("start")).alias(
+            "n_chunk_tokens"
+        ),
+    )
