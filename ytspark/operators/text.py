@@ -306,3 +306,53 @@ def doc_overlap_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_chunk_tokens"
         ),
     )
+
+
+SPLIT_MOD = 4_294_967_296  # 2^32
+_KNUTH = 2_654_435_761  # Knuth multiplicative hash constant
+
+
+@register(
+    "train_val_test_split",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, source,
+         (doc_id * {_KNUTH}) % {SPLIT_MOD} AS hv
+  FROM documents
+)
+SELECT source,
+       SUM(CASE WHEN hv < 0.8 * {SPLIT_MOD} THEN 1 ELSE 0 END) AS n_train,
+       SUM(CASE WHEN hv >= 0.8 * {SPLIT_MOD} AND hv < 0.9 * {SPLIT_MOD}
+                THEN 1 ELSE 0 END) AS n_val,
+       SUM(CASE WHEN hv >= 0.9 * {SPLIT_MOD} THEN 1 ELSE 0 END) AS n_test,
+       COUNT(*) AS n_docs
+FROM h
+GROUP BY source
+""",
+    doc="Reproducible train/val/test assignment (80/10/10) from a "
+        "multiplicative key hash — pure integer arithmetic, so the "
+        "split is identical across engines, retries, partitionings, "
+        "and re-runs, unlike rand()/sample() which are neither stable "
+        "under AQE re-execution nor auditable. This is the only "
+        "split mechanism that is safe at 100 TB: membership is a "
+        "function of the key, so late-arriving rows join the right "
+        "split and the assignment never needs to be stored. "
+        "(Key x constant stays within int64 for keys < 2^32.)",
+    tags=("text", "split", "pipeline"),
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    hashed = docs.select(
+        "source",
+        F.pmod(F.col("doc_id") * F.lit(_KNUTH), F.lit(SPLIT_MOD)).alias("hv"),
+    )
+    hv = F.col("hv")
+    train = hv < F.lit(0.8 * SPLIT_MOD)
+    val = (hv >= F.lit(0.8 * SPLIT_MOD)) & (hv < F.lit(0.9 * SPLIT_MOD))
+    test = hv >= F.lit(0.9 * SPLIT_MOD)
+    return hashed.groupBy("source").agg(
+        F.sum(F.when(train, 1).otherwise(0)).alias("n_train"),
+        F.sum(F.when(val, 1).otherwise(0)).alias("n_val"),
+        F.sum(F.when(test, 1).otherwise(0)).alias("n_test"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
