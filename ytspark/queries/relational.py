@@ -367,6 +367,50 @@ def nations_without_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "full_outer_daily_activity",
+    oracle="""
+WITH od AS (
+  SELECT STRFTIME(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+),
+ed AS (
+  SELECT STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT COALESCE(od.day, ed.day) AS day,
+       COALESCE(od.n_orders, 0) AS n_orders,
+       COALESCE(ed.n_events, 0) AS n_events
+FROM od FULL OUTER JOIN ed ON od.day = ed.day
+""",
+    doc="FULL OUTER join of two day-grain activity rollups (order days ∪ "
+        "event days; either side may be absent) — completes the join-type "
+        "battery next to inner/left/semi/anti/cross. Both inputs are "
+        "pre-aggregated to day grain, so the outer join runs on "
+        "dimension-sized inputs regardless of fact scale.",
+    tags=("join", "outer", "aggregate"),
+)
+def full_outer_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders", "events")
+    od = (
+        t["orders"]
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_day"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    ed = (
+        t["events"]
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("e_day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return od.join(ed, F.col("o_day") == F.col("e_day"), "full_outer").select(
+        F.coalesce(F.col("o_day"), F.col("e_day")).alias("day"),
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+    )
+
+
+@register(
     "salted_skew_join_revenue",
     oracle="""
 SELECT c.c_mktsegment,
