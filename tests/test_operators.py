@@ -249,3 +249,56 @@ class TestBatchMap:
         assert out[2] == 1.0
         assert out[3] == 0.5
         assert out[4] == 0.5 and out[5] == 0.5
+
+
+class TestChunking:
+    def test_chunk_tail_rule(self, spark, tmp_path):
+        """Docs shorter than one chunk yield exactly one chunk; a final
+        window that only adds overlap tokens is NOT emitted."""
+        import os
+
+        rows = [
+            (1, " ".join(f"w{i}" for i in range(10))),    # 10 tokens -> 1 chunk
+            (2, " ".join(f"w{i}" for i in range(64))),    # exactly one window -> 1
+            (3, " ".join(f"w{i}" for i in range(65))),    # one token past window -> 2
+            (4, " ".join(f"w{i}" for i in range(81))),    # well past -> 2 chunks
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id bigint, text string"
+        ).withColumns({"lang": F.lit("en"), "source": F.lit("t"), "n_chars": F.length("text")})
+        sf_dir = str(tmp_path / "chunks")
+        os.makedirs(sf_dir, exist_ok=True)
+        docs.write.mode("overwrite").parquet(os.path.join(sf_dir, "documents.parquet"))
+        from ytspark.operators.text import doc_overlap_chunks
+
+        out = doc_overlap_chunks(spark, sf_dir).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        assert len(by_doc[1]) == 1 and by_doc[1][0]["n_chunk_tokens"] == 10
+        assert len(by_doc[2]) == 1 and by_doc[2][0]["n_chunk_tokens"] == 64
+        # a second chunk appears as soon as any token lies past the
+        # first 64-token window (its 17 tokens = 16 overlap + 1 new)
+        assert len(by_doc[3]) == 2
+        assert sorted(r["n_chunk_tokens"] for r in by_doc[3]) == [17, 64]
+        assert len(by_doc[4]) == 2
+        # second chunk of doc 4 starts at token 48 (overlap 16 with first)
+        second = sorted(by_doc[4], key=lambda r: r["chunk_idx"])[1]
+        assert second["chunk_text"].split(" ")[0] == "w48"
+        assert second["n_chunk_tokens"] == 81 - 48
+
+
+class TestConnectedComponents:
+    def test_components_converge_on_chain(self, spark):
+        from ytspark.operators.dedup import connected_components
+
+        # chain 1-2-3-4 plus isolated pair (10, 11): two components
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a bigint, doc_b bigint"
+        )
+        labels = {
+            r["node"]: r["label"]
+            for r in connected_components(pairs, "doc_a", "doc_b").collect()
+        }
+        assert labels[1] == labels[2] == labels[3] == labels[4] == 1
+        assert labels[10] == labels[11] == 10

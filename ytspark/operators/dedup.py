@@ -416,26 +416,49 @@ def minhash_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
 def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     pairs = minhash_pairs(docs).select("doc_a", "doc_b")
-    edges = pairs.unionByName(
-        pairs.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+    labels = connected_components(pairs, "doc_a", "doc_b")
+    return (
+        labels.groupBy(F.col("label").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .orderBy("cluster_id")
+    )
+
+
+def connected_components(
+    pairs: DataFrame, left: str, right: str, max_rounds: int = 15
+) -> DataFrame:
+    """Connected components over an undirected pair graph via iterative
+    min-label propagation: each round every node takes the minimum
+    label in its neighborhood; ``localCheckpoint`` truncates lineage per
+    round; converges in O(component diameter) rounds (near-dup
+    components are shallow — most are cliques from a single shared
+    blocking key). Returns (node, label) with label = min node id of
+    the component. This is the shared tail of every large-scale dedup:
+    candidate pairs → components → one canonical representative
+    (keep = label)."""
+    edges = (
+        pairs.select(F.col(left).alias("src"), F.col(right).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(right).alias("src"), F.col(left).alias("dst"))
         )
-    ).persist()
+        .persist()
+    )
     labels = (
-        edges.select(F.col("doc_a").alias("node"))
+        edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(15):  # bound >> expected component diameter
+    for _ in range(max_rounds):  # bound >> expected component diameter
         neighbor_min = (
-            edges.join(labels, edges.doc_b == labels.node)
-            .groupBy("doc_a")
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
         new_labels = (
             labels.withColumnRenamed("label", "old")
-            .join(neighbor_min, F.col("node") == F.col("doc_a"), "left")
+            .join(neighbor_min, F.col("node") == F.col("src"), "left")
             .select(
                 "node",
                 F.least(
@@ -448,10 +471,27 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels.drop("old")
         if changed == 0:
             break
+    return labels
+
+
+@register(
+    "dedup_embedding_clusters",
+    oracle=None,  # iterative algorithm — driver rows-only check
+    doc="Semantic near-duplicate CLUSTERS: connected components (shared "
+        "min-label propagation, see connected_components) over the "
+        "embedding-cosine pair graph (cos >= 0.45, GEMM-scored). Same "
+        "candidate-pairs -> components -> canonical-representative tail "
+        "as the MinHash path, proving the clustering stage is "
+        "blocking-method agnostic.",
+    tags=("dedup", "embedding", "clustering", "iterative"),
+)
+def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_embedding_cosine(spark, sf_dir).select("vec_a", "vec_b")
+    labels = connected_components(pairs, "vec_a", "vec_b")
     return (
         labels.groupBy(F.col("label").alias("cluster_id"))
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .where(F.col("n_docs") >= 2)
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .where(F.col("n_vectors") >= 2)
         .orderBy("cluster_id")
     )
 
