@@ -141,6 +141,56 @@ def test_q21_decorrelated_single_fact_pass(spark, sf_dir):
     assert "EqualTo(o_orderstatus,F)" in plan  # pushed to the orders scan
 
 
+def test_forced_hint_vs_size_gated_broadcast(spark, sf_dir, no_broadcast):
+    """Pins the load-bearing physical-planning facts:
+    1. an explicit broadcast() hint is FORCED — threshold=-1 does NOT
+       demote it (so unconditional hints on growable dims are a
+       100 TB hazard);
+    2. maybe_broadcast is the size-gated form: under threshold=-1 it
+       degrades to the planner's choice (shuffle join);
+    3. either physical strategy produces identical results (decimal
+       aggregates are partition-order invariant)."""
+    from ytspark.plans.scale import maybe_broadcast
+    from ytspark.session import load_tables
+
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    forced = t["orders"].join(
+        F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey")
+    )
+    assert "BroadcastHashJoin" in _plan(forced)  # hint wins over threshold=-1
+
+    gated = t["orders"].join(
+        maybe_broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey")
+    )
+    assert "BroadcastHashJoin" not in _plan(gated)  # gate respects the -1
+
+    agg = lambda df: {  # noqa: E731
+        tuple(r)
+        for r in df.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("tp"),
+        )
+        .collect()
+    }
+    assert agg(forced) == agg(gated)
+
+
+def test_maybe_broadcast_applies_hint_under_threshold(spark, sf_dir):
+    from ytspark.plans.scale import maybe_broadcast
+    from ytspark.session import load_tables
+
+    t = load_tables(spark, sf_dir, "orders", "nation")
+    joined = t["orders"].join(
+        maybe_broadcast(t["nation"]),
+        F.pmod(F.col("o_orderkey"), F.lit(25)) == F.col("n_nationkey"),
+    )
+    # nation is tiny: the gate applies the hint and the plan broadcasts
+    assert "BroadcastHashJoin" in _plan(joined)
+
+
 def test_salt_distribution_balanced(spark, sf_dir):
     t = load_tables(spark, sf_dir, "orders")
     salted = t["orders"].withColumn(

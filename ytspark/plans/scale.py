@@ -52,6 +52,38 @@ def bucketed_join(
     return spark.table(left_table).join(spark.table(right_table), on=key, how=how)
 
 
+def maybe_broadcast(df: DataFrame, max_bytes: int | None = None) -> DataFrame:
+    """Size-gated broadcast hint.
+
+    An explicit ``F.broadcast()`` hint is FORCED: neither
+    ``autoBroadcastJoinThreshold`` nor AQE demotes it (verified on this
+    Spark: with threshold=-1 the hinted join still plans
+    BroadcastHashJoin). That is correct for catalog-known-small dims
+    (region/nation) and catastrophic for a dim that outgrows executor
+    memory at scale. This helper applies the hint only while the
+    optimized plan's estimated size is under ``max_bytes`` (default:
+    the session's autoBroadcastJoinThreshold); above it, the planner's
+    own strategy (shuffle join, or AQE's runtime broadcast if the TRUE
+    size turns out small) decides. Use for borderline dims — customer /
+    part / supplier here — keeping the hint a physical choice, never a
+    semantic dependency.
+    """
+    if max_bytes is None:
+        thresh = df.sparkSession.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold", "10485760"
+        )
+        t = thresh[:-1] if thresh.endswith("b") else thresh
+        try:
+            max_bytes = int(t)
+        except ValueError:  # e.g. "10m"/"64m" suffix forms
+            unit = t[-1].lower()
+            max_bytes = int(t[:-1]) * {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}[unit]
+    if max_bytes < 0:
+        return df  # broadcasting disabled session-wide
+    est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    return F.broadcast(df) if est <= max_bytes else df
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

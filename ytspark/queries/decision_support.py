@@ -6,9 +6,15 @@ absent in reference code and delegated to the warehouse; this module is
 that capability, Spark-first.
 
 Plan-shape notes (verified via .explain("formatted")):
-- dimension joins broadcast (customer/supplier/nation/region/part at
-  these scales; at 100 TB part/customer graduate to shuffle joins and
-  AQE picks that automatically since broadcast() is only a hint);
+- dimension joins broadcast, but with two distinct mechanisms: an
+  explicit F.broadcast() hint is FORCED (neither the threshold nor AQE
+  demotes it — verified), so it is reserved for catalog-known-tiny dims
+  (region/nation, one-row scalar subqueries); growable dims
+  (customer/supplier/part and their filtered slices) go through
+  ytspark.plans.scale.maybe_broadcast, which applies the hint only
+  while the estimated size is under the session broadcast threshold —
+  at 100 TB those joins degrade safely to shuffle joins (or AQE's
+  runtime broadcast when the true size is small) with no code change;
 - fact-fact joins (lineitem ⨝ orders) shuffle on the order key with
   both sides' filters pushed into the parquet scan;
 - every aggregate gets map-side partials; decimal money math keeps
@@ -21,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ytspark.queries import register
+from ytspark.plans.scale import maybe_broadcast
 from ytspark.session import load_tables
 
 _REV_SQL = "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(4,2))"
@@ -60,8 +67,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = t["part"].where(F.col("p_size") <= 5)
     unit = (
         t["lineitem"]
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(maybe_broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(maybe_broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("p_partkey", "p_name", "s_suppkey", "s_name")
         .agg(
             F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 6).alias(
@@ -112,8 +119,8 @@ def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(maybe_broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .where(F.col("sn_key") != F.col("cn_key"))
@@ -151,8 +158,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         t["lineitem"]
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(maybe_broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(maybe_broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(
@@ -192,7 +199,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t["lineitem"].where(F.col("l_returnflag") == "R")
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.sum(_rev()).cast("double").alias("revenue"))
@@ -227,7 +234,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("decimal(18,2)")
     )
     return (
-        li.join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(maybe_broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             (F.lit(100.0) * F.sum(promo) / F.sum(_rev()))
             .cast("double")
@@ -263,8 +270,8 @@ def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad = t["supplier"].where(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
         t["lineitem"]
-        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(maybe_broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(maybe_broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -299,7 +306,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = t["part"].where(F.col("p_brand") == "Brand#3")
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(maybe_broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .join(part_avg, F.col("l_partkey") == F.col("pa_partkey"))
         .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(
@@ -341,7 +348,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["orders"]
         .join(big, F.col("o_orderkey") == F.col("big_orderkey"), "left_semi")
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("total_qty"))
     )
@@ -369,7 +376,7 @@ WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
 def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "lineitem", "part")
     j = t["lineitem"].join(
-        F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey")
+        maybe_broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey")
     )
     bracket = (
         (
@@ -489,11 +496,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         t["lineitem"]
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(maybe_broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(asia), F.col("c_nationkey") == F.col("cn_key"))
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(maybe_broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .groupBy(F.year("o_orderdate").alias("order_year"))
         .agg(
@@ -545,7 +552,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part_value = (
         t["lineitem"]
-        .join(F.broadcast(region2_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(maybe_broadcast(region2_supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(F.sum(val).alias("val"))
     )
@@ -674,7 +681,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.crossJoin(F.broadcast(top))
         .where(F.col("total_revenue") == F.col("max_revenue"))
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(maybe_broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -717,7 +724,7 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     blue = t["part"].where(F.col("p_name").like("blue%")).select("p_partkey")
     heavy = (
-        qty.join(F.broadcast(blue), F.col("l_partkey") == F.col("p_partkey"))
+        qty.join(maybe_broadcast(blue), F.col("l_partkey") == F.col("p_partkey"))
         .where(F.col("qty") > 50)
         .select("l_suppkey")
     )
@@ -790,7 +797,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             per_order.where((F.col("n_supps") > 1) & (F.col("n_late_supps") == 1)),
             F.col("ll_orderkey") == F.col("l_orderkey"),
         )
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(maybe_broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
@@ -815,7 +822,7 @@ def cube_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "orders", "customer")
     return (
         t["orders"]
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
         .cube("c_mktsegment", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),

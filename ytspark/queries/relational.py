@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ytspark.queries import register
+from ytspark.plans.scale import maybe_broadcast
 from ytspark.session import load_tables
 
 # ---------------------------------------------------------------- helpers
@@ -100,7 +101,7 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t["lineitem"].where(F.col("l_shipdate") > cutoff)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(_dsum(_rev(), "revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
@@ -138,9 +139,9 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["lineitem"]
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(t["supplier"]),
+            maybe_broadcast(t["supplier"]),
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -241,7 +242,7 @@ def top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["lineitem"]
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey", "c_name")
         .agg(
             _dsum(_rev(), "revenue"),
@@ -320,7 +321,7 @@ GROUP BY c.c_mktsegment
 def pivot_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "orders", "customer")
     joined = t["orders"].join(
-        F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey")
+        maybe_broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey")
     )
     pivoted = (
         joined.groupBy("c_mktsegment")
@@ -608,7 +609,7 @@ def segment_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "orders", "customer")
     return (
         t["orders"]
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(
             F.round(F.percentile("o_totalprice", 0.5), 4).alias("median_price"),
@@ -634,7 +635,7 @@ def segment_price_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFram
     t = load_tables(spark, sf_dir, "orders", "customer")
     return (
         t["orders"]
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(
             F.percentile_approx("o_totalprice", 0.5, 100).alias("approx_median"),
@@ -674,7 +675,7 @@ def brand_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "lineitem", "part")
     brand_rev = (
         t["lineitem"]
-        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .join(maybe_broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_type", "p_brand")
         .agg(F.sum(_rev()).alias("rev"))
     )
@@ -887,7 +888,7 @@ GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
 def grouping_sets_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "orders", "customer")
     t["orders"].join(
-        F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey")
+        maybe_broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey")
     ).createOrReplaceTempView("__gs_orders_customers")
     return spark.sql(
         """

@@ -258,8 +258,10 @@ def streaming_static_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = spark.read.parquet(_os.path.join(sf_dir, "customer.parquet")).select(
         "c_custkey", "c_mktsegment"
     )
+    from ytspark.plans.scale import maybe_broadcast
+
     enriched = stream.join(
-        F.broadcast(cust), stream.user_id == cust.c_custkey, "inner"
+        maybe_broadcast(cust), stream.user_id == cust.c_custkey, "inner"
     )
     agg = enriched.groupBy("c_mktsegment", "event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
