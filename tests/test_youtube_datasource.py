@@ -31,3 +31,40 @@ def test_typed_read_feeds_ingest_transform(spark):
     # the reference's slug semantics survive the DataSource path
     assert "Cocomelon___Nursery_Rhymes" in by_key
     assert by_key["MrBeast"]["subscriberCount"] is not None
+
+
+def test_stream_read_advances_tick_offsets(spark, tmp_path):
+    """The streaming face: each micro-batch is one poll tick across all
+    channels; offsets checkpoint as tick numbers."""
+    import time
+    import uuid
+
+    register_youtube_source(spark)
+    sink = f"yt_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("youtube")
+        .option("channels", "MrBeast,PewDiePie")
+        .load()
+        .writeStream.format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            ticks = {r["tick"] for r in spark.table(sink).collect()}
+            if {0, 1} <= ticks:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    rows = spark.table(sink).collect()
+    by_tick = {}
+    for r in rows:
+        by_tick.setdefault(r["tick"], set()).add(r["channel"])
+    # every processed tick polled BOTH channels exactly once
+    assert {0, 1} <= set(by_tick)
+    assert by_tick[0] == {"MrBeast", "PewDiePie"}
+    assert by_tick[1] == {"MrBeast", "PewDiePie"}

@@ -22,7 +22,12 @@ import json
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from ytspark import schemas
 from ytspark.sources.youtube import REFERENCE_CHANNEL_TITLES, channel_payload
@@ -58,6 +63,38 @@ class YouTubeReader(DataSourceReader):
         yield (partition.title, partition.tick, json.dumps(payload))
 
 
+class YouTubeStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the source: the reference's poll cadence
+    (hourly / every-5-min re-runs of a batch DAG, ``dags/extract.py:
+    196-197``, ``dags/optimized_extract.py:118``) becomes a REAL
+    Structured Streaming source — the offset IS the poll tick, so each
+    micro-batch fetches one snapshot per channel, checkpoint/restart
+    resumes from the recorded tick, and replay between committed
+    offsets is deterministic (exactly-once into the bronze sink)."""
+
+    def __init__(self, options):
+        raw = options.get("channels", ",".join(REFERENCE_CHANNEL_TITLES))
+        self.titles = [t for t in raw.split(",") if t]
+        self.start_tick = int(options.get("tick", 0))
+
+    def initialOffset(self) -> dict:
+        return {"tick": self.start_tick}
+
+    def _rows(self, tick: int):
+        return [(t, tick, json.dumps(_fetch(t, tick))) for t in self.titles]
+
+    def read(self, start: dict):
+        tick = start["tick"]
+        return iter(self._rows(tick)), {"tick": tick + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # recovery replay: deterministic refetch of the committed range
+        out = []
+        for tick in range(start["tick"], end["tick"]):
+            out.extend(self._rows(tick))
+        return iter(out)
+
+
 class YouTubeDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -68,6 +105,9 @@ class YouTubeDataSource(DataSource):
 
     def reader(self, schema) -> YouTubeReader:
         return YouTubeReader(self.options)
+
+    def simpleStreamReader(self, schema) -> YouTubeStreamReader:
+        return YouTubeStreamReader(self.options)
 
 
 def register_youtube_source(spark: SparkSession) -> None:
