@@ -26,6 +26,50 @@ def read_payload_stream(spark: SparkSession, payload_dir: str) -> DataFrame:
     )
 
 
+def run_source_stream_ingest(
+    spark: SparkSession,
+    bronze_path: str,
+    checkpoint_dir: str,
+    *,
+    channels: str | None = None,
+    list_policy: str = "drop",
+    processing_time: str = "0 seconds",
+) -> StreamingQuery:
+    """The fully-streaming form of the reference pipeline: the custom
+    streaming DataSource (``ytspark.sources.youtube_datasource``, one
+    poll tick per micro-batch, offsets = ticks) feeds the SAME pure
+    transform the batch path uses, appending to the same partitioned
+    bronze — fetch ≫ flatten ≫ stamp ≫ append with exactly-once
+    offset tracking, no external scheduler (contrast: the reference
+    re-runs a batch DAG on a cron, ``dags/optimized_extract.py:118``).
+    """
+    from pyspark.sql import functions as F
+
+    from ytspark import schemas as _schemas
+    from ytspark.sources.youtube_datasource import register_youtube_source
+
+    register_youtube_source(spark)
+    reader = spark.readStream.format("youtube")
+    if channels:
+        reader = reader.option("channels", channels)
+    raw = reader.load()
+    parsed = raw.select(
+        F.from_json(F.col("payload_json"), _schemas.API_RESPONSE).alias("resp")
+    ).select("resp.*")
+    bronze = transform_responses(parsed, list_policy=list_policy)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").partitionBy("channel_key").parquet(bronze_path)
+
+    return (
+        bronze.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(processingTime=processing_time)
+        .start()
+    )
+
+
 def run_microbatch_ingest(
     spark: SparkSession,
     payload_dir: str,
