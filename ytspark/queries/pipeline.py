@@ -225,3 +225,55 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+@register(
+    "events_daily_retention",
+    oracle="""
+WITH daily AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+)
+SELECT STRFTIME(a.d, '%Y-%m-%d') AS day,
+       COUNT(*) AS active_users,
+       SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END)
+         AS retained_next_day
+FROM daily a
+LEFT JOIN daily b
+  ON a.user_id = b.user_id AND b.d = a.d + INTERVAL 1 DAY
+GROUP BY a.d
+""",
+    doc="Next-day retention: distinct (day, user) activity self-joined "
+        "one day forward — the cohort-retention shape every product "
+        "analytics stack runs over the snapshot model. The self-join "
+        "keys on (user, day), so it shuffles the deduplicated activity "
+        "table (|users x active days|), never raw events.",
+    tags=("join", "retention", "pipeline", "aggregate"),
+)
+def events_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    daily = ev.select(
+        F.to_date("ts").alias("d"), "user_id"
+    ).distinct()
+    nxt = daily.select(
+        F.col("d").alias("nd"), F.col("user_id").alias("n_user")
+    )
+    return (
+        daily.join(
+            nxt,
+            (F.col("user_id") == F.col("n_user"))
+            & (F.col("nd") == F.date_add(F.col("d"), 1)),
+            "left",
+        )
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("active_users"),
+            F.sum(F.when(F.col("n_user").isNotNull(), 1).otherwise(0)).alias(
+                "retained_next_day"
+            ),
+        )
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "active_users",
+            "retained_next_day",
+        )
+    )
