@@ -73,3 +73,30 @@ def test_csv_explicit_schema(spark, sf_dir):
     a = sorted(r["n_name"] for r in back.select("n_name").collect())
     b = sorted(r["n_name"] for r in nation.select("n_name").collect())
     assert a == b
+
+
+def test_upsert_latest_keeps_one_current_row_per_key(spark, tmp_path):
+    from ytspark import ingest
+    from ytspark.sources.youtube import REFERENCE_CHANNEL_TITLES, poll_tick
+
+    path = str(tmp_path / "current")
+    for tick in range(3):
+        batch = ingest.ingest(
+            spark, poll_tick(tick=tick), ingest_ts=f"2026-01-01 0{tick}:00:00"
+        )
+        storage.upsert_latest(spark, batch, path)
+    cur = spark.read.parquet(path)
+    # exactly one current row per channel, and it is the tick-2 snapshot
+    assert cur.count() == len(REFERENCE_CHANNEL_TITLES)
+    ts = {str(r["timestamp"]) for r in cur.select("timestamp").collect()}
+    assert ts == {"2026-01-01 02:00:00"}
+
+    # replaying an OLDER batch must not regress the current state
+    old = ingest.ingest(
+        spark, poll_tick(tick=0), ingest_ts="2026-01-01 00:00:00"
+    )
+    storage.upsert_latest(spark, old, path)
+    cur2 = spark.read.parquet(path)
+    assert cur2.count() == len(REFERENCE_CHANNEL_TITLES)
+    ts2 = {str(r["timestamp"]) for r in cur2.select("timestamp").collect()}
+    assert ts2 == {"2026-01-01 02:00:00"}

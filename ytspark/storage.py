@@ -14,7 +14,10 @@ within partitions for cheap latest-snapshot queries.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def append_bronze(df: DataFrame, path: str) -> None:
@@ -96,6 +99,54 @@ def write_csv(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
     parquet; CSV remains for compatibility with the reference's S3
     object layout (``dags/extract.py:122-129``)."""
     df.write.mode(mode).option("header", True).csv(path)
+
+
+def upsert_latest(
+    spark: SparkSession,
+    new_df: DataFrame,
+    path: str,
+    *,
+    key: str = "channel_key",
+    order_col: str = "timestamp",
+) -> None:
+    """Keyed upsert (SCD-1 'current state' table): merge the incoming
+    snapshot batch into the table at ``path``, keeping only the latest
+    row per ``key`` (by ``order_col``; arrival order breaks ties —
+    incoming wins, matching the reference's overwrite intent).
+
+    The bronze history table stays append-only (``append_bronze``);
+    this maintains the separate latest-state view some consumers want
+    (the role the truncate-and-reload RAW tables played,
+    ``dags/extract.py:167-169``) without rewriting history. Plan: union
+    + one window over |keys| + staged overwrite — cost is O(current
+    table + batch), independent of bronze history depth. On Delta/
+    Iceberg this call becomes MERGE INTO; the engine code above it is
+    unchanged.
+    """
+    from pyspark.sql import Window
+
+    try:
+        current = spark.read.parquet(path)
+        merged = current.withColumn("__src", F.lit(0)).unionByName(
+            new_df.withColumn("__src", F.lit(1)), allowMissingColumns=True
+        )
+    except Exception:  # first batch — nothing to merge
+        merged = new_df.withColumn("__src", F.lit(1))
+    w = Window.partitionBy(key).orderBy(
+        F.col(order_col).desc(), F.col("__src").desc()
+    )
+    latest = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
+    staging = path.rstrip("/") + "__upsert_tmp"
+    latest.write.mode("overwrite").parquet(staging)
+    import shutil
+
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    shutil.move(staging, path)
 
 
 def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
