@@ -277,3 +277,43 @@ def events_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retained_next_day",
         )
     )
+
+
+@register(
+    "events_daily_from_hourly_rollup",
+    oracle="""
+SELECT STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    doc="Continuous-aggregate (hypertable rollup) pattern: the DAILY "
+        "rollup is computed FROM the hourly pre-aggregate (re-aggregate "
+        "counts and exact decimal sums), while the oracle aggregates "
+        "raw events directly — the hash match proves two-level rollup "
+        "reuse is lossless. At 100 TB this is the materialized-rollup "
+        "cascade (raw -> hourly -> daily) where each level reads the "
+        "previous, |hours| rows instead of |events|.",
+    tags=("aggregate", "time", "rollup-reuse", "pipeline"),
+)
+def events_daily_from_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("dec_value"),
+    )
+    return (
+        hourly.groupBy(
+            F.date_format(F.date_trunc("day", F.col("hour")), "yyyy-MM-dd").alias(
+                "day"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("dec_value").cast("double").alias("total_value"),
+        )
+    )
