@@ -317,3 +317,52 @@ def events_daily_from_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFra
             F.sum("dec_value").cast("double").alias("total_value"),
         )
     )
+
+
+@register(
+    "data_quality_report",
+    oracle="""
+SELECT 'not_null:o_custkey' AS target,
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations
+FROM orders
+UNION ALL
+SELECT 'accepted_values:o_orderstatus',
+       CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                      AND o_orderstatus NOT IN ('F', 'O', 'P')
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'unique:o_orderkey', CAST(COALESCE(SUM(c - 1), 0) AS BIGINT)
+FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey)
+UNION ALL
+SELECT 'relationships:o_custkey->c_custkey', CAST(COUNT(*) AS BIGINT)
+FROM orders o
+LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+  ON o.o_custkey = c.c_custkey
+WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+""",
+    doc="The data-quality suite (ytspark.checks — the dbt-tests layer "
+        "the reference declares but leaves empty) as an oracle-checked "
+        "report: not_null, accepted_values, unique, and referential "
+        "integrity over the orders table, each check one aggregate "
+        "(violation counts, never violation rows).",
+    tags=("quality", "checks", "pipeline"),
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ytspark import checks
+
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    results = checks.run_checks(
+        t["orders"],
+        {
+            "not_null": ["o_custkey"],
+            "unique": [["o_orderkey"]],
+            "accepted_values": {"o_orderstatus": ["F", "O", "P"]},
+        },
+    )
+    rel = checks.relationships(t["orders"], "o_custkey", t["customer"], "c_custkey")
+    rows = [
+        (f"{r.check}:{r.column}", r.n_violations) for r in results
+    ] + [(f"relationships:{rel.column}", rel.n_violations)]
+    return spark.createDataFrame(rows, "target string, n_violations bigint")
