@@ -366,3 +366,56 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (f"{r.check}:{r.column}", r.n_violations) for r in results
     ] + [(f"relationships:{rel.column}", rel.n_violations)]
     return spark.createDataFrame(rows, "target string, n_violations bigint")
+
+
+@register(
+    "model_dag_mart",
+    oracle="""
+SELECT * FROM (
+  SELECT CAST(c_custkey AS BIGINT) AS entity_key,
+         CAST(c_acctbal AS DOUBLE) AS acctbal,
+         'BUILDING' AS channel
+  FROM customer WHERE c_mktsegment = 'BUILDING'
+  UNION ALL
+  SELECT CAST(c_custkey AS BIGINT), CAST(c_acctbal AS DOUBLE), 'MACHINERY'
+  FROM customer WHERE c_mktsegment = 'MACHINERY'
+)
+""",
+    doc="O4 through the driver gate: the SQL model-DAG runner "
+        "(ytspark.models — dbt's ref()-ordered execution) builds two "
+        "staging views over the customer table and a union mart model; "
+        "the returned mart hash-matches the flat SQL. View "
+        "materializations only, so the gate run leaves no catalog "
+        "residue; Catalyst inlines the view chain into one scan plan.",
+    tags=("pipeline", "models", "union", "cast"),
+)
+def model_dag_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ytspark.models import Model, run_models
+
+    load_tables(spark, sf_dir, "customer")["customer"].createOrReplaceTempView(
+        "__mdl_customer"
+    )
+    cast_cols = (
+        "CAST(c_custkey AS BIGINT) AS entity_key, "
+        "CAST(c_acctbal AS DOUBLE) AS acctbal"
+    )
+    models = [
+        Model(
+            "mdl_stg_building",
+            "SELECT * FROM {{ source('td', '__mdl_customer') }} "
+            "WHERE c_mktsegment = 'BUILDING'",
+        ),
+        Model(
+            "mdl_stg_machinery",
+            "SELECT * FROM {{ source('td', '__mdl_customer') }} "
+            "WHERE c_mktsegment = 'MACHINERY'",
+        ),
+        Model(
+            "mdl_mart",
+            f"SELECT {cast_cols}, 'BUILDING' AS channel "
+            "FROM {{ ref('mdl_stg_building') }} "
+            f"UNION ALL SELECT {cast_cols}, 'MACHINERY' "
+            "FROM {{ ref('mdl_stg_machinery') }}",
+        ),
+    ]
+    return run_models(spark, models)["mdl_mart"]

@@ -900,3 +900,33 @@ def grouping_sets_segment_priority(spark: SparkSession, sf_dir: str) -> DataFram
         GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
         """
     )
+
+
+@register(
+    "priority_price_rank_stats",
+    oracle="""
+SELECT o_orderkey, o_orderpriority,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume_dist,
+       DENSE_RANK() OVER w AS drank
+FROM orders
+WHERE o_orderkey <= 300
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+""",
+    doc="Rank-statistics windows (percent_rank / cume_dist / "
+        "dense_rank) per priority group with a unique-key tiebreak so "
+        "every rank value is engine-deterministic.",
+    tags=("window", "rank"),
+)
+def priority_price_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")["orders"].where(
+        F.col("o_orderkey") <= 300
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume_dist"),
+        F.dense_rank().over(w).alias("drank"),
+    )
