@@ -356,3 +356,36 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(test, 1).otherwise(0)).alias("n_test"),
         F.count(F.lit(1)).alias("n_docs"),
     )
+
+
+@register(
+    "name_edit_distance_profile",
+    oracle="""
+SELECT LEVENSHTEIN(c_name, 'Customer#000000500') AS edit_distance,
+       COUNT(*) AS n_customers,
+       MIN(c_custkey) AS min_custkey
+FROM customer
+GROUP BY 1
+""",
+    doc="Edit-distance (Levenshtein) profile of every customer name "
+        "against a probe string — the fuzzy-match primitive for "
+        "short-string dedup (name/title variants that hashing misses). "
+        "Identical DP definition in Spark and DuckDB, so exact counts "
+        "hash-match. At scale the probe generalizes to a blocked join "
+        "(length/prefix blocking) with the distance as the verifier, "
+        "the same candidate->verify shape as the n-gram pipeline.",
+    tags=("text", "fuzzy", "levenshtein", "aggregate"),
+)
+def name_edit_distance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_tables(spark, sf_dir, "customer")["customer"]
+    return (
+        cust.groupBy(
+            F.levenshtein(F.col("c_name"), F.lit("Customer#000000500")).alias(
+                "edit_distance"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("c_custkey").alias("min_custkey"),
+        )
+    )
