@@ -39,20 +39,34 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     payload: list[str],
+    *,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Point-in-time (as-of backward) join: for each left row, attach
-    the payload of the latest right row with ``right.ts <= left.ts``
-    for the same key. Left rows with no prior right row keep NULLs.
+    """Point-in-time as-of join. ``direction="backward"`` (default):
+    for each left row, attach the payload of the LATEST right row with
+    ``right.ts <= left.ts`` for the same key. ``direction="forward"``:
+    the EARLIEST right row with ``right.ts >= left.ts``. Left rows
+    with no matching right row keep NULLs.
 
     Implemented as union + ordered window (one shuffle on ``key``);
     right rows at the exact same timestamp as a left row ARE visible
-    to it (<=, matching DuckDB/kdb ASOF semantics), enforced by the
-    (ts, is_left) sort order.
+    in both directions (<= / >=, matching DuckDB/kdb ASOF semantics),
+    enforced by the (ts, tag) sort order: backward sorts rights before
+    lefts at equal ts and carries with last() over the preceding
+    frame; forward sorts lefts first and takes first() over the
+    following frame.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lcols = left.columns
+    # backward: right(0) sorts before left(1) at equal ts → visible in
+    # the preceding frame. forward: left(0) before right(1) → visible
+    # in the following frame.
+    l_tag, r_tag = (1, 0) if direction == "backward" else (0, 1)
     tagged_l = left.select(
         F.col(key).alias("__k"),
         F.col(left_ts).alias("__ts"),
+        F.lit(l_tag).alias("__tag"),
         F.lit(1).alias("__is_left"),
         F.struct(*lcols).alias("__lrow"),
         F.lit(None).cast(
@@ -62,20 +76,23 @@ def asof_join(
     tagged_r = right.select(
         F.col(key).alias("__k"),
         F.col(right_ts).alias("__ts"),
+        F.lit(r_tag).alias("__tag"),
         F.lit(0).alias("__is_left"),
         F.lit(None).cast(
             left.select(F.struct(*lcols).alias("l")).schema["l"].dataType
         ).alias("__lrow"),
         F.struct(*payload).alias("__payload"),
     )
-    w = (
-        Window.partitionBy("__k")
-        .orderBy("__ts", "__is_left")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    base = Window.partitionBy("__k").orderBy("__ts", "__tag")
+    if direction == "backward":
+        w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        carry = F.last("__payload", ignorenulls=True).over(w)
+    else:
+        w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        carry = F.first("__payload", ignorenulls=True).over(w)
     carried = (
         tagged_l.unionByName(tagged_r)
-        .withColumn("__asof", F.last("__payload", ignorenulls=True).over(w))
+        .withColumn("__asof", carry)
         .where(F.col("__is_left") == 1)
     )
     out = [F.col(f"__lrow.{c}").alias(c) for c in lcols] + [
@@ -152,4 +169,36 @@ def range_join_clicks_after_purchase(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .cast("double")
         .alias("click_value_next_hour"),
+    )
+
+
+@register(
+    "asof_next_click_after_purchase",
+    oracle="""
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       p.ts AS purchase_ts,
+       c.ts AS asof_ts,
+       c.value AS asof_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts <= c.ts
+""",
+    doc="FORWARD as-of join: each purchase picks up the earliest click "
+        "at-or-after it per user (the follow-up-attribution direction). "
+        "Same union+window plan as the backward form with the frame and "
+        "tie-tag mirrored; oracle is DuckDB's native forward ASOF JOIN.",
+    tags=("join", "asof", "temporal"),
+)
+def asof_next_click_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "value")
+    return asof_join(
+        purchases, clicks, key="user_id", left_ts="purchase_ts", right_ts="ts",
+        payload=["ts", "value"], direction="forward",
     )
