@@ -419,3 +419,35 @@ def model_dag_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ]
     return run_models(spark, models)["mdl_mart"]
+
+
+@register(
+    "events_props_map_explode",
+    oracle="""
+SELECT k AS prop_key, COUNT(*) AS n_events,
+       SUM(CAST(props->>k AS BIGINT)) AS total_value,
+       MIN(CAST(props->>k AS BIGINT)) AS min_value
+FROM (SELECT props, UNNEST(JSON_KEYS(props)) AS k FROM events)
+GROUP BY k
+""",
+    doc="MapType surface: the JSON props column parsed to "
+        "map<string,bigint> (from_json), exploded to (key, value) rows "
+        "(the generic schema-free path for payloads whose key set "
+        "drifts — contrast events_json_props, which extracts one known "
+        "path), then per-key accounting.",
+    tags=("json", "map", "semi-structured", "aggregate"),
+)
+def events_props_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import LongType, MapType, StringType
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    kv = ev.select(
+        F.explode(
+            F.from_json(F.col("props"), MapType(StringType(), LongType()))
+        ).alias("prop_key", "v")
+    )
+    return kv.groupBy("prop_key").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("v").alias("total_value"),
+        F.min("v").alias("min_value"),
+    )
