@@ -85,3 +85,110 @@ def events_user_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_col="value",
         out_col="norm_value",
     ).select("event_id", "user_id", "value", "norm_value")
+
+
+@register(
+    "token_entropy_pandas_udf",
+    oracle="""
+WITH counts AS (
+  SELECT doc_id,
+         LIST_SORT(LIST_TRANSFORM(
+           LIST_DISTINCT(STRING_SPLIT(text, ' ')),
+           t -> LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x = t))
+         )) AS cnts,
+         LEN(STRING_SPLIT(text, ' ')) AS n
+  FROM documents
+)
+SELECT doc_id,
+       ROUND(LIST_SUM(LIST_TRANSFORM(
+               cnts, c -> (CAST(c AS DOUBLE) / n) * LN(CAST(n AS DOUBLE) / c)
+             )), 6) AS token_entropy
+FROM counts
+""",
+    doc="Shannon entropy of each document's token distribution via a "
+        "SCALAR Arrow pandas_udf (vectorized numpy per batch) — the "
+        "third Python-kernel shape next to mapInPandas and "
+        "applyInPandas: one column in, one column out, usable inside "
+        "any projection. Counts are summed in ascending sorted order "
+        "in both engines so the float reduction is order-identical; "
+        "rounded to 6 dp (libm log implementations may differ in the "
+        "last ulp).",
+    tags=("udf", "pandas-udf", "text", "entropy"),
+)
+def token_entropy_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import collections
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _entropy_batch(texts):
+        out = []
+        for t in texts:
+            toks = t.split(" ")
+            n = len(toks)
+            counts = np.sort(
+                np.asarray(list(collections.Counter(toks).values()))
+            ).astype("float64")
+            p = counts / n
+            out.append(round(float(np.sum(p * np.log(n / counts))), 6))
+        return pd.Series(out)
+
+    # lambda/def WITHOUT annotations + explicit returnType: this module
+    # uses `from __future__ import annotations`, which stringizes type
+    # hints and breaks pandas_udf signature inference
+    entropy = pandas_udf(_entropy_batch, "double")
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return docs.select("doc_id", entropy(F.col("text")).alias("token_entropy"))
+
+
+@register(
+    "top_tokens_udtf",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, t AS token, COUNT(*) AS cnt
+  FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents)
+  GROUP BY doc_id, t
+)
+SELECT doc_id, token, cnt FROM (
+  SELECT doc_id, token, cnt,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY cnt DESC, token) AS rk
+  FROM tok
+) WHERE rk <= 2
+""",
+    doc="Python UDTF (table function) surface: per-document top-2 "
+        "tokens, emitted as rows by a @udtf class applied LATERALly in "
+        "SQL — the fourth Python-kernel shape (scalar pandas_udf / "
+        "mapInPandas / applyInPandas / UDTF). Deterministic tiebreak "
+        "(count desc, token asc) keeps it oracle-checkable. The UDTF "
+        "runs per row with no shuffle; the SQL-window oracle needs a "
+        "full explode + grouped count + rank — same answer, heavier "
+        "plan, which is exactly when a UDTF earns its place.",
+    tags=("udf", "udtf", "text"),
+)
+def top_tokens_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import collections
+
+    from pyspark.sql.functions import udtf
+
+    class TopTokens:
+        def eval(self, text, k):
+            counts = collections.Counter(text.split(" "))
+            ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            for token, cnt in ranked[:k]:
+                yield token, cnt
+
+    top_tokens = udtf(TopTokens, returnType="token string, cnt bigint", useArrow=True)
+    spark.udtf.register("top_tokens", top_tokens)
+    load_tables(spark, sf_dir, "documents")["documents"].createOrReplaceTempView(
+        "__udtf_documents"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.token, t.cnt
+        FROM __udtf_documents d,
+             LATERAL top_tokens(d.text, 2) t
+        """
+    )
