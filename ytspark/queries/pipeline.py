@@ -451,3 +451,56 @@ def events_props_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("v").alias("total_value"),
         F.min("v").alias("min_value"),
     )
+
+
+@register(
+    "funnel_view_click_purchase",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events
+  GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       SUM(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS stage_view,
+       SUM(CASE WHEN first_view IS NOT NULL AND first_click > first_view
+                THEN 1 ELSE 0 END) AS stage_click,
+       SUM(CASE WHEN first_view IS NOT NULL AND first_click > first_view
+                 AND first_purchase > first_click
+                THEN 1 ELSE 0 END) AS stage_purchase
+FROM per_user
+""",
+    doc="Ordered funnel (view -> click -> purchase): each stage counts "
+        "users whose FIRST occurrence of the stage event strictly "
+        "follows the previous stage's first occurrence — conditional "
+        "min-timestamps per user (one aggregate pass over events, "
+        "map-side partials) then one tiny global rollup. No joins, no "
+        "window, no per-event state: the standard one-pass funnel that "
+        "scales linearly with the event log.",
+    tags=("funnel", "sequence", "aggregate", "pipeline"),
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+
+    def first_ts(etype: str):
+        return F.min(F.when(F.col("event_type") == etype, F.col("ts")))
+
+    per_user = ev.groupBy("user_id").agg(
+        first_ts("view").alias("first_view"),
+        first_ts("click").alias("first_click"),
+        first_ts("purchase").alias("first_purchase"),
+    )
+    reached_view = F.col("first_view").isNotNull()
+    reached_click = reached_view & (F.col("first_click") > F.col("first_view"))
+    reached_purchase = reached_click & (
+        F.col("first_purchase") > F.col("first_click")
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(reached_view, 1).otherwise(0)).alias("stage_view"),
+        F.sum(F.when(reached_click, 1).otherwise(0)).alias("stage_click"),
+        F.sum(F.when(reached_purchase, 1).otherwise(0)).alias("stage_purchase"),
+    )
