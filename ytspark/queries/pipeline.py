@@ -504,3 +504,70 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(reached_click, 1).otherwise(0)).alias("stage_click"),
         F.sum(F.when(reached_purchase, 1).otherwise(0)).alias("stage_purchase"),
     )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions
+FROM seq
+WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+""",
+    doc="First-order behavior transition matrix: consecutive event-type "
+        "pairs per user (lag over the per-user ordered window, unique "
+        "event_id tiebreak) counted into the Markov transition table — "
+        "one window shuffle on user_id + one small aggregate.",
+    tags=("sequence", "window", "aggregate", "pipeline"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+@register(
+    "peak_hour_per_event_type",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, DATE_TRUNC('hour', ts) AS hour, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       ARG_MAX(hour, n * 10000000000 + EPOCH(hour)) AS peak_hour,
+       MAX(n) AS peak_events
+FROM hourly
+GROUP BY event_type
+""",
+    doc="Greatest-n-per-group via selector aggregates: the busiest hour "
+        "per event type from the hourly rollup, ties broken by the "
+        "later hour. The selector key is (count, hour) packed into one "
+        "bigint — DuckDB's arg_max takes no composite ordering key, so "
+        "both engines order by count*1e10 + epoch(hour); no window, no "
+        "self-join, one extra tiny aggregate over the rollup.",
+    tags=("aggregate", "selector", "argmax", "pipeline"),
+)
+def peak_hour_per_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    packed = F.col("n") * F.lit(10_000_000_000) + F.unix_timestamp("hour")
+    return hourly.groupBy("event_type").agg(
+        F.max_by("hour", packed).alias("peak_hour"),
+        F.max("n").alias("peak_events"),
+    )
