@@ -389,3 +389,67 @@ def name_edit_distance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("c_custkey").alias("min_custkey"),
         )
     )
+
+
+@register(
+    "token_zipf_slope",
+    oracle="""
+WITH freq AS (
+  SELECT t AS token, COUNT(*) AS cnt
+  FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents)
+  GROUP BY t
+),
+ranked AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS DOUBLE) AS r,
+         CAST(cnt AS DOUBLE) AS f
+  FROM freq
+  ORDER BY cnt DESC, token
+  LIMIT 100
+),
+sums AS (
+  SELECT COUNT(*) AS n,
+         SUM(LN(r)) AS sx, SUM(LN(f)) AS sy,
+         SUM(LN(r) * LN(f)) AS sxy, SUM(LN(r) * LN(r)) AS sxx
+  FROM ranked
+)
+SELECT n AS n_ranks,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope
+FROM sums
+""",
+    doc="Zipf fit over the global token rank-frequency curve: top-100 "
+        "tokens ranked (deterministic tiebreak), least-squares slope of "
+        "ln(freq) vs ln(rank) computed from plain power sums — the "
+        "vocabulary-health diagnostic for a text corpus (natural text "
+        "~ -1; synthetic/templated corpora flatten). Two aggregates "
+        "(token counts, then the 100-row sums); rounded to 6 dp since "
+        "the double sums are partial-order sensitive at the ulp level.",
+    tags=("text", "zipf", "regression", "aggregate"),
+)
+def token_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    freq = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
+    ranked = (
+        freq.withColumn("r", F.row_number().over(w).cast("double"))
+        .where(F.col("r") <= 100)
+        .select("r", F.col("cnt").cast("double").alias("f"))
+    )
+    lx, ly = F.log("r"), F.log("f")
+    sums = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(lx).alias("sx"),
+        F.sum(ly).alias("sy"),
+        F.sum(lx * ly).alias("sxy"),
+        F.sum(lx * lx).alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    return sums.select(
+        n.alias("n_ranks"),
+        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).alias("zipf_slope"),
+    )
