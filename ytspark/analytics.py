@@ -21,14 +21,17 @@ from pyspark.sql import functions as F
 
 
 def latest_snapshot(
-    df: DataFrame, entity: str, ts: str = "timestamp"
+    df: DataFrame, entity: str, ts: str = "timestamp", tiebreak: tuple[str, ...] = ()
 ) -> DataFrame:
     """Most recent row per entity.
 
     Window row_number (one shuffle on entity) — scales to any entity
-    cardinality; ties broken deterministically by the full ordering.
+    cardinality. Pass ``tiebreak`` (a unique column) whenever ``ts``
+    can repeat within an entity: without it the winner under AQE
+    re-partitioning is arbitrary.
     """
-    w = Window.partitionBy(entity).orderBy(F.col(ts).desc())
+    order = [F.col(ts).desc()] + [F.col(c).desc() for c in tiebreak]
+    w = Window.partitionBy(entity).orderBy(*order)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
@@ -37,11 +40,15 @@ def latest_snapshot(
 
 
 def growth(
-    df: DataFrame, entity: str, metric: str, ts: str = "timestamp"
+    df: DataFrame,
+    entity: str,
+    metric: str,
+    ts: str = "timestamp",
+    tiebreak: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-snapshot delta of ``metric`` vs the previous snapshot of the
     same entity — "views gained per tick". Window lag; one shuffle."""
-    w = Window.partitionBy(entity).orderBy(F.col(ts))
+    w = Window.partitionBy(entity).orderBy(F.col(ts), *[F.col(c) for c in tiebreak])
     return df.withColumn(
         f"{metric}_delta", F.col(metric) - F.lag(metric).over(w)
     )
@@ -54,10 +61,13 @@ def top_k(df: DataFrame, metric: str, k: int) -> DataFrame:
 
 
 def top_k_per_group(
-    df: DataFrame, group: str, metric: str, k: int
+    df: DataFrame, group: str, metric: str, k: int, tiebreak: tuple[str, ...] = ()
 ) -> DataFrame:
-    """Top-k within each group via rank window."""
-    w = Window.partitionBy(group).orderBy(F.col(metric).desc())
+    """Top-k within each group via rank window; ``tiebreak`` makes the
+    cut deterministic when metric values repeat."""
+    w = Window.partitionBy(group).orderBy(
+        F.col(metric).desc(), *[F.col(c) for c in tiebreak]
+    )
     return (
         df.withColumn("__rk", F.row_number().over(w))
         .where(F.col("__rk") <= k)

@@ -99,12 +99,11 @@ SELECT user_id, event_id, event_type, ts FROM (
     tags=("window", "pipeline"),
 )
 def events_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ytspark.analytics import latest_snapshot
+
     ev = load_tables(spark, sf_dir, "events")["events"]
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
-    return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("user_id", "event_id", "event_type", "ts")
+    return latest_snapshot(ev, "user_id", ts="ts", tiebreak=("event_id",)).select(
+        "user_id", "event_id", "event_type", "ts"
     )
 
 
@@ -121,13 +120,11 @@ FROM events
     tags=("window", "pipeline"),
 )
 def events_value_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ytspark.analytics import growth
+
     ev = load_tables(spark, sf_dir, "events")["events"]
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return ev.select(
-        "event_id",
-        "user_id",
-        "value",
-        (F.col("value") - F.lag("value").over(w)).alias("value_delta"),
+    return growth(ev, "user_id", "value", ts="ts", tiebreak=("event_id",)).select(
+        "event_id", "user_id", "value", "value_delta"
     )
 
 

@@ -580,15 +580,12 @@ SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
     tags=("window", "topk"),
 )
 def top3_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ytspark.analytics import top_k_per_group
+
     o = load_tables(spark, sf_dir, "orders")["orders"]
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
-    )
-    return (
-        o.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 3)
-        .select("o_orderpriority", "o_orderkey", "o_totalprice")
-    )
+    return top_k_per_group(
+        o, "o_orderpriority", "o_totalprice", 3, tiebreak=("o_orderkey",)
+    ).select("o_orderpriority", "o_orderkey", "o_totalprice")
 
 
 @register(
