@@ -302,3 +302,45 @@ class TestConnectedComponents:
         }
         assert labels[1] == labels[2] == labels[3] == labels[4] == 1
         assert labels[10] == labels[11] == 10
+
+
+class TestPersistedLshIndex:
+    def test_partition_pruning_and_multiprobe_recall(self, spark, sf_dir, tmp_path):
+        import os
+
+        from ytspark.operators.similarity import (
+            knn_cosine_bruteforce,
+            knn_from_index,
+            persist_lsh_index,
+        )
+        from ytspark.session import load_tables
+
+        emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+        path = str(tmp_path / "lsh_index")
+        persist_lsh_index(emb, path)
+        # index is physically partitioned by bucket
+        assert len([d for d in os.listdir(path) if d.startswith("bucket=")]) > 1
+
+        queries = emb.where(F.col("vec_id") < 10)
+        hit0 = knn_from_index(spark, path, queries, probes=0)
+        # the probe set reaches the scan as a partition filter
+        plan = hit0._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "bucket" in plan
+
+        import collections
+
+        def topk(df):
+            out = collections.defaultdict(set)
+            for r in df.collect():
+                out[r["query_id"]].add(r["neighbor_id"])
+            return out
+
+        bf = topk(knn_cosine_bruteforce(spark, sf_dir))
+        r0 = topk(hit0)
+        r1 = topk(knn_from_index(spark, path, queries, probes=1))
+
+        def recall(a):
+            return sum(len(bf[q] & a[q]) / len(bf[q]) for q in bf) / len(bf)
+
+        # hamming-1 probing strictly widens the candidate set
+        assert recall(r1) >= recall(r0)
