@@ -344,3 +344,39 @@ class TestPersistedLshIndex:
 
         # hamming-1 probing strictly widens the candidate set
         assert recall(r1) >= recall(r0)
+
+
+class TestPersistedIvfIndex:
+    def test_pruned_probe_scan_and_recall(self, spark, sf_dir, tmp_path):
+        import os
+
+        from ytspark.operators.similarity import (
+            knn_cosine_bruteforce,
+            knn_from_ivf_index,
+            persist_ivf_index,
+        )
+        from ytspark.session import load_tables
+
+        emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+        path = str(tmp_path / "ivf_index")
+        persist_ivf_index(emb, path)
+        assert len([d for d in os.listdir(path) if d.startswith("cell=")]) > 1
+
+        queries = emb.where(F.col("vec_id") < 10)
+        hits = knn_from_ivf_index(spark, path, queries)
+        plan = hits._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "cell" in plan
+
+        import collections
+
+        def topk(df):
+            out = collections.defaultdict(set)
+            for r in df.collect():
+                out[r["query_id"]].add(r["neighbor_id"])
+            return out
+
+        bf = topk(knn_cosine_bruteforce(spark, sf_dir))
+        iv = topk(hits)
+        recall = sum(len(bf[q] & iv[q]) / len(bf[q]) for q in bf) / len(bf)
+        # same 4/16-cell probe budget as the inline IVF query
+        assert recall >= 0.3

@@ -477,3 +477,125 @@ def knn_from_index(
         .where(F.col("rk") <= top_k)
         .select("query_id", "neighbor_id", "cos_sim")
     )
+
+
+def build_ivf_centroids(emb: DataFrame, n_cells: int = N_IVF_CELLS):
+    """Deterministic unit-sphere centroids: evenly-strided seed sample +
+    one Lloyd refinement (the same construction knn_cosine_ivf uses
+    inline). Driver-side over a sample — at 100 TB this collects a
+    .sample(), never the corpus."""
+    import numpy as np
+
+    corpus = emb.select("embedding").toPandas()
+    m = np.stack(corpus["embedding"].to_numpy()).astype("float64")
+    unit = m / np.sqrt((m * m).sum(axis=1, keepdims=True))
+    stride = max(1, len(unit) // n_cells)
+    cents = unit[::stride][:n_cells].copy()
+    assign = (unit @ cents.T).argmax(axis=1)
+    for c in range(len(cents)):
+        members = unit[assign == c]
+        if len(members):
+            mean = members.mean(axis=0)
+            cents[c] = mean / np.linalg.norm(mean)
+    return cents
+
+
+def persist_ivf_index(
+    emb: DataFrame, path: str, n_cells: int = N_IVF_CELLS
+) -> None:
+    """Write the corpus parquet PARTITIONED BY its IVF cell (nearest
+    centroid), plus the centroid table next to it (``<path>__centroids``)
+    so query time needs no re-training. Cell assignment is an
+    Arrow-batched GEMM against the broadcast centroids — distributed,
+    one pass, no shuffle before the partitioned write."""
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    cents = build_ivf_centroids(emb, n_cells)
+    bc = spark.sparkContext.broadcast(cents)
+
+    def assign(batches):
+        c = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            u = v / np.sqrt((v * v).sum(axis=1, keepdims=True))
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "embedding": pdf["embedding"],
+                    "cell": (u @ c.T).argmax(axis=1).astype("int32"),
+                }
+            )
+
+    assigned = emb.select("vec_id", "embedding").mapInPandas(
+        assign, schema="vec_id bigint, embedding array<float>, cell int"
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)]
+    spark.createDataFrame(
+        cent_rows, "cell int, centroid array<double>"
+    ).write.mode("overwrite").parquet(path + "__centroids")
+
+
+def knn_from_ivf_index(
+    spark: SparkSession,
+    path: str,
+    query_vecs: DataFrame,
+    *,
+    top_k: int = TOP_K,
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """ANN against a persisted IVF index: each query probes its
+    ``n_probe`` nearest cells; the probed cell set becomes a partition
+    filter on the index scan (same serving shape as ``knn_from_index``,
+    with learned cells instead of hyperplane buckets)."""
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    cent_rows = sorted(
+        spark.read.parquet(path + "__centroids").collect(),
+        key=lambda r: r["cell"],
+    )
+    cents = np.array([r["centroid"] for r in cent_rows])
+    q_pdf = query_vecs.select("vec_id", "embedding").toPandas()
+    qm = np.stack(q_pdf["embedding"].to_numpy()).astype("float64")
+    qu = qm / np.sqrt((qm * qm).sum(axis=1, keepdims=True))
+    probe = np.argsort(-(qu @ cents.T), axis=1)[:, :n_probe]
+    probe_rows = [
+        (int(q_pdf["vec_id"][i]), [float(x) for x in qm[i]], int(c))
+        for i in range(len(q_pdf))
+        for c in probe[i]
+    ]
+    probes_df = spark.createDataFrame(
+        probe_rows, "query_id bigint, qv array<double>, probe_cell int"
+    )
+    probe_ids = sorted({int(c) for row in probe for c in row})
+    index = spark.read.parquet(path).where(F.col("cell").isin(probe_ids))
+    scored = (
+        index.join(
+            F.broadcast(probes_df),
+            (F.col("cell") == F.col("probe_cell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                cosine(F.col("qv"), as_double(F.col("embedding"))), 6
+            ).alias("cos_sim"),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.first("cos_sim").alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= top_k)
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
