@@ -380,3 +380,41 @@ class TestPersistedIvfIndex:
         recall = sum(len(bf[q] & iv[q]) / len(bf[q]) for q in bf) / len(bf)
         # same 4/16-cell probe budget as the inline IVF query
         assert recall >= 0.3
+
+
+class TestIncrementalMinhashStore:
+    def test_new_batch_dedups_against_persisted_corpus(self, spark, tmp_path):
+        from ytspark.operators.dedup import (
+            incremental_minhash_dedup,
+            persist_minhash_store,
+        )
+
+        base = "the quick brown fox jumps over the lazy dog " * 6
+        corpus = spark.createDataFrame(
+            [(1, base + "tail one"), (2, "completely different text body here " * 5)],
+            "doc_id bigint, text string",
+        )
+        path = str(tmp_path / "mh_store")
+        persist_minhash_store(corpus, path)
+
+        # batch A: one near-dup of doc 1, one novel doc
+        batch_a = spark.createDataFrame(
+            [(10, base + "tail two"), (11, "novel content nothing alike " * 6)],
+            "doc_id bigint, text string",
+        )
+        pairs_a = {
+            (r["new_doc_id"], r["existing_doc_id"])
+            for r in incremental_minhash_dedup(spark, batch_a, path).collect()
+        }
+        assert (10, 1) in pairs_a
+        assert all(n != 11 for n, _ in pairs_a)  # novel doc matches nothing
+
+        # batch B sees batch A through the appended store
+        batch_b = spark.createDataFrame(
+            [(20, "novel content nothing alike " * 6)], "doc_id bigint, text string"
+        )
+        pairs_b = {
+            (r["new_doc_id"], r["existing_doc_id"])
+            for r in incremental_minhash_dedup(spark, batch_b, path).collect()
+        }
+        assert (20, 11) in pairs_b

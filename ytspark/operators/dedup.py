@@ -664,3 +664,120 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", "embedding").mapInPandas(
         score, schema="vec_a bigint, vec_b bigint, cos_sim double"
     )
+
+
+# ------------------------------------------- persisted signature store
+
+
+def _banded(sig_df: DataFrame) -> DataFrame:
+    """Explode signatures to (doc_id, band_id, band_hash) rows."""
+    rows = N_PERMUTATIONS // N_BANDS
+    return sig_df.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band_id"),
+                        F.xxhash64(
+                            *[
+                                F.element_at(F.col("sig"), bi * rows + r + 1)
+                                for r in range(rows)
+                            ]
+                        ).alias("band_hash"),
+                    )
+                    for bi in range(N_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band_id", "b.band_hash")
+
+
+def persist_minhash_store(docs: DataFrame, path: str) -> None:
+    """Bootstrap the persisted MinHash store: the signature table
+    (``<path>/sigs``) plus its banded LSH projection (``<path>/bands``,
+    partitioned by band_id). Signatures are computed ONCE per document
+    ever — the store is what makes dedup incremental."""
+    sigs = minhash_signatures_df(docs).persist()
+    sigs.write.mode("overwrite").parquet(path + "/sigs")
+    _banded(sigs).write.mode("overwrite").partitionBy("band_id").parquet(
+        path + "/bands"
+    )
+
+
+def incremental_minhash_dedup(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    path: str,
+    threshold: float = 0.5,
+    append: bool = True,
+) -> DataFrame:
+    """Dedup a NEW batch against the persisted corpus without touching
+    old documents' text: signatures are computed for the batch only,
+    banded, and LSH-joined against the stored band table; candidate
+    pairs are scored from the two signature tables. Returns
+    (new_doc_id, existing_doc_id, est_jaccard) pairs; with
+    ``append=True`` the batch's signatures/bands are appended to the
+    store afterwards (so the next batch sees this one).
+
+    This is the production shape of corpus dedup at 100 TB: per-batch
+    cost is O(batch + matched candidates), never O(corpus) — the
+    corpus participates only through the (partitioned, pruned) band
+    join and the signature lookup join for candidates.
+    """
+    new_sigs = minhash_signatures_df(new_docs).persist()
+    new_bands = _banded(new_sigs)
+    stored_bands = spark.read.parquet(path + "/bands")
+    cand = (
+        new_bands.alias("n")
+        .join(
+            stored_bands.alias("o"),
+            (F.col("n.band_id") == F.col("o.band_id"))
+            & (F.col("n.band_hash") == F.col("o.band_hash")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_doc_id"),
+            F.col("o.doc_id").alias("existing_doc_id"),
+        )
+        .distinct()
+    )
+    stored_sigs = spark.read.parquet(path + "/sigs")
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("n_sig"), F.col("o_sig"), lambda x, y: x == y),
+                lambda m: m,
+            )
+        ).cast("double")
+        / N_PERMUTATIONS
+    )
+    pairs = (
+        cand.join(
+            new_sigs.select(F.col("doc_id").alias("new_doc_id"), F.col("sig").alias("n_sig")),
+            "new_doc_id",
+        )
+        .join(
+            stored_sigs.select(
+                F.col("doc_id").alias("existing_doc_id"), F.col("sig").alias("o_sig")
+            ),
+            "existing_doc_id",
+        )
+        .select("new_doc_id", "existing_doc_id", est.alias("est_jaccard"))
+        .where(
+            (F.col("est_jaccard") >= threshold)
+            # a batch may re-submit an id already stored; its self-match
+            # is noise, not a duplicate
+            & (F.col("new_doc_id") != F.col("existing_doc_id"))
+        )
+    )
+    # eager localCheckpoint: computes the result NOW and truncates
+    # lineage, so the append below cannot leak the batch's own
+    # signatures back into this result on a later recompute (a cache()
+    # would be best-effort and could silently re-read the mutated store)
+    result = pairs.localCheckpoint(eager=True)
+    if append:
+        new_sigs.write.mode("append").parquet(path + "/sigs")
+        _banded(new_sigs).write.mode("append").partitionBy("band_id").parquet(
+            path + "/bands"
+        )
+    return result
