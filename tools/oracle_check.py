@@ -17,6 +17,66 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+def dtype_family(series):
+    """Coarse numeric-type family of a pandas column.
+
+    The driver's value-hash is type-sensitive: DuckDB ``SUM(BIGINT)``
+    comes back as HUGEINT (pandas float64) while Spark's ``sum`` is
+    BIGINT (pandas int64), and ``122`` vs ``122.0`` hash differently
+    even though every value is numerically identical.  All six round-1
+    driver failures were exactly this, and the old ``%.10g`` float
+    normalization below masked it locally.  Families: bool < int <
+    float are distinct; datetimes, strings, decimals likewise.
+    """
+    from pandas.api import types as ptypes
+
+    if ptypes.is_bool_dtype(series):
+        return "bool"
+    if ptypes.is_integer_dtype(series):
+        return "int"
+    if ptypes.is_float_dtype(series):
+        return "float"
+    if ptypes.is_datetime64_any_dtype(series):
+        return "datetime"
+    # object columns: peek at the first non-null value
+    import datetime
+    import decimal
+
+    for v in series:
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            continue
+        if isinstance(v, bool):
+            return "bool"
+        if isinstance(v, decimal.Decimal):
+            return "decimal"
+        if isinstance(v, int):
+            return "int"
+        if isinstance(v, float):
+            return "float"
+        if isinstance(v, datetime.datetime):
+            return "datetime"
+        if isinstance(v, datetime.date):
+            return "date"
+        if isinstance(v, (list, tuple)) or hasattr(v, "tolist"):
+            return "array"
+        return type(v).__name__
+    return "all-null"
+
+
+def dtype_mismatches(sdf, odf):
+    """Per-column (family_fail, width_warn) report between two frames."""
+    fails, warns = [], []
+    for c in sorted(sdf.columns):
+        sf, of = dtype_family(sdf[c]), dtype_family(odf[c])
+        if "all-null" in (sf, of):
+            continue
+        if sf != of:
+            fails.append(f"{c}: spark={sf}/{sdf[c].dtype} oracle={of}/{odf[c].dtype}")
+        elif str(sdf[c].dtype) != str(odf[c].dtype):
+            warns.append(f"{c}: spark={sdf[c].dtype} oracle={odf[c].dtype}")
+    return fails, warns
+
+
 def normalize(df):
     """Sort columns by name, then rows; stringify for comparison."""
     import pandas as pd
@@ -86,6 +146,13 @@ def main() -> int:
             )
             print(f"FAIL  {name}: column mismatch {sorted(sdf.columns)} vs {sorted(odf.columns)}")
             continue
+        type_fails, type_warns = dtype_mismatches(sdf, odf)
+        if type_fails:
+            failures.append((name, f"dtype family mismatch: {type_fails}"))
+            print(f"FAIL  {name}: dtype family mismatch: {type_fails}")
+            continue
+        if type_warns:
+            print(f"warn  {name}: dtype width differs (values compare ok): {type_warns}")
         a, b = normalize(sdf), normalize(odf)
         if a != b:
             diff = [(x, y) for x, y in zip(a, b) if x != y][:3]

@@ -167,9 +167,9 @@ WITH feat AS (
 )
 SELECT format,
        COUNT(*) AS n_assets,
-       SUM(n_bytes) AS total_bytes,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
        COUNT(DISTINCT checksum) AS n_unique,
-       SUM((w * {THUMB_BOX}) // GREATEST(w, h)) AS sum_thumb_w
+       CAST(SUM((w * {THUMB_BOX}) // GREATEST(w, h)) AS BIGINT) AS sum_thumb_w
 FROM feat
 GROUP BY format
 """,
@@ -203,7 +203,8 @@ WITH frames AS (
 )
 SELECT doc_id,
        COUNT(*) AS n_sampled_frames,
-       SUM(LEAST(n_bytes - frame_idx * {FRAME_BYTES}, {FRAME_BYTES})) AS sampled_bytes
+       CAST(SUM(LEAST(n_bytes - frame_idx * {FRAME_BYTES}, {FRAME_BYTES}))
+            AS BIGINT) AS sampled_bytes
 FROM frames
 GROUP BY doc_id
 """,

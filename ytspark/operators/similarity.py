@@ -277,10 +277,10 @@ WITH e AS (
 )
 SELECT vec_id,
        LEN(v) AS n_dims,
-       CASE WHEN hi > lo
+       CAST(CASE WHEN hi > lo
             THEN LIST_SUM(LIST_TRANSFORM(
                    v, x -> CAST(FLOOR(255.0 * (x - lo) / (hi - lo)) AS BIGINT)))
-            ELSE 0 END AS code_sum,
+            ELSE 0 END AS BIGINT) AS code_sum,
        CASE WHEN hi > lo
             THEN LIST_MIN(LIST_TRANSFORM(
                    v, x -> CAST(FLOOR(255.0 * (x - lo) / (hi - lo)) AS BIGINT)))

@@ -209,7 +209,7 @@ kept AS (
 )
 SELECT source,
        COUNT(*) AS n_docs,
-       SUM(LEN(STRING_SPLIT(text, ' '))) AS total_tokens,
+       CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS total_tokens,
        CAST(SUM(q) AS BIGINT) AS total_quality
 FROM kept WHERE rn = 1
 GROUP BY source
@@ -315,16 +315,22 @@ _KNUTH = 2_654_435_761  # Knuth multiplicative hash constant
 @register(
     "train_val_test_split",
     oracle=f"""
-WITH h AS (
-  SELECT doc_id, source,
-         (doc_id * {_KNUTH}) % {SPLIT_MOD} AS hv
-  FROM documents
+WITH k AS (
+  SELECT source, doc_id % {SPLIT_MOD} AS k FROM documents
+),
+h AS (
+  SELECT source,
+         (((k // 65536) * {_KNUTH}) % {SPLIT_MOD} * 65536
+          + (k % 65536) * {_KNUTH}) % {SPLIT_MOD} AS hv
+  FROM k
 )
 SELECT source,
-       SUM(CASE WHEN hv < 0.8 * {SPLIT_MOD} THEN 1 ELSE 0 END) AS n_train,
-       SUM(CASE WHEN hv >= 0.8 * {SPLIT_MOD} AND hv < 0.9 * {SPLIT_MOD}
-                THEN 1 ELSE 0 END) AS n_val,
-       SUM(CASE WHEN hv >= 0.9 * {SPLIT_MOD} THEN 1 ELSE 0 END) AS n_test,
+       CAST(SUM(CASE WHEN hv < 0.8 * {SPLIT_MOD} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_train,
+       CAST(SUM(CASE WHEN hv >= 0.8 * {SPLIT_MOD} AND hv < 0.9 * {SPLIT_MOD}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+       CAST(SUM(CASE WHEN hv >= 0.9 * {SPLIT_MOD} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_test,
        COUNT(*) AS n_docs
 FROM h
 GROUP BY source
@@ -337,15 +343,24 @@ GROUP BY source
         "split mechanism that is safe at 100 TB: membership is a "
         "function of the key, so late-arriving rows join the right "
         "split and the assignment never needs to be stored. "
-        "(Key x constant stays within int64 for keys < 2^32.)",
+        "The multiply is done in two 16-bit halves mod 2^32 so every "
+        "intermediate stays below 2^49 — no int64 overflow for ANY "
+        "int64 key (a naive key*constant overflows once key > 2^63/"
+        "constant ~ 3.47e9, where Spark non-ANSI wraps silently but "
+        "DuckDB raises, silently diverging the split).",
     tags=("text", "split", "pipeline"),
 )
 def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    hashed = docs.select(
-        "source",
-        F.pmod(F.col("doc_id") * F.lit(_KNUTH), F.lit(SPLIT_MOD)).alias("hv"),
+    k = F.pmod(F.col("doc_id"), F.lit(SPLIT_MOD))
+    lo = F.pmod(k, F.lit(65536))
+    hi = ((k - lo) / F.lit(65536)).cast("long")
+    hv = F.pmod(
+        F.pmod(hi * F.lit(_KNUTH), F.lit(SPLIT_MOD)) * F.lit(65536)
+        + lo * F.lit(_KNUTH),
+        F.lit(SPLIT_MOD),
     )
+    hashed = docs.select("source", hv.alias("hv"))
     hv = F.col("hv")
     train = hv < F.lit(0.8 * SPLIT_MOD)
     val = (hv >= F.lit(0.8 * SPLIT_MOD)) & (hv < F.lit(0.9 * SPLIT_MOD))

@@ -133,7 +133,7 @@ def events_value_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(props->>'$.k' AS BIGINT)) AS total_k,
+       CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS total_k,
        MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
 FROM events
 GROUP BY event_type
@@ -232,8 +232,8 @@ WITH daily AS (
 )
 SELECT STRFTIME(a.d, '%Y-%m-%d') AS day,
        COUNT(*) AS active_users,
-       SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END)
-         AS retained_next_day
+       CAST(SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS retained_next_day
 FROM daily a
 LEFT JOIN daily b
   ON a.user_id = b.user_id AND b.d = a.d + INTERVAL 1 DAY
@@ -422,8 +422,8 @@ def model_dag_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_props_map_explode",
     oracle="""
 SELECT k AS prop_key, COUNT(*) AS n_events,
-       SUM(CAST(props->>k AS BIGINT)) AS total_value,
-       MIN(CAST(props->>k AS BIGINT)) AS min_value
+       CAST(SUM(CAST(props->>k AS BIGINT)) AS BIGINT) AS total_value,
+       CAST(MIN(CAST(props->>k AS BIGINT)) AS BIGINT) AS min_value
 FROM (SELECT props, UNNEST(JSON_KEYS(props)) AS k FROM events)
 GROUP BY k
 """,
@@ -462,12 +462,13 @@ WITH per_user AS (
   GROUP BY user_id
 )
 SELECT COUNT(*) AS n_users,
-       SUM(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS stage_view,
-       SUM(CASE WHEN first_view IS NOT NULL AND first_click > first_view
-                THEN 1 ELSE 0 END) AS stage_click,
-       SUM(CASE WHEN first_view IS NOT NULL AND first_click > first_view
+       CAST(SUM(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS stage_view,
+       CAST(SUM(CASE WHEN first_view IS NOT NULL AND first_click > first_view
+                THEN 1 ELSE 0 END) AS BIGINT) AS stage_click,
+       CAST(SUM(CASE WHEN first_view IS NOT NULL AND first_click > first_view
                  AND first_purchase > first_click
-                THEN 1 ELSE 0 END) AS stage_purchase
+                THEN 1 ELSE 0 END) AS BIGINT) AS stage_purchase
 FROM per_user
 """,
     doc="Ordered funnel (view -> click -> purchase): each stage counts "

@@ -492,16 +492,16 @@ SELECT o_orderkey,
        UPPER(o_orderpriority) AS pri_upper,
        LOWER(o_orderstatus) AS status_lower,
        SUBSTRING(o_orderpriority, 1, 1) AS pri_code,
-       LENGTH(o_orderpriority) AS pri_len,
+       CAST(LENGTH(o_orderpriority) AS INTEGER) AS pri_len,
        REPLACE(o_orderpriority, '-', '_') AS pri_snake,
        CONCAT(o_orderstatus, ':', o_orderpriority) AS status_pri,
        ABS(o_totalprice - 100000.0) AS dist_from_100k,
        MOD(o_orderkey, 7) AS key_mod7,
-       FLOOR(o_totalprice / 1000.0) AS price_k_floor,
-       CEIL(o_totalprice / 1000.0) AS price_k_ceil,
-       EXTRACT(YEAR FROM o_orderdate) AS y,
-       EXTRACT(MONTH FROM o_orderdate) AS m,
-       EXTRACT(DAY FROM o_orderdate) AS d,
+       CAST(FLOOR(o_totalprice / 1000.0) AS BIGINT) AS price_k_floor,
+       CAST(CEIL(o_totalprice / 1000.0) AS BIGINT) AS price_k_ceil,
+       CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS y,
+       CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS m,
+       CAST(EXTRACT(DAY FROM o_orderdate) AS INTEGER) AS d,
        STRFTIME(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
        CASE WHEN o_totalprice > 200000 THEN 'big'
             WHEN o_totalprice > 50000 THEN 'mid'
