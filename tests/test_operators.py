@@ -133,6 +133,39 @@ class TestNgramJaccard:
             assert abs(v - exact[k]) < 1e-12  # identical exact scores
 
 
+class TestEmbeddingDedup:
+    def test_lsh_pairs_subset_of_exact(self, spark, sf_dir):
+        """Bucketed LSH dedup has exact precision: every pair it emits
+        must appear in the exact block-pair GEMM result with the same
+        rounded score."""
+        from ytspark.operators.dedup import (
+            dedup_embedding_cosine,
+            dedup_embedding_cosine_lsh,
+        )
+
+        exact = {
+            (r["vec_a"], r["vec_b"]): r["cos_sim"]
+            for r in dedup_embedding_cosine(spark, sf_dir).collect()
+        }
+        approx = {
+            (r["vec_a"], r["vec_b"]): r["cos_sim"]
+            for r in dedup_embedding_cosine_lsh(spark, sf_dir).collect()
+        }
+        assert approx  # non-empty at this fixture
+        assert set(approx) <= set(exact)
+        for k, v in approx.items():
+            assert v == exact[k]
+
+    def test_exact_gemm_covers_every_block_pair_once(self, spark, sf_dir):
+        """No duplicate pairs from the block-pair replication."""
+        from ytspark.operators.dedup import dedup_embedding_cosine
+
+        rows = dedup_embedding_cosine(spark, sf_dir).collect()
+        pairs = [(r["vec_a"], r["vec_b"]) for r in rows]
+        assert len(pairs) == len(set(pairs))
+        assert all(a < b for a, b in pairs)
+
+
 class TestAnnRecall:
     def _topk_sets(self, df):
         import collections

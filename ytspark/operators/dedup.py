@@ -617,14 +617,20 @@ WHERE ROUND(LIST_DOT_PRODUCT(a.v, b.v)
             / (SQRT(LIST_DOT_PRODUCT(a.v, a.v))
                * SQRT(LIST_DOT_PRODUCT(b.v, b.v))), 6) >= 0.45
 """,
-    doc="Embedding-cosine near-duplicate pairs (cosine >= 0.45) by blocked "
-        "matrix multiply: the corpus matrix is broadcast, mapInPandas "
-        "computes each Arrow batch's block × corpusᵀ GEMM in numpy and "
-        "emits only above-threshold pairs. An expression-level pairwise "
-        "join (zip_with/aggregate per pair) is interpreted, never "
-        "codegen'd — measured 70 s vs ~1 s for the GEMM at sf0.1. At "
-        "100 TB both sides are LSH-bucketed (knn_cosine_lsh's hyperplane "
-        "buckets) and this kernel scores within buckets.",
+    doc="Embedding-cosine near-duplicate pairs (cosine >= 0.45), EXACT, "
+        "as a distributed block-pair GEMM: vectors hash into "
+        "EMB_BLOCKS blocks, every row is replicated to each of its "
+        "block-pairs (one explode, shuffle = EMB_BLOCKS x corpus), and "
+        "applyInPandas computes each pair's cross-block numpy GEMM — "
+        "every unordered vector pair lands in exactly one block-pair "
+        "group, so the result is exact with NO driver-side corpus "
+        "collect (each task holds 2/EMB_BLOCKS of the corpus; scale "
+        "EMB_BLOCKS ~ corpus_bytes / task_memory). An expression-level "
+        "pairwise join (zip_with/aggregate per pair) is interpreted, "
+        "never codegen'd — measured 70 s vs ~1 s for the GEMM at "
+        "sf0.1. Exact all-pairs is inherently quadratic in FLOPs; at "
+        "100 TB use dedup_embedding_cosine_lsh, which buckets by "
+        "hyperplane signs and only scores within buckets.",
     tags=("dedup", "embedding", "similarity"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -632,36 +638,100 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
-    corpus = emb.select("vec_id", "embedding").toPandas()
-    ids_all = corpus["vec_id"].to_numpy()
-    m_all = np.stack(corpus["embedding"].to_numpy()).astype("float64")
-    norms_all = np.sqrt((m_all * m_all).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids_all, m_all, norms_all))
+    nb = EMB_BLOCKS
     threshold = 0.45
+    base = emb.select(
+        "vec_id",
+        "embedding",
+        F.pmod(F.xxhash64("vec_id"), F.lit(nb)).cast("int").alias("blk"),
+    )
+    # row in block b participates in block-pairs {(min(b,o), max(b,o))}
+    # for every o — exactly nb replicas, each unordered pair covered once
+    rep = base.select(
+        "vec_id",
+        "embedding",
+        "blk",
+        F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("other"),
+    ).select(
+        "vec_id",
+        "embedding",
+        "blk",
+        F.least("blk", "other").alias("pa"),
+        F.greatest("blk", "other").alias("pb"),
+    )
 
-    def score(batches):
-        b_ids, b_m, b_norms = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            v = np.stack(pdf["embedding"].to_numpy()).astype("float64")
-            vids = pdf["vec_id"].to_numpy()
-            vnorms = np.sqrt((v * v).sum(axis=1))
-            sims = np.round(
-                (v @ b_m.T) / (vnorms[:, None] * b_norms[None, :]), 6
-            )
-            ii, jj = np.nonzero(
-                (sims >= threshold) & (vids[:, None] < b_ids[None, :])
-            )
-            yield pd.DataFrame(
-                {
-                    "vec_a": vids[ii],
-                    "vec_b": b_ids[jj],
-                    "cos_sim": sims[ii, jj],
-                }
-            )
+    def score(key, pdf):
+        pa, pb = key
+        v = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+        ids = pdf["vec_id"].to_numpy()
+        norms = np.sqrt((v * v).sum(axis=1))
+        if pa == pb:
+            sims = np.round((v @ v.T) / (norms[:, None] * norms[None, :]), 6)
+            ii, jj = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
+            a_ids, b_ids, s = ids[ii], ids[jj], sims[ii, jj]
+        else:
+            ma = pdf["blk"].to_numpy() == pa
+            va, vb = v[ma], v[~ma]
+            na, nb_ = norms[ma], norms[~ma]
+            ia, ib = ids[ma], ids[~ma]
+            sims = np.round((va @ vb.T) / (na[:, None] * nb_[None, :]), 6)
+            ii, jj = np.nonzero(sims >= threshold)
+            a_ids = np.minimum(ia[ii], ib[jj])
+            b_ids = np.maximum(ia[ii], ib[jj])
+            s = sims[ii, jj]
+        return pd.DataFrame({"vec_a": a_ids, "vec_b": b_ids, "cos_sim": s})
 
-    return emb.select("vec_id", "embedding").mapInPandas(
+    return rep.groupBy("pa", "pb").applyInPandas(
+        score, schema="vec_a bigint, vec_b bigint, cos_sim double"
+    )
+
+
+EMB_BLOCKS = 8  # block-pair grid for exact GEMM; 2 blocks fit one task
+N_DEDUP_PLANES = 4  # 2^4 hyperplane buckets for the approximate path
+
+
+@register(
+    "dedup_embedding_cosine_lsh",
+    oracle=None,  # approximate (bucket recall) — rows-only check
+    doc="Embedding-cosine near-dup, sub-quadratic 100 TB path: vectors "
+        "bucketed by the sign pattern of N_DEDUP_PLANES fixed random "
+        "hyperplanes (reusing knn_cosine_lsh's bucketing), then the "
+        "same triangular numpy GEMM runs WITHIN each bucket only — "
+        "cost sum(|bucket|^2) instead of |corpus|^2, one shuffle on "
+        "bucket id. Precision is exact (every emitted pair is scored); "
+        "recall is the probability both members of a pair share a "
+        "bucket (~(1-theta/pi)^planes; raise it with multiple plane "
+        "tables OR'd together, trading shuffle volume). Emits a subset "
+        "of dedup_embedding_cosine's exact pairs, which the unit test "
+        "asserts.",
+    tags=("dedup", "embedding", "lsh"),
+)
+def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from ytspark.operators.similarity import as_double, bucket_id, hyperplane
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    threshold = 0.45
+    planes = [hyperplane(64, seed=s + 1) for s in range(N_DEDUP_PLANES)]
+    bucketed = emb.select(
+        "vec_id",
+        "embedding",
+        bucket_id(as_double(F.col("embedding")), planes).alias("bucket"),
+    )
+
+    def score(pdf):
+        v = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+        ids = pdf["vec_id"].to_numpy()
+        norms = np.sqrt((v * v).sum(axis=1))
+        sims = np.round((v @ v.T) / (norms[:, None] * norms[None, :]), 6)
+        ii, jj = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame(
+            {"vec_a": ids[ii], "vec_b": ids[jj], "cos_sim": sims[ii, jj]}
+        )
+
+    return bucketed.groupBy("bucket").applyInPandas(
         score, schema="vec_a bigint, vec_b bigint, cos_sim double"
     )
 
