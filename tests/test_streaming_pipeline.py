@@ -29,7 +29,11 @@ def test_file_drop_ingest_available_now(spark, tmp_path):
     q.awaitTermination()
     out = spark.read.parquet(bronze)
     assert out.count() == 2 * len(REFERENCE_CHANNEL_TITLES)
-    assert len(glob.glob(bronze + "/channel_key=*")) == len(REFERENCE_CHANNEL_TITLES)
+    keys = {
+        os.path.basename(p).split("=")[1]
+        for p in glob.glob(bronze + "/ingest_batch=*/channel_key=*")
+    }
+    assert len(keys) == len(REFERENCE_CHANNEL_TITLES)
 
 
 def test_source_stream_ingest_two_ticks(spark, tmp_path):
@@ -59,9 +63,31 @@ def test_source_stream_ingest_two_ticks(spark, tmp_path):
     out = spark.read.parquet(bronze)
     assert out.count() >= 4
     # both channels landed, slugged partition dirs exist
-    keys = {os.path.basename(p).split("=")[1] for p in glob.glob(bronze + "/channel_key=*")}
+    keys = {
+        os.path.basename(p).split("=")[1]
+        for p in glob.glob(bronze + "/ingest_batch=*/channel_key=*")
+    }
     assert {"MrBeast", "PewDiePie"} <= keys
-    # every (channel, snapshot) is distinct — exactly-once, no replay dupes
+    # every (channel, snapshot) is distinct — no replay dupes
     assert (
         out.select("channel_key", "subscriberCount").distinct().count() == out.count()
     )
+
+
+def test_write_batch_idempotent_replay(spark, tmp_path):
+    """Replaying a batch (same batch_id) must overwrite, not duplicate —
+    the at-least-once foreachBatch replay becomes effectively-once."""
+    from ytspark.ingest import ingest
+    from ytspark.streaming.pipeline import write_batch_idempotent
+
+    bronze = str(tmp_path / "bronze")
+    b0 = ingest(spark, poll_tick(tick=0), ingest_ts="2026-01-01 00:00:00")
+    b1 = ingest(spark, poll_tick(tick=1), ingest_ts="2026-01-01 01:00:00")
+    write_batch_idempotent(b0, 0, bronze)
+    write_batch_idempotent(b1, 1, bronze)
+    n_before = spark.read.parquet(bronze).count()
+    write_batch_idempotent(b1, 1, bronze)  # crash-recovery replay
+    out = spark.read.parquet(bronze)
+    assert out.count() == n_before
+    # replay of batch 1 must not clobber batch 0's partitions
+    assert out.where("ingest_batch = 0").count() == b0.count()

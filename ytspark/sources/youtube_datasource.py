@@ -70,7 +70,11 @@ class YouTubeStreamReader(SimpleDataSourceStreamReader):
     Structured Streaming source — the offset IS the poll tick, so each
     micro-batch fetches one snapshot per channel, checkpoint/restart
     resumes from the recorded tick, and replay between committed
-    offsets is deterministic (exactly-once into the bronze sink)."""
+    offsets is deterministic. Deterministic replay alone is
+    at-least-once; the effectively-once guarantee comes from pairing it
+    with an idempotent sink (``streaming.pipeline.
+    write_batch_idempotent``, batch-keyed dynamic partition
+    overwrite)."""
 
     def __init__(self, options):
         raw = options.get("channels", ",".join(REFERENCE_CHANNEL_TITLES))

@@ -125,12 +125,16 @@ def upsert_latest(
     """
     from pyspark.sql import Window
 
-    try:
+    # First-batch is decided by the path's existence, NOT by whether the
+    # read raises: a transient IO error or corrupt footer must propagate
+    # rather than silently replacing the accumulated current state with
+    # only the incoming batch.
+    if os.path.exists(path):
         current = spark.read.parquet(path)
         merged = current.withColumn("__src", F.lit(0)).unionByName(
             new_df.withColumn("__src", F.lit(1)), allowMissingColumns=True
         )
-    except Exception:  # first batch — nothing to merge
+    else:  # first batch — nothing to merge
         merged = new_df.withColumn("__src", F.lit(1))
     w = Window.partitionBy(key).orderBy(
         F.col(order_col).desc(), F.col("__src").desc()

@@ -16,6 +16,30 @@ from ytspark import schemas
 from ytspark.ingest import transform_responses
 
 
+def write_batch_idempotent(
+    batch_df: DataFrame, batch_id: int, bronze_path: str
+) -> None:
+    """foreachBatch sink body with effectively-once semantics.
+
+    foreachBatch itself is at-least-once: a crash after the write but
+    before the checkpoint commit replays the batch. A plain
+    ``mode("append")`` would duplicate the replayed rows; instead each
+    batch lands under its own ``ingest_batch=<batch_id>`` partition via
+    DYNAMIC partition overwrite, so a replay overwrites exactly the
+    partitions it wrote before — idempotent, hence effectively-once
+    end to end (deterministic source replay + idempotent sink).
+    """
+    from pyspark.sql import functions as F
+
+    (
+        batch_df.withColumn("ingest_batch", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch", "channel_key")
+        .parquet(bronze_path)
+    )
+
+
 def read_payload_stream(spark: SparkSession, payload_dir: str) -> DataFrame:
     """File-source stream of API-response JSON files (one poll tick per
     file drop — the S3-landing pattern the reference polls)."""
@@ -38,10 +62,12 @@ def run_source_stream_ingest(
     """The fully-streaming form of the reference pipeline: the custom
     streaming DataSource (``ytspark.sources.youtube_datasource``, one
     poll tick per micro-batch, offsets = ticks) feeds the SAME pure
-    transform the batch path uses, appending to the same partitioned
-    bronze — fetch ≫ flatten ≫ stamp ≫ append with exactly-once
-    offset tracking, no external scheduler (contrast: the reference
-    re-runs a batch DAG on a cron, ``dags/optimized_extract.py:118``).
+    transform the batch path uses, writing to the same partitioned
+    bronze — fetch ≫ flatten ≫ stamp ≫ write, no external scheduler
+    (contrast: the reference re-runs a batch DAG on a cron,
+    ``dags/optimized_extract.py:118``). Effectively-once: offsets make
+    the source replay deterministic and ``write_batch_idempotent``
+    makes the sink replay-safe.
     """
     from pyspark.sql import functions as F
 
@@ -59,7 +85,7 @@ def run_source_stream_ingest(
     bronze = transform_responses(parsed, list_policy=list_policy)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").partitionBy("channel_key").parquet(bronze_path)
+        write_batch_idempotent(batch_df, batch_id, bronze_path)
 
     return (
         bronze.writeStream.foreachBatch(write_batch)
@@ -91,7 +117,7 @@ def run_microbatch_ingest(
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         # O1 task chain body: the load stage of the reference DAG.
-        batch_df.write.mode("append").partitionBy("channel_key").parquet(bronze_path)
+        write_batch_idempotent(batch_df, batch_id, bronze_path)
 
     writer = (
         bronze.writeStream.foreachBatch(write_batch)
