@@ -107,9 +107,46 @@ class TestMultimodal:
         )
         assert "media" not in plan  # payload column pruned from the scan
 
-    def test_decode_stub_raises(self):
+    def test_decode_compressed_formats_raise_without_pil(self):
         with pytest.raises(NotImplementedError):
             decode_image(b"\x89PNG...", "png")
+
+    def test_ppm_roundtrip_and_header_grammar(self):
+        from ytspark.operators.multimodal import decode_ppm, encode_ppm
+
+        pixels = bytes(range(2 * 3 * 3))
+        w, h, raster = decode_ppm(encode_ppm(3, 2, pixels))
+        assert (w, h, raster) == (3, 2, pixels)
+        # comments + arbitrary whitespace in the header must parse
+        hairy = b"P6 # comment\n  # another\n 3\t2 # dims\n255\n" + pixels
+        assert decode_ppm(hairy) == (3, 2, pixels)
+        with pytest.raises(ValueError):
+            decode_ppm(b"P5\n1 1\n255\n\x00")  # grayscale PNM: unsupported
+
+    def test_bmp_decode_bottom_up_bgr_padded(self):
+        import struct
+
+        from ytspark.operators.multimodal import decode_bmp, decode_image
+
+        # 2x2 24bpp BMP: rows stored bottom-up, BGR, padded to 4 bytes
+        top = [(255, 0, 0), (0, 255, 0)]  # logical top row: red, green
+        bottom = [(0, 0, 255), (9, 8, 7)]
+        rows = [bottom, top]  # file order = bottom-up
+        body = b"".join(
+            b"".join(bytes((b, g, r)) for (r, g, b) in row) + b"\x00\x00"
+            for row in rows
+        )
+        header = (
+            b"BM"
+            + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(body), 0, 0, 0, 0)
+        )
+        w, h, raster = decode_bmp(header + body)
+        assert (w, h) == (2, 2)
+        expect = b"".join(bytes(p) for p in top + bottom)
+        assert raster == expect
+        # sniffing via decode_image dispatches on magic bytes
+        assert decode_image(header + body, "bmp")[2] == expect
 
 
 class TestNgramJaccard:

@@ -108,8 +108,8 @@ _PRIORITY: tuple[str, ...] = (
     "lang_id_heuristic",
     "corpus_curation_pipeline",
     "train_val_test_split",
-    # multimodal
-    "multimodal_decode_stats",
+    # multimodal (image_decode exercises the real PPM codec path)
+    "multimodal_image_decode",
     # structured streaming
     "streaming_hourly_counts",
     "streaming_stateful_user_stats",
