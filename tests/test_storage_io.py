@@ -100,3 +100,23 @@ def test_upsert_latest_keeps_one_current_row_per_key(spark, tmp_path):
     assert cur2.count() == len(REFERENCE_CHANNEL_TITLES)
     ts2 = {str(r["timestamp"]) for r in cur2.select("timestamp").collect()}
     assert ts2 == {"2026-01-01 02:00:00"}
+
+
+def test_write_jdbc_reaches_jdbc_source(spark):
+    """No JDBC driver ships in this sandbox; the wrapper must still be
+    wired through Spark's JDBC sink — the call fails on DRIVER
+    RESOLUTION (proving format/options reached the source), never on
+    our option plumbing."""
+    import pytest
+
+    from ytspark.storage import write_jdbc
+
+    df = spark.range(3).selectExpr("id", "id * 2 AS v")
+    with pytest.raises(Exception, match="(?i)driver|jdbc"):
+        write_jdbc(
+            df,
+            "jdbc:postgresql://localhost:1/nope",
+            "t_raw",
+            num_partitions=2,
+            properties={"user": "u"},
+        )

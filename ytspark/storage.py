@@ -153,6 +153,54 @@ def upsert_latest(
     shutil.move(staging, path)
 
 
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    *,
+    mode: str = "overwrite",
+    truncate: bool = True,
+    batchsize: int = 10_000,
+    num_partitions: int | None = None,
+    driver: str | None = None,
+    properties: dict[str, str] | None = None,
+) -> None:
+    """External-warehouse sink over JDBC — the engine twin of the
+    reference's Snowflake load (S4/S5, ``dags/extract.py:167-171``).
+
+    ``mode="overwrite", truncate=True`` maps S4 exactly: Spark issues
+    ``TRUNCATE TABLE`` then bulk-inserts, preserving the target's DDL
+    (the reference's ``TRUNCATE`` + ``write_pandas``). With
+    ``truncate=False`` the table is dropped and re-created from the
+    DataFrame schema — S5's ``auto_create_table=True``. ``mode=
+    "append"`` is the incremental T8 shape.
+
+    Scale: each write partition opens one connection and inserts
+    ``batchsize`` rows per round trip; cap ``num_partitions`` so the
+    warehouse sees a bounded connection fan-in (1000 executors hitting
+    one warehouse with 1000 connections is a DDoS, not a load).
+
+    No JDBC driver ships in this sandbox, so this path is exercised at
+    the builder level in tests (the call reaches Spark's JDBC source
+    and fails only on driver resolution); against a real warehouse,
+    pass ``driver=`` and the jar on the classpath.
+    """
+    out = df.repartition(num_partitions) if num_partitions else df
+    writer = (
+        out.write.format("jdbc")
+        .mode(mode)
+        .option("url", url)
+        .option("dbtable", table)
+        .option("truncate", str(truncate).lower())
+        .option("batchsize", batchsize)
+    )
+    if driver:
+        writer = writer.option("driver", driver)
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
 def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
     """JSONL source — the reference's native payload shape (the YouTube
     API returns nested JSON, ``dags/extract.py:77-83``); reading saved
