@@ -48,6 +48,22 @@ HEADLINE = [
     "doc_fingerprint_rolling",
     "multimodal_decode_stats",
     "streaming_hourly_counts",
+    # differentiated operators promoted per round-1 verdict: temporal,
+    # curation, funnel/retention, kernel-matrix, ANN-serving, decode
+    "asof_next_click_after_purchase",
+    "events_daily_retention",
+    "funnel_view_click_purchase",
+    "full_outer_daily_activity",
+    "salted_skew_join_revenue",
+    "corpus_curation_pipeline",
+    "doc_overlap_chunks",
+    "train_val_test_split",
+    "lang_id_heuristic",
+    "token_entropy_pandas_udf",
+    "dedup_embedding_cosine_lsh",
+    "knn_cosine_ivf",
+    "embedding_scalar_quantization",
+    "multimodal_image_decode",
 ]
 
 
@@ -65,19 +81,30 @@ def main() -> None:
     # warm-up: session, parquet footer caches, codegen paths
     force(reg["limit_head"].fn(spark, sf_dir))
 
-    # best-of-2 per query: this virtualized host shows 2-3x run-to-run
-    # variance on single measurements (see SCALE.md); the minimum of two
-    # full executions is the standard stable estimator and also reflects
-    # steady-state (codegen-cached) latency
+    # 3 runs per query: this virtualized host shows 2-3x run-to-run
+    # variance on single measurements (see SCALE.md). min is the primary
+    # estimator (steady-state, codegen-cached latency, comparable to
+    # prior rounds); the per-query median is recorded alongside so the
+    # noise floor is visible instead of hidden.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in HEADLINE:
         q = reg[name]
-        best = float("inf")
-        for _ in range(2):
+        samples = []
+        for _ in range(runs):
             t0 = time.perf_counter()
             force(q.fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        timings[name] = round(samples[0], 3)
+        mid = len(samples) // 2
+        med = (
+            samples[mid]
+            if len(samples) % 2
+            else (samples[mid - 1] + samples[mid]) / 2
+        )
+        medians[name] = round(med, 3)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
@@ -91,7 +118,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
-                "runs_per_query": 2,
+                "queries_median": medians,
+                "runs_per_query": runs,
                 "estimator": "min",
                 "sf": sf_val,
             }

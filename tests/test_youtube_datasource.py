@@ -68,3 +68,51 @@ def test_stream_read_advances_tick_offsets(spark, tmp_path):
     assert {0, 1} <= set(by_tick)
     assert by_tick[0] == {"MrBeast", "PewDiePie"}
     assert by_tick[1] == {"MrBeast", "PewDiePie"}
+
+
+class TestLiveFetchSeam:
+    def test_fetch_live_builds_reference_request(self):
+        """The live path must request the reference's exact part list
+        (dags/extract.py:78) with id+key, and parse the JSON body."""
+        import io
+        import json
+        from contextlib import contextmanager
+
+        from ytspark.sources.youtube_datasource import API_PARTS, fetch_live
+
+        seen = {}
+
+        @contextmanager
+        def fake_urlopen(url, timeout=None):
+            seen["url"] = url
+            seen["timeout"] = timeout
+            yield io.BytesIO(json.dumps({"items": [{"id": "UC123"}]}).encode())
+
+        out = fetch_live("UC123", "sekret", transport=fake_urlopen)
+        assert out == {"items": [{"id": "UC123"}]}
+        assert seen["url"].startswith("https://www.googleapis.com/youtube/v3/channels?")
+        from urllib.parse import parse_qs, urlparse
+
+        qs = parse_qs(urlparse(seen["url"]).query)
+        assert qs["part"] == [API_PARTS]
+        assert qs["id"] == ["UC123"]
+        assert qs["key"] == ["sekret"]
+        assert seen["timeout"] == 30.0
+
+    def test_fetch_dispatch_and_validation(self):
+        import pytest
+
+        from ytspark.sources.youtube_datasource import _fetch
+
+        fx = _fetch("MrBeast", 0)  # fixture default
+        assert fx["items"][0]["snippet"]["title"] == "MrBeast"
+        with pytest.raises(ValueError, match="api_key"):
+            _fetch("MrBeast", 0, mode="live")
+
+    def test_live_mode_option_validated_at_reader_build(self):
+        import pytest
+
+        from ytspark.sources.youtube_datasource import YouTubeReader
+
+        with pytest.raises(ValueError, match="api_key"):
+            YouTubeReader({"mode": "live"})

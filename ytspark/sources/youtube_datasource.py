@@ -6,10 +6,14 @@ The reference fans out over channels in a sequential driver loop
 problem: **one input partition per channel**, so N channels fetch in
 parallel across executors, and everything downstream is one DataFrame.
 
-The fetch boundary is pluggable: without network access the partitions
-emit the deterministic fixture payloads (``ytspark.sources.youtube``);
-a production deployment replaces ``_fetch`` with the HTTPS call — the
-plan, partitioning, and downstream lineage are identical.
+The fetch boundary is an OPTION, not a code swap:
+``.option("mode", "fixture")`` (default) emits the deterministic
+fixture payloads (``ytspark.sources.youtube``);
+``.option("mode", "live").option("api_key", ...)`` issues the real
+``channels().list`` HTTPS GET (``fetch_live``, stdlib urllib) with the
+reference's exact part list. Either way the plan, partitioning, and
+downstream lineage are identical. This sandbox has no egress, so tests
+drive the live path through an injected fake transport.
 
 Rows are ``(channel, tick, payload_json)`` — the raw-landing shape; use
 ``read_youtube`` for the parsed/typed view (from_json against the
@@ -41,9 +45,41 @@ class ChannelPartition(InputPartition):
         self.tick = tick
 
 
-def _fetch(title: str, tick: int) -> dict:
-    """The network boundary. Fixture-backed here; swap for the
-    ``channels().list`` HTTPS GET in production."""
+YOUTUBE_API_URL = "https://www.googleapis.com/youtube/v3/channels"
+# request parts exactly as the reference asks for them
+# (dags/extract.py:78, dags/optimized_extract.py:18)
+API_PARTS = "id,localizations,snippet,statistics,status,topicDetails"
+
+
+def fetch_live(
+    channel_id: str, api_key: str, *, timeout: float = 30.0, transport=None
+) -> dict:
+    """REAL ``channels().list`` HTTPS GET (``dags/extract.py:69-83``),
+    stdlib-only (urllib — no extra dependency). ``transport`` is the
+    injectable seam: tests pass a fake ``urlopen``; production uses the
+    real one. This sandbox has no egress, so the live path is verified
+    against the fake transport only — the request construction (URL,
+    parts, key) is the part worth testing anyway."""
+    from urllib.parse import urlencode
+    from urllib.request import urlopen as _urlopen
+
+    opener = transport or _urlopen
+    qs = urlencode({"part": API_PARTS, "id": channel_id, "key": api_key})
+    with opener(f"{YOUTUBE_API_URL}?{qs}", timeout=timeout) as resp:
+        return json.loads(resp.read().decode("utf-8"))
+
+
+def _fetch(
+    title: str, tick: int, *, mode: str = "fixture", api_key: str | None = None
+) -> dict:
+    """The network boundary. ``mode="fixture"`` (default) emits the
+    deterministic fixture payloads; ``mode="live"`` issues the real
+    HTTPS GET — same payload shape either way, so the plan,
+    partitioning, and downstream lineage are identical."""
+    if mode == "live":
+        if not api_key:
+            raise ValueError('mode="live" requires the api_key option')
+        return fetch_live(title, api_key)
     return channel_payload(title, tick=tick)
 
 
@@ -52,6 +88,10 @@ class YouTubeReader(DataSourceReader):
         raw = options.get("channels", ",".join(REFERENCE_CHANNEL_TITLES))
         self.titles = [t for t in raw.split(",") if t]
         self.tick = int(options.get("tick", 0))
+        self.mode = options.get("mode", "fixture")
+        self.api_key = options.get("api_key")
+        if self.mode == "live" and not self.api_key:
+            raise ValueError('mode="live" requires the api_key option')
 
     def partitions(self):
         # one partition per channel: the reference's sequential loop
@@ -59,7 +99,9 @@ class YouTubeReader(DataSourceReader):
         return [ChannelPartition(t, self.tick) for t in self.titles]
 
     def read(self, partition: ChannelPartition):
-        payload = _fetch(partition.title, partition.tick)
+        payload = _fetch(
+            partition.title, partition.tick, mode=self.mode, api_key=self.api_key
+        )
         yield (partition.title, partition.tick, json.dumps(payload))
 
 
@@ -80,12 +122,19 @@ class YouTubeStreamReader(SimpleDataSourceStreamReader):
         raw = options.get("channels", ",".join(REFERENCE_CHANNEL_TITLES))
         self.titles = [t for t in raw.split(",") if t]
         self.start_tick = int(options.get("tick", 0))
+        self.mode = options.get("mode", "fixture")
+        self.api_key = options.get("api_key")
+        if self.mode == "live" and not self.api_key:
+            raise ValueError('mode="live" requires the api_key option')
 
     def initialOffset(self) -> dict:
         return {"tick": self.start_tick}
 
     def _rows(self, tick: int):
-        return [(t, tick, json.dumps(_fetch(t, tick))) for t in self.titles]
+        return [
+            (t, tick, json.dumps(_fetch(t, tick, mode=self.mode, api_key=self.api_key)))
+            for t in self.titles
+        ]
 
     def read(self, start: dict):
         tick = start["tick"]
