@@ -9,7 +9,17 @@ Flags:
 - BatchEvalPython (row-at-a-time Python UDF — the slow path; Arrow
   batched ArrowEvalPython / mapInPandas are fine);
 - parquet scans with no pushed filters AND full-width ReadSchema on
-  wide tables (scan hygiene).
+  wide tables (scan hygiene);
+- cost-based scan check: a scan whose ReadSchema is the table's FULL
+  width on a wide (>=8 col) table — column pruning failed or the query
+  genuinely needs everything (allowlisted);
+- cost-based broadcast check: with autoBroadcastJoinThreshold=-1 (so
+  only explicit hints can broadcast), a BroadcastExchange whose subtree
+  scans a fact table (lineitem/orders) without an aggregation in
+  between — a FORCED fact broadcast survives any size estimate and is
+  an OOM at 100 TB. Planner-chosen broadcasts of small filtered fact
+  slices at sf0.01 are correct behavior and are deliberately not
+  flagged (they degrade to shuffle joins at scale on their own).
 
 Usage: python tools/explain_audit.py [sf_dir]
 Exit 1 if any unexpected flag fires.
@@ -37,6 +47,55 @@ EXPECTED_NESTED_LOOP = {
 # their own sinks and are correctness-checked by the oracle gate)
 SKIP_PREFIX = "streaming_"
 
+FACT_TABLES = ("lineitem", "orders")
+# queries whose semantics genuinely need every column of a wide table
+EXPECTED_FULL_WIDTH = {
+    "mart_union_cast",       # the cast+union mart projects the full row
+    "model_dag_mart",        # same mart built through the model DAG
+    "data_quality_report",   # column-level checks touch each column
+}
+
+
+def scan_width_flags(plan: str, table_widths: dict[str, int]) -> list[str]:
+    """Flag scans reading a wide table at FULL width (pruning failed)."""
+    flags = []
+    for m in re.finditer(
+        r"Location:.*?/(\w+)\.parquet.*?ReadSchema:\s*struct<([^>]*)>",
+        plan,
+        re.DOTALL,
+    ):
+        table, cols = m.group(1), m.group(2)
+        n_read = len([c for c in cols.split(",") if ":" in c])
+        full = table_widths.get(table)
+        if full and full >= 8 and n_read >= full:
+            flags.append(f"full-width scan of {table} ({n_read}/{full} cols)")
+    return flags
+
+
+def broadcast_fact_flags(simple_plan: str) -> list[str]:
+    """Flag BroadcastExchange subtrees that scan a fact table without an
+    intervening aggregation — a broadcast fact is an OOM at scale."""
+    lines = simple_plan.splitlines()
+
+    def indent(s: str) -> int:
+        return len(s) - len(s.lstrip(" :+-*"))
+
+    flags = []
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        d = indent(line)
+        subtree = []
+        for nxt in lines[i + 1 :]:
+            if nxt.strip() and indent(nxt) <= d:
+                break
+            subtree.append(nxt)
+        sub = "\n".join(subtree)
+        for t in FACT_TABLES:
+            if f"{t}.parquet" in sub and "HashAggregate" not in sub:
+                flags.append(f"BroadcastExchange over un-aggregated {t}")
+    return flags
+
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -46,6 +105,11 @@ def main() -> int:
 
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
     spark = get_spark("explain-audit")
+    from ytspark.session import load_tables
+
+    table_widths = {
+        t: len(df.columns) for t, df in load_tables(spark, sf_dir).items()
+    }
     failures = []
     for name, q in sorted(registry().items()):
         if name.startswith(SKIP_PREFIX):
@@ -55,6 +119,16 @@ def main() -> int:
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
         plan = buf.getvalue()
+        # second plan build with auto-broadcast off: any surviving
+        # BroadcastExchange is hint-FORCED, the only kind we flag
+        thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            forced_plan = (
+                q.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         flags = []
         if "CartesianProduct" in plan and name not in EXPECTED_NESTED_LOOP:
             flags.append("CartesianProduct")
@@ -65,7 +139,10 @@ def main() -> int:
             flags.append("BroadcastNestedLoopJoin")
         if "BatchEvalPython" in plan:
             flags.append("row-at-a-time Python UDF (BatchEvalPython)")
-        n_wscg = len(re.findall(r"WholeStageCodegen", plan))
+        if name not in EXPECTED_FULL_WIDTH:
+            flags.extend(scan_width_flags(plan, table_widths))
+        flags.extend(broadcast_fact_flags(forced_plan))
+        n_wscg = len(set(re.findall(r"codegen id : (\d+)", plan)))
         status = "flagged" if flags else "ok"
         print(f"{status:8s} {name}: wscg={n_wscg} {';'.join(flags)}")
         if flags:
