@@ -91,3 +91,41 @@ def test_write_batch_idempotent_replay(spark, tmp_path):
     assert out.count() == n_before
     # replay of batch 1 must not clobber batch 0's partitions
     assert out.where("ingest_batch = 0").count() == b0.count()
+
+
+def test_rocksdb_state_store_matches_default_provider(spark, tmp_path):
+    """The same stateful query (streaming dedup) must produce identical
+    results under the RocksDB state store as under the default
+    heap-backed provider — state backend is config, not logic."""
+    from ytspark.streaming.queries import streaming_dedup_events
+    from ytspark.streaming.state import (
+        ROCKSDB_PROVIDER,
+        current_state_store,
+        use_rocksdb_state_store,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    baseline = {
+        tuple(r) for r in streaming_dedup_events(spark, sf_dir).collect()
+    }
+    use_rocksdb_state_store(spark)
+    try:
+        assert current_state_store(spark) == ROCKSDB_PROVIDER
+        rocks = {
+            tuple(r) for r in streaming_dedup_events(spark, sf_dir).collect()
+        }
+    finally:
+        use_rocksdb_state_store(spark, enable=False)
+    assert rocks == baseline
+    assert len(rocks) > 0
+
+
+def test_kafka_adapter_raises_actionable_error_without_connector(spark):
+    import pytest
+
+    from ytspark.streaming.kafka import read_kafka_json_stream
+
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        read_kafka_json_stream(
+            spark, "localhost:9092", "events", "user_id BIGINT, v DOUBLE"
+        )
