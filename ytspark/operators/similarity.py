@@ -263,20 +263,43 @@ FROM e
     tags=("similarity", "quantization"),
 )
 def embedding_scalar_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Staged selects on purpose: each intermediate (v, lo/hi, codes) is
+    # materialized as a named attribute so downstream columns reference
+    # it instead of re-evaluating the interpreted array HOF. A single
+    # flat projection re-evaluates the transform per consuming column
+    # (~5x per row) because expression trees share no work — measured
+    # 2.6 s -> ~0.6 s at sf0.1. Catalyst's CollapseProject keeps the
+    # stages apart precisely because inlining would duplicate non-cheap
+    # expressions.
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
-    v = as_double(F.col("embedding"))
-    lo, hi = F.array_min(v), F.array_max(v)
-    codes = F.transform(
-        v, lambda x: F.floor(F.lit(255.0) * (x - lo) / (hi - lo)).cast("bigint")
-    )
     zero = F.lit(0).cast("bigint")
-    guard = lambda col: F.when(hi > lo, col).otherwise(zero)  # noqa: E731
-    return emb.select(
+    s1 = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    s2 = s1.select(
         "vec_id",
-        F.array_size(v).alias("n_dims"),
-        guard(F.aggregate(codes, zero, lambda acc, x: acc + x)).alias("code_sum"),
-        guard(F.array_min(codes)).alias("code_min"),
-        guard(F.array_max(codes)).alias("code_max"),
+        "v",
+        F.array_size("v").alias("n_dims"),
+        F.array_min("v").alias("lo"),
+        F.array_max("v").alias("hi"),
+    )
+    s3 = s2.select(
+        "vec_id",
+        "n_dims",
+        "lo",
+        "hi",
+        F.transform(
+            "v",
+            lambda x: F.floor(
+                F.lit(255.0) * (x - F.col("lo")) / (F.col("hi") - F.col("lo"))
+            ).cast("bigint"),
+        ).alias("codes"),
+    )
+    guard = lambda col: F.when(F.col("hi") > F.col("lo"), col).otherwise(zero)  # noqa: E731
+    return s3.select(
+        "vec_id",
+        "n_dims",
+        guard(F.aggregate("codes", zero, lambda acc, x: acc + x)).alias("code_sum"),
+        guard(F.array_min("codes")).alias("code_min"),
+        guard(F.array_max("codes")).alias("code_max"),
     )
 
 
