@@ -373,6 +373,220 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DECONTAM_SHINGLE_N = 5  # 5-gram overlap unit
+DECONTAM_TEST_MOD = 50  # doc_id % 50 == 0 plays the held-out test set
+DECONTAM_MIN_OVERLAP = 3  # distinct test shingles to call a doc contaminated
+
+
+@register(
+    "decontam_test_overlap",
+    oracle=f"""
+WITH shingled AS (
+  SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+           RANGE(1, GREATEST(LEN(STRING_SPLIT(text, ' ')) - {DECONTAM_SHINGLE_N - 1}, 0) + 1),
+           i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i:i+{DECONTAM_SHINGLE_N - 1}], ' ')))) AS shingle
+  FROM documents
+),
+test_sh AS (
+  SELECT DISTINCT shingle FROM shingled WHERE doc_id % {DECONTAM_TEST_MOD} = 0
+),
+overlap AS (
+  SELECT s.doc_id, COUNT(*) AS n_overlap
+  FROM shingled s JOIN test_sh t ON s.shingle = t.shingle
+  WHERE s.doc_id % {DECONTAM_TEST_MOD} <> 0
+  GROUP BY s.doc_id
+),
+train AS (
+  SELECT doc_id, source FROM documents WHERE doc_id % {DECONTAM_TEST_MOD} <> 0
+)
+SELECT source,
+       COUNT(*) AS n_train_docs,
+       CAST(SUM(CASE WHEN COALESCE(n_overlap, 0) >= {DECONTAM_MIN_OVERLAP}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       CAST(SUM(COALESCE(n_overlap, 0)) AS BIGINT) AS total_overlap,
+       CAST(MAX(COALESCE(n_overlap, 0)) AS BIGINT) AS max_overlap
+FROM train LEFT JOIN overlap USING (doc_id)
+GROUP BY source
+""",
+    doc="Train/test DECONTAMINATION — the overlap check every serious "
+        "pre-training pipeline runs before a benchmark claim: count, "
+        "per training doc, the distinct 5-gram shingles it shares with "
+        "a held-out test set (here the doc_id % 50 == 0 slice), and "
+        "flag docs at >= 3 overlaps. Scale shape: the test side is "
+        "SMALL by construction (benchmarks are KBs, corpora are TBs), "
+        "so its distinct-shingle set broadcasts and the train side "
+        "streams through a broadcast semi-scoring join — no shuffle of "
+        "the corpus, cost linear in train shingles. The left join "
+        "keeps zero-overlap docs so the per-source accounting is "
+        "complete.",
+    tags=("text", "decontamination", "pipeline", "join"),
+)
+def decontam_test_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ytspark.operators.dedup import shingle_rows
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    sh = shingle_rows(docs, n=DECONTAM_SHINGLE_N)
+    is_test = F.col("doc_id") % DECONTAM_TEST_MOD == 0
+    test_sh = sh.where(is_test).select("shingle").distinct()
+    overlap = (
+        sh.where(~is_test)
+        .join(F.broadcast(test_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    train = docs.where(~is_test).select("doc_id", "source")
+    per_doc = train.join(overlap, "doc_id", "left").select(
+        "source", F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap")
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_train_docs"),
+        F.sum(
+            F.when(F.col("n_overlap") >= DECONTAM_MIN_OVERLAP, 1).otherwise(0)
+        ).cast("bigint").alias("n_contaminated"),
+        F.sum("n_overlap").cast("bigint").alias("total_overlap"),
+        F.max("n_overlap").cast("bigint").alias("max_overlap"),
+    )
+
+
+@register(
+    "doc_repetition_stats",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id, UNNEST(LIST_TRANSFORM(
+           RANGE(1, GREATEST(LEN(STRING_SPLIT(text, ' ')) - 2, 0) + 1),
+           i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i:i+2], ' '))) AS shingle
+  FROM documents
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_total, COUNT(DISTINCT shingle) AS n_distinct
+  FROM sh GROUP BY doc_id
+)
+SELECT d.doc_id, d.source,
+       CAST(COALESCE(p.n_total, 0) AS BIGINT) AS n_shingles_total,
+       CAST(COALESCE(p.n_distinct, 0) AS BIGINT) AS n_shingles_distinct,
+       CASE WHEN COALESCE(p.n_total, 0) > 0
+            THEN ROUND(1.0 - CAST(p.n_distinct AS DOUBLE) / p.n_total, 6)
+            ELSE 0.0 END AS rep_ratio
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+""",
+    doc="Intra-document repetition ratio (1 - distinct/total 3-gram "
+        "shingles) — the standard quality signal for templated or "
+        "degenerate generated text, which inter-document dedup never "
+        "sees. One shuffle (per-doc shingle aggregate); per-doc output "
+        "so the division is a single deterministic double op on both "
+        "engines (no cross-engine float-summation-order risk).",
+    tags=("text", "quality", "repetition"),
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ytspark.operators.dedup import shingle_rows
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    per_doc = (
+        shingle_rows(docs, n=3, distinct=False)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.countDistinct("shingle").alias("n_distinct"),
+        )
+    )
+    base = docs.select("doc_id", "source")
+    joined = base.join(per_doc, "doc_id", "left")
+    n_total = F.coalesce(F.col("n_total"), F.lit(0))
+    n_distinct = F.coalesce(F.col("n_distinct"), F.lit(0))
+    return joined.select(
+        "doc_id",
+        "source",
+        n_total.cast("bigint").alias("n_shingles_total"),
+        n_distinct.cast("bigint").alias("n_shingles_distinct"),
+        F.when(
+            n_total > 0,
+            F.round(
+                F.lit(1.0) - n_distinct.cast("double") / n_total, 6
+            ),
+        )
+        .otherwise(0.0)
+        .alias("rep_ratio"),
+    )
+
+
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"555-01[0-9]{2}"
+
+
+@register(
+    "pii_redaction_stats",
+    oracle=f"""
+WITH enriched AS (
+  SELECT source,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 555-01'
+              || LPAD(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '.' AS t
+  FROM documents
+),
+scanned AS (
+  SELECT source, t,
+         LEN(REGEXP_EXTRACT_ALL(t, '{EMAIL_PATTERN}')) AS n_emails,
+         LEN(REGEXP_EXTRACT_ALL(t, '{PHONE_PATTERN}')) AS n_phones,
+         REGEXP_REPLACE(REGEXP_REPLACE(t, '{EMAIL_PATTERN}', '[EMAIL]', 'g'),
+                        '{PHONE_PATTERN}', '[PHONE]', 'g') AS redacted
+  FROM enriched
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_emails) AS BIGINT) AS n_emails,
+       CAST(SUM(n_phones) AS BIGINT) AS n_phones,
+       CAST(SUM(LEN(t)) AS BIGINT) AS chars_before,
+       CAST(SUM(LEN(redacted)) AS BIGINT) AS chars_after
+FROM scanned
+GROUP BY source
+""",
+    doc="PII detection + redaction — the scrubbing pass a training-data "
+        "pipeline runs before anything ships: regex-detect emails and "
+        "phone-shaped strings, replace with typed redaction tokens, "
+        "account per source. Deterministic synthetic PII is injected "
+        "per doc (pure function of doc_id, same trick as the multimodal "
+        "fixtures) so both engines see identical inputs and the match "
+        "counts AND redacted byte counts verify value-for-value. "
+        "Map-only until the tiny per-source aggregate; the patterns "
+        "are written to the RE2 ∩ Java-regex common subset so "
+        "cross-engine semantics are identical.",
+    tags=("text", "pii", "redaction", "pipeline"),
+)
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-01"),
+        F.lpad(F.pmod(F.col("doc_id"), F.lit(100)).cast("string"), 2, "0"),
+        F.lit("."),
+    )
+    enriched = docs.select("source", t.alias("t"))
+    scanned = enriched.select(
+        "source",
+        "t",
+        F.array_size(F.regexp_extract_all("t", F.lit(EMAIL_PATTERN), 0)).alias(
+            "n_emails"
+        ),
+        F.array_size(F.regexp_extract_all("t", F.lit(PHONE_PATTERN), 0)).alias(
+            "n_phones"
+        ),
+        F.regexp_replace(
+            F.regexp_replace("t", EMAIL_PATTERN, "[EMAIL]"),
+            PHONE_PATTERN,
+            "[PHONE]",
+        ).alias("redacted"),
+    )
+    return scanned.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_emails").cast("bigint").alias("n_emails"),
+        F.sum("n_phones").cast("bigint").alias("n_phones"),
+        F.sum(F.length("t")).cast("bigint").alias("chars_before"),
+        F.sum(F.length("redacted")).cast("bigint").alias("chars_after"),
+    )
+
+
 @register(
     "name_edit_distance_profile",
     oracle="""
