@@ -129,3 +129,46 @@ def test_kafka_adapter_raises_actionable_error_without_connector(spark):
         read_kafka_json_stream(
             spark, "localhost:9092", "events", "user_id BIGINT, v DOUBLE"
         )
+
+
+def test_stream_side_bronze_to_mart_continuous(spark, tmp_path):
+    """The whole reference pipeline streaming end to end: source stream
+    -> idempotent bronze -> a SECOND streaming query reading bronze as
+    a file stream and applying the SAME mart transform the batch path
+    uses (facts.cast_projection) — asserting the streamed mart equals
+    the batch mart over the same bronze."""
+    from ytspark import facts
+    from ytspark.ingest import ingest
+    from ytspark.streaming.pipeline import write_batch_idempotent
+
+    bronze = str(tmp_path / "bronze")
+    for tick in range(3):
+        write_batch_idempotent(
+            ingest(spark, poll_tick(tick=tick),
+                   ingest_ts=f"2026-01-01 0{tick}:00:00"),
+            tick,
+            bronze,
+        )
+    batch_bronze = spark.read.parquet(bronze)
+    batch_mart = facts.build_mart(batch_bronze)
+
+    stream = (
+        spark.readStream.schema(batch_bronze.schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(bronze)
+    )
+    mart_stream = facts.cast_projection(stream)
+    q = (
+        mart_stream.writeStream.format("memory")
+        .queryName("mart_stream_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = spark.table("mart_stream_sink")
+    assert streamed.count() == batch_mart.count() == 21
+    key_cols = ["title", "timestamp", "view_count", "subscriberCount"]
+    assert {tuple(r) for r in streamed.select(*key_cols).collect()} == {
+        tuple(r) for r in batch_mart.select(*key_cols).collect()
+    }

@@ -312,6 +312,30 @@ SPLIT_MOD = 4_294_967_296  # 2^32
 _KNUTH = 2_654_435_761  # Knuth multiplicative hash constant
 
 
+def knuth_hash_col(key) -> "F.Column":
+    """(key * KNUTH) mod 2^32 with the multiply split into 16-bit
+    halves so every intermediate stays < 2^49 — overflow-free for any
+    int64 key on Spark AND DuckDB (shared by train_val_test_split and
+    corpus_mixture_sample; SQL twin: ``knuth_hash_sql``)."""
+    k = F.pmod(key, F.lit(SPLIT_MOD))
+    lo = F.pmod(k, F.lit(65536))
+    hi = ((k - lo) / F.lit(65536)).cast("long")
+    return F.pmod(
+        F.pmod(hi * F.lit(_KNUTH), F.lit(SPLIT_MOD)) * F.lit(65536)
+        + lo * F.lit(_KNUTH),
+        F.lit(SPLIT_MOD),
+    )
+
+
+def knuth_hash_sql(key_expr: str) -> str:
+    """DuckDB twin of ``knuth_hash_col`` over an integer SQL expression."""
+    return (
+        f"((((({key_expr}) % {SPLIT_MOD}) // 65536) * {_KNUTH}) % {SPLIT_MOD}"
+        f" * 65536 + ((({key_expr}) % {SPLIT_MOD}) % 65536) * {_KNUTH})"
+        f" % {SPLIT_MOD}"
+    )
+
+
 @register(
     "train_val_test_split",
     oracle=f"""
@@ -352,15 +376,7 @@ GROUP BY source
 )
 def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    k = F.pmod(F.col("doc_id"), F.lit(SPLIT_MOD))
-    lo = F.pmod(k, F.lit(65536))
-    hi = ((k - lo) / F.lit(65536)).cast("long")
-    hv = F.pmod(
-        F.pmod(hi * F.lit(_KNUTH), F.lit(SPLIT_MOD)) * F.lit(65536)
-        + lo * F.lit(_KNUTH),
-        F.lit(SPLIT_MOD),
-    )
-    hashed = docs.select("source", hv.alias("hv"))
+    hashed = docs.select("source", knuth_hash_col(F.col("doc_id")).alias("hv"))
     hv = F.col("hv")
     train = hv < F.lit(0.8 * SPLIT_MOD)
     val = (hv >= F.lit(0.8 * SPLIT_MOD)) & (hv < F.lit(0.9 * SPLIT_MOD))
@@ -506,6 +522,66 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(0.0)
         .alias("rep_ratio"),
+    )
+
+
+MIXTURE_RATES = (0.9, 0.5, 0.2)  # weight per (source index % 3)
+MIXTURE_SALT = 12_345  # decorrelates the sample hash from the split hash
+
+
+@register(
+    "corpus_mixture_sample",
+    oracle=f"""
+WITH rated AS (
+  SELECT source,
+         CASE TRY_CAST(SUBSTRING(source, 4) AS INT) % 3
+              WHEN 0 THEN {MIXTURE_RATES[0]}
+              WHEN 1 THEN {MIXTURE_RATES[1]}
+              ELSE {MIXTURE_RATES[2]} END AS rate,
+         {knuth_hash_sql(f"doc_id + {MIXTURE_SALT}")} AS hv
+  FROM documents
+)
+SELECT source,
+       MAX(rate) AS rate,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN hv < rate * {SPLIT_MOD} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_sampled,
+       ROUND(CAST(SUM(CASE WHEN hv < rate * {SPLIT_MOD} THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS realized_rate
+FROM rated
+GROUP BY source
+""",
+    doc="Data-mixture sampling — the per-source rate control every "
+        "pre-training run uses to weight its corpus blend: each source "
+        "gets a target rate (derived from its index here; a weights "
+        "table in production) and docs are kept iff "
+        "knuth_hash(doc_id + salt) < rate * 2^32. Hash-gated, not "
+        "rand()-gated, so membership is a pure function of the key: "
+        "stable under AQE re-execution, reproducible across runs, and "
+        "a late-arriving doc joins the right decision without storing "
+        "the sample. Map-only until the per-source accounting; the "
+        "salt decorrelates mixture membership from the train/val/test "
+        "assignment sharing the same hash family.",
+    tags=("text", "sampling", "mixture", "pipeline"),
+)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    idx = F.substring(F.col("source"), 4, 10).try_cast("int")
+    rate = (
+        F.when(F.pmod(idx, F.lit(3)) == 0, F.lit(MIXTURE_RATES[0]))
+        .when(F.pmod(idx, F.lit(3)) == 1, F.lit(MIXTURE_RATES[1]))
+        .otherwise(F.lit(MIXTURE_RATES[2]))
+    )
+    hv = knuth_hash_col(F.col("doc_id") + F.lit(MIXTURE_SALT))
+    rated = docs.select("source", rate.alias("rate"), hv.alias("hv"))
+    kept = F.when(F.col("hv") < F.col("rate") * SPLIT_MOD, 1).otherwise(0)
+    return rated.groupBy("source").agg(
+        F.max("rate").alias("rate"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(kept).cast("bigint").alias("n_sampled"),
+        F.round(
+            F.sum(kept).cast("double") / F.count(F.lit(1)), 6
+        ).alias("realized_rate"),
     )
 
 
