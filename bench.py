@@ -64,6 +64,10 @@ HEADLINE = [
     "knn_cosine_ivf",
     "embedding_scalar_quantization",
     "multimodal_image_decode",
+    "decontam_test_overlap",
+    "pii_redaction_stats",
+    "doc_repetition_stats",
+    "corpus_mixture_sample",
 ]
 
 
