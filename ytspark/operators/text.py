@@ -228,16 +228,33 @@ GROUP BY source
 def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    # Tokenize ONCE into named scalar attributes (n_tokens/n_distinct/
+    # hits): the quality score consumes them, and the final aggregate
+    # reuses n_tokens instead of re-tokenizing the surviving docs — the
+    # same staged-projection discipline as embedding_scalar_quantization
+    # (measured 1.6 s -> 0.7 s at sf0.1). The token arrays themselves
+    # never cross the dedup-window shuffle, only the scalars do.
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     toks = tokens(F.col("text"))
-    n_tokens = F.array_size(toks)
-    ttr = F.array_size(F.array_distinct(toks)).cast("double") / n_tokens
-    q = (
-        F.when(n_tokens.between(50, 400), 1).otherwise(0)
-        + F.when(ttr >= 0.1, 1).otherwise(0)
-        + F.when(stopword_hits(F.col("text"), LANG_STOPWORDS["en"]) > 0, 1).otherwise(0)
+    enriched = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        "text",
+        F.array_size(toks).alias("n_tokens"),
+        F.array_size(F.array_distinct(toks)).alias("n_distinct"),
+        stopword_hits(F.col("text"), LANG_STOPWORDS["en"]).alias("hits"),
     )
-    scored = docs.select("doc_id", "source", "lang", "text", q.alias("q"))
+    q = (
+        F.when(F.col("n_tokens").between(50, 400), 1).otherwise(0)
+        + F.when(
+            F.col("n_distinct").cast("double") / F.col("n_tokens") >= 0.1, 1
+        ).otherwise(0)
+        + F.when(F.col("hits") > 0, 1).otherwise(0)
+    )
+    scored = enriched.select(
+        "doc_id", "source", "lang", "text", "n_tokens", q.alias("q")
+    )
     kept = scored.where(
         (F.col("q") >= 2) & F.col("lang").isin("en", "de", "es", "fr")
     )
@@ -245,7 +262,7 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical = kept.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
     return canonical.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.array_size(tokens(F.col("text")))).alias("total_tokens"),
+        F.sum("n_tokens").alias("total_tokens"),
         F.sum("q").cast("bigint").alias("total_quality"),
     )
 
