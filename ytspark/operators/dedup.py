@@ -763,6 +763,38 @@ def _banded(sig_df: DataFrame) -> DataFrame:
     ).select("doc_id", "b.band_id", "b.band_hash")
 
 
+INCR_SPLIT = 250  # doc_id boundary: corpus bootstrap vs incoming batch
+
+
+@register(
+    "dedup_minhash_incremental",
+    oracle=None,  # xxhash64-based signatures have no DuckDB twin — rows-only
+    doc="The persisted-store incremental dedup, end to end in its "
+        "production shape: bootstrap the MinHash store from the "
+        "existing corpus (doc_id < 250 — signatures computed once, "
+        "banded LSH projection partitioned by band_id), then dedup the "
+        "INCOMING batch (doc_id >= 250) against it at O(batch + "
+        "matched candidates), never O(corpus): batch signatures band-"
+        "join the stored band table; candidates re-score from the two "
+        "signature tables. This is the 100 TB tick shape — the corpus "
+        "participates only through the pruned band join. Rows-only "
+        "check (xxhash64 signatures have no cross-engine twin); the "
+        "store round-trip itself is also unit-tested.",
+    tags=("dedup", "minhash", "incremental", "store"),
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    store = tempfile.mkdtemp(prefix="ytspark_minhash_store_") + "/store"
+    corpus = docs.where(F.col("doc_id") < INCR_SPLIT)
+    batch = docs.where(F.col("doc_id") >= INCR_SPLIT)
+    persist_minhash_store(corpus, store)
+    return incremental_minhash_dedup(spark, batch, store, threshold=0.2).select(
+        "new_doc_id", "existing_doc_id", "est_jaccard"
+    )
+
+
 def persist_minhash_store(docs: DataFrame, path: str) -> None:
     """Bootstrap the persisted MinHash store: the signature table
     (``<path>/sigs``) plus its banded LSH projection (``<path>/bands``,
