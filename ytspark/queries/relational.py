@@ -927,3 +927,94 @@ def priority_price_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cume_dist"),
         F.dense_rank().over(w).alias("drank"),
     )
+
+
+@register(
+    "window_navigation_battery",
+    oracle="""
+SELECT o_orderkey, o_orderpriority,
+       LAG(o_totalprice, 1, 0.0) OVER w AS prev_price,
+       LEAD(o_totalprice, 2) OVER w AS next2_price,
+       FIRST_VALUE(o_orderkey) OVER w AS first_key,
+       LAST_VALUE(o_orderkey) OVER wfull AS last_key,
+       NTH_VALUE(o_orderkey, 3) OVER wfull AS third_key
+FROM orders
+WHERE o_orderkey <= 300
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice, o_orderkey),
+       wfull AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING)
+""",
+    doc="Navigation-window battery (lag-with-default / multi-step lead "
+        "/ first_value / last_value / nth_value): last_value and "
+        "nth_value run over an EXPLICIT unbounded ROWS frame on both "
+        "engines — the default frame ends at CURRENT ROW, which would "
+        "make last_value a no-op and is the classic cross-engine "
+        "window gotcha. Unique-key tiebreak keeps every navigated "
+        "value deterministic.",
+    tags=("window", "navigation"),
+)
+def window_navigation_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")["orders"].where(
+        F.col("o_orderkey") <= 300
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.lag("o_totalprice", 1, 0.0).over(w).alias("prev_price"),
+        F.lead("o_totalprice", 2).over(w).alias("next2_price"),
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(wfull).alias("last_key"),
+        F.nth_value("o_orderkey", 3).over(wfull).alias("third_key"),
+    )
+
+
+@register(
+    "calendar_zero_fill",
+    oracle="""
+WITH bounds AS (
+  SELECT MIN(CAST(o_orderdate AS DATE)) AS lo,
+         MAX(CAST(o_orderdate AS DATE)) AS hi
+  FROM orders
+),
+cal AS (
+  SELECT CAST(UNNEST(GENERATE_SERIES(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM bounds
+),
+daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n
+  FROM orders GROUP BY 1
+)
+SELECT STRFTIME(c.d, '%Y-%m-%d') AS day,
+       CAST(COALESCE(daily.n, 0) AS BIGINT) AS n_orders,
+       CASE WHEN daily.n IS NULL THEN 1 ELSE 0 END AS is_gap
+FROM cal c LEFT JOIN daily ON daily.d = c.d
+""",
+    doc="Calendar-spine zero-fill — the densification every BI/time-"
+        "series consumer needs over an activity table: generate the "
+        "full day range from the data's own bounds (one-row aggregate "
+        "-> sequence -> explode, no driver loop, no external calendar "
+        "table), left-join the daily counts, and surface gap days "
+        "explicitly. The spine is tiny so the join broadcasts; the "
+        "orders side arrives pre-aggregated — the shuffle carries "
+        "|days| rows, not |orders|.",
+    tags=("time", "calendar", "densify", "join"),
+)
+def calendar_zero_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")["orders"].select(
+        F.to_date("o_orderdate").alias("d")
+    )
+    bounds = o.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    cal = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("d")
+    )
+    daily = o.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    return cal.join(daily, "d", "left").select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_orders"),
+        F.when(F.col("n").isNull(), 1).otherwise(0).alias("is_gap"),
+    )
