@@ -380,6 +380,33 @@ def knn_cosine_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "knn_lsh_index_serving",
+    oracle=None,  # approximate — recall pinned against brute force in tests
+    doc="The persisted-LSH serving path end to end, driver-checkable: "
+        "corpus written parquet PARTITIONED BY hyperplane bucket "
+        "(persist_lsh_index, one-time cost), then queries answered via "
+        "knn_from_index with hamming-1 MULTI-PROBE — each query's probe "
+        "set (own bucket + n_planes one-bit flips) becomes a partition "
+        "filter on the index scan, so serving cost is |probe buckets| "
+        "of the corpus, not the corpus. This is the ANN shape that "
+        "amortizes at 100 TB: bucket once, partition-prune forever; "
+        "multi-probe buys recall with candidate volume instead of "
+        "index copies (contrast knn_cosine_lsh_multitable).",
+    tags=("similarity", "knn", "lsh", "index", "multiprobe"),
+)
+def knn_lsh_index_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    path = tempfile.mkdtemp(prefix="ytspark_lsh_") + "/index"
+    persist_lsh_index(emb, path)
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding")
+    return knn_from_index(spark, path, queries, probes=1).orderBy(
+        "query_id", F.col("cos_sim").desc(), "neighbor_id"
+    )
+
+
 def persist_lsh_index(
     emb: DataFrame, path: str, n_planes: int = N_HYPERPLANES
 ) -> None:
