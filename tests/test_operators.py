@@ -451,6 +451,49 @@ class TestPersistedIvfIndex:
         # same 4/16-cell probe budget as the inline IVF query
         assert recall >= 0.3
 
+    def test_distributed_probe_path_matches_driver_path(
+        self, spark, sf_dir, tmp_path
+    ):
+        """Serving must not depend on which probe-assignment shape runs:
+        forcing the batch over max_driver_batch switches to the
+        distributed mapInPandas path, whose results must be identical
+        to the driver-side (collected) path."""
+        from ytspark.operators.similarity import (
+            knn_from_ivf_index,
+            persist_ivf_index,
+        )
+        from ytspark.session import load_tables
+
+        emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+        path = str(tmp_path / "ivf_index2")
+        persist_ivf_index(emb, path)
+        queries = emb.where(F.col("vec_id") < 10)
+        small = knn_from_ivf_index(spark, path, queries)
+        big = knn_from_ivf_index(spark, path, queries, max_driver_batch=3)
+        key = lambda r: (r["query_id"], r["neighbor_id"])  # noqa: E731
+        assert sorted(map(key, small.collect())) == sorted(
+            map(key, big.collect())
+        )
+
+
+class TestEmbBlockCount:
+    def test_blocks_scale_with_corpus_bytes(self, spark, sf_dir):
+        """The exact-GEMM grid derives from the optimizer's size stats:
+        shrinking the per-task byte target must grow the block count
+        (same corpus, more blocks), bounded by floor and cap."""
+        from ytspark.operators.dedup import EMB_BLOCKS, emb_block_count
+        from ytspark.session import load_tables
+
+        emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+        # small SF: the floor wins at the production target
+        assert emb_block_count(emb) == EMB_BLOCKS
+        # tiny targets: block count grows monotonically with corpus/target
+        b16k = emb_block_count(emb, target_bytes=16 << 10)
+        b2k = emb_block_count(emb, target_bytes=2 << 10)
+        assert b2k >= b16k > EMB_BLOCKS
+        # the cap bounds the replication factor
+        assert emb_block_count(emb, target_bytes=1, cap=64) == 64
+
 
 class TestIncrementalMinhashStore:
     def test_new_batch_dedups_against_persisted_corpus(self, spark, tmp_path):

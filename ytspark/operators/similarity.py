@@ -192,10 +192,11 @@ N_PROBE = 4
     tags=("similarity", "knn", "ivf"),
 )
 def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from ytspark.plans.scratch import scratch_dir
 
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
-    path = tempfile.mkdtemp(prefix="ytspark_ivf_") + "/index"
+    # stable per-process path (overwritten per run) — no mkdtemp leak
+    path = scratch_dir(f"ivf_{sf_dir}") + "/index"
     persist_ivf_index(emb, path)
     queries = emb.where(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding")
     return knn_from_ivf_index(spark, path, queries).orderBy(
@@ -396,10 +397,11 @@ def knn_cosine_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "knn", "lsh", "index", "multiprobe"),
 )
 def knn_lsh_index_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from ytspark.plans.scratch import scratch_dir
 
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
-    path = tempfile.mkdtemp(prefix="ytspark_lsh_") + "/index"
+    # stable per-process path (overwritten per run) — no mkdtemp leak
+    path = scratch_dir(f"lsh_{sf_dir}") + "/index"
     persist_lsh_index(emb, path)
     queries = emb.where(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding")
     return knn_from_index(spark, path, queries, probes=1).orderBy(
@@ -568,6 +570,9 @@ def persist_ivf_index(
     ).write.mode("overwrite").parquet(path + "__centroids")
 
 
+IVF_DRIVER_BATCH_CAP = 4096  # max query vectors the driver-side path collects
+
+
 def knn_from_ivf_index(
     spark: SparkSession,
     path: str,
@@ -575,11 +580,26 @@ def knn_from_ivf_index(
     *,
     top_k: int = TOP_K,
     n_probe: int = N_PROBE,
+    max_driver_batch: int = IVF_DRIVER_BATCH_CAP,
 ) -> DataFrame:
     """ANN against a persisted IVF index: each query probes its
     ``n_probe`` nearest cells; the probed cell set becomes a partition
     filter on the index scan (same serving shape as ``knn_from_index``,
-    with learned cells instead of hyperplane buckets)."""
+    with learned cells instead of hyperplane buckets).
+
+    Probe assignment has two shapes by query-batch size, so NO
+    unbounded driver collect is reachable from serving:
+
+    - batch <= ``max_driver_batch``: the batch is collected and probes
+      are assigned driver-side (one tiny GEMM), then broadcast into
+      the candidate join — the low-latency online-serving path.
+    - larger: assignment runs DISTRIBUTED (mapInPandas against the
+      broadcast centroids — the same kernel persist_ivf_index uses for
+      corpus assignment) and the candidate join shuffles on the cell;
+      the only collect is the distinct probed-cell id set, bounded by
+      the centroid count. This is the offline batch-scoring shape.
+
+    Both paths produce identical results (pinned in tests)."""
     import numpy as np
 
     from pyspark.sql import Window
@@ -589,23 +609,70 @@ def knn_from_ivf_index(
         key=lambda r: r["cell"],
     )
     cents = np.array([r["centroid"] for r in cent_rows])
-    q_pdf = query_vecs.select("vec_id", "embedding").toPandas()
-    qm = np.stack(q_pdf["embedding"].to_numpy()).astype("float64")
-    qu = qm / np.sqrt((qm * qm).sum(axis=1, keepdims=True))
-    probe = np.argsort(-(qu @ cents.T), axis=1)[:, :n_probe]
-    probe_rows = [
-        (int(q_pdf["vec_id"][i]), [float(x) for x in qm[i]], int(c))
-        for i in range(len(q_pdf))
-        for c in probe[i]
-    ]
-    probes_df = spark.createDataFrame(
-        probe_rows, "query_id bigint, qv array<double>, probe_cell int"
+    # bounded size probe: LIMIT cap+1 so deciding the path never scans
+    # more than cap+1 rows, regardless of batch size
+    small = (
+        query_vecs.select("vec_id").limit(max_driver_batch + 1).count()
+        <= max_driver_batch
     )
-    probe_ids = sorted({int(c) for row in probe for c in row})
+    if small:
+        q_pdf = query_vecs.select("vec_id", "embedding").toPandas()
+        qm = np.stack(q_pdf["embedding"].to_numpy()).astype("float64")
+        qu = qm / np.sqrt((qm * qm).sum(axis=1, keepdims=True))
+        probe = np.argsort(-(qu @ cents.T), axis=1)[:, :n_probe]
+        probe_rows = [
+            (int(q_pdf["vec_id"][i]), [float(x) for x in qm[i]], int(c))
+            for i in range(len(q_pdf))
+            for c in probe[i]
+        ]
+        probes_df = F.broadcast(
+            spark.createDataFrame(
+                probe_rows, "query_id bigint, qv array<double>, probe_cell int"
+            )
+        )
+        probe_ids = sorted({int(c) for row in probe for c in row})
+    else:
+        bc = spark.sparkContext.broadcast(cents)
+
+        def assign(batches):
+            import pandas as pd
+
+            c = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                v = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+                u = v / np.sqrt((v * v).sum(axis=1, keepdims=True))
+                pr = np.argsort(-(u @ c.T), axis=1)[:, :n_probe]
+                yield pd.DataFrame(
+                    {
+                        "query_id": pdf["vec_id"].to_numpy().repeat(n_probe),
+                        "qv": [
+                            [float(x) for x in v[i]]
+                            for i in range(len(pdf))
+                            for _ in range(n_probe)
+                        ],
+                        "probe_cell": pr.reshape(-1).astype("int32"),
+                    }
+                )
+
+        # persist(): consumed by the probe-id collect AND the join —
+        # without it the distributed assignment runs twice
+        probes_df = query_vecs.select("vec_id", "embedding").mapInPandas(
+            assign, schema="query_id bigint, qv array<double>, probe_cell int"
+        ).persist()
+        # the only collect on this path: distinct probed cell ids,
+        # bounded by the centroid count (N_IVF_CELLS), never the batch
+        probe_ids = sorted(
+            {
+                r["probe_cell"]
+                for r in probes_df.select("probe_cell").distinct().collect()
+            }
+        )
     index = spark.read.parquet(path).where(F.col("cell").isin(probe_ids))
     scored = (
         index.join(
-            F.broadcast(probes_df),
+            probes_df,
             (F.col("cell") == F.col("probe_cell"))
             & (F.col("vec_id") != F.col("query_id")),
         )

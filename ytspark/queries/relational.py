@@ -234,8 +234,9 @@ GROUP BY c.c_custkey, c.c_name
 ORDER BY revenue DESC, c_custkey
 LIMIT 10
 """.format(rev=_REV_SQL),
-    doc="Customer lifetime revenue ranking: two joins, distinct count, top-k.",
-    tags=("join", "aggregate", "topk", "distinct"),
+    doc="Customer lifetime revenue ranking: two joins, distinct count, "
+        "top-k via ordered LIMIT (certifies the limit family in-window).",
+    tags=("join", "aggregate", "topk", "distinct", "limit"),
 )
 def top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "customer", "orders", "lineitem")

@@ -50,6 +50,36 @@ YOUTUBE_API_URL = "https://www.googleapis.com/youtube/v3/channels"
 # (dags/extract.py:78, dags/optimized_extract.py:18)
 API_PARTS = "id,localizations,snippet,statistics,status,topicDetails"
 
+# the reference's 7 live channel IDs (dags/extract.py:36-38) — the
+# ``channels().list id=`` parameter takes UC… CHANNEL IDS, not display
+# titles; titles silently return an empty items list. These are the
+# live-mode default for the ``channels`` option (fixture mode keys its
+# deterministic payloads by title instead).
+REFERENCE_CHANNEL_IDS = (
+    "UC-lHJZR3Gqxm24_Vd_AJ5Yw",
+    "UC1gSyUP5QOZBebhlCObZ-0A",
+    "UCq-Fj5jknLsUf-MWSy4_brA",
+    "UCJcCB-QYPIBcbKcBQOTwhiA",
+    "UCbCmjCuTUZos6Inko4u57UQ",
+    "UCX6OQ3DkcsbYNE6H8uQQuVA",
+    "UCY6KjrDBN_tIRFT_QNqQbRQ",
+)
+
+
+def _require_channel_ids(channels, mode: str) -> None:
+    """Live mode takes UC… channel IDs; a display title would produce a
+    silently-empty live response, so reject it loudly at plan time."""
+    if mode != "live":
+        return
+    bad = [c for c in channels if not c.startswith("UC")]
+    if bad:
+        raise ValueError(
+            f'mode="live" requires UC… channel IDs in the channels option '
+            f"(channels().list id= ignores display titles and returns no "
+            f"items); got {bad!r}. The reference's 7 IDs are the default "
+            f"(REFERENCE_CHANNEL_IDS)."
+        )
+
 
 def fetch_live(
     channel_id: str, api_key: str, *, timeout: float = 30.0, transport=None
@@ -59,14 +89,26 @@ def fetch_live(
     injectable seam: tests pass a fake ``urlopen``; production uses the
     real one. This sandbox has no egress, so the live path is verified
     against the fake transport only — the request construction (URL,
-    parts, key) is the part worth testing anyway."""
+    parts, key) is the part worth testing anyway.
+
+    Fails loudly when the response carries no ``items``: the API
+    signals an unknown/invalid id that way (with HTTP 200), and
+    landing empty payloads silently is exactly the failure mode the
+    UC-id validation exists to prevent."""
     from urllib.parse import urlencode
     from urllib.request import urlopen as _urlopen
 
     opener = transport or _urlopen
     qs = urlencode({"part": API_PARTS, "id": channel_id, "key": api_key})
     with opener(f"{YOUTUBE_API_URL}?{qs}", timeout=timeout) as resp:
-        return json.loads(resp.read().decode("utf-8"))
+        payload = json.loads(resp.read().decode("utf-8"))
+    if not payload.get("items"):
+        raise RuntimeError(
+            f"channels().list returned no items for id={channel_id!r} — "
+            f"verify it is a UC… channel ID (not a title) and the API key "
+            f"has quota"
+        )
+    return payload
 
 
 def _fetch(
@@ -79,19 +121,28 @@ def _fetch(
     if mode == "live":
         if not api_key:
             raise ValueError('mode="live" requires the api_key option')
+        _require_channel_ids([title], mode)
         return fetch_live(title, api_key)
     return channel_payload(title, tick=tick)
 
 
 class YouTubeReader(DataSourceReader):
     def __init__(self, options):
-        raw = options.get("channels", ",".join(REFERENCE_CHANNEL_TITLES))
+        self.mode = options.get("mode", "fixture")
+        # live mode addresses channels by UC… id (what the API's id=
+        # param accepts); fixture mode keys payloads by display title
+        default = (
+            REFERENCE_CHANNEL_IDS
+            if self.mode == "live"
+            else REFERENCE_CHANNEL_TITLES
+        )
+        raw = options.get("channels", ",".join(default))
         self.titles = [t for t in raw.split(",") if t]
         self.tick = int(options.get("tick", 0))
-        self.mode = options.get("mode", "fixture")
         self.api_key = options.get("api_key")
         if self.mode == "live" and not self.api_key:
             raise ValueError('mode="live" requires the api_key option')
+        _require_channel_ids(self.titles, self.mode)
 
     def partitions(self):
         # one partition per channel: the reference's sequential loop
@@ -119,13 +170,19 @@ class YouTubeStreamReader(SimpleDataSourceStreamReader):
     overwrite)."""
 
     def __init__(self, options):
-        raw = options.get("channels", ",".join(REFERENCE_CHANNEL_TITLES))
+        self.mode = options.get("mode", "fixture")
+        default = (
+            REFERENCE_CHANNEL_IDS
+            if self.mode == "live"
+            else REFERENCE_CHANNEL_TITLES
+        )
+        raw = options.get("channels", ",".join(default))
         self.titles = [t for t in raw.split(",") if t]
         self.start_tick = int(options.get("tick", 0))
-        self.mode = options.get("mode", "fixture")
         self.api_key = options.get("api_key")
         if self.mode == "live" and not self.api_key:
             raise ValueError('mode="live" requires the api_key option')
+        _require_channel_ids(self.titles, self.mode)
 
     def initialOffset(self) -> dict:
         return {"tick": self.start_tick}

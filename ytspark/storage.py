@@ -122,6 +122,11 @@ def upsert_latest(
     table + batch), independent of bronze history depth. On Delta/
     Iceberg this call becomes MERGE INTO; the engine code above it is
     unchanged.
+
+    Visibility: the final rmtree+move swap is NOT atomic for concurrent
+    readers — without a transactional table format there is a brief
+    window where the path is absent, so readers must tolerate ENOENT
+    and retry (single-writer is assumed throughout; see SCALE.md).
     """
     from pyspark.sql import Window
 
