@@ -116,6 +116,11 @@ def main() -> int:
 
     reg = registry()
     failures = []
+    results: dict[str, dict] = {}
+
+    def record(name, status, rows=None, err=None):
+        results[name] = {"status": status, "spark_rows": rows, "err": err}
+
     for name, q in sorted(reg.items()):
         if only and name not in only:
             continue
@@ -123,12 +128,16 @@ def main() -> int:
             sdf = q.fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"spark error: {str(e).splitlines()[0][:200]}"))
+            record(name, "fail", err=f"spark error: {str(e).splitlines()[0][:200]}")
             print(f"FAIL  {name}: spark error")
             continue
         if q.oracle is None:
             print(f"rows  {name}: {len(sdf)} rows (no oracle — rows-only)")
             if len(sdf) == 0:
                 failures.append((name, "no-oracle query returned 0 rows"))
+                record(name, "fail", rows=0, err="no-oracle query returned 0 rows")
+            else:
+                record(name, "rows_only", rows=len(sdf))
             continue
         try:
             odf = con.execute(q.oracle).df()
@@ -138,17 +147,20 @@ def main() -> int:
             continue
         if len(sdf) != len(odf):
             failures.append((name, f"row count {len(sdf)} vs {len(odf)}"))
+            record(name, "fail", rows=len(sdf), err=f"row count {len(sdf)} vs {len(odf)}")
             print(f"FAIL  {name}: rows {len(sdf)} vs {len(odf)}")
             continue
         if sorted(sdf.columns) != sorted(odf.columns):
             failures.append(
                 (name, f"columns {sorted(sdf.columns)} vs {sorted(odf.columns)}")
             )
+            record(name, "fail", rows=len(sdf), err="column mismatch")
             print(f"FAIL  {name}: column mismatch {sorted(sdf.columns)} vs {sorted(odf.columns)}")
             continue
         type_fails, type_warns = dtype_mismatches(sdf, odf)
         if type_fails:
             failures.append((name, f"dtype family mismatch: {type_fails}"))
+            record(name, "fail", rows=len(sdf), err=f"dtype family mismatch: {type_fails}")
             print(f"FAIL  {name}: dtype family mismatch: {type_fails}")
             continue
         if type_warns:
@@ -157,9 +169,37 @@ def main() -> int:
         if a != b:
             diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
             failures.append((name, f"value mismatch, first diffs: {diff}"))
+            record(name, "fail", rows=len(sdf), err="value mismatch")
             print(f"FAIL  {name}: value mismatch; e.g. {diff[:1]}")
             continue
+        record(name, "hash_match", rows=len(sdf))
         print(f"ok    {name}: {len(sdf)} rows hash-match")
+
+    # Persist the uncapped run so the external gate's 50-query window is
+    # auditable against the full registry (ADVICE r2: publish the full
+    # local oracle_check results alongside the curated window).
+    if not only:
+        import json
+
+        out = {
+            "sf_dir": sf_dir,
+            "n_queries": len(results),
+            "n_hash_match": sum(
+                1 for r in results.values() if r["status"] == "hash_match"
+            ),
+            "n_rows_only": sum(
+                1 for r in results.values() if r["status"] == "rows_only"
+            ),
+            "n_fail": sum(1 for r in results.values() if r["status"] == "fail"),
+            "results": results,
+        }
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "ORACLE_LOCAL.json",
+        )
+        with open(path, "w") as fh:
+            json.dump(out, fh, indent=1)
+        print(f"wrote {path}")
 
     print()
     if failures:
