@@ -27,10 +27,12 @@ def test_rotated_out_queries_remain_registered():
     for name in (
         "q13_customer_order_distribution",
         "q16_part_supplier_counts",
+        "q18_large_orders",
         "cube_segment_priority",
         "except_all_order_priorities",
         "event_transition_matrix",
         "daily_revenue_moving_avg",
         "segment_price_percentiles",
+        "dedup_simhash",
     ):
         assert name in reg and name not in _PRIORITY

@@ -42,6 +42,7 @@ EXPECTED_NESTED_LOOP = {
     "q11_important_parts",       # broadcast one-row scalar total (HAVING > frac)
     "knn_cosine_bruteforce",     # broadcast query set, != predicate
     "knn_cosine_lsh",            # bucket equality is in the BNLJ condition
+    "events_pagerank",           # broadcast one-row node count N per iteration
 }
 # streaming queries execute eagerly; skip plan audit (they materialize
 # their own sinks and are correctness-checked by the oracle gate)
