@@ -68,6 +68,15 @@ HEADLINE = [
     "pii_redaction_stats",
     "doc_repetition_stats",
     "corpus_mixture_sample",
+    # round 3: hash-certified signature variants, incremental dedup
+    # store, training-set assembly, iterative graph
+    "dedup_minhash_lsh_checkable",
+    "dedup_minhash_incremental",
+    "sequence_pack_blocks",
+    "sequence_pack_greedy",
+    "corpus_global_shuffle",
+    "corpus_mixture_upsample",
+    "events_pagerank",
 ]
 
 
