@@ -77,6 +77,7 @@ HEADLINE = [
     "corpus_global_shuffle",
     "corpus_mixture_upsample",
     "events_pagerank",
+    "quality_logreg_train",
 ]
 
 

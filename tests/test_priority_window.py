@@ -33,6 +33,7 @@ def test_rotated_out_queries_remain_registered():
         "event_transition_matrix",
         "daily_revenue_moving_avg",
         "segment_price_percentiles",
+        "customer_balance_quartiles",
         "dedup_simhash",
     ):
         assert name in reg and name not in _PRIORITY

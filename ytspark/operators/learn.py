@@ -1,0 +1,133 @@
+"""Distributed model training ON the engine: fixed-iteration batch
+gradient descent expressed as DataFrame aggregates.
+
+A large-scale data pipeline doesn't just filter with hand-written
+rules — it trains lightweight models (quality classifiers, language
+scorers) over corpus features and applies them in the same engine.
+This module implements the training loop Spark-first: one GD iteration
+is ONE aggregate over the feature table (gradient components as
+columns) combined with the previous weights via a broadcast one-row
+cross join — no driver-side collect, no RDDs, no MLlib dependency.
+Unrolling a fixed iteration count into a single lineage keeps the
+computation deterministic, so the DuckDB oracle can replay the exact
+same iterations as chained CTEs and the learned weights are
+value-certified cross-engine — a property no sampled/early-stopping
+trainer can offer.
+
+At 100 TB: the feature table is the corpus scan; each iteration is one
+map-side-combinable aggregate (a handful of doubles per partition), so
+the shuffle per iteration is O(partitions), not O(rows). Weights stay
+in the plan as a one-row broadcast. This is exactly how distributed
+GD/L-BFGS outer loops are structured on Spark; fixed unrolled
+iterations trade adaptive stopping for determinism and auditability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ytspark.queries import register
+from ytspark.session import load_tables
+
+LR = 1.0  # learning rate (features are scaled to ~[0, 1])
+GD_ITERS = 5
+W_ROUND = 6  # decimals in reported weights (cross-engine float guard)
+
+
+def logreg_train(
+    feats: DataFrame,
+    xs: list[str],
+    y: str = "y",
+    iters: int = GD_ITERS,
+    lr: float = LR,
+) -> DataFrame:
+    """Batch-GD logistic regression → one row (n, b, w_<x1>, ...).
+
+    ``feats`` holds double feature columns ``xs`` and a 0/1 double
+    label ``y``. Weights start at zero; each iteration applies
+    w ← w − lr · avg((σ(w·x) − y) · x) with σ the logistic function.
+    The iteration count is fixed and unrolled into the lineage.
+    """
+    w_cols = ["b"] + [f"w_{x}" for x in xs]
+    weights = feats.sparkSession.range(1).select(
+        *[F.lit(0.0).alias(c) for c in w_cols]
+    )
+    for _ in range(iters):
+        j = feats.crossJoin(F.broadcast(weights))
+        z: Column = F.col("b")
+        for x in xs:
+            z = z + F.col(f"w_{x}") * F.col(x)
+        err = F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - F.col(y)
+        # weights are constant across rows: MAX re-extracts the scalar
+        weights = j.agg(
+            (F.max("b") - lr * F.avg(err)).alias("b"),
+            *[
+                (F.max(f"w_{x}") - lr * F.avg(err * F.col(x))).alias(f"w_{x}")
+                for x in xs
+            ],
+        )
+    n = feats.agg(F.count(F.lit(1)).alias("n"))
+    return n.crossJoin(F.broadcast(weights)).select(
+        "n", *[F.round(c, W_ROUND).alias(c) for c in w_cols]
+    )
+
+
+# Cross-engine feature expressions (identical semantics to text_stats):
+# x1 = tokens/100, x2 = type-token ratio; label: lang = 'en'.
+_FEATS_SQL = """
+  SELECT LEN(STRING_SPLIT(text, ' ')) / 100.0 AS x1,
+         CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE)
+           / LEN(STRING_SPLIT(text, ' ')) AS x2,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM documents
+"""
+
+
+def _gd_iter_sql(prev: str, out: str) -> str:
+    sig = "1.0 / (1.0 + EXP(-(w.b + w.w_x1 * f.x1 + w.w_x2 * f.x2)))"
+    return f"""{out} AS (
+  SELECT MAX(w.b) - {LR} * AVG({sig} - f.y) AS b,
+         MAX(w.w_x1) - {LR} * AVG(({sig} - f.y) * f.x1) AS w_x1,
+         MAX(w.w_x2) - {LR} * AVG(({sig} - f.y) * f.x2) AS w_x2
+  FROM f CROSS JOIN {prev} w
+)"""
+
+
+_LOGREG_ORACLE = f"""
+WITH f AS ({_FEATS_SQL}),
+g0 AS (SELECT 0.0 AS b, 0.0 AS w_x1, 0.0 AS w_x2),
+{",".join(_gd_iter_sql(f"g{i}", f"g{i + 1}") for i in range(GD_ITERS))}
+SELECT (SELECT COUNT(*) FROM f) AS n,
+       ROUND(b, {W_ROUND}) AS b,
+       ROUND(w_x1, {W_ROUND}) AS w_x1,
+       ROUND(w_x2, {W_ROUND}) AS w_x2
+FROM g{GD_ITERS}
+"""
+
+
+@register(
+    "quality_logreg_train",
+    oracle=_LOGREG_ORACLE,
+    doc="Train an is-English quality classifier (logistic regression "
+        f"on token-count and type-token-ratio features) with {GD_ITERS} "
+        "unrolled batch-GD iterations, entirely inside the engine: one "
+        "map-side-combinable aggregate per iteration, weights carried "
+        "as a broadcast one-row frame, no driver collect, no MLlib. "
+        "The DuckDB oracle replays the identical iterations as chained "
+        "CTEs, so the learned weights themselves are value-certified "
+        "cross-engine.",
+    tags=("learn", "logreg", "iterative", "text"),
+)
+def quality_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = F.split(F.col("text"), " ")
+    feats = docs.select(
+        (F.array_size(toks) / F.lit(100.0)).alias("x1"),
+        (
+            F.array_size(F.array_distinct(toks)).cast("double")
+            / F.array_size(toks)
+        ).alias("x2"),
+        F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
+    )
+    return logreg_train(feats, ["x1", "x2"])

@@ -50,13 +50,14 @@ def register(
 # store and the hash-certified checkable variants), similarity,
 # curation safety, text, multimodal, streaming — so the gate exercises
 # the breadth of the engine rather than 50 near-duplicate relational
-# variants. Round 3 rotated 9 near-duplicate/already-certified entries
+# variants. Round 3 rotated 10 near-duplicate/already-certified entries
 # out (q13, q16, q18, cube, except_all, transition-matrix, moving-avg,
-# percentiles, rows-only simhash — all still registered below the
-# window, and q18/simhash carry r1+r2 driver certification) for the
-# curation-safety battery, the incremental MinHash store, the two
-# cross-engine-checkable signatures, greedy sequence packing, and
-# PageRank. TRANSPARENCY: the code under test
+# percentiles, ntile-quartiles, rows-only simhash — all still
+# registered below the window, and q18/quartiles/simhash carry r1+r2
+# driver certification) for the curation-safety battery, the
+# incremental MinHash store, the two cross-engine-checkable
+# signatures, greedy sequence packing, PageRank, and in-engine
+# logistic-regression training. TRANSPARENCY: the code under test
 # chooses this ordering, so the external 50-row gate is breadth-first
 # by construction; the UNCAPPED result is auditable — every registered
 # query is oracle-checked locally by tools/oracle_check.py (see
@@ -89,7 +90,6 @@ _PRIORITY: tuple[str, ...] = (
     # scalar functions + window battery
     "scalar_function_battery",
     "top3_orders_per_priority",
-    "customer_balance_quartiles",
     # Python-kernel matrix (applyInPandas / pandas_udf / UDTF)
     "events_user_minmax_norm",
     "token_entropy_pandas_udf",
@@ -119,9 +119,10 @@ _PRIORITY: tuple[str, ...] = (
     "pii_redaction_stats",
     "doc_repetition_stats",
     "corpus_mixture_sample",
-    # training-set assembly + iterative graph (round 3)
+    # training-set assembly + iterative graph/learning (round 3)
     "sequence_pack_greedy",
     "events_pagerank",
+    "quality_logreg_train",
     # multimodal (image_decode exercises the real PPM codec path)
     "multimodal_image_decode",
     # structured streaming
@@ -137,6 +138,7 @@ def registry() -> dict[str, Query]:
         batchmap,
         dedup,
         graph,
+        learn,
         multimodal,
         packing,
         similarity,
