@@ -78,6 +78,8 @@ HEADLINE = [
     "corpus_mixture_upsample",
     "events_pagerank",
     "quality_logreg_train",
+    "embedding_kmeans_assign",
+    "embedding_pq",
 ]
 
 

@@ -34,6 +34,7 @@ def test_rotated_out_queries_remain_registered():
         "daily_revenue_moving_avg",
         "segment_price_percentiles",
         "customer_balance_quartiles",
+        "pivot_segment_status",
         "dedup_simhash",
     ):
         assert name in reg and name not in _PRIORITY

@@ -43,6 +43,8 @@ EXPECTED_NESTED_LOOP = {
     "knn_cosine_bruteforce",     # broadcast query set, != predicate
     "knn_cosine_lsh",            # bucket equality is in the BNLJ condition
     "events_pagerank",           # broadcast one-row node count N per iteration
+    "quality_logreg_train",      # broadcast one-row weight vector per iteration
+    "embedding_kmeans_assign",   # broadcast K-row centroid table, all-pairs by design
 }
 # streaming queries execute eagerly; skip plan audit (they materialize
 # their own sinks and are correctness-checked by the oracle gate)

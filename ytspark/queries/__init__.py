@@ -83,7 +83,6 @@ _PRIORITY: tuple[str, ...] = (
     "top_revenue_customers",
     "rollup_order_status",
     "grouping_sets_segment_priority",
-    "pivot_segment_status",
     "intersect_all_segments",
     "full_outer_daily_activity",
     "salted_skew_join_revenue",
@@ -123,6 +122,7 @@ _PRIORITY: tuple[str, ...] = (
     "sequence_pack_greedy",
     "events_pagerank",
     "quality_logreg_train",
+    "embedding_kmeans_assign",
     # multimodal (image_decode exercises the real PPM codec path)
     "multimodal_image_decode",
     # structured streaming
@@ -136,6 +136,7 @@ def registry() -> dict[str, Query]:
     from ytspark.queries import decision_support, pipeline, relational  # noqa: F401
     from ytspark.operators import (  # noqa: F401
         batchmap,
+        clustering,
         dedup,
         graph,
         learn,
