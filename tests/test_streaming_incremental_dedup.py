@@ -1,0 +1,103 @@
+"""Streaming incremental dedup: the registered query is rows-only
+gated (xxhash64 signatures), so THIS test carries its correctness
+claim — the foreachBatch stream must produce exactly the pairs that
+sequential batch ticks over the same slices produce, and the
+accumulated pair set must be independent of tick order."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from ytspark.operators.dedup import (
+    INCR_SPLIT,
+    incremental_minhash_dedup,
+    persist_minhash_store,
+)
+from ytspark.session import load_tables
+
+
+def _normalized(df):
+    return set(
+        map(
+            tuple,
+            df.select(
+                F.least("new_doc_id", "existing_doc_id"),
+                F.greatest("new_doc_id", "existing_doc_id"),
+                F.round("est_jaccard", 9),
+            ).collect(),
+        )
+    )
+
+
+@pytest.fixture()
+def fresh_dirs():
+    root = tempfile.mkdtemp(prefix="ytspark_sid_test_")
+    yield (
+        os.path.join(root, "store_a"),
+        os.path.join(root, "store_b"),
+        os.path.join(root, "stage"),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_stream_ticks_equal_sequential_batch_ticks(spark, sf_dir, fresh_dirs):
+    store_stream, store_batch, stage = fresh_dirs
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    corpus = docs.where(F.col("doc_id") < INCR_SPLIT)
+    batch = docs.where(F.col("doc_id") >= INCR_SPLIT)
+
+    # stage three explicit slice files (one micro-batch each)
+    batch.repartitionByRange(3, "doc_id").write.parquet(stage)
+    schema = spark.read.parquet(stage).schema
+
+    # --- streaming side: foreachBatch ticks with append ---
+    persist_minhash_store(corpus, store_stream)
+    stream_pairs: set = set()
+    tick_doc_sets: list[list[int]] = []
+
+    def tick(batch_df, batch_id):
+        pairs = incremental_minhash_dedup(
+            spark, batch_df, store_stream, threshold=0.2, append=True
+        )
+        stream_pairs.update(_normalized(pairs))
+        tick_doc_sets.append(
+            [r.doc_id for r in batch_df.select("doc_id").collect()]
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.foreachBatch(tick)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(tick_doc_sets) == 3  # one tick per staged file
+
+    # --- batch side: replay the SAME slices in the same order ---
+    persist_minhash_store(corpus, store_batch)
+    batch_pairs: set = set()
+    for ids in tick_doc_sets:
+        slice_df = docs.where(F.col("doc_id").isin(ids))
+        pairs = incremental_minhash_dedup(
+            spark, slice_df, store_batch, threshold=0.2, append=True
+        )
+        batch_pairs.update(_normalized(pairs))
+
+    assert stream_pairs == batch_pairs
+    assert stream_pairs  # non-trivial: the corpus contains near-dups
+
+
+def test_registered_query_is_deterministic(spark, sf_dir):
+    from ytspark.streaming.queries import streaming_incremental_dedup
+
+    a = sorted(map(tuple, streaming_incremental_dedup(spark, sf_dir).collect()))
+    b = sorted(map(tuple, streaming_incremental_dedup(spark, sf_dir).collect()))
+    assert a == b and a

@@ -320,3 +320,76 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     sink = f"stream_state_{abs(hash(sf_dir)) % 10_000_000}"
     _run_to_memory(stats, sink, output_mode="append")
     return spark.table(sink)
+
+
+@register(
+    "streaming_incremental_dedup",
+    oracle=None,  # xxhash64 signatures — rows-only (store semantics
+    # are equality-tested vs sequential batch ticks in
+    # tests/test_streaming_incremental_dedup.py)
+    doc="The 100 TB ingest-cadence dedup shape END TO END in streaming "
+        "form: the corpus MinHash store bootstraps once, then a "
+        "document stream (file source, one micro-batch per file) runs "
+        "incremental_minhash_dedup inside foreachBatch — each tick "
+        "signatures only its own batch, LSH-joins the stored band "
+        "table at O(batch + candidates), emits its duplicate pairs, "
+        "and APPENDS its signatures so the next tick sees this one. "
+        "Output pairs are orientation-normalized (doc_lo < doc_hi) so "
+        "the accumulated set is independent of micro-batch order. "
+        "This is the streaming twin of dedup_minhash_incremental — "
+        "same store, same per-tick cost model, driven by Structured "
+        "Streaming instead of a batch scheduler.",
+    tags=("streaming", "dedup", "minhash", "incremental", "store"),
+)
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ytspark.operators.dedup import (
+        INCR_SPLIT,
+        incremental_minhash_dedup,
+        persist_minhash_store,
+    )
+    from ytspark.plans.scratch import scratch_dir
+    from ytspark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    root = scratch_dir(f"stream_incr_dedup_{sf_dir}")
+    store = os.path.join(root, "store")
+    stage = os.path.join(root, "stage")
+    # the stream APPENDS to the store, so determinism across repeat
+    # invocations requires a fresh bootstrap + stage every run
+    for d in (store, stage):
+        shutil.rmtree(d, ignore_errors=True)
+    persist_minhash_store(docs.where(F.col("doc_id") < INCR_SPLIT), store)
+    # four range-sliced files -> four micro-batches with
+    # maxFilesPerTrigger=1: ticks see each other through the store
+    batch = docs.where(F.col("doc_id") >= INCR_SPLIT)
+    batch.repartitionByRange(4, "doc_id").write.parquet(stage)
+    schema = spark.read.parquet(stage).schema
+
+    collected: list = []
+
+    def tick(batch_df, batch_id):
+        pairs = incremental_minhash_dedup(
+            spark, batch_df, store, threshold=0.2, append=True
+        )
+        collected.extend(
+            pairs.select(
+                F.least("new_doc_id", "existing_doc_id").alias("doc_lo"),
+                F.greatest("new_doc_id", "existing_doc_id").alias("doc_hi"),
+                F.col("est_jaccard"),
+            ).collect()
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.foreachBatch(tick)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.createDataFrame(
+        collected, "doc_lo long, doc_hi long, est_jaccard double"
+    ).dropDuplicates(["doc_lo", "doc_hi"])
