@@ -25,7 +25,10 @@ def test_contract_functions_exist_and_align():
     # the rows-only set stays small and intentional (hash-dependent /
     # approximate / iterative ops only)
     rows_only = set(qs) - set(oracles)
-    assert len(rows_only) <= 12, sorted(rows_only)
+    # r3 additions: embedding_pq (kmeans-trained codebooks) and
+    # streaming_incremental_dedup (xxhash64 store; equality-tested vs
+    # sequential batch ticks instead)
+    assert len(rows_only) <= 14, sorted(rows_only)
 
 
 def test_registry_docs_and_tags_complete():
