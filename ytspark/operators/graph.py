@@ -55,17 +55,21 @@ def pagerank(
         F.col(dst).alias("dst"),
         (w * 1.0 / F.sum(w).over(out_w)).alias("p"),
     )
+    # edge probabilities and the node list feed every unrolled
+    # iteration — persist both so N iterations read one materialization
+    # instead of re-running the upstream scan/shuffle N times
+    p = p.persist()
     nodes = (
         p.select(F.col("src").alias("node"))
         .union(p.select(F.col("dst").alias("node")))
         .distinct()
+        .persist()
     )
     # scalar N via a broadcast one-row aggregate (no driver collect)
     n_df = nodes.agg(F.count(F.lit(1)).alias("n"))
     ranks = nodes.crossJoin(F.broadcast(n_df)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("pr")
     )
-    p = p.persist()
     for _ in range(iters):
         contrib = (
             p.join(ranks, p["src"] == ranks["node"])
