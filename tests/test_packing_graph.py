@@ -11,6 +11,9 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
 from pyspark.sql import functions as F
 
 from ytspark.operators.graph import PR_DAMPING, PR_ITERS, pagerank
@@ -18,9 +21,51 @@ from ytspark.operators.packing import (
     PACK_BUDGET,
     corpus_global_shuffle,
     corpus_mixture_upsample,
+    greedy_pack_bins,
     sequence_pack_blocks,
     sequence_pack_greedy,
 )
+
+
+class TestGreedyPackKernel:
+    """Pure-function walk shared by the Spark kernel; no session needed."""
+
+    @given(
+        st.lists(st.integers(min_value=1, max_value=300), max_size=200),
+        st.integers(min_value=1, max_value=500),
+    )
+    @settings(max_examples=300, deadline=None)
+    def test_against_independent_reference(self, toks, budget):
+        got = greedy_pack_bins(toks, budget)
+
+        # independent reference: explicit per-document assignment
+        assignments = []
+        fill = None
+        for t in toks:
+            if fill is None or fill + t > budget:
+                assignments.append([t])
+                fill = t
+            else:
+                assignments[-1].append(t)
+                fill += t
+        expected = [
+            (i, len(b), sum(b), sum(1 for t in b if t > budget))
+            for i, b in enumerate(b for b in assignments)
+        ]
+        assert got == expected
+
+    @given(st.lists(st.integers(min_value=1, max_value=100), max_size=100))
+    @settings(max_examples=100, deadline=None)
+    def test_invariants(self, toks):
+        bins = greedy_pack_bins(toks, 64)
+        assert sum(b[1] for b in bins) == len(toks)
+        assert sum(b[2] for b in bins) == sum(toks)
+        for bin_id, n_docs, fill, oversize in bins:
+            assert n_docs >= 1
+            if fill > 64:
+                # only an oversize doc overflows, and it sits alone
+                assert n_docs == 1 and oversize == 1
+        assert [b[0] for b in bins] == list(range(len(bins)))
 
 
 class TestSequencePacking:

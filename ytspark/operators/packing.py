@@ -172,31 +172,40 @@ GROUP BY g, bin
         "cross-engine, not just row-counted.",
     tags=("packing", "text", "udf", "applyinpandas", "pipeline"),
 )
+def greedy_pack_bins(
+    token_counts, budget: int = PACK_BUDGET
+) -> list[tuple[int, int, int, int]]:
+    """Pure greedy walk: (bin, n_docs, fill_tokens, n_oversize) per bin.
+
+    Close the current bin when the next document would exceed
+    ``budget``; a document larger than the budget occupies a bin alone
+    (counted in n_oversize). Property-tested against an independent
+    reference in tests/test_packing_graph.py; the Spark kernel and the
+    recursive-CTE oracle both implement exactly this walk.
+    """
+    out: list[tuple[int, int, int, int]] = []
+    bin_id, fill, n_docs, oversize_ct = 0, 0, 0, 0
+    for t in token_counts:
+        t = int(t)
+        if n_docs > 0 and fill + t > budget:
+            out.append((bin_id, n_docs, fill, oversize_ct))
+            bin_id += 1
+            fill, n_docs, oversize_ct = 0, 0, 0
+        fill += t
+        n_docs += 1
+        if t > budget:
+            oversize_ct += 1
+    if n_docs > 0:
+        out.append((bin_id, n_docs, fill, oversize_ct))
+    return out
+
+
 def sequence_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = _grouped_tokens(spark, sf_dir)
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id")
-        bin_id, fill = 0, 0
-        n_docs = 0
-        out = []
-
-        def close():
-            out.append((bin_id, n_docs, fill, oversize_ct))
-
-        oversize_ct = 0
-        for t in pdf["t"].to_numpy():
-            t = int(t)
-            if n_docs > 0 and fill + t > PACK_BUDGET:
-                close()
-                bin_id += 1
-                fill, n_docs, oversize_ct = 0, 0, 0
-            fill += t
-            n_docs += 1
-            if t > PACK_BUDGET:
-                oversize_ct += 1
-        if n_docs > 0:
-            close()
+        out = greedy_pack_bins(pdf["t"].to_numpy())
         g = int(pdf["g"].iloc[0])
         return pd.DataFrame(
             out, columns=["bin", "n_docs", "fill_tokens", "n_oversize"]
