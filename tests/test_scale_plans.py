@@ -264,3 +264,35 @@ def test_salted_join_beats_skewed_plain_join_wallclock(spark):
     speedup = t_plain / t_salted
     print(f"skew-join speedup: {speedup:.2f}x (plain {t_plain:.2f}s, salted {t_salted:.2f}s)")
     assert speedup > 1.2, (t_plain, t_salted)
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir, no_broadcast):
+    """Spark's runtime bloom-filter join pruning: a selective filter on
+    the build side injects bloom_filter_agg / might_contain onto the
+    fact-side scan, dropping non-matching rows before the shuffle. The
+    application-side size threshold defaults to 10 GB — sized for real
+    clusters, so at test scale we lower it to prove the mechanism the
+    100 TB deployment gets for free; results must equal the plain join."""
+    key = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "1KB")
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        filtered = orders.where(F.col("o_orderpriority") == "1-URGENT")
+        j = li.join(filtered, li.l_orderkey == filtered.o_orderkey).agg(
+            F.sum("l_extendedprice").alias("rev")
+        )
+        plan = _plan(j)
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan
+        with_bloom = j.first().rev
+    finally:
+        spark.conf.set(key, prev)
+    no_bloom = (
+        li.join(filtered, li.l_orderkey == filtered.o_orderkey)
+        .agg(F.sum("l_extendedprice").alias("rev"))
+        .first()
+        .rev
+    )
+    assert with_bloom == no_bloom
