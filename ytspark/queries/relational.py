@@ -234,20 +234,30 @@ GROUP BY c.c_custkey, c.c_name
 ORDER BY revenue DESC, c_custkey
 LIMIT 10
 """.format(rev=_REV_SQL),
-    doc="Customer lifetime revenue ranking: two joins, distinct count, "
-        "top-k via ordered LIMIT (certifies the limit family in-window).",
+    doc="Customer lifetime revenue ranking: two joins, per-order "
+        "pre-aggregation, top-k via ordered LIMIT (certifies the limit "
+        "family in-window). The lineitem side pre-aggregates revenue "
+        "per orderkey BEFORE the join, so (a) the join input shrinks "
+        "to one row per order and (b) the per-customer distinct order "
+        "count becomes a plain COUNT — no countDistinct expand phase. "
+        "Decimal partial sums stay exact, so the two-level sum equals "
+        "the oracle's single-level sum.",
     tags=("join", "aggregate", "topk", "distinct", "limit"),
 )
 def top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
-    return (
+    per_order = (
         t["lineitem"]
-        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(F.sum(_rev()).alias("order_rev"))
+    )
+    return (
+        per_order.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .join(maybe_broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey", "c_name")
         .agg(
-            _dsum(_rev(), "revenue"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.sum("order_rev").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(10)
