@@ -66,6 +66,12 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str):
                 df = df.withColumn(
                     "ts", F.timestamp_micros(F.expr("ts div 1000"))
                 )
+            elif dict(df.dtypes).get("ts") == "timestamp_ntz":
+                # micro-precision files infer as TIMESTAMP_NTZ; with the
+                # session tz pinned to UTC this cast is wall-clock
+                # preserving and keeps ts usable as an event-time
+                # (watermark) column, matching the nanos-era semantics
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
             out[n] = df
         else:
             out[n] = spark.read.parquet(path)

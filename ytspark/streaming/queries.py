@@ -39,6 +39,10 @@ def _events_stream(spark: SparkSession, sf_dir: str, max_files: int | None = Non
     stream = reader.parquet(stage)
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        # watermarks require TIMESTAMP; session tz UTC makes the cast
+        # wall-clock preserving (see load_tables)
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
