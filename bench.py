@@ -80,6 +80,10 @@ HEADLINE = [
     "quality_logreg_train",
     "embedding_kmeans_assign",
     "embedding_pq",
+    # round 3: O(delta) table maintenance (CDC merge / SCD-2 / rollup)
+    "cdc_apply_changelog",
+    "scd2_order_status_history",
+    "incremental_rollup_maintenance",
 ]
 
 

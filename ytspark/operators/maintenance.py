@@ -1,0 +1,303 @@
+"""Table-maintenance operators: CDC changelog apply, SCD-2 history
+compaction, and incremental (algebraic) rollup maintenance.
+
+The reference maintains its warehouse tables by truncate-and-reload of
+the full history every tick (reference ``dags/extract.py:118-129`` —
+read-all + concat + write-all, then ``dags/extract.py:167-169`` —
+TRUNCATE + full reload). At 100 TB that pattern is the single biggest
+scalability cliff, so this module implements the three standard
+O(delta) replacements, Spark-first:
+
+- **apply_changelog** — collapse an upsert/delete changelog to final
+  state with ONE map-side-combinable aggregate (``max_by`` on the
+  sequence key), not a window sort: partial aggregation reduces each
+  partition to one candidate row per key before the shuffle, so the
+  shuffle volume is O(keys), not O(changes). This is the engine-native
+  equivalent of ``MERGE INTO`` until a transactional table format is
+  available (see SCALE.md environment blocker).
+- **scd2_compact** — turn an append-only snapshot/event history into
+  Type-2 dimension rows (effective_from / effective_to / is_current)
+  with two window functions over ONE partitioning, so Catalyst plans a
+  single sort+shuffle for both.
+- **merge_rollup** — maintain a materialized aggregate by re-
+  aggregating the union of the stored partial aggregate and the new
+  delta's partial aggregate. Works for any algebraic measure
+  (sum/count/min/max, and avg derived from sum+count); cost is
+  O(delta + affected keys) instead of a full recompute. With the base
+  stored partitioned by key, partition pruning confines the rewrite to
+  affected partitions.
+
+Each operator is registered as a driver-checkable query whose DuckDB
+oracle computes the same result the expensive way (full recompute /
+window replay), so the maintenance shortcut is value-certified against
+first-principles semantics.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ytspark.queries import register
+from ytspark.session import load_tables
+
+
+def apply_changelog(
+    log: DataFrame,
+    key: list[str],
+    seq: list[str],
+    op: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Collapse a changelog to final state: latest row per key wins,
+    keys whose latest op is ``delete_op`` are dropped.
+
+    ``seq`` must be a deterministic total order within each key (e.g.
+    ``["ts", "event_id"]``). Returns one row per surviving key with all
+    of ``log``'s columns at their latest values plus ``n_ops`` (total
+    changelog entries seen for the key, deletes included).
+
+    Shape: groupBy(key).agg(max_by(struct(*), struct(seq))) — a single
+    aggregate with map-side combine. A window row_number(desc) computes
+    the same answer but must sort every partition; max_by keeps only
+    the running maximum per key per partition, so pre-shuffle state is
+    one row per (partition, key).
+    """
+    payload = [c for c in log.columns if c not in key]
+    agg = log.groupBy(*key).agg(
+        F.count(F.lit(1)).alias("n_ops"),
+        F.max_by(
+            F.struct(*[F.col(c) for c in payload]),
+            F.struct(*[F.col(c) for c in seq]),
+        ).alias("_last"),
+    )
+    return agg.where(F.col(f"_last.{op}") != delete_op).select(
+        *key,
+        "n_ops",
+        *[F.col(f"_last.{c}").alias(c) for c in payload if c != op],
+    )
+
+
+def scd2_compact(
+    history: DataFrame,
+    key: list[str],
+    attr: str,
+    seq: list[str],
+    effective_col: str,
+) -> DataFrame:
+    """Compact an append-only history into SCD Type-2 rows.
+
+    A new regime starts whenever ``attr`` differs from its previous
+    value within the key (ordered by ``seq``); each regime row carries
+    ``effective_from`` (its first ``effective_col`` value),
+    ``effective_to`` (the next regime's start, NULL while current) and
+    ``is_current``. Both window passes share one
+    partitionBy(key)/orderBy(seq) spec, so the physical plan sorts and
+    shuffles once.
+    """
+    w = Window.partitionBy(*key).orderBy(*seq)
+    changes = history.withColumn("_prev", F.lag(attr).over(w)).where(
+        F.col("_prev").isNull() | (F.col("_prev") != F.col(attr))
+    )
+    return changes.select(
+        *key,
+        F.col(attr),
+        F.col(effective_col).alias("effective_from"),
+        F.lead(effective_col).over(w).alias("effective_to"),
+    ).withColumn("is_current", F.col("effective_to").isNull())
+
+
+def merge_rollup(
+    base_agg: DataFrame,
+    delta_agg: DataFrame,
+    keys: list[str],
+    sums: list[str],
+    derived: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Merge two partial aggregates of the same rollup (algebraic
+    maintenance): union, re-sum per key, then attach derived measures.
+
+    Both inputs must carry ``keys`` + ``sums`` columns where every
+    ``sums`` column is additive (COUNT partials included — a count
+    merges as a sum). ``derived`` maps output column name → expression
+    over the merged sums (e.g. avg = sum/count), computed only at the
+    end so the merge itself stays algebraic.
+    """
+    merged = (
+        base_agg.select(*keys, *sums)
+        .unionByName(delta_agg.select(*keys, *sums))
+        .groupBy(*keys)
+        .agg(*[F.sum(c).alias(c) for c in sums])
+    )
+    for name, expr in (derived or {}).items():
+        merged = merged.withColumn(name, expr)
+    return merged
+
+
+# --------------------------------------------------------------------
+# registered queries
+# --------------------------------------------------------------------
+
+_CDC_ORACLE = """
+WITH log AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+  FROM events
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_ops
+  FROM log
+)
+SELECT user_id, n_ops, ts AS last_ts, value AS last_value
+FROM ranked
+WHERE rn = 1 AND op <> 'D'
+"""
+
+
+@register(
+    "cdc_apply_changelog",
+    oracle=_CDC_ORACLE,
+    doc="Collapse a CDC changelog (events as upserts keyed by user, "
+        "'error' events acting as deletes, sequenced by ts/event_id) to "
+        "final table state with one max_by aggregate — the O(delta) "
+        "engine-native MERGE shape replacing the reference's "
+        "truncate-and-reload (reference dags/extract.py:167-169). The "
+        "oracle recomputes the same state the expensive way (full "
+        "window sort + row_number), certifying the aggregate shortcut.",
+    tags=("maintenance", "cdc", "aggregate", "pipeline"),
+)
+def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    log = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    final = apply_changelog(log, key=["user_id"], seq=["ts", "event_id"])
+    return final.select(
+        "user_id",
+        "n_ops",
+        F.col("ts").alias("last_ts"),
+        F.col("value").alias("last_value"),
+    )
+
+
+_SCD2_ORACLE = """
+WITH changes AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate,
+         LAG(o_orderstatus) OVER w AS prev_status
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+regimes AS (
+  SELECT o_custkey, o_orderstatus AS status,
+         o_orderdate AS effective_from,
+         LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate) AS effective_to
+  FROM changes
+  WHERE prev_status IS NULL OR prev_status <> o_orderstatus
+)
+SELECT o_custkey, status, effective_from, effective_to,
+       effective_to IS NULL AS is_current
+FROM regimes
+"""
+
+
+@register(
+    "scd2_order_status_history",
+    oracle=_SCD2_ORACLE,
+    doc="SCD Type-2 dimension build: compact each customer's order-"
+        "status history (ordered by date, orderkey) into effective-"
+        "dated regime rows with is_current flags. Both window passes "
+        "share one partitioning so the plan sorts/shuffles once — the "
+        "standard way a snapshot fact stream (SURVEY §1.1) becomes a "
+        "versioned dimension without rewriting history.",
+    tags=("maintenance", "scd2", "window", "join"),
+)
+def scd2_order_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    hist = scd2_compact(
+        orders.select("o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey"),
+        key=["o_custkey"],
+        attr="o_orderstatus",
+        seq=["o_orderdate", "o_orderkey"],
+        effective_col="o_orderdate",
+    )
+    return hist.select(
+        "o_custkey",
+        F.col("o_orderstatus").alias("status"),
+        "effective_from",
+        "effective_to",
+        "is_current",
+    )
+
+
+INCR_CUTOFF = "2000-01-01"  # orders on/after this date form the delta
+
+_INCR_ROLLUP_ORACLE = """
+SELECT DATE_TRUNC('day', o_orderdate) AS order_date,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_price
+FROM orders
+GROUP BY 1
+"""
+
+
+def _daily_rollup(orders: DataFrame) -> DataFrame:
+    return orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("order_date")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_price"),
+    )
+
+
+@register(
+    "incremental_rollup_maintenance",
+    oracle=_INCR_ROLLUP_ORACLE,
+    doc="Materialized-aggregate maintenance: the daily order rollup is "
+        f"kept as partial aggregates; the delta (orders >= {INCR_CUTOFF}) "
+        "is aggregated alone and MERGED into the stored base by "
+        "re-summing per key — O(delta + affected keys), never a full "
+        "recompute. Derived measures (avg) are computed after the "
+        "merge so every stored column stays algebraic. The oracle IS "
+        "the full recompute over all orders, certifying base ⊕ delta "
+        "== full. This is the aggregate-level twin of the engine's "
+        "O(delta) bronze append (SURVEY §2 T8) replacing the "
+        "reference's full-history rewrite (dags/extract.py:118-129).",
+    tags=("maintenance", "incremental", "aggregate", "pipeline"),
+)
+def incremental_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    cutoff = F.lit(INCR_CUTOFF).cast("timestamp")
+    base = _daily_rollup(orders.where(F.col("o_orderdate") < cutoff))
+    delta = _daily_rollup(orders.where(F.col("o_orderdate") >= cutoff))
+    merged = merge_rollup(
+        base,
+        delta,
+        keys=["order_date"],
+        sums=["n_orders", "total_price"],
+        derived={
+            "avg_price": F.round(
+                F.col("total_price").cast("double") / F.col("n_orders"), 6
+            )
+        },
+    )
+    return merged.select(
+        "order_date",
+        "n_orders",
+        F.col("total_price").cast("double").alias("total_price"),
+        "avg_price",
+    )

@@ -132,6 +132,34 @@ def sequence_pack_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def greedy_pack_bins(
+    token_counts, budget: int = PACK_BUDGET
+) -> list[tuple[int, int, int, int]]:
+    """Pure greedy walk: (bin, n_docs, fill_tokens, n_oversize) per bin.
+
+    Close the current bin when the next document would exceed
+    ``budget``; a document larger than the budget occupies a bin alone
+    (counted in n_oversize). Property-tested against an independent
+    reference in tests/test_packing_graph.py; the Spark kernel and the
+    recursive-CTE oracle both implement exactly this walk.
+    """
+    out: list[tuple[int, int, int, int]] = []
+    bin_id, fill, n_docs, oversize_ct = 0, 0, 0, 0
+    for t in token_counts:
+        t = int(t)
+        if n_docs > 0 and fill + t > budget:
+            out.append((bin_id, n_docs, fill, oversize_ct))
+            bin_id += 1
+            fill, n_docs, oversize_ct = 0, 0, 0
+        fill += t
+        n_docs += 1
+        if t > budget:
+            oversize_ct += 1
+    if n_docs > 0:
+        out.append((bin_id, n_docs, fill, oversize_ct))
+    return out
+
+
 @register(
     "sequence_pack_greedy",
     oracle=f"""
@@ -172,34 +200,6 @@ GROUP BY g, bin
         "cross-engine, not just row-counted.",
     tags=("packing", "text", "udf", "applyinpandas", "pipeline"),
 )
-def greedy_pack_bins(
-    token_counts, budget: int = PACK_BUDGET
-) -> list[tuple[int, int, int, int]]:
-    """Pure greedy walk: (bin, n_docs, fill_tokens, n_oversize) per bin.
-
-    Close the current bin when the next document would exceed
-    ``budget``; a document larger than the budget occupies a bin alone
-    (counted in n_oversize). Property-tested against an independent
-    reference in tests/test_packing_graph.py; the Spark kernel and the
-    recursive-CTE oracle both implement exactly this walk.
-    """
-    out: list[tuple[int, int, int, int]] = []
-    bin_id, fill, n_docs, oversize_ct = 0, 0, 0, 0
-    for t in token_counts:
-        t = int(t)
-        if n_docs > 0 and fill + t > budget:
-            out.append((bin_id, n_docs, fill, oversize_ct))
-            bin_id += 1
-            fill, n_docs, oversize_ct = 0, 0, 0
-        fill += t
-        n_docs += 1
-        if t > budget:
-            oversize_ct += 1
-    if n_docs > 0:
-        out.append((bin_id, n_docs, fill, oversize_ct))
-    return out
-
-
 def sequence_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = _grouped_tokens(spark, sf_dir)
 

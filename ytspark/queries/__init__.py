@@ -82,7 +82,7 @@ _PRIORITY: tuple[str, ...] = (
     "q21_waiting_suppliers",
     "top_revenue_customers",
     "rollup_order_status",
-    "grouping_sets_segment_priority",
+    "cdc_apply_changelog",
     "intersect_all_segments",
     "full_outer_daily_activity",
     "salted_skew_join_revenue",
@@ -140,6 +140,7 @@ def registry() -> dict[str, Query]:
         dedup,
         graph,
         learn,
+        maintenance,
         multimodal,
         packing,
         similarity,
