@@ -84,6 +84,12 @@ HEADLINE = [
     "cdc_apply_changelog",
     "scd2_order_status_history",
     "incremental_rollup_maintenance",
+    # round 3: search / fuzzy ER / data layout / gap repair
+    "inverted_index_stats",
+    "bm25_search",
+    "fuzzy_join_customer_names",
+    "zorder_layout_stats",
+    "gap_fill_linear_interpolation",
 ]
 
 

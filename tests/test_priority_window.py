@@ -36,5 +36,13 @@ def test_rotated_out_queries_remain_registered():
         "customer_balance_quartiles",
         "pivot_segment_status",
         "dedup_simhash",
+        # round-3 rotation for the search/fuzzy/layout families:
+        # certified in r1+r2 (incremental_append_union), covered by a
+        # window twin (top3 via q21/top_revenue topk+window tags), or
+        # rows-only with its hash-certified twin still inside
+        # (dedup_minhash_lsh -> dedup_minhash_lsh_checkable)
+        "incremental_append_union",
+        "top3_orders_per_priority",
+        "dedup_minhash_lsh",
     ):
         assert name in reg and name not in _PRIORITY

@@ -45,6 +45,9 @@ EXPECTED_NESTED_LOOP = {
     "events_pagerank",           # broadcast one-row node count N per iteration
     "quality_logreg_train",      # broadcast one-row weight vector per iteration
     "embedding_kmeans_assign",   # broadcast K-row centroid table, all-pairs by design
+    "tfidf_top_terms",           # broadcast one-row corpus size N
+    "bm25_search",               # broadcast one-row (n_docs, avg_dl) scalars
+    "gap_fill_linear_interpolation",  # broadcast calendar spine x 5 priorities
 }
 # streaming queries execute eagerly; skip plan audit (they materialize
 # their own sinks and are correctness-checked by the oracle gate)

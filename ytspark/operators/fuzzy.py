@@ -1,0 +1,99 @@
+"""Entity-resolution fuzzy join: find all record pairs within edit
+distance 1 via deletion-neighborhood blocking (the SymSpell/FastSS
+blocking scheme), certified against a brute-force oracle.
+
+Near-duplicate *records* (names, titles, product labels) are the
+short-string twin of near-duplicate documents: exact-hash dedup misses
+them and a pairwise Levenshtein scan is O(n²·L²) — 10¹⁸ distance
+computations at 10⁹ rows. The standard scalable shape is
+candidate-generation by blocking + verification, the same
+candidate→verify pattern as the n-gram/MinHash document pipeline
+(``ytspark/operators/dedup.py``):
+
+- **Blocking**: every string emits itself plus its |s| single-deletion
+  variants (O(n·L) rows, generated JVM-side with transform/sequence —
+  no Python). Two strings with edit distance ≤ 1 ALWAYS share a
+  variant: equal strings share themselves; a substitution at position
+  i means deleting position i from both sides yields the same string;
+  an insertion means deleting the inserted character from the longer
+  side yields the shorter. So the equi-join on variants is a complete
+  candidate set — recall 1.0 by construction, not by tuning.
+- **Verification**: candidates (each ≤ edit distance 2, having dropped
+  ≤ 1 character per side) are checked with one Levenshtein call.
+
+The DuckDB oracle is the brute-force O(n²) join, so the driver's
+hash-compare certifies exactly that blocking lost no pair — the recall
+proof runs cross-engine on every gate, at a scale where brute force is
+still feasible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ytspark.queries import register
+from ytspark.session import load_tables
+
+MAX_EDIT = 1
+
+
+def deletion_variants(df: DataFrame, col: str) -> DataFrame:
+    """Explode each string into itself + its single-deletion variants
+    (deduplicated: repeated characters collapse to one variant)."""
+    v = F.array_distinct(
+        F.concat(
+            F.array(F.col(col)),
+            F.expr(
+                f"transform(sequence(1, length({col})),"
+                f" i -> concat(substring({col}, 1, i - 1),"
+                f"             substring({col}, i + 1, length({col}))))"
+            ),
+        )
+    )
+    return df.select(F.col(col), F.explode(v).alias("variant"))
+
+
+def fuzzy_self_join(
+    df: DataFrame, col: str, max_edit: int = MAX_EDIT
+) -> DataFrame:
+    """All distinct pairs (a < b) of ``col`` values within ``max_edit``
+    (≤ 1: the deletion-1 neighborhood is complete only up to 1)."""
+    va = deletion_variants(df, col).withColumnRenamed(col, "name_a")
+    vb = deletion_variants(df, col).withColumnRenamed(col, "name_b")
+    cand = (
+        va.join(vb, "variant")
+        .where(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
+    )
+    return cand.select(
+        "name_a",
+        "name_b",
+        F.levenshtein("name_a", "name_b").alias("edit_distance"),
+    ).where(F.col("edit_distance") <= max_edit)
+
+
+_FUZZY_ORACLE = f"""
+SELECT a.c_name AS name_a, b.c_name AS name_b,
+       LEVENSHTEIN(a.c_name, b.c_name) AS edit_distance
+FROM customer a JOIN customer b ON a.c_name < b.c_name
+WHERE LEVENSHTEIN(a.c_name, b.c_name) <= {MAX_EDIT}
+"""
+
+
+@register(
+    "fuzzy_join_customer_names",
+    oracle=_FUZZY_ORACLE,
+    doc="Edit-distance-1 self-join of customer names via deletion-"
+        "neighborhood (SymSpell) blocking: O(n·L) variant rows and an "
+        "equi-join replace the O(n²) Levenshtein scan; candidates are "
+        "verified with one distance call. The oracle IS the brute-"
+        "force quadratic join, so the hash-compare certifies the "
+        "blocking's recall is exactly 1.0 — no pair lost — on every "
+        "driver run.",
+    tags=("fuzzy", "dedup", "join", "text"),
+)
+def fuzzy_join_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_tables(spark, sf_dir, "customer")["customer"]
+    return fuzzy_self_join(cust.select("c_name"), "c_name")

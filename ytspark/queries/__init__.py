@@ -68,7 +68,6 @@ _PRIORITY: tuple[str, ...] = (
     # reference pipeline (SURVEY §2 S/T/O rows)
     "mart_union_cast",
     "model_dag_mart",
-    "incremental_append_union",
     "data_quality_report",
     # events analytics over the snapshot model
     "events_sessionization",
@@ -88,7 +87,6 @@ _PRIORITY: tuple[str, ...] = (
     "salted_skew_join_revenue",
     # scalar functions + window battery
     "scalar_function_battery",
-    "top3_orders_per_priority",
     # Python-kernel matrix (applyInPandas / pandas_udf / UDTF)
     "events_user_minmax_norm",
     "token_entropy_pandas_udf",
@@ -100,7 +98,6 @@ _PRIORITY: tuple[str, ...] = (
     # cross-engine-checkable (hash-certified) signature variants
     "dedup_exact_stats",
     "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
     "dedup_minhash_lsh_checkable",
     "dedup_minhash_incremental",
     "dedup_simhash_checkable",
@@ -118,6 +115,10 @@ _PRIORITY: tuple[str, ...] = (
     "pii_redaction_stats",
     "doc_repetition_stats",
     "corpus_mixture_sample",
+    # search / fuzzy ER / data layout (round 3)
+    "bm25_search",
+    "fuzzy_join_customer_names",
+    "zorder_layout_stats",
     # training-set assembly + iterative graph/learning (round 3)
     "sequence_pack_greedy",
     "events_pagerank",
@@ -138,11 +139,14 @@ def registry() -> dict[str, Query]:
         batchmap,
         clustering,
         dedup,
+        fuzzy,
         graph,
+        layout,
         learn,
         maintenance,
         multimodal,
         packing,
+        search,
         similarity,
         temporal,
         text,

@@ -1029,3 +1029,129 @@ def calendar_zero_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_orders"),
         F.when(F.col("n").isNull(), 1).otherwise(0).alias("is_gap"),
     )
+
+
+@register(
+    "gap_fill_linear_interpolation",
+    oracle="""
+WITH sparse AS (
+  SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS d,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders WHERE o_orderkey % 50 < 3
+  GROUP BY 1, 2
+),
+bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM sparse),
+cal AS (
+  SELECT CAST(UNNEST(GENERATE_SERIES(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM bounds
+),
+spine AS (
+  SELECT p.pri, c.d
+  FROM (SELECT DISTINCT pri FROM sparse) p CROSS JOIN cal c
+),
+joined AS (
+  SELECT s.pri, s.d,
+         DATEDIFF('day', DATE '1992-01-01', s.d) AS di,
+         CAST(sp.rev AS DOUBLE) AS rev
+  FROM spine s LEFT JOIN sparse sp ON sp.pri = s.pri AND sp.d = s.d
+),
+ctx AS (
+  SELECT pri, d, di, rev,
+         LAST_VALUE(rev IGNORE NULLS) OVER wp AS prev_v,
+         LAST_VALUE(CASE WHEN rev IS NOT NULL THEN di END IGNORE NULLS)
+           OVER wp AS prev_d,
+         FIRST_VALUE(rev IGNORE NULLS) OVER wn AS next_v,
+         FIRST_VALUE(CASE WHEN rev IS NOT NULL THEN di END IGNORE NULLS)
+           OVER wn AS next_d
+  FROM joined
+  WINDOW wp AS (PARTITION BY pri ORDER BY di
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY pri ORDER BY di
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT pri, STRFTIME(d, '%Y-%m-%d') AS day,
+       CASE WHEN rev IS NOT NULL THEN 'obs'
+            WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN 'interp'
+            ELSE 'edge' END AS fill_kind,
+       ROUND(CASE
+         WHEN rev IS NOT NULL THEN rev
+         WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+           THEN prev_v + (next_v - prev_v)
+                * (CAST(di - prev_d AS DOUBLE) / (next_d - prev_d))
+         ELSE COALESCE(prev_v, next_v) END, 6) AS revenue_filled
+FROM ctx
+""",
+    doc="Time-series gap repair by linear interpolation: a sparse "
+        "daily revenue series per order priority (deterministically "
+        "thinned so real gaps exist) is densified onto a calendar "
+        "spine, then each gap day is filled by interpolating between "
+        "the "
+        "nearest observations on each side — last_value/first_value "
+        "with IGNORE NULLS over two frames of ONE partitioning, so "
+        "the plan shuffles/sorts once per direction pair. Edges hold "
+        "the nearest value. Interpolation arithmetic is ordered "
+        "identically on both engines (IEEE +,-,*,/ are exactly "
+        "rounded), then rounded to 6 dp.",
+    tags=("time", "calendar", "densify", "window", "interpolation"),
+)
+def gap_fill_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    sparse = (
+        o.where(F.col("o_orderkey") % 50 < 3)
+        .groupBy(
+            F.col("o_orderpriority").alias("pri"),
+            F.to_date("o_orderdate").alias("d"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    bounds = sparse.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    cal = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("d")
+    )
+    spine = sparse.select("pri").distinct().crossJoin(F.broadcast(cal))
+    joined = spine.join(sparse, ["pri", "d"], "left").select(
+        "pri",
+        "d",
+        F.datediff("d", F.lit("1992-01-01")).alias("di"),
+        F.col("rev").cast("double").alias("rev"),
+    )
+    wp = (
+        Window.partitionBy("pri")
+        .orderBy("di")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("pri")
+        .orderBy("di")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_d = F.when(F.col("rev").isNotNull(), F.col("di"))
+    ctx = joined.select(
+        "pri",
+        "d",
+        "di",
+        "rev",
+        F.last("rev", ignorenulls=True).over(wp).alias("prev_v"),
+        F.last(obs_d, ignorenulls=True).over(wp).alias("prev_d"),
+        F.first("rev", ignorenulls=True).over(wn).alias("next_v"),
+        F.first(obs_d, ignorenulls=True).over(wn).alias("next_d"),
+    )
+    both = F.col("prev_v").isNotNull() & F.col("next_v").isNotNull()
+    interp = F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * (
+        (F.col("di") - F.col("prev_d")).cast("double")
+        / (F.col("next_d") - F.col("prev_d"))
+    )
+    return ctx.select(
+        "pri",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.when(F.col("rev").isNotNull(), F.lit("obs"))
+        .when(both, F.lit("interp"))
+        .otherwise(F.lit("edge"))
+        .alias("fill_kind"),
+        F.round(
+            F.when(F.col("rev").isNotNull(), F.col("rev"))
+            .when(both, interp)
+            .otherwise(F.coalesce("prev_v", "next_v")),
+            6,
+        ).alias("revenue_filled"),
+    )
