@@ -90,6 +90,9 @@ HEADLINE = [
     "fuzzy_join_customer_names",
     "zorder_layout_stats",
     "gap_fill_linear_interpolation",
+    # round 3: mergeable sketches
+    "approx_distinct_users_bounds",
+    "hll_union_rollup_bounds",
 ]
 
 

@@ -1,0 +1,207 @@
+"""Sketch operators: approximate distinct counts (HyperLogLog) and
+approximate quantiles (Greenwald-Khanna), with re-aggregatable
+(mergeable) rollups and cross-engine-certified error bounds.
+
+At 100 TB, COUNT(DISTINCT) and exact percentiles are the two
+aggregates whose memory is unbounded in the naive plan: distinct needs
+a shuffle of every key, percentiles a sort of every value. Sketches
+replace both with constant-size mergeable state — and mergeability is
+the actual scale feature: a per-partition/per-day sketch table can be
+rolled up to ANY grouping later without rescanning the raw data
+(register-max for HLL, summary-merge for GK), which is how a
+1000-executor cluster serves distinct-count dashboards over historical
+parquet.
+
+Certification strategy: a sketch estimate has no cross-engine twin
+(DuckDB's HLL is a different implementation), but its ERROR BOUND is a
+theorem, not an implementation detail. Each query therefore emits the
+exact answer (hash-checkable) plus a boolean "estimate within bound";
+the oracle recomputes the exact answer and emits literal TRUE. Both
+sketches are merge-order independent (HLL state merges by per-register
+max; GK merge preserves the rank-error invariant), so the booleans are
+deterministic under any partitioning and the driver's value-hash gate
+certifies, on every run, both the exact semantics and that the sketch
+kept its contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ytspark.queries import register
+from ytspark.session import load_tables
+
+HLL_RSD = 0.05  # relative standard deviation for approx_count_distinct
+# acceptance bound: 4 sigma. P(|err| > 4*rsd) ~ 6e-5 per group under
+# the HLL normal approximation; the gate runs a handful of groups, and
+# the boolean is deterministic for a FIXED dataset anyway — the margin
+# only needs to absorb estimator bias, not randomness.
+HLL_BOUND = 4 * HLL_RSD
+
+QUANTILE_ACCURACY = 1000  # GK rank error epsilon = 1/accuracy
+
+
+_APPROX_DISTINCT_ORACLE = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       COUNT(*) AS n_events,
+       TRUE AS hll_within_bound
+FROM events
+GROUP BY event_type
+"""
+
+
+@register(
+    "approx_distinct_users_bounds",
+    oracle=_APPROX_DISTINCT_ORACLE,
+    doc="Per-event-type distinct users: the exact count (hash-"
+        f"certified) alongside a boolean asserting HLL (rsd={HLL_RSD}) "
+        f"landed within {HLL_BOUND:.0%} of it. The oracle recomputes "
+        "the exact count and expects TRUE, so every driver run "
+        "re-certifies the sketch's error contract cross-engine. HLL "
+        "state is a per-register max -> merge-order independent -> "
+        "the boolean is deterministic under any partitioning.",
+    tags=("sketch", "approx", "aggregate"),
+)
+def approx_distinct_users_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    agg = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.approx_count_distinct("user_id", rsd=HLL_RSD).alias("approx_users"),
+    )
+    err = F.abs(F.col("approx_users") - F.col("exact_users")) / F.col(
+        "exact_users"
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        "n_events",
+        (err <= F.lit(HLL_BOUND)).alias("hll_within_bound"),
+    )
+
+
+_HLL_ROLLUP_ORACLE = """
+WITH daily AS (
+  SELECT event_type, DATE_TRUNC('day', ts) AS d, user_id
+  FROM events
+)
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       CAST(COUNT(DISTINCT d) AS BIGINT) AS n_days_merged,
+       TRUE AS union_within_bound
+FROM daily
+GROUP BY event_type
+"""
+
+
+@register(
+    "hll_union_rollup_bounds",
+    oracle=_HLL_ROLLUP_ORACLE,
+    doc="The mergeable-sketch rollup pattern itself: build one HLL "
+        "sketch per (event_type, day) with hll_sketch_agg, then UNION "
+        "the daily sketches per event_type (hll_union_agg) and "
+        "estimate — distinct users over any date range without "
+        "rescanning raw events, the way a sketch table amortizes "
+        "distinct-count serving at 100 TB. Certified like the plain "
+        "sketch: exact count hash-checked, estimate asserted within "
+        "the lgConfigK=12 bound (~1.6% rsd, 4-sigma margin), TRUE "
+        "expected by the oracle.",
+    tags=("sketch", "approx", "aggregate", "rollup"),
+)
+def hll_union_rollup_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.hll_sketch_agg("user_id", 12).alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk", True)).alias(
+            "approx_users"
+        ),
+        F.count(F.lit(1)).alias("n_days_merged"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    # Datasketches HLL with lgConfigK=12: rsd ~= 1.04/sqrt(2^12) ~ 1.6%
+    bound = 4 * 1.04 / (2 ** 12) ** 0.5
+    joined = merged.join(exact, "event_type")
+    err = F.abs(F.col("approx_users") - F.col("exact_users")) / F.col(
+        "exact_users"
+    )
+    return joined.select(
+        "event_type",
+        "exact_users",
+        "n_days_merged",
+        (err <= F.lit(bound)).alias("union_within_bound"),
+    )
+
+
+_QUANTILE_ORACLE = """
+SELECT event_type, COUNT(*) AS n_values,
+       TRUE AS p50_within_rank_bound
+FROM events WHERE value IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@register(
+    "approx_quantile_rank_bounds",
+    oracle=_QUANTILE_ORACLE,
+    doc="Approximate median per event_type (percentile_approx, "
+        f"accuracy={QUANTILE_ACCURACY}) asserted inside its "
+        "Greenwald-Khanna guarantee: the returned value must lie "
+        "between the exact order statistics at rank 0.5*n +/- "
+        "ceil(n/accuracy). The exact rank window is computed Spark-"
+        "side (certification apparatus, not the serving path); the "
+        "oracle recomputes the group sizes and expects TRUE. The GK "
+        "invariant survives any merge order, so the boolean is "
+        "deterministic — the gate certifies the sketch contract, not "
+        "a bit pattern.",
+    tags=("sketch", "approx", "window", "aggregate"),
+)
+def approx_quantile_rank_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = (
+        load_tables(spark, sf_dir, "events")["events"]
+        .where(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    approx = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, QUANTILE_ACCURACY).alias("p50_est"),
+        F.count(F.lit(1)).alias("n_values"),
+    )
+    w = Window.partitionBy("event_type").orderBy("value")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    eps = F.ceil(F.col("n").cast("double") / QUANTILE_ACCURACY).cast("long")
+    target = F.greatest(F.lit(1), F.ceil(F.lit(0.5) * F.col("n")).cast("long"))
+    bounds = ranked.groupBy("event_type").agg(
+        F.min(
+            F.when(
+                F.col("rk") == F.greatest(F.lit(1), target - eps), F.col("value")
+            )
+        ).alias("lo"),
+        F.min(
+            F.when(
+                F.col("rk") == F.least(F.col("n"), target + eps), F.col("value")
+            )
+        ).alias("hi"),
+    )
+    return (
+        approx.join(bounds, "event_type")
+        .select(
+            "event_type",
+            "n_values",
+            (
+                (F.col("p50_est") >= F.col("lo"))
+                & (F.col("p50_est") <= F.col("hi"))
+            ).alias("p50_within_rank_bound"),
+        )
+    )

@@ -107,7 +107,6 @@ _PRIORITY: tuple[str, ...] = (
     "knn_cosine_ivf",
     "embedding_scalar_quantization",
     # text analysis + curation safety battery
-    "text_stats",
     "lang_id_heuristic",
     "corpus_curation_pipeline",
     "train_val_test_split",
@@ -115,7 +114,8 @@ _PRIORITY: tuple[str, ...] = (
     "pii_redaction_stats",
     "doc_repetition_stats",
     "corpus_mixture_sample",
-    # search / fuzzy ER / data layout (round 3)
+    # search / fuzzy ER / data layout / sketches (round 3)
+    "approx_distinct_users_bounds",
     "bm25_search",
     "fuzzy_join_customer_names",
     "zorder_layout_stats",
@@ -148,6 +148,7 @@ def registry() -> dict[str, Query]:
         packing,
         search,
         similarity,
+        sketch,
         temporal,
         text,
     )
