@@ -93,6 +93,8 @@ HEADLINE = [
     # round 3: mergeable sketches
     "approx_distinct_users_bounds",
     "hll_union_rollup_bounds",
+    # round 3: real audio (WAV/RIFF) decode
+    "multimodal_audio_decode",
 ]
 
 

@@ -148,6 +148,38 @@ class TestMultimodal:
         # sniffing via decode_image dispatches on magic bytes
         assert decode_image(header + body, "bmp")[2] == expect
 
+    def test_wav_roundtrip_and_chunk_walker(self):
+        import struct
+
+        from ytspark.operators.multimodal import decode_wav, encode_wav
+
+        frames = [-2048, -1, 0, 1, 2047, 123]  # stereo: 3 frames
+        pcm = struct.pack("<6h", *frames)
+        rate, ch, chans = decode_wav(encode_wav(44100, 2, pcm))
+        assert (rate, ch) == (44100, 2)
+        assert chans == [[-2048, 0, 2047], [-1, 1, 123]]
+        # unknown chunk between fmt and data must be skipped
+        rate, ch, chans = decode_wav(
+            encode_wav(8000, 1, pcm, extra_chunk=b"INFOjunk!")
+        )
+        assert (rate, ch, chans[0]) == (8000, 1, frames)
+        # odd-sized extra chunk exercises word-alignment padding
+        _, _, chans = decode_wav(
+            encode_wav(8000, 1, pcm, extra_chunk=b"odd")
+        )
+        assert chans[0] == frames
+        with pytest.raises(ValueError):
+            decode_wav(b"RIFF\x00\x00\x00\x00AIFF")  # not WAVE
+        with pytest.raises(ValueError):  # float PCM unsupported
+            bad_fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+            decode_wav(
+                b"RIFF"
+                + struct.pack("<I", 4 + 8 + len(bad_fmt))
+                + b"WAVEfmt "
+                + struct.pack("<I", len(bad_fmt))
+                + bad_fmt
+            )
+
 
 class TestNgramJaccard:
     def test_df_cap_keeps_recall(self, spark, sf_dir):
