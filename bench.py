@@ -95,6 +95,8 @@ HEADLINE = [
     "hll_union_rollup_bounds",
     # round 3: real audio (WAV/RIFF) decode
     "multimodal_audio_decode",
+    # round 3: column profiling
+    "histogram_profile_totalprice",
 ]
 
 

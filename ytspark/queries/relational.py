@@ -1155,3 +1155,64 @@ def gap_fill_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame
             6,
         ).alias("revenue_filled"),
     )
+
+
+HIST_BUCKETS = 16
+
+
+@register(
+    "histogram_profile_totalprice",
+    oracle=f"""
+WITH bounds AS (
+  SELECT MIN(CAST(o_totalprice AS DOUBLE)) AS lo,
+         MAX(CAST(o_totalprice AS DOUBLE)) AS hi
+  FROM orders
+)
+SELECT CAST(LEAST(FLOOR((CAST(o_totalprice AS DOUBLE) - lo) / (hi - lo)
+                        * {HIST_BUCKETS}), {HIST_BUCKETS - 1}) AS BIGINT)
+         + 1 AS bucket,
+       COUNT(*) AS n_rows,
+       ROUND(MIN(CAST(o_totalprice AS DOUBLE)), 2) AS bucket_min,
+       ROUND(MAX(CAST(o_totalprice AS DOUBLE)), 2) AS bucket_max
+FROM orders CROSS JOIN bounds
+GROUP BY 1
+""",
+    doc=f"Equi-width histogram profile ({HIST_BUCKETS} buckets) of the "
+        "order-price distribution — the column-profiling primitive "
+        "behind data-quality dashboards and optimizer statistics. "
+        "Bounds come from a broadcast one-row aggregate. The bucket "
+        "id is an explicit least(floor((v-lo)/(hi-lo)*N), N-1)+1 "
+        "expression rather than width_bucket (absent in DuckDB): "
+        "every step is an exactly-rounded IEEE op evaluated in the "
+        "same order on both engines, so assignment — including the "
+        "v==hi clamp into the top bucket — is bit-identical. Two "
+        "aggregates, one of them one row; the histogram shuffle "
+        "carries only bucket ids.",
+    tags=("quality", "profiling", "histogram", "aggregate"),
+)
+def histogram_profile_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")["orders"].select(
+        F.col("o_totalprice").cast("double").alias("v")
+    )
+    bounds = F.broadcast(o.agg(F.min("v").alias("lo"), F.max("v").alias("hi")))
+    return (
+        o.crossJoin(bounds)
+        .groupBy(
+            (
+                F.least(
+                    F.floor(
+                        (F.col("v") - F.col("lo"))
+                        / (F.col("hi") - F.col("lo"))
+                        * HIST_BUCKETS
+                    ),
+                    F.lit(HIST_BUCKETS - 1),
+                ).cast("bigint")
+                + 1
+            ).alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("v"), 2).alias("bucket_min"),
+            F.round(F.max("v"), 2).alias("bucket_max"),
+        )
+    )
