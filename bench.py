@@ -97,6 +97,9 @@ HEADLINE = [
     "multimodal_audio_decode",
     # round 3: column profiling
     "histogram_profile_totalprice",
+    # round 3: weighted sampling + snapshot reconciliation
+    "weighted_sample_per_source",
+    "table_diff_audit",
 ]
 
 

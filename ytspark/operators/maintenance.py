@@ -301,3 +301,92 @@ def incremental_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("total_price").cast("double").alias("total_price"),
         "avg_price",
     )
+
+
+_DIFF_FP = (
+    "MD5(CONCAT_WS('|', o_orderstatus, o_orderpriority,"
+    " CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)))"
+)
+
+_TABLE_DIFF_ORACLE = f"""
+WITH old AS (
+  SELECT o_orderkey, {_DIFF_FP} AS fp
+  FROM orders WHERE o_orderkey % 97 <> 0
+),
+new AS (
+  SELECT o_orderkey,
+         MD5(CONCAT_WS('|', o_orderstatus, o_orderpriority,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                  * CASE WHEN o_orderkey % 101 = 0 THEN 2 ELSE 1 END
+                  AS VARCHAR))) AS fp
+  FROM orders WHERE o_orderkey % 89 <> 0
+)
+SELECT CASE WHEN o.o_orderkey IS NULL THEN 'added'
+            WHEN n.o_orderkey IS NULL THEN 'removed'
+            WHEN o.fp <> n.fp THEN 'changed'
+            ELSE 'unchanged' END AS diff_class,
+       COUNT(*) AS n_rows,
+       MIN(COALESCE(o.o_orderkey, n.o_orderkey)) AS min_key,
+       MAX(COALESCE(o.o_orderkey, n.o_orderkey)) AS max_key
+FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+GROUP BY 1
+"""
+
+
+@register(
+    "table_diff_audit",
+    oracle=_TABLE_DIFF_ORACLE,
+    doc="Table-version reconciliation: two snapshots (deterministically "
+        "derived from orders — disjoint missing-key sets plus a price "
+        "perturbation) are diffed by full-outer-joining their row "
+        "FINGERPRINTS (md5 over a stable-format projection: strings "
+        "and decimal-cast money, never raw doubles) and classifying "
+        "added/removed/changed/unchanged. This is how a backfill or "
+        "migration is validated at 100 TB: one hash per row instead "
+        "of a column-by-column compare, one co-partitioned join, and "
+        "the per-class accounting is map-side combinable. With both "
+        "snapshots partitioned the same way the join is exchange-free.",
+    tags=("maintenance", "diff", "audit", "join", "aggregate"),
+)
+def table_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+
+    def fingerprint(price):
+        return F.md5(
+            F.concat_ws(
+                "|",
+                F.col("o_orderstatus"),
+                F.col("o_orderpriority"),
+                price.cast("string"),
+            )
+        )
+
+    base_price = F.col("o_totalprice").cast("decimal(18,2)")
+    old = orders.where(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey", fingerprint(base_price).alias("fp_old")
+    )
+    bump = F.when(F.col("o_orderkey") % 101 == 0, F.lit(2)).otherwise(F.lit(1))
+    new = orders.where(F.col("o_orderkey") % 89 != 0).select(
+        "o_orderkey", fingerprint(base_price * bump).alias("fp_new")
+    )
+    joined = old.withColumnRenamed("o_orderkey", "k_old").join(
+        new.withColumnRenamed("o_orderkey", "k_new"),
+        F.col("k_old") == F.col("k_new"),
+        "full_outer",
+    )
+    cls = (
+        F.when(F.col("k_old").isNull(), F.lit("added"))
+        .when(F.col("k_new").isNull(), F.lit("removed"))
+        .when(F.col("fp_old") != F.col("fp_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    key = F.coalesce(F.col("k_old"), F.col("k_new"))
+    return (
+        joined.select(cls.alias("diff_class"), key.alias("k"))
+        .groupBy("diff_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("k").alias("min_key"),
+            F.max("k").alias("max_key"),
+        )
+    )

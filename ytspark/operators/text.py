@@ -775,3 +775,60 @@ def token_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n_ranks"),
         F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).alias("zipf_slope"),
     )
+
+
+WSAMPLE_K = 20  # documents kept per source
+
+
+@register(
+    "weighted_sample_per_source",
+    oracle=f"""
+WITH keyed AS (
+  SELECT source, doc_id, n_chars,
+         -- Efraimidis-Spirakis key u^(1/w): u hash-derived in (0,1),
+         -- w = n_chars; larger key wins. Deterministic, no RNG state.
+         POWER(({knuth_hash_sql("doc_id")} + 1.0) / ({SPLIT_MOD} + 1.0),
+               1.0 / n_chars) AS k
+  FROM documents
+),
+ranked AS (
+  SELECT source, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY k DESC, doc_id) AS rk
+  FROM keyed
+)
+SELECT source, rk, doc_id, n_chars
+FROM ranked WHERE rk <= {WSAMPLE_K}
+""",
+    doc=f"Weighted sampling WITHOUT replacement, top-{WSAMPLE_K} per "
+        "source (Efraimidis-Spirakis A-ES): each doc gets key "
+        "u^(1/weight) with u derived from the overflow-safe Knuth "
+        "hash (not rand()), weight = document length; the k largest "
+        "keys per source are an exact weighted sample. Deterministic "
+        "by construction — replay-safe under AQE/retries, "
+        "reproducible across runs, and mergeable: the top-k of a "
+        "union is the top-k of the per-partition top-ks, so at 100 TB "
+        "this is a partial TakeOrdered per partition, never a global "
+        "sort. Complements corpus_mixture_sample (rate control) with "
+        "size control.",
+    tags=("text", "sampling", "weighted", "window", "pipeline"),
+)
+def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    u = (knuth_hash_col(F.col("doc_id")) + F.lit(1.0)) / F.lit(
+        float(SPLIT_MOD) + 1.0
+    )
+    keyed = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.pow(u, F.lit(1.0) / F.col("n_chars")).alias("k"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("k"), F.asc("doc_id"))
+    return (
+        keyed.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= WSAMPLE_K)
+        .select("source", "rk", "doc_id", "n_chars")
+    )
