@@ -100,6 +100,8 @@ HEADLINE = [
     # round 3: weighted sampling + snapshot reconciliation
     "weighted_sample_per_source",
     "table_diff_audit",
+    # round 3: log-round hierarchy resolution
+    "hierarchy_pointer_doubling",
 ]
 
 

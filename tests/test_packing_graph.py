@@ -213,3 +213,32 @@ class TestPageRank:
         )
         rows = {r.node: r.pr for r in pagerank(edges).collect()}
         assert rows[0] == max(rows.values())
+
+
+class TestPointerDoubling:
+    def test_all_nodes_resolve_to_forest_roots(self, spark, sf_dir):
+        from ytspark.operators.graph import (
+            HIER_ROOT_LIMIT,
+            hierarchy_pointer_doubling,
+        )
+
+        out = hierarchy_pointer_doubling(spark, sf_dir).toPandas()
+        n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+        # every customer resolved exactly once, every root is a root
+        assert int(out["n_nodes"].sum()) == n_cust
+        assert (out["root"] < HIER_ROOT_LIMIT).all()
+        # depth of node k under parent(k)=k div 2 is known in closed
+        # form: halvings until < HIER_ROOT_LIMIT
+        import math
+
+        max_key = n_cust  # custkeys are 1..n
+        expect_max_depth = 0
+        k = max_key
+        while k >= HIER_ROOT_LIMIT:
+            k //= 2
+            expect_max_depth += 1
+        assert int(out["depth"].max()) == expect_max_depth
+        # and the log-round budget genuinely covers it
+        from ytspark.operators.graph import PD_ROUNDS
+
+        assert expect_max_depth <= 2 ** PD_ROUNDS

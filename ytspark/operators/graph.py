@@ -162,3 +162,71 @@ def events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
     )
     return pagerank(edges, weight="w")
+
+
+HIER_ROOT_LIMIT = 8  # custkeys below this are forest roots
+PD_ROUNDS = 5  # pointer-doubling rounds: resolves depth <= 2^5 = 32
+# (depth of node k is ~log2(k) - 2, so 5 rounds cover custkeys < 2^37
+#  — raise by ONE round per doubling of log-scale, not per data size)
+
+
+@register(
+    "hierarchy_pointer_doubling",
+    oracle=f"""
+WITH RECURSIVE up AS (
+  SELECT c_custkey AS node, c_custkey AS cur, 0 AS d FROM customer
+  UNION ALL
+  SELECT node, cur // 2, d + 1 FROM up WHERE cur >= {HIER_ROOT_LIMIT}
+)
+SELECT cur AS root, d AS depth, COUNT(*) AS n_nodes,
+       MIN(node) AS min_node, MAX(node) AS max_node
+FROM up WHERE cur < {HIER_ROOT_LIMIT}
+GROUP BY 1, 2
+""",
+    doc="Hierarchy resolution by POINTER DOUBLING: a synthetic forest "
+        "over customers (parent(k) = k div 2, roots below "
+        f"{HIER_ROOT_LIMIT}) is resolved to (root, depth) per node in "
+        f"O(log depth) self-joins — {PD_ROUNDS} rounds cover depth "
+        "2^5 — instead of one join per level. Each round joins the "
+        "state to itself (my ancestor's ancestor becomes mine, "
+        "distances add; resolved nodes hold a self-pointer fixpoint) "
+        "and is eagerly localCheckpoint'ed so the plan stays linear "
+        "in rounds rather than exponential. This is how org charts / "
+        "BOM explosions / thread ancestry resolve at 100 TB: a "
+        "1000-level chain costs 10 co-partitioned joins. The oracle "
+        "is the sequential WITH RECURSIVE walk, certifying the "
+        "log-round shortcut against the step-by-step semantics.",
+    tags=("graph", "hierarchy", "iterative", "join"),
+)
+def hierarchy_pointer_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_tables(spark, sf_dir, "customer")["customer"]
+    node = F.col("node")
+    state = cust.select(F.col("c_custkey").alias("node")).select(
+        "node",
+        F.when(node < HIER_ROOT_LIMIT, node)
+        .otherwise(F.floor(node / 2).cast("long"))
+        .alias("anc"),
+        F.when(node < HIER_ROOT_LIMIT, F.lit(0)).otherwise(F.lit(1)).alias("d"),
+    )
+    for _ in range(PD_ROUNDS):
+        hop = state.select(
+            F.col("node").alias("j_node"),
+            F.col("anc").alias("j_anc"),
+            F.col("d").alias("j_d"),
+        )
+        state = (
+            state.join(hop, state["anc"] == hop["j_node"])
+            .select(
+                "node",
+                F.col("j_anc").alias("anc"),
+                (F.col("d") + F.col("j_d")).alias("d"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return state.groupBy(
+        F.col("anc").alias("root"), F.col("d").alias("depth")
+    ).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("node").alias("min_node"),
+        F.max("node").alias("max_node"),
+    )
