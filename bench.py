@@ -102,6 +102,8 @@ HEADLINE = [
     "table_diff_audit",
     # round 3: log-round hierarchy resolution
     "hierarchy_pointer_doubling",
+    # round 3: hybrid retrieval (BM25 + embedding cosine, RRF fusion)
+    "hybrid_search_rrf",
 ]
 
 

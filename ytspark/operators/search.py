@@ -247,7 +247,13 @@ LIMIT {BM25_TOP}
 )
 def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
+    scored = bm25_scores(docs)
+    return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(BM25_TOP)
 
+
+def bm25_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, bm25, n_terms_hit) for every doc matching ≥1 query
+    term; shared by bm25_search and the hybrid RRF fusion."""
     # postings restricted to query terms before the tf aggregation:
     # the IN filter sits directly on the exploded term column
     dt = (
@@ -264,7 +270,7 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.broadcast(_corpus_scalars(docs))
 
-    scored = (
+    return (
         dt.join(stats, "term")
         .join(dl, "doc_id")
         .crossJoin(n)
@@ -279,4 +285,141 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_terms_hit",
         )
     )
-    return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(BM25_TOP)
+
+
+RRF_K = 60  # standard reciprocal-rank-fusion constant
+RRF_LIST = 50  # per-retriever candidate list length
+RRF_TOP = 20
+HYBRID_QUERY_VEC = 0  # vec_id of the query embedding (= doc_id 0)
+
+_HYBRID_ORACLE = f"""
+WITH dt AS (
+  SELECT doc_id, t AS term, COUNT(*) AS tf
+  FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents)
+  WHERE t IN ({_BM25_QUERY_SQL})
+  GROUP BY doc_id, t
+),
+stats AS (SELECT term, COUNT(*) AS doc_freq FROM dt GROUP BY term),
+dl AS (SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS dl FROM documents),
+n AS (SELECT COUNT(*) AS n_docs,
+             AVG(LEN(STRING_SPLIT(text, ' '))) AS avg_dl FROM documents),
+bm AS (
+  SELECT dt.doc_id, ROUND(SUM(
+           LN(1.0 + (n.n_docs - s.doc_freq + 0.5) / (s.doc_freq + 0.5))
+           * dt.tf * ({BM25_K1} + 1.0)
+           / (dt.tf + {BM25_K1}
+              * (1.0 - {BM25_B} + {BM25_B} * dl.dl / n.avg_dl))), 6) AS bm25
+  FROM dt JOIN stats s USING (term) JOIN dl USING (doc_id) CROSS JOIN n
+  WHERE dt.doc_id <> {HYBRID_QUERY_VEC}
+  GROUP BY dt.doc_id
+),
+bm_rank AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rb
+  FROM bm QUALIFY rb <= {RRF_LIST}
+),
+q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings
+  WHERE vec_id = {HYBRID_QUERY_VEC}
+),
+cos AS (
+  SELECT e.vec_id AS doc_id,
+         ROUND(LIST_DOT_PRODUCT(q.qv, e.embedding::DOUBLE[])
+               / (SQRT(LIST_DOT_PRODUCT(q.qv, q.qv))
+                  * SQRT(LIST_DOT_PRODUCT(e.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[]))), 6)
+           AS cos_sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> {HYBRID_QUERY_VEC}
+),
+cos_rank AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id) AS rc
+  FROM cos QUALIFY rc <= {RRF_LIST}
+),
+fused AS (
+  SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+         ROUND(COALESCE(1.0 / ({RRF_K} + b.rb), 0.0)
+               + COALESCE(1.0 / ({RRF_K} + c.rc), 0.0), 6) AS rrf,
+         b.rb AS bm25_rank, c.rc AS cos_rank
+  FROM bm_rank b FULL OUTER JOIN cos_rank c ON b.doc_id = c.doc_id
+)
+SELECT doc_id, rrf, bm25_rank, cos_rank
+FROM fused
+ORDER BY rrf DESC, doc_id
+LIMIT {RRF_TOP}
+"""
+
+
+@register(
+    "hybrid_search_rrf",
+    oracle=_HYBRID_ORACLE,
+    doc=f"Hybrid retrieval with reciprocal-rank fusion: the BM25 "
+        f"top-{RRF_LIST} (lexical) and embedding-cosine top-{RRF_LIST} "
+        "(semantic, query = the corpus embedding paired with doc 0) "
+        "candidate lists fuse by RRF score 1/(k+rank), k=60 — the "
+        "standard two-retriever serving stack. Ranks are taken over "
+        "ROUNDED scores with doc_id tiebreaks so both engines select "
+        "identical lists; the fusion arithmetic is two exact-rounded "
+        "IEEE divisions. Each retriever keeps its own scale path "
+        "(query-term-pruned postings; ANN index instead of the "
+        "brute-force scorer at corpus scale) because RRF consumes "
+        "only ranks — fusion cost is O(list length), independent of "
+        "corpus size.",
+    tags=("search", "similarity", "join", "topk"),
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ytspark.operators.similarity import as_double, cosine
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+
+    # top-RRF_LIST via orderBy+limit (TakeOrderedAndProject: per-
+    # partition partial top-k, no global sort), THEN rank — the
+    # unpartitioned window runs over ≤RRF_LIST rows, never the corpus
+    bm = bm25_scores(docs).where(F.col("doc_id") != HYBRID_QUERY_VEC)
+    wb = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    bm_rank = (
+        bm.orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(RRF_LIST)
+        .withColumn("rb", F.row_number().over(wb))
+        .select("doc_id", "rb")
+    )
+
+    corpus = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    qv = F.broadcast(
+        corpus.where(F.col("vec_id") == HYBRID_QUERY_VEC).select(
+            F.col("v").alias("qv")
+        )
+    )
+    cos = (
+        corpus.where(F.col("vec_id") != HYBRID_QUERY_VEC)
+        .crossJoin(qv)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        )
+    )
+    wc = Window.orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+    cos_rank = (
+        cos.orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+        .limit(RRF_LIST)
+        .withColumn("rc", F.row_number().over(wc))
+        .select(F.col("doc_id").alias("c_doc_id"), "rc")
+    )
+
+    fused = bm_rank.join(
+        cos_rank, bm_rank["doc_id"] == cos_rank["c_doc_id"], "full_outer"
+    ).select(
+        F.coalesce(F.col("doc_id"), F.col("c_doc_id")).alias("doc_id"),
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rb")), F.lit(0.0))
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("rc")), F.lit(0.0)
+            ),
+            6,
+        ).alias("rrf"),
+        F.col("rb").alias("bm25_rank"),
+        F.col("rc").alias("cos_rank"),
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(RRF_TOP)
