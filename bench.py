@@ -104,6 +104,8 @@ HEADLINE = [
     "hierarchy_pointer_doubling",
     # round 3: hybrid retrieval (BM25 + embedding cosine, RRF fusion)
     "hybrid_search_rrf",
+    # round 3: streaming MERGE (foreachBatch CDC into a keyed store)
+    "streaming_cdc_apply",
 ]
 
 

@@ -69,6 +69,56 @@ class TestApplyChangelog:
         ) + plan.count("SortAggregate") >= 2  # partial + final
 
 
+class TestChangelogStateMerge:
+    def test_merge_equals_whole_log_collapse_any_slicing(self, spark):
+        """The streaming foundation: collapsed slices merged in ANY
+        grouping/order must equal collapsing the whole log at once —
+        including a delete in one slice resurrected by a later upsert
+        in another (tombstones carry their op counts through)."""
+        from ytspark.operators.maintenance import (
+            collapse_changelog,
+            merge_changelog_states,
+        )
+
+        rows = [
+            (1, 1, "U", "a"),
+            (1, 2, "D", "a"),  # delete in slice 1...
+            (1, 3, "U", "c"),  # ...resurrected in slice 2: n_ops = 3
+            (2, 1, "U", "x"),
+            (2, 4, "D", "x"),  # delete stays latest -> tombstoned
+            (3, 9, "U", "z"),
+        ]
+        schema = "k int, seq int, op string, v string"
+        whole = collapse_changelog(
+            spark.createDataFrame(rows, schema), ["k"], ["seq"]
+        )
+
+        def merged(slices):
+            parts = [
+                collapse_changelog(
+                    spark.createDataFrame(s, schema), ["k"], ["seq"]
+                )
+                for s in slices
+            ]
+            out = parts[0]
+            for p in parts[1:]:
+                out = merge_changelog_states(out, p, ["k"], ["seq"])
+            return out
+
+        def snap(df):
+            return sorted(
+                (r["k"], r["n_ops"], r["_last"]["op"], r["_last"]["v"])
+                for r in df.collect()
+            )
+
+        expect = snap(whole)
+        # two different slicings, one of them out of seq order
+        assert snap(merged([rows[:2], rows[2:4], rows[4:]])) == expect
+        assert snap(merged([rows[4:], rows[2:4], rows[:2]])) == expect
+        # tombstone visible pre-filter, dropped post-filter
+        assert ("2", ) not in {(r[0],) for r in expect if r[2] != "D"}
+
+
 class TestScd2Compact:
     def test_regimes_effective_dating(self, spark):
         hist = spark.createDataFrame(

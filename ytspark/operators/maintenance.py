@@ -66,18 +66,48 @@ def apply_changelog(
     the running maximum per key per partition, so pre-shuffle state is
     one row per (partition, key).
     """
+    agg = collapse_changelog(log, key, seq)
     payload = [c for c in log.columns if c not in key]
-    agg = log.groupBy(*key).agg(
+    return agg.where(F.col(f"_last.{op}") != delete_op).select(
+        *key,
+        "n_ops",
+        *[F.col(f"_last.{c}").alias(c) for c in payload if c != op],
+    )
+
+
+def collapse_changelog(log: DataFrame, key: list[str], seq: list[str]) -> DataFrame:
+    """Collapse to one row per key KEEPING tombstones: (key..., n_ops,
+    _last struct of every non-key column). This is the associative /
+    commutative form — two collapsed states merge with
+    ``merge_changelog_states`` into exactly the state of the
+    concatenated log, because sum and seq-ordered max_by are both
+    order-independent. Tombstoned keys must stay in the merged state
+    (a later upsert resurrects them WITH their op count), so the
+    delete filter belongs to the final read, not the merge."""
+    payload = [c for c in log.columns if c not in key]
+    return log.groupBy(*key).agg(
         F.count(F.lit(1)).alias("n_ops"),
         F.max_by(
             F.struct(*[F.col(c) for c in payload]),
             F.struct(*[F.col(c) for c in seq]),
         ).alias("_last"),
     )
-    return agg.where(F.col(f"_last.{op}") != delete_op).select(
-        *key,
-        "n_ops",
-        *[F.col(f"_last.{c}").alias(c) for c in payload if c != op],
+
+
+def merge_changelog_states(
+    a: DataFrame, b: DataFrame, key: list[str], seq: list[str]
+) -> DataFrame:
+    """Merge two ``collapse_changelog`` states: op counts add, the
+    seq-latest payload wins. O(|a| + |b|), one aggregate."""
+    return (
+        a.unionByName(b)
+        .groupBy(*key)
+        .agg(
+            F.sum("n_ops").alias("n_ops"),
+            F.max_by(
+                F.col("_last"), F.struct(*[F.col(f"_last.{c}") for c in seq])
+            ).alias("_last"),
+        )
     )
 
 

@@ -397,3 +397,81 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         collected, "doc_lo long, doc_hi long, est_jaccard double"
     ).dropDuplicates(["doc_lo", "doc_hi"])
+
+
+from ytspark.operators.maintenance import _CDC_ORACLE
+
+
+@register(
+    "streaming_cdc_apply",
+    oracle=_CDC_ORACLE,  # the BATCH collapse of the same log
+    doc="Streaming MERGE: the events changelog arrives in four "
+        "micro-batches (file source, maxFilesPerTrigger=1) and "
+        "foreachBatch folds each batch into a keyed store via "
+        "collapse + associative state merge (op counts add, the "
+        "seq-latest payload wins; tombstones stay in the store so a "
+        "later upsert resurrects the key with its full op count). "
+        "Each tick costs O(batch + store) here — with a transactional "
+        "table format the merge is MERGE INTO at O(batch + touched "
+        "partitions). Because the merge is associative and "
+        "commutative over a total seq order, the final state is "
+        "independent of micro-batch slicing and equals the BATCH "
+        "collapse of the whole log — certified by sharing "
+        "cdc_apply_changelog's DuckDB oracle, hash and all.",
+    tags=("streaming", "maintenance", "cdc", "incremental"),
+)
+def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ytspark.operators.maintenance import (
+        collapse_changelog,
+        merge_changelog_states,
+    )
+    from ytspark.plans.scratch import scratch_dir
+    from ytspark.session import load_tables
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    log = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    stage = os.path.join(scratch_dir(f"stream_cdc_{sf_dir}"), "stage")
+    shutil.rmtree(stage, ignore_errors=True)
+    log.repartitionByRange(4, "event_id").write.parquet(stage)
+    schema = spark.read.parquet(stage).schema
+
+    key, seq = ["user_id"], ["ts", "event_id"]
+    state = {"df": None}
+
+    def tick(batch_df, batch_id):
+        collapsed = collapse_changelog(batch_df, key, seq)
+        merged = (
+            collapsed
+            if state["df"] is None
+            else merge_changelog_states(state["df"], collapsed, key, seq)
+        )
+        # eager checkpoint: each tick's state is materialized once and
+        # the lineage stays O(1) per tick instead of growing unboundedly
+        state["df"] = merged.localCheckpoint(eager=True)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.foreachBatch(tick)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = state["df"]
+    return final.where(F.col("_last.op") != "D").select(
+        "user_id",
+        "n_ops",
+        F.col("_last.ts").alias("last_ts"),
+        F.col("_last.value").alias("last_value"),
+    )
