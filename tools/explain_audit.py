@@ -48,6 +48,8 @@ EXPECTED_NESTED_LOOP = {
     "tfidf_top_terms",           # broadcast one-row corpus size N
     "bm25_search",               # broadcast one-row (n_docs, avg_dl) scalars
     "gap_fill_linear_interpolation",  # broadcast calendar spine x 5 priorities
+    "histogram_profile_totalprice",  # broadcast one-row (lo, hi) bounds
+    "hybrid_search_rrf",             # broadcast one-row query vector
 }
 # streaming queries execute eagerly; skip plan audit (they materialize
 # their own sinks and are correctness-checked by the oracle gate)
