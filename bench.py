@@ -106,6 +106,9 @@ HEADLINE = [
     "hybrid_search_rrf",
     # round 3: streaming MERGE (foreachBatch CDC into a keyed store)
     "streaming_cdc_apply",
+    # round 3: reshape + null-contract batteries
+    "unpivot_order_metrics",
+    "null_semantics_battery",
 ]
 
 

@@ -46,5 +46,9 @@ def test_rotated_out_queries_remain_registered():
         "dedup_minhash_lsh",
         # rotated for the sketch family; its tags all remain covered
         "text_stats",
+        # rotated for the unpivot/null-semantics batteries: both were
+        # certified in r1+r2 and every tag keeps a window member
+        "q7_nation_trade",
+        "knn_cosine_bruteforce",
     ):
         assert name in reg and name not in _PRIORITY

@@ -77,10 +77,11 @@ _PRIORITY: tuple[str, ...] = (
     "funnel_view_click_purchase",
     # relational battery: joins, outer/semi/anti, set ops, grouping
     "q1_pricing_summary",
-    "q7_nation_trade",
     "q21_waiting_suppliers",
     "top_revenue_customers",
     "rollup_order_status",
+    "unpivot_order_metrics",
+    "null_semantics_battery",
     "cdc_apply_changelog",
     "intersect_all_segments",
     "full_outer_daily_activity",
@@ -103,7 +104,6 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_simhash_checkable",
     "dedup_embedding_cosine",
     # similarity / embeddings
-    "knn_cosine_bruteforce",
     "knn_cosine_ivf",
     "embedding_scalar_quantization",
     # text analysis + curation safety battery

@@ -1216,3 +1216,121 @@ def histogram_profile_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("v"), 2).alias("bucket_max"),
         )
     )
+
+
+@register(
+    "unpivot_order_metrics",
+    oracle="""
+WITH wide AS (
+  SELECT o_orderpriority AS pri,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS total_price,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+  FROM orders GROUP BY 1
+)
+SELECT pri, metric, CAST(value AS DOUBLE) AS value
+FROM wide
+UNPIVOT (value FOR metric IN (n_orders, total_price, n_customers))
+""",
+    doc="UNPIVOT/melt — the inverse of the pivot operator the engine "
+        "already ships: a wide per-priority metrics row unpivots to "
+        "(pri, metric, value) long form, the shape every metrics "
+        "store and plotting layer wants. Spark's unpivot/melt emits "
+        "one Expand node (no join, no shuffle beyond the source "
+        "aggregate); metric values are cast to a common double type "
+        "on both engines since UNPIVOT requires homogeneous value "
+        "columns.",
+    tags=("unpivot", "aggregate", "reshape"),
+)
+def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    wide = o.groupBy(F.col("o_orderpriority").alias("pri")).agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+        F.count_distinct("o_custkey").cast("double").alias("n_customers"),
+    )
+    return wide.unpivot(
+        ids=["pri"],
+        values=["n_orders", "total_price", "n_customers"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+@register(
+    "null_semantics_battery",
+    oracle="""
+WITH t AS (
+  SELECT o_orderkey AS k,
+         NULLIF(o_orderpriority, '3-MEDIUM') AS pri,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL
+              ELSE CAST(o_totalprice AS DOUBLE) END AS price
+  FROM orders WHERE o_orderkey <= 2000
+)
+SELECT COALESCE(pri, '<null>') AS pri_group,
+       COUNT(*) AS n_rows,
+       COUNT(price) AS n_price_nonnull,
+       CAST(SUM(CASE WHEN price IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_price_null,
+       ROUND(AVG(price), 6) AS avg_price_ignoring_nulls,
+       CAST(SUM(CASE WHEN pri IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_nullsafe_eq_null,
+       MIN(CASE WHEN price IS NOT NULL THEN k END) AS first_priced_key,
+       COALESCE(CONCAT_WS('|', pri, CAST(k % 2 AS VARCHAR)), '') AS concat_ws_skip_null
+FROM t
+GROUP BY pri, k % 2
+ORDER BY 1
+""",
+    doc="Null-semantics battery over a deterministically nulled "
+        "projection: grouping BY a nullable key (null forms its own "
+        "group on both engines), count(col) vs count(*) (ignores "
+        "nulls vs not), avg ignoring nulls, the null-safe equality "
+        "operator (Spark <=> / SQL IS NOT DISTINCT FROM), "
+        "conditional aggregation over null flags, and concat_ws's "
+        "null-skipping — the edge cases that silently diverge "
+        "between engines if any default is assumed. Hash-certified "
+        "so every gate run re-proves the engine's null contract.",
+    tags=("nulls", "semantics", "aggregate"),
+)
+def null_semantics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    t = o.where(F.col("o_orderkey") <= 2000).select(
+        F.col("o_orderkey").alias("k"),
+        F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM")).alias("pri"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("o_totalprice").cast("double"))
+        .alias("price"),
+    )
+    return (
+        t.groupBy("pri", (F.col("k") % 2).alias("_k2"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("price").alias("n_price_nonnull"),
+            F.sum(
+                F.when(F.col("price").isNull(), 1).otherwise(0)
+            ).alias("n_price_null"),
+            F.round(F.avg("price"), 6).alias("avg_price_ignoring_nulls"),
+            F.sum(
+                F.when(F.col("pri").eqNullSafe(F.lit(None)), 1).otherwise(0)
+            ).alias("n_nullsafe_eq_null"),
+            F.min(
+                F.when(F.col("price").isNotNull(), F.col("k"))
+            ).alias("first_priced_key"),
+        )
+        .select(
+            F.coalesce(F.col("pri"), F.lit("<null>")).alias("pri_group"),
+            "n_rows",
+            "n_price_nonnull",
+            "n_price_null",
+            "avg_price_ignoring_nulls",
+            "n_nullsafe_eq_null",
+            "first_priced_key",
+            F.coalesce(
+                F.concat_ws("|", F.col("pri"), F.col("_k2").cast("string")),
+                F.lit(""),
+            ).alias("concat_ws_skip_null"),
+        )
+    )
