@@ -109,6 +109,8 @@ HEADLINE = [
     # round 3: reshape + null-contract batteries
     "unpivot_order_metrics",
     "null_semantics_battery",
+    # round 3: RANGE (value-offset) window frame
+    "range_frame_trailing_week",
 ]
 
 

@@ -1334,3 +1334,64 @@ def null_semantics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("concat_ws_skip_null"),
         )
     )
+
+
+@register(
+    "range_frame_trailing_week",
+    oracle="""
+WITH daily AS (
+  SELECT o_orderpriority AS pri,
+         DATEDIFF('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+           AS day_no,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+  FROM orders WHERE o_orderkey <= 20000
+  GROUP BY 1, 2
+)
+SELECT pri, day_no,
+       ROUND(SUM(rev) OVER (PARTITION BY pri ORDER BY day_no
+                            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
+         AS trailing_7d_rev,
+       CAST(COUNT(*) OVER (PARTITION BY pri ORDER BY day_no
+                           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_days_in_frame
+FROM daily
+""",
+    doc="RANGE window frame over VALUES, not rows: per priority, the "
+        "trailing-7-calendar-day revenue sum — the frame bound is a "
+        "day-number OFFSET (RANGE BETWEEN 6 PRECEDING), so days "
+        "missing from the data correctly shrink the frame, which a "
+        "ROWS frame gets wrong on sparse series. Complements the "
+        "existing ROWS-frame moving average; n_days_in_frame exposes "
+        "the frame width so the sparse-day semantics are themselves "
+        "hash-certified. One partitioning, one sort; the pre-"
+        "aggregation to daily grain keeps the window input at "
+        "O(days), not O(orders).",
+    tags=("window", "range-frame", "time", "aggregate"),
+)
+def range_frame_trailing_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    daily = (
+        o.where(F.col("o_orderkey") <= 20000)
+        .groupBy(
+            F.col("o_orderpriority").alias("pri"),
+            F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01")).alias(
+                "day_no"
+            ),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    w = (
+        Window.partitionBy("pri")
+        .orderBy("day_no")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "pri",
+        "day_no",
+        F.round(F.sum("rev").over(w), 6).alias("trailing_7d_rev"),
+        F.count(F.lit(1)).over(w).alias("n_days_in_frame"),
+    )
