@@ -111,6 +111,8 @@ HEADLINE = [
     "null_semantics_battery",
     # round 3: RANGE (value-offset) window frame
     "range_frame_trailing_week",
+    # round 3: array higher-order-function battery
+    "array_hof_battery",
 ]
 
 

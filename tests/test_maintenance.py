@@ -115,8 +115,10 @@ class TestChangelogStateMerge:
         # two different slicings, one of them out of seq order
         assert snap(merged([rows[:2], rows[2:4], rows[4:]])) == expect
         assert snap(merged([rows[4:], rows[2:4], rows[:2]])) == expect
-        # tombstone visible pre-filter, dropped post-filter
-        assert ("2", ) not in {(r[0],) for r in expect if r[2] != "D"}
+        # key 2's tombstone is IN the merged state (op 'D', n_ops 2)
+        # but would drop at the final delete filter
+        assert (2, 2, "D", "x") in expect
+        assert 2 not in {r[0] for r in expect if r[2] != "D"}
 
 
 class TestScd2Compact:

@@ -832,3 +832,49 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= WSAMPLE_K)
         .select("source", "rk", "doc_id", "n_chars")
     )
+
+
+@register(
+    "array_hof_battery",
+    oracle="""
+WITH arr AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS a
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id,
+       CAST(LEN(a) AS INTEGER) AS n_tokens,
+       CAST(LEN(LIST_FILTER(a, t -> STRLEN(t) > 4)) AS INTEGER)
+         AS n_long_tokens,
+       CAST(LIST_REDUCE(LIST_TRANSFORM(a, t -> CAST(STRLEN(t) AS BIGINT)),
+                        (x, y) -> x + y) AS BIGINT) AS total_chars,
+       LIST_CONTAINS(a, 'table') AS has_table,
+       LEN(LIST_FILTER(a, t -> STRLEN(t) >= 10)) = 0 AS all_short,
+       ARRAY_TO_STRING(a[1:3], ' ') AS first3
+FROM arr
+""",
+    doc="Array higher-order-function battery certified cross-engine: "
+        "filter (predicate count), transform+aggregate fold (total "
+        "chars — the fold that at scale replaces an explode+groupBy "
+        "round-trip with a per-row expression), exists/contains, "
+        "forall (as an empty-filter check, identical on both "
+        "engines), and slice+join. All JVM-side codegen'd lambdas in "
+        "Spark — zero Python, zero explode, map-only; DuckDB's "
+        "list_* lambdas compute the identical values.",
+    tags=("functions", "array", "hof", "text"),
+)
+def array_hof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    a = tokens(F.col("text"))
+    return docs.where(F.col("doc_id") < 200).select(
+        "doc_id",
+        F.array_size(a).alias("n_tokens"),
+        F.size(F.filter(a, lambda t: F.length(t) > 4)).alias("n_long_tokens"),
+        F.aggregate(
+            F.transform(a, lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("total_chars"),
+        F.array_contains(a, "table").alias("has_table"),
+        F.forall(a, lambda t: F.length(t) < 10).alias("all_short"),
+        F.array_join(F.slice(a, 1, 3), " ").alias("first3"),
+    )
