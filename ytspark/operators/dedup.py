@@ -1058,9 +1058,47 @@ def emb_block_count(
     return min(cap, max(floor, math.ceil(2 * size / target_bytes)))
 
 
+def _emb_lsh_oracle() -> str:
+    """Inlined-planes oracle (same pattern as knn_cosine_lsh): DuckDB
+    recomputes the sign-pattern buckets from the LCG plane constants
+    and the within-bucket pair scores. The Spark side scores with a
+    BLAS GEMM whose accumulation order differs from a sequential fold
+    at the ulp level — absorbed by the shared 6 dp rounding before
+    both the threshold compare and the hash."""
+    from ytspark.operators.similarity import hyperplane
+
+    rows = ",\n    ".join(
+        f"({1 << s}, {hyperplane(64, seed=s + 1)!r}::DOUBLE[])"
+        for s in range(N_DEDUP_PLANES)
+    )
+    return f"""
+WITH planes(bit, plane) AS (VALUES
+    {rows}
+),
+corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+buckets AS (
+  SELECT c.vec_id, c.v,
+         CAST(SUM(CASE WHEN LIST_DOT_PRODUCT(c.v, p.plane) > 0
+                       THEN p.bit ELSE 0 END) AS BIGINT) AS bucket
+  FROM corpus c CROSS JOIN planes p
+  GROUP BY c.vec_id, c.v
+)
+SELECT * FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         ROUND(LIST_DOT_PRODUCT(a.v, b.v)
+               / (SQRT(LIST_DOT_PRODUCT(a.v, a.v))
+                  * SQRT(LIST_DOT_PRODUCT(b.v, b.v))), 6) AS cos_sim
+  FROM buckets a JOIN buckets b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+) WHERE cos_sim >= 0.45
+"""
+
+
 @register(
     "dedup_embedding_cosine_lsh",
-    oracle=None,  # approximate (bucket recall) — rows-only check
+    oracle=_emb_lsh_oracle(),
     doc="Embedding-cosine near-dup, sub-quadratic 100 TB path: vectors "
         "bucketed by the sign pattern of N_DEDUP_PLANES fixed random "
         "hyperplanes (reusing knn_cosine_lsh's bucketing), then the "

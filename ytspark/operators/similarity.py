@@ -127,13 +127,61 @@ def bucket_id(vec: Column, planes: list[list[float]]) -> Column:
     return bits
 
 
+def _lsh_oracle() -> str:
+    """Full-SQL oracle for knn_cosine_lsh: the hyperplanes are a pure
+    deterministic LCG, so their 8x64 double constants inline as SQL
+    literals (repr round-trips to the identical double) and DuckDB
+    recomputes the same sign-pattern buckets, candidates, and scores.
+    Sign decisions are thresholds, not rounded values — safe because
+    the dataset is fixed per gate run and no |dot| sits within
+    accumulation-order ulp of zero (verified by the hash match
+    itself)."""
+    rows = ",\n    ".join(
+        f"({1 << s}, {hyperplane(64, seed=s + 1)!r}::DOUBLE[])"
+        for s in range(N_HYPERPLANES)
+    )
+    return f"""
+WITH planes(bit, plane) AS (VALUES
+    {rows}
+),
+corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+buckets AS (
+  SELECT c.vec_id, c.v,
+         CAST(SUM(CASE WHEN LIST_DOT_PRODUCT(c.v, p.plane) > 0
+                       THEN p.bit ELSE 0 END) AS BIGINT) AS bucket
+  FROM corpus c CROSS JOIN planes p
+  GROUP BY c.vec_id, c.v
+),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         ROUND(LIST_DOT_PRODUCT(q.v, e.v)
+               / (SQRT(LIST_DOT_PRODUCT(q.v, q.v))
+                  * SQRT(LIST_DOT_PRODUCT(e.v, e.v))), 6) AS cos_sim
+  FROM buckets q JOIN buckets e
+    ON q.bucket = e.bucket AND e.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+)
+SELECT query_id, neighbor_id, cos_sim FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rk
+  FROM scored
+) WHERE rk <= {TOP_K}
+"""
+
+
 @register(
     "knn_cosine_lsh",
-    oracle=None,  # approximate — recall measured against brute force in tests
+    oracle=_lsh_oracle(),
     doc="ANN via random-hyperplane LSH: corpus and queries bucketed by "
         "8-bit sign pattern; exact cosine only within the query's bucket. "
-        "The 100 TB path persists the corpus partitioned by bucket.",
-    tags=("similarity", "knn", "lsh"),
+        "The 100 TB path persists the corpus partitioned by bucket. "
+        "HASH-CERTIFIED, not rows-only: the LCG hyperplanes inline "
+        "into the oracle as double literals, so DuckDB reproduces the "
+        "exact buckets, candidate sets, and scores (recall vs brute "
+        "force is additionally pinned in tests).",
+    tags=("similarity", "knn", "lsh", "checkable"),
 )
 def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
@@ -307,9 +355,50 @@ def embedding_scalar_quantization(spark: SparkSession, sf_dir: str) -> DataFrame
 N_LSH_TABLES = 4
 
 
+def _multitable_oracle() -> str:
+    """Inlined-planes oracle for the 4-table LSH (same determinism
+    argument as ``_lsh_oracle``); DISTINCT collapses multi-table hits
+    exactly like the Spark side's groupBy/first."""
+    rows = ",\n    ".join(
+        f"({t}, {1 << s}, {hyperplane(64, seed=1009 * t + s + 1)!r}::DOUBLE[])"
+        for t in range(N_LSH_TABLES)
+        for s in range(N_HYPERPLANES)
+    )
+    return f"""
+WITH planes(table_id, bit, plane) AS (VALUES
+    {rows}
+),
+corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+buckets AS (
+  SELECT p.table_id, c.vec_id, c.v,
+         CAST(SUM(CASE WHEN LIST_DOT_PRODUCT(c.v, p.plane) > 0
+                       THEN p.bit ELSE 0 END) AS BIGINT) AS bucket
+  FROM corpus c CROSS JOIN planes p
+  GROUP BY p.table_id, c.vec_id, c.v
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         ROUND(LIST_DOT_PRODUCT(q.v, e.v)
+               / (SQRT(LIST_DOT_PRODUCT(q.v, q.v))
+                  * SQRT(LIST_DOT_PRODUCT(e.v, e.v))), 6) AS cos_sim
+  FROM buckets q
+  JOIN buckets e ON q.table_id = e.table_id AND q.bucket = e.bucket
+               AND e.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+)
+SELECT query_id, neighbor_id, cos_sim FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rk
+  FROM cand
+) WHERE rk <= {TOP_K}
+"""
+
+
 @register(
     "knn_cosine_lsh_multitable",
-    oracle=None,  # approximate — recall measured against brute force in tests
+    oracle=_multitable_oracle(),
     doc="ANN via MULTI-TABLE hyperplane LSH: 4 independent 8-bit tables; "
         "a candidate qualifies if it collides with the query in ANY "
         "table (union of buckets), then is scored exactly once. Each "
@@ -381,9 +470,55 @@ def knn_cosine_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _index_serving_oracle() -> str:
+    """Oracle for the persisted-index multiprobe path: same planes as
+    knn_cosine_lsh, probe set = own bucket + the 8 one-bit flips. A
+    corpus vector has exactly one bucket and the probe buckets are
+    distinct, so each (query, neighbor) pair matches at most once."""
+    rows = ",\n    ".join(
+        f"({1 << s}, {hyperplane(64, seed=s + 1)!r}::DOUBLE[])"
+        for s in range(N_HYPERPLANES)
+    )
+    flips = ", ".join(f"({0 if i < 0 else 1 << i})" for i in range(-1, N_HYPERPLANES))
+    return f"""
+WITH planes(bit, plane) AS (VALUES
+    {rows}
+),
+corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+buckets AS (
+  SELECT c.vec_id, c.v,
+         CAST(SUM(CASE WHEN LIST_DOT_PRODUCT(c.v, p.plane) > 0
+                       THEN p.bit ELSE 0 END) AS BIGINT) AS bucket
+  FROM corpus c CROSS JOIN planes p
+  GROUP BY c.vec_id, c.v
+),
+probes(flip) AS (VALUES {flips}),
+qp AS (
+  SELECT vec_id AS query_id, v AS qv, XOR(bucket, flip) AS probe
+  FROM buckets CROSS JOIN probes
+  WHERE vec_id < {N_QUERIES}
+),
+cand AS (
+  SELECT DISTINCT qp.query_id, e.vec_id AS neighbor_id,
+         ROUND(LIST_DOT_PRODUCT(qp.qv, e.v)
+               / (SQRT(LIST_DOT_PRODUCT(qp.qv, qp.qv))
+                  * SQRT(LIST_DOT_PRODUCT(e.v, e.v))), 6) AS cos_sim
+  FROM qp JOIN buckets e
+    ON e.bucket = qp.probe AND e.vec_id <> qp.query_id
+)
+SELECT query_id, neighbor_id, cos_sim FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rk
+  FROM cand
+) WHERE rk <= {TOP_K}
+"""
+
+
 @register(
     "knn_lsh_index_serving",
-    oracle=None,  # approximate — recall pinned against brute force in tests
+    oracle=_index_serving_oracle(),
     doc="The persisted-LSH serving path end to end, driver-checkable: "
         "corpus written parquet PARTITIONED BY hyperplane bucket "
         "(persist_lsh_index, one-time cost), then queries answered via "

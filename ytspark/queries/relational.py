@@ -629,27 +629,78 @@ def segment_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "segment_price_approx_quantiles",
-    oracle=None,  # sketch results are implementation-specific — rows-only
+    oracle="""
+SELECT c_mktsegment,
+       ROUND(MEDIAN(CAST(o_totalprice AS DOUBLE)), 4) AS exact_median,
+       COUNT(*) AS n_orders,
+       TRUE AS median_within_rank_bound,
+       TRUE AS p90_within_rank_bound
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
     doc="Approximate percentiles via Spark's mergeable quantile sketch "
-        "(approx_percentile, Greenwald-Khanna variant, rel. err 0.01) "
-        "next to the exact values — the sketch path that replaces the "
-        "exact per-group sort at 100 TB (partials merge map-side, the "
-        "exchange carries one sketch per group, not the rows). The "
-        "exact twin query segment_price_percentiles is the "
-        "oracle-checked baseline.",
+        "(approx_percentile, Greenwald-Khanna variant, accuracy=100) "
+        "— the sketch path that replaces the exact per-group sort at "
+        "100 TB (partials merge map-side, the exchange carries one "
+        "sketch per group, not the rows). HASH-CERTIFIED via the "
+        "bound pattern: each estimate is asserted between the exact "
+        "order statistics at target rank ± ceil(n/accuracy) — the GK "
+        "guarantee, merge-order independent — and the oracle "
+        "recomputes the exact median and expects TRUE twice.",
     tags=("aggregate", "percentile", "sketch", "approx"),
 )
 def segment_price_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "orders", "customer")
+    joined = t["orders"].join(
+        maybe_broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey")
+    ).select("c_mktsegment", F.col("o_totalprice").cast("double").alias("v"))
+    approx = joined.groupBy("c_mktsegment").agg(
+        F.percentile_approx("v", 0.5, 100).alias("approx_median"),
+        F.percentile_approx("v", 0.9, 100).alias("approx_p90"),
+        F.round(F.percentile("v", 0.5), 4).alias("exact_median"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("v")
+    ranked = joined.select(
+        "c_mktsegment",
+        "v",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("c_mktsegment")).alias("n"),
+    )
+    eps = F.ceil(F.col("n").cast("double") / 100).cast("long")
+
+    def rank_window(p):
+        target = F.greatest(
+            F.lit(1), F.ceil(F.lit(p) * F.col("n")).cast("long")
+        )
+        lo = F.min(
+            F.when(F.col("rk") == F.greatest(F.lit(1), target - eps), F.col("v"))
+        )
+        hi = F.min(
+            F.when(F.col("rk") == F.least(F.col("n"), target + eps), F.col("v"))
+        )
+        return lo, hi
+
+    lo50, hi50 = rank_window(0.5)
+    lo90, hi90 = rank_window(0.9)
+    bounds = ranked.groupBy("c_mktsegment").agg(
+        lo50.alias("lo50"), hi50.alias("hi50"),
+        lo90.alias("lo90"), hi90.alias("hi90"),
+    )
     return (
-        t["orders"]
-        .join(maybe_broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("c_mktsegment")
-        .agg(
-            F.percentile_approx("o_totalprice", 0.5, 100).alias("approx_median"),
-            F.percentile_approx("o_totalprice", 0.9, 100).alias("approx_p90"),
-            F.round(F.percentile("o_totalprice", 0.5), 4).alias("exact_median"),
-            F.count(F.lit(1)).alias("n_orders"),
+        approx.join(bounds, "c_mktsegment")
+        .select(
+            "c_mktsegment",
+            "exact_median",
+            "n_orders",
+            (
+                (F.col("approx_median") >= F.col("lo50"))
+                & (F.col("approx_median") <= F.col("hi50"))
+            ).alias("median_within_rank_bound"),
+            (
+                (F.col("approx_p90") >= F.col("lo90"))
+                & (F.col("approx_p90") <= F.col("hi90"))
+            ).alias("p90_within_rank_bound"),
         )
         .orderBy("c_mktsegment")
     )
@@ -700,23 +751,36 @@ def brand_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_user_reach_sketch",
-    oracle=None,  # HLL sketches are implementation-specific — rows-only
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS hll_within_bound
+FROM events GROUP BY event_type
+""",
     doc="Approximate distinct users per event type via HyperLogLog "
         "(approx_count_distinct, rsd=2%) next to the exact count — the "
         "sketch path that replaces the exact shuffle at 100 TB (the "
-        "sketch is mergeable: map-side partials, tiny exchange).",
+        "sketch is mergeable: map-side partials, tiny exchange). "
+        "HASH-CERTIFIED via the bound pattern: the estimate is "
+        "asserted within 4 sigma (8%) of the exact count, which the "
+        "oracle recomputes, expecting TRUE — deterministic because "
+        "HLL register state is merge-order independent.",
     tags=("aggregate", "sketch", "approx"),
 )
 def events_user_reach_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, "events")["events"]
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
-            F.countDistinct("user_id").alias("exact_users"),
-        )
-        .orderBy("event_type")
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
     )
+    err = F.abs(F.col("approx_users") - F.col("exact_users")) / F.col(
+        "exact_users"
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (err <= F.lit(4 * 0.02)).alias("hll_within_bound"),
+    ).orderBy("event_type")
 
 
 @register(
