@@ -33,7 +33,6 @@ def test_contract_functions_exist_and_align():
     # sequential batch ticks instead).
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
-        "dedup_embedding_clusters",
         "dedup_minhash_clusters",
         "dedup_minhash_incremental",
         "dedup_minhash_lsh",

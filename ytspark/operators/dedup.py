@@ -656,10 +656,45 @@ def connected_components(
     return labels
 
 
+_EMB_CLUSTERS_ORACLE = """
+WITH RECURSIVE corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+  WHERE ROUND(LIST_DOT_PRODUCT(a.v, b.v)
+              / (SQRT(LIST_DOT_PRODUCT(a.v, a.v))
+                 * SQRT(LIST_DOT_PRODUCT(b.v, b.v))), 6) >= 0.45
+),
+edges(s, d) AS (
+  SELECT va, vb FROM pairs UNION ALL SELECT vb, va FROM pairs
+),
+nodes(n) AS (
+  SELECT va FROM pairs UNION SELECT vb FROM pairs
+),
+reach(n, l) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT e.d, r.l FROM reach r JOIN edges e ON e.s = r.n
+),
+labels AS (SELECT n, MIN(l) AS label FROM reach GROUP BY n)
+SELECT label AS cluster_id, COUNT(*) AS n_vectors
+FROM labels GROUP BY label
+HAVING COUNT(*) >= 2
+ORDER BY cluster_id
+"""
+
+
 @register(
     "dedup_embedding_clusters",
-    oracle=None,  # iterative algorithm — driver rows-only check
-    doc="Semantic near-duplicate CLUSTERS: connected components (shared "
+    oracle=_EMB_CLUSTERS_ORACLE,
+    doc="HASH-CERTIFIED via a WITH RECURSIVE transitive-closure "
+        "oracle: the min-label propagation runs to convergence, so "
+        "its fixpoint IS the true connected components of the "
+        "cosine-pair graph, which DuckDB recomputes from first "
+        "principles (brute-force pair join + recursive reachability). "
+        "Semantic near-duplicate CLUSTERS: connected components (shared "
         "min-label propagation, see connected_components) over the "
         "embedding-cosine pair graph (cos >= 0.45, GEMM-scored). Same "
         "candidate-pairs -> components -> canonical-representative tail "
