@@ -113,6 +113,8 @@ HEADLINE = [
     "range_frame_trailing_week",
     # round 3: array higher-order-function battery
     "array_hof_battery",
+    # round 3: end-to-end hash-certified MinHash clustering
+    "dedup_minhash_clusters_checkable",
 ]
 
 

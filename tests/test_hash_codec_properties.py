@@ -71,3 +71,32 @@ def test_ppm_header_grammar_property(pad, comment):
         + b"2" + pad.encode() + b"2" + pad.encode() + b"255\n" + pixels
     )
     assert decode_ppm(hairy) == (2, 2, pixels)
+
+
+class TestWavCodecProperties:
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(st.integers(-32768, 32767), min_size=1, max_size=40),
+        st.sampled_from([8000, 22050, 44100]),
+        st.integers(1, 2),
+        st.one_of(st.none(), st.binary(min_size=0, max_size=15)),
+    )
+    def test_roundtrip_any_payload_rate_channels_chunk(
+        self, samples, rate, channels, extra
+    ):
+        import struct
+
+        from ytspark.operators.multimodal import decode_wav, encode_wav
+
+        # truncate to whole frames
+        n = (len(samples) // channels) * channels
+        if n == 0:
+            n = channels
+            samples = samples * channels
+        frames = samples[:n]
+        pcm = struct.pack(f"<{n}h", *frames)
+        drate, dch, chans = decode_wav(
+            encode_wav(rate, channels, pcm, extra_chunk=extra)
+        )
+        assert (drate, dch) == (rate, channels)
+        assert [s for fr in zip(*chans) for s in fr] == frames

@@ -582,6 +582,60 @@ def dedup_minhash_lsh_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_pairs_checkable(docs).orderBy("doc_a", "doc_b")
 
 
+def _checkable_clusters_oracle() -> str:
+    """Recursive-CC replay over the checkable-hash MinHash pair graph:
+    the pair oracle nests as a CTE (DuckDB allows a WITH body inside a
+    CTE), then WITH RECURSIVE reachability + min-label computes the
+    true components the converged propagation must equal."""
+    return f"""
+WITH RECURSIVE pairs AS (
+  {_checkable_minhash_oracle()}
+),
+edges(s, d) AS (
+  SELECT doc_a, doc_b FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+nodes(n) AS (
+  SELECT doc_a FROM pairs UNION SELECT doc_b FROM pairs
+),
+reach(n, l) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT e.d, r.l FROM reach r JOIN edges e ON e.s = r.n
+),
+labels AS (SELECT n, MIN(l) AS label FROM reach GROUP BY n)
+SELECT label AS cluster_id, COUNT(*) AS n_docs
+FROM labels GROUP BY label
+HAVING COUNT(*) >= 2
+ORDER BY cluster_id
+"""
+
+
+@register(
+    "dedup_minhash_clusters_checkable",
+    oracle=_checkable_clusters_oracle(),
+    doc="The full large-scale dedup shape — banded MinHash-LSH pair "
+        "graph -> connected components -> cluster accounting — hash-"
+        "certified END TO END: the cross-engine polynomial shingle "
+        "hash makes the pair set reproducible in SQL, and a WITH "
+        "RECURSIVE reachability replay recomputes the true components "
+        "the converged min-label propagation must equal. The xxhash64 "
+        "production twin (dedup_minhash_clusters) keeps the identical "
+        "plan; this variant proves the pipeline's values, stage by "
+        "stage, on every gate run.",
+    tags=("dedup", "minhash", "clustering", "iterative", "checkable"),
+)
+def dedup_minhash_clusters_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    pairs = minhash_pairs_checkable(docs).select("doc_a", "doc_b")
+    labels = connected_components(pairs, "doc_a", "doc_b")
+    return (
+        labels.groupBy(F.col("label").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .orderBy("cluster_id")
+    )
+
+
 @register(
     "dedup_minhash_clusters",
     oracle=None,  # iterative algorithm — driver rows-only check
