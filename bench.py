@@ -115,6 +115,9 @@ HEADLINE = [
     "array_hof_battery",
     # round 3: end-to-end hash-certified MinHash clustering
     "dedup_minhash_clusters_checkable",
+    # round 3: experiment analytics
+    "cohort_retention_matrix",
+    "ab_test_ztest",
 ]
 
 

@@ -569,3 +569,150 @@ def peak_hour_per_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("hour", packed).alias("peak_hour"),
         F.max("n").alias("peak_events"),
     )
+
+
+@register(
+    "cohort_retention_matrix",
+    oracle="""
+WITH activity AS (
+  SELECT DISTINCT user_id, DATE_TRUNC('week', ts) AS wk FROM events
+),
+cohorts AS (
+  SELECT user_id, MIN(wk) AS cohort_wk FROM activity GROUP BY user_id
+),
+sizes AS (
+  SELECT cohort_wk, COUNT(*) AS cohort_users FROM cohorts GROUP BY cohort_wk
+)
+SELECT STRFTIME(c.cohort_wk, '%Y-%m-%d') AS cohort_week,
+       CAST(DATEDIFF('week', c.cohort_wk, a.wk) AS BIGINT) AS age_weeks,
+       COUNT(*) AS active_users,
+       ANY_VALUE(s.cohort_users) AS cohort_users,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(s.cohort_users), 6)
+         AS retention
+FROM activity a
+JOIN cohorts c USING (user_id)
+JOIN sizes s ON s.cohort_wk = c.cohort_wk
+GROUP BY c.cohort_wk, DATEDIFF('week', c.cohort_wk, a.wk)
+""",
+    doc="The full cohort-retention TRIANGLE (not just next-day): users "
+        "cohorted by first-active week, every later active week "
+        "bucketed by age; cell = active / cohort size. Activity is "
+        "deduplicated to (user, week) FIRST, so every downstream "
+        "join/aggregate works on |users x active weeks| rows, never "
+        "raw events; cohort assignment is a per-user MIN (map-side "
+        "combinable) and cohort sizes broadcast. The week arithmetic "
+        "(date_trunc + week datediff) is integer-exact on both "
+        "engines.",
+    tags=("retention", "cohort", "join", "aggregate", "pipeline"),
+)
+def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    cohorts = activity.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    sizes = cohorts.groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    age = (
+        F.datediff(F.to_date("wk"), F.to_date("cohort_wk")) / 7
+    ).cast("bigint")
+    return (
+        activity.join(cohorts, "user_id")
+        .join(F.broadcast(sizes), "cohort_wk")
+        .groupBy(
+            F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+            age.alias("age_weeks"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("active_users"),
+            F.any_value("cohort_users").alias("cohort_users"),
+            F.round(
+                F.count(F.lit(1)).cast("double")
+                / F.any_value("cohort_users"),
+                6,
+            ).alias("retention"),
+        )
+    )
+
+
+@register(
+    "ab_test_ztest",
+    oracle="""
+WITH assigned AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END
+           AS arm,
+         value
+  FROM events
+  WHERE event_type IN ('view', 'click') AND value IS NOT NULL
+),
+stats AS (
+  SELECT arm, COUNT(*) AS n,
+         SUM(value) AS s1, SUM(value * value) AS s2
+  FROM assigned GROUP BY arm
+),
+wide AS (
+  SELECT
+    MAX(CASE WHEN arm = 'control' THEN n END) AS nc,
+    MAX(CASE WHEN arm = 'control' THEN s1 END) AS sc,
+    MAX(CASE WHEN arm = 'control' THEN s2 END) AS qc,
+    MAX(CASE WHEN arm = 'treatment' THEN n END) AS nt,
+    MAX(CASE WHEN arm = 'treatment' THEN s1 END) AS st,
+    MAX(CASE WHEN arm = 'treatment' THEN s2 END) AS qt
+  FROM stats
+)
+SELECT CAST(nc AS BIGINT) AS n_control, CAST(nt AS BIGINT) AS n_treatment,
+       ROUND(sc / nc, 6) AS mean_control,
+       ROUND(st / nt, 6) AS mean_treatment,
+       ROUND((st / nt - sc / nc)
+             / SQRT((qc / nc - (sc / nc) * (sc / nc)) / nc
+                    + (qt / nt - (st / nt) * (st / nt)) / nt), 6) AS z_score
+FROM wide
+""",
+    doc="Two-sample z-test for an A/B experiment: users hash-assigned "
+        "to arms (deterministic, replay-safe — the same assignment "
+        "discipline as train_val_test_split), per-arm mean/variance "
+        "from exact power sums (one map-side-combinable aggregate over "
+        "the events scan), z = diff / sqrt(var_c/n_c + var_t/n_t). "
+        "The whole test is ONE aggregate plus a one-row projection — "
+        "experiment readout at 100 TB costs a single scan. Arithmetic "
+        "is ordered identically cross-engine and rounded to 6 dp.",
+    tags=("aggregate", "experiment", "statistics", "pipeline"),
+)
+def ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    assigned = ev.where(
+        F.col("event_type").isin("view", "click") & F.col("value").isNotNull()
+    ).select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("control"))
+        .otherwise(F.lit("treatment"))
+        .alias("arm"),
+        "value",
+    )
+    stats = assigned.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("s1"),
+        F.sum(F.col("value") * F.col("value")).alias("s2"),
+    )
+    wide = stats.agg(
+        *[
+            F.max(F.when(F.col("arm") == arm, F.col(c))).alias(f"{c}_{a}")
+            for arm, a in (("control", "c"), ("treatment", "t"))
+            for c in ("n", "s1", "s2")
+        ]
+    )
+    mc = F.col("s1_c") / F.col("n_c")
+    mt = F.col("s1_t") / F.col("n_t")
+    var_c = F.col("s2_c") / F.col("n_c") - mc * mc
+    var_t = F.col("s2_t") / F.col("n_t") - mt * mt
+    return wide.select(
+        F.col("n_c").alias("n_control"),
+        F.col("n_t").alias("n_treatment"),
+        F.round(mc, 6).alias("mean_control"),
+        F.round(mt, 6).alias("mean_treatment"),
+        F.round(
+            (mt - mc)
+            / F.sqrt(var_c / F.col("n_c") + var_t / F.col("n_t")),
+            6,
+        ).alias("z_score"),
+    )
