@@ -118,6 +118,8 @@ HEADLINE = [
     # round 3: experiment analytics
     "cohort_retention_matrix",
     "ab_test_ztest",
+    # round 3: spatial grid-blocked radius join
+    "spatial_radius_join",
 ]
 
 

@@ -149,6 +149,7 @@ def registry() -> dict[str, Query]:
         search,
         similarity,
         sketch,
+        spatial,
         temporal,
         text,
     )
