@@ -120,6 +120,9 @@ HEADLINE = [
     "ab_test_ztest",
     # round 3: spatial grid-blocked radius join
     "spatial_radius_join",
+    # round 3: JSON round-trip and rank-function batteries
+    "json_roundtrip_battery",
+    "window_rank_battery",
 ]
 
 

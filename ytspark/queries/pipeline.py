@@ -716,3 +716,83 @@ def ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_score"),
     )
+
+
+@register(
+    "json_roundtrip_battery",
+    oracle="""
+SELECT o_orderkey,
+       o_orderstatus AS status_extracted,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price_extracted,
+       3 AS arr_len,
+       CAST(o_orderkey * 3 + 3 AS BIGINT) AS arr_sum,
+       o_orderpriority AS nested_priority
+FROM orders WHERE o_orderkey <= 2000
+""",
+    doc="JSON codec round trip, certified the same way as the "
+        "image/audio decoders (encode -> decode -> reduce): each "
+        "order serializes to a NESTED JSON document in-engine "
+        "(to_json of a struct with a sub-struct and an array), then "
+        "the string is parsed back two ways — schema-typed from_json "
+        "for the struct/array fields and path-style get_json_object "
+        "for the nested leaf — and the extracted values must equal "
+        "the originals, which the oracle reads straight from the "
+        "columns. Exercises decimal number round-tripping, array "
+        "aggregation post-parse, and path extraction; all JVM-side, "
+        "map-only.",
+    tags=("json", "semi-structured", "functions", "pipeline"),
+)
+def json_roundtrip_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    o = load_tables(spark, sf_dir, "orders")["orders"].where(
+        F.col("o_orderkey") <= 2000
+    )
+    doc = F.to_json(
+        F.struct(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+            F.array(
+                F.col("o_orderkey") * 1,
+                F.col("o_orderkey") * 2,
+                F.lit(3).cast("long") + F.col("o_orderkey") * 0,
+            ).alias("arr"),
+            F.struct(F.col("o_orderpriority").alias("priority")).alias("meta"),
+        )
+    )
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("status", StringType()),
+            StructField("price", DoubleType()),
+            StructField("arr", ArrayType(LongType())),
+            StructField(
+                "meta", StructType([StructField("priority", StringType())])
+            ),
+        ]
+    )
+    parsed = o.select(
+        "o_orderkey", doc.alias("doc")
+    ).select(
+        "o_orderkey",
+        F.from_json("doc", schema).alias("j"),
+        F.get_json_object("doc", "$.meta.priority").alias("nested_priority"),
+    )
+    return parsed.select(
+        "o_orderkey",
+        F.col("j.status").alias("status_extracted"),
+        F.col("j.price").alias("price_extracted"),
+        F.array_size("j.arr").alias("arr_len"),
+        F.aggregate(
+            "j.arr", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("arr_sum"),
+        "nested_priority",
+    )

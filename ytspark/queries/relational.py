@@ -1459,3 +1459,39 @@ def range_frame_trailing_week(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("rev").over(w), 6).alias("trailing_7d_rev"),
         F.count(F.lit(1)).over(w).alias("n_days_in_frame"),
     )
+
+
+@register(
+    "window_rank_battery",
+    oracle="""
+SELECT o_orderkey, o_orderpriority,
+       RANK() OVER w AS rnk,
+       DENSE_RANK() OVER w AS dense_rnk,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cume
+FROM orders
+WHERE o_orderkey <= 1000
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderstatus)
+""",
+    doc="Rank-function battery over a deliberately TIE-HEAVY ordering "
+        "(status has 3 values, so rank/dense_rank gaps and the "
+        "percent_rank/cume_dist plateaus are all exercised): rank "
+        "with gaps, dense_rank without, percent_rank = (rank-1)/(n-1) "
+        "and cume_dist = peers<=x / n — both exact rationals "
+        "evaluated on identical operands, rounded 6 dp. One window "
+        "spec, one shuffle+sort.",
+    tags=("window", "rank", "functions"),
+)
+def window_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")["orders"].where(
+        F.col("o_orderkey") <= 1000
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("o_orderstatus")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("dense_rnk"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
