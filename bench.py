@@ -123,6 +123,9 @@ HEADLINE = [
     # round 3: JSON round-trip and rank-function batteries
     "json_roundtrip_battery",
     "window_rank_battery",
+    # round 3: bivariate stats + shuffle-key skew diagnostics
+    "corr_covar_battery",
+    "key_skew_profile",
 ]
 
 

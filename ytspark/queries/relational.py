@@ -1495,3 +1495,101 @@ def window_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@register(
+    "corr_covar_battery",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       ROUND(CORR(l_quantity, l_discount), 6) AS corr_qty_disc,
+       ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+       ROUND(STDDEV_SAMP(l_extendedprice), 4) AS std_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="Bivariate-statistics battery per return flag: Pearson "
+        "correlation, sample covariance, and sample stddev — the "
+        "column-relationship profile a feature-engineering pass "
+        "computes before training. Both engines use numerically "
+        "stable single-pass (co)moment updates whose merge is "
+        "order-sensitive only at the ulp level, absorbed by rounding "
+        "(6 dp for the dimensionless correlation, 4 dp for the "
+        "scaled moments). One map-side-combinable aggregate.",
+    tags=("aggregate", "statistics", "quality"),
+)
+def corr_covar_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.corr("l_quantity", "l_discount"), 6).alias("corr_qty_disc"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "covar_qty_price"
+        ),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+    )
+
+
+@register(
+    "key_skew_profile",
+    oracle="""
+WITH per_key AS (
+  SELECT l_orderkey AS k, COUNT(*) AS cnt FROM lineitem GROUP BY 1
+),
+ranked AS (
+  SELECT cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, k) AS rk,
+         COUNT(*) OVER () AS n_keys,
+         SUM(cnt) OVER () AS total_rows
+  FROM per_key
+)
+SELECT CAST(MAX(n_keys) AS BIGINT) AS n_keys,
+       CAST(MAX(total_rows) AS BIGINT) AS total_rows,
+       CAST(MAX(CASE WHEN rk = 1 THEN cnt END) AS BIGINT) AS top_key_rows,
+       ROUND(CAST(MAX(CASE WHEN rk = 1 THEN cnt END) AS DOUBLE)
+             / MAX(total_rows), 6) AS top_key_share,
+       CAST(MAX(cnt) AS BIGINT) AS max_per_key,
+       CAST(MIN(cnt) AS BIGINT) AS min_per_key,
+       ROUND(AVG(cnt), 6) AS avg_per_key
+FROM ranked
+""",
+    doc="Shuffle-key skew diagnostic: the per-key row-count "
+        "distribution of the join/agg key (orderkey here) — key "
+        "count, hottest key's absolute and relative share, min/max/"
+        "mean per key. This is the measurement that DECIDES between "
+        "the engine's three skew strategies (AQE skew-join, salting, "
+        "df-capped blocking): you profile before you pick. Two "
+        "aggregates; the per-key table is |keys| rows, the final "
+        "summary one row.",
+    tags=("aggregate", "skew", "scale", "quality"),
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    per_key = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    top = per_key.orderBy(F.desc("cnt"), F.asc("k")).limit(1).select(
+        F.col("cnt").alias("top_key_rows")
+    )
+    summary = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("total_rows"),
+        F.max("cnt").alias("max_per_key"),
+        F.min("cnt").alias("min_per_key"),
+        F.round(F.avg("cnt"), 6).alias("avg_per_key"),
+    )
+    return summary.crossJoin(F.broadcast(top)).select(
+        "n_keys",
+        "total_rows",
+        "top_key_rows",
+        F.round(
+            F.col("top_key_rows").cast("double") / F.col("total_rows"), 6
+        ).alias("top_key_share"),
+        "max_per_key",
+        "min_per_key",
+        "avg_per_key",
+    )
