@@ -9,6 +9,8 @@ tools/oracle_check.py / the driver gate.
 
 from __future__ import annotations
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from ytspark.operators.maintenance import (
@@ -156,6 +158,56 @@ class TestScd2Compact:
         )
         assert plan.count("Exchange") == 1
         assert plan.count("Sort ") + plan.count("Sort\n") <= 2  # one logical sort (AQE may re-print)
+
+
+class TestScd2Properties:
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(1, 3),  # key
+                st.sampled_from("AB"),  # attr
+                st.integers(0, 9),  # seq/effective
+            ),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    def test_matches_sequential_reference(self, spark, rows):
+        """scd2_compact must equal a straight sequential walk: sort
+        each key's history, open a regime on every attr change, close
+        it at the next regime's start."""
+        from ytspark.operators.maintenance import scd2_compact
+
+        # unique seq per key: dedupe (k, d) keeping first occurrence
+        seen, uniq = set(), []
+        for k, a, d in rows:
+            if (k, d) not in seen:
+                seen.add((k, d))
+                uniq.append((k, a, d))
+        expect = []
+        for k in sorted({k for k, _, _ in uniq}):
+            hist = sorted(
+                [(d, a) for kk, a, d in uniq if kk == k]
+            )
+            regimes = []
+            for d, a in hist:
+                if not regimes or regimes[-1][1] != a:
+                    regimes.append([d, a])
+            for i, (d, a) in enumerate(regimes):
+                nxt = regimes[i + 1][0] if i + 1 < len(regimes) else None
+                expect.append((k, a, d, nxt, nxt is None))
+
+        df = spark.createDataFrame(uniq, "k int, status string, d int")
+        got = sorted(
+            tuple(r)
+            for r in scd2_compact(
+                df, key=["k"], attr="status", seq=["d"], effective_col="d"
+            )
+            .select("k", "status", "effective_from", "effective_to", "is_current")
+            .collect()
+        )
+        assert got == sorted(expect)
 
 
 class TestMergeRollup:
