@@ -1539,41 +1539,31 @@ def corr_covar_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH per_key AS (
   SELECT l_orderkey AS k, COUNT(*) AS cnt FROM lineitem GROUP BY 1
-),
-ranked AS (
-  SELECT cnt,
-         ROW_NUMBER() OVER (ORDER BY cnt DESC, k) AS rk,
-         COUNT(*) OVER () AS n_keys,
-         SUM(cnt) OVER () AS total_rows
-  FROM per_key
 )
-SELECT CAST(MAX(n_keys) AS BIGINT) AS n_keys,
-       CAST(MAX(total_rows) AS BIGINT) AS total_rows,
-       CAST(MAX(CASE WHEN rk = 1 THEN cnt END) AS BIGINT) AS top_key_rows,
-       ROUND(CAST(MAX(CASE WHEN rk = 1 THEN cnt END) AS DOUBLE)
-             / MAX(total_rows), 6) AS top_key_share,
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(cnt) AS BIGINT) AS total_rows,
+       CAST(MAX(cnt) AS BIGINT) AS top_key_rows,
+       ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6) AS top_key_share,
        CAST(MAX(cnt) AS BIGINT) AS max_per_key,
        CAST(MIN(cnt) AS BIGINT) AS min_per_key,
        ROUND(AVG(cnt), 6) AS avg_per_key
-FROM ranked
+FROM per_key
 """,
     doc="Shuffle-key skew diagnostic: the per-key row-count "
         "distribution of the join/agg key (orderkey here) — key "
         "count, hottest key's absolute and relative share, min/max/"
         "mean per key. This is the measurement that DECIDES between "
         "the engine's three skew strategies (AQE skew-join, salting, "
-        "df-capped blocking): you profile before you pick. Two "
-        "aggregates; the per-key table is |keys| rows, the final "
-        "summary one row.",
+        "df-capped blocking): you profile before you pick. One "
+        "aggregate; the per-key table is |keys| rows, the final "
+        "summary one row (top_key_rows is by definition MAX(cnt), so "
+        "no second aggregate or crossJoin is needed).",
     tags=("aggregate", "skew", "scale", "quality"),
 )
 def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
     per_key = li.groupBy(F.col("l_orderkey").alias("k")).agg(
         F.count(F.lit(1)).alias("cnt")
-    )
-    top = per_key.orderBy(F.desc("cnt"), F.asc("k")).limit(1).select(
-        F.col("cnt").alias("top_key_rows")
     )
     summary = per_key.agg(
         F.count(F.lit(1)).alias("n_keys"),
@@ -1582,12 +1572,12 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cnt").alias("min_per_key"),
         F.round(F.avg("cnt"), 6).alias("avg_per_key"),
     )
-    return summary.crossJoin(F.broadcast(top)).select(
+    return summary.select(
         "n_keys",
         "total_rows",
-        "top_key_rows",
+        F.col("max_per_key").alias("top_key_rows"),
         F.round(
-            F.col("top_key_rows").cast("double") / F.col("total_rows"), 6
+            F.col("max_per_key").cast("double") / F.col("total_rows"), 6
         ).alias("top_key_share"),
         "max_per_key",
         "min_per_key",
