@@ -224,7 +224,7 @@ def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SCD2_ORACLE = """
 WITH changes AS (
-  SELECT o_custkey, o_orderstatus, o_orderdate,
+  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
          LAG(o_orderstatus) OVER w AS prev_status
   FROM orders
   WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
@@ -232,8 +232,13 @@ WITH changes AS (
 regimes AS (
   SELECT o_custkey, o_orderstatus AS status,
          o_orderdate AS effective_from,
+         -- o_orderkey carried into the LEAD ORDER BY so the oracle uses
+         -- the same TOTAL order as scd2_compact's seq=[date, orderkey]:
+         -- without it, same-date regime starts within a custkey would
+         -- tie and DuckDB's tie order is unspecified.
          LEAD(o_orderdate) OVER (PARTITION BY o_custkey
-                                 ORDER BY o_orderdate) AS effective_to
+                                 ORDER BY o_orderdate, o_orderkey)
+           AS effective_to
   FROM changes
   WHERE prev_status IS NULL OR prev_status <> o_orderstatus
 )

@@ -5,12 +5,17 @@ The spatial twin of the fuzzy ER join (``operators/fuzzy.py``): a
 pairwise distance scan is O(n²) — blocking must generate a complete
 candidate set cheaply, then exact verification prunes it. Points are
 bucketed into 1°x1° grid cells; a candidate pair is any two points
-whose cells are within the 3x3 neighborhood. With |lat| <= 60° (so a
-longitude degree is >= 55.6 km) and radius 50 km, any qualifying pair
-differs by < 0.46° latitude and < 0.91° longitude — strictly inside
-one cell step — so neighborhood blocking has recall 1.0 BY
-CONSTRUCTION, and the DuckDB oracle (the brute-force quadratic
-haversine join) re-proves it on every gate run.
+whose cells are within the 3x3 neighborhood, with the longitude
+neighbor WRAPPED modulo 360 so pairs straddling the ±180° antimeridian
+are still candidates (haversine itself is periodic in Δlon — the
+half-angle sine makes sin²(Δλ/2) identical for Δλ and 360−Δλ — so
+only the blocking needed the wrap; latitude needs none since
+|lat| <= 60). With |lat| <= 60° (a longitude degree is >= 55.6 km)
+and radius 50 km, any qualifying pair differs by < 0.46° latitude and
+< 0.91° wrapped longitude — strictly inside one cell step — so
+neighborhood blocking has recall 1.0 BY CONSTRUCTION, and the DuckDB
+oracle (the brute-force quadratic haversine join) re-proves it on
+every gate run.
 
 Scale shape: each point emits 9 probe cells on ONE side of the join
 (the other side keeps its home cell), so candidates are an equi-join
@@ -98,10 +103,12 @@ SELECT * FROM (
     oracle=_SPATIAL_ORACLE,
     doc=f"All point pairs within {RADIUS_KM:.0f} km via 1-degree grid-"
         "cell blocking: one side explodes to its 3x3 cell "
-        "neighborhood, the other keeps its home cell, candidates "
-        "equi-join on cell id and verify with one haversine — "
-        "recall 1.0 by construction for |lat| <= 60 (a qualifying "
-        "pair can never span more than one cell step). The oracle IS "
+        "neighborhood (lon neighbors wrapped modulo 360 so "
+        "antimeridian-straddling pairs stay candidates), the other "
+        "keeps its home cell, candidates equi-join on cell id and "
+        "verify with one haversine — recall 1.0 by construction for "
+        "|lat| <= 60 (a qualifying pair can never span more than one "
+        "wrapped cell step). The oracle IS "
         "the brute-force quadratic haversine join, so the driver "
         "hash-compare re-proves the blocking's completeness on every "
         "run — the spatial twin of the SymSpell fuzzy join.",
@@ -109,7 +116,13 @@ SELECT * FROM (
 )
 def spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_tables(spark, sf_dir, "customer")["customer"]
-    pts = synth_points(cust).select(
+    return radius_join(synth_points(cust), RADIUS_KM)
+
+
+def radius_join(points: DataFrame, radius_km: float) -> DataFrame:
+    """All (point_a, point_b, dist_km) pairs within ``radius_km`` from a
+    (point_id, lat, lon) frame; grid-cell blocked, antimeridian-safe."""
+    pts = points.select(
         "point_id",
         "lat",
         "lon",
@@ -125,7 +138,14 @@ def spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         (F.col("cy") + dy).alias("py"),
-                        (F.col("cx") + dx).alias("px"),
+                        # Wrap the lon neighbor across the antimeridian:
+                        # floor(lon) is in [-180, 179], so cx+dx spans
+                        # [-181, 180] and pmod(.+180, 360)-180 folds both
+                        # overflow cells onto their wrapped twins while
+                        # leaving every in-range cell unchanged.
+                        (
+                            F.pmod(F.col("cx") + dx + 180, F.lit(360)) - 180
+                        ).alias("px"),
                     )
                     for dy in (-1, 0, 1)
                     for dx in (-1, 0, 1)
@@ -154,6 +174,6 @@ def spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("dist_km"),
         )
-        .where(F.col("dist_km") <= RADIUS_KM)
+        .where(F.col("dist_km") <= radius_km)
         .distinct()
     )

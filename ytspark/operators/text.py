@@ -792,9 +792,13 @@ WITH keyed AS (
   FROM documents
 ),
 ranked AS (
+  -- rank on the ROUNDED key: POWER is a libm call with no exact-
+  -- rounding guarantee, so JVM and DuckDB could order near-equal raw
+  -- keys differently; 12 dp + the doc_id tiebreak makes the order a
+  -- cross-engine total order (repo-wide round-before-rank policy).
   SELECT source, doc_id, n_chars,
          ROW_NUMBER() OVER (PARTITION BY source
-                            ORDER BY k DESC, doc_id) AS rk
+                            ORDER BY ROUND(k, 12) DESC, doc_id) AS rk
   FROM keyed
 )
 SELECT source, rk, doc_id, n_chars
@@ -824,7 +828,7 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "doc_id",
         "n_chars",
-        F.pow(u, F.lit(1.0) / F.col("n_chars")).alias("k"),
+        F.round(F.pow(u, F.lit(1.0) / F.col("n_chars")), 12).alias("k"),
     )
     w = Window.partitionBy("source").orderBy(F.desc("k"), F.asc("doc_id"))
     return (
