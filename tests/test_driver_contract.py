@@ -22,24 +22,19 @@ def test_contract_functions_exist_and_align():
     assert set(oracles) <= set(qs)  # every oracle belongs to a query
     assert all(callable(fn) for fn in qs.values())
     assert all(isinstance(sql, str) and sql.strip() for sql in oracles.values())
-    # the rows-only set stays small and intentional. Late round 3
-    # converted every convertible member: the three LSH ANN variants
-    # got full inlined-plane SQL oracles, and the two legacy sketch
-    # queries moved to the bound-certified pattern. What remains is
-    # genuinely non-SQL: xxhash64-keyed MinHash/SimHash (their
-    # cross-engine-checkable twins ARE hash-gated), iterative label
-    # propagation, kmeans-trained PQ codebooks, and the two
-    # store-lifecycle incremental dedups (equality-tested vs
-    # sequential batch ticks instead).
+    # the rows-only set stays small and intentional. Round 4 converted
+    # the two store-lifecycle incremental dedups (checkable-hash store
+    # + batch-recompute oracles). What remains is genuinely non-SQL:
+    # xxhash64-keyed MinHash/SimHash production variants (their
+    # cross-engine-checkable twins ARE hash-gated) and iterative
+    # label propagation.
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
         "dedup_minhash_clusters",
-        "dedup_minhash_incremental",
         "dedup_minhash_lsh",
         "dedup_simhash",
         "embedding_pq",
         "knn_cosine_ivf",
-        "streaming_incremental_dedup",
     }, sorted(rows_only)
 
 

@@ -1,8 +1,9 @@
-"""Streaming incremental dedup: the registered query is rows-only
-gated (xxhash64 signatures), so THIS test carries its correctness
-claim — the foreachBatch stream must produce exactly the pairs that
-sequential batch ticks over the same slices produce, and the
-accumulated pair set must be independent of tick order."""
+"""Streaming incremental dedup: the registered query is hash-certified
+against a batch-collapse DuckDB oracle (round 4); this test covers the
+function-level store lifecycle with the PRODUCTION xxhash64 hash family
+— the foreachBatch stream must produce exactly the pairs that
+sequential batch ticks over the same slices produce — plus the
+within-batch pairing the certified query relies on."""
 
 from __future__ import annotations
 
@@ -93,6 +94,37 @@ def test_stream_ticks_equal_sequential_batch_ticks(spark, sf_dir, fresh_dirs):
 
     assert stream_pairs == batch_pairs
     assert stream_pairs  # non-trivial: the corpus contains near-dups
+
+
+def test_within_batch_pairing_catches_same_tick_dups(spark, tmp_path):
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 8
+    corpus = spark.createDataFrame(
+        [(1, "totally unrelated corpus text " * 10)],
+        "doc_id bigint, text string",
+    )
+    path = str(tmp_path / "wb_store")
+    persist_minhash_store(corpus, path, checkable=True)
+    batch = spark.createDataFrame(
+        [(10, base + "tail one"), (11, base + "tail two"),
+         (12, "novel body of words nothing alike " * 7)],
+        "doc_id bigint, text string",
+    )
+    without = {
+        (r.new_doc_id, r.existing_doc_id)
+        for r in incremental_minhash_dedup(
+            spark, batch, path, threshold=0.2, append=False, checkable=True
+        ).collect()
+    }
+    with_wb = {
+        (r.new_doc_id, r.existing_doc_id)
+        for r in incremental_minhash_dedup(
+            spark, batch, path, threshold=0.2, append=False,
+            checkable=True, within_batch=True,
+        ).collect()
+    }
+    assert (11, 10) not in without  # store join alone misses same-tick
+    assert (11, 10) in with_wb      # within-batch self-join catches it
+    assert all(12 not in p for p in with_wb)  # novel doc matches nothing
 
 
 def test_registered_query_is_deterministic(spark, sf_dir):

@@ -439,6 +439,28 @@ def checkable_shingle_hashes(docs: DataFrame, n: int = SHINGLE_WIDTH) -> DataFra
     ).where(F.col("h").isNotNull())
 
 
+def checkable_minhash_signatures_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig array<bigint>) with the cross-engine checkable
+    shingle hash — the drop-in twin of ``minhash_signatures_df`` for
+    stores whose contents must be replayable in DuckDB (incremental
+    dedup certification). Same plan shape: explode → N_PERMUTATIONS
+    codegen'd MIN aggregates → array pack, one shuffle on doc_id."""
+    mins = checkable_shingle_hashes(docs).groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.pmod(
+                    F.lit(2 * i + 1) * F.col("h") + F.lit(104729 * (i + 1)),
+                    F.lit(_M31),
+                )
+            ).alias(f"m{i}")
+            for i in range(N_PERMUTATIONS)
+        ]
+    )
+    return mins.select(
+        "doc_id", F.array(*[F.col(f"m{i}") for i in range(N_PERMUTATIONS)]).alias("sig")
+    )
+
+
 def minhash_pairs_checkable(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     """``minhash_pairs`` with the cross-engine shingle hash and a
     polynomial band hash instead of xxhash64 — identical plan shape
@@ -512,9 +534,11 @@ def minhash_pairs_checkable(docs: DataFrame, threshold: float = 0.5) -> DataFram
     )
 
 
-def _checkable_minhash_oracle() -> str:
-    """DuckDB twin of minhash_pairs_checkable, generated from the same
-    constants so the two engines cannot drift."""
+def _checkable_bands_cte() -> str:
+    """Shared CTE prefix (toks → shingle hashes → signatures → banded
+    projection) for every oracle that replays the checkable-hash
+    MinHash pipeline in DuckDB — generated from the same constants as
+    the Spark side so the two engines cannot drift."""
     m31 = _M31
     sh = "7"
     for j in range(SHINGLE_WIDTH):
@@ -527,8 +551,7 @@ def _checkable_minhash_oracle() -> str:
     bh = "7"
     for r in range(rows):
         bh = f"(({bh}) * {_POLY} + sig[band_id*{rows}+{r + 1}]) % {m31}"
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT doc_id,
          LIST_TRANSFORM(STRING_SPLIT(text, ' '),
                         t -> CAST(LENGTH(t) * 131 + UNICODE(t) AS BIGINT)) AS v
@@ -549,12 +572,24 @@ sig AS (
 bands AS (
   SELECT doc_id, sig, band_id, {bh} AS band_hash
   FROM sig CROSS JOIN (SELECT UNNEST(RANGE(0, {N_BANDS})) AS band_id)
+)"""
+
+
+_EST_JACCARD_SQL = (
+    f"CAST(LEN(LIST_FILTER(RANGE(1, {N_PERMUTATIONS + 1}),"
+    " i -> {a}.sig[i] = {b}.sig[i])) AS DOUBLE)"
+    f" / {N_PERMUTATIONS}"
 )
+
+
+def _checkable_minhash_oracle() -> str:
+    """DuckDB twin of minhash_pairs_checkable."""
+    est = _EST_JACCARD_SQL.format(a="a", b="b")
+    return f"""
+WITH {_checkable_bands_cte()}
 SELECT doc_a, doc_b, est_jaccard FROM (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         CAST(LEN(LIST_FILTER(RANGE(1, {N_PERMUTATIONS + 1}),
-                              i -> a.sig[i] = b.sig[i])) AS DOUBLE)
-           / {N_PERMUTATIONS} AS est_jaccard
+         {est} AS est_jaccard
   FROM bands a
   JOIN bands b
     ON a.band_id = b.band_id AND a.band_hash = b.band_hash
@@ -1234,9 +1269,20 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------- persisted signature store
 
 
-def _banded(sig_df: DataFrame) -> DataFrame:
-    """Explode signatures to (doc_id, band_id, band_hash) rows."""
+def _banded(sig_df: DataFrame, checkable: bool = False) -> DataFrame:
+    """Explode signatures to (doc_id, band_id, band_hash) rows.
+    ``checkable=True`` swaps the xxhash64 band hash for the polynomial
+    fold DuckDB reproduces exactly (same swap the *_checkable queries
+    make), so a store built from checkable signatures stays replayable
+    end to end."""
     rows = N_PERMUTATIONS // N_BANDS
+
+    def band_hash(bi: int):
+        elems = [
+            F.element_at(F.col("sig"), bi * rows + r + 1) for r in range(rows)
+        ]
+        return _poly_fold(elems) if checkable else F.xxhash64(*elems)
+
     return sig_df.select(
         "doc_id",
         F.explode(
@@ -1244,12 +1290,7 @@ def _banded(sig_df: DataFrame) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(bi).alias("band_id"),
-                        F.xxhash64(
-                            *[
-                                F.element_at(F.col("sig"), bi * rows + r + 1)
-                                for r in range(rows)
-                            ]
-                        ).alias("band_hash"),
+                        band_hash(bi).alias("band_hash"),
                     )
                     for bi in range(N_BANDS)
                 ]
@@ -1259,11 +1300,54 @@ def _banded(sig_df: DataFrame) -> DataFrame:
 
 
 INCR_SPLIT = 250  # doc_id boundary: corpus bootstrap vs incoming batch
+INCR_THRESHOLD = 0.2  # est-Jaccard cut for the incremental queries
+
+
+def _incremental_minhash_oracle() -> str:
+    """Batch-recompute DuckDB twin of dedup_minhash_incremental: replay
+    the checkable signature pipeline over ALL documents, band-join the
+    batch region (doc_id >= INCR_SPLIT) against the corpus region
+    (doc_id < INCR_SPLIT), and score candidates — exactly the pair set
+    the store-mediated incremental plan must produce, because the store
+    is nothing but the corpus' signatures/bands persisted."""
+    est = _EST_JACCARD_SQL.format(a="n", b="o")
+    return f"""
+WITH {_checkable_bands_cte()}
+SELECT new_doc_id, existing_doc_id, est_jaccard FROM (
+  SELECT DISTINCT n.doc_id AS new_doc_id, o.doc_id AS existing_doc_id,
+         {est} AS est_jaccard
+  FROM bands n
+  JOIN bands o
+    ON n.band_id = o.band_id AND n.band_hash = o.band_hash
+  WHERE n.doc_id >= {INCR_SPLIT} AND o.doc_id < {INCR_SPLIT}
+) WHERE est_jaccard >= {INCR_THRESHOLD}
+"""
+
+
+def _streaming_incremental_oracle() -> str:
+    """Batch-collapse DuckDB twin of streaming_incremental_dedup: with
+    within-batch pairing the accumulated pair set is independent of
+    micro-batch slicing and equals every orientation-normalized pair
+    involving at least one batch doc (corpus ids < INCR_SPLIT <= batch
+    ids, so that is exactly doc_hi >= INCR_SPLIT)."""
+    est = _EST_JACCARD_SQL.format(a="a", b="b")
+    return f"""
+WITH {_checkable_bands_cte()}
+SELECT doc_lo, doc_hi, est_jaccard FROM (
+  SELECT DISTINCT a.doc_id AS doc_lo, b.doc_id AS doc_hi,
+         {est} AS est_jaccard
+  FROM bands a
+  JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+  WHERE b.doc_id >= {INCR_SPLIT}
+) WHERE est_jaccard >= {INCR_THRESHOLD}
+"""
 
 
 @register(
     "dedup_minhash_incremental",
-    oracle=None,  # xxhash64-based signatures have no DuckDB twin — rows-only
+    oracle=_incremental_minhash_oracle(),
     doc="The persisted-store incremental dedup, end to end in its "
         "production shape: bootstrap the MinHash store from the "
         "existing corpus (doc_id < 250 — signatures computed once, "
@@ -1272,9 +1356,11 @@ INCR_SPLIT = 250  # doc_id boundary: corpus bootstrap vs incoming batch
         "matched candidates), never O(corpus): batch signatures band-"
         "join the stored band table; candidates re-score from the two "
         "signature tables. This is the 100 TB tick shape — the corpus "
-        "participates only through the pruned band join. Rows-only "
-        "check (xxhash64 signatures have no cross-engine twin); the "
-        "store round-trip itself is also unit-tested.",
+        "participates only through the pruned band join. The store "
+        "uses the cross-engine checkable signature/band hashes, so the "
+        "DuckDB oracle recomputes the whole store-mediated result from "
+        "scratch and the driver hash-certifies the store lifecycle "
+        "itself (round 4 — previously rows-only).",
     tags=("dedup", "minhash", "incremental", "store"),
 )
 def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1293,22 +1379,29 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.where(F.col("doc_id") < INCR_SPLIT)
     batch = docs.where(F.col("doc_id") >= INCR_SPLIT)
     if not os.path.exists(os.path.join(store, "sigs", "_SUCCESS")):
-        persist_minhash_store(corpus, store)
+        persist_minhash_store(corpus, store, checkable=True)
     return incremental_minhash_dedup(
-        spark, batch, store, threshold=0.2, append=False
+        spark, batch, store, threshold=INCR_THRESHOLD, append=False,
+        checkable=True,
     ).select("new_doc_id", "existing_doc_id", "est_jaccard")
 
 
-def persist_minhash_store(docs: DataFrame, path: str) -> None:
+def persist_minhash_store(
+    docs: DataFrame, path: str, checkable: bool = False
+) -> None:
     """Bootstrap the persisted MinHash store: the signature table
     (``<path>/sigs``) plus its banded LSH projection (``<path>/bands``,
     partitioned by band_id). Signatures are computed ONCE per document
-    ever — the store is what makes dedup incremental."""
-    sigs = minhash_signatures_df(docs).persist()
+    ever — the store is what makes dedup incremental. ``checkable=True``
+    builds the store from the cross-engine hash family so its contents
+    (and every dedup result derived from them) are DuckDB-replayable;
+    the xxhash64 default stays the production choice."""
+    sig_fn = checkable_minhash_signatures_df if checkable else minhash_signatures_df
+    sigs = sig_fn(docs).persist()
     sigs.write.mode("overwrite").parquet(path + "/sigs")
-    _banded(sigs).write.mode("overwrite").partitionBy("band_id").parquet(
-        path + "/bands"
-    )
+    _banded(sigs, checkable=checkable).write.mode("overwrite").partitionBy(
+        "band_id"
+    ).parquet(path + "/bands")
 
 
 def incremental_minhash_dedup(
@@ -1317,6 +1410,8 @@ def incremental_minhash_dedup(
     path: str,
     threshold: float = 0.5,
     append: bool = True,
+    checkable: bool = False,
+    within_batch: bool = False,
 ) -> DataFrame:
     """Dedup a NEW batch against the persisted corpus without touching
     old documents' text: signatures are computed for the batch only,
@@ -1330,9 +1425,17 @@ def incremental_minhash_dedup(
     cost is O(batch + matched candidates), never O(corpus) — the
     corpus participates only through the (partitioned, pruned) band
     join and the signature lookup join for candidates.
+
+    ``checkable`` must match the flag the store was persisted with.
+    ``within_batch=True`` additionally self-joins the batch's own band
+    table so same-tick duplicate pairs are caught too (oriented
+    newer-id-as-new); with it, the union of per-tick results is
+    independent of how a document stream is sliced into ticks — the
+    property the streaming twin's batch-collapse oracle certifies.
     """
-    new_sigs = minhash_signatures_df(new_docs).persist()
-    new_bands = _banded(new_sigs)
+    sig_fn = checkable_minhash_signatures_df if checkable else minhash_signatures_df
+    new_sigs = sig_fn(new_docs).persist()
+    new_bands = _banded(new_sigs, checkable=checkable)
     stored_bands = spark.read.parquet(path + "/bands")
     cand = (
         new_bands.alias("n")
@@ -1376,6 +1479,42 @@ def incremental_minhash_dedup(
             & (F.col("new_doc_id") != F.col("existing_doc_id"))
         )
     )
+    if within_batch:
+        wb_cand = (
+            new_bands.alias("a")
+            .join(
+                new_bands.alias("b"),
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                # the larger id plays "new", the smaller "existing" —
+                # within one tick arrival order is the id order
+                F.col("b.doc_id").alias("new_doc_id"),
+                F.col("a.doc_id").alias("existing_doc_id"),
+            )
+            .distinct()
+        )
+        wb_pairs = (
+            wb_cand.join(
+                new_sigs.select(
+                    F.col("doc_id").alias("new_doc_id"),
+                    F.col("sig").alias("n_sig"),
+                ),
+                "new_doc_id",
+            )
+            .join(
+                new_sigs.select(
+                    F.col("doc_id").alias("existing_doc_id"),
+                    F.col("sig").alias("o_sig"),
+                ),
+                "existing_doc_id",
+            )
+            .select("new_doc_id", "existing_doc_id", est.alias("est_jaccard"))
+            .where(F.col("est_jaccard") >= threshold)
+        )
+        pairs = pairs.unionByName(wb_pairs)
     # eager localCheckpoint: computes the result NOW and truncates
     # lineage, so the append below cannot leak the batch's own
     # signatures back into this result on a later recompute (a cache()
@@ -1383,7 +1522,7 @@ def incremental_minhash_dedup(
     result = pairs.localCheckpoint(eager=True)
     if append:
         new_sigs.write.mode("append").parquet(path + "/sigs")
-        _banded(new_sigs).write.mode("append").partitionBy("band_id").parquet(
-            path + "/bands"
-        )
+        _banded(new_sigs, checkable=checkable).write.mode("append").partitionBy(
+            "band_id"
+        ).parquet(path + "/bands")
     return result

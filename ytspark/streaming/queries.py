@@ -326,23 +326,27 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.table(sink)
 
 
+from ytspark.operators.dedup import _streaming_incremental_oracle
+
+
 @register(
     "streaming_incremental_dedup",
-    oracle=None,  # xxhash64 signatures — rows-only (store semantics
-    # are equality-tested vs sequential batch ticks in
-    # tests/test_streaming_incremental_dedup.py)
+    oracle=_streaming_incremental_oracle(),
     doc="The 100 TB ingest-cadence dedup shape END TO END in streaming "
-        "form: the corpus MinHash store bootstraps once, then a "
-        "document stream (file source, one micro-batch per file) runs "
-        "incremental_minhash_dedup inside foreachBatch — each tick "
-        "signatures only its own batch, LSH-joins the stored band "
-        "table at O(batch + candidates), emits its duplicate pairs, "
-        "and APPENDS its signatures so the next tick sees this one. "
-        "Output pairs are orientation-normalized (doc_lo < doc_hi) so "
-        "the accumulated set is independent of micro-batch order. "
-        "This is the streaming twin of dedup_minhash_incremental — "
-        "same store, same per-tick cost model, driven by Structured "
-        "Streaming instead of a batch scheduler.",
+        "form: the corpus MinHash store bootstraps once (checkable "
+        "hash family), then a document stream (file source, one "
+        "micro-batch per file) runs incremental_minhash_dedup inside "
+        "foreachBatch — each tick signatures only its own batch, "
+        "LSH-joins the stored band table at O(batch + candidates), "
+        "pairs the batch against ITSELF too (within_batch=True, so "
+        "same-tick duplicates are caught and the accumulated set is "
+        "independent of micro-batch slicing), sinks its pairs to "
+        "parquet (bounded executor-side writes — never a growing "
+        "driver list), and APPENDS its signatures so the next tick "
+        "sees this one. Certified by a batch-collapse DuckDB oracle: "
+        "slicing-independence means the union of ticks equals the "
+        "full recompute restricted to pairs touching the batch "
+        "region. Streaming twin of dedup_minhash_incremental.",
     tags=("streaming", "dedup", "minhash", "incremental", "store"),
 )
 def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -350,6 +354,7 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ytspark.operators.dedup import (
         INCR_SPLIT,
+        INCR_THRESHOLD,
         incremental_minhash_dedup,
         persist_minhash_store,
     )
@@ -360,30 +365,30 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = scratch_dir(f"stream_incr_dedup_{sf_dir}")
     store = os.path.join(root, "store")
     stage = os.path.join(root, "stage")
+    sink = os.path.join(root, "pairs")
     # the stream APPENDS to the store, so determinism across repeat
-    # invocations requires a fresh bootstrap + stage every run
-    for d in (store, stage):
+    # invocations requires a fresh bootstrap + stage + sink every run
+    for d in (store, stage, sink):
         shutil.rmtree(d, ignore_errors=True)
-    persist_minhash_store(docs.where(F.col("doc_id") < INCR_SPLIT), store)
+    persist_minhash_store(
+        docs.where(F.col("doc_id") < INCR_SPLIT), store, checkable=True
+    )
     # four range-sliced files -> four micro-batches with
     # maxFilesPerTrigger=1: ticks see each other through the store
     batch = docs.where(F.col("doc_id") >= INCR_SPLIT)
     batch.repartitionByRange(4, "doc_id").write.parquet(stage)
     schema = spark.read.parquet(stage).schema
 
-    collected: list = []
-
     def tick(batch_df, batch_id):
         pairs = incremental_minhash_dedup(
-            spark, batch_df, store, threshold=0.2, append=True
+            spark, batch_df, store, threshold=INCR_THRESHOLD, append=True,
+            checkable=True, within_batch=True,
         )
-        collected.extend(
-            pairs.select(
-                F.least("new_doc_id", "existing_doc_id").alias("doc_lo"),
-                F.greatest("new_doc_id", "existing_doc_id").alias("doc_hi"),
-                F.col("est_jaccard"),
-            ).collect()
-        )
+        pairs.select(
+            F.least("new_doc_id", "existing_doc_id").alias("doc_lo"),
+            F.greatest("new_doc_id", "existing_doc_id").alias("doc_hi"),
+            F.col("est_jaccard"),
+        ).write.mode("append").parquet(sink)
 
     q = (
         spark.readStream.schema(schema)
@@ -394,9 +399,11 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.createDataFrame(
-        collected, "doc_lo long, doc_hi long, est_jaccard double"
-    ).dropDuplicates(["doc_lo", "doc_hi"])
+    return (
+        spark.read.parquet(sink)
+        .select("doc_lo", "doc_hi", "est_jaccard")
+        .dropDuplicates(["doc_lo", "doc_hi"])
+    )
 
 
 from ytspark.operators.maintenance import _CDC_ORACLE
