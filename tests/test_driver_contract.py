@@ -34,7 +34,6 @@ def test_contract_functions_exist_and_align():
         "dedup_minhash_lsh",
         "dedup_simhash",
         "embedding_pq",
-        "knn_cosine_ivf",
     }, sorted(rows_only)
 
 

@@ -222,11 +222,117 @@ def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_IVF_CELLS = 16
 N_PROBE = 4
+IVF_TRAIN_CAP = 4096  # max vectors collected to the driver for training
+
+
+def _ivf_oracle() -> str:
+    """Chained-CTE DuckDB replay of the ENTIRE IVF pipeline —
+    build_ivf_centroids (Knuth-strided bounded sample, vec_id-ordered
+    evenly-strided seeds, one Lloyd step with vec_id-ordered member
+    folds), persist_ivf_index's nearest-cell assignment, and
+    knn_from_ivf_index's probe + score serving. Every float op is a
+    strict left fold in both engines (LIST_DOT_PRODUCT / LIST_REDUCE
+    here, _fold_norms/_fold_scores in numpy, zip_with+aggregate in
+    Spark), every argmax ranks (score DESC, cell) — so the replay is
+    bit-exact and the driver hash-certifies the trained index itself,
+    the discipline embedding_kmeans_assign proved."""
+    from ytspark.operators.text import knuth_hash_sql
+
+    knuth = knuth_hash_sql("vec_id")
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+p AS (
+  SELECT GREATEST(1, COUNT(*) // {IVF_TRAIN_CAP}) AS stride FROM e
+),
+tru AS (
+  SELECT vec_id,
+         LIST_TRANSFORM(v, x -> x / SQRT(LIST_DOT_PRODUCT(v, v))) AS uv,
+         ROW_NUMBER() OVER (ORDER BY vec_id) AS rn,
+         COUNT(*) OVER () AS nt
+  FROM e WHERE ({knuth}) % (SELECT stride FROM p) = 0
+),
+seeds AS (
+  SELECT CAST((rn - 1) // GREATEST(1, nt // {N_IVF_CELLS}) AS INT) AS cell, uv
+  FROM tru
+  WHERE (rn - 1) % GREATEST(1, nt // {N_IVF_CELLS}) = 0
+    AND (rn - 1) // GREATEST(1, nt // {N_IVF_CELLS}) < {N_IVF_CELLS}
+),
+best AS (
+  SELECT vec_id, cell FROM (
+    SELECT t.vec_id, s.cell,
+           ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                              ORDER BY LIST_DOT_PRODUCT(t.uv, s.uv) DESC,
+                                       s.cell) AS rk
+    FROM tru t CROSS JOIN seeds s
+  ) WHERE rk = 1
+),
+dimsum AS (
+  SELECT b.cell, d.i AS dim,
+         LIST_REDUCE(LIST(t.uv[d.i] ORDER BY t.vec_id), (a, x) -> a + x)
+           / COUNT(*) AS mu
+  FROM best b
+  JOIN tru t USING (vec_id)
+  CROSS JOIN (SELECT UNNEST(RANGE(1, 65)) AS i) d
+  GROUP BY b.cell, d.i
+),
+mvec AS (
+  SELECT cell, LIST(mu ORDER BY dim) AS mv FROM dimsum GROUP BY cell
+),
+cents AS (
+  -- empty cells keep their seed (the numpy side's if counts[c] guard)
+  SELECT s.cell,
+         COALESCE(LIST_TRANSFORM(r.mv,
+                    x -> x / SQRT(LIST_DOT_PRODUCT(r.mv, r.mv))),
+                  s.uv) AS cv
+  FROM seeds s LEFT JOIN mvec r USING (cell)
+),
+cu AS (
+  SELECT vec_id, v,
+         LIST_TRANSFORM(v, x -> x / SQRT(LIST_DOT_PRODUCT(v, v))) AS uv
+  FROM e
+),
+corpus_cell AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT cu.vec_id, cu.v, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY cu.vec_id
+                              ORDER BY LIST_DOT_PRODUCT(cu.uv, c.cv) DESC,
+                                       c.cell) AS rk
+    FROM cu CROSS JOIN cents c
+  ) WHERE rk = 1
+),
+probes AS (
+  SELECT query_id, qv, probe_cell FROM (
+    SELECT cu.vec_id AS query_id, cu.v AS qv, c.cell AS probe_cell,
+           ROW_NUMBER() OVER (PARTITION BY cu.vec_id
+                              ORDER BY LIST_DOT_PRODUCT(cu.uv, c.cv) DESC,
+                                       c.cell) AS rk
+    FROM cu CROSS JOIN cents c
+    WHERE cu.vec_id < {N_QUERIES}
+  ) WHERE rk <= {N_PROBE}
+),
+scored AS (
+  SELECT p.query_id, cc.vec_id AS neighbor_id,
+         ROUND(LIST_DOT_PRODUCT(p.qv, cc.v)
+               / (SQRT(LIST_DOT_PRODUCT(p.qv, p.qv))
+                  * SQRT(LIST_DOT_PRODUCT(cc.v, cc.v))), 6) AS cos_sim
+  FROM probes p
+  JOIN corpus_cell cc
+    ON cc.cell = p.probe_cell AND cc.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cos_sim FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rk
+  FROM scored
+) WHERE rk <= {TOP_K}
+"""
 
 
 @register(
     "knn_cosine_ivf",
-    oracle=None,  # approximate — recall measured against brute force in tests
+    oracle=_ivf_oracle(),
     doc="ANN via IVF (inverted-file index), run end-to-end in its "
         "100 TB serving shape: centroids trained driver-side from a "
         "BOUNDED hash-strided sample (<= ~2x IVF_TRAIN_CAP vectors "
@@ -236,8 +342,12 @@ N_PROBE = 4
         "queries probe their n_probe nearest cells as a PARTITION "
         "FILTER on the index scan (knn_from_ivf_index) and score "
         "exactly within them. The measured cost includes the one-time "
-        "index build; at scale that amortizes over every query served.",
-    tags=("similarity", "knn", "ivf"),
+        "index build; at scale that amortizes over every query served. "
+        "HASH-CERTIFIED (round 4): training uses a Knuth-strided "
+        "sample and strict left-fold float kernels, so the DuckDB "
+        "oracle replays training, assignment and serving bit-exactly "
+        "as chained CTEs — no rows-only gap.",
+    tags=("similarity", "knn", "ivf", "checkable"),
 )
 def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ytspark.plans.scratch import scratch_dir
@@ -629,7 +739,30 @@ def knn_from_index(
     )
 
 
-IVF_TRAIN_CAP = 4096  # max vectors collected to the driver for training
+def _fold_norms(m):
+    """Row norms with a strict LEFT FOLD over dimensions (vectorized
+    over rows, sequential over dims) — every per-row value is the same
+    IEEE operation sequence Spark's ``aggregate`` lambda and DuckDB's
+    LIST_DOT_PRODUCT execute, so all three engines get bit-identical
+    doubles. numpy's pairwise-summed ``.sum()``/``@`` would not."""
+    import numpy as np
+
+    acc = np.zeros(m.shape[0])
+    for j in range(m.shape[1]):
+        acc = acc + m[:, j] * m[:, j]
+    return np.sqrt(acc)
+
+
+def _fold_scores(a, c):
+    """(n_rows, n_cents) dot-product matrix with the same strict
+    left-fold-over-dims order as ``_fold_norms`` — the cross-engine
+    replayable substitute for ``a @ c.T``."""
+    import numpy as np
+
+    acc = np.zeros((a.shape[0], c.shape[0]))
+    for j in range(a.shape[1]):
+        acc = acc + a[:, j][:, None] * c[:, j][None, :]
+    return acc
 
 
 def build_ivf_centroids(
@@ -637,31 +770,46 @@ def build_ivf_centroids(
 ):
     """Deterministic unit-sphere centroids: evenly-strided seed sample +
     one Lloyd refinement. The training set is a BOUNDED deterministic
-    hash-strided sample (xxhash64(vec_id) % stride == 0, stride sized
+    hash-strided sample (knuth_hash(vec_id) % stride == 0, stride sized
     from the corpus count), so the driver collects ~train_cap vectors
     regardless of corpus size — at 100 TB this is a few MB, never the
     corpus. Hash striding (not .sample()) keeps the training set
-    identical across partitionings and AQE re-executions."""
+    identical across partitionings and AQE re-executions; the Knuth
+    hash (not xxhash64) keeps it DuckDB-replayable.
+
+    Every float step is cross-engine reproducible by construction:
+    training rows process in vec_id order, norms/dots are strict left
+    folds (bit-identical in numpy, JVM and DuckDB), assignment argmax
+    ties break to the lowest cell, and the Lloyd mean accumulates
+    members in vec_id order — which is why knn_cosine_ivf can be
+    hash-certified against a chained-CTE SQL replay of this exact
+    function."""
     import numpy as np
+
+    from ytspark.operators.text import knuth_hash_col
 
     n = emb.count()
     stride = max(1, n // train_cap)
-    train = emb.select("embedding")
-    if stride > 1:
-        train = emb.where(
-            F.pmod(F.xxhash64("vec_id"), F.lit(stride)) == 0
-        ).select("embedding")
-    corpus = train.toPandas()
-    m = np.stack(corpus["embedding"].to_numpy()).astype("float64")
-    unit = m / np.sqrt((m * m).sum(axis=1, keepdims=True))
-    stride = max(1, len(unit) // n_cells)
-    cents = unit[::stride][:n_cells].copy()
-    assign = (unit @ cents.T).argmax(axis=1)
+    train = emb.where(
+        F.pmod(knuth_hash_col(F.col("vec_id")), F.lit(stride)) == 0
+    ).select("vec_id", "embedding")
+    pdf = train.toPandas().sort_values("vec_id").reset_index(drop=True)
+    m = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+    unit = m / _fold_norms(m)[:, None]
+    seed_stride = max(1, len(unit) // n_cells)
+    cents = unit[::seed_stride][:n_cells].copy()
+    # np.argmax takes the FIRST max — ties to the lowest cell index,
+    # matching ORDER BY score DESC, cell in the SQL replay
+    assign = _fold_scores(unit, cents).argmax(axis=1)
+    sums = np.zeros_like(cents)
+    counts = np.zeros(len(cents), dtype="int64")
+    for i in range(len(unit)):  # vec_id order: the fold the oracle replays
+        sums[assign[i]] = sums[assign[i]] + unit[i]
+        counts[assign[i]] += 1
     for c in range(len(cents)):
-        members = unit[assign == c]
-        if len(members):
-            mean = members.mean(axis=0)
-            cents[c] = mean / np.linalg.norm(mean)
+        if counts[c]:
+            mean = sums[c] / counts[c]
+            cents[c] = mean / _fold_norms(mean[None, :])[0]
     return cents
 
 
@@ -686,12 +834,14 @@ def persist_ivf_index(
             if len(pdf) == 0:
                 continue
             v = np.stack(pdf["embedding"].to_numpy()).astype("float64")
-            u = v / np.sqrt((v * v).sum(axis=1, keepdims=True))
+            u = v / _fold_norms(v)[:, None]
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"],
                     "embedding": pdf["embedding"],
-                    "cell": (u @ c.T).argmax(axis=1).astype("int32"),
+                    # left-fold scores + first-max argmax: bit-identical
+                    # to the SQL replay's ORDER BY score DESC, cell
+                    "cell": _fold_scores(u, c).argmax(axis=1).astype("int32"),
                 }
             )
 
@@ -753,8 +903,12 @@ def knn_from_ivf_index(
     if small:
         q_pdf = query_vecs.select("vec_id", "embedding").toPandas()
         qm = np.stack(q_pdf["embedding"].to_numpy()).astype("float64")
-        qu = qm / np.sqrt((qm * qm).sum(axis=1, keepdims=True))
-        probe = np.argsort(-(qu @ cents.T), axis=1)[:, :n_probe]
+        qu = qm / _fold_norms(qm)[:, None]
+        # stable sort on the negated left-fold scores: ties go to the
+        # lower cell index — ORDER BY score DESC, cell in the SQL replay
+        probe = np.argsort(
+            -_fold_scores(qu, cents), axis=1, kind="stable"
+        )[:, :n_probe]
         probe_rows = [
             (int(q_pdf["vec_id"][i]), [float(x) for x in qm[i]], int(c))
             for i in range(len(q_pdf))
@@ -777,8 +931,10 @@ def knn_from_ivf_index(
                 if len(pdf) == 0:
                     continue
                 v = np.stack(pdf["embedding"].to_numpy()).astype("float64")
-                u = v / np.sqrt((v * v).sum(axis=1, keepdims=True))
-                pr = np.argsort(-(u @ c.T), axis=1)[:, :n_probe]
+                u = v / _fold_norms(v)[:, None]
+                pr = np.argsort(
+                    -_fold_scores(u, c), axis=1, kind="stable"
+                )[:, :n_probe]
                 yield pd.DataFrame(
                     {
                         "query_id": pdf["vec_id"].to_numpy().repeat(n_probe),
