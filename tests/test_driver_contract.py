@@ -33,7 +33,6 @@ def test_contract_functions_exist_and_align():
         "dedup_minhash_clusters",
         "dedup_minhash_lsh",
         "dedup_simhash",
-        "embedding_pq",
     }, sorted(rows_only)
 
 

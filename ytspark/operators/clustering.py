@@ -95,23 +95,44 @@ PQ_SUBSPACES = 8  # 64-dim embeddings → 8 subspaces × 8 dims
 PQ_CODES = 16  # codes per subspace codebook (4 bits)
 
 
+def _fold_d2(a, c):
+    """(n_rows, n_codes) squared-distance matrix with a strict LEFT
+    FOLD over dimensions — the same IEEE operation sequence DuckDB's
+    LIST_REDUCE and Spark's aggregate lambda execute, so all engines
+    get bit-identical doubles (numpy's pairwise ``.sum`` would not;
+    the similarity module's _fold_norms/_fold_scores discipline)."""
+    import numpy as np
+
+    acc = np.zeros((a.shape[0], c.shape[0]))
+    for j in range(a.shape[1]):
+        diff = a[:, j][:, None] - c[:, j][None, :]
+        acc = acc + diff * diff
+    return acc
+
+
 def build_pq_codebooks(emb: DataFrame, m: int = PQ_SUBSPACES, k: int = PQ_CODES):
     """Deterministic per-subspace codebooks: bounded hash-strided
     sample (same discipline as ``similarity.build_ivf_centroids`` — the
     driver holds ~IVF_TRAIN_CAP vectors max), evenly-strided seeds, one
-    Lloyd refinement per subspace. Returns ndarray (m, k, dim//m)."""
+    Lloyd refinement per subspace. Returns ndarray (m, k, dim//m).
+
+    Cross-engine reproducible by construction (round 4): Knuth-strided
+    sample, vec_id row order, left-fold distances, argmin ties to the
+    lowest code, Lloyd member sums folded in vec_id order — so
+    embedding_pq certifies against a chained-CTE SQL replay exactly
+    like knn_cosine_ivf."""
     import numpy as np
 
     from ytspark.operators.similarity import IVF_TRAIN_CAP
+    from ytspark.operators.text import knuth_hash_col
 
     n = emb.count()
     stride = max(1, n // IVF_TRAIN_CAP)
-    train = emb
-    if stride > 1:
-        train = emb.where(F.pmod(F.xxhash64("vec_id"), F.lit(stride)) == 0)
-    mat = np.stack(
-        train.select("embedding").toPandas()["embedding"].to_numpy()
-    ).astype("float64")
+    train = emb.where(
+        F.pmod(knuth_hash_col(F.col("vec_id")), F.lit(stride)) == 0
+    ).select("vec_id", "embedding")
+    pdf = train.toPandas().sort_values("vec_id").reset_index(drop=True)
+    mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
     dim = mat.shape[1]
     sub = dim // m
     books = np.empty((m, k, sub))
@@ -119,20 +140,118 @@ def build_pq_codebooks(emb: DataFrame, m: int = PQ_SUBSPACES, k: int = PQ_CODES)
         block = mat[:, s * sub : (s + 1) * sub]
         seed_stride = max(1, len(block) // k)
         cents = block[::seed_stride][:k].copy()
-        # one Lloyd iteration (deterministic)
-        d2 = ((block[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
+        # one Lloyd iteration; np.argmin takes the FIRST min — ties to
+        # the lowest code, matching ORDER BY d2, code in the SQL replay
+        assign = _fold_d2(block, cents).argmin(axis=1)
+        sums = np.zeros_like(cents)
+        counts = np.zeros(len(cents), dtype="int64")
+        for i in range(len(block)):  # vec_id order: the fold the oracle replays
+            sums[assign[i]] = sums[assign[i]] + block[i]
+            counts[assign[i]] += 1
         for c in range(len(cents)):
-            members = block[assign == c]
-            if len(members):
-                cents[c] = members.mean(axis=0)
+            if counts[c]:
+                cents[c] = sums[c] / counts[c]
         books[s] = cents
     return books
 
 
+def _pq_oracle() -> str:
+    """Chained-CTE DuckDB replay of build_pq_codebooks + the encode
+    kernel — the knn_cosine_ivf discipline applied per subspace:
+    Knuth-strided sample, vec_id-ordered evenly-strided seeds, one
+    Lloyd step with vec_id-ordered member folds, then full-corpus
+    encoding; every distance is a strict left fold and every argmin
+    ranks (d2, code)."""
+    from ytspark.operators.similarity import IVF_TRAIN_CAP
+    from ytspark.operators.text import knuth_hash_sql
+
+    sub = 64 // PQ_SUBSPACES
+    knuth = knuth_hash_sql("vec_id")
+
+    def d2(bv: str, cv: str) -> str:
+        return (
+            f"LIST_REDUCE(LIST_TRANSFORM(RANGE(1, {sub + 1}),"
+            f" j -> ({bv}[j] - {cv}[j]) * ({bv}[j] - {cv}[j])),"
+            " (a, x) -> a + x)"
+        )
+
+    ss = f"GREATEST(1, nt // {PQ_CODES})"
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+p AS (
+  SELECT GREATEST(1, COUNT(*) // {IVF_TRAIN_CAP}) AS stride FROM e
+),
+tr AS (
+  SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn,
+         COUNT(*) OVER () AS nt
+  FROM e WHERE ({knuth}) % (SELECT stride FROM p) = 0
+),
+sub AS (SELECT UNNEST(RANGE(0, {PQ_SUBSPACES})) AS s),
+tblocks AS (
+  SELECT tr.vec_id, tr.rn, tr.nt, sub.s,
+         tr.v[sub.s * {sub} + 1 : sub.s * {sub} + {sub}] AS bv
+  FROM tr CROSS JOIN sub
+),
+seeds AS (
+  SELECT s, CAST((rn - 1) // {ss} AS INT) AS code, bv
+  FROM tblocks
+  WHERE (rn - 1) % {ss} = 0 AND (rn - 1) // {ss} < {PQ_CODES}
+),
+best AS (
+  SELECT s, vec_id, code FROM (
+    SELECT t.s, t.vec_id, c.code,
+           ROW_NUMBER() OVER (PARTITION BY t.s, t.vec_id
+                              ORDER BY {d2("t.bv", "c.bv")} ASC,
+                                       c.code) AS rk
+    FROM tblocks t JOIN seeds c ON c.s = t.s
+  ) WHERE rk = 1
+),
+dimsum AS (
+  SELECT b.s, b.code, d.i AS dim,
+         LIST_REDUCE(LIST(t.bv[d.i] ORDER BY t.vec_id), (a, x) -> a + x)
+           / COUNT(*) AS mu
+  FROM best b
+  JOIN tblocks t ON t.s = b.s AND t.vec_id = b.vec_id
+  CROSS JOIN (SELECT UNNEST(RANGE(1, {sub + 1})) AS i) d
+  GROUP BY b.s, b.code, d.i
+),
+mvec AS (
+  SELECT s, code, LIST(mu ORDER BY dim) AS mv FROM dimsum GROUP BY s, code
+),
+cbook AS (
+  -- empty codes keep their seed (the numpy side's if counts[c] guard)
+  SELECT sd.s, sd.code, COALESCE(r.mv, sd.bv) AS cv
+  FROM seeds sd LEFT JOIN mvec r ON r.s = sd.s AND r.code = sd.code
+),
+eblocks AS (
+  SELECT e.vec_id, sub.s,
+         e.v[sub.s * {sub} + 1 : sub.s * {sub} + {sub}] AS bv
+  FROM e CROSS JOIN sub
+),
+enc AS (
+  SELECT s, vec_id, code, sq_err FROM (
+    SELECT t.s, t.vec_id, c.code,
+           {d2("t.bv", "c.cv")} AS sq_err,
+           ROW_NUMBER() OVER (PARTITION BY t.s, t.vec_id
+                              ORDER BY {d2("t.bv", "c.cv")} ASC,
+                                       c.code) AS rk
+    FROM eblocks t JOIN cbook c ON c.s = t.s
+  ) WHERE rk = 1
+)
+SELECT CAST(s AS INTEGER) AS subspace,
+       COUNT(*) AS n_vectors,
+       COUNT(DISTINCT code) AS codes_used,
+       ROUND(CAST(SUM(CAST(ROUND(sq_err, 9) AS DECIMAL(28,12))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_sq_err
+FROM enc GROUP BY s
+"""
+
+
 @register(
     "embedding_pq",
-    oracle=None,  # kmeans-trained codebooks have no SQL twin — rows-only
+    oracle=_pq_oracle(),
     doc="Product quantization: embeddings split into "
         f"{PQ_SUBSPACES} subspaces, each encoded to the nearest of "
         f"{PQ_CODES} codebook entries (4 bits/subspace — a 64-dim "
@@ -140,13 +259,16 @@ def build_pq_codebooks(emb: DataFrame, m: int = PQ_SUBSPACES, k: int = PQ_CODES)
         "on a bounded hash-strided sample (driver holds ≤ "
         "IVF_TRAIN_CAP vectors at any corpus size) and broadcast; "
         "encoding + reconstruction-error measurement run as one "
-        "Arrow-batched mapInPandas GEMM over the embedding scan — "
+        "Arrow-batched mapInPandas kernel over the embedding scan — "
         "map-only, no shuffle before the per-subspace accounting "
         "aggregate. Output: per-subspace codes-used and mean squared "
-        "reconstruction error. Rows-only check (trained centroids "
-        "have no cross-engine twin); determinism and error bounds are "
-        "unit-tested.",
-    tags=("clustering", "quantization", "similarity", "embedding"),
+        "reconstruction error (9-dp-rounded errors summed through "
+        "DECIMAL so the mean is order-independent). HASH-CERTIFIED "
+        "(round 4): Knuth-strided training + left-fold float kernels "
+        "make the whole train/encode pipeline replayable as chained "
+        "CTEs in DuckDB — the knn_cosine_ivf discipline.",
+    tags=("clustering", "quantization", "similarity", "embedding",
+          "checkable"),
 )
 def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
@@ -165,7 +287,7 @@ def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = []
             for s in range(m):
                 block = mat[:, s * sub : (s + 1) * sub]
-                d2 = ((block[:, None, :] - bk[s][None, :, :]) ** 2).sum(axis=2)
+                d2 = _fold_d2(block, bk[s])
                 codes = d2.argmin(axis=1)
                 err = d2[np.arange(len(block)), codes]
                 out.append(
@@ -185,5 +307,10 @@ def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encoded.groupBy("subspace").agg(
         F.count(F.lit(1)).alias("n_vectors"),
         F.countDistinct("code").alias("codes_used"),
-        F.round(F.avg("sq_err"), 6).alias("avg_sq_err"),
+        F.round(
+            F.sum(F.round(F.col("sq_err"), 9).cast("decimal(28,12)"))
+            .cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_sq_err"),
     )
