@@ -174,6 +174,29 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     total = round(sum(timings.values()), 3)
+    # Regression guard: diff per-query mins against the previous run's
+    # committed detail (same sf only) and surface anything >2.5x slower,
+    # so a perf regression is caught by the tool, not by archaeology.
+    # 2.5x sits just inside this host's documented 2-3x noise band —
+    # expect occasional false positives on sub-second queries; the
+    # medians are printed alongside for exactly that arbitration.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    regressions: list[dict] = []
+    try:
+        with open(detail_path) as fh:
+            prev = json.load(fh)
+        if prev.get("sf") == sf_val:
+            for name, t in timings.items():
+                p = prev.get("queries", {}).get(name)
+                if p and p > 0 and t / p > 2.5:
+                    regressions.append(
+                        {"query": name, "prev": p, "now": t,
+                         "ratio": round(t / p, 2)}
+                    )
+    except (OSError, ValueError):
+        pass
     verbose = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -183,20 +206,36 @@ def main() -> None:
         "runs_per_query": runs,
         "estimator": "min",
         "sf": sf_val,
+        "regressions": regressions,
     }
     # Full per-query detail: one JSON line on stdout plus a file artifact,
     # so the numbers are auditable even when a log-tail capture truncates
     # long lines.
     print(json.dumps(verbose))
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
     try:
         with open(detail_path, "w") as fh:
             json.dump(verbose, fh, indent=2)
     except OSError:
         pass
-    # The LAST line is deliberately compact (~200 bytes, no per-query
+    # Surface the last committed full-registry oracle_check summary so
+    # the uncapped correctness counts ride along in the recorded bench
+    # artifact (VERDICT r3 item 7: externally record the full-registry
+    # result, not just the 50-query driver window).
+    oracle_summary = None
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "ORACLE_LOCAL.json"
+            )
+        ) as fh:
+            ol = json.load(fh)
+        oracle_summary = {
+            k: ol.get(k)
+            for k in ("sf_dir", "n_queries", "n_hash_match", "n_rows_only", "n_fail")
+        }
+    except (OSError, ValueError):
+        pass
+    # The LAST line is deliberately compact (~300 bytes, no per-query
     # dicts) so a bounded tail capture always contains one complete,
     # parseable JSON line (round-2 lesson: the verbose line alone
     # outgrew the capture window and the bench went unscored).
@@ -210,6 +249,8 @@ def main() -> None:
                 "n_queries": len(timings),
                 "runs_per_query": runs,
                 "estimator": "min",
+                "n_regressions": len(regressions),
+                "oracle_local": oracle_summary,
                 "detail": "BENCH_DETAIL.json",
             }
         )

@@ -200,6 +200,21 @@ def main() -> int:
         with open(path, "w") as fh:
             json.dump(out, fh, indent=1)
         print(f"wrote {path}")
+        # one compact machine-parseable summary line for round logs —
+        # the uncapped full-registry counts, externally recorded even
+        # when only the log tail survives
+        print(
+            json.dumps(
+                {
+                    "metric": "oracle_local_summary",
+                    "sf_dir": out["sf_dir"],
+                    "n_queries": out["n_queries"],
+                    "n_hash_match": out["n_hash_match"],
+                    "n_rows_only": out["n_rows_only"],
+                    "n_fail": out["n_fail"],
+                }
+            )
+        )
 
     print()
     if failures:

@@ -108,6 +108,8 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.min("x").alias("x_min"),
         F.max("x").alias("x_max"),
-        F.min("y").alias("y_min"),
-        F.max("y").alias("y_max"),
+        # datediff yields int32; widen to long so the dtype matches the
+        # oracle's BIGINT exactly (clears the gate's width warning)
+        F.min("y").cast("long").alias("y_min"),
+        F.max("y").cast("long").alias("y_max"),
     )
