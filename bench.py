@@ -126,6 +126,10 @@ HEADLINE = [
     # round 3: bivariate stats + shuffle-key skew diagnostics
     "corr_covar_battery",
     "key_skew_profile",
+    # round 4: time-series smoothing/anomaly + closed-form regression
+    "events_value_ewma",
+    "value_outlier_mad_battery",
+    "revenue_trend_ols",
 ]
 
 

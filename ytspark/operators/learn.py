@@ -106,6 +106,61 @@ FROM g{GD_ITERS}
 """
 
 
+_OLS_ORACLE = """
+WITH daily AS (
+  SELECT DATE_DIFF('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+           AS x,
+         SUM(o_totalprice) / 1e6 AS y
+  FROM orders
+  GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(REGR_SLOPE(y, x), 6) AS slope_m_per_day,
+       ROUND(REGR_INTERCEPT(y, x), 6) AS intercept_m,
+       ROUND(REGR_R2(y, x), 6) AS r2,
+       ROUND(REGR_INTERCEPT(y, x)
+             + REGR_SLOPE(y, x) * (MAX(x) + 30), 6) AS forecast_30d_m
+FROM daily
+"""
+
+
+@register(
+    "revenue_trend_ols",
+    oracle=_OLS_ORACLE,
+    doc="Closed-form least-squares trend fit of daily revenue "
+        "(millions) against the day index, plus a 30-day-ahead point "
+        "forecast — the regression-as-aggregation pattern: slope = "
+        "covar_pop/var_pop, so the whole fit is ONE map-side-"
+        "combinable aggregate over the daily rollup, no iteration and "
+        "no driver math. Both engines run their NATIVE regr_slope/"
+        "regr_intercept/regr_r2 aggregates (identical population "
+        "co-moment definitions; merge order sensitivity is ulp-level, "
+        "absorbed by 6 dp rounding), so this certifies Spark's "
+        "built-in regression aggregates against DuckDB's — not a "
+        "replayed script. At 100 TB the daily rollup is the only "
+        "shuffle; the fit itself reduces |days| rows to one.",
+    tags=("learn", "regression", "aggregate", "time"),
+)
+def revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    daily = orders.groupBy(
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date")
+        ).alias("x")
+    ).agg((F.sum("o_totalprice") / F.lit(1e6)).alias("y"))
+    return daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.regr_slope("y", "x"), 6).alias("slope_m_per_day"),
+        F.round(F.regr_intercept("y", "x"), 6).alias("intercept_m"),
+        F.round(F.regr_r2("y", "x"), 6).alias("r2"),
+        F.round(
+            F.regr_intercept("y", "x")
+            + F.regr_slope("y", "x") * (F.max("x") + F.lit(30)),
+            6,
+        ).alias("forecast_30d_m"),
+    )
+
+
 @register(
     "quality_logreg_train",
     oracle=_LOGREG_ORACLE,

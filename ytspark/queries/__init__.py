@@ -152,6 +152,7 @@ def registry() -> dict[str, Query]:
         spatial,
         temporal,
         text,
+        timeseries,
     )
     from ytspark.streaming import queries as streaming_queries  # noqa: F401
 
