@@ -130,6 +130,23 @@ HEADLINE = [
     "events_value_ewma",
     "value_outlier_mad_battery",
     "revenue_trend_ols",
+    # round 4: collocation mining, CMS heavy hitters, PPJoin dedup
+    "token_pmi_bigrams",
+    "cms_heavy_hitters",
+    "dedup_jaccard_ppjoin",
+    # round 4: PCA power iteration over embeddings
+    "embedding_pca_power",
+    # round 4: Jaro-Winkler ER verification kernel
+    "jaro_winkler_verify_pairs",
+    # round 4: in-engine Naive Bayes training + serving
+    "lang_nb_classifier",
+    # round 4: revenue concentration + Holt trend smoothing
+    "revenue_gini_by_segment",
+    "events_value_holt",
+    # round 4: degree-ordered triangle counting
+    "copurchase_triangle_count",
+    # round 4: in-engine BPE tokenizer induction
+    "bpe_merge_table",
 ]
 
 

@@ -125,3 +125,48 @@ class TestOlsTrend:
         assert abs(row["r2"] - r2) < 1e-5
         want_fc = intercept + slope * (x.max() + 30)
         assert abs(row["forecast_30d_m"] - want_fc) < 1e-5
+
+
+class TestHolt:
+    def test_matches_sequential_recompute(self, spark, sf_dir):
+        import pandas as pd
+
+        from ytspark.operators.timeseries import (
+            HOLT_ALPHA,
+            HOLT_BETA,
+            HOLT_H,
+            events_value_holt,
+        )
+
+        ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+        ev = ev[ev.value.notna()].sort_values(["user_id", "ts", "event_id"])
+        want = {}
+        for uid, grp in ev.groupby("user_id"):
+            v = list(grp.value)
+            if len(v) < 2:
+                continue
+            l, b = v[0], v[1] - v[0]
+            for x in v[2:]:
+                nl = HOLT_ALPHA * x + (1 - HOLT_ALPHA) * (l + b)
+                b = HOLT_BETA * (nl - l) + (1 - HOLT_BETA) * b
+                l = nl
+            want[uid] = (
+                len(v),
+                round(l, 6),
+                round(b, 6),
+                round(l + HOLT_H * b, 6),
+            )
+        got = {
+            r["user_id"]: (
+                r["n_obs"],
+                r["level_last"],
+                r["trend_last"],
+                r["forecast_h3"],
+            )
+            for r in events_value_holt(spark, sf_dir).collect()
+        }
+        assert got.keys() == want.keys()
+        for uid in want:
+            assert got[uid][0] == want[uid][0]
+            for i in (1, 2, 3):
+                assert abs(got[uid][i] - want[uid][i]) < 1e-6, uid

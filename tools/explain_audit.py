@@ -50,6 +50,10 @@ EXPECTED_NESTED_LOOP = {
     "gap_fill_linear_interpolation",  # broadcast calendar spine x 5 priorities
     "histogram_profile_totalprice",  # broadcast one-row (lo, hi) bounds
     "hybrid_search_rrf",             # broadcast one-row query vector
+    "token_pmi_bigrams",             # broadcast one-row corpus totals
+    "jaro_winkler_verify_pairs",     # bounded probe-subset pair join
+    "lang_nb_classifier",            # broadcast 5-row class stats + consts
+    "copurchase_triangle_count",     # broadcast one-row edge/triangle totals
 }
 # streaming queries execute eagerly; skip plan audit (they materialize
 # their own sinks and are correctness-checked by the oracle gate)

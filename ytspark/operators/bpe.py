@@ -1,0 +1,182 @@
+"""BPE tokenizer induction inside the engine: iterative most-frequent
+adjacent-pair merges over the frequency-weighted word-type table.
+
+Byte-pair-encoding training is THE tokenizer-prep computation of an
+LLM data pipeline, and its scale shape fits the engine naturally:
+training never touches the raw corpus after one aggregation — it runs
+on the (word-type, frequency) vocabulary table, which is what every
+production BPE trainer consumes. At 100 TB the corpus→vocabulary
+aggregate is the only big shuffle; each merge iteration is then an
+explode + weighted count + argmax + map-side merge application over
+the vocabulary, whose size is millions of types, not billions of
+documents.
+
+Spark-first mechanics per iteration:
+- pair statistics: zip_with over two array slices pairs each symbol
+  with its successor (JVM, no positional self-join), explode, one
+  weighted count aggregate;
+- the winning pair is the (count DESC, left, right) argmax — a 1-row
+  bounded collect (the trained artifact, like IVF centroids);
+- merge application is a left-to-right greedy fold with the
+  ``aggregate`` HOF: append each symbol, or replace the accumulator's
+  tail when it ends with (left) and the next symbol is (right) —
+  single-pass greedy is exact because a merged symbol can never equal
+  its own left constituent.
+
+The DuckDB oracle replays every iteration as chained CTEs; greedy
+left-to-right application is replayed WITHOUT recursion via the match-
+island parity rule: in a run of consecutive overlapping matches (which
+only happens when left == right), exactly the even-offset matches
+merge. The merge table itself — step, pair, weighted count — is the
+hash-certified output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ytspark.queries import register
+from ytspark.session import load_tables
+
+N_MERGES = 6
+
+
+def _bpe_iter_sql(k: int) -> str:
+    return f"""
+p{k} AS MATERIALIZED (
+  SELECT pr[1] AS l, pr[2] AS r, SUM(freq) AS c
+  FROM (SELECT freq, UNNEST(LIST_ZIP(s[:-2], s[2:])) AS pr FROM v{k})
+  GROUP BY 1, 2
+),
+b{k} AS MATERIALIZED (SELECT l, r, c FROM p{k} ORDER BY c DESC, l, r LIMIT 1),
+pos{k} AS MATERIALIZED (
+  SELECT tok, freq, UNNEST(s) AS sym,
+         UNNEST(RANGE(1, LEN(s) + 1)) AS ord
+  FROM v{k}
+),
+mm{k} AS MATERIALIZED (
+  SELECT tok, ord FROM (
+    SELECT p.tok, p.ord, p.sym,
+           LEAD(p.sym) OVER (PARTITION BY p.tok ORDER BY p.ord) AS nxt,
+           b.l, b.r
+    FROM pos{k} p CROSS JOIN b{k} b
+  ) WHERE sym = l AND nxt = r
+),
+kk{k} AS MATERIALIZED (
+  SELECT tok, ord FROM (
+    SELECT tok, ord,
+           ROW_NUMBER() OVER (PARTITION BY tok, ord - rn
+                              ORDER BY ord) AS island_rn
+    FROM (SELECT tok, ord,
+                 ROW_NUMBER() OVER (PARTITION BY tok ORDER BY ord) AS rn
+          FROM mm{k})
+  ) WHERE (island_rn - 1) % 2 = 0
+),
+v{k + 1} AS MATERIALIZED (
+  SELECT p.tok, p.freq,
+         LIST(CASE WHEN m.tok IS NOT NULL THEN b.l || b.r
+                   ELSE p.sym END ORDER BY p.ord) AS s
+  FROM pos{k} p
+  CROSS JOIN b{k} b
+  LEFT JOIN kk{k} m ON m.tok = p.tok AND m.ord = p.ord
+  LEFT JOIN kk{k} cons ON cons.tok = p.tok AND cons.ord = p.ord - 1
+  WHERE cons.tok IS NULL
+  GROUP BY p.tok, p.freq
+)"""
+
+
+def _bpe_oracle() -> str:
+    iters = ",".join(_bpe_iter_sql(k) for k in range(N_MERGES))
+    finals = "\nUNION ALL\n".join(
+        f"SELECT {k + 1} AS step, l AS left_sym, r AS right_sym, "
+        f"CAST(c AS BIGINT) AS pair_weight FROM b{k}"
+        for k in range(N_MERGES)
+    )
+    return f"""
+WITH v0 AS MATERIALIZED (
+  SELECT tok, COUNT(*) AS freq,
+         LIST_TRANSFORM(RANGE(1, LEN(tok) + 1), i -> tok[i]) AS s
+  FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents)
+  GROUP BY tok
+),
+{iters}
+{finals}
+"""
+
+
+def bpe_train(docs: DataFrame, n_merges: int = N_MERGES):
+    """Run ``n_merges`` BPE iterations over the corpus vocabulary.
+
+    Returns (merge_table, final_vocab): the list of
+    (step, left, right, weighted_count) merges — each iteration's
+    argmax is a 1-row bounded collect — and the vocabulary DataFrame
+    with merged symbol lists.
+    """
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    v = vocab.select("tok", "freq", F.split("tok", "").alias("s"))
+    merges = []
+    for step in range(1, n_merges + 1):
+        s = F.col("s")
+        n1 = F.size(s) - F.lit(1)
+        zipped = F.zip_with(
+            F.slice(s, 1, n1),
+            F.slice(s, 2, n1),
+            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+        )
+        best = (
+            v.select("freq", F.explode(zipped).alias("p"))
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.col("c").desc(), "l", "r")
+            .limit(1)
+            .collect()[0]  # bounded: the single winning pair
+        )
+        left, right, cnt = best["l"], best["r"], int(best["c"])
+        merges.append((step, left, right, cnt))
+        ll, rr, mm = F.lit(left), F.lit(right), F.lit(left + right)
+        merged = F.aggregate(
+            s,
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == ll)
+                & (x == rr),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(mm)
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        v = v.select("tok", "freq", merged.alias("s"))
+    return merges, v
+
+
+@register(
+    "bpe_merge_table",
+    oracle=_bpe_oracle(),
+    doc=f"BPE tokenizer induction: the first {N_MERGES} merge rules "
+        "(most frequent adjacent symbol pair, weighted by word-type "
+        "frequency, ties to the lexicographically first pair) learned "
+        "over the corpus vocabulary — training runs on the word-type "
+        "table exactly like production BPE trainers, so after the one "
+        "corpus->vocabulary aggregate every iteration is vocabulary-"
+        "sized: a zip_with pair explode, a weighted count, a 1-row "
+        "argmax collect (the trained artifact), and a greedy "
+        "left-to-right merge fold via the aggregate HOF. The oracle "
+        "replays all iterations as chained CTEs, replaying the greedy "
+        "fold without recursion through the match-island parity rule "
+        "(overlapping matches exist only when left == right; even "
+        "offsets merge). The merge table is hash-certified end to "
+        "end — tokenizer training as a certified query.",
+    tags=("text", "bpe", "iterative", "aggregate", "hof"),
+)
+def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    merges, _ = bpe_train(docs)
+    return spark.createDataFrame(
+        merges, "step int, left_sym string, right_sym string, pair_weight long"
+    )

@@ -314,3 +314,184 @@ def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_sq_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA: top principal component via power iteration
+# ---------------------------------------------------------------------------
+
+PCA_ITERS = 6  # fixed unrolled power-method iterations
+PCA_DIM = 64
+
+
+def _pca_oracle() -> str:
+    """Chained-CTE DuckDB replay of the full PCA pipeline: the
+    Knuth-strided bounded training sample, the vec_id-ordered per-dim
+    mean fold, PCA_ITERS power-method iterations (each = one fold over
+    dims per row, one fold over rows per dim, one L2 normalize), then
+    the corpus-wide projection and per-label stats. Every float op is
+    a strict left fold in both engines (LIST_REDUCE here, sequential
+    numpy adds in ``_pca_train``), so the trained component — and the
+    projections through it — are bit-exact and hash-certified, the
+    discipline knn_cosine_ivf / embedding_pq proved."""
+    from ytspark.operators.similarity import IVF_TRAIN_CAP
+    from ytspark.operators.text import knuth_hash_sql
+
+    knuth = knuth_hash_sql("vec_id")
+    d = PCA_DIM
+    dims = f"(SELECT UNNEST(RANGE(1, {d + 1})) AS i)"
+    parts = [
+        f"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+p AS (
+  SELECT GREATEST(1, COUNT(*) // {IVF_TRAIN_CAP}) AS stride FROM e
+),
+t AS (
+  SELECT vec_id, v, COUNT(*) OVER () AS nt
+  FROM e WHERE ({knuth}) % (SELECT stride FROM p) = 0
+),
+dmu AS (
+  SELECT d.i AS dim,
+         LIST_REDUCE(LIST(t.v[d.i] ORDER BY t.vec_id), (a, x) -> a + x)
+           / MAX(t.nt) AS mu
+  FROM t CROSS JOIN {dims} d GROUP BY d.i
+),
+mu AS (SELECT LIST(mu ORDER BY dim) AS m FROM dmu),
+v0 AS (SELECT LIST_TRANSFORM(RANGE(1, {d + 1}), i -> 0.125) AS vec,
+              0.0 AS nrm)"""
+    ]
+    for k in range(PCA_ITERS):
+        parts.append(f"""
+d{k} AS (
+  SELECT t.vec_id,
+         LIST_REDUCE(LIST_TRANSFORM(RANGE(1, {d + 1}),
+           i -> (t.v[i] - m.m[i]) * vk.vec[i]), (a, x) -> a + x) AS dot
+  FROM t CROSS JOIN mu m CROSS JOIN v{k} vk
+),
+w{k} AS (
+  SELECT d.i AS dim,
+         LIST_REDUCE(LIST(dk.dot * (t.v[d.i] - m.m[d.i])
+                          ORDER BY t.vec_id), (a, x) -> a + x) AS w
+  FROM d{k} dk JOIN t USING (vec_id) CROSS JOIN mu m
+  CROSS JOIN {dims} d
+  GROUP BY d.i
+),
+wl{k} AS (SELECT LIST(w ORDER BY dim) AS wv FROM w{k}),
+v{k + 1} AS (
+  SELECT LIST_TRANSFORM(wv, x -> x / SQRT(
+           LIST_REDUCE(LIST_TRANSFORM(wv, y -> y * y), (a, b) -> a + b)
+         )) AS vec,
+         SQRT(LIST_REDUCE(LIST_TRANSFORM(wv, y -> y * y),
+                          (a, b) -> a + b)) AS nrm
+  FROM wl{k}
+)""")
+    parts.append(f"""
+proj AS (
+  SELECT e.vec_id, e.label,
+         LIST_REDUCE(LIST_TRANSFORM(RANGE(1, {d + 1}),
+           i -> (e.v[i] - m.m[i]) * vk.vec[i]), (a, x) -> a + x) AS pr
+  FROM e CROSS JOIN mu m CROSS JOIN v{PCA_ITERS} vk
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(pr), 6) AS mean_proj,
+       ROUND(MIN(pr), 6) AS min_proj,
+       ROUND(MAX(pr), 6) AS max_proj,
+       ROUND((SELECT MAX(vk.nrm) / MAX(t.nt) FROM v{PCA_ITERS} vk, t), 6)
+         AS eigval
+FROM proj
+GROUP BY label""")
+    return ",".join(parts).replace("WITH e AS", "WITH e AS", 1)
+
+
+def _pca_train(emb: "DataFrame"):
+    """Deterministic bounded power-iteration training. Returns
+    (mu, v, eigval): float64 arrays of PCA_DIM plus the top
+    eigenvalue estimate. Every reduction is a sequential left fold in
+    the same order as the SQL oracle's LIST_REDUCE calls."""
+    import numpy as np
+
+    from ytspark.operators.similarity import IVF_TRAIN_CAP
+    from ytspark.operators.text import knuth_hash_col
+
+    n = emb.count()
+    stride = max(1, n // IVF_TRAIN_CAP)
+    pdf = (
+        emb.where(F.pmod(knuth_hash_col(F.col("vec_id")), F.lit(stride)) == 0)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .toPandas()  # bounded: <= ~2x IVF_TRAIN_CAP rows by stride
+    )
+    X = np.array([np.asarray(r, dtype=np.float64) for r in pdf.embedding])
+    nt = X.shape[0]
+    acc = X[0].copy()
+    for i in range(1, nt):
+        acc = acc + X[i]
+    mu = acc / nt
+    B = X - mu
+    v = np.full(PCA_DIM, 0.125)
+    nrm = 0.0
+    for _ in range(PCA_ITERS):
+        dots = B[:, 0] * v[0]
+        for j in range(1, PCA_DIM):
+            dots = dots + B[:, j] * v[j]
+        w = dots[0] * B[0]
+        for i in range(1, nt):
+            w = w + dots[i] * B[i]
+        nacc = w[0] * w[0]
+        for j in range(1, PCA_DIM):
+            nacc = nacc + w[j] * w[j]
+        nrm = float(np.sqrt(nacc))
+        v = w / nrm
+    return mu, v, nrm / nt
+
+
+@register(
+    "embedding_pca_power",
+    oracle=_pca_oracle(),
+    doc=f"Top principal component of the embedding corpus via "
+        f"{PCA_ITERS} unrolled power-method iterations — the variance "
+        "probe a training-data pipeline runs before whitening or "
+        "dimension reduction. Training follows the engine's bounded "
+        "deterministic discipline: a Knuth-strided sample (driver "
+        "holds <= ~2x IVF_TRAIN_CAP vectors at ANY corpus size), "
+        "vec_id-ordered left-fold reductions, fixed iteration count "
+        "— so the DuckDB oracle replays the IDENTICAL float sequence "
+        "as chained CTEs and the learned component is bit-exact "
+        "cross-engine. Serving is distributed and map-only: mean and "
+        "component ride into the plan as literal arrays, each "
+        "embedding's projection is a zip_with+aggregate fold (JVM "
+        "codegen, no shuffle), and the per-label projection stats "
+        "(count / mean / min / max, plus the eigenvalue) are one "
+        "small aggregate. The projection scan is the only big input "
+        "at 100 TB.",
+    tags=("learn", "pca", "embedding", "clustering", "iterative"),
+)
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    mu, v, eigval = _pca_train(emb)
+    mu_arr = F.array(*[F.lit(float(x)) for x in mu])
+    v_arr = F.array(*[F.lit(float(x)) for x in v])
+    centered = F.zip_with(
+        F.transform("embedding", lambda x: x.cast("double")),
+        mu_arr,
+        lambda x, m: x - m,
+    )
+    proj = F.aggregate(
+        F.zip_with(centered, v_arr, lambda c, w: c * w),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return (
+        emb.select("label", proj.alias("pr"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("pr"), 6).alias("mean_proj"),
+            F.round(F.min("pr"), 6).alias("min_proj"),
+            F.round(F.max("pr"), 6).alias("max_proj"),
+        )
+        .withColumn("eigval", F.round(F.lit(float(eigval)), 6))
+    )

@@ -186,3 +186,138 @@ def quality_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
     )
     return logreg_train(feats, ["x1", "x2"])
+
+
+NB_ROUND = 6  # decimals on log-scores before the argmax rank
+
+
+_NB_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, lang, t AS tok
+  FROM (SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS t
+        FROM documents)
+),
+doc_tok AS (
+  SELECT doc_id, tok, COUNT(*) AS k FROM tok GROUP BY doc_id, tok
+),
+doc_len AS (
+  SELECT doc_id, lang, COUNT(*) AS n_d FROM tok GROUP BY doc_id, lang
+),
+class_tok AS (
+  SELECT lang, tok, COUNT(*) AS cnt FROM tok GROUP BY lang, tok
+),
+class_stats AS (
+  SELECT lang, COUNT(*) AS toks_c FROM tok GROUP BY lang
+),
+priors AS (
+  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+),
+consts AS (
+  SELECT (SELECT COUNT(DISTINCT tok) FROM tok) AS v,
+         (SELECT COUNT(*) FROM documents) AS n
+),
+hits AS (
+  SELECT d.doc_id, c.lang, SUM(d.k * LN(c.cnt + 1)) AS s1
+  FROM doc_tok d JOIN class_tok c ON c.tok = d.tok
+  GROUP BY d.doc_id, c.lang
+),
+scored AS (
+  SELECT dl.doc_id, dl.lang AS true_lang, p.lang AS cand,
+         ROUND(LN(CAST(p.n_docs AS DOUBLE) / k.n)
+               - dl.n_d * LN(cs.toks_c + k.v)
+               + COALESCE(h.s1, 0.0), {NB_ROUND}) AS score
+  FROM doc_len dl
+  CROSS JOIN priors p
+  JOIN class_stats cs ON cs.lang = p.lang
+  CROSS JOIN consts k
+  LEFT JOIN hits h ON h.doc_id = dl.doc_id AND h.lang = p.lang
+),
+pred AS (
+  SELECT doc_id, true_lang, cand AS pred_lang FROM (
+    SELECT doc_id, true_lang, cand,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, cand) AS rk
+    FROM scored
+  ) WHERE rk = 1
+)
+SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+FROM pred GROUP BY true_lang, pred_lang
+"""
+
+
+@register(
+    "lang_nb_classifier",
+    oracle=_NB_ORACLE,
+    doc="Multinomial Naive Bayes language classifier trained AND "
+        "served entirely in the engine (Laplace alpha=1), reported as "
+        "a confusion matrix against the gold lang label — the learned "
+        "complement to lang_id_heuristic's rule-based ID. Training is "
+        "three aggregates (class priors, per-class token totals, "
+        "per-class token counts); scoring exploits the smoothing "
+        "identity that unseen (token, class) pairs contribute "
+        "ln(0+1) = 0, so the score join is doc-tokens INNER JOIN "
+        "class-tokens (shuffles keyed on the token — vocabulary-"
+        "distributed, nothing driver-side, no dense doc x vocab "
+        "grid) plus a broadcast of the 5-row class stats. Scores "
+        f"round to {NB_ROUND} dp before the (score, class) argmax "
+        "rank, so the prediction — and the whole confusion matrix — "
+        "is deterministic cross-engine.",
+    tags=("learn", "classifier", "text", "aggregate"),
+)
+def lang_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    doc_tok = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("k"))
+    doc_len = tok.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_d")
+    )
+    class_tok = tok.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    class_stats = tok.groupBy("lang").agg(F.count(F.lit(1)).alias("toks_c"))
+    priors = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    consts = tok.agg(
+        F.count_distinct("tok").alias("v")
+    ).crossJoin(docs.agg(F.count(F.lit(1)).alias("n")))
+    hits = (
+        doc_tok.join(
+            class_tok.select(
+                F.col("lang").alias("cand"), "tok", "cnt"
+            ),
+            "tok",
+        )
+        .groupBy("doc_id", "cand")
+        .agg(F.sum(F.col("k") * F.log(F.col("cnt") + 1)).alias("s1"))
+    )
+    classes = priors.join(class_stats, "lang").select(
+        F.col("lang").alias("cand"), "n_docs", "toks_c"
+    )
+    scored = (
+        doc_len.crossJoin(F.broadcast(classes))
+        .crossJoin(F.broadcast(consts))
+        .join(hits, ["doc_id", "cand"], "left")
+        .select(
+            "doc_id",
+            F.col("lang").alias("true_lang"),
+            "cand",
+            F.round(
+                F.log(F.col("n_docs").cast("double") / F.col("n"))
+                - F.col("n_d") * F.log(F.col("toks_c") + F.col("v"))
+                + F.coalesce(F.col("s1"), F.lit(0.0)),
+                NB_ROUND,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "cand")
+    pred = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("true_lang", F.col("cand").alias("pred_lang"))
+    )
+    return pred.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )

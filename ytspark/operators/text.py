@@ -882,3 +882,112 @@ def array_hof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.forall(a, lambda t: F.length(t) < 10).alias("all_short"),
         F.array_join(F.slice(a, 1, 3), " ").alias("first3"),
     )
+
+
+PMI_MIN_COUNT = 5  # bigram support floor (kills log-of-tiny noise)
+PMI_TOP_K = 100
+
+
+_PMI_ORACLE = f"""
+WITH toks AS (
+  SELECT STRING_SPLIT(text, ' ') AS l FROM documents
+),
+bi AS (
+  SELECT p[1] AS w1, p[2] AS w2
+  FROM (SELECT UNNEST(LIST_ZIP(l[:-2], l[2:])) AS p FROM toks)
+),
+bi_cnt AS (
+  SELECT w1, w2, COUNT(*) AS c_xy FROM bi GROUP BY w1, w2
+),
+uni_cnt AS (
+  SELECT t AS w, COUNT(*) AS c
+  FROM (SELECT UNNEST(l) AS t FROM toks)
+  GROUP BY t
+),
+tot AS (
+  SELECT (SELECT SUM(c_xy) FROM bi_cnt) AS n_bi,
+         (SELECT SUM(c) FROM uni_cnt) AS n_uni
+),
+scored AS (
+  SELECT b.w1, b.w2, b.c_xy,
+         ROUND(LOG2((CAST(b.c_xy AS DOUBLE) / t.n_bi)
+                    / ((CAST(x.c AS DOUBLE) / t.n_uni)
+                       * (CAST(y.c AS DOUBLE) / t.n_uni))), 6) AS pmi
+  FROM bi_cnt b
+  JOIN uni_cnt x ON x.w = b.w1
+  JOIN uni_cnt y ON y.w = b.w2
+  CROSS JOIN tot t
+  WHERE b.c_xy >= {PMI_MIN_COUNT}
+)
+SELECT w1, w2, c_xy, pmi
+FROM scored
+ORDER BY pmi DESC, w1, w2
+LIMIT {PMI_TOP_K}
+"""
+
+
+@register(
+    "token_pmi_bigrams",
+    oracle=_PMI_ORACLE,
+    doc=f"Collocation mining: top-{PMI_TOP_K} adjacent-token bigrams "
+        "by pointwise mutual information (support >= "
+        f"{PMI_MIN_COUNT}) — the phrase detector a tokenizer-prep "
+        "pass runs over a corpus before vocabulary induction. Bigrams "
+        "are built WITHOUT a positional self-join: zip_with over two "
+        "array slices pairs each token with its successor per row "
+        "(JVM codegen, no shuffle), then one explode feeds the count "
+        "aggregate. PMI joins bigram counts to the two unigram "
+        "margins (shuffle joins on the token key — broadcast is "
+        "wrong here because a corpus vocabulary is NOT small at 100 "
+        "TB) and a one-row broadcast carries the corpus totals. "
+        "Probabilities divide before multiplying so nothing "
+        "overflows at any corpus size. The rounded-PMI + (w1, w2) "
+        "ordering is total, so the top-k membership is deterministic "
+        "cross-engine.",
+    tags=("text", "pmi", "aggregate", "join", "hof"),
+)
+def token_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    l = tokens(F.col("text"))
+    n1 = F.array_size(l) - F.lit(1)
+    pairs = F.zip_with(
+        F.slice(l, 1, n1),
+        F.slice(l, 2, n1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bi = docs.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+    bi_cnt = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    uni_cnt = (
+        docs.select(F.explode(l).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = bi_cnt.agg(F.sum("c_xy").alias("n_bi")).crossJoin(
+        uni_cnt.agg(F.sum("c").alias("n_uni"))
+    )
+    x = uni_cnt.select(F.col("w").alias("w1"), F.col("c").alias("c_x"))
+    y = uni_cnt.select(F.col("w").alias("w2"), F.col("c").alias("c_y"))
+    scored = (
+        bi_cnt.where(F.col("c_xy") >= PMI_MIN_COUNT)
+        .join(x, "w1")
+        .join(y, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            F.round(
+                F.log2(
+                    (F.col("c_xy").cast("double") / F.col("n_bi"))
+                    / (
+                        (F.col("c_x").cast("double") / F.col("n_uni"))
+                        * (F.col("c_y").cast("double") / F.col("n_uni"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), "w1", "w2"
+    ).limit(PMI_TOP_K)

@@ -174,3 +174,111 @@ def value_outlier_mad_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("adev") > thresh, robust_z)), 6
         ).alias("worst_robust_z"),
     )
+
+
+HOLT_ALPHA = 0.5  # level smoothing
+HOLT_BETA = 0.3  # trend smoothing
+HOLT_H = 3  # forecast horizon (steps ahead)
+
+
+_HOLT_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events WHERE value IS NOT NULL
+),
+eligible AS (SELECT * FROM seq WHERE n >= 2),
+folded AS (
+  WITH RECURSIVE r AS (
+    SELECT a.user_id, a.n, 2 AS rn,
+           a.value AS l, b.value - a.value AS b
+    FROM eligible a JOIN eligible b
+      ON b.user_id = a.user_id AND a.rn = 1 AND b.rn = 2
+    UNION ALL
+    SELECT r.user_id, r.n, r.rn + 1,
+           {HOLT_ALPHA} * s.value + (1 - {HOLT_ALPHA}) * (r.l + r.b),
+           {HOLT_BETA} * (({HOLT_ALPHA} * s.value
+                           + (1 - {HOLT_ALPHA}) * (r.l + r.b)) - r.l)
+             + (1 - {HOLT_BETA}) * r.b
+    FROM r JOIN eligible s
+      ON s.user_id = r.user_id AND s.rn = r.rn + 1
+  )
+  SELECT * FROM r
+)
+SELECT user_id,
+       CAST(n AS BIGINT) AS n_obs,
+       ROUND(l, 6) AS level_last,
+       ROUND(b, 6) AS trend_last,
+       ROUND(l + {HOLT_H} * b, 6) AS forecast_h3
+FROM folded WHERE rn = n
+"""
+
+
+@register(
+    "events_value_holt",
+    oracle=_HOLT_ORACLE,
+    doc=f"Holt double-exponential (level+trend) smoothing per user "
+        f"(alpha={HOLT_ALPHA}, beta={HOLT_BETA}; classic init l1=v1, "
+        "b1=v2-v1), with the h-step linear forecast l + h*b — the "
+        "trending twin of events_value_ewma, and a showcase of the "
+        "STRUCT-STATE ordered fold: the aggregate higher-order "
+        "function carries a (level, trend) struct accumulator "
+        "through the sorted per-user series, entirely JVM-side, one "
+        "shuffle on user_id. The level expression is deliberately "
+        "duplicated inside the trend update (expression languages "
+        "have no let-binding) — the SQL oracle's recursive CTE "
+        "duplicates it identically, so every float op matches and "
+        "the smoothed states are value-certified cross-engine. "
+        "Users with a single observation are excluded (the trend "
+        "needs two seeds) in both engines.",
+    tags=("time", "window", "aggregate", "hof", "forecast"),
+)
+def events_value_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_tables(spark, sf_dir, "events")["events"]
+        .where(F.col("value").isNotNull())
+        .select("user_id", "ts", "event_id", "value")
+    )
+    series = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "value"))
+            ).alias("seq")
+        )
+        .where(F.size("seq") >= 2)
+    )
+    a = F.lit(float(HOLT_ALPHA))
+    bta = F.lit(float(HOLT_BETA))
+    vals = F.col("seq.value")
+    v1 = F.element_at(vals, 1)
+    v2 = F.element_at(vals, 2)
+    init = F.struct(v1.alias("l"), (v2 - v1).alias("b"))
+
+    def step(acc, v):
+        new_l = a * v + (F.lit(1.0) - a) * (acc["l"] + acc["b"])
+        # the level expression repeats inside the trend update: no
+        # let-binding in the expression language; the oracle repeats
+        # it identically so the float sequence matches bit-for-bit
+        new_b = (
+            bta * ((a * v + (F.lit(1.0) - a) * (acc["l"] + acc["b"])) - acc["l"])
+            + (F.lit(1.0) - bta) * acc["b"]
+        )
+        return F.struct(new_l.alias("l"), new_b.alias("b"))
+
+    state = F.aggregate(
+        F.slice(vals, 3, F.greatest(F.size(vals) - 2, F.lit(0))),
+        init,
+        step,
+    )
+    return series.select(
+        "user_id",
+        F.size("seq").cast("long").alias("n_obs"),
+        F.round(state["l"], 6).alias("level_last"),
+        F.round(state["b"], 6).alias("trend_last"),
+        F.round(state["l"] + F.lit(float(HOLT_H)) * state["b"], 6).alias(
+            "forecast_h3"
+        ),
+    )

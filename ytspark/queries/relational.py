@@ -1583,3 +1583,73 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_per_key",
         "avg_per_key",
     )
+
+
+@register(
+    "revenue_gini_by_segment",
+    oracle="""
+WITH rev AS (
+  SELECT c.c_mktsegment AS seg, c.c_custkey AS k,
+         SUM(o.o_totalprice) AS r
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT seg, r,
+         ROW_NUMBER() OVER (PARTITION BY seg ORDER BY r, k) AS i,
+         COUNT(*) OVER (PARTITION BY seg) AS n
+  FROM rev
+)
+SELECT seg,
+       CAST(MAX(n) AS BIGINT) AS n_customers,
+       ROUND(SUM(r), 2) AS total_revenue,
+       ROUND(2.0 * SUM(i * r) / (MAX(n) * SUM(r))
+             - (MAX(n) + 1.0) / MAX(n), 6) AS gini
+FROM ranked
+GROUP BY seg
+""",
+    doc="Revenue concentration per market segment: the exact Gini "
+        "coefficient of per-customer revenue via the rank formula "
+        "G = 2*sum(i*r_i)/(n*sum(r)) - (n+1)/n over the "
+        "revenue-ascending ranking (custkey tiebreak makes the rank "
+        "total) — the inequality diagnostic that tells a pipeline "
+        "whether a segment's revenue (or a corpus source's token "
+        "mass) is head-heavy before choosing skew strategies. Two "
+        "shuffles (customer rollup, per-segment window), one final "
+        "5-row aggregate; the double product-sum is partial-order "
+        "sensitive only at the ulp level, absorbed by rounding.",
+    tags=("aggregate", "statistics", "window", "skew"),
+)
+def revenue_gini_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    rev = (
+        t["customer"]
+        .join(
+            t["orders"],
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("c_custkey").alias("k"),
+        )
+        .agg(F.sum("o_totalprice").alias("r"))
+    )
+    w = Window.partitionBy("seg").orderBy("r", "k")
+    ranked = rev.select(
+        "seg",
+        "r",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy("seg")).alias("n"),
+    )
+    return ranked.groupBy("seg").agg(
+        F.max("n").cast("long").alias("n_customers"),
+        F.round(F.sum("r"), 2).alias("total_revenue"),
+        F.round(
+            F.lit(2.0) * F.sum(F.col("i") * F.col("r"))
+            / (F.max("n") * F.sum("r"))
+            - (F.max("n") + F.lit(1.0)) / F.max("n"),
+            6,
+        ).alias("gini"),
+    )
