@@ -147,6 +147,12 @@ HEADLINE = [
     "copurchase_triangle_count",
     # round 4: in-engine BPE tokenizer induction
     "bpe_merge_table",
+    # round 4: multi-touch attribution over the range join
+    "purchase_touch_attribution",
+    # round 4: cogrouped pandas kernel, winsorization, interval overlap
+    "cogroup_purchase_click_gap",
+    "value_winsorize_stats",
+    "user_activity_overlap_pairs",
 ]
 
 

@@ -406,3 +406,198 @@ class TestBpe:
         assert out["aaaa"] == ["aa", "aa"]
         assert out["aaa"] == ["aa", "a"]
         assert out["aa"] == ["aa"]
+
+
+class TestAttribution:
+    def test_matches_pandas_recompute(self, spark, sf_dir):
+        import pandas as pd
+
+        from ytspark.operators.temporal import (
+            ATTR_TOUCHES,
+            ATTR_WINDOW_DAYS,
+            purchase_touch_attribution,
+        )
+
+        ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+        purchases = ev[ev.event_type == "purchase"]
+        touches = ev[ev.event_type.isin(ATTR_TOUCHES)]
+        lin, first, last, cnt = {}, {}, {}, {}
+        for _, p in purchases.iterrows():
+            w = touches[
+                (touches.user_id == p.user_id)
+                & (touches.ts <= p.ts)
+                & (touches.ts > p.ts - pd.Timedelta(days=ATTR_WINDOW_DAYS))
+            ].sort_values(["ts", "event_id"])
+            if not len(w):
+                continue
+            n = len(w)
+            for t in w.event_type:
+                lin[t] = lin.get(t, 0.0) + 1.0 / n
+                cnt[t] = cnt.get(t, 0) + 1
+            ft, lt = w.iloc[0].event_type, w.iloc[-1].event_type
+            first[ft] = first.get(ft, 0) + 1
+            last[lt] = last.get(lt, 0) + 1
+        got = {
+            r["touch"]: r
+            for r in purchase_touch_attribution(spark, sf_dir).collect()
+        }
+        assert got.keys() == set(cnt)
+        for t in cnt:
+            assert got[t]["n_touch_events"] == cnt[t]
+            assert got[t]["first_touch_purchases"] == first.get(t, 0)
+            assert got[t]["last_touch_purchases"] == last.get(t, 0)
+            assert abs(got[t]["linear_credit"] - round(lin[t], 6)) < 1e-5
+
+
+class TestCogroupKernel:
+    def test_matches_pandas_global_recompute(self, spark, sf_dir):
+        import pandas as pd
+
+        from ytspark.operators.batchmap import cogroup_purchase_click_gap
+
+        ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+        p = ev[ev.event_type == "purchase"]
+        c = ev[ev.event_type == "click"]
+        got = {
+            r["user_id"]: r
+            for r in cogroup_purchase_click_gap(spark, sf_dir).collect()
+        }
+        assert set(got) == set(p.user_id.unique())
+        for uid, pg in p.groupby("user_id"):
+            cg = c[c.user_id == uid].sort_values(["ts", "event_id"])
+            gaps = []
+            unmatched = 0
+            for _, row in pg.iterrows():
+                prior = cg[cg.ts <= row.ts]
+                if len(prior):
+                    gaps.append(
+                        (row.ts - prior.ts.iloc[-1]).total_seconds()
+                    )
+                else:
+                    unmatched += 1
+            r = got[uid]
+            assert r["n_purchases"] == len(pg)
+            assert r["n_clicks"] == len(cg)
+            assert r["n_unmatched"] == unmatched
+            if gaps:
+                want = pd.Series(gaps).median()
+                assert abs(r["median_gap_s"] - round(want, 6)) < 2e-6
+            else:
+                assert r["median_gap_s"] is None
+
+    def test_count_only_projection_survives_pruning(self, spark, sf_dir):
+        """Regression: with same-name columns on both cogroup sides,
+        Spark 4's attribute dedup pruned the right side's 'ts' under a
+        bare .count() and the kernel crashed with KeyError. Distinct
+        right-side names keep the full schema flowing."""
+        from ytspark.operators.batchmap import cogroup_purchase_click_gap
+
+        assert cogroup_purchase_click_gap(spark, sf_dir).count() > 0
+
+    def test_edge_users(self, spark, sf_dir):
+        """Clicks-only users emit no row; purchase-without-click users
+        emit an unmatched row with NULL median."""
+        import ytspark.operators.batchmap as bm
+
+        ev = spark.createDataFrame(
+            [
+                (1, "2026-01-01 10:00:00", 10, "click"),
+                (2, "2026-01-02 09:00:00", 11, "purchase"),
+                (3, "2026-01-02 09:30:00", 12, "purchase"),
+                (3, "2026-01-02 09:00:00", 13, "click"),
+            ],
+            "user_id long, ts string, event_id long, event_type string",
+        ).selectExpr(
+            "user_id", "CAST(ts AS TIMESTAMP) ts", "event_id", "event_type"
+        )
+        orig = bm.load_tables
+        bm.load_tables = lambda s, d, *t: {"events": ev}
+        try:
+            rows = {
+                r["user_id"]: r
+                for r in bm.cogroup_purchase_click_gap(
+                    spark, sf_dir
+                ).collect()
+            }
+        finally:
+            bm.load_tables = orig
+        assert set(rows) == {2, 3}
+        assert rows[2]["n_unmatched"] == 1
+        assert rows[2]["median_gap_s"] is None
+        assert rows[3]["median_gap_s"] == 1800.0
+
+
+class TestWinsorize:
+    def test_matches_numpy(self, spark, sf_dir):
+        import numpy as np
+        import pandas as pd
+
+        from ytspark.operators.timeseries import (
+            WINSOR_HI,
+            WINSOR_LO,
+            value_winsorize_stats,
+        )
+
+        ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+        ev = ev[ev.value.notna()]
+        got = {
+            r["event_type"]: r
+            for r in value_winsorize_stats(spark, sf_dir).collect()
+        }
+        for et, grp in ev.groupby("event_type"):
+            v = grp.value.to_numpy()
+            lo = np.quantile(v, WINSOR_LO)  # linear interpolation
+            hi = np.quantile(v, WINSOR_HI)
+            r = got[et]
+            assert r["n"] == len(v)
+            assert abs(r["p_lo"] - round(lo, 6)) < 1e-6
+            assert abs(r["p_hi"] - round(hi, 6)) < 1e-6
+            assert r["n_clamped_lo"] == int((v < lo).sum())
+            assert r["n_clamped_hi"] == int((v > hi).sum())
+            assert abs(r["mean_after"] - round(v.clip(lo, hi).mean(), 6)) < 2e-6
+            assert r["mean_after"] != r["mean_before"]
+
+
+class TestOverlapJoin:
+    def test_overlaps_nonnegative_and_symmetric_free(self, spark, sf_dir):
+        from ytspark.operators.temporal import user_activity_overlap_pairs
+
+        rows = user_activity_overlap_pairs(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r["ua"] < r["ub"]
+            assert r["total_overlap_us"] >= 0
+            assert r["days_overlapped"] >= 1
+
+    def test_matches_pandas_on_one_day(self, spark, sf_dir):
+        """Exact overlap check for the busiest day, computed by hand."""
+        import pandas as pd
+
+        from ytspark.operators.temporal import user_activity_overlap_pairs
+
+        ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+        ev["d"] = ev.ts.dt.date
+        day = ev.groupby("d").size().idxmax()
+        spans = (
+            ev[ev.d == day]
+            .groupby("user_id")
+            .ts.agg(["min", "max"])
+            .reset_index()
+        )
+        want = {}
+        recs = spans.to_dict("records")
+        for i, a in enumerate(recs):
+            for b in recs[i + 1 :]:
+                ua, ub = sorted([a, b], key=lambda r: r["user_id"])
+                if ua["min"] <= ub["max"] and ub["min"] <= ua["max"]:
+                    ov = (
+                        min(ua["max"], ub["max"]) - max(ua["min"], ub["min"])
+                    ).value // 1000  # ns -> us
+                    want[(ua["user_id"], ub["user_id"])] = ov
+        got_all = user_activity_overlap_pairs(spark, sf_dir).collect()
+        # every reported pair that overlapped on this day must include
+        # at least this day's overlap in its total
+        for r in got_all:
+            k = (r["ua"], r["ub"])
+            if k in want:
+                assert r["total_overlap_us"] >= want[k]

@@ -192,3 +192,120 @@ def top_tokens_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL top_tokens(d.text, 2) t
         """
     )
+
+
+_COGROUP_ORACLE = """
+WITH purchases AS (
+  SELECT user_id, ts, event_id
+  FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, ts, event_id
+  FROM events WHERE event_type = 'click'
+),
+matched AS (
+  SELECT p.user_id, p.ts AS pts, c.ts AS cts
+  FROM purchases p
+  ASOF LEFT JOIN clicks c
+    ON c.user_id = p.user_id AND c.ts <= p.ts
+),
+click_counts AS (
+  SELECT user_id, COUNT(*) AS n_clicks FROM clicks GROUP BY user_id
+)
+SELECT m.user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(COALESCE(MAX(cc.n_clicks), 0) AS BIGINT) AS n_clicks,
+       CAST(SUM(CASE WHEN m.cts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unmatched,
+       ROUND(MEDIAN(EPOCH(m.pts) - EPOCH(m.cts)), 6) AS median_gap_s
+FROM matched m
+LEFT JOIN click_counts cc ON cc.user_id = m.user_id
+GROUP BY m.user_id
+"""
+
+
+@register(
+    "cogroup_purchase_click_gap",
+    oracle=_COGROUP_ORACLE,
+    doc="The COGROUPED pandas kernel — "
+        "``groupBy().cogroup().applyInPandas`` — completing the "
+        "Python-kernel matrix (scalar pandas_udf, grouped-map "
+        "applyInPandas, mapInPandas, UDTF, applyInPandasWithState): "
+        "per user, the purchase and click histories arrive as TWO "
+        "aligned Arrow frames and a pandas ``merge_asof`` computes "
+        "each purchase's gap to its last preceding click, reduced to "
+        "per-user stats (purchase/click counts, unmatched purchases, "
+        "median gap seconds). One co-partitioned shuffle on user_id; "
+        "each side of a group is bounded by per-entity activity. The "
+        "kernel is window-expressible on purpose — DuckDB's native "
+        "ASOF LEFT JOIN + MEDIAN recompute certifies the cogrouped "
+        "plumbing (key alignment, empty sides, Arrow batching) "
+        "value-for-value, the same proof pattern the grouped-map and "
+        "multimodal kernels use.",
+    tags=("udf", "cogroup", "kernel", "temporal", "aggregate"),
+)
+def cogroup_purchase_click_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    # NOTE: the click side's columns are renamed to be DISTINCT from
+    # the purchase side's. Spark 4's cogroup attribute deduplication
+    # prunes shadowed same-name columns from the right side when the
+    # consumer doesn't reference them (e.g. a bare .count()), and the
+    # kernel then receives a frame missing 'ts' — distinct names keep
+    # the full schema flowing regardless of downstream projection.
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("cts"),
+        F.col("event_id").alias("cid"),
+    )
+
+    def gap_stats(p, c):
+        if not len(p):  # clicks-only user: no output row
+            return pd.DataFrame(
+                columns=[
+                    "user_id",
+                    "n_purchases",
+                    "n_clicks",
+                    "n_unmatched",
+                    "median_gap_s",
+                ]
+            )
+        p = p.sort_values(["ts", "event_id"])
+        c = c.sort_values(["cts", "cid"])
+        if len(c):
+            m = pd.merge_asof(
+                p[["ts"]].rename(columns={"ts": "pts"}),
+                c[["cts"]],
+                left_on="pts",
+                right_on="cts",
+                direction="backward",
+            )
+            gaps = (m.pts - m.cts).dt.total_seconds()
+        else:
+            gaps = pd.Series([float("nan")] * len(p))
+        med = gaps.dropna().median()
+        return pd.DataFrame(
+            {
+                "user_id": [int(p.user_id.iloc[0])],
+                "n_purchases": [len(p)],
+                "n_clicks": [len(c)],
+                "n_unmatched": [int(gaps.isna().sum())],
+                "median_gap_s": [
+                    None if pd.isna(med) else round(float(med), 6)
+                ],
+            }
+        )
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            gap_stats,
+            "user_id long, n_purchases long, n_clicks long, "
+            "n_unmatched long, median_gap_s double",
+        )
+    )

@@ -202,3 +202,190 @@ def asof_next_click_after_purchase(spark: SparkSession, sf_dir: str) -> DataFram
         purchases, clicks, key="user_id", left_ts="purchase_ts", right_ts="ts",
         payload=["ts", "value"], direction="forward",
     )
+
+
+ATTR_WINDOW_DAYS = 3  # look-back window for touch credit
+ATTR_TOUCHES = ("click", "signup", "view")
+
+
+_ATTR_ORACLE = f"""
+WITH purchases AS (
+  SELECT event_id AS pid, user_id, ts AS pts
+  FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT user_id, event_type AS touch, ts, event_id
+  FROM events WHERE event_type IN ('click', 'signup', 'view')
+),
+paired AS (
+  SELECT p.pid, t.touch, t.ts, t.event_id,
+         COUNT(*) OVER (PARTITION BY p.pid) AS n_touches,
+         ROW_NUMBER() OVER (PARTITION BY p.pid
+                            ORDER BY t.ts, t.event_id) AS rk_first,
+         ROW_NUMBER() OVER (PARTITION BY p.pid
+                            ORDER BY t.ts DESC, t.event_id DESC) AS rk_last
+  FROM purchases p
+  JOIN touches t
+    ON t.user_id = p.user_id
+   AND t.ts <= p.pts
+   AND t.ts > p.pts - INTERVAL {ATTR_WINDOW_DAYS} DAY
+)
+SELECT touch,
+       ROUND(SUM(1.0 / n_touches), 6) AS linear_credit,
+       CAST(SUM(CASE WHEN rk_first = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS first_touch_purchases,
+       CAST(SUM(CASE WHEN rk_last = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS last_touch_purchases,
+       CAST(COUNT(*) AS BIGINT) AS n_touch_events
+FROM paired
+GROUP BY touch
+"""
+
+
+@register(
+    "purchase_touch_attribution",
+    oracle=_ATTR_ORACLE,
+    doc=f"Multi-touch attribution over the event stream: every "
+        f"purchase splits credit across the user's view/click/signup "
+        f"touches in the prior {ATTR_WINDOW_DAYS} days — linear "
+        "(1/n each), first-touch, and last-touch models side by side, "
+        "aggregated per touch type. The purchase-to-touch pairing is "
+        "the bounded-interval range join (same shape as "
+        "range_join_clicks_after_purchase — at 100 TB it buckets by "
+        "day so each purchase probes only adjacent buckets); credit "
+        "computation is two per-purchase windows (count + the "
+        "(ts, event_id)-total-ordered first/last ranks) and one "
+        "final aggregate. Purchases with no in-window touches drop "
+        "out in both engines (inner join).",
+    tags=("temporal", "join", "window", "aggregate", "attribution"),
+)
+def purchase_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("pts"),
+    )
+    touches = ev.where(F.col("event_type").isin(*ATTR_TOUCHES)).select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_type").alias("touch"),
+        F.col("ts").alias("tts"),
+        F.col("event_id").alias("tid"),
+    )
+    paired = purchases.join(
+        touches,
+        (F.col("p_user") == F.col("t_user"))
+        & (F.col("tts") <= F.col("pts"))
+        & (
+            F.col("tts")
+            > F.col("pts") - F.expr(f"INTERVAL {ATTR_WINDOW_DAYS} DAYS")
+        ),
+    ).select("pid", "touch", "tts", "tid")
+    wp = Window.partitionBy("pid")
+    wf = Window.partitionBy("pid").orderBy("tts", "tid")
+    wl = Window.partitionBy("pid").orderBy(
+        F.col("tts").desc(), F.col("tid").desc()
+    )
+    scored = paired.select(
+        "touch",
+        F.count(F.lit(1)).over(wp).alias("n_touches"),
+        F.row_number().over(wf).alias("rk_first"),
+        F.row_number().over(wl).alias("rk_last"),
+    )
+    return scored.groupBy("touch").agg(
+        F.round(F.sum(F.lit(1.0) / F.col("n_touches")), 6).alias(
+            "linear_credit"
+        ),
+        F.sum(F.when(F.col("rk_first") == 1, 1).otherwise(0)).alias(
+            "first_touch_purchases"
+        ),
+        F.sum(F.when(F.col("rk_last") == 1, 1).otherwise(0)).alias(
+            "last_touch_purchases"
+        ),
+        F.count(F.lit(1)).alias("n_touch_events"),
+    )
+
+
+OVERLAP_TOP_K = 50
+
+
+_OVERLAP_ORACLE = f"""
+WITH spans AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         MIN(ts) AS s, MAX(ts) AS e
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+),
+pairs AS (
+  SELECT a.user_id AS ua, b.user_id AS ub,
+         EPOCH_US(LEAST(a.e, b.e)) - EPOCH_US(GREATEST(a.s, b.s)) AS ov
+  FROM spans a
+  JOIN spans b ON a.d = b.d AND a.user_id < b.user_id
+  WHERE a.s <= b.e AND b.s <= a.e
+)
+SELECT ua, ub,
+       CAST(COUNT(*) AS BIGINT) AS days_overlapped,
+       CAST(SUM(ov) AS BIGINT) AS total_overlap_us
+FROM pairs
+GROUP BY ua, ub
+ORDER BY total_overlap_us DESC, ua, ub
+LIMIT {OVERLAP_TOP_K}
+"""
+
+
+@register(
+    "user_activity_overlap_pairs",
+    oracle=_OVERLAP_ORACLE,
+    doc=f"INTERVAL OVERLAP JOIN: each user's daily activity span "
+        "[first event, last event] joined against every other user's "
+        "span for overlap-in-time, aggregated to the top-"
+        f"{OVERLAP_TOP_K} co-active user pairs by total overlapping "
+        "time — the concurrency/co-presence probe (ad attribution "
+        "windows, fraud co-activity, resource contention) that plain "
+        "equi- and as-of joins can't express. The join is TEMPORALLY "
+        "BLOCKED: the equality conjunct on the day key carries the "
+        "shuffle (intervals here are day-bounded by construction; "
+        "cross-boundary intervals would explode into their covered "
+        "days and dedupe, the standard interval-blocking recipe), so "
+        "the overlap predicate filters WITHIN day-partitions instead "
+        "of planning a cartesian nested loop. Overlap is exact "
+        "integer microsecond epoch arithmetic — no rounding needed; "
+        "the (total, ua, ub) ordering makes the top-k membership "
+        "total.",
+    tags=("temporal", "join", "interval", "aggregate"),
+)
+def user_activity_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    spans = ev.groupBy(
+        "user_id", F.to_date("ts").alias("d")
+    ).agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    a = spans.select(
+        F.col("user_id").alias("ua"), F.col("d"),
+        F.col("s").alias("sa"), F.col("e").alias("ea"),
+    )
+    b = spans.select(
+        F.col("user_id").alias("ub"), F.col("d"),
+        F.col("s").alias("sb"), F.col("e").alias("eb"),
+    )
+    pairs = a.join(
+        b,
+        ["d"],
+    ).where(
+        (F.col("ua") < F.col("ub"))
+        & (F.col("sa") <= F.col("eb"))
+        & (F.col("sb") <= F.col("ea"))
+    )
+    ov = F.unix_micros(F.least("ea", "eb")) - F.unix_micros(
+        F.greatest("sa", "sb")
+    )
+    return (
+        pairs.select("ua", "ub", ov.alias("ov"))
+        .groupBy("ua", "ub")
+        .agg(
+            F.count(F.lit(1)).alias("days_overlapped"),
+            F.sum("ov").alias("total_overlap_us"),
+        )
+        .orderBy(F.col("total_overlap_us").desc(), "ua", "ub")
+        .limit(OVERLAP_TOP_K)
+    )

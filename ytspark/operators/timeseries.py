@@ -282,3 +282,74 @@ def events_value_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
             "forecast_h3"
         ),
     )
+
+
+WINSOR_LO = 0.05  # lower clamp quantile
+WINSOR_HI = 0.95  # upper clamp quantile
+
+
+_WINSOR_ORACLE = f"""
+WITH bounds AS (
+  SELECT event_type,
+         QUANTILE_CONT(value, {WINSOR_LO}) AS lo,
+         QUANTILE_CONT(value, {WINSOR_HI}) AS hi
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(b.lo), 6) AS p_lo,
+       ROUND(MIN(b.hi), 6) AS p_hi,
+       CAST(SUM(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clamped_lo,
+       CAST(SUM(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clamped_hi,
+       ROUND(AVG(e.value), 6) AS mean_before,
+       ROUND(AVG(GREATEST(b.lo, LEAST(b.hi, e.value))), 6) AS mean_after
+FROM events e JOIN bounds b USING (event_type)
+WHERE e.value IS NOT NULL
+GROUP BY e.event_type
+"""
+
+
+@register(
+    "value_winsorize_stats",
+    oracle=_WINSOR_ORACLE,
+    doc=f"Winsorization audit per event type: exact p{int(WINSOR_LO * 100):02d}/"
+        f"p{int(WINSOR_HI * 100)} bounds (linear-interpolation "
+        "percentiles — Spark's percentile == DuckDB's QUANTILE_CONT), "
+        "clamp counts on each side, and the mean before/after "
+        "clamping — the outlier-capping transform feature pipelines "
+        "apply before normalization, certified as its accounting "
+        "summary. The aggregate-rejoin-reaggregate shape: one "
+        "percentile pass per group, broadcast the 5-row bounds back, "
+        "one clamped re-aggregate. At extreme group cardinality the "
+        "sketch fallback is approx_percentile with the GK rank-bound "
+        "certificate (approx_quantile_rank_bounds).",
+    tags=("statistics", "quality", "aggregate", "time"),
+)
+def value_winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_tables(spark, sf_dir, "events")["events"]
+        .where(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    bounds = ev.groupBy("event_type").agg(
+        F.percentile("value", WINSOR_LO).alias("lo"),
+        F.percentile("value", WINSOR_HI).alias("hi"),
+    )
+    j = ev.join(F.broadcast(bounds), "event_type")
+    clamped = F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("value")))
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("lo"), 6).alias("p_lo"),
+        F.round(F.min("hi"), 6).alias("p_hi"),
+        F.sum(F.when(F.col("value") < F.col("lo"), 1).otherwise(0)).alias(
+            "n_clamped_lo"
+        ),
+        F.sum(F.when(F.col("value") > F.col("hi"), 1).otherwise(0)).alias(
+            "n_clamped_hi"
+        ),
+        F.round(F.avg("value"), 6).alias("mean_before"),
+        F.round(F.avg(clamped), 6).alias("mean_after"),
+    )
