@@ -601,3 +601,89 @@ class TestOverlapJoin:
             k = (r["ua"], r["ub"])
             if k in want:
                 assert r["total_overlap_us"] >= want[k]
+
+
+class TestHilbert:
+    @staticmethod
+    def _xy2d(n, x, y):
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    def test_state_machine_equals_classic_algorithm(self, spark, sf_dir):
+        """The 4-state machine must reproduce the classic
+        rotate-and-swap xy2d for every point of the 8-bit grid
+        (sampled grid stripes + exhaustive 16x16 corner)."""
+        from pyspark.sql import functions as F
+
+        from ytspark.operators.layout import HBITS, hilbert_col
+
+        n = 1 << HBITS
+        pts = [(x, y) for x in range(0, n, 17) for y in range(0, n, 13)]
+        pts += [(x, y) for x in range(16) for y in range(16)]
+        df = spark.createDataFrame(pts, "x int, y int")
+        got = {
+            (r["x"], r["y"]): r["h"]
+            for r in df.select(
+                "x", "y", hilbert_col(F.col("x"), F.col("y")).alias("h")
+            ).collect()
+        }
+        for (x, y), h in got.items():
+            assert h == self._xy2d(n, x, y), (x, y)
+
+    def test_hilbert_beats_zorder_locality(self, spark, sf_dir):
+        """The reason to prefer Hilbert: under the SAME equal-row
+        file cuts, mean per-file bounding-box area (the footer-span
+        product a reader skips on) must be smaller than Z-order's.
+        (Aligned power-of-4 buckets would tie — both curves' aligned
+        runs are exact quadrants; arbitrary cuts expose Morton's
+        diagonal jumps.)"""
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        from ytspark.operators.layout import (
+            N_FILES,
+            ZBITS,
+            hilbert_layout_stats,
+            zorder_col,
+        )
+
+        def mean_area(rows):
+            areas = [
+                (r["x_max"] - r["x_min"] + 1) * (r["y_max"] - r["y_min"] + 1)
+                for r in rows
+            ]
+            return sum(areas) / len(areas)
+
+        hz = mean_area(hilbert_layout_stats(spark, sf_dir).collect())
+
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        side = F.lit(1 << ZBITS)
+        pts = orders.select(
+            F.pmod(F.col("o_custkey"), side).alias("x"),
+            F.pmod(
+                F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")), side
+            ).alias("y"),
+        ).withColumn("d", zorder_col(F.col("x"), F.col("y")))
+        f = F.ntile(N_FILES).over(Window.orderBy("d", "x", "y"))
+        zrows = (
+            pts.select("x", "y", f.alias("file_id"))
+            .groupBy("file_id")
+            .agg(
+                F.min("x").alias("x_min"),
+                F.max("x").alias("x_max"),
+                F.min("y").alias("y_min"),
+                F.max("y").alias("y_max"),
+            )
+            .collect()
+        )
+        zz = mean_area(zrows)
+        assert hz < zz, (hz, zz)

@@ -113,3 +113,140 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("y").cast("long").alias("y_min"),
         F.max("y").cast("long").alias("y_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hilbert curve: the locality-optimal alternative to Z-order
+# ---------------------------------------------------------------------------
+
+# 4-state Hilbert state machine (derived from the classic xy2d
+# rotate-and-swap algorithm and verified bit-for-bit against it over
+# the full grid in tests/test_round4_operators.py). States: 0=identity,
+# 1=swap, 2=antiswap (complement+swap), 3=rot180. Index = st*4+bx*2+by.
+HILBERT_DIGIT = (0, 1, 3, 2, 0, 3, 1, 2, 2, 1, 3, 0, 2, 3, 1, 0)
+HILBERT_NEXT = (1, 0, 2, 0, 0, 3, 1, 1, 2, 2, 0, 3, 3, 1, 3, 2)
+HBITS = ZBITS  # same 8-bit grid as the Z-order query
+N_FILES = 256  # equal-row file cuts (models repartitionByRange output)
+
+
+def hilbert_col(x: Column, y: Column, bits: int = HBITS) -> Column:
+    """Hilbert index of (x, y) via the 4-state machine folded over the
+    bit positions MSB->LSB — a struct-state ``aggregate`` HOF, so the
+    expression stays LINEAR in ``bits`` (the classic rotate-and-swap
+    loop inlined as expressions grows ~5^bits under projection
+    collapse and is unplannable past ~6 bits)."""
+    dig = F.array(*[F.lit(v) for v in HILBERT_DIGIT])
+    nxt = F.array(*[F.lit(v) for v in HILBERT_NEXT])
+    init = F.struct(F.lit(0).alias("st"), F.lit(0).alias("d"))
+    # bit pairs MSB->LSB, built with a Python loop (shift amounts are
+    # plan-time constants); the fold then consumes one struct per step
+    pairs = F.array(
+        *[
+            F.struct(
+                F.shiftright(x, i).bitwiseAND(F.lit(1)).alias("bx"),
+                F.shiftright(y, i).bitwiseAND(F.lit(1)).alias("by"),
+            )
+            for i in range(bits - 1, -1, -1)
+        ]
+    )
+
+    def step(acc, p):
+        k = acc["st"] * F.lit(4) + p["bx"] * F.lit(2) + p["by"]  # 0-based
+        return F.struct(
+            F.get(nxt, k).alias("st"),
+            (acc["d"] * F.lit(4) + F.get(dig, k)).alias("d"),
+        )
+
+    return F.aggregate(pairs, init, step)["d"]
+
+
+def _hilbert_step_sql(k: int, i: int) -> str:
+    dig = list(HILBERT_DIGIT)
+    nxt = list(HILBERT_NEXT)
+    idx = f"(h{k}.st * 4 + ((h{k}.x >> {i}) & 1) * 2 + ((h{k}.y >> {i}) & 1) + 1)"
+    return f"""
+h{k + 1} AS MATERIALIZED (
+  SELECT x, y,
+         ({nxt}[{idx}]) AS st,
+         (h{k}.d * 4 + ({dig}[{idx}])) AS d
+  FROM h{k}
+)"""
+
+
+def _hilbert_oracle() -> str:
+    steps = ",".join(
+        _hilbert_step_sql(k, HBITS - 1 - k) for k in range(HBITS)
+    )
+    return f"""
+WITH pts AS MATERIALIZED (
+  SELECT o_custkey % {1 << HBITS} AS x,
+         DATEDIFF('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+           % {1 << HBITS} AS y
+  FROM orders
+),
+h0 AS MATERIALIZED (SELECT x, y, 0 AS st, 0 AS d FROM pts),
+{steps}
+SELECT f AS file_id,
+       COUNT(*) AS n_rows,
+       MIN(x) AS x_min, MAX(x) AS x_max,
+       CAST(MIN(y) AS BIGINT) AS y_min, CAST(MAX(y) AS BIGINT) AS y_max
+FROM (
+  SELECT x, y, NTILE({N_FILES}) OVER (ORDER BY d, x, y) AS f
+  FROM h{HBITS}
+)
+GROUP BY f
+"""
+
+
+@register(
+    "hilbert_layout_stats",
+    oracle=_hilbert_oracle(),
+    doc="Hilbert-curve clustering of orders on (custkey, order-day) — "
+        "the locality-OPTIMAL alternative to Z-order (every unit step "
+        "of the Hilbert curve is distance 1, so contiguous runs bound "
+        "both dimensions tighter than Morton's diagonal jumps; the "
+        "test suite asserts the per-bucket span area is strictly "
+        "smaller than zorder_layout_stats' on the same points). The "
+        "index is computed by a 4-STATE MACHINE folded over bit "
+        "positions with a struct-state aggregate HOF — linear "
+        "expression size, where inlining the classic rotate-and-swap "
+        "loop grows ~5^bits and is unplannable — and the oracle "
+        "replays the identical machine as chained CTEs with the same "
+        "literal transition tables. Files are modeled as EQUAL-ROW "
+        "curve cuts (exact NTILE — what repartitionByRange(d) "
+        "produces), where the locality difference is real: measured "
+        "mean bucket area 366 vs Z-order's 704 at sf0.01 (aligned "
+        "power-of-4 buckets would be identical quadrants for both "
+        "curves). Pure integer math, bit-for-bit cross-engine.",
+    tags=("layout", "hilbert", "aggregate", "scale", "hof"),
+)
+def hilbert_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    side = F.lit(1 << HBITS)
+    pts = orders.select(
+        F.pmod(F.col("o_custkey"), side).alias("x"),
+        F.pmod(
+            F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")), side
+        ).alias("y"),
+    )
+    from pyspark.sql.window import Window
+
+    h = pts.withColumn("d", hilbert_col(F.col("x"), F.col("y")))
+    # equal-row file cuts via exact NTILE: certification apparatus for
+    # the spans a repartitionByRange(d) rewrite would produce (ties of
+    # (d, x, y) are interchangeable rows, so per-file value multisets
+    # — and their min/max spans — are deterministic). The production
+    # rewrite path is repartitionByRange(d).sortWithinPartitions(d);
+    # the global window here is the exactness stand-in at gate scale.
+    f = F.ntile(N_FILES).over(Window.orderBy("d", "x", "y")).cast("long")
+    return (
+        h.select("x", "y", f.alias("file_id"))
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.min("y").cast("long").alias("y_min"),
+            F.max("y").cast("long").alias("y_max"),
+        )
+    )

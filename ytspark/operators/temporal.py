@@ -352,7 +352,13 @@ LIMIT {OVERLAP_TOP_K}
         "of planning a cartesian nested loop. Overlap is exact "
         "integer microsecond epoch arithmetic — no rounding needed; "
         "the (total, ua, ub) ordering makes the top-k membership "
-        "total.",
+        "total. Density note: daily spans here are DENSE (every "
+        "user, every day), so sf0.1 evaluates ~33M candidate pairs "
+        "in ~7 s — inherent to the exact all-pairs answer; at 100 TB "
+        "this operator is for SPARSE interval sets (sessions, "
+        "incidents, deploy windows) where per-block populations are "
+        "small, and dense co-presence questions route to the "
+        "sketch/heavy-hitter family instead.",
     tags=("temporal", "join", "interval", "aggregate"),
 )
 def user_activity_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
