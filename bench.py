@@ -153,6 +153,12 @@ HEADLINE = [
     "cogroup_purchase_click_gap",
     "value_winsorize_stats",
     "user_activity_overlap_pairs",
+    # round 4: Hilbert layout, Bloom semi-join reduction, k-core
+    # peeling, KS/PSI drift monitor
+    "hilbert_layout_stats",
+    "bloom_semijoin_reduction",
+    "kcore_copurchase",
+    "ks_psi_drift_events",
 ]
 
 

@@ -1,0 +1,142 @@
+"""Tests for the Bloom semi-join reduction, k-core peeling, and the
+KS/PSI drift monitor — each checked against an independent local
+recomputation or a structural theorem, not its own oracle SQL."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from ytspark.operators.bloom import (
+    M_BITS,
+    N_HASHES,
+    bloom_build,
+    bloom_filter_fact,
+    bloom_semijoin_reduction,
+)
+from ytspark.operators.drift import KS_BINS, ks_psi_drift_events
+from ytspark.operators.graph import KCORE_K, KCORE_W_MIN, kcore_copurchase
+
+
+class TestBloomSemijoin:
+    def test_no_false_negatives_and_fp_accounting(self, spark, sf_dir):
+        """A Bloom filter can never drop a true match: every matched
+        order must pass the filter, so per priority
+        n_match <= n_pass_bloom and n_false_pos = pass - match."""
+        rows = bloom_semijoin_reduction(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r["n_match"] <= r["n_pass_bloom"]
+            assert r["n_false_pos"] == r["n_pass_bloom"] - r["n_match"]
+            assert r["n_pass_bloom"] <= r["n_orders"]
+
+    def test_every_dim_key_passes_its_own_filter(self, spark, sf_dir):
+        """Probing the build keys themselves must pass 100% — the
+        no-false-negative property, directly."""
+        dim = (
+            spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .where(F.col("c_acctbal") < 0)
+            .select(F.col("c_custkey").alias("key"))
+            .distinct()
+        )
+        bloom = bloom_build(dim, "key")
+        passed = bloom_filter_fact(dim, bloom, "key").count()
+        assert passed == dim.count()
+
+    def test_bitmap_state_is_constant_size(self, spark, sf_dir):
+        """The filter state is <= M_BITS/64 packed words no matter
+        how many keys — the property that distinguishes a Bloom
+        filter from a broadcast hash set."""
+        dim = (
+            spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .select(F.col("c_custkey").alias("key"))
+            .distinct()
+        )
+        (row,) = bloom_build(dim, "key").collect()
+        assert len(row["bloom"]) <= M_BITS // 64
+        assert N_HASHES >= 2
+
+
+class TestKcore:
+    def _local_edges(self, spark, sf_dir):
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        op = li.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        ).distinct()
+        a, b = op.alias("a"), op.alias("b")
+        pairs = (
+            a.join(
+                b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p"))
+            )
+            .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+            .agg(F.count(F.lit(1)).alias("w"))
+            .where(F.col("w") >= KCORE_W_MIN)
+            .collect()
+        )
+        return [(r["pa"], r["pb"]) for r in pairs]
+
+    def test_matches_sequential_peel_to_fixpoint(self, spark, sf_dir):
+        """The fixed-round distributed peel must equal the sequential
+        peel run to FIXPOINT — proving the round budget suffices at
+        this scale — including the within-core degrees."""
+        edges = self._local_edges(spark, sf_dir)
+        alive = {n for e in edges for n in e}
+        while True:
+            deg = Counter()
+            for u, v in edges:
+                if u in alive and v in alive:
+                    deg[u] += 1
+                    deg[v] += 1
+            new = {n for n in alive if deg[n] >= KCORE_K}
+            if new == alive:
+                break
+            alive = new
+        want = {
+            n: c for n, c in deg.items() if n in alive and c > 0
+        }
+        got = {
+            r["part_key"]: r["core_deg"]
+            for r in kcore_copurchase(spark, sf_dir).collect()
+        }
+        assert got == want
+
+    def test_core_degrees_meet_threshold(self, spark, sf_dir):
+        """At fixpoint every member has within-core degree >= k."""
+        for r in kcore_copurchase(spark, sf_dir).collect():
+            assert r["core_deg"] >= KCORE_K
+
+
+class TestDrift:
+    def test_invariants_and_binned_vs_exact_ks(self, spark, sf_dir):
+        """0 <= KS <= 1; the binned KS is a lower bound of the exact
+        KS (max over bin boundaries vs sup over all points) and
+        within 2/B of it; PSI >= 0 (it is an f-divergence)."""
+        import numpy as np
+        import pandas as pd
+
+        rows = ks_psi_drift_events(spark, sf_dir).collect()
+        assert rows
+        ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+        us = ev.ts.astype("int64")
+        mid = us.min() + (us.max() - us.min()) // 2
+        for r in rows:
+            assert 0.0 <= r["ks_stat"] <= 1.0
+            assert r["psi"] >= 0.0
+            assert r["drift"] == (r["ks_stat"] > r["crit_05"]) or abs(
+                r["ks_stat"] - r["crit_05"]
+            ) < 1e-5
+            sub = ev[ev.event_type == r["event_type"]]
+            a = np.sort(sub[us < mid].value.to_numpy())
+            b = np.sort(sub[us >= mid].value.to_numpy())
+            # exact two-sample KS by merged ECDF scan
+            grid = np.unique(np.concatenate([a, b]))
+            fa = np.searchsorted(a, grid, side="right") / len(a)
+            fb = np.searchsorted(b, grid, side="right") / len(b)
+            exact = float(np.max(np.abs(fa - fb)))
+            # ks_stat is reported rounded to 6 dp — allow that slack;
+            # the binning error is bounded by the query's own
+            # a-posteriori certificate, the heaviest bin's mass
+            assert r["ks_stat"] <= exact + 5e-7
+            assert exact - r["ks_stat"] <= r["max_bin_share"] + 5e-7

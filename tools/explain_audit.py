@@ -54,6 +54,8 @@ EXPECTED_NESTED_LOOP = {
     "jaro_winkler_verify_pairs",     # bounded probe-subset pair join
     "lang_nb_classifier",            # broadcast 5-row class stats + consts
     "copurchase_triangle_count",     # broadcast one-row edge/triangle totals
+    "bloom_semijoin_reduction",      # broadcast one-row packed bitmap map
+    "ks_psi_drift_events",           # broadcast one-row midpoint timestamp
 }
 # streaming queries execute eagerly; skip plan audit (they materialize
 # their own sinks and are correctness-checked by the oracle gate)

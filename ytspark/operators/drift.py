@@ -1,0 +1,223 @@
+"""Distribution-drift detection — binned KS and PSI.
+
+The monitoring layer every training-data pipeline needs: did the
+feature/value distribution shift between two cohorts (early vs late
+data, train vs serve, yesterday vs today)? Two standard statistics
+over ONE shared binned-histogram pass:
+
+- **Two-sample Kolmogorov-Smirnov** (binned): max ECDF gap between
+  the cohorts, with the asymptotic alpha=0.05 critical value
+  1.358*sqrt((n1+n2)/(n1*n2)).
+- **Population Stability Index**: sum over bins of
+  (p_late - p_early) * ln(p_late / p_early), additively smoothed so
+  empty-on-one-side bins stay finite (industry rule of thumb:
+  PSI > 0.2 = significant shift).
+
+Spark-first scale shape: the EXACT KS statistic needs a global sort
+(one partition — the WindowExec warning at any size); the BINNED
+variant replaces it with a (cohort, bin) aggregate + a per-group
+window over <= B rows, so at 100 TB the whole computation is two
+shuffles keyed on (event_type, bucket) and nothing ever concentrates.
+Binning underestimates the sup by at most the probability mass of the
+heaviest bin (the ECDF gap at an interior point differs from the gap
+at the bin boundary by at most that bin's mass in each cohort) — a
+DATA-DEPENDENT bound, not 1/B, since equi-width bins concentrate on
+skewed values; the query therefore reports the realized bound as
+``max_bin_share`` so every run carries its own error certificate,
+and the test suite checks |KS_exact - KS_binned| <= max_bin_share.
+
+Cross-engine determinism: bucket assignment is the exactly-rounded
+IEEE expression chain the histogram query pioneered (sub, div, mul,
+floor — identical on both engines), ECDF shares are integer/integer
+divisions, and the KS max is over identical double sets. Only PSI's
+ln() is a libm call (correctly rounded to ~1 ulp, not exactly); the
+6 dp rounding absorbs it, same policy as the Zipf/entropy queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ytspark.queries import register
+from ytspark.session import load_tables
+
+KS_BINS = 512  # ECDF resolution: KS error <= 1/KS_BINS
+KS_CRIT = 1.358  # asymptotic alpha=0.05 coefficient
+PSI_SMOOTH = 0.5  # additive smoothing pseudo-count per (cohort, bin)
+
+_DRIFT_ORACLE = f"""
+WITH mid AS (
+  SELECT MIN(epoch_us(ts))
+         + (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 2 AS mid
+  FROM events
+),
+vb AS (
+  SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+  FROM events GROUP BY event_type
+),
+tagged AS (
+  SELECT e.event_type,
+         CASE WHEN epoch_us(e.ts) < m.mid THEN 0 ELSE 1 END AS half,
+         CASE WHEN v.hi = v.lo THEN 0
+              ELSE LEAST(CAST(FLOOR((e.value - v.lo) / (v.hi - v.lo)
+                                    * {KS_BINS}) AS BIGINT),
+                         {KS_BINS - 1}) END AS bucket
+  FROM events e CROSS JOIN mid m
+  JOIN vb v ON e.event_type = v.event_type
+),
+g AS (
+  SELECT event_type, bucket,
+         SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS c0,
+         SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS c1
+  FROM tagged GROUP BY 1, 2
+),
+c AS (
+  SELECT event_type, bucket, c0, c1,
+         SUM(c0) OVER (PARTITION BY event_type ORDER BY bucket) AS cum0,
+         SUM(c1) OVER (PARTITION BY event_type ORDER BY bucket) AS cum1,
+         SUM(c0) OVER (PARTITION BY event_type) AS t0,
+         SUM(c1) OVER (PARTITION BY event_type) AS t1
+  FROM g
+),
+s AS (
+  SELECT event_type,
+         MAX(t0) AS n_early, MAX(t1) AS n_late,
+         MAX(ABS(CAST(cum0 AS DOUBLE) / t0
+                 - CAST(cum1 AS DOUBLE) / t1)) AS ks_raw,
+         MAX(CAST(c0 AS DOUBLE) / t0 + CAST(c1 AS DOUBLE) / t1)
+           AS max_bin_share,
+         SUM((CAST(c1 + {PSI_SMOOTH} AS DOUBLE)
+                / (t1 + {PSI_SMOOTH} * {KS_BINS})
+              - CAST(c0 + {PSI_SMOOTH} AS DOUBLE)
+                / (t0 + {PSI_SMOOTH} * {KS_BINS}))
+             * LN((CAST(c1 + {PSI_SMOOTH} AS DOUBLE)
+                     / (t1 + {PSI_SMOOTH} * {KS_BINS}))
+                  / (CAST(c0 + {PSI_SMOOTH} AS DOUBLE)
+                       / (t0 + {PSI_SMOOTH} * {KS_BINS})))) AS psi_raw
+  FROM c GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n_early AS BIGINT) AS n_early,
+       CAST(n_late AS BIGINT) AS n_late,
+       ROUND(ks_raw, 6) AS ks_stat,
+       ROUND({KS_CRIT} * SQRT(CAST(n_early + n_late AS DOUBLE)
+                              / (n_early * n_late)), 6) AS crit_05,
+       ks_raw > {KS_CRIT} * SQRT(CAST(n_early + n_late AS DOUBLE)
+                                 / (n_early * n_late)) AS drift,
+       ROUND(psi_raw, 6) AS psi,
+       ROUND(max_bin_share, 6) AS max_bin_share
+FROM s
+"""
+
+
+@register(
+    "ks_psi_drift_events",
+    oracle=_DRIFT_ORACLE,
+    doc="Distribution-drift monitor per event type: two-sample "
+        "Kolmogorov-Smirnov (binned ECDF, B=512) + Population "
+        "Stability Index between the early and late halves of the "
+        "event stream (split at the midpoint timestamp, integer "
+        "microsecond arithmetic). The binned formulation is the "
+        "100 TB shape: the exact KS needs a one-partition global "
+        "sort, the binned one is two aggregates keyed on (event_type, "
+        "bucket) plus a per-group window over <= B rows — nothing "
+        "concentrates; the binning error is bounded by the heaviest "
+        "bin's probability mass, which the query reports per group "
+        "as max_bin_share — every run carries its own error "
+        "certificate beside the alpha=0.05 critical value. Bucket "
+        "assignment reuses the histogram query's exactly-rounded IEEE "
+        "expression chain; ECDF shares are int/int divisions; PSI is "
+        "additively smoothed so one-sided bins stay finite, and its "
+        "ln() libm drift is absorbed by 6 dp rounding (the Zipf/"
+        "entropy policy). DuckDB replays the identical pipeline.",
+    tags=("drift", "statistics", "quality", "aggregate", "window"),
+)
+def ks_psi_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    mid = ev.agg(
+        (
+            F.min(F.unix_micros("ts"))
+            + F.expr(
+                "(MAX(unix_micros(ts)) - MIN(unix_micros(ts))) div 2"
+            )
+        ).alias("mid")
+    )
+    vb = ev.groupBy("event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    b = F.lit(KS_BINS)
+    tagged = (
+        ev.crossJoin(F.broadcast(mid))
+        .join(F.broadcast(vb), "event_type")
+        .select(
+            "event_type",
+            F.when(F.unix_micros("ts") < F.col("mid"), 0)
+            .otherwise(1)
+            .alias("half"),
+            F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("long"))
+            .otherwise(
+                F.least(
+                    F.floor(
+                        (F.col("value") - F.col("lo"))
+                        / (F.col("hi") - F.col("lo"))
+                        * b
+                    ),
+                    F.lit(KS_BINS - 1).cast("long"),
+                )
+            )
+            .alias("bucket"),
+        )
+    )
+    g = tagged.groupBy("event_type", "bucket").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c1"),
+    )
+    wcum = Window.partitionBy("event_type").orderBy("bucket")
+    wall = Window.partitionBy("event_type")
+    sm, smb = float(PSI_SMOOTH), float(PSI_SMOOTH) * KS_BINS
+    c = g.select(
+        "event_type",
+        "c0",
+        "c1",
+        F.sum("c0").over(wcum).alias("cum0"),
+        F.sum("c1").over(wcum).alias("cum1"),
+        F.sum("c0").over(wall).alias("t0"),
+        F.sum("c1").over(wall).alias("t1"),
+    )
+    p0 = (F.col("c0") + F.lit(sm)).cast("double") / (
+        F.col("t0") + F.lit(smb)
+    )
+    p1 = (F.col("c1") + F.lit(sm)).cast("double") / (
+        F.col("t1") + F.lit(smb)
+    )
+    s = c.groupBy("event_type").agg(
+        F.max("t0").alias("n_early"),
+        F.max("t1").alias("n_late"),
+        F.max(
+            F.abs(
+                F.col("cum0").cast("double") / F.col("t0")
+                - F.col("cum1").cast("double") / F.col("t1")
+            )
+        ).alias("ks_raw"),
+        F.max(
+            F.col("c0").cast("double") / F.col("t0")
+            + F.col("c1").cast("double") / F.col("t1")
+        ).alias("max_bin_share"),
+        F.sum((p1 - p0) * F.log(p1 / p0)).alias("psi_raw"),
+    )
+    crit = F.lit(KS_CRIT) * F.sqrt(
+        (F.col("n_early") + F.col("n_late")).cast("double")
+        / (F.col("n_early") * F.col("n_late"))
+    )
+    return s.select(
+        "event_type",
+        F.col("n_early").cast("long").alias("n_early"),
+        F.col("n_late").cast("long").alias("n_late"),
+        F.round("ks_raw", 6).alias("ks_stat"),
+        F.round(crit, 6).alias("crit_05"),
+        (F.col("ks_raw") > crit).alias("drift"),
+        F.round("psi_raw", 6).alias("psi"),
+        F.round("max_bin_share", 6).alias("max_bin_share"),
+    )

@@ -80,7 +80,6 @@ _PRIORITY: tuple[str, ...] = (
     # events analytics over the snapshot model
     "events_sessionization",
     "events_props_map_explode",
-    "events_hourly_rollup",
     "events_daily_retention",
     "funnel_view_click_purchase",
     # relational battery: joins, outer/semi/anti, set ops, grouping
@@ -104,7 +103,6 @@ _PRIORITY: tuple[str, ...] = (
     # dedup family — incl. the persisted incremental store and the
     # cross-engine-checkable (hash-certified) signature variants
     "dedup_exact_stats",
-    "dedup_ngram_jaccard",
     "dedup_minhash_lsh_checkable",
     "dedup_minhash_incremental",
     "dedup_simhash_checkable",
@@ -136,6 +134,12 @@ _PRIORITY: tuple[str, ...] = (
     "lang_nb_classifier",
     "cms_heavy_hitters",
     "jaro_winkler_verify_pairs",
+    # round-4b rotation: Bloom semi-join reduction + KS/PSI drift
+    # monitor (new families; events_hourly_rollup and
+    # dedup_ngram_jaccard rotate out with r1-r3 driver passes on
+    # record and 4+ same-family mates still inside the window)
+    "bloom_semijoin_reduction",
+    "ks_psi_drift_events",
     # structured streaming
     "streaming_hourly_counts",
     "streaming_stateful_user_stats",
@@ -147,9 +151,11 @@ def registry() -> dict[str, Query]:
     from ytspark.queries import decision_support, pipeline, relational  # noqa: F401
     from ytspark.operators import (  # noqa: F401
         batchmap,
+        bloom,
         bpe,
         clustering,
         dedup,
+        drift,
         fuzzy,
         graph,
         layout,
