@@ -159,6 +159,12 @@ HEADLINE = [
     "bloom_semijoin_reduction",
     "kcore_copurchase",
     "ks_psi_drift_events",
+    # round 4: normal-equations regression, CUSUM changepoint, ACF,
+    # stratified sampling
+    "regression_normal_equations",
+    "cusum_changepoint_daily",
+    "acf_daily_counts",
+    "stratified_sample_exact",
 ]
 
 

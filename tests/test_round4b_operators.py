@@ -140,3 +140,110 @@ class TestDrift:
             # a-posteriori certificate, the heaviest bin's mass
             assert r["ks_stat"] <= exact + 5e-7
             assert exact - r["ks_stat"] <= r["max_bin_share"] + 5e-7
+
+
+class TestNormalEquations:
+    def test_matches_numpy_lstsq(self, spark, sf_dir):
+        """The distributed Gram solve must agree with numpy's QR
+        least squares on the same features."""
+        import numpy as np
+        import pandas as pd
+
+        li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+        orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+        feats = li.groupby("l_orderkey").agg(
+            x1=("l_partkey", "size"), x2=("l_quantity", "sum")
+        )
+        d = orders.join(feats, on="o_orderkey", how="inner")
+        X = np.column_stack(
+            [np.ones(len(d)), d.x1.to_numpy(), d.x2.to_numpy()]
+        )
+        beta, *_ = np.linalg.lstsq(X, d.o_totalprice.to_numpy(), rcond=None)
+
+        from ytspark.operators.learn import regression_normal_equations
+
+        (row,) = regression_normal_equations(spark, sf_dir).collect()
+        assert row["n_orders"] == len(d)
+        for got, want in zip(
+            (row["beta0"], row["beta1"], row["beta2"]), beta
+        ):
+            assert abs(got - want) < 1e-3 * max(1.0, abs(want))
+        assert 0.0 <= row["r2"] <= 1.0
+
+
+class TestCusumAcf:
+    def _daily(self, sf_dir):
+        import pandas as pd
+
+        ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+        ev["day"] = ev.ts.dt.normalize()
+        spine = pd.date_range(ev.day.min(), ev.day.max(), freq="D")
+        out = {}
+        for et, sub in ev.groupby("event_type"):
+            c = sub.groupby("day").size().reindex(spine, fill_value=0)
+            out[et] = c.to_numpy()
+        return out, spine
+
+    def test_cusum_matches_sequential_recompute(self, spark, sf_dir):
+        import numpy as np
+
+        from ytspark.operators.timeseries import cusum_changepoint_daily
+
+        daily, spine = self._daily(sf_dir)
+        rows = cusum_changepoint_daily(spark, sf_dir).collect()
+        assert {r["event_type"] for r in rows} == set(daily)
+        for r in rows:
+            c = daily[r["event_type"]]
+            n, T = len(c), c.sum()
+            sp = n * np.cumsum(c) - np.arange(1, n + 1) * T
+            i = int(np.lexsort((np.arange(n), -np.abs(sp)))[0])
+            assert r["n_days"] == n
+            assert r["cp_day"] == spine[i].to_pydatetime()
+            assert abs(r["cusum_peak"] - abs(sp[i]) / n) < 1e-5
+
+    def test_acf_matches_numpy(self, spark, sf_dir):
+        import numpy as np
+
+        from ytspark.operators.timeseries import acf_daily_counts
+
+        daily, _ = self._daily(sf_dir)
+        rows = acf_daily_counts(spark, sf_dir).collect()
+        for r in rows:
+            c = daily[r["event_type"]].astype(float)
+            d = c - c.mean()
+            den = (d * d).sum()
+            for lag, col in ((1, "r_lag1"), (7, "r_lag7")):
+                want = (d[:-lag] * d[lag:]).sum() / den
+                assert abs(r[col] - want) < 1e-5, (r["event_type"], lag)
+
+
+class TestStratifiedSample:
+    def test_exact_allocation_and_membership(self, spark, sf_dir):
+        """Allocations sum exactly to the target; sampled counts hit
+        min(alloc, stratum size); the checksum matches a local
+        recompute of the hash-ranked membership."""
+        import pandas as pd
+
+        from ytspark.operators.text import (
+            _KNUTH,
+            SPLIT_MOD,
+            STRAT_TOTAL,
+            stratified_sample_exact,
+        )
+
+        rows = stratified_sample_exact(spark, sf_dir).collect()
+        assert sum(r["n_alloc"] for r in rows) == STRAT_TOTAL
+        docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+
+        def khash(k):
+            k = k % SPLIT_MOD
+            return ((k // 65536) * _KNUTH % SPLIT_MOD * 65536
+                    + (k % 65536) * _KNUTH) % SPLIT_MOD
+
+        for r in rows:
+            sub = docs[docs.source == r["source"]].copy()
+            assert r["n_docs"] == len(sub)
+            assert r["n_sampled"] == min(r["n_alloc"], len(sub))
+            sub["h"] = sub.doc_id.map(khash)
+            picked = sub.sort_values(["h", "doc_id"]).head(r["n_alloc"])
+            assert r["sample_checksum"] == int(picked.doc_id.sum())

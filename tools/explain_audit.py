@@ -56,6 +56,9 @@ EXPECTED_NESTED_LOOP = {
     "copurchase_triangle_count",     # broadcast one-row edge/triangle totals
     "bloom_semijoin_reduction",      # broadcast one-row packed bitmap map
     "ks_psi_drift_events",           # broadcast one-row midpoint timestamp
+    "cusum_changepoint_daily",       # event-types x broadcast day spine
+    "acf_daily_counts",              # event-types x broadcast day spine
+    "stratified_sample_exact",       # broadcast one-row total + leftover
 }
 # streaming queries execute eagerly; skip plan audit (they materialize
 # their own sinks and are correctness-checked by the oracle gate)

@@ -321,3 +321,139 @@ def lang_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy("true_lang", "pred_lang").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-feature linear regression via distributed normal equations
+# ---------------------------------------------------------------------------
+
+# The Gram-matrix sums are computed over DECIMAL-cast inputs so both
+# engines produce bit-identical exact sums regardless of aggregation
+# order (float summation is order-dependent; decimal summation is
+# exact). The tiny 3x3 solve then runs as the SAME textual expression
+# chain on both sides — every op exactly-rounded IEEE on identical
+# inputs — so the coefficients match to the last bit before the 6 dp
+# reporting round.
+
+# Cramer's rule on A = [[n,sx1,sx2],[sx1,s11,s12],[sx2,s12,s22]],
+# t = (sy, s1y, s2y); same text evaluated by both engines.
+_NE_DET = (
+    "(n*(s11*s22 - s12*s12) - sx1*(sx1*s22 - s12*sx2)"
+    " + sx2*(sx1*s12 - s11*sx2))"
+)
+_NE_DET0 = (
+    "(sy*(s11*s22 - s12*s12) - sx1*(s1y*s22 - s12*s2y)"
+    " + sx2*(s1y*s12 - s11*s2y))"
+)
+_NE_DET1 = (
+    "(n*(s1y*s22 - s12*s2y) - sy*(sx1*s22 - s12*sx2)"
+    " + sx2*(sx1*s2y - s1y*sx2))"
+)
+_NE_DET2 = (
+    "(n*(s11*s2y - s1y*s12) - sx1*(sx1*s2y - s1y*sx2)"
+    " + sy*(sx1*s12 - s11*sx2))"
+)
+_NE_FINAL = f"""
+  CAST(n AS BIGINT) AS n_orders,
+  ROUND({_NE_DET0} / {_NE_DET}, 6) AS beta0,
+  ROUND({_NE_DET1} / {_NE_DET}, 6) AS beta1,
+  ROUND({_NE_DET2} / {_NE_DET}, 6) AS beta2,
+  ROUND(1 - (syy - ({_NE_DET0} / {_NE_DET}) * sy
+                 - ({_NE_DET1} / {_NE_DET}) * s1y
+                 - ({_NE_DET2} / {_NE_DET}) * s2y)
+            / (syy - sy * sy / n), 6) AS r2
+"""
+
+_NE_ORACLE = f"""
+WITH feats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS x1,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12, 2))) AS DOUBLE) AS x2,
+         l_orderkey AS ok
+  FROM lineitem GROUP BY l_orderkey
+),
+d AS (
+  SELECT f.x1, f.x2,
+         CAST(CAST(o.o_totalprice AS DECIMAL(18, 2)) AS DOUBLE) AS y
+  FROM orders o JOIN feats f ON o.o_orderkey = f.ok
+),
+g AS (
+  SELECT
+    CAST(COUNT(*) AS DOUBLE) AS n,
+    CAST(SUM(CAST(x1 AS DECIMAL(18, 2))) AS DOUBLE) AS sx1,
+    CAST(SUM(CAST(x2 AS DECIMAL(18, 2))) AS DOUBLE) AS sx2,
+    CAST(SUM(CAST(y AS DECIMAL(18, 2))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(x1 AS DECIMAL(18, 2)) * CAST(x1 AS DECIMAL(18, 2)))
+         AS DOUBLE) AS s11,
+    CAST(SUM(CAST(x1 AS DECIMAL(18, 2)) * CAST(x2 AS DECIMAL(18, 2)))
+         AS DOUBLE) AS s12,
+    CAST(SUM(CAST(x2 AS DECIMAL(18, 2)) * CAST(x2 AS DECIMAL(18, 2)))
+         AS DOUBLE) AS s22,
+    CAST(SUM(CAST(x1 AS DECIMAL(18, 2)) * CAST(y AS DECIMAL(18, 2)))
+         AS DOUBLE) AS s1y,
+    CAST(SUM(CAST(x2 AS DECIMAL(18, 2)) * CAST(y AS DECIMAL(18, 2)))
+         AS DOUBLE) AS s2y,
+    CAST(SUM(CAST(y AS DECIMAL(18, 2)) * CAST(y AS DECIMAL(18, 2)))
+         AS DOUBLE) AS syy
+  FROM d
+)
+SELECT {_NE_FINAL} FROM g
+"""
+
+
+@register(
+    "regression_normal_equations",
+    oracle=_NE_ORACLE,
+    doc="Multi-feature linear regression by DISTRIBUTED NORMAL "
+        "EQUATIONS — predict order value from line count and total "
+        "quantity: the Gram matrix X'X and moment vector X'y are ONE "
+        "map-side-combinable aggregate (10 sums over DECIMAL-cast "
+        "features, so the sums are EXACT and aggregation-order-free "
+        "— the trick that makes the fit bit-reproducible across "
+        "engines, retries, and partitionings, where float sums are "
+        "not), and the 3x3 Cramer solve + R-squared run as the "
+        "identical textual expression chain on both engines over "
+        "those exact sums. This is the shape that trains linear "
+        "models on 100 TB: feature count bounds the aggregate state "
+        "(p^2 sums), data volume only adds map-side work, and no "
+        "driver ever sees a row. Extends the single-feature "
+        "regr_slope query (revenue_trend_ols) to the general p>1 "
+        "case the native aggregates cannot express.",
+    tags=("learn", "regression", "aggregate", "scale"),
+)
+def regression_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    feats = t["lineitem"].groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.count(F.lit(1)).cast("double").alias("x1"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("x2"),
+    )
+    d = t["orders"].join(
+        feats, F.col("o_orderkey") == F.col("ok")
+    ).select(
+        "x1",
+        "x2",
+        F.col("o_totalprice")
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("y"),
+    )
+    dec = "CAST({c} AS DECIMAL(18, 2))"
+    g = d.selectExpr(
+        *[
+            f"{dec.format(c=c)} AS {c}"  # exact decimal sums below
+            for c in ("x1", "x2", "y")
+        ]
+    ).selectExpr(
+        "CAST(COUNT(*) AS DOUBLE) AS n",
+        "CAST(SUM(x1) AS DOUBLE) AS sx1",
+        "CAST(SUM(x2) AS DOUBLE) AS sx2",
+        "CAST(SUM(y) AS DOUBLE) AS sy",
+        "CAST(SUM(x1 * x1) AS DOUBLE) AS s11",
+        "CAST(SUM(x1 * x2) AS DOUBLE) AS s12",
+        "CAST(SUM(x2 * x2) AS DOUBLE) AS s22",
+        "CAST(SUM(x1 * y) AS DOUBLE) AS s1y",
+        "CAST(SUM(x2 * y) AS DOUBLE) AS s2y",
+        "CAST(SUM(y * y) AS DOUBLE) AS syy",
+    )
+    return g.selectExpr(*[e.strip() for e in _NE_FINAL.split(",\n")])

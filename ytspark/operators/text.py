@@ -991,3 +991,130 @@ def token_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("pmi").desc(), "w1", "w2"
     ).limit(PMI_TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling with exact largest-remainder allocation
+# ---------------------------------------------------------------------------
+
+STRAT_TOTAL = 200  # total sample size across all strata
+
+
+_STRAT_ORACLE = f"""
+WITH sizes AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(n_docs) AS n FROM sizes),
+quota AS (
+  SELECT s.source, s.n_docs,
+         ({STRAT_TOTAL} * s.n_docs) // t.n AS base,
+         {STRAT_TOTAL} * s.n_docs - (({STRAT_TOTAL} * s.n_docs) // t.n)
+           * t.n AS rem
+  FROM sizes s CROSS JOIN tot t
+),
+alloc AS (
+  SELECT source, n_docs,
+         base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source)
+                       <= {STRAT_TOTAL} - (SELECT SUM(base) FROM quota)
+                     THEN 1 ELSE 0 END AS n_alloc
+  FROM quota
+),
+ranked AS (
+  SELECT d.source, d.doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY d.source
+           ORDER BY {knuth_hash_sql("d.doc_id")}, d.doc_id) AS rk
+  FROM documents d
+)
+SELECT a.source,
+       a.n_docs,
+       CAST(a.n_alloc AS BIGINT) AS n_alloc,
+       CAST(COUNT(r.doc_id) AS BIGINT) AS n_sampled,
+       CAST(COALESCE(SUM(r.doc_id), 0) AS BIGINT) AS sample_checksum
+FROM alloc a
+LEFT JOIN ranked r ON r.source = a.source AND r.rk <= a.n_alloc
+GROUP BY a.source, a.n_docs, a.n_alloc
+"""
+
+
+@register(
+    "stratified_sample_exact",
+    oracle=_STRAT_ORACLE,
+    doc=f"Stratified sampling with EXACT proportional allocation: a "
+        f"{STRAT_TOTAL}-doc sample is split across sources by the "
+        "largest-remainder (Hamilton) method — base = floor(total * "
+        "N_s / N) computed in pure integer arithmetic, leftover "
+        "seats to the largest remainders with a source tiebreak — "
+        "so the allocations sum EXACTLY to the target (floor-only "
+        "undershoots, rounding over/undershoots nondeterministically)"
+        ". Stratum membership is the top-n_alloc docs per source by "
+        "the overflow-safe Knuth hash with doc_id tiebreak — "
+        "deterministic, replay-safe under AQE/retries, and mergeable "
+        "(per-partition top-k then global top-k), unlike rand()-"
+        "based sampleBy which is neither stable nor auditable. The "
+        "reported per-stratum checksum (sum of sampled doc_ids) "
+        "certifies the exact MEMBERSHIP cross-engine, not just the "
+        "counts. At 100 TB: sizes/allocation are a tiny broadcast; "
+        "the per-stratum rank is the only data-sized work.",
+    tags=("text", "sampling", "stratified", "window", "pipeline"),
+)
+def stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    sizes = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = sizes.agg(F.sum("n_docs").alias("n"))
+    quota = sizes.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.expr(f"({STRAT_TOTAL} * n_docs) div n").alias("base"),
+        F.expr(
+            f"{STRAT_TOTAL} * n_docs"
+            f" - (({STRAT_TOTAL} * n_docs) div n) * n"
+        ).alias("rem"),
+    )
+    leftover = quota.agg(
+        (F.lit(STRAT_TOTAL) - F.sum("base")).alias("left")
+    )
+    alloc = quota.crossJoin(F.broadcast(leftover)).select(
+        "source",
+        "n_docs",
+        (
+            F.col("base")
+            + F.when(
+                F.row_number().over(
+                    Window.orderBy(F.col("rem").desc(), "source")
+                )
+                <= F.col("left"),
+                1,
+            ).otherwise(0)
+        ).alias("n_alloc"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            knuth_hash_col(F.col("doc_id")), "doc_id"
+        )
+    )
+    ranked = docs.select("source", "doc_id", rk.alias("rk"))
+    return (
+        alloc.join(
+            ranked,
+            (ranked["source"] == alloc["source"])
+            & (ranked["rk"] <= F.col("n_alloc")),
+            "left",
+        )
+        .groupBy(alloc["source"], "n_docs", "n_alloc")
+        .agg(
+            F.count("doc_id").alias("n_sampled"),
+            F.coalesce(F.sum("doc_id"), F.lit(0))
+            .cast("long")
+            .alias("sample_checksum"),
+        )
+        .select(
+            alloc["source"],
+            "n_docs",
+            F.col("n_alloc").cast("long").alias("n_alloc"),
+            "n_sampled",
+            "sample_checksum",
+        )
+    )

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ytspark.queries import register
 from ytspark.session import load_tables
@@ -352,4 +353,249 @@ def value_winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.avg("value"), 6).alias("mean_before"),
         F.round(F.avg(clamped), 6).alias("mean_after"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection + autocorrelation — integer-exact series
+# ---------------------------------------------------------------------------
+
+# Both operators run on the calendar-densified daily EVENT COUNT
+# series per event type (zero-filled missing days), which keeps every
+# aggregate INTEGER-EXACT: the CUSUM statistic is computed scaled by
+# n (S'_t = n*C_t - t*T, same argmax as S_t = C_t - t*mean) and the
+# ACF numerator/denominator as sums of products of the n-scaled
+# deviations d_t = n*c_t - T — no float accumulates anywhere, so the
+# argmax/ratios are bit-identical across engines, partitionings and
+# retries; floats appear only in the final reported ratios.
+
+_CUSUM_SPINE_SQL = """
+b AS (
+  SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+  FROM events
+),
+spine AS (
+  SELECT CAST(UNNEST(generate_series(b.d0, b.d1, INTERVAL 1 DAY))
+              AS DATE) AS day
+  FROM b
+),
+grid AS (
+  SELECT t.event_type, s.day
+  FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN spine s
+),
+cnt AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+daily AS (
+  SELECT g.event_type, g.day, COALESCE(cnt.c, 0) AS c,
+         DATE_DIFF('day', b.d0, g.day) + 1 AS t
+  FROM grid g
+  LEFT JOIN cnt ON g.event_type = cnt.event_type AND g.day = cnt.day
+  CROSS JOIN b
+),
+tot AS (
+  SELECT event_type, COUNT(*) AS n, SUM(c) AS tc
+  FROM daily GROUP BY event_type
+)"""
+
+_CUSUM_ORACLE = f"""
+WITH {_CUSUM_SPINE_SQL},
+s AS (
+  SELECT d.event_type, d.day, d.t, tot.n, tot.tc,
+         tot.n * SUM(d.c) OVER (PARTITION BY d.event_type
+                                ORDER BY d.day) - d.t * tot.tc AS sp,
+         SUM(d.c) OVER (PARTITION BY d.event_type ORDER BY d.day)
+           AS ct
+  FROM daily d JOIN tot ON d.event_type = tot.event_type
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY ABS(sp) DESC, day) AS rk
+  FROM s
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_days,
+       day AS cp_day,
+       ROUND(CAST(ABS(sp) AS DOUBLE) / n, 6) AS cusum_peak,
+       ROUND(CAST(ct AS DOUBLE) / t, 6) AS mean_before,
+       CASE WHEN t = n THEN NULL
+            ELSE ROUND(CAST(tc - ct AS DOUBLE) / (n - t), 6)
+       END AS mean_after
+FROM r WHERE rk = 1
+"""
+
+
+@register(
+    "cusum_changepoint_daily",
+    oracle=_CUSUM_ORACLE,
+    doc="CUSUM changepoint detection on the daily event-count series "
+        "per event type (calendar-densified, so quiet days count as "
+        "zero): the change day is argmax_t |S_t|, S_t = sum_(i<=t) "
+        "(c_i - mean) — reported with the peak CUSUM value and the "
+        "mean level on each side of the detected change. The whole "
+        "statistic is INTEGER arithmetic: S_t is computed scaled by "
+        "n (S'_t = n*C_t - t*T has the same argmax), so the argmax "
+        "and its (|S'| desc, day asc) tiebreak are exact on both "
+        "engines — no float accumulation anywhere, the property that "
+        "makes the answer reproducible under any partitioning. Scale "
+        "shape: one groupBy to daily counts (the only shuffle that "
+        "sees raw events), then windows over <= |days| rows per "
+        "event type.",
+    tags=("time", "changepoint", "statistics", "window", "aggregate"),
+)
+def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    b = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = b.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+        "d0",
+    )
+    grid = ev.select("event_type").distinct().crossJoin(F.broadcast(spine))
+    cnt = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    daily = (
+        grid.join(cnt, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce("c", F.lit(0)).alias("c"),
+            (F.datediff("day", "d0") + 1).cast("long").alias("t"),
+        )
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c").alias("tc")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    s = daily.join(tot, "event_type").select(
+        "event_type",
+        "day",
+        "t",
+        "n",
+        "tc",
+        (F.col("n") * F.sum("c").over(w) - F.col("t") * F.col("tc")).alias(
+            "sp"
+        ),
+        F.sum("c").over(w).alias("ct"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(
+            F.abs(F.col("sp")).desc(), F.col("day")
+        )
+    )
+    return (
+        s.withColumn("rk", rk)
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_days"),
+            # timestamp, not date: DuckDB DATE arrives in pandas as
+            # datetime64, so both sides report the midnight instant
+            F.col("day").cast("timestamp").alias("cp_day"),
+            F.round(F.abs("sp").cast("double") / F.col("n"), 6).alias(
+                "cusum_peak"
+            ),
+            F.round(F.col("ct").cast("double") / F.col("t"), 6).alias(
+                "mean_before"
+            ),
+            F.when(F.col("t") == F.col("n"), F.lit(None).cast("double"))
+            .otherwise(
+                F.round(
+                    (F.col("tc") - F.col("ct")).cast("double")
+                    / (F.col("n") - F.col("t")),
+                    6,
+                )
+            )
+            .alias("mean_after"),
+        )
+    )
+
+
+ACF_LAGS = (1, 7)  # daily and weekly autocorrelation
+
+_ACF_ORACLE = f"""
+WITH {_CUSUM_SPINE_SQL},
+dev AS (
+  SELECT d.event_type, d.day, tot.n,
+         tot.n * d.c - tot.tc AS dv,
+         LEAD(tot.n * d.c - tot.tc, 1) OVER (
+           PARTITION BY d.event_type ORDER BY d.day) AS dv1,
+         LEAD(tot.n * d.c - tot.tc, 7) OVER (
+           PARTITION BY d.event_type ORDER BY d.day) AS dv7
+  FROM daily d JOIN tot ON d.event_type = tot.event_type
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n_days,
+       ROUND(CAST(SUM(dv * dv1) AS DOUBLE) / SUM(dv * dv), 6)
+         AS r_lag1,
+       ROUND(CAST(SUM(dv * dv7) AS DOUBLE) / SUM(dv * dv), 6)
+         AS r_lag7,
+       ROUND(1.96 / SQRT(MAX(n)), 6) AS band95,
+       ABS(CAST(SUM(dv * dv1) AS DOUBLE) / SUM(dv * dv))
+         > 1.96 / SQRT(MAX(n)) AS sig_lag1,
+       ABS(CAST(SUM(dv * dv7) AS DOUBLE) / SUM(dv * dv))
+         > 1.96 / SQRT(MAX(n)) AS sig_lag7
+FROM dev
+GROUP BY event_type
+"""
+
+
+@register(
+    "acf_daily_counts",
+    oracle=_ACF_ORACLE,
+    doc="Autocorrelation of the daily event-count series per event "
+        "type at lags 1 and 7 (the daily-persistence and weekly-"
+        "seasonality probes), with the 95% white-noise band "
+        "1.96/sqrt(n) and significance flags. Runs on the same "
+        "calendar-densified integer series as the CUSUM query, and "
+        "the estimator r_k = sum(d_t*d_(t+k))/sum(d_t^2) is computed "
+        "over the n-SCALED integer deviations d_t = n*c_t - T (the "
+        "scale factor cancels in the ratio), so numerator and "
+        "denominator are EXACT integers on both engines and only the "
+        "final division is float. Null-lead tails drop out of the "
+        "sums identically on both sides. One shuffle sees raw "
+        "events; the lag windows run over <= |days| rows per group.",
+    tags=("time", "acf", "statistics", "window", "aggregate"),
+)
+def acf_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    b = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = b.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    grid = ev.select("event_type").distinct().crossJoin(F.broadcast(spine))
+    cnt = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    daily = grid.join(cnt, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c").alias("tc")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    dv = (F.col("n") * F.col("c") - F.col("tc")).alias("dv")
+    dev = daily.join(tot, "event_type").select(
+        "event_type",
+        "n",
+        dv,
+        F.lead(dv, 1).over(w).alias("dv1"),
+        F.lead(dv, 7).over(w).alias("dv7"),
+    )
+    den = F.sum(F.col("dv") * F.col("dv"))
+    r1 = F.sum(F.col("dv") * F.col("dv1")).cast("double") / den
+    r7 = F.sum(F.col("dv") * F.col("dv7")).cast("double") / den
+    band = F.lit(1.96) / F.sqrt(F.max("n"))
+    return dev.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_days"),
+        F.round(r1, 6).alias("r_lag1"),
+        F.round(r7, 6).alias("r_lag7"),
+        F.round(band, 6).alias("band95"),
+        (F.abs(r1) > band).alias("sig_lag1"),
+        (F.abs(r7) > band).alias("sig_lag7"),
     )
