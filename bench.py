@@ -165,6 +165,12 @@ HEADLINE = [
     "cusum_changepoint_daily",
     "acf_daily_counts",
     "stratified_sample_exact",
+    # round 4: join-view maintenance, SCD-2 time travel, skyline,
+    # sketch set algebra
+    "incremental_join_view",
+    "scd2_asof_snapshot",
+    "skyline_pareto_parts",
+    "hll_intersection_bounds",
 ]
 
 

@@ -247,3 +247,136 @@ class TestStratifiedSample:
             sub["h"] = sub.doc_id.map(khash)
             picked = sub.sort_values(["h", "doc_id"]).head(r["n_alloc"])
             assert r["sample_checksum"] == int(picked.doc_id.sum())
+
+
+class TestIncrementalJoinView:
+    def test_four_term_identity_equals_direct_join(self, spark, sf_dir):
+        """The delta-join union must be row-identical to the direct
+        join (the IVM identity), not just aggregate-equal."""
+        from ytspark.operators.maintenance import incremental_join_view
+
+        got = {
+            r["segment"]: (r["n_rows"], r["revenue"], r["n_from_delta"])
+            for r in incremental_join_view(spark, sf_dir).collect()
+        }
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        direct = (
+            o.join(c, o.o_custkey == c.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("rev"),
+            )
+            .collect()
+        )
+        assert {r["c_mktsegment"]: (r["n"], r["rev"]) for r in direct} == {
+            k: (v[0], v[1]) for k, v in got.items()
+        }
+        # deltas are ~1/20 of each side; provenance must be nonzero
+        # but a minority of rows
+        total = sum(v[0] for v in got.values())
+        from_delta = sum(v[2] for v in got.values())
+        assert 0 < from_delta < total / 2
+
+
+class TestScd2Asof:
+    def test_matches_last_order_at_or_before_d(self, spark, sf_dir):
+        """As-of status must equal the status of the last order at or
+        before D (by the (date, orderkey) total order), and
+        effective_from the start of that status run."""
+        import pandas as pd
+
+        from ytspark.operators.maintenance import ASOF_DATE, scd2_asof_snapshot
+
+        rows = scd2_asof_snapshot(spark, sf_dir).collect()
+        o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+        d = pd.Timestamp(ASOF_DATE)
+        want = {}
+        for ck, sub in o.groupby("o_custkey"):
+            sub = sub.sort_values(["o_orderdate", "o_orderkey"])
+            upto = sub[sub.o_orderdate <= d]
+            if upto.empty:
+                continue
+            status = upto.o_orderstatus.iloc[-1]
+            # walk back the trailing run of equal statuses
+            run = upto[
+                upto.o_orderstatus.ne(status)[::-1].cummax()[::-1] == False  # noqa: E712
+            ]
+            want[ck] = (status, run.o_orderdate.iloc[0])
+        got = {
+            r["o_custkey"]: (r["status_at"], pd.Timestamp(r["effective_from"]))
+            for r in rows
+        }
+        assert got == want
+
+
+class TestSkyline:
+    def test_matches_bruteforce_dominance(self, spark, sf_dir):
+        import pandas as pd
+
+        from ytspark.operators.pareto import skyline_pareto_parts
+
+        got = {
+            r["p_partkey"]
+            for r in skyline_pareto_parts(spark, sf_dir).collect()
+        }
+        p = pd.read_parquet(f"{sf_dir}/part.parquet")
+        pts = list(zip(p.p_partkey, p.p_retailprice, p.p_size))
+        want = set()
+        for k, pr, sz in pts:
+            dominated = any(
+                (pr2 <= pr and sz2 >= sz and (pr2 < pr or sz2 > sz))
+                for _, pr2, sz2 in pts
+            )
+            if not dominated:
+                want.add(k)
+        assert got == want
+
+    def test_ties_both_survive(self, spark):
+        """Equal (price, size) pairs dominate nothing — both stay."""
+        from ytspark.operators.pareto import skyline_pareto_parts  # noqa: F401
+        # covered by the bruteforce test when ties exist; assert the
+        # semantics directly on a synthetic frame via the same sweep
+        from pyspark.sql.window import Window
+        import ytspark.operators.pareto as pareto
+
+        df = spark.createDataFrame(
+            [(1, 10.0, 5), (2, 10.0, 5), (3, 9.0, 4), (4, 11.0, 6)],
+            "p_partkey int, p_retailprice double, p_size int",
+        )
+        per_price = df.groupBy("p_retailprice").agg(
+            F.max("p_size").alias("best_at")
+        )
+        w = Window.orderBy("p_retailprice")
+        tbl = per_price.withColumn(
+            "run_max",
+            F.max("best_at").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        ).withColumn("best_below", F.lag("run_max").over(w))
+        sky = (
+            df.join(tbl, "p_retailprice")
+            .where(
+                (
+                    F.col("best_below").isNull()
+                    | (F.col("p_size") > F.col("best_below"))
+                )
+                & (F.col("p_size") == F.col("best_at"))
+            )
+            .select("p_partkey")
+        )
+        assert {r["p_partkey"] for r in sky.collect()} == {1, 2, 3, 4}
+
+
+class TestHllIntersection:
+    def test_bounds_and_lattice(self, spark, sf_dir):
+        from ytspark.operators.sketch import hll_intersection_bounds
+
+        (r,) = hll_intersection_bounds(spark, sf_dir).collect()
+        assert r["estimate_within_bound"] is True
+        assert r["exact_both"] <= min(
+            r["exact_view_users"], r["exact_purchase_users"]
+        )

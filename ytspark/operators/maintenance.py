@@ -425,3 +425,149 @@ def table_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_key"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental JOIN view maintenance (delta-join algebra)
+# ---------------------------------------------------------------------------
+
+IVM_MOD = 20  # 1/20th of each side forms its delta batch
+
+
+def _ivm_delta_sql(key: str) -> str:
+    from ytspark.operators.text import knuth_hash_sql
+
+    return f"(({knuth_hash_sql(key)}) % {IVM_MOD}) = 0"
+
+
+_IVM_ORACLE = f"""
+SELECT c.c_mktsegment AS segment,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS revenue,
+       CAST(SUM(CASE WHEN {_ivm_delta_sql('o.o_orderkey')}
+                       OR {_ivm_delta_sql('c.c_custkey')}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_from_delta
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@register(
+    "incremental_join_view",
+    oracle=_IVM_ORACLE,
+    doc="Incremental JOIN-view maintenance — the delta-join algebra "
+        "that refreshes a 100 TB enriched view in O(|delta|) instead "
+        "of re-joining the world: with A = A0 u dA and B = B0 u dB, "
+        "A JOIN B = (A0 JOIN B0) u (A0 JOIN dB) u (dA JOIN B0) u "
+        "(dA JOIN dB). Spark materializes the view THROUGH the four-"
+        "term identity (1/20th of each side hash-selected as its "
+        "delta batch — the overflow-safe Knuth split, so both "
+        "engines agree on membership) and aggregates per market "
+        "segment with a delta-provenance count; the oracle computes "
+        "the same answer from the FROM-SCRATCH join, so the hash "
+        "match certifies the maintenance identity itself, provenance "
+        "included. At scale the three delta terms are the refresh "
+        "work: dA/dB are batch-sized, and the base sides join them "
+        "pre-bucketed on the key, so no full-view rebuild ever runs; "
+        "revenue sums are DECIMAL-exact, union-order-free.",
+    tags=("maintenance", "ivm", "join", "aggregate", "scale"),
+)
+def incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    o_delta = F.expr(_ivm_delta_sql("o_orderkey").replace("//", " div "))
+    c_delta = F.expr(_ivm_delta_sql("c_custkey").replace("//", " div "))
+    o = t["orders"].withColumn("o_is_delta", o_delta)
+    c = t["customer"].withColumn("c_is_delta", c_delta)
+    a0, da = o.where(~F.col("o_is_delta")), o.where("o_is_delta")
+    b0, db = c.where(~F.col("c_is_delta")), c.where("c_is_delta")
+    cond = F.col("o_custkey") == F.col("c_custkey")
+    view = (
+        a0.join(b0, cond)
+        .unionByName(a0.join(db, cond))
+        .unionByName(da.join(b0, cond))
+        .unionByName(da.join(db, cond))
+    )
+    return view.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+        F.sum(
+            (F.col("o_is_delta") | F.col("c_is_delta")).cast("long")
+        ).alias("n_from_delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD-2 as-of snapshot (time travel over the versioned dimension)
+# ---------------------------------------------------------------------------
+
+ASOF_DATE = "1996-06-30"  # snapshot instant (mid-history)
+
+_ASOF_ORACLE = f"""
+WITH h AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+         LAG(o_orderstatus) OVER w AS prev
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+regimes AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+         LEAD(o_orderdate) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ) AS effective_to
+  FROM h WHERE prev IS NULL OR prev <> o_orderstatus
+)
+SELECT o_custkey,
+       o_orderstatus AS status_at,
+       o_orderdate AS effective_from,
+       DATE_DIFF('day', CAST(o_orderdate AS DATE),
+                 DATE '{ASOF_DATE}') AS regime_age_days
+FROM regimes
+WHERE o_orderdate <= TIMESTAMP '{ASOF_DATE} 00:00:00'
+  AND (effective_to IS NULL
+       OR effective_to > TIMESTAMP '{ASOF_DATE} 00:00:00')
+"""
+
+
+@register(
+    "scd2_asof_snapshot",
+    oracle=_ASOF_ORACLE,
+    doc=f"Time travel over the SCD-2 dimension: reconstruct every "
+        f"customer's order-status regime AS OF {ASOF_DATE} by "
+        "filtering the compacted history to effective_from <= D < "
+        "effective_to — the query pattern that makes a versioned "
+        "dimension useful (point-in-time joins for training-data "
+        "correctness, audit reconstruction). Runs through the "
+        "engine's scd2_compact operator (one shared window "
+        "partitioning); the DuckDB oracle independently replays the "
+        "regime construction with the (date, orderkey) total order "
+        "and applies the same as-of filter, so the hash match "
+        "certifies that SNAPSHOT(SCD2(history), D) equals the "
+        "point-in-time truth. At 100 TB the as-of filter prunes on "
+        "the regime table (|regimes| << |orders|), never rescanning "
+        "raw history.",
+    tags=("maintenance", "scd2", "asof", "window"),
+)
+def scd2_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    hist = scd2_compact(
+        orders.select("o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey"),
+        key=["o_custkey"],
+        attr="o_orderstatus",
+        seq=["o_orderdate", "o_orderkey"],
+        effective_col="o_orderdate",
+    )
+    d = F.lit(f"{ASOF_DATE} 00:00:00").cast("timestamp")
+    return hist.where(
+        (F.col("effective_from") <= d)
+        & (F.col("effective_to").isNull() | (F.col("effective_to") > d))
+    ).select(
+        "o_custkey",
+        F.col("o_orderstatus").alias("status_at"),
+        "effective_from",
+        F.datediff(
+            F.lit(ASOF_DATE).cast("date"), F.to_date("effective_from")
+        ).cast("long").alias("regime_age_days"),
+    )

@@ -319,3 +319,88 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("est_cnt").desc(), "user_id")
         .limit(CMS_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch set algebra: HLL intersection by inclusion-exclusion
+# ---------------------------------------------------------------------------
+
+_HLL_INTERSECT_ORACLE = """
+WITH f AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS a,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+  FROM events GROUP BY user_id
+)
+SELECT CAST(SUM(a) AS BIGINT) AS exact_view_users,
+       CAST(SUM(b) AS BIGINT) AS exact_purchase_users,
+       CAST(SUM(a * b) AS BIGINT) AS exact_both,
+       TRUE AS estimate_within_bound
+FROM f
+"""
+
+
+@register(
+    "hll_intersection_bounds",
+    oracle=_HLL_INTERSECT_ORACLE,
+    doc="Sketch SET ALGEBRA: |viewers intersect purchasers| estimated "
+        "by inclusion-exclusion over three HLL sketches (|A| + |B| - "
+        "|A u B|) — the only way mergeable sketches answer "
+        "intersection questions, and the serving pattern that avoids "
+        "rescanning raw events for audience-overlap dashboards at "
+        "100 TB (the union sketch merges from the same stored "
+        "per-cohort sketches the rollup queries maintain). "
+        "Intersection error compounds: each term carries rsd*|term| "
+        "absolute error, so the reported bound is rsd * (|A| + |B| + "
+        "|A u B|) with a 2x margin — certified like the other sketch "
+        "queries: exact counts hash-checked (one per-user flag "
+        "aggregate), the within-bound boolean expected TRUE by the "
+        "oracle on every driver run.",
+    tags=("sketch", "approx", "aggregate", "setop"),
+)
+def hll_intersection_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    flags = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).alias("a"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("b"),
+    )
+    exact = flags.agg(
+        F.sum("a").cast("long").alias("exact_view_users"),
+        F.sum("b").cast("long").alias("exact_purchase_users"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("exact_both"),
+    )
+    est = ev.agg(
+        F.approx_count_distinct(
+            F.when(F.col("event_type") == "view", F.col("user_id")),
+            rsd=HLL_RSD,
+        ).alias("ea"),
+        F.approx_count_distinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id")),
+            rsd=HLL_RSD,
+        ).alias("eb"),
+        F.approx_count_distinct(
+            F.when(
+                F.col("event_type").isin("view", "purchase"),
+                F.col("user_id"),
+            ),
+            rsd=HLL_RSD,
+        ).alias("eu"),
+    )
+    j = exact.crossJoin(F.broadcast(est))
+    est_inter = F.col("ea") + F.col("eb") - F.col("eu")
+    bound = (
+        F.lit(2.0 * HLL_RSD)
+        * (F.col("ea") + F.col("eb") + F.col("eu")).cast("double")
+    )
+    return j.select(
+        "exact_view_users",
+        "exact_purchase_users",
+        "exact_both",
+        (
+            F.abs(est_inter - F.col("exact_both")).cast("double") <= bound
+        ).alias("estimate_within_bound"),
+    )

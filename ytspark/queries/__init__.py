@@ -105,7 +105,6 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_exact_stats",
     "dedup_minhash_lsh_checkable",
     "dedup_minhash_incremental",
-    "dedup_simhash_checkable",
     "dedup_jaccard_ppjoin",
     # similarity / embeddings
     "knn_cosine_ivf",
@@ -140,6 +139,10 @@ _PRIORITY: tuple[str, ...] = (
     # record and 4+ same-family mates still inside the window)
     "bloom_semijoin_reduction",
     "ks_psi_drift_events",
+    # round-4b rotation: skyline operator (new family; the simhash
+    # checkable twin rotates out with its r3 driver pass on record
+    # and four dedup mates still inside the window)
+    "skyline_pareto_parts",
     # structured streaming
     "streaming_hourly_counts",
     "streaming_stateful_user_stats",
@@ -163,6 +166,7 @@ def registry() -> dict[str, Query]:
         maintenance,
         multimodal,
         packing,
+        pareto,
         search,
         similarity,
         sketch,
