@@ -171,6 +171,10 @@ HEADLINE = [
     "scd2_asof_snapshot",
     "skyline_pareto_parts",
     "hll_intersection_bounds",
+    # round 4: association rules, FD profiling, session path mining
+    "market_basket_rules",
+    "fd_discovery_profile",
+    "session_path_conversion",
 ]
 
 

@@ -128,8 +128,9 @@ class TestDrift:
                 r["ks_stat"] - r["crit_05"]
             ) < 1e-5
             sub = ev[ev.event_type == r["event_type"]]
-            a = np.sort(sub[us < mid].value.to_numpy())
-            b = np.sort(sub[us >= mid].value.to_numpy())
+            sub_us = us[sub.index]
+            a = np.sort(sub[sub_us < mid].value.to_numpy())
+            b = np.sort(sub[sub_us >= mid].value.to_numpy())
             # exact two-sample KS by merged ECDF scan
             grid = np.unique(np.concatenate([a, b]))
             fa = np.searchsorted(a, grid, side="right") / len(a)
@@ -380,3 +381,110 @@ class TestHllIntersection:
         assert r["exact_both"] <= min(
             r["exact_view_users"], r["exact_purchase_users"]
         )
+
+
+class TestMarketBasket:
+    def test_rules_match_pandas_recompute(self, spark, sf_dir):
+        import pandas as pd
+        from itertools import combinations
+        from collections import Counter
+
+        from ytspark.operators.affinity import (
+            MIN_PAIR_SUPPORT,
+            RULES_TOP_K,
+            market_basket_rules,
+        )
+
+        li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+        baskets = li.groupby("l_orderkey").l_partkey.apply(
+            lambda s: sorted(set(s))
+        )
+        n = len(baskets)
+        item = Counter()
+        pair = Counter()
+        for items in baskets:
+            item.update(items)
+            pair.update(combinations(items, 2))
+        rules = []
+        for (i, j), nij in pair.items():
+            if nij < MIN_PAIR_SUPPORT:
+                continue
+            for a, c in ((i, j), (j, i)):
+                rules.append(
+                    (
+                        round(nij * n / (item[a] * item[c]), 6),
+                        round(nij / n, 6),
+                        a,
+                        c,
+                        nij,
+                        item[a],
+                        round(nij / item[a], 6),
+                    )
+                )
+        rules.sort(key=lambda r: (-r[0], -r[1], r[2], r[3]))
+        want = rules[:RULES_TOP_K]
+        got = market_basket_rules(spark, sf_dir).collect()
+        assert len(got) == min(RULES_TOP_K, len(rules))
+        for g, w in zip(got, want):
+            assert (
+                g["antecedent"],
+                g["consequent"],
+                g["n_pair"],
+                g["n_ante"],
+            ) == (w[2], w[3], w[4], w[5])
+            assert abs(g["lift"] - w[0]) < 1e-9
+            assert abs(g["confidence"] - w[6]) < 1e-9
+
+
+class TestFdDiscovery:
+    def test_key_fds_hold_and_violations_counted(self, spark, sf_dir):
+        import pandas as pd
+
+        from ytspark.operators.profiling import fd_discovery_profile
+
+        rows = {
+            (r["tbl"], r["lhs"], r["rhs"]): r
+            for r in fd_discovery_profile(spark, sf_dir).collect()
+        }
+        # key-determined FDs must hold
+        assert rows[("orders", "o_orderkey", "o_custkey")]["holds"]
+        assert rows[("orders", "o_orderkey", "o_totalprice")]["holds"]
+        # recompute one violated candidate exactly
+        o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+        nd = o.groupby("o_custkey").o_orderpriority.nunique()
+        r = rows[("orders", "o_custkey", "o_orderpriority")]
+        assert r["n_groups"] == len(nd)
+        assert r["n_violating"] == int((nd > 1).sum())
+        assert r["holds"] == bool((nd <= 1).all())
+
+
+class TestSessionPaths:
+    def test_paths_match_pandas_recompute(self, spark, sf_dir):
+        import pandas as pd
+
+        from ytspark.operators.temporal import (
+            PATH_MAX_EVENTS,
+            PATH_TOP_K,
+            session_path_conversion,
+        )
+
+        ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+        ev["day"] = ev.ts.dt.normalize()
+        ev = ev.sort_values(["user_id", "day", "ts", "event_id"])
+        ev["rn"] = ev.groupby(["user_id", "day"]).cumcount() + 1
+        kept = ev[ev.rn <= PATH_MAX_EVENTS]
+        paths = kept.groupby(["user_id", "day"]).agg(
+            path=("event_type", lambda s: ">".join(s)),
+            converted=("event_type", lambda s: int((s == "purchase").any())),
+        )
+        agg = paths.groupby("path").agg(
+            n_sessions=("converted", "size"), n_converting=("converted", "sum")
+        )
+        agg = agg.sort_values(
+            ["n_sessions", "path"], ascending=[False, True]
+        ).head(PATH_TOP_K)
+        got = session_path_conversion(spark, sf_dir).collect()
+        assert [(r["path"], r["n_sessions"], r["n_converting"]) for r in got] == [
+            (p, int(r.n_sessions), int(r.n_converting))
+            for p, r in agg.iterrows()
+        ]

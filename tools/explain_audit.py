@@ -60,6 +60,7 @@ EXPECTED_NESTED_LOOP = {
     "acf_daily_counts",              # event-types x broadcast day spine
     "stratified_sample_exact",       # broadcast one-row total + leftover
     "hll_intersection_bounds",       # broadcast one-row sketch estimates
+    "market_basket_rules",           # broadcast one-row basket count
 }
 # streaming queries execute eagerly; skip plan audit (they materialize
 # their own sinks and are correctness-checked by the oracle gate)

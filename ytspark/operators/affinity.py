@@ -1,0 +1,143 @@
+"""Market-basket affinity: association rules with support/confidence/
+lift — the co-occurrence analytics behind recommenders and placement.
+
+A rule i -> j says "baskets containing part i also contain part j";
+its strength is measured by support (P(i,j)), confidence (P(j|i)) and
+lift (P(i,j)/(P(i)P(j))). The computation is the canonical two-level
+aggregate: item frequencies (one groupBy), pair frequencies (the
+per-basket self-join, bounded by basket size — never an all-pairs
+across baskets), then pure ratio arithmetic. Every count is an exact
+integer, every ratio an exactly-rounded IEEE division of those
+integers, so the top-k ranking (over 6 dp-rounded lift with full
+tiebreaks) is deterministic cross-engine.
+
+At 100 TB: the pair join is per-basket (O(sum of basket^2), the same
+shape the co-purchase triangle query bounds), item/pair tables shuffle
+on their keys, and the min-support filter prunes the pair table before
+the rule expansion; the final top-k is a partial TakeOrdered, not a
+global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ytspark.queries import register
+from ytspark.session import load_tables
+
+MIN_PAIR_SUPPORT = 2  # baskets; prunes the pair table before rules
+RULES_TOP_K = 25
+
+
+_RULES_ORACLE = f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+n AS (SELECT COUNT(DISTINCT o) AS n_baskets FROM op),
+item AS (SELECT p, COUNT(*) AS ni FROM op GROUP BY p),
+pair AS (
+  SELECT a.p AS pi, b.p AS pj, COUNT(*) AS nij
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= {MIN_PAIR_SUPPORT}
+),
+rules AS (
+  SELECT pi AS antecedent, pj AS consequent, nij FROM pair
+  UNION ALL
+  SELECT pj, pi, nij FROM pair
+),
+scored AS (
+  SELECT r.antecedent, r.consequent, r.nij,
+         ia.ni AS n_ante,
+         ROUND(CAST(r.nij AS DOUBLE) / n.n_baskets, 6) AS support,
+         ROUND(CAST(r.nij AS DOUBLE) / ia.ni, 6) AS confidence,
+         ROUND(CAST(r.nij AS DOUBLE) * n.n_baskets / (ia.ni * ic.ni), 6)
+           AS lift
+  FROM rules r
+  JOIN item ia ON r.antecedent = ia.p
+  JOIN item ic ON r.consequent = ic.p
+  CROSS JOIN n
+)
+SELECT antecedent, consequent,
+       CAST(nij AS BIGINT) AS n_pair,
+       CAST(n_ante AS BIGINT) AS n_ante,
+       support, confidence, lift
+FROM scored
+ORDER BY lift DESC, support DESC, antecedent, consequent
+LIMIT {RULES_TOP_K}
+"""
+
+
+@register(
+    "market_basket_rules",
+    oracle=_RULES_ORACLE,
+    doc=f"Association rules over order baskets: pair frequencies from "
+        "the per-basket self-join (bounded by basket size, never an "
+        f"all-pairs across baskets), min-support {MIN_PAIR_SUPPORT} "
+        "pruning BEFORE rule expansion, then support/confidence/lift "
+        f"as exact-integer ratios; the top-{RULES_TOP_K} rules rank "
+        "by 6 dp-rounded lift with (support, antecedent, consequent) "
+        "tiebreaks so selection is total and cross-engine "
+        "deterministic. Each undirected pair expands to both directed "
+        "rules (confidence is asymmetric). The oracle replays the "
+        "identical pipeline; counts are exact, ratios exactly-rounded "
+        "IEEE divisions.",
+    tags=("affinity", "rules", "join", "aggregate", "topk"),
+)
+def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct().persist()
+    n = op.agg(F.count_distinct("o").alias("n_baskets"))
+    item = op.groupBy("p").agg(F.count(F.lit(1)).alias("ni"))
+    a, b = op.alias("a"), op.alias("b")
+    pair = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("pi"), F.col("b.p").alias("pj"))
+        .agg(F.count(F.lit(1)).alias("nij"))
+        .where(F.col("nij") >= MIN_PAIR_SUPPORT)
+    )
+    rules = pair.select(
+        F.col("pi").alias("antecedent"),
+        F.col("pj").alias("consequent"),
+        "nij",
+    ).unionByName(
+        pair.select(
+            F.col("pj").alias("antecedent"),
+            F.col("pi").alias("consequent"),
+            "nij",
+        )
+    )
+    ia = item.select(F.col("p").alias("antecedent"), F.col("ni").alias("n_ante"))
+    ic = item.select(F.col("p").alias("consequent"), F.col("ni").alias("n_cons"))
+    scored = (
+        rules.join(ia, "antecedent")
+        .join(ic, "consequent")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("nij").cast("long").alias("n_pair"),
+            F.col("n_ante").cast("long").alias("n_ante"),
+            F.round(
+                F.col("nij").cast("double") / F.col("n_baskets"), 6
+            ).alias("support"),
+            F.round(F.col("nij").cast("double") / F.col("n_ante"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("nij").cast("double")
+                * F.col("n_baskets")
+                / (F.col("n_ante") * F.col("n_cons")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift").desc(),
+        F.col("support").desc(),
+        "antecedent",
+        "consequent",
+    ).limit(RULES_TOP_K)

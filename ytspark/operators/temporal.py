@@ -395,3 +395,94 @@ def user_activity_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total_overlap_us").desc(), "ua", "ub")
         .limit(OVERLAP_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Session path mining: top paths and their conversion rates
+# ---------------------------------------------------------------------------
+
+PATH_MAX_EVENTS = 8  # truncate paths: bounds state AND cardinality
+PATH_TOP_K = 25
+
+
+_PATH_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, CAST(ts AS DATE)
+           ORDER BY ts, event_id) AS rn
+  FROM events
+),
+paths AS (
+  SELECT user_id, day,
+         STRING_AGG(event_type, '>' ORDER BY rn) AS path,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted
+  FROM seq WHERE rn <= {PATH_MAX_EVENTS}
+  GROUP BY user_id, day
+)
+SELECT path,
+       COUNT(*) AS n_sessions,
+       CAST(SUM(converted) AS BIGINT) AS n_converting,
+       ROUND(CAST(SUM(converted) AS DOUBLE) / COUNT(*), 6)
+         AS conversion_rate
+FROM paths
+GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT {PATH_TOP_K}
+"""
+
+
+@register(
+    "session_path_conversion",
+    oracle=_PATH_ORACLE,
+    doc=f"Session path mining — the funnel-discovery operator: each "
+        "(user, day) session becomes its ordered event-type path "
+        f"(first {PATH_MAX_EVENTS} events by (ts, event_id) — the "
+        "truncation that bounds both per-session state and path-"
+        f"space cardinality at 100 TB), and the top-{PATH_TOP_K} "
+        "paths report session counts and conversion rate (sessions "
+        "containing a purchase among the kept events). One shuffle "
+        "keys the sessionization, one the path rollup; the path "
+        "string is built by an ORDER-deterministic aggregation "
+        "((ts, event_id) is a total order), so both engines "
+        "concatenate identical sequences. Ranking is over exact "
+        "integer counts with a path tiebreak.",
+    tags=("temporal", "funnel", "path", "aggregate", "topk"),
+)
+def session_path_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id", F.to_date("ts")).orderBy(
+        "ts", "event_id"
+    )
+    seq = ev.select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+    ).where(F.col("rn") <= PATH_MAX_EVENTS)
+    paths = seq.groupBy("user_id", "day").agg(
+        F.concat_ws(
+            ">",
+            F.array_sort(
+                F.collect_list(F.struct("rn", "event_type"))
+            ).getField("event_type"),
+        ).alias("path"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("converted").cast("long").alias("n_converting"),
+            F.round(
+                F.sum("converted").cast("double") / F.count(F.lit(1)), 6
+            ).alias("conversion_rate"),
+        )
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(PATH_TOP_K)
+    )

@@ -84,7 +84,6 @@ _PRIORITY: tuple[str, ...] = (
     "funnel_view_click_purchase",
     # relational battery: joins, outer/semi/anti, set ops, grouping
     "q1_pricing_summary",
-    "q21_waiting_suppliers",
     "top_revenue_customers",
     "rollup_order_status",
     "unpivot_order_metrics",
@@ -95,7 +94,6 @@ _PRIORITY: tuple[str, ...] = (
     # scalar functions + window battery
     "scalar_function_battery",
     # Python-kernel matrix (applyInPandas / pandas_udf / UDTF)
-    "events_user_minmax_norm",
     "token_entropy_pandas_udf",
     "top_tokens_udtf",
     # temporal joins
@@ -143,6 +141,11 @@ _PRIORITY: tuple[str, ...] = (
     # checkable twin rotates out with its r3 driver pass on record
     # and four dedup mates still inside the window)
     "skyline_pareto_parts",
+    # round-4b rotation: association rules + FD profiling (new
+    # families; q21 and the minmax-norm kernel rotate out with r1-r3
+    # driver passes on record and same-family mates still inside)
+    "market_basket_rules",
+    "fd_discovery_profile",
     # structured streaming
     "streaming_hourly_counts",
     "streaming_stateful_user_stats",
@@ -153,6 +156,7 @@ def registry() -> dict[str, Query]:
     # import for side effects: module bodies register their queries
     from ytspark.queries import decision_support, pipeline, relational  # noqa: F401
     from ytspark.operators import (  # noqa: F401
+        affinity,
         batchmap,
         bloom,
         bpe,
@@ -167,6 +171,7 @@ def registry() -> dict[str, Query]:
         multimodal,
         packing,
         pareto,
+        profiling,
         search,
         similarity,
         sketch,
