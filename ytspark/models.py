@@ -96,3 +96,95 @@ def run_models(spark: SparkSession, models: list[Model]) -> dict[str, DataFrame]
             df.createOrReplaceTempView(m.name)
             out[m.name] = spark.table(m.name)
     return out
+
+
+# ---------------------------------------------------------------------------
+# O5: retry / failure scaffolding for the model DAG
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class ModelResult:
+    """Outcome of one model in a resilient run."""
+
+    name: str
+    status: str  # "success" | "failed" | "skipped_upstream"
+    attempts: int
+    error: str | None = None
+
+
+def run_models_resilient(
+    spark: SparkSession,
+    models: list[Model],
+    *,
+    max_retries: int = 2,
+    backoff_s: float = 0.0,
+    sleeper=None,
+    attempt_hook=None,
+) -> tuple[dict[str, DataFrame], list[ModelResult]]:
+    """``run_models`` with the reference's Airflow-level resilience
+    (SURVEY §2 O5: per-task ``retries``/``retry_delay`` in
+    ``default_args`` — ``dags/extract.py:178-183``,
+    ``dags/example_dag_advanced.py:125``) folded into the engine:
+
+    - each model gets ``1 + max_retries`` attempts with exponential
+      backoff (``backoff_s * 2^attempt``; ``sleeper`` injectable so
+      tests never sleep),
+    - a model that exhausts its attempts FAILS the node but not the
+      run: its transitive dependents are recorded as
+      ``skipped_upstream`` (Airflow's upstream_failed), while
+      independent branches keep executing,
+    - every attempt is idempotent by construction — views re-resolve,
+      tables overwrite — so a retry after a transient failure cannot
+      double-apply (the replay-safety the streaming pipeline already
+      guarantees per batch).
+
+    Returns (dataframes of successful models, per-model results in
+    execution order). ``attempt_hook(name, attempt)`` runs before
+    each attempt — the test seam for injecting transient failures.
+    """
+    import time
+
+    sleep = sleeper if sleeper is not None else time.sleep
+    out: dict[str, DataFrame] = {}
+    results: list[ModelResult] = []
+    failed: set[str] = set()
+    deps = {m.name: model_deps(m) for m in models}
+    for m in topo_order(models):
+        bad_upstream = deps[m.name] & failed
+        if bad_upstream:
+            failed.add(m.name)
+            results.append(
+                ModelResult(
+                    m.name,
+                    "skipped_upstream",
+                    0,
+                    f"upstream failed: {sorted(bad_upstream)}",
+                )
+            )
+            continue
+        err: str | None = None
+        for attempt in range(1 + max_retries):
+            if attempt_hook is not None:
+                attempt_hook(m.name, attempt)
+            try:
+                df = spark.sql(render(m.sql))
+                if m.materialized == "table":
+                    df.write.mode("overwrite").saveAsTable(m.name)
+                else:
+                    df.createOrReplaceTempView(m.name)
+                out[m.name] = spark.table(m.name)
+                err = None
+                break
+            except Exception as e:  # noqa: BLE001 — retry boundary
+                err = str(e).splitlines()[0][:200]
+                if attempt < max_retries and backoff_s:
+                    sleep(backoff_s * (2**attempt))
+        if err is None:
+            results.append(ModelResult(m.name, "success", attempt + 1))
+        else:
+            failed.add(m.name)
+            results.append(
+                ModelResult(m.name, "failed", attempt + 1, err)
+            )
+    return out, results

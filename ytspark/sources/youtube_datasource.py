@@ -120,10 +120,27 @@ def _fetch(
     partitioning, and downstream lineage are identical."""
     if mode == "live":
         if not api_key:
-            raise ValueError('mode="live" requires the api_key option')
+            api_key = _secret_api_key()
+        if not api_key:
+            raise ValueError(
+                'mode="live" requires the api_key option or the '
+                "googleAPI secret (ytspark.config.Secrets)"
+            )
         _require_channel_ids([title], mode)
         return fetch_live(title, api_key)
     return channel_payload(title, tick=tick)
+
+
+def _secret_api_key() -> str | None:
+    """S7 fallback: the googleAPI secret via the provider chain
+    (reference parity: dags/extract.py:140-145 pulls the same blob
+    from AWS Secrets Manager when no key is passed explicitly)."""
+    from ytspark.config import Secrets
+
+    try:
+        return Secrets().youtube_api_key()
+    except KeyError:
+        return None
 
 
 class YouTubeReader(DataSourceReader):
@@ -139,9 +156,14 @@ class YouTubeReader(DataSourceReader):
         raw = options.get("channels", ",".join(default))
         self.titles = [t for t in raw.split(",") if t]
         self.tick = int(options.get("tick", 0))
-        self.api_key = options.get("api_key")
+        self.api_key = options.get("api_key") or (
+            _secret_api_key() if self.mode == "live" else None
+        )
         if self.mode == "live" and not self.api_key:
-            raise ValueError('mode="live" requires the api_key option')
+            raise ValueError(
+                'mode="live" requires the api_key option or the '
+                "googleAPI secret (ytspark.config.Secrets)"
+            )
         _require_channel_ids(self.titles, self.mode)
 
     def partitions(self):
@@ -179,9 +201,14 @@ class YouTubeStreamReader(SimpleDataSourceStreamReader):
         raw = options.get("channels", ",".join(default))
         self.titles = [t for t in raw.split(",") if t]
         self.start_tick = int(options.get("tick", 0))
-        self.api_key = options.get("api_key")
+        self.api_key = options.get("api_key") or (
+            _secret_api_key() if self.mode == "live" else None
+        )
         if self.mode == "live" and not self.api_key:
-            raise ValueError('mode="live" requires the api_key option')
+            raise ValueError(
+                'mode="live" requires the api_key option or the '
+                "googleAPI secret (ytspark.config.Secrets)"
+            )
         _require_channel_ids(self.titles, self.mode)
 
     def initialOffset(self) -> dict:

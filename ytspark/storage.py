@@ -223,3 +223,27 @@ def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
 def write_json(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
     """JSONL sink (interchange/export; one JSON object per line)."""
     df.write.mode(mode).json(path)
+
+
+def write_warehouse(
+    df: DataFrame,
+    table: str,
+    secrets=None,
+    **kwargs,
+) -> None:
+    """``write_jdbc`` with connection details resolved through the
+    S7 secrets chain (``ytspark.config.Secrets``) — the engine twin
+    of the reference wiring Snowflake creds from the
+    ``snowflake_data`` secret into its writer
+    (``dags/extract.py:47-60,167-171``). The ``warehouse`` secret
+    supplies url/user/password (+ optional driver); explicit kwargs
+    win over secret-derived values."""
+    from ytspark.config import Secrets
+
+    blob = (secrets or Secrets()).warehouse_jdbc()
+    props = dict(kwargs.pop("properties", None) or {})
+    for k in ("user", "password"):
+        if k in blob and k not in props:
+            props[k] = blob[k]
+    kwargs.setdefault("driver", blob.get("driver"))
+    write_jdbc(df, blob["url"], table, properties=props, **kwargs)
