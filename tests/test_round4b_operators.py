@@ -488,3 +488,74 @@ class TestSessionPaths:
             (p, int(r.n_sessions), int(r.n_converting))
             for p, r in agg.iterrows()
         ]
+
+
+class TestLabelCentroids:
+    def test_matches_numpy_centroids(self, spark, sf_dir):
+        import numpy as np
+        import pandas as pd
+
+        from ytspark.operators.clustering import label_centroid_similarity
+
+        emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        cents = {}
+        for lab, sub in emb.groupby("label"):
+            m = np.stack(sub.embedding.to_numpy()).astype(np.float64)
+            cents[lab] = (m.mean(axis=0), len(sub))
+        rows = label_centroid_similarity(spark, sf_dir).collect()
+        labels = sorted(cents)
+        assert len(rows) == len(labels) * (len(labels) - 1) // 2
+        for r in rows:
+            ca, na = cents[r["label_a"]]
+            cb, nb = cents[r["label_b"]]
+            assert (r["n_a"], r["n_b"]) == (na, nb)
+            want = float(
+                ca @ cb / (np.linalg.norm(ca) * np.linalg.norm(cb))
+            )
+            assert abs(r["cos_sim"] - want) < 1e-5
+
+
+class TestIntervalCoverage:
+    def test_matches_sequential_merge(self, spark, sf_dir):
+        import pandas as pd
+
+        from ytspark.operators.temporal import (
+            COVERAGE_TOP_K,
+            COVERAGE_WINDOW_S,
+            interval_union_coverage,
+        )
+
+        ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+        ev["day"] = ev.ts.dt.normalize()
+        ev["s"] = ev.ts.astype("int64")
+        ev["e"] = ev.s + COVERAGE_WINDOW_S * 1_000_000
+        per_user = {}
+        for (u, _), sub in ev.groupby(["user_id", "day"]):
+            spans = sorted(zip(sub.s, sub.e))
+            covered, nseg, cur_e = 0, 0, None
+            cur_s = None
+            for s, e in spans:
+                if cur_e is None or s > cur_e:
+                    if cur_e is not None:
+                        covered += cur_e - cur_s
+                    cur_s, cur_e = s, e
+                    nseg += 1
+                else:
+                    cur_e = max(cur_e, e)
+            covered += cur_e - cur_s
+            acc = per_user.setdefault(u, [0, 0, 0])
+            acc[0] += covered
+            acc[1] += nseg
+            acc[2] += 1
+        want = sorted(
+            (
+                (us // 1_000_000, ns, nd, u)
+                for u, (us, ns, nd) in per_user.items()
+            ),
+            key=lambda t: (-t[0], t[3]),
+        )[:COVERAGE_TOP_K]
+        got = interval_union_coverage(spark, sf_dir).collect()
+        assert [
+            (r["active_seconds"], r["n_sessions"], r["n_days"], r["user_id"])
+            for r in got
+        ] == want

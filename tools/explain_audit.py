@@ -61,6 +61,7 @@ EXPECTED_NESTED_LOOP = {
     "stratified_sample_exact",       # broadcast one-row total + leftover
     "hll_intersection_bounds",       # broadcast one-row sketch estimates
     "market_basket_rules",           # broadcast one-row basket count
+    "label_centroid_similarity",     # |labels|^2 tiny centroid pairs
 }
 # streaming queries execute eagerly; skip plan audit (they materialize
 # their own sinks and are correctness-checked by the oracle gate)

@@ -495,3 +495,102 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("eigval", F.round(F.lit(float(eigval)), 6))
     )
+
+
+# ---------------------------------------------------------------------------
+# Label centroids + pairwise cosine (embedding-space class geometry)
+# ---------------------------------------------------------------------------
+
+CENTROID_DEC = "decimal(20,10)"  # exact, order-free component sums
+
+
+@register(
+    "label_centroid_similarity",
+    oracle=f"""
+WITH x AS (
+  SELECT label,
+         UNNEST(generate_series(1, len(embedding))) AS pos,
+         UNNEST(embedding::DOUBLE[]) AS val
+  FROM embeddings
+),
+m AS (
+  SELECT label, pos,
+         CAST(SUM(CAST(val AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*)
+           AS mv
+  FROM x GROUP BY label, pos
+),
+c AS (
+  SELECT label, LIST(mv ORDER BY pos) AS centroid
+  FROM m GROUP BY label
+),
+n AS (SELECT label, COUNT(*) AS nv FROM embeddings GROUP BY label)
+SELECT a.label AS label_a, b.label AS label_b,
+       CAST(na.nv AS BIGINT) AS n_a, CAST(nb.nv AS BIGINT) AS n_b,
+       ROUND(LIST_DOT_PRODUCT(a.centroid, b.centroid)
+             / (SQRT(LIST_DOT_PRODUCT(a.centroid, a.centroid))
+                * SQRT(LIST_DOT_PRODUCT(b.centroid, b.centroid))), 6)
+         AS cos_sim
+FROM c a JOIN c b ON a.label < b.label
+JOIN n na ON na.label = a.label
+JOIN n nb ON nb.label = b.label
+""",
+    doc="Embedding-space class geometry: the mean-pooled centroid of "
+        "each label's vectors, then pairwise cosine between "
+        "centroids — the confusability probe (near-parallel "
+        "centroids = classes the embedding can't separate) and the "
+        "input to centroid-based routing. Centroid components are "
+        "EXACT by construction: per-(label, dim) sums run over "
+        "DECIMAL-cast components (order-free, unlike float "
+        "summation), divided once in double — so both engines hold "
+        "bit-identical centroids, and the cosine runs as the "
+        "engine's sequential left-to-right fold, matching DuckDB's "
+        "LIST_DOT_PRODUCT evaluation order exactly (the "
+        "knn_cosine_bruteforce discipline). One explode + one "
+        "(label, dim)-keyed aggregate sees the data; the pairwise "
+        "stage is |labels|^2 tiny rows. At 100 TB mean-pooling is "
+        "map-side combinable and the centroid table broadcasts.",
+    tags=("clustering", "embedding", "centroid", "aggregate", "hof"),
+)
+def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ytspark.operators.similarity import dot
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    x = emb.select(
+        "label", F.posexplode("embedding").alias("pos0", "val")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("val").cast("double").alias("val"),
+    )
+    m = x.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("val").cast(CENTROID_DEC)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mv")
+    )
+    c = m.groupBy("label").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "mv")))
+        .getField("mv")
+        .alias("centroid")
+    )
+    n = emb.groupBy("label").agg(F.count(F.lit(1)).alias("nv"))
+    a = c.select(F.col("label").alias("label_a"), F.col("centroid").alias("ca"))
+    b = c.select(F.col("label").alias("label_b"), F.col("centroid").alias("cb"))
+    na = n.select(F.col("label").alias("label_a"), F.col("nv").alias("n_a"))
+    nb = n.select(F.col("label").alias("label_b"), F.col("nv").alias("n_b"))
+    pairs = (
+        a.join(b, F.col("label_a") < F.col("label_b"))
+        .join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+    )
+    cos = dot(F.col("ca"), F.col("cb")) / (
+        F.sqrt(dot(F.col("ca"), F.col("ca")))
+        * F.sqrt(dot(F.col("cb"), F.col("cb")))
+    )
+    return pairs.select(
+        "label_a",
+        "label_b",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(cos, 6).alias("cos_sim"),
+    )

@@ -486,3 +486,135 @@ def session_path_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(PATH_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval union (merged coverage) — the sweep-line complement of the
+# overlap join
+# ---------------------------------------------------------------------------
+
+COVERAGE_WINDOW_S = 300  # each event opens a 5-minute activity span
+COVERAGE_TOP_K = 50
+
+
+_COVERAGE_ORACLE = f"""
+WITH iv AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         epoch_us(ts) AS s, epoch_us(ts) + {COVERAGE_WINDOW_S} * 1000000
+           AS e,
+         event_id
+  FROM events
+),
+marked AS (
+  SELECT user_id, day, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (
+                PARTITION BY user_id, day ORDER BY s, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              -1) THEN 1 ELSE 0 END AS new_seg
+  FROM iv
+),
+seg AS (
+  SELECT user_id, day, s, e,
+         SUM(new_seg) OVER (
+           PARTITION BY user_id, day ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+  FROM marked
+),
+cov AS (
+  SELECT user_id, day,
+         SUM(seg_e - seg_s) AS covered_us,
+         COUNT(*) AS n_segments
+  FROM (
+    SELECT user_id, day, seg_id, MIN(s) AS seg_s, MAX(e) AS seg_e
+    FROM seg GROUP BY user_id, day, seg_id
+  ) GROUP BY user_id, day
+)
+SELECT user_id,
+       CAST(SUM(covered_us) // 1000000 AS BIGINT) AS active_seconds,
+       CAST(SUM(n_segments) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) AS BIGINT) AS n_days
+FROM cov
+GROUP BY user_id
+ORDER BY active_seconds DESC, user_id
+LIMIT {COVERAGE_TOP_K}
+"""
+
+
+@register(
+    "interval_union_coverage",
+    oracle=_COVERAGE_ORACLE,
+    doc=f"INTERVAL UNION by sweep line — the merged-coverage "
+        "complement of the overlap join: each event opens a "
+        f"{COVERAGE_WINDOW_S}-second activity span; overlapping "
+        "spans per (user, day) merge into segments (a span starts a "
+        "new segment iff it begins after the running max end of all "
+        "earlier spans — one ordered window pass, the classic "
+        "O(n log n) sweep), and the top-{COVERAGE_TOP_K} users "
+        "report total covered seconds, merged session count, and "
+        "active days. This is how billing meters, SLA uptime, and "
+        "screen-time products compute 'actual time covered' without "
+        "double-counting overlaps. All arithmetic is exact integer "
+        "microseconds; the sweep windows run per (user, day) "
+        "partition — co-partitioned, no global sort; the final "
+        "top-k is a partial TakeOrdered. The oracle replays the "
+        "identical sweep.",
+    tags=("temporal", "interval", "sweep", "window", "aggregate"),
+)
+def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    iv = ev.select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(COVERAGE_WINDOW_S * 1_000_000)).alias(
+            "e"
+        ),
+        "event_id",
+    )
+    wprev = (
+        Window.partitionBy("user_id", "day")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = iv.select(
+        "user_id",
+        "day",
+        "s",
+        "e",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(wprev), F.lit(-1)), 1
+        )
+        .otherwise(0)
+        .alias("new_seg"),
+    )
+    wseg = (
+        Window.partitionBy("user_id", "day")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    seg = marked.withColumn("seg_id", F.sum("new_seg").over(wseg))
+    cov = (
+        seg.groupBy("user_id", "day", "seg_id")
+        .agg(F.min("s").alias("seg_s"), F.max("e").alias("seg_e"))
+        .groupBy("user_id", "day")
+        .agg(
+            F.sum(F.col("seg_e") - F.col("seg_s")).alias("covered_us"),
+            F.count(F.lit(1)).alias("n_segments"),
+        )
+    )
+    return (
+        cov.groupBy("user_id")
+        .agg(
+            # `div`, not `/`: float division + cast would truncate on
+            # Spark but round on DuckDB — integer division agrees
+            F.expr("sum(covered_us) div 1000000")
+            .cast("long")
+            .alias("active_seconds"),
+            F.sum("n_segments").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+        )
+        .orderBy(F.col("active_seconds").desc(), "user_id")
+        .limit(COVERAGE_TOP_K)
+    )
