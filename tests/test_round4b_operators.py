@@ -559,3 +559,19 @@ class TestIntervalCoverage:
             (r["active_seconds"], r["n_sessions"], r["n_days"], r["user_id"])
             for r in got
         ] == want
+
+
+class TestJoinExplosion:
+    def test_identity_against_materialized_join(self, spark, sf_dir):
+        """sum_k n_k^2 must equal the actual self-join row count."""
+        from ytspark.queries.relational import join_explosion_profile
+
+        rows = join_explosion_profile(spark, sf_dir).collect()
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        a = li.select(F.col("l_partkey").alias("k"))
+        actual = a.join(a.withColumnRenamed("k", "k2"),
+                        F.col("k") == F.col("k2")).count()
+        assert rows[0]["join_rows_total"] == actual
+        assert rows[0]["input_rows_total"] == li.count()
+        for r in rows:
+            assert r["contribution"] == r["n_rows"] ** 2

@@ -62,6 +62,7 @@ EXPECTED_NESTED_LOOP = {
     "hll_intersection_bounds",       # broadcast one-row sketch estimates
     "market_basket_rules",           # broadcast one-row basket count
     "label_centroid_similarity",     # |labels|^2 tiny centroid pairs
+    "join_explosion_profile",        # broadcast one-row totals
 }
 # streaming queries execute eagerly; skip plan audit (they materialize
 # their own sinks and are correctness-checked by the oracle gate)

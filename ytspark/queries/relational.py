@@ -1653,3 +1653,70 @@ def revenue_gini_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-explosion profile: predict join output size WITHOUT running it
+# ---------------------------------------------------------------------------
+
+EXPLOSION_TOP_K = 10
+
+
+@register(
+    "join_explosion_profile",
+    oracle=f"""
+WITH k AS (
+  SELECT l_partkey, COUNT(*) AS n FROM lineitem GROUP BY l_partkey
+),
+t AS (SELECT SUM(n * n) AS total_out, SUM(n) AS total_in FROM k)
+SELECT k.l_partkey AS part_key,
+       CAST(k.n AS BIGINT) AS n_rows,
+       CAST(k.n * k.n AS BIGINT) AS contribution,
+       CAST(t.total_out AS BIGINT) AS join_rows_total,
+       CAST(t.total_in AS BIGINT) AS input_rows_total,
+       ROUND(CAST(k.n * k.n AS DOUBLE) * 100 / t.total_out, 6)
+         AS share_pct
+FROM k CROSS JOIN t
+ORDER BY contribution DESC, part_key
+LIMIT {EXPLOSION_TOP_K}
+""",
+    doc="Join-explosion profile — predict a join's output size "
+        "WITHOUT running it: |A JOIN B on k| = sum_k a_k*b_k exactly, "
+        "so one per-key count aggregate prices the self-join of "
+        "lineitem on partkey (the classic accidental fan-out) and "
+        f"names the top-{EXPLOSION_TOP_K} exploding keys with their "
+        "row contributions and share — the pre-flight check a "
+        "planner (or an on-call engineer) runs before joining two "
+        "100 TB tables, costing one scan instead of the blow-up. "
+        "The identity is re-proven by the test suite against the "
+        "materialized join at small scale; every reported number is "
+        "exact integer arithmetic off one aggregate.",
+    tags=("aggregate", "join", "skew", "diagnostics", "scale"),
+)
+def join_explosion_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    k = li.groupBy(F.col("l_partkey").alias("part_key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    t = k.agg(
+        F.sum(F.col("n") * F.col("n")).alias("total_out"),
+        F.sum("n").alias("total_in"),
+    )
+    return (
+        k.crossJoin(F.broadcast(t))
+        .select(
+            "part_key",
+            F.col("n").cast("long").alias("n_rows"),
+            (F.col("n") * F.col("n")).cast("long").alias("contribution"),
+            F.col("total_out").cast("long").alias("join_rows_total"),
+            F.col("total_in").cast("long").alias("input_rows_total"),
+            F.round(
+                (F.col("n") * F.col("n")).cast("double")
+                * 100
+                / F.col("total_out"),
+                6,
+            ).alias("share_pct"),
+        )
+        .orderBy(F.col("contribution").desc(), "part_key")
+        .limit(EXPLOSION_TOP_K)
+    )
