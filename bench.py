@@ -175,6 +175,13 @@ HEADLINE = [
     "market_basket_rules",
     "fd_discovery_profile",
     "session_path_conversion",
+    # round 4: centroid geometry, interval union, join pricing
+    "label_centroid_similarity",
+    "interval_union_coverage",
+    "join_explosion_profile",
+    # round 4: seasonal decomposition, FD repair
+    "seasonal_decompose_weekday",
+    "fd_repair_majority",
 ]
 
 

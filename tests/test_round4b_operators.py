@@ -575,3 +575,49 @@ class TestJoinExplosion:
         assert rows[0]["input_rows_total"] == li.count()
         for r in rows:
             assert r["contribution"] == r["n_rows"] ** 2
+
+
+class TestSeasonalDecompose:
+    def test_matches_pandas_recompute(self, spark, sf_dir):
+        import numpy as np
+        import pandas as pd
+
+        from ytspark.operators.timeseries import seasonal_decompose_weekday
+
+        ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+        ev["day"] = ev.ts.dt.normalize()
+        spine = pd.date_range(ev.day.min(), ev.day.max(), freq="D")
+        got = {
+            (r["event_type"], r["weekday"]): (r["n_obs"], r["seasonal_idx"])
+            for r in seasonal_decompose_weekday(spark, sf_dir).collect()
+        }
+        for et, sub in ev.groupby("event_type"):
+            c = sub.groupby("day").size().reindex(spine, fill_value=0)
+            trend = c.rolling(7, center=True).sum() / 7
+            detr = (c - trend).dropna()
+            for wd, vals in detr.groupby(detr.index.weekday):
+                n, idx = got[(et, wd)]
+                assert n == len(vals)
+                assert abs(idx - vals.mean()) < 1e-5
+
+
+class TestFdRepair:
+    def test_majority_accounting(self, spark, sf_dir):
+        import pandas as pd
+
+        from ytspark.operators.profiling import fd_repair_majority
+
+        rows = fd_repair_majority(spark, sf_dir).collect()
+        o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+        # flips sum = total rows - rows already holding their group's
+        # majority value
+        kept = 0
+        groups = 0
+        for _, sub in o.groupby("o_custkey"):
+            counts = sub.o_orderpriority.value_counts()
+            top = counts.max()
+            winners = sorted(counts[counts == top].index)
+            kept += counts[winners[0]]
+            groups += 1
+        assert sum(r["n_groups_won"] for r in rows) == groups
+        assert sum(r["n_rows_flipped"] for r in rows) == len(o) - kept

@@ -63,6 +63,7 @@ EXPECTED_NESTED_LOOP = {
     "market_basket_rules",           # broadcast one-row basket count
     "label_centroid_similarity",     # |labels|^2 tiny centroid pairs
     "join_explosion_profile",        # broadcast one-row totals
+    "seasonal_decompose_weekday",    # event-types x broadcast day spine
 }
 # streaming queries execute eagerly; skip plan audit (they materialize
 # their own sinks and are correctness-checked by the oracle gate)

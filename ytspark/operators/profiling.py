@@ -84,3 +84,72 @@ def fd_discovery_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).withColumn("holds", F.col("n_violating") == 0)
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# FD repair by majority vote (constraint-based cleaning)
+# ---------------------------------------------------------------------------
+
+_FD_REPAIR_ORACLE = """
+WITH votes AS (
+  SELECT o_custkey, o_orderpriority, COUNT(*) AS n
+  FROM orders GROUP BY o_custkey, o_orderpriority
+),
+winner AS (
+  SELECT o_custkey, o_orderpriority AS win, n AS win_n, total_n
+  FROM (
+    SELECT *,
+           SUM(n) OVER (PARTITION BY o_custkey) AS total_n,
+           ROW_NUMBER() OVER (
+             PARTITION BY o_custkey ORDER BY n DESC, o_orderpriority) AS rk
+    FROM votes
+  ) WHERE rk = 1
+)
+SELECT win AS repaired_priority,
+       CAST(COUNT(*) AS BIGINT) AS n_groups_won,
+       CAST(SUM(total_n - win_n) AS BIGINT) AS n_rows_flipped
+FROM winner
+GROUP BY win
+"""
+
+
+@register(
+    "fd_repair_majority",
+    oracle=_FD_REPAIR_ORACLE,
+    doc="Constraint-based repair for a violated functional "
+        "dependency (custkey -> orderpriority, flagged by "
+        "fd_discovery_profile): each violating group is repaired to "
+        "its MAJORITY value with a deterministic (count desc, value "
+        "asc) tiebreak, and the report shows, per winning value, how "
+        "many groups it won and how many rows the repair would flip "
+        "— the damage assessment run before any cleaning job "
+        "rewrites 100 TB. Two aggregates + one per-group window over "
+        "|distinct values| rows; exact integer counting throughout.",
+    tags=("profiling", "repair", "fd", "window", "aggregate"),
+)
+def fd_repair_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    votes = orders.groupBy("o_custkey", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wtot = Window.partitionBy("o_custkey")
+    rk = F.row_number().over(
+        Window.partitionBy("o_custkey").orderBy(
+            F.col("n").desc(), "o_orderpriority"
+        )
+    )
+    winner = (
+        votes.withColumn("total_n", F.sum("n").over(wtot))
+        .withColumn("rk", rk)
+        .where(F.col("rk") == 1)
+    )
+    return winner.groupBy(
+        F.col("o_orderpriority").alias("repaired_priority")
+    ).agg(
+        F.count(F.lit(1)).alias("n_groups_won"),
+        F.sum(F.col("total_n") - F.col("n")).cast("long").alias(
+            "n_rows_flipped"
+        ),
+    )

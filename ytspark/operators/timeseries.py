@@ -599,3 +599,88 @@ def acf_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(r1) > band).alias("sig_lag1"),
         (F.abs(r7) > band).alias("sig_lag7"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal decomposition (weekday indices over a detrended series)
+# ---------------------------------------------------------------------------
+
+_SEASONAL_ORACLE = f"""
+WITH {_CUSUM_SPINE_SQL},
+tr AS (
+  SELECT d.event_type, d.day, d.c,
+         CASE WHEN COUNT(*) OVER w = 7
+              THEN CAST(SUM(d.c) OVER w AS DOUBLE) / 7 END AS trend
+  FROM daily d
+  WINDOW w AS (PARTITION BY d.event_type ORDER BY d.day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+detr AS (
+  SELECT event_type, isodow(day) - 1 AS weekday, c - trend AS dv
+  FROM tr WHERE trend IS NOT NULL
+)
+SELECT event_type,
+       CAST(weekday AS BIGINT) AS weekday,
+       CAST(COUNT(*) AS BIGINT) AS n_obs,
+       ROUND(AVG(dv), 6) AS seasonal_idx
+FROM detr
+GROUP BY event_type, weekday
+"""
+
+
+@register(
+    "seasonal_decompose_weekday",
+    oracle=_SEASONAL_ORACLE,
+    doc="Classical seasonal decomposition, the moving-average "
+        "flavor: the calendar-densified daily count series per event "
+        "type is detrended by a centered 7-day moving average "
+        "(computed only where the full window exists — no edge "
+        "bias), and the weekday seasonal index is the mean detrended "
+        "value per (event type, Monday-based weekday) — the "
+        "operator behind 'is Tuesday really our slow day' and the "
+        "deseasonalized inputs anomaly detectors want. The trend is "
+        "an exact-integer 7-day sum divided once; the seasonal mean "
+        "averages deterministic doubles (6 dp rounding absorbs "
+        "cross-engine summation-order ulps, the repo-wide policy). "
+        "Windows run per event type ordered by day — co-partitioned, "
+        "never global.",
+    tags=("time", "seasonal", "window", "aggregate"),
+)
+def seasonal_decompose_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    b = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = b.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    grid = ev.select("event_type").distinct().crossJoin(F.broadcast(spine))
+    cnt = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    daily = grid.join(cnt, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    tr = daily.select(
+        "event_type",
+        "day",
+        "c",
+        F.when(
+            F.count(F.lit(1)).over(w) == 7,
+            F.sum("c").over(w).cast("double") / 7,
+        ).alias("trend"),
+    )
+    detr = tr.where(F.col("trend").isNotNull()).select(
+        "event_type",
+        F.weekday("day").cast("long").alias("weekday"),
+        (F.col("c") - F.col("trend")).alias("dv"),
+    )
+    return detr.groupBy("event_type", "weekday").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.round(F.avg("dv"), 6).alias("seasonal_idx"),
+    )
