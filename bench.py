@@ -182,6 +182,8 @@ HEADLINE = [
     # round 4: seasonal decomposition, FD repair
     "seasonal_decompose_weekday",
     "fd_repair_majority",
+    # round 4: streaming mergeable-sketch maintenance
+    "streaming_cms_heavy_hitters",
 ]
 
 

@@ -621,3 +621,15 @@ class TestFdRepair:
             groups += 1
         assert sum(r["n_groups_won"] for r in rows) == groups
         assert sum(r["n_rows_flipped"] for r in rows) == len(o) - kept
+
+
+class TestStreamingCms:
+    def test_streamed_sketch_equals_batch_sketch(self, spark, sf_dir):
+        """Counter addition is exact and order-free, so the streamed
+        CMS result must be row-identical to the batch query."""
+        from ytspark.operators.sketch import cms_heavy_hitters
+        from ytspark.streaming.queries import streaming_cms_heavy_hitters
+
+        got = streaming_cms_heavy_hitters(spark, sf_dir).collect()
+        want = cms_heavy_hitters(spark, sf_dir).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]

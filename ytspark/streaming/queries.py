@@ -482,3 +482,92 @@ def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_last.ts").alias("last_ts"),
         F.col("_last.value").alias("last_value"),
     )
+
+
+from ytspark.operators.sketch import _CMS_ORACLE  # noqa: E402
+
+
+@register(
+    "streaming_cms_heavy_hitters",
+    oracle=_CMS_ORACLE,
+    doc="STREAMING Count-Min heavy hitters: the event stream arrives "
+        "in micro-batches (maxFilesPerTrigger=1 over a 4-file stage), "
+        "each foreachBatch tick sketches ONLY its own batch (one "
+        "explode + (row, col) count) and merges into the running "
+        "sketch by COUNTER ADDITION — the mergeability that lets a "
+        "1000-executor cluster maintain rolling heavy-hitter state "
+        "without rescanning history, here exercised through the real "
+        "Structured Streaming machinery with an eager localCheckpoint "
+        "keeping per-tick lineage O(1). Because counter merge is "
+        "exact integer addition (order-free), the streamed sketch is "
+        "BIT-IDENTICAL to the batch sketch, so this query shares "
+        "cms_heavy_hitters' full-replay SQL oracle — the hash match "
+        "certifies the incremental maintenance path end to end, "
+        "serving included (top-20 by estimate beside exact counts "
+        "and the always-nonnegative overcount).",
+    tags=("streaming", "sketch", "approx", "aggregate"),
+)
+def streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ytspark.operators.sketch import CMS_TOP_K, _cms_hashes_col
+    from ytspark.plans.scratch import scratch_dir
+    from ytspark.session import load_tables
+
+    ev = load_tables(spark, sf_dir, "events")["events"].select(
+        "user_id", "event_id"
+    )
+    stage = os.path.join(scratch_dir(f"stream_cms_{sf_dir}"), "stage")
+    shutil.rmtree(stage, ignore_errors=True)
+    ev.repartitionByRange(4, "event_id").write.parquet(stage)
+    schema = spark.read.parquet(stage).schema
+
+    state = {"df": None}
+    hashes = _cms_hashes_col("user_id")
+
+    def tick(batch_df, batch_id):
+        part = (
+            batch_df.select(F.explode(hashes).alias("h"))
+            .groupBy(F.col("h.r").alias("r"), F.col("h.col").alias("col"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        merged = (
+            part
+            if state["df"] is None
+            else state["df"]
+            .unionByName(part)
+            .groupBy("r", "col")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        state["df"] = merged.localCheckpoint(eager=True)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.foreachBatch(tick)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    counters = state["df"]
+
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    keyed = exact.select(
+        "user_id", "exact_cnt", F.explode(hashes).alias("h")
+    ).select("user_id", "exact_cnt", "h.r", "h.col")
+    est = (
+        keyed.join(counters, ["r", "col"])
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("cnt").alias("est_cnt"))
+    )
+    return (
+        est.select(
+            "user_id",
+            "exact_cnt",
+            "est_cnt",
+            (F.col("est_cnt") - F.col("exact_cnt")).alias("overcount"),
+        )
+        .orderBy(F.col("est_cnt").desc(), "user_id")
+        .limit(CMS_TOP_K)
+    )
