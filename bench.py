@@ -184,6 +184,9 @@ HEADLINE = [
     "fd_repair_majority",
     # round 4: streaming mergeable-sketch maintenance
     "streaming_cms_heavy_hitters",
+    # round 4: LM perplexity filter, categorical association
+    "bigram_lm_perplexity",
+    "categorical_association_battery",
 ]
 
 

@@ -633,3 +633,88 @@ class TestStreamingCms:
         got = streaming_cms_heavy_hitters(spark, sf_dir).collect()
         want = cms_heavy_hitters(spark, sf_dir).collect()
         assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+class TestBigramLm:
+    def test_matches_pandas_recompute(self, spark, sf_dir):
+        import math
+        from collections import Counter
+
+        import pandas as pd
+
+        from ytspark.operators.text import (
+            LM_SMOOTH_K,
+            LM_TOP_K,
+            bigram_lm_perplexity,
+        )
+
+        docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+        bi_by_doc = {}
+        bc, uc, vocab = Counter(), Counter(), set()
+        for _, r in docs.iterrows():
+            ws = r.text.split(" ")
+            vocab.update(ws)
+            pairs = list(zip(ws, ws[1:]))
+            bi_by_doc[r.doc_id] = pairs
+            bc.update(pairs)
+            uc.update(w for w, _ in pairs)
+        vs = len(vocab)
+        want = []
+        for d, pairs in bi_by_doc.items():
+            if not pairs:
+                continue
+            nll = -sum(
+                math.log(
+                    (bc[p] + LM_SMOOTH_K) / (uc[p[0]] + LM_SMOOTH_K * vs)
+                )
+                for p in pairs
+            ) / len(pairs)
+            want.append((round(nll, 6), d, len(pairs)))
+        want.sort()
+        got = bigram_lm_perplexity(spark, sf_dir).collect()
+        assert len(got) == min(LM_TOP_K, len(want))
+        for g, w in zip(got, want):
+            assert g["doc_id"] == w[1]
+            assert g["n_bigrams"] == w[2]
+            assert abs(g["nll_per_bigram"] - w[0]) < 1e-5
+
+
+class TestCategoricalAssociation:
+    def test_matches_scipy_free_recompute(self, spark, sf_dir):
+        import math
+
+        import pandas as pd
+
+        from ytspark.operators.profiling import (
+            ASSOC_PAIRS,
+            categorical_association_battery,
+        )
+
+        rows = {
+            (r["col_a"], r["col_b"]): r
+            for r in categorical_association_battery(spark, sf_dir).collect()
+        }
+        for table, ca, cb in ASSOC_PAIRS:
+            df = pd.read_parquet(f"{sf_dir}/{table}.parquet")
+            ct = pd.crosstab(df[ca], df[cb])
+            n = ct.to_numpy().sum()
+            chi2 = 0.0
+            mi = 0.0
+            rowm = ct.sum(axis=1)
+            colm = ct.sum(axis=0)
+            for a in ct.index:
+                for b in ct.columns:
+                    o = ct.loc[a, b]
+                    e = rowm[a] * colm[b] / n
+                    chi2 += (o - e) ** 2 / e
+                    if o > 0:
+                        mi += o / n * math.log(o * n / (rowm[a] * colm[b]))
+            r = rows[(ca, cb)]
+            assert r["n"] == n
+            assert r["dof"] == (len(ct.index) - 1) * (len(ct.columns) - 1)
+            assert abs(r["chi2"] - chi2) < 1e-3
+            v = math.sqrt(
+                chi2 / (n * min(len(ct.index) - 1, len(ct.columns) - 1))
+            )
+            assert abs(r["cramers_v"] - v) < 1e-6
+            assert abs(r["mi"] - mi) < 1e-6

@@ -64,6 +64,8 @@ EXPECTED_NESTED_LOOP = {
     "label_centroid_similarity",     # |labels|^2 tiny centroid pairs
     "join_explosion_profile",        # broadcast one-row totals
     "seasonal_decompose_weekday",    # event-types x broadcast day spine
+    "bigram_lm_perplexity",          # broadcast one-row vocabulary size
+    "categorical_association_battery",  # densified grid: a x broadcast b
 }
 # streaming queries execute eagerly; skip plan audit (they materialize
 # their own sinks and are correctness-checked by the oracle gate)

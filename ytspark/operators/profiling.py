@@ -153,3 +153,139 @@ def fd_repair_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows_flipped"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Categorical association battery: chi-square, Cramér's V, mutual info
+# ---------------------------------------------------------------------------
+
+ASSOC_PAIRS = (
+    ("orders", "o_orderpriority", "o_orderstatus"),
+    ("customer", "c_mktsegment", "c_nationkey"),
+)
+
+
+def _assoc_sql(table: str, ca: str, cb: str) -> str:
+    return f"""
+SELECT '{ca}' AS col_a, '{cb}' AS col_b,
+       CAST(MAX(n) AS BIGINT) AS n,
+       CAST((COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1) AS BIGINT)
+         AS dof,
+       ROUND(SUM(POWER(nij - na * nb / n, 2) / (na * nb / n)), 6)
+         AS chi2,
+       ROUND(SQRT(SUM(POWER(nij - na * nb / n, 2) / (na * nb / n))
+                  / (MAX(n) * LEAST(COUNT(DISTINCT a) - 1,
+                                    COUNT(DISTINCT b) - 1))), 6)
+         AS cramers_v,
+       ROUND(SUM(CASE WHEN nij > 0
+                      THEN nij / n * LN(nij * n / (na * nb)) END), 6)
+         AS mi
+FROM (
+  SELECT a, b, nij,
+         SUM(nij) OVER (PARTITION BY a) AS na,
+         SUM(nij) OVER (PARTITION BY b) AS nb,
+         SUM(nij) OVER () AS n
+  FROM (
+    SELECT ra.a, rb.b, COALESCE(c.nij, 0) AS nij
+    FROM (SELECT DISTINCT {ca} AS a FROM {table}) ra
+    CROSS JOIN (SELECT DISTINCT {cb} AS b FROM {table}) rb
+    LEFT JOIN (
+      SELECT {ca} AS a, {cb} AS b, CAST(COUNT(*) AS DOUBLE) AS nij
+      FROM {table} GROUP BY 1, 2
+    ) c ON c.a = ra.a AND c.b = rb.b
+  )
+)"""
+
+
+_ASSOC_ORACLE = "\nUNION ALL\n".join(_assoc_sql(*p) for p in ASSOC_PAIRS)
+
+
+@register(
+    "categorical_association_battery",
+    oracle=_ASSOC_ORACLE,
+    doc="Categorical-association battery over column pairs: Pearson "
+        "chi-square with degrees of freedom, Cramér's V (the "
+        "normalized effect size dashboards actually compare), and "
+        "mutual information in nats — the dependence screen a "
+        "profiler runs to find redundant or leaking columns before "
+        "feature selection. Everything derives from ONE contingency "
+        "aggregate per pair (cells shuffle on the pair key; marginals "
+        "are windows over |cells| rows, never over data), with exact "
+        "integer cell counts feeding deterministic float expressions "
+        "(6 dp rounding absorbs cell-summation order, the repo "
+        "policy). Observed-cell MI convention: absent cells "
+        "contribute zero, identically on both engines.",
+    tags=("profiling", "statistics", "association", "aggregate", "window"),
+)
+def categorical_association_battery(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    tables = load_tables(
+        spark, sf_dir, *sorted({t for t, _, _ in ASSOC_PAIRS})
+    )
+    out = None
+    for table, ca, cb in ASSOC_PAIRS:
+        observed = tables[table].groupBy(
+            F.col(ca).alias("a"), F.col(cb).alias("b")
+        ).agg(F.count(F.lit(1)).cast("double").alias("nij"))
+        # densified grid: empty cells contribute (0-e)^2/e = e to chi2
+        ra = tables[table].select(F.col(ca).alias("a")).distinct()
+        rb = tables[table].select(F.col(cb).alias("b")).distinct()
+        cells = (
+            ra.crossJoin(F.broadcast(rb))
+            .join(observed, ["a", "b"], "left")
+            .select("a", "b", F.coalesce("nij", F.lit(0.0)).alias("nij"))
+        )
+        m = cells.select(
+            "a",
+            "b",
+            "nij",
+            F.sum("nij").over(Window.partitionBy("a")).alias("na"),
+            F.sum("nij").over(Window.partitionBy("b")).alias("nb"),
+            F.sum("nij").over(
+                Window.partitionBy()
+            ).alias("n"),
+        )
+        e = F.col("na") * F.col("nb") / F.col("n")
+        chi2 = F.sum(F.pow(F.col("nij") - e, 2) / e)
+        row = m.agg(
+            F.lit(ca).alias("col_a"),
+            F.lit(cb).alias("col_b"),
+            F.max("n").cast("long").alias("n"),
+            (
+                (F.count_distinct("a") - 1) * (F.count_distinct("b") - 1)
+            ).alias("dof"),
+            F.round(chi2, 6).alias("chi2"),
+            F.round(
+                F.sqrt(
+                    chi2
+                    / (
+                        F.max("n")
+                        * F.least(
+                            F.count_distinct("a") - 1,
+                            F.count_distinct("b") - 1,
+                        )
+                    )
+                ),
+                6,
+            ).alias("cramers_v"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("nij") > 0,
+                        F.col("nij")
+                        / F.col("n")
+                        * F.log(
+                            F.col("nij")
+                            * F.col("n")
+                            / (F.col("na") * F.col("nb"))
+                        ),
+                    )
+                ),
+                6,
+            ).alias("mi"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -1118,3 +1118,105 @@ def stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sample_checksum",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model perplexity scoring (CCNet-style quality filter)
+# ---------------------------------------------------------------------------
+
+LM_SMOOTH_K = 0.5  # add-k smoothing mass per bigram continuation
+LM_TOP_K = 20
+
+
+_LM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(generate_series(1, len(string_split(text, ' ')))) AS pos,
+         UNNEST(string_split(text, ' ')) AS w
+  FROM documents
+),
+bi AS (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2
+  FROM toks a JOIN toks b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+bc AS (SELECT w1, w2, COUNT(*) AS nb FROM bi GROUP BY w1, w2),
+uc AS (SELECT w1, COUNT(*) AS nu FROM bi GROUP BY w1),
+v AS (SELECT COUNT(DISTINCT w) AS vs FROM toks),
+scored AS (
+  SELECT bi.doc_id,
+         LN((bc.nb + {LM_SMOOTH_K})
+            / (uc.nu + {LM_SMOOTH_K} * v.vs)) AS lp
+  FROM bi JOIN bc ON bi.w1 = bc.w1 AND bi.w2 = bc.w2
+  JOIN uc ON bi.w1 = uc.w1
+  CROSS JOIN v
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(-AVG(lp), 6) AS nll_per_bigram
+FROM scored
+GROUP BY doc_id
+ORDER BY nll_per_bigram, doc_id
+LIMIT {LM_TOP_K}
+"""
+
+
+@register(
+    "bigram_lm_perplexity",
+    oracle=_LM_ORACLE,
+    doc="Bigram language-model perplexity scoring — the CCNet-style "
+        "quality filter every pretraining corpus goes through: train "
+        "add-k-smoothed bigram probabilities ON the corpus itself "
+        "(two count aggregates + vocabulary size), score every "
+        "document's mean negative log-likelihood per bigram, and "
+        f"surface the {LM_TOP_K} most in-distribution docs "
+        "(lowest NLL; high-NLL docs are the gibberish/boilerplate "
+        "candidates a curation pipeline drops). Scale shape: counts "
+        "shuffle on bigram/unigram keys, the model 'tables' ARE "
+        "DataFrames joined back to the scoring pass — no driver-side "
+        "model object at any size. Token/bigram extraction is an "
+        "exact posexplode; ln() values are identical-input libm "
+        "calls and the per-doc mean is 6 dp-rounded (repo policy), "
+        "with doc_id tiebreak making the top-k total.",
+    tags=("text", "quality", "lm", "aggregate", "join"),
+)
+def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "w")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    a = toks.alias("a")
+    b = toks.select(
+        F.col("doc_id").alias("bd"),
+        F.col("pos").alias("bpos"),
+        F.col("w").alias("w2"),
+    )
+    bi = a.join(
+        b,
+        (F.col("a.doc_id") == F.col("bd"))
+        & (F.col("bpos") == F.col("a.pos") + 1),
+    ).select(F.col("a.doc_id").alias("doc_id"), F.col("a.w").alias("w1"), "w2")
+    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("nb"))
+    uc = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("nu"))
+    v = toks.agg(F.count_distinct("w").alias("vs"))
+    k = F.lit(float(LM_SMOOTH_K))
+    scored = (
+        bi.join(bc, ["w1", "w2"])
+        .join(uc, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.log((F.col("nb") + k) / (F.col("nu") + k * F.col("vs"))).alias(
+                "lp"
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(-F.avg("lp"), 6).alias("nll_per_bigram"),
+        )
+        .orderBy("nll_per_bigram", "doc_id")
+        .limit(LM_TOP_K)
+    )
