@@ -187,6 +187,8 @@ HEADLINE = [
     # round 4: LM perplexity filter, categorical association
     "bigram_lm_perplexity",
     "categorical_association_battery",
+    # round 4: community-quality scoring
+    "graph_modularity_brands",
 ]
 
 

@@ -718,3 +718,40 @@ class TestCategoricalAssociation:
             )
             assert abs(r["cramers_v"] - v) < 1e-6
             assert abs(r["mi"] - mi) < 1e-6
+
+
+class TestModularity:
+    def test_contributions_sum_to_newman_q(self, spark, sf_dir):
+        """Sum of per-brand contributions must equal Newman's Q
+        computed by a networkx-free recompute, and intra edges can
+        never exceed total degree / 2."""
+        import pandas as pd
+        from collections import Counter
+        from itertools import combinations
+
+        from ytspark.operators.graph import graph_modularity_brands
+
+        rows = graph_modularity_brands(spark, sf_dir).collect()
+        li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+        part = pd.read_parquet(f"{sf_dir}/part.parquet")
+        brand = dict(zip(part.p_partkey, part.p_brand))
+        edges = set()
+        for _, sub in li.groupby("l_orderkey"):
+            for x, y in combinations(sorted(set(sub.l_partkey)), 2):
+                edges.add((x, y))
+        m = len(edges)
+        e_in, d = Counter(), Counter()
+        for x, y in edges:
+            bx, by = brand[x], brand[y]
+            d[bx] += 1
+            d[by] += 1
+            if bx == by:
+                e_in[bx] += 1
+        q = sum(
+            e_in[b] / m - (d[b] / (2 * m)) ** 2 for b in d
+        )
+        got_q = sum(r["modularity_contrib"] for r in rows)
+        assert abs(got_q - q) < 1e-4
+        for r in rows:
+            assert r["intra_edges"] * 2 <= r["total_degree"]
+            assert r["intra_edges"] == e_in[r["brand"]]

@@ -66,6 +66,7 @@ EXPECTED_NESTED_LOOP = {
     "seasonal_decompose_weekday",    # event-types x broadcast day spine
     "bigram_lm_perplexity",          # broadcast one-row vocabulary size
     "categorical_association_battery",  # densified grid: a x broadcast b
+    "graph_modularity_brands",       # broadcast one-row edge count m
 }
 # streaming queries execute eagerly; skip plan audit (they materialize
 # their own sinks and are correctness-checked by the oracle gate)

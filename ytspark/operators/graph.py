@@ -474,3 +474,109 @@ def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("part_key")
         .agg(F.count(F.lit(1)).alias("core_deg"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Modularity of a vertex partition (community-quality scoring)
+# ---------------------------------------------------------------------------
+
+_MODULARITY_ORACLE = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+e AS (
+  SELECT a.p AS pa, b.p AS pb
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2
+),
+lbl AS (SELECT p_partkey, p_brand FROM part),
+le AS (
+  SELECT la.p_brand AS ba, lb.p_brand AS bb
+  FROM e JOIN lbl la ON e.pa = la.p_partkey
+         JOIN lbl lb ON e.pb = lb.p_partkey
+),
+m AS (SELECT COUNT(*) AS m FROM le),
+intra AS (
+  SELECT ba AS brand, COUNT(*) AS e_in FROM le WHERE ba = bb GROUP BY ba
+),
+deg AS (
+  SELECT brand, SUM(cnt) AS d FROM (
+    SELECT ba AS brand, COUNT(*) AS cnt FROM le GROUP BY ba
+    UNION ALL
+    SELECT bb AS brand, COUNT(*) AS cnt FROM le GROUP BY bb
+  ) GROUP BY brand
+)
+SELECT d.brand,
+       CAST(COALESCE(i.e_in, 0) AS BIGINT) AS intra_edges,
+       CAST(d.d AS BIGINT) AS total_degree,
+       ROUND(CAST(COALESCE(i.e_in, 0) AS DOUBLE) / m.m
+             - POWER(CAST(d.d AS DOUBLE) / (2 * m.m), 2), 6)
+         AS modularity_contrib
+FROM deg d LEFT JOIN intra i ON d.brand = i.brand
+CROSS JOIN m
+"""
+
+
+@register(
+    "graph_modularity_brands",
+    oracle=_MODULARITY_ORACLE,
+    doc="Newman MODULARITY of the brand partition over the part "
+        "co-purchase graph — the community-quality score (Q = "
+        "sum_c [e_c/m - (d_c/2m)^2]) that answers 'do co-purchases "
+        "stay within brand?': per brand, its intra-community edge "
+        "count, total degree, and modularity contribution (positive "
+        "= denser than chance). This is the scoring half of "
+        "community detection, usable against ANY labeling (here the "
+        "catalog's brand attribute; the k-core/CC operators supply "
+        "discovered partitions). All counts are exact integers off "
+        "two edge aggregates; the contribution arithmetic is "
+        "exactly-rounded IEEE on those integers. Edge building is "
+        "the bounded per-basket self-join shared with the triangle/"
+        "k-core family; everything downstream shuffles on brand "
+        "(25 keys).",
+    tags=("graph", "modularity", "community", "aggregate", "join"),
+)
+def graph_modularity_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    op = t["lineitem"].select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    e = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .select("pa", "pb")
+    )
+    lbl = t["part"].select("p_partkey", "p_brand")
+    la = lbl.select(F.col("p_partkey").alias("pa"), F.col("p_brand").alias("ba"))
+    lb = lbl.select(F.col("p_partkey").alias("pb"), F.col("p_brand").alias("bb"))
+    le = e.join(F.broadcast(la), "pa").join(F.broadcast(lb), "pb").persist()
+    m = le.agg(F.count(F.lit(1)).alias("m"))
+    intra = (
+        le.where(F.col("ba") == F.col("bb"))
+        .groupBy(F.col("ba").alias("brand"))
+        .agg(F.count(F.lit(1)).alias("e_in"))
+    )
+    deg = (
+        le.select(F.col("ba").alias("brand"))
+        .unionAll(le.select(F.col("bb").alias("brand")))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return (
+        deg.join(intra, "brand", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "brand",
+            F.coalesce("e_in", F.lit(0)).cast("long").alias("intra_edges"),
+            F.col("d").cast("long").alias("total_degree"),
+            F.round(
+                F.coalesce("e_in", F.lit(0)).cast("double") / F.col("m")
+                - F.pow(
+                    F.col("d").cast("double") / (2 * F.col("m")), 2
+                ),
+                6,
+            ).alias("modularity_contrib"),
+        )
+    )
