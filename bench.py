@@ -189,6 +189,9 @@ HEADLINE = [
     "categorical_association_battery",
     # round 4: community-quality scoring
     "graph_modularity_brands",
+    # round 4: stateful fold replay + sequence pattern matching
+    "rate_limit_token_bucket",
+    "sequence_pattern_funnel",
 ]
 
 

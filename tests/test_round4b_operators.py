@@ -755,3 +755,84 @@ class TestModularity:
         for r in rows:
             assert r["intra_edges"] * 2 <= r["total_degree"]
             assert r["intra_edges"] == e_in[r["brand"]]
+
+
+class TestTokenBucket:
+    def test_matches_sequential_replay(self, spark, sf_dir):
+        import math
+
+        import pandas as pd
+
+        from ytspark.operators.timeseries import (
+            BUCKET_CAP_U,
+            BUCKET_TOKEN_U,
+            rate_limit_token_bucket,
+        )
+
+        ev = pd.read_parquet(f"{sf_dir}/events.parquet").dropna(
+            subset=["value"]
+        )
+        ev["t"] = ev.ts.astype("int64")
+        ev["cost"] = (ev.value * BUCKET_TOKEN_U).apply(math.floor)
+        got = {
+            r["user_id"]: (
+                r["n_events"],
+                r["n_accepted"],
+                r["n_rejected"],
+                r["tokens_left_u"],
+            )
+            for r in rate_limit_token_bucket(spark, sf_dir).collect()
+        }
+        rejected_total = 0
+        for u, sub in ev.groupby("user_id"):
+            sub = sub.sort_values(["ts", "event_id"])
+            tok, acc, rej, prev_t = BUCKET_CAP_U, 0, 0, None
+            for _, r in sub.iterrows():
+                if prev_t is not None:
+                    tok = min(BUCKET_CAP_U, tok + (r.t - prev_t))
+                if r.cost <= tok:
+                    tok -= r.cost
+                    acc += 1
+                else:
+                    rej += 1
+                prev_t = r.t
+            assert got[u] == (len(sub), acc, rej, tok), u
+            rejected_total += rej
+        assert rejected_total > 0  # the limiter actually bites
+
+
+class TestSequencePattern:
+    def test_matches_python_regex_replay(self, spark, sf_dir):
+        import re
+
+        import pandas as pd
+
+        from ytspark.operators.temporal import (
+            SEQPAT_GAPPED,
+            SEQPAT_STRICT,
+            SEQPAT_TOP_K,
+            sequence_pattern_funnel,
+        )
+
+        ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+        ev["day"] = ev.ts.dt.normalize()
+        ev = ev.sort_values(["user_id", "day", "ts", "event_id"])
+        ev["ch"] = ev.event_type.str[0]
+        per_user = {}
+        for (u, _), sub in ev.groupby(["user_id", "day"]):
+            path = "".join(sub.ch)
+            strict = len(re.findall(SEQPAT_STRICT, path))
+            gapped = int(re.search(SEQPAT_GAPPED, path) is not None)
+            a = per_user.setdefault(u, [0, 0, 0])
+            a[0] += strict
+            a[1] += gapped
+            a[2] += 1
+        want = sorted(
+            ((v[0], u, v[1], v[2]) for u, v in per_user.items()),
+            key=lambda t: (-t[0], t[1]),
+        )[:SEQPAT_TOP_K]
+        got = sequence_pattern_funnel(spark, sf_dir).collect()
+        assert [
+            (r["strict_matches"], r["user_id"], r["days_with_funnel"], r["n_days"])
+            for r in got
+        ] == want

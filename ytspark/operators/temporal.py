@@ -618,3 +618,102 @@ def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("active_seconds").desc(), "user_id")
         .limit(COVERAGE_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence pattern matching over encoded event strings
+# ---------------------------------------------------------------------------
+
+SEQPAT_STRICT = "vcp"  # view, click, purchase — consecutive
+SEQPAT_GAPPED = "v.*c.*p"  # same funnel, any events between
+SEQPAT_TOP_K = 25
+
+
+_SEQPAT_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         SUBSTR(event_type, 1, 1) AS ch,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, CAST(ts AS DATE)
+           ORDER BY ts, event_id) AS rn
+  FROM events
+),
+paths AS (
+  SELECT user_id, day, STRING_AGG(ch, '' ORDER BY rn) AS path
+  FROM seq GROUP BY user_id, day
+),
+scored AS (
+  SELECT user_id,
+         LEN(regexp_extract_all(path, '{SEQPAT_STRICT}')) AS strict_n,
+         CASE WHEN regexp_matches(path, '{SEQPAT_GAPPED}')
+              THEN 1 ELSE 0 END AS gapped
+  FROM paths
+)
+SELECT user_id,
+       CAST(SUM(strict_n) AS BIGINT) AS strict_matches,
+       CAST(SUM(gapped) AS BIGINT) AS days_with_funnel,
+       CAST(COUNT(*) AS BIGINT) AS n_days
+FROM scored
+GROUP BY user_id
+ORDER BY strict_matches DESC, user_id
+LIMIT {SEQPAT_TOP_K}
+"""
+
+
+@register(
+    "sequence_pattern_funnel",
+    oracle=_SEQPAT_ORACLE,
+    doc="MATCH_RECOGNIZE-style sequence pattern matching, the "
+        "regex-over-encoded-events technique: each (user, day) "
+        "session becomes a string of event-type initials in strict "
+        "(ts, event_id) order, then the strict funnel "
+        f"'{SEQPAT_STRICT}' (view-click-purchase CONSECUTIVE) is "
+        "counted by non-overlapping regex extraction and the gapped "
+        f"funnel '{SEQPAT_GAPPED}' as a per-day boolean — the "
+        "pattern layer (abandonment, bot signatures, compliance "
+        "sequences) that row-per-event SQL struggles to express. "
+        "Both engines count left-to-right non-overlapping matches "
+        "identically, so exact integer counts certify cross-engine. "
+        "Scale: string length is bounded by daily activity; the "
+        "regex runs data-parallel per session string, one shuffle to "
+        "sessionize, one to roll up per user.",
+    tags=("temporal", "pattern", "regex", "aggregate", "topk"),
+)
+def sequence_pattern_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id", F.to_date("ts")).orderBy(
+        "ts", "event_id"
+    )
+    seq = ev.select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.substring("event_type", 1, 1).alias("ch"),
+        F.row_number().over(w).alias("rn"),
+    )
+    paths = seq.groupBy("user_id", "day").agg(
+        F.concat_ws(
+            "",
+            F.array_sort(F.collect_list(F.struct("rn", "ch"))).getField(
+                "ch"
+            ),
+        ).alias("path")
+    )
+    scored = paths.select(
+        "user_id",
+        F.size(
+            F.expr(f"regexp_extract_all(path, '{SEQPAT_STRICT}', 0)")
+        ).alias("strict_n"),
+        F.col("path").rlike(SEQPAT_GAPPED).cast("long").alias("gapped"),
+    )
+    return (
+        scored.groupBy("user_id")
+        .agg(
+            F.sum("strict_n").cast("long").alias("strict_matches"),
+            F.sum("gapped").cast("long").alias("days_with_funnel"),
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+        )
+        .orderBy(F.col("strict_matches").desc(), "user_id")
+        .limit(SEQPAT_TOP_K)
+    )

@@ -684,3 +684,132 @@ def seasonal_decompose_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_obs"),
         F.round(F.avg("dv"), 6).alias("seasonal_idx"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-bucket rate limiter replay (capped running balance fold)
+# ---------------------------------------------------------------------------
+
+# Unit system chosen so the WHOLE replay is integer arithmetic with no
+# division anywhere: 1 unit == the refill earned per MICROSECOND of
+# gap. At 1 token per 1000 s, one token = 1e9 units; capacity is 100
+# tokens; an event costs floor(value * 1e9) units (~value tokens,
+# value <= ~500 so every intermediate stays far below 2^63).
+BUCKET_TOKEN_U = 1_000_000_000  # units per token
+BUCKET_CAP_U = 100 * BUCKET_TOKEN_U
+
+
+_BUCKET_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id,
+         epoch_us(ts) AS t,
+         CAST(FLOOR(value * {BUCKET_TOKEN_U}) AS BIGINT) AS cost,
+         ROW_NUMBER() OVER w AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events WHERE value IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+folded AS (
+  WITH RECURSIVE r AS (
+    SELECT user_id, rn, n, t,
+           CASE WHEN cost <= {BUCKET_CAP_U}
+                THEN {BUCKET_CAP_U} - cost ELSE {BUCKET_CAP_U} END AS tok,
+           CASE WHEN cost <= {BUCKET_CAP_U} THEN 1 ELSE 0 END AS acc,
+           CASE WHEN cost <= {BUCKET_CAP_U} THEN 0 ELSE 1 END AS rej
+    FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT s.user_id, s.rn, s.n, s.t,
+           CASE WHEN s.cost <= LEAST({BUCKET_CAP_U}, r.tok + s.t - r.t)
+                THEN LEAST({BUCKET_CAP_U}, r.tok + s.t - r.t) - s.cost
+                ELSE LEAST({BUCKET_CAP_U}, r.tok + s.t - r.t) END,
+           r.acc + CASE WHEN s.cost <= LEAST({BUCKET_CAP_U},
+                                             r.tok + s.t - r.t)
+                        THEN 1 ELSE 0 END,
+           r.rej + CASE WHEN s.cost <= LEAST({BUCKET_CAP_U},
+                                             r.tok + s.t - r.t)
+                        THEN 0 ELSE 1 END
+    FROM r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+  )
+  SELECT * FROM r
+)
+SELECT user_id,
+       CAST(n AS BIGINT) AS n_events,
+       CAST(acc AS BIGINT) AS n_accepted,
+       CAST(rej AS BIGINT) AS n_rejected,
+       CAST(tok AS BIGINT) AS tokens_left_u
+FROM folded WHERE rn = n
+"""
+
+
+@register(
+    "rate_limit_token_bucket",
+    oracle=_BUCKET_ORACLE,
+    doc="Token-bucket rate limiter REPLAY per user — the capped "
+        "running balance no plain window can express (the clamp "
+        "makes each step depend on the clamped previous step): "
+        "capacity 100 tokens, refill 1 token per 1000 s of gap, each "
+        "event consumes ~value tokens if available, else it is "
+        "rejected and consumes nothing. Audit-replaying a limiter "
+        "over the event log answers 'what would this quota have "
+        "rejected' before deploying it. The fold runs as the "
+        "aggregate HOF over each user's (ts, event_id)-sorted struct "
+        "array — the EWMA/Holt machinery generalized to struct state "
+        "with a clamp — and the unit system (1 unit per microsecond "
+        "of refill) makes the ENTIRE replay integer arithmetic with "
+        "no division: bit-identical to the oracle's recursive-CTE "
+        "replay, no rounding anywhere. One shuffle on user_id; "
+        "per-user arrays bounded by activity.",
+    tags=("time", "fold", "statebased", "aggregate", "hof"),
+)
+def rate_limit_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_tables(spark, sf_dir, "events")["events"]
+        .where(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("t"),
+            "event_id",
+            F.floor(F.col("value") * BUCKET_TOKEN_U)
+            .cast("long")
+            .alias("cost"),
+        )
+    )
+    series = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("t", "event_id", "cost"))
+        ).alias("seq")
+    )
+    cap = F.lit(BUCKET_CAP_U).cast("long")
+    init = F.struct(
+        cap.alias("tok"),
+        F.lit(0).cast("long").alias("acc"),
+        F.lit(0).cast("long").alias("rej"),
+        F.lit(None).cast("long").alias("t"),
+    )
+
+    def step(acc, s):
+        avail = F.least(
+            cap,
+            acc["tok"]
+            + F.coalesce(s["t"] - acc["t"], F.lit(0).cast("long")),
+        )
+        ok = s["cost"] <= avail
+        return F.struct(
+            F.when(ok, avail - s["cost"]).otherwise(avail).alias("tok"),
+            (acc["acc"] + ok.cast("long")).alias("acc"),
+            (acc["rej"] + (~ok).cast("long")).alias("rej"),
+            s["t"].alias("t"),
+        )
+
+    folded = series.select(
+        "user_id",
+        F.size("seq").cast("long").alias("n_events"),
+        F.aggregate(F.col("seq"), init, step).alias("st"),
+    )
+    return folded.select(
+        "user_id",
+        "n_events",
+        F.col("st.acc").alias("n_accepted"),
+        F.col("st.rej").alias("n_rejected"),
+        F.col("st.tok").alias("tokens_left_u"),
+    )
