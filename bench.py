@@ -192,6 +192,9 @@ HEADLINE = [
     # round 4: stateful fold replay + sequence pattern matching
     "rate_limit_token_bucket",
     "sequence_pattern_funnel",
+    # round 4: funnel latency, per-segment trend sweep
+    "funnel_latency_percentiles",
+    "trend_by_priority_ols",
 ]
 
 

@@ -836,3 +836,59 @@ class TestSequencePattern:
             (r["strict_matches"], r["user_id"], r["days_with_funnel"], r["n_days"])
             for r in got
         ] == want
+
+
+class TestFunnelLatency:
+    def test_matches_numpy_percentiles(self, spark, sf_dir):
+        import numpy as np
+        import pandas as pd
+
+        from ytspark.operators.temporal import funnel_latency_percentiles
+
+        (r,) = funnel_latency_percentiles(spark, sf_dir).collect()
+        ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+        p = ev[ev.event_type == "purchase"]
+        v = ev[ev.event_type == "view"].sort_values("ts")
+        gaps = []
+        n_purch = len(p)
+        vt = v.groupby("user_id").ts.apply(lambda s: s.values)
+        for _, row in p.iterrows():
+            arr = vt.get(row.user_id)
+            if arr is None:
+                continue
+            idx = np.searchsorted(arr, np.datetime64(row.ts), side="right") - 1
+            if idx >= 0:
+                gaps.append(
+                    (np.datetime64(row.ts) - arr[idx])
+                    .astype("timedelta64[us]")
+                    .astype("int64")
+                )
+        gaps = np.array(gaps)
+        assert r["n_purchases"] == n_purch
+        assert r["n_matched"] == len(gaps)
+        assert r["max_gap_us"] == int(gaps.max())
+        for q, col in ((0.5, "p50_s"), (0.9, "p90_s"), (0.99, "p99_s")):
+            want = float(np.quantile(gaps, q, method="linear")) / 1e6
+            assert abs(r[col] - want) < 1e-4
+
+
+class TestGroupedOls:
+    def test_matches_numpy_polyfit(self, spark, sf_dir):
+        import numpy as np
+        import pandas as pd
+
+        from ytspark.operators.learn import trend_by_priority_ols
+
+        o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+        o["x"] = (o.o_orderdate - pd.Timestamp("1992-01-01")).dt.days
+        daily = (
+            o.groupby(["o_orderpriority", "x"]).o_totalprice.sum() / 1e6
+        ).reset_index()
+        rows = {r["pri"]: r for r in trend_by_priority_ols(spark, sf_dir).collect()}
+        for pri, sub in daily.groupby("o_orderpriority"):
+            m, b = np.polyfit(sub.x, sub.o_totalprice, 1)
+            r = rows[pri]
+            assert r["n_days"] == len(sub)
+            assert abs(r["slope_m_per_day"] - m) < 1e-4
+            assert abs(r["intercept_m"] - b) < 1e-3
+            assert 0.0 <= r["r2"] <= 1.0

@@ -67,6 +67,7 @@ EXPECTED_NESTED_LOOP = {
     "bigram_lm_perplexity",          # broadcast one-row vocabulary size
     "categorical_association_battery",  # densified grid: a x broadcast b
     "graph_modularity_brands",       # broadcast one-row edge count m
+    "funnel_latency_percentiles",    # broadcast one-row percentile agg
 }
 # streaming queries execute eagerly; skip plan audit (they materialize
 # their own sinks and are correctness-checked by the oracle gate)

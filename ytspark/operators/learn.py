@@ -457,3 +457,56 @@ def regression_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(SUM(y * y) AS DOUBLE) AS syy",
     )
     return g.selectExpr(*[e.strip() for e in _NE_FINAL.split(",\n")])
+
+
+# ---------------------------------------------------------------------------
+# Per-group trend sweep (grouped closed-form OLS)
+# ---------------------------------------------------------------------------
+
+_GROUP_OLS_ORACLE = """
+WITH daily AS (
+  SELECT o_orderpriority AS pri,
+         DATE_DIFF('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+           AS x,
+         SUM(o_totalprice) / 1e6 AS y
+  FROM orders GROUP BY 1, 2
+)
+SELECT pri,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(REGR_SLOPE(y, x), 6) AS slope_m_per_day,
+       ROUND(REGR_INTERCEPT(y, x), 6) AS intercept_m,
+       ROUND(REGR_R2(y, x), 6) AS r2
+FROM daily
+GROUP BY pri
+"""
+
+
+@register(
+    "trend_by_priority_ols",
+    oracle=_GROUP_OLS_ORACLE,
+    doc="GROUPED closed-form OLS — one trend line per order "
+        "priority over its daily revenue series, the per-segment "
+        "sweep that turns the single-series trend fit "
+        "(revenue_trend_ols) into a model-per-key operator: both "
+        "engines run their native regr_slope/intercept/r2 aggregates "
+        "per group, so at 100 TB this is exactly two map-side-"
+        "combinable aggregates (daily rollup, then per-group "
+        "co-moments) and fitting a MILLION segment models costs the "
+        "same plan as fitting five — the aggregate state per group "
+        "is six co-moments, independent of data volume.",
+    tags=("learn", "regression", "aggregate", "time"),
+)
+def trend_by_priority_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date")
+        ).alias("x"),
+    ).agg((F.sum("o_totalprice") / F.lit(1e6)).alias("y"))
+    return daily.groupBy("pri").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.regr_slope("y", "x"), 6).alias("slope_m_per_day"),
+        F.round(F.regr_intercept("y", "x"), 6).alias("intercept_m"),
+        F.round(F.regr_r2("y", "x"), 6).alias("r2"),
+    )

@@ -717,3 +717,87 @@ def sequence_pattern_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("strict_matches").desc(), "user_id")
         .limit(SEQPAT_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel latency distribution (as-of gap percentiles)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_LAT_ORACLE = """
+WITH g AS (
+  SELECT epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+  ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') c
+    ON p.user_id = c.user_id AND p.ts >= c.ts
+),
+n AS (
+  SELECT COUNT(*) AS n_purchases FROM events WHERE event_type = 'purchase'
+)
+SELECT n.n_purchases,
+       CAST(COUNT(*) AS BIGINT) AS n_matched,
+       ROUND(quantile_cont(gap_us, 0.5) / 1000000, 6) AS p50_s,
+       ROUND(quantile_cont(gap_us, 0.9) / 1000000, 6) AS p90_s,
+       ROUND(quantile_cont(gap_us, 0.99) / 1000000, 6) AS p99_s,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+FROM g CROSS JOIN n
+GROUP BY n.n_purchases
+"""
+
+
+@register(
+    "funnel_latency_percentiles",
+    oracle=_FUNNEL_LAT_ORACLE,
+    doc="Funnel LATENCY distribution: for every purchase, the gap to "
+        "the latest preceding view by the same user (the engine's "
+        "as-of join — union + ordered window, one shuffle), "
+        "summarized as exact interpolating p50/p90/p99 seconds — "
+        "'how long does consideration take', the metric funnel "
+        "COUNTS can't answer. Gaps are exact integer microseconds; "
+        "Spark's percentile and DuckDB's quantile_cont share the "
+        "linear-interpolation definition so the percentiles match to "
+        "the 6 dp report rounding. At extreme volumes the percentile "
+        "step swaps for the GK sketch with its rank-error "
+        "certificate (approx_quantile_rank_bounds pattern).",
+    tags=("temporal", "funnel", "asof", "percentile", "aggregate"),
+)
+def funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts"
+    )
+    j = asof_join(
+        purchases,
+        views,
+        key="user_id",
+        left_ts="purchase_ts",
+        right_ts="ts",
+        payload=["ts"],
+    )
+    g = j.select(
+        (F.unix_micros("purchase_ts") - F.unix_micros("asof_ts")).alias(
+            "gap_us"
+        )
+    )
+    n = g.agg(F.count(F.lit(1)).alias("n_purchases"))
+    matched = g.where(F.col("gap_us").isNotNull())
+    agg = matched.agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        F.round(F.expr("percentile(gap_us, 0.5)") / 1_000_000, 6).alias(
+            "p50_s"
+        ),
+        F.round(F.expr("percentile(gap_us, 0.9)") / 1_000_000, 6).alias(
+            "p90_s"
+        ),
+        F.round(F.expr("percentile(gap_us, 0.99)") / 1_000_000, 6).alias(
+            "p99_s"
+        ),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+    )
+    return n.crossJoin(F.broadcast(agg)).select(
+        "n_purchases", "n_matched", "p50_s", "p90_s", "p99_s", "max_gap_us"
+    )
