@@ -195,6 +195,10 @@ HEADLINE = [
     # round 4: funnel latency, per-segment trend sweep
     "funnel_latency_percentiles",
     "trend_by_priority_ols",
+    # round 4: exact WAU, schema integrity, corpus composition
+    "sliding_distinct_users_7d",
+    "referential_integrity_audit",
+    "source_vocab_overlap",
 ]
 
 

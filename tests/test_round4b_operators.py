@@ -892,3 +892,73 @@ class TestGroupedOls:
             assert abs(r["slope_m_per_day"] - m) < 1e-4
             assert abs(r["intercept_m"] - b) < 1e-3
             assert 0.0 <= r["r2"] <= 1.0
+
+
+class TestWau:
+    def test_matches_pandas_rolling_distinct(self, spark, sf_dir):
+        import pandas as pd
+
+        from ytspark.queries.relational import sliding_distinct_users_7d
+
+        ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+        ev["day"] = ev.ts.dt.normalize()
+        ud = ev[["user_id", "day"]].drop_duplicates()
+        got = {
+            pd.Timestamp(r["day"]): (r["wau"], r["dau"])
+            for r in sliding_distinct_users_7d(spark, sf_dir).collect()
+        }
+        for d in ud.day.unique():
+            d = pd.Timestamp(d)
+            wau = ud[(ud.day <= d) & (ud.day > d - pd.Timedelta(days=7))][
+                "user_id"
+            ].nunique()
+            dau = ud[ud.day == d]["user_id"].nunique()
+            assert got[d] == (wau, dau), d
+
+
+class TestRiAudit:
+    def test_clean_schema_and_orphan_detection(self, spark, sf_dir):
+        from ytspark.queries.relational import referential_integrity_audit
+
+        rows = referential_integrity_audit(spark, sf_dir).collect()
+        assert len(rows) == 7
+        # the generated star schema is referentially intact
+        for r in rows:
+            assert r["intact"] and r["n_orphans"] == 0
+        # the check itself detects orphans: corrupt one FK in memory
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(100)
+        bad = li.withColumn(
+            "l_partkey", F.col("l_partkey") + F.lit(10_000_000)
+        )
+        part = spark.read.parquet(f"{sf_dir}/part.parquet")
+        n_orph = bad.join(
+            part.select("p_partkey"),
+            bad.l_partkey == F.col("p_partkey"),
+            "left_anti",
+        ).count()
+        assert n_orph == 100
+
+
+class TestVocabOverlap:
+    def test_matches_python_set_jaccard(self, spark, sf_dir):
+        import pandas as pd
+
+        from ytspark.operators.text import source_vocab_overlap
+
+        docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+        vocab = {
+            s: set(" ".join(sub.text).split(" "))
+            for s, sub in docs.groupby("source")
+        }
+        rows = source_vocab_overlap(spark, sf_dir).collect()
+        srcs = sorted(vocab)
+        assert len(rows) == len(srcs) * (len(srcs) - 1) // 2
+        for r in rows:
+            va, vb = vocab[r["source_a"]], vocab[r["source_b"]]
+            inter = len(va & vb)
+            assert (r["vocab_a"], r["vocab_b"], r["vocab_shared"]) == (
+                len(va),
+                len(vb),
+                inter,
+            )
+            assert abs(r["jaccard"] - inter / len(va | vb)) < 1e-6

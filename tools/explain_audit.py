@@ -68,6 +68,8 @@ EXPECTED_NESTED_LOOP = {
     "categorical_association_battery",  # densified grid: a x broadcast b
     "graph_modularity_brands",       # broadcast one-row edge count m
     "funnel_latency_percentiles",    # broadcast one-row percentile agg
+    "sliding_distinct_users_7d",     # |days|-row spine x trailing band
+    "referential_integrity_audit",   # broadcast one-row child counts
 }
 # streaming queries execute eagerly; skip plan audit (they materialize
 # their own sinks and are correctness-checked by the oracle gate)

@@ -1220,3 +1220,87 @@ def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("nll_per_bigram", "doc_id")
         .limit(LM_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise source vocabulary overlap (corpus composition analytics)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_vocab_overlap",
+    oracle="""
+WITH sv AS (
+  SELECT DISTINCT source, UNNEST(string_split(text, ' ')) AS tok
+  FROM documents
+),
+sizes AS (SELECT source, COUNT(*) AS nv FROM sv GROUP BY source),
+inter AS (
+  SELECT a.source AS sa, b.source AS sb, COUNT(*) AS ni
+  FROM sv a JOIN sv b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.sa AS source_a, i.sb AS source_b,
+       CAST(za.nv AS BIGINT) AS vocab_a,
+       CAST(zb.nv AS BIGINT) AS vocab_b,
+       CAST(i.ni AS BIGINT) AS vocab_shared,
+       ROUND(CAST(i.ni AS DOUBLE) / (za.nv + zb.nv - i.ni), 6)
+         AS jaccard
+FROM inter i
+JOIN sizes za ON i.sa = za.source
+JOIN sizes zb ON i.sb = zb.source
+""",
+    doc="Pairwise VOCABULARY overlap between corpus sources (exact "
+        "Jaccard over distinct token sets) — the corpus-composition "
+        "probe that tells a data mixer which sources are redundant "
+        "and which add genuinely new language. The token-keyed "
+        "self-join is bounded BY CONSTRUCTION: after the (source, "
+        "token) dedup, each token contributes at most |sources|^2 "
+        "pairs regardless of how often it appears in the raw corpus "
+        "— so the pair computation scales with vocabulary size, not "
+        "corpus size, and the one true scale axis (the distinct "
+        "dedup) is a plain hash aggregate. Exact integer counts; "
+        "one exactly-rounded division.",
+    tags=("text", "corpus", "jaccard", "join", "aggregate"),
+)
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    sv = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    ).distinct().persist()
+    sizes = sv.groupBy("source").agg(F.count(F.lit(1)).alias("nv"))
+    a = sv.alias("a")
+    b = sv.select(
+        F.col("source").alias("sb"), F.col("tok").alias("tokb")
+    )
+    inter = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("tokb"))
+            & (F.col("a.source") < F.col("sb")),
+        )
+        .groupBy(F.col("a.source").alias("source_a"), F.col("sb").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("vocab_shared"))
+    )
+    za = sizes.select(F.col("source").alias("source_a"), F.col("nv").alias("vocab_a"))
+    zb = sizes.select(F.col("source").alias("source_b"), F.col("nv").alias("vocab_b"))
+    return (
+        inter.join(F.broadcast(za), "source_a")
+        .join(F.broadcast(zb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("vocab_a").cast("long").alias("vocab_a"),
+            F.col("vocab_b").cast("long").alias("vocab_b"),
+            F.col("vocab_shared").cast("long").alias("vocab_shared"),
+            F.round(
+                F.col("vocab_shared").cast("double")
+                / (
+                    F.col("vocab_a")
+                    + F.col("vocab_b")
+                    - F.col("vocab_shared")
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )

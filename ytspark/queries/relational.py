@@ -1720,3 +1720,133 @@ def join_explosion_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("contribution").desc(), "part_key")
         .limit(EXPLOSION_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window distinct users (the exact WAU metric)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sliding_distinct_users_7d",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+spine AS (SELECT DISTINCT day FROM ud)
+SELECT s.day,
+       CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau,
+       CAST((SELECT COUNT(DISTINCT user_id) FROM ud u2
+             WHERE u2.day = s.day) AS BIGINT) AS dau
+FROM spine s
+JOIN ud u ON u.day <= s.day AND u.day > s.day - 7
+GROUP BY s.day
+""",
+    doc="EXACT trailing-7-day distinct users per day (WAU beside "
+        "DAU) — the dashboard metric windows cannot express "
+        "(count_distinct over a sliding frame is not an aggregate "
+        "Spark or any engine supports directly): computed by "
+        "deduplicating activity to (user, day) FIRST — so everything "
+        "downstream is |users x active days|, never raw events — "
+        "then joining each spine day to its trailing week of "
+        "activity rows and count-distinct-ing per day. Cost is 7x "
+        "the dedup'd activity table, exact at any scale; when even "
+        "that is too much, the engine's HLL union rollup "
+        "(hll_union_rollup_bounds) is the sketch path with an error "
+        "certificate. The day-range join carries the day equi-ish "
+        "band as its condition; integer date arithmetic both "
+        "engines.",
+    tags=("aggregate", "window", "distinct", "time", "join"),
+)
+def sliding_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    spine = ud.select("day").distinct().withColumnRenamed("day", "sday")
+    j = spine.join(
+        ud,
+        (F.col("day") <= F.col("sday"))
+        & (F.col("day") > F.date_sub(F.col("sday"), 7)),
+    )
+    wau = j.groupBy("sday").agg(
+        F.count_distinct("user_id").alias("wau")
+    )
+    dau = ud.groupBy("day").agg(F.count_distinct("user_id").alias("dau"))
+    return (
+        wau.join(dau, wau.sday == dau.day)
+        .select(
+            # timestamp, not date: DuckDB DATE arrives as datetime64
+            F.col("sday").cast("timestamp").alias("day"),
+            "wau",
+            "dau",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit across the star schema
+# ---------------------------------------------------------------------------
+
+RI_EDGES = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def _ri_sql(child: str, fk: str, parent: str, pk: str) -> str:
+    return f"""
+SELECT '{child}.{fk}' AS fk_edge, '{parent}.{pk}' AS references,
+       CAST((SELECT COUNT(*) FROM {child}) AS BIGINT) AS n_child_rows,
+       CAST((SELECT COUNT(*) FROM {child} c
+             WHERE c.{fk} IS NOT NULL
+               AND c.{fk} NOT IN (SELECT {pk} FROM {parent}))
+            AS BIGINT) AS n_orphans,
+       (SELECT COUNT(*) FROM {child} c
+        WHERE c.{fk} IS NOT NULL
+          AND c.{fk} NOT IN (SELECT {pk} FROM {parent})) = 0 AS intact
+"""
+
+
+@register(
+    "referential_integrity_audit",
+    oracle="\nUNION ALL\n".join(_ri_sql(*e) for e in RI_EDGES),
+    doc="Referential-integrity audit of the full star schema: every "
+        "FK edge (lineitem->orders/part/supplier, orders->customer, "
+        "customer/supplier->nation, nation->region) is checked by a "
+        "LEFT ANTI join counting orphaned child rows — the "
+        "load-bearing data-quality check after any ingest/backfill, "
+        "here returning the per-edge orphan count (the alert metric) "
+        "and verdict. Each edge is one anti join shuffling only the "
+        "key column (dims broadcast under the size gate); exact "
+        "integer counting; seven edges union into the tiny report.",
+    tags=("quality", "integrity", "join", "aggregate", "profiling"),
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = load_tables(spark, sf_dir)
+    out = None
+    for child, fk, parent, pk in RI_EDGES:
+        c, p = tables[child], tables[parent]
+        orphans = c.where(F.col(fk).isNotNull()).join(
+            p.select(pk), F.col(fk) == F.col(pk), "left_anti"
+        )
+        row = (
+            orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+            .crossJoin(
+                F.broadcast(
+                    c.agg(F.count(F.lit(1)).alias("n_child_rows"))
+                )
+            )
+            .select(
+                F.lit(f"{child}.{fk}").alias("fk_edge"),
+                F.lit(f"{parent}.{pk}").alias("references"),
+                "n_child_rows",
+                "n_orphans",
+                (F.col("n_orphans") == 0).alias("intact"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
