@@ -199,6 +199,8 @@ HEADLINE = [
     "sliding_distinct_users_7d",
     "referential_integrity_audit",
     "source_vocab_overlap",
+    # round 4: seasonal-adjusted anomaly screen
+    "seasonal_adjusted_anomalies",
 ]
 
 

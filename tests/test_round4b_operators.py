@@ -962,3 +962,42 @@ class TestVocabOverlap:
                 inter,
             )
             assert abs(r["jaccard"] - inter / len(va | vb)) < 1e-6
+
+
+class TestSeasonalAnomalies:
+    def test_matches_pandas_pipeline(self, spark, sf_dir):
+        import numpy as np
+        import pandas as pd
+
+        from ytspark.operators.timeseries import (
+            ANOM_TOP_K,
+            ANOM_Z,
+            seasonal_adjusted_anomalies,
+        )
+
+        ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+        ev["day"] = ev.ts.dt.normalize()
+        spine = pd.date_range(ev.day.min(), ev.day.max(), freq="D")
+        cand = []
+        for et, sub in ev.groupby("event_type"):
+            c = sub.groupby("day").size().reindex(spine, fill_value=0)
+            trend = c.rolling(7, center=True).sum() / 7
+            dv = (c - trend).dropna()
+            sidx = dv.groupby(dv.index.weekday).transform("mean")
+            r = dv - sidx
+            sigma = r.std(ddof=1)
+            z = r / sigma
+            for d, zz in z.items():
+                cand.append((round(zz, 6), et, d, int(c[d])))
+        cand.sort(key=lambda t: (-abs(t[0]), t[1], t[2]))
+        want = cand[:ANOM_TOP_K]
+        got = seasonal_adjusted_anomalies(spark, sf_dir).collect()
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            assert (g["event_type"], pd.Timestamp(g["anomaly_day"]), g["n_events"]) == (
+                w[1],
+                w[2],
+                w[3],
+            )
+            assert abs(g["resid_z"] - w[0]) < 1e-5
+            assert g["is_anomaly"] == (abs(w[0]) > ANOM_Z)

@@ -70,6 +70,7 @@ EXPECTED_NESTED_LOOP = {
     "funnel_latency_percentiles",    # broadcast one-row percentile agg
     "sliding_distinct_users_7d",     # |days|-row spine x trailing band
     "referential_integrity_audit",   # broadcast one-row child counts
+    "seasonal_adjusted_anomalies",   # event-types x broadcast day spine
 }
 # streaming queries execute eagerly; skip plan audit (they materialize
 # their own sinks and are correctness-checked by the oracle gate)

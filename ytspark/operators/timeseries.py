@@ -813,3 +813,122 @@ def rate_limit_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("st.rej").alias("n_rejected"),
         F.col("st.tok").alias("tokens_left_u"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-adjusted anomaly detection (trend + weekday + robust z)
+# ---------------------------------------------------------------------------
+
+ANOM_Z = 3.0  # flag days with |residual z| above this
+ANOM_TOP_K = 20
+
+
+_ANOM_ORACLE = f"""
+WITH {_CUSUM_SPINE_SQL},
+tr AS (
+  SELECT d.event_type, d.day, d.c,
+         CASE WHEN COUNT(*) OVER w = 7
+              THEN CAST(SUM(d.c) OVER w AS DOUBLE) / 7 END AS trend
+  FROM daily d
+  WINDOW w AS (PARTITION BY d.event_type ORDER BY d.day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+detr AS (
+  SELECT event_type, day, c, trend, isodow(day) - 1 AS weekday,
+         c - trend AS dv
+  FROM tr WHERE trend IS NOT NULL
+),
+seas AS (
+  SELECT event_type, weekday, AVG(dv) AS sidx
+  FROM detr GROUP BY event_type, weekday
+),
+resid AS (
+  SELECT d.event_type, d.day, d.c, d.dv - s.sidx AS r
+  FROM detr d JOIN seas s
+    ON d.event_type = s.event_type AND d.weekday = s.weekday
+),
+sd AS (
+  SELECT event_type, STDDEV_SAMP(r) AS sigma FROM resid GROUP BY event_type
+)
+SELECT r.event_type, r.day AS anomaly_day,
+       CAST(r.c AS BIGINT) AS n_events,
+       ROUND(r.r / sd.sigma, 6) AS resid_z,
+       ABS(r.r / sd.sigma) > {ANOM_Z} AS is_anomaly
+FROM resid r JOIN sd ON r.event_type = sd.event_type
+ORDER BY ABS(ROUND(r.r / sd.sigma, 6)) DESC, r.event_type, r.day
+LIMIT {ANOM_TOP_K}
+"""
+
+
+@register(
+    "seasonal_adjusted_anomalies",
+    oracle=_ANOM_ORACLE,
+    doc="Seasonal-adjusted anomaly detection — the composition the "
+        "decomposition stack exists for: daily counts minus the "
+        "centered 7-day trend minus the weekday seasonal index leave "
+        "residuals whose z-scores flag the days that are anomalous "
+        f"AFTER accounting for growth and weekly rhythm (|z| > "
+        f"{ANOM_Z}; a raw-count threshold would page on every "
+        "Saturday). Same calendar-densified integer series and "
+        "per-group windows as the CUSUM/seasonal queries — nothing "
+        "concentrates; residual sigma is a per-group sample stddev "
+        "(6 dp rounding absorbs summation-order ulps). The ordered "
+        "top-k over ROUNDED |z| with (event_type, day) tiebreaks is "
+        "total, so both engines select identical anomaly sets.",
+    tags=("time", "anomaly", "seasonal", "window", "aggregate"),
+)
+def seasonal_adjusted_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    b = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = b.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    grid = ev.select("event_type").distinct().crossJoin(F.broadcast(spine))
+    cnt = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    daily = grid.join(cnt, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    detr = (
+        daily.select(
+            "event_type",
+            "day",
+            "c",
+            F.when(
+                F.count(F.lit(1)).over(w) == 7,
+                F.sum("c").over(w).cast("double") / 7,
+            ).alias("trend"),
+        )
+        .where(F.col("trend").isNotNull())
+        .select(
+            "event_type",
+            "day",
+            "c",
+            F.weekday("day").alias("weekday"),
+            (F.col("c") - F.col("trend")).alias("dv"),
+        )
+    )
+    seas = detr.groupBy("event_type", "weekday").agg(
+        F.avg("dv").alias("sidx")
+    )
+    resid = detr.join(F.broadcast(seas), ["event_type", "weekday"]).select(
+        "event_type", "day", "c", (F.col("dv") - F.col("sidx")).alias("r")
+    )
+    sd = resid.groupBy("event_type").agg(F.stddev_samp("r").alias("sigma"))
+    z = F.col("r") / F.col("sigma")
+    return (
+        resid.join(F.broadcast(sd), "event_type")
+        .select(
+            "event_type",
+            F.col("day").cast("timestamp").alias("anomaly_day"),
+            F.col("c").cast("long").alias("n_events"),
+            F.round(z, 6).alias("resid_z"),
+            (F.abs(z) > ANOM_Z).alias("is_anomaly"),
+        )
+        .orderBy(F.abs(F.col("resid_z")).desc(), "event_type", "anomaly_day")
+        .limit(ANOM_TOP_K)
+    )
