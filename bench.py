@@ -201,6 +201,9 @@ HEADLINE = [
     "source_vocab_overlap",
     # round 4: seasonal-adjusted anomaly screen
     "seasonal_adjusted_anomalies",
+    # round 4: Benford audit, time-in-state accounting
+    "benford_digit_audit",
+    "state_duration_accounting",
 ]
 
 

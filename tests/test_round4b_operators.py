@@ -1001,3 +1001,54 @@ class TestSeasonalAnomalies:
             )
             assert abs(g["resid_z"] - w[0]) < 1e-5
             assert g["is_anomaly"] == (abs(w[0]) > ANOM_Z)
+
+
+class TestBenford:
+    def test_digit_extraction_and_chi2(self, spark, sf_dir):
+        import math
+        from collections import Counter
+
+        import pandas as pd
+
+        from ytspark.operators.profiling import benford_digit_audit
+
+        o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+        digits = Counter(
+            str(round(v, 2))[0] for v in o.o_totalprice if v > 0
+        )
+        total = sum(digits.values())
+        rows = {r["digit"]: r for r in benford_digit_audit(spark, sf_dir).collect()}
+        assert sum(r["n_orders"] for r in rows.values()) == total
+        for d, n in digits.items():
+            r = rows[int(d)]
+            assert r["n_orders"] == n
+            p = math.log10(1 + 1 / int(d))
+            assert abs(r["benford_p"] - p) < 1e-6
+            assert abs(
+                r["chi2_term"] - (n / total - p) ** 2 / p * total
+            ) < 1e-3
+
+
+class TestStateDuration:
+    def test_matches_pandas_lag_attribution(self, spark, sf_dir):
+        import pandas as pd
+
+        from ytspark.operators.temporal import state_duration_accounting
+
+        ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+        ev = ev.sort_values(["user_id", "ts", "event_id"])
+        ev["t"] = ev.ts.astype("int64")
+        ev["next_t"] = ev.groupby("user_id").t.shift(-1)
+        ev = ev.dropna(subset=["next_t"])
+        ev["dur"] = (ev.next_t - ev.t).astype("int64")
+        got = {
+            r["state"]: (r["n_intervals"], r["total_seconds"], r["mean_interval_us"])
+            for r in state_duration_accounting(spark, sf_dir).collect()
+        }
+        for st, sub in ev.groupby("event_type"):
+            total = int(sub.dur.sum())
+            assert got[st] == (
+                len(sub),
+                total // 1_000_000,
+                total // len(sub),
+            )

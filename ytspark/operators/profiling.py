@@ -289,3 +289,69 @@ def categorical_association_battery(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (fraud/fabrication screen)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "benford_digit_audit",
+    oracle="""
+WITH d AS (
+  SELECT CAST(SUBSTR(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+              1, 1) AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice > 0
+),
+g AS (
+  SELECT digit, COUNT(*) AS n,
+         SUM(COUNT(*)) OVER () AS total
+  FROM d GROUP BY digit
+)
+SELECT digit,
+       CAST(n AS BIGINT) AS n_orders,
+       ROUND(CAST(n AS DOUBLE) / total, 6) AS observed_p,
+       ROUND(LOG10(1.0 + 1.0 / digit), 6) AS benford_p,
+       ROUND(POWER(CAST(n AS DOUBLE) / total
+                   - LOG10(1.0 + 1.0 / digit), 2)
+             / LOG10(1.0 + 1.0 / digit) * total, 6)
+         AS chi2_term
+FROM g
+""",
+    doc="Benford first-digit audit of order values — the classic "
+        "fabricated-data screen (naturally occurring multi-scale "
+        "amounts follow P(d) = log10(1 + 1/d); fabricated or "
+        "constrained values don't): observed vs expected first-digit "
+        "shares plus each digit's chi-square contribution, so an "
+        "auditor sees WHICH digit deviates, not just that the total "
+        "does. The first digit is taken from the DECIMAL(18,2) "
+        "string rendering — exact and identical on both engines "
+        "(float log10-based extraction would risk boundary ulps). "
+        "One aggregate over the scan; 9 output rows.",
+    tags=("profiling", "quality", "benford", "aggregate"),
+)
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    d = orders.where(F.col("o_totalprice") > 0).select(
+        F.substring(
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    g = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    g = g.withColumn("total", F.sum("n").over(Window.partitionBy()))
+    obs = F.col("n").cast("double") / F.col("total")
+    ben = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return g.select(
+        "digit",
+        F.col("n").cast("long").alias("n_orders"),
+        F.round(obs, 6).alias("observed_p"),
+        F.round(ben, 6).alias("benford_p"),
+        F.round(F.pow(obs - ben, 2) / ben * F.col("total"), 6).alias(
+            "chi2_term"
+        ),
+    )

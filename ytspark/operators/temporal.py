@@ -801,3 +801,59 @@ def funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.crossJoin(F.broadcast(agg)).select(
         "n_purchases", "n_matched", "p50_s", "p90_s", "p99_s", "max_gap_us"
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-in-state accounting (telemetry state-duration rollup)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "state_duration_accounting",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t,
+         LEAD(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS next_t
+  FROM events
+)
+SELECT event_type AS state,
+       CAST(COUNT(next_t) AS BIGINT) AS n_intervals,
+       CAST(SUM(next_t - t) // 1000000 AS BIGINT) AS total_seconds,
+       CAST(SUM(next_t - t) // COUNT(next_t) AS BIGINT)
+         AS mean_interval_us
+FROM seq WHERE next_t IS NOT NULL
+GROUP BY event_type
+""",
+    doc="Time-in-state accounting — the telemetry rollup behind "
+        "'how long do users sit in each status': each event opens a "
+        "state that lasts until the user's NEXT event (lead over the "
+        "(ts, event_id) total order), and durations roll up per "
+        "state — device fleets, ticket workflows, and session "
+        "analysis all reduce to this lag-attribution shape. Exact "
+        "integer microseconds end to end (integer division for the "
+        "reported seconds/means — both engines floor identically; "
+        "float division would round differently on the CAST). One "
+        "window shuffle on user_id, one rollup on the 5-value state "
+        "key.",
+    tags=("temporal", "state", "window", "aggregate"),
+)
+def state_duration_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("t"),
+        F.lead(F.unix_micros("ts")).over(w).alias("next_t"),
+    ).where(F.col("next_t").isNotNull())
+    return seq.groupBy(F.col("event_type").alias("state")).agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.expr("sum(next_t - t) div 1000000").cast("long").alias(
+            "total_seconds"
+        ),
+        F.expr("sum(next_t - t) div count(1)").cast("long").alias(
+            "mean_interval_us"
+        ),
+    )
