@@ -204,6 +204,8 @@ HEADLINE = [
     # round 4: Benford audit, time-in-state accounting
     "benford_digit_audit",
     "state_duration_accounting",
+    # round 4: tokenizer serving (BPE encode)
+    "bpe_encode_stats",
 ]
 
 

@@ -1052,3 +1052,52 @@ class TestStateDuration:
                 total // 1_000_000,
                 total // len(sub),
             )
+
+
+class TestBpeEncode:
+    def test_matches_reference_bpe_implementation(self, spark, sf_dir):
+        """Train + encode must match a from-scratch python BPE."""
+        from collections import Counter
+
+        import pandas as pd
+
+        from ytspark.operators.bpe import N_MERGES, bpe_encode_stats
+
+        docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+        vocab = Counter()
+        for t in docs.text:
+            vocab.update(t.split(" "))
+        words = {w: list(w) for w in vocab}
+        for _ in range(N_MERGES):
+            pairs = Counter()
+            for w, syms in words.items():
+                f = vocab[w]
+                for a, b in zip(syms, syms[1:]):
+                    pairs[(a, b)] += f
+            (l, r), _c = min(
+                pairs.items(), key=lambda kv: (-kv[1], kv[0])
+            )
+            for w, syms in words.items():
+                out = []
+                for x in syms:
+                    if out and out[-1] == l and x == r:
+                        out[-1] = l + r
+                    else:
+                        out.append(x)
+                words[w] = out
+        per_source = {}
+        for _, row in docs.iterrows():
+            a = per_source.setdefault(row.source, [0, 0, 0])
+            for w in row.text.split(" "):
+                a[0] += 1
+                a[1] += len(words[w])
+                a[2] += len(w)
+        rows = bpe_encode_stats(spark, sf_dir).collect()
+        for r in rows:
+            want = per_source[r["source"]]
+            assert (r["n_tokens"], r["n_symbols"], r["n_chars"]) == tuple(
+                want
+            )
+            assert abs(
+                r["chars_per_symbol"] - want[2] / want[1]
+            ) < 1e-6

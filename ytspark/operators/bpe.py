@@ -180,3 +180,73 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "step int, left_sym string, right_sym string, pair_weight long"
     )
+
+
+def _bpe_encode_oracle() -> str:
+    iters = ",".join(_bpe_iter_sql(k) for k in range(N_MERGES))
+    return f"""
+WITH v0 AS MATERIALIZED (
+  SELECT tok, COUNT(*) AS freq,
+         LIST_TRANSFORM(RANGE(1, LEN(tok) + 1), i -> tok[i]) AS s
+  FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents)
+  GROUP BY tok
+),
+{iters},
+enc AS (SELECT tok, LEN(s) AS n_sym, LEN(tok) AS n_chars
+        FROM v{N_MERGES}),
+toks AS (
+  SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
+)
+SELECT t.source,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(e.n_sym) AS BIGINT) AS n_symbols,
+       CAST(SUM(e.n_chars) AS BIGINT) AS n_chars,
+       ROUND(CAST(SUM(e.n_chars) AS DOUBLE) / SUM(e.n_sym), 6)
+         AS chars_per_symbol
+FROM toks t JOIN enc e ON t.tok = e.tok
+GROUP BY t.source
+"""
+
+
+@register(
+    "bpe_encode_stats",
+    oracle=_bpe_encode_oracle(),
+    doc=f"BPE ENCODE — the serving half of the tokenizer pair: the "
+        f"{N_MERGES} learned merges are APPLIED to every word type "
+        "(the same greedy left-to-right fold training uses), and "
+        "each source reports its corpus token count, post-merge "
+        "symbol count, character count, and chars-per-symbol "
+        "compression — how a tokenizer's effective compression is "
+        "audited per data source before training. Scale shape is "
+        "the tokenizer serving pattern itself: encode runs on the "
+        "WORD-TYPE table (millions of types, not billions of "
+        "tokens) and the corpus only joins the tiny encoded "
+        "vocabulary by token — at 100 TB that join broadcasts. The "
+        "oracle replays training AND application as chained CTEs, "
+        "so every merged symbol list is value-certified through the "
+        "per-source sums.",
+    tags=("text", "bpe", "tokenizer", "join", "aggregate"),
+)
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    _, vocab = bpe_train(docs)
+    enc = vocab.select(
+        "tok",
+        F.size("s").alias("n_sym"),
+        F.length("tok").alias("n_chars"),
+    )
+    toks = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    return (
+        toks.join(F.broadcast(enc), "tok")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("n_sym").cast("long").alias("n_symbols"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.sum("n_sym"), 6
+            ).alias("chars_per_symbol"),
+        )
+    )
