@@ -206,6 +206,8 @@ HEADLINE = [
     "state_duration_accounting",
     # round 4: tokenizer serving (BPE encode)
     "bpe_encode_stats",
+    # round 4: entity-resolution clustering
+    "fuzzy_er_clusters",
 ]
 
 

@@ -1101,3 +1101,56 @@ class TestBpeEncode:
             assert abs(
                 r["chars_per_symbol"] - want[2] / want[1]
             ) < 1e-6
+
+
+class TestFuzzyErClusters:
+    def test_matches_union_find_over_bruteforce_pairs(self, spark, sf_dir):
+        import pandas as pd
+
+        from ytspark.operators.fuzzy import MAX_EDIT, fuzzy_er_clusters
+
+        def lev1(a, b):
+            if a == b:
+                return 0
+            la, lb = len(a), len(b)
+            if abs(la - lb) > MAX_EDIT:
+                return 99
+            if la == lb:
+                return sum(x != y for x, y in zip(a, b))
+            if la > lb:
+                a, b, la, lb = b, a, lb, la
+            # one insertion: skip exactly one char of b
+            i = 0
+            while i < la and a[i] == b[i]:
+                i += 1
+            return 1 if a[i:] == b[i + 1:] else 99
+
+        cust = pd.read_parquet(f"{sf_dir}/customer.parquet")
+        parent = {k: k for k in cust.c_custkey}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for _, sub in cust.groupby("c_nationkey"):
+            recs = list(zip(sub.c_custkey, sub.c_name))
+            for i in range(len(recs)):
+                for j in range(i + 1, len(recs)):
+                    if lev1(recs[i][1], recs[j][1]) <= MAX_EDIT:
+                        ra, rb = find(recs[i][0]), find(recs[j][0])
+                        if ra != rb:
+                            parent[max(ra, rb)] = min(ra, rb)
+        from collections import Counter
+
+        nat = dict(zip(cust.c_custkey, cust.c_nationkey))
+        sizes = Counter(find(k) for k in cust.c_custkey)
+        want = {
+            (nat[root], root): n for root, n in sizes.items() if n >= 2
+        }
+        got = {
+            (r["nation"], r["entity_id"]): r["n_members"]
+            for r in fuzzy_er_clusters(spark, sf_dir).collect()
+        }
+        assert got == want
