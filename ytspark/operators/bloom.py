@@ -35,7 +35,11 @@ from pyspark.sql import functions as F
 
 from ytspark.queries import register
 from ytspark.session import load_tables
-from ytspark.operators.text import knuth_hash_col, knuth_hash_sql
+from ytspark.operators.text import (
+    knuth_hash_col,
+    knuth_hash_spark_sql,
+    knuth_hash_sql,
+)
 
 M_BITS = 4096  # filter width (64 packed longs)
 N_HASHES = 3  # probes per key
@@ -85,11 +89,7 @@ def bloom_might_contain(key_sql: str) -> F.Column:
     """
     checks = []
     for i in range(N_HASHES):
-        # knuth_hash_sql targets DuckDB; Spark spells integer
-        # division `div`, not `//` — translate for this F.expr
-        khash = knuth_hash_sql(f"({key_sql}) + {i * BLOOM_SALT}").replace(
-            "//", " div "
-        )
+        khash = knuth_hash_spark_sql(f"({key_sql}) + {i * BLOOM_SALT}")
         h = f"pmod({khash}, {M_BITS})"
         checks.append(
             f"(coalesce(element_at(bloom, CAST(({h}) DIV 64 AS BIGINT)), 0L)"

@@ -475,8 +475,15 @@ GROUP BY c.c_mktsegment
 )
 def incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "orders", "customer")
-    o_delta = F.expr(_ivm_delta_sql("o_orderkey").replace("//", " div "))
-    c_delta = F.expr(_ivm_delta_sql("c_custkey").replace("//", " div "))
+    from ytspark.operators.text import knuth_hash_spark_sql
+
+    def _delta(key: str):
+        return F.expr(
+            f"(({knuth_hash_spark_sql(key)}) % {IVM_MOD}) = 0"
+        )
+
+    o_delta = _delta("o_orderkey")
+    c_delta = _delta("c_custkey")
     o = t["orders"].withColumn("o_is_delta", o_delta)
     c = t["customer"].withColumn("c_is_delta", c_delta)
     a0, da = o.where(~F.col("o_is_delta")), o.where("o_is_delta")

@@ -353,6 +353,13 @@ def knuth_hash_sql(key_expr: str) -> str:
     )
 
 
+def knuth_hash_spark_sql(key_expr: str) -> str:
+    """Spark-SQL dialect of ``knuth_hash_sql`` (integer division is
+    spelled ``div``, not ``//``) — for F.expr call sites that need
+    the hash inline in a larger SQL fragment."""
+    return knuth_hash_sql(key_expr).replace("//", " div ")
+
+
 @register(
     "train_val_test_split",
     oracle=f"""
