@@ -78,7 +78,6 @@ _PRIORITY: tuple[str, ...] = (
     "model_dag_mart",
     "data_quality_report",
     # events analytics over the snapshot model
-    "events_sessionization",
     "events_props_map_explode",
     "events_daily_retention",
     "funnel_view_click_purchase",
@@ -95,7 +94,6 @@ _PRIORITY: tuple[str, ...] = (
     "scalar_function_battery",
     # Python-kernel matrix (applyInPandas / pandas_udf / UDTF)
     "token_entropy_pandas_udf",
-    "top_tokens_udtf",
     # temporal joins
     "range_join_clicks_after_purchase",
     # dedup family — incl. the persisted incremental store and the
@@ -146,6 +144,11 @@ _PRIORITY: tuple[str, ...] = (
     # driver passes on record and same-family mates still inside)
     "market_basket_rules",
     "fd_discovery_profile",
+    # round-4b rotation: the delta-join IVM identity and the
+    # integer-exact clamped fold (events_sessionization and
+    # top_tokens_udtf rotate out with r1-r3 driver passes on record)
+    "incremental_join_view",
+    "rate_limit_token_bucket",
     # structured streaming
     "streaming_hourly_counts",
     "streaming_stateful_user_stats",
