@@ -863,20 +863,55 @@ FROM (SELECT c_acctbal,
 GROUP BY quartile
 """,
     doc="NTILE(4) balance quartiles with a unique-key tiebreak, then "
-        "per-quartile totals. Like the moving average, the NTILE window "
-        "is global — at 100 TB the same split comes from "
-        "approx-percentile cutoffs + a bucketing join instead; this is "
-        "the exact small-dimension form.",
+        "per-quartile totals — computed WITHOUT a customer-sized "
+        "single-partition window: balances are range-bucketed, "
+        "per-bucket counts become cumulative offsets (one tiny "
+        "window over |buckets| rows), global rank = offset + "
+        "within-bucket row_number (equal balances share a bucket so "
+        "the custkey tiebreak stays local), and the tile comes from "
+        "the exact NTILE arithmetic (first N%4 tiles get one extra "
+        "row) against the broadcast total — the distributed two-pass "
+        "rank, certified against the oracle's literal NTILE.",
     tags=("window", "ntile", "aggregate"),
 )
 def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_tables(spark, sf_dir, "customer")["customer"]
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return (
-        c.select(
-            F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
-            F.ntile(4).over(w).alias("quartile"),
+    d = c.select(
+        "c_acctbal",
+        "c_custkey",
+        F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+        # acctbal spans [-999.99, 9999.99]: ~55 buckets of width 200;
+        # at 100 TB the bucket bounds come from range statistics
+        F.floor((F.col("c_acctbal") + F.lit(1000.0)) / F.lit(200.0))
+        .cast("long")
+        .alias("bucket"),
+    )
+    counts = d.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    off_w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "bucket", F.coalesce(F.sum("n").over(off_w), F.lit(0)).alias("off")
+    )
+    total = d.agg(F.count(F.lit(1)).alias("n_total"))
+    rn_w = Window.partitionBy("bucket").orderBy("c_acctbal", "c_custkey")
+    ranked = (
+        d.join(F.broadcast(offsets), "bucket")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bal",
+            "n_total",
+            (F.col("off") + F.row_number().over(rn_w)).alias("r"),
         )
+    )
+    base = F.floor(F.col("n_total") / 4)
+    rem = F.col("n_total") % 4
+    cut = rem * (base + 1)
+    tile = (
+        F.when(F.col("r") <= cut, F.ceil(F.col("r") / (base + 1)))
+        .otherwise(rem + F.ceil((F.col("r") - cut) / base))
+        .cast("long")
+    )
+    return (
+        ranked.select(tile.alias("quartile"), "bal")
         .groupBy("quartile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
@@ -1490,8 +1525,10 @@ def window_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         "o_orderpriority",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("dense_rnk"),
+        # cast long: DuckDB RANK/DENSE_RANK are BIGINT — width parity
+        # keeps the oracle gate warning-free (r4 zorder precedent)
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("dense_rnk"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
