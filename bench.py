@@ -208,6 +208,12 @@ HEADLINE = [
     "bpe_encode_stats",
     # round 4: entity-resolution clustering
     "fuzzy_er_clusters",
+    # round 5: substring-span dedup, temperature mixture weights,
+    # MI/entropy battery, pair-explosion guard
+    "dedup_repeated_ngram_spans",
+    "corpus_temperature_mixture",
+    "column_mutual_information",
+    "overlap_pair_explosion_guard",
 ]
 
 
@@ -240,6 +246,13 @@ def main() -> None:
             t0 = time.perf_counter()
             force(q.fn(spark, sf_dir))
             samples.append(time.perf_counter() - t0)
+        # drop this query's persisted intermediates: query functions
+        # return lazy DataFrames so they cannot unpersist themselves
+        # (the action runs here), and without this the cached blocks of
+        # 138 queries accumulate across the session (r4 ADVICE). Cleared
+        # AFTER the runs so intra-query cache reuse stays as measured in
+        # prior rounds.
+        spark.catalog.clearCache()
         samples.sort()
         timings[name] = round(samples[0], 3)
         mid = len(samples) // 2

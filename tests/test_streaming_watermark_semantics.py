@@ -25,20 +25,33 @@ instead of corrupting downstream results silently.
 
 from __future__ import annotations
 
+import glob
+import os
+import shutil
 import tempfile
-import time
 
 from pyspark.sql import functions as F
 
 
 def _run_windowed(spark, batches, name, delay="100 seconds"):
+    """One parquet FILE per batch, with EXPLICIT mtimes 10 s apart and
+    lexicographic names: the file-stream source orders by (mtime,
+    path), so batch order is deterministic on any filesystem — no
+    sleep()-derived mtimes that coarse timestamps or clock skew could
+    collapse (r4 ADVICE)."""
     d = tempfile.mkdtemp() + "/stage"
-    for rows in batches:
+    os.makedirs(d)
+    base_mtime = 1_000_000_000  # fixed epoch; only relative order matters
+    for i, rows in enumerate(batches):
         df = spark.createDataFrame(
             rows, "event_id long, sec long"
         ).withColumn("ts", F.timestamp_seconds(F.col("sec")))
-        df.coalesce(1).write.mode("append").parquet(d)
-        time.sleep(1.2)  # distinct mtimes => deterministic file order
+        tmp = tempfile.mkdtemp()
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        dst = os.path.join(d, f"batch-{i:04d}.parquet")
+        shutil.move(glob.glob(tmp + "/part-*.parquet")[0], dst)
+        t = base_mtime + i * 10
+        os.utime(dst, (t, t))
     schema = spark.read.parquet(d).schema
     src = (
         spark.readStream.schema(schema)

@@ -78,6 +78,8 @@ EXPECTED_NESTED_LOOP = {
     "referential_integrity_audit",   # broadcast one-row child counts
     "seasonal_adjusted_anomalies",   # event-types x broadcast day spine
     "customer_balance_quartiles",    # broadcast one-row total for NTILE math
+    "corpus_temperature_mixture",    # broadcast one-row total + normalizer
+    "column_mutual_information",     # broadcast one-row table count
 }
 # queries whose UNPARTITIONED window runs on an input bounded by
 # construction — never on data-sized rows. Every entry names its bound;

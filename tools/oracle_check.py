@@ -72,6 +72,11 @@ def dtype_mismatches(sdf, odf):
             continue
         if sf != of:
             fails.append(f"{c}: spark={sf}/{sdf[c].dtype} oracle={of}/{odf[c].dtype}")
+        elif sf == "datetime":
+            # datetime64[ns] vs [us] is pandas' internal unit, not an
+            # engine type difference — both sides are TIMESTAMP and the
+            # value compare uses isoformat; never a width warn
+            continue
         elif str(sdf[c].dtype) != str(odf[c].dtype):
             warns.append(f"{c}: spark={sdf[c].dtype} oracle={odf[c].dtype}")
     return fails, warns
@@ -127,6 +132,10 @@ def main() -> int:
             continue
         try:
             sdf = q.fn(spark, sf_dir).toPandas()
+            # query fns persist() shared intermediates and, being lazy,
+            # cannot unpersist them before the action; drop them here so
+            # cached blocks don't accumulate over the 200+-query run
+            spark.catalog.clearCache()
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"spark error: {str(e).splitlines()[0][:200]}"))
             record(name, "fail", err=f"spark error: {str(e).splitlines()[0][:200]}")

@@ -43,7 +43,7 @@ class Secrets:
         """The JSON blob for ``name``, from the first provider that
         has it. Raises KeyError listing the searched chain."""
         if name in self._cache:
-            return self._cache[name]
+            return dict(self._cache[name])
         blob = self._overrides.get(name)
         if blob is None:
             raw = os.environ.get(f"{self.ENV_PREFIX}{name}")
@@ -60,7 +60,9 @@ class Secrets:
                 f"${self.ENV_PREFIX}{name}, ${self.FILE_VAR})"
             )
         self._cache[name] = blob
-        return blob
+        # return a copy: a caller mutating the blob (e.g. popping the
+        # password after use) must not corrupt later resolutions
+        return dict(blob)
 
     # -- reference-parity accessors --------------------------------
 

@@ -40,6 +40,13 @@ from ytspark.queries import register
 from ytspark.session import load_tables
 
 N_MERGES = 6
+# truncate the vocab DataFrame's lineage every K merges: each merge
+# stacks an F.aggregate rewrite on the plan, and a real tokenizer
+# build (10k+ merges) would otherwise blow up analysis/optimization
+# time long before execution does. An eager localCheckpoint
+# materializes the current vocab (vocabulary-sized, not corpus-sized)
+# and restarts the plan from it.
+CHECKPOINT_EVERY = 16
 
 
 def _bpe_iter_sql(k: int) -> str:
@@ -112,6 +119,15 @@ def bpe_train(docs: DataFrame, n_merges: int = N_MERGES):
     (step, left, right, weighted_count) merges — each iteration's
     argmax is a 1-row bounded collect — and the vocabulary DataFrame
     with merged symbol lists.
+
+    Cost envelope per merge: one vocabulary-sized job (pair explode +
+    weighted count + 1-row argmax collect) = one driver round trip —
+    n_merges round trips total, inherent to BPE's sequential
+    dependency (merge k+1's statistics depend on merge k's rewrite).
+    Lineage is truncated by an eager localCheckpoint every
+    ``CHECKPOINT_EVERY`` merges so plan depth stays bounded at any
+    merge budget; between checkpoints the plan carries at most
+    CHECKPOINT_EVERY stacked aggregate-HOF rewrites.
     """
     vocab = (
         docs.select(F.explode(F.split("text", " ")).alias("tok"))
@@ -152,6 +168,8 @@ def bpe_train(docs: DataFrame, n_merges: int = N_MERGES):
             ).otherwise(F.concat(acc, F.array(x))),
         )
         v = v.select("tok", "freq", merged.alias("s"))
+        if step % CHECKPOINT_EVERY == 0:
+            v = v.localCheckpoint(eager=True)
     return merges, v
 
 

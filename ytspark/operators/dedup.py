@@ -1645,3 +1645,93 @@ def dedup_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_lo", "doc_hi", F.round(jac, 6).alias("jaccard"))
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Repeated n-gram span detection (substring-level duplication profile)
+# ---------------------------------------------------------------------------
+
+SPAN_N = 8  # span width in tokens
+
+
+@register(
+    "dedup_repeated_ngram_spans",
+    oracle=f"""
+WITH g AS (
+  SELECT doc_id, UNNEST(LIST_TRANSFORM(
+           RANGE(1, GREATEST(LEN(STRING_SPLIT(text, ' ')) - {SPAN_N - 1}, 0) + 1),
+           i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i:i+{SPAN_N - 1}], ' ')))
+         AS gram
+  FROM documents
+),
+df AS (SELECT gram, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY gram),
+pd AS (
+  SELECT g.doc_id, COUNT(*) AS n_grams,
+         SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS dup_grams
+  FROM g JOIN df USING (gram)
+  GROUP BY g.doc_id
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(pd.n_grams) AS BIGINT) AS total_grams,
+       CAST(SUM(pd.dup_grams) AS BIGINT) AS dup_grams,
+       ROUND(CAST(SUM(pd.dup_grams) AS DOUBLE) / SUM(pd.n_grams), 6)
+         AS dup_fraction,
+       CAST(SUM(CASE WHEN pd.dup_grams * 2 >= pd.n_grams THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_docs_majority_dup
+FROM pd JOIN documents d USING (doc_id)
+GROUP BY d.source
+""",
+    doc=f"SUBSTRING-level duplication profile — the distributed "
+        f"analogue of suffix-array span dedup over training corpora "
+        f"(find text reused ACROSS documents that whole-document and "
+        f"near-dup hashing both miss): every word-{SPAN_N}-gram "
+        f"POSITION in every document is checked against the corpus-"
+        f"wide gram document-frequency, and each source reports its "
+        f"span count, cross-document duplicated-span count and "
+        f"fraction, and how many documents are majority-duplicated "
+        f"(the delete/trim candidates). Fixed-width grams make the "
+        f"suffix-array idea shuffle-friendly: one doc_id-partitioned "
+        f"window builds gram positions (reusing the codegen'd "
+        f"shingle builder), one gram-keyed aggregate computes df, "
+        f"and the join back is position-bounded (each gram position "
+        f"joins exactly one df row — no fanout, hot grams cannot "
+        f"explode, unlike pair-joins). Per-doc then per-source "
+        f"aggregates are map-side combinable. Docs under {SPAN_N} "
+        f"tokens carry no span on either engine.",
+    tags=("dedup", "text", "ngram", "span", "aggregate"),
+)
+def dedup_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    g = shingle_rows(docs, n=SPAN_N, distinct=False)
+    dfreq = g.groupBy("shingle").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    per_doc = (
+        g.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias(
+                "dup_grams"
+            ),
+        )
+    )
+    return (
+        per_doc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_grams").cast("long").alias("total_grams"),
+            F.sum("dup_grams").cast("long").alias("dup_grams"),
+            F.round(
+                F.sum("dup_grams").cast("double") / F.sum("n_grams"), 6
+            ).alias("dup_fraction"),
+            F.sum(
+                F.when(F.col("dup_grams") * 2 >= F.col("n_grams"), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_docs_majority_dup"),
+        )
+    )

@@ -75,7 +75,10 @@ def fuzzy_self_join(
             "edit_distance", F.levenshtein("name_a", "name_b", max_edit)
         )
         .where(F.col("edit_distance") >= 0)
-        .select("name_a", "name_b", "edit_distance")
+        # long: DuckDB LEVENSHTEIN is BIGINT (width parity)
+        .select(
+            "name_a", "name_b", F.col("edit_distance").cast("long").alias("edit_distance")
+        )
         .distinct()
     )
 

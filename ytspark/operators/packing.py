@@ -181,7 +181,8 @@ walk AS (
          CASE WHEN w.fill + s.t <= {PACK_BUDGET} THEN w.fill + s.t ELSE s.t END
   FROM walk w JOIN seq s ON s.g = w.g AND s.rn = w.rn + 1
 )
-SELECT g, bin, COUNT(*) AS n_docs, CAST(SUM(t) AS BIGINT) AS fill_tokens,
+SELECT g, CAST(bin AS BIGINT) AS bin,
+       COUNT(*) AS n_docs, CAST(SUM(t) AS BIGINT) AS fill_tokens,
        CAST(SUM(CASE WHEN t > {PACK_BUDGET} THEN 1 ELSE 0 END) AS BIGINT)
          AS n_oversize
 FROM walk

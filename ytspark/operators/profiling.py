@@ -355,3 +355,100 @@ def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2_term"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mutual information / entropy battery (the chi2 battery's twin in nats)
+# ---------------------------------------------------------------------------
+
+
+def _mi_sql(table: str, ca: str, cb: str) -> str:
+    return f"""
+SELECT '{ca}' AS col_a, '{cb}' AS col_b, CAST(MAX(n) AS BIGINT) AS n,
+       ROUND(-SUM(pij * LN(na * 1.0 / n)), 6) AS h_a,
+       ROUND(-SUM(pij * LN(nb * 1.0 / n)), 6) AS h_b,
+       ROUND(-SUM(pij * LN(nij * 1.0 / n)), 6) AS h_ab,
+       ROUND(SUM(pij * LN(nij * 1.0 * n / (na * nb))), 6) AS mi
+FROM (
+  SELECT nij, na, nb, n, nij * 1.0 / n AS pij
+  FROM (
+    SELECT {ca} AS a, {cb} AS b, COUNT(*) AS nij FROM {table} GROUP BY 1, 2
+  ) j
+  JOIN (SELECT {ca} AS a, COUNT(*) AS na FROM {table} GROUP BY 1) ra USING (a)
+  JOIN (SELECT {cb} AS b, COUNT(*) AS nb FROM {table} GROUP BY 1) rb USING (b)
+  CROSS JOIN (SELECT COUNT(*) AS n FROM {table})
+)"""
+
+
+@register(
+    "column_mutual_information",
+    oracle="\nUNION ALL\n".join(_mi_sql(*p) for p in ASSOC_PAIRS),
+    doc="Column-dependence battery in INFORMATION units: per column "
+        "pair, the marginal entropies H(a)/H(b), the joint entropy "
+        "H(a,b), and the mutual information I(a;b) = H(a)+H(b)-H(a,b) "
+        "in nats — the schema-discovery signal (near-zero MI: safe to "
+        "model independently; MI near min(H): one column determines "
+        "the other, the soft-FD detector complementing the exact "
+        "fd_discovery_profile and the chi2 battery's significance "
+        "view). Everything derives from EXACT integer cell counts: "
+        "the marginal sums ride along each joint cell (sum over b of "
+        "nij = na), so one grid-sized join + one aggregate computes "
+        "all four statistics — no second scan, no windows; the table "
+        "count is a broadcast one-row scalar (allowlisted BNLJ). "
+        "Logs over identical exact rationals round identically at "
+        "6 dp on both engines.",
+    tags=("profiling", "statistics", "entropy", "aggregate"),
+)
+def column_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = load_tables(
+        spark, sf_dir, *sorted({t for t, _, _ in ASSOC_PAIRS})
+    )
+    out = None
+    for table, ca, cb in ASSOC_PAIRS:
+        tbl = tables[table]
+        joint = tbl.groupBy(
+            F.col(ca).alias("a"), F.col(cb).alias("b")
+        ).agg(F.count(F.lit(1)).alias("nij"))
+        ra = tbl.groupBy(F.col(ca).alias("a")).agg(
+            F.count(F.lit(1)).alias("na")
+        )
+        rb = tbl.groupBy(F.col(cb).alias("b")).agg(
+            F.count(F.lit(1)).alias("nb")
+        )
+        tot = tbl.agg(F.count(F.lit(1)).alias("n"))
+        m = (
+            joint.join(ra, "a")
+            .join(rb, "b")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "nij", "na", "nb", "n",
+                (F.col("nij") * 1.0 / F.col("n")).alias("pij"),
+            )
+        )
+        pij = F.col("pij")
+        row = m.agg(
+            F.lit(ca).alias("col_a"),
+            F.lit(cb).alias("col_b"),
+            F.max("n").cast("long").alias("n"),
+            F.round(
+                -F.sum(pij * F.log(F.col("na") * 1.0 / F.col("n"))), 6
+            ).alias("h_a"),
+            F.round(
+                -F.sum(pij * F.log(F.col("nb") * 1.0 / F.col("n"))), 6
+            ).alias("h_b"),
+            F.round(
+                -F.sum(pij * F.log(F.col("nij") * 1.0 / F.col("n"))), 6
+            ).alias("h_ab"),
+            F.round(
+                F.sum(
+                    pij
+                    * F.log(
+                        F.col("nij") * 1.0 * F.col("n")
+                        / (F.col("na") * F.col("nb"))
+                    )
+                ),
+                6,
+            ).alias("mi"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

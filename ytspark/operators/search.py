@@ -171,7 +171,8 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        # long: DuckDB ROW_NUMBER is BIGINT (width parity)
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .where(F.col("rk") <= TFIDF_TOP)
         .select("doc_id", "rk", "term", "tfidf")
     )

@@ -436,7 +436,7 @@ def embedding_scalar_quantization(spark: SparkSession, sf_dir: str) -> DataFrame
     s2 = s1.select(
         "vec_id",
         "v",
-        F.array_size("v").alias("n_dims"),
+        F.array_size("v").cast("long").alias("n_dims"),
         F.array_min("v").alias("lo"),
         F.array_max("v").alias("hi"),
     )

@@ -358,7 +358,10 @@ LIMIT {OVERLAP_TOP_K}
         "this operator is for SPARSE interval sets (sessions, "
         "incidents, deploy windows) where per-block populations are "
         "small, and dense co-presence questions route to the "
-        "sketch/heavy-hitter family instead.",
+        "sketch/heavy-hitter family instead — a rule made ASSERTABLE "
+        "by the overlap_pair_explosion_guard companion, which "
+        "computes the exact blocked candidate-pair volume against "
+        "OVERLAP_PAIR_BUDGET before this join runs.",
     tags=("temporal", "join", "interval", "aggregate"),
 )
 def user_activity_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -394,6 +397,59 @@ def user_activity_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("total_overlap_us").desc(), "ua", "ub")
         .limit(OVERLAP_TOP_K)
+    )
+
+
+# Assertable routing threshold for the exact interval-overlap join:
+# the blocked candidate-pair volume (sum over blocks of n*(n-1)/2)
+# this operator is sized for. Above it, dense co-presence questions
+# route to the sketch/heavy-hitter family instead of the exact join —
+# the rule the overlap docstring states in prose, made checkable here.
+OVERLAP_PAIR_BUDGET = 100_000_000
+
+
+@register(
+    "overlap_pair_explosion_guard",
+    oracle=f"""
+WITH pop AS (
+  SELECT CAST(ts AS DATE) AS d, COUNT(DISTINCT user_id) AS n
+  FROM events GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(MAX(n) AS BIGINT) AS max_day_users,
+       CAST(MAX(n * (n - 1) // 2) AS BIGINT) AS max_day_pairs,
+       CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS total_candidate_pairs,
+       SUM(n * (n - 1) // 2) <= {OVERLAP_PAIR_BUDGET} AS within_budget
+FROM pop
+""",
+    doc="Pair-explosion guard for user_activity_overlap_pairs: the "
+        "exact per-day candidate-pair count the temporally-blocked "
+        "interval join WILL evaluate (sum over day blocks of "
+        "n*(n-1)/2), computed from per-block populations BEFORE "
+        "running the join — one tiny aggregate over the span table. "
+        f"within_budget asserts the {OVERLAP_PAIR_BUDGET:,}-pair "
+        "routing threshold: below it the exact join is the right "
+        "plan; above it (dense co-presence at 100 TB) the question "
+        "routes to the sketch/heavy-hitter family. This is the "
+        "check-then-run pattern for any blocked pairwise operator — "
+        "the same shape join_explosion_profile applies to equi-join "
+        "keys, specialized to the interval-blocking day key.",
+    tags=("temporal", "guard", "scale", "aggregate"),
+)
+def overlap_pair_explosion_guard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    pop = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count_distinct("user_id").alias("n")
+    )
+    pairs = F.expr("n * (n - 1) div 2")
+    return pop.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.max("n").cast("long").alias("max_day_users"),
+        F.max(pairs).cast("long").alias("max_day_pairs"),
+        F.sum(pairs).cast("long").alias("total_candidate_pairs"),
+        (F.sum(pairs) <= F.lit(OVERLAP_PAIR_BUDGET)).alias("within_budget"),
     )
 
 

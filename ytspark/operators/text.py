@@ -65,9 +65,10 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_distinct = F.array_size(F.array_distinct(toks))
     return docs.select(
         "doc_id",
-        F.length("text").alias("n_chars"),
-        n_tokens.alias("n_tokens"),
-        n_distinct.alias("n_distinct_tokens"),
+        # long: DuckDB LENGTH/LEN are BIGINT (width parity)
+        F.length("text").cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        n_distinct.cast("long").alias("n_distinct_tokens"),
         (n_distinct.cast("double") / n_tokens).alias("ttr"),
         (
             F.length(F.regexp_replace(F.col("text"), " ", "")).cast("double")
@@ -153,8 +154,13 @@ def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     return docs.select(
         "doc_id",
-        F.regexp_count(F.col("text"), F.lit(r"[a-z]+")).alias("n_word_tokens"),
-        F.regexp_count(F.col("text"), F.lit(r"[a-z]{1,4}")).alias("n_bpe_pieces"),
+        # long: DuckDB LEN is BIGINT (width parity)
+        F.regexp_count(F.col("text"), F.lit(r"[a-z]+"))
+        .cast("long")
+        .alias("n_word_tokens"),
+        F.regexp_count(F.col("text"), F.lit(r"[a-z]{1,4}"))
+        .cast("long")
+        .alias("n_bpe_pieces"),
     )
 
 
@@ -319,9 +325,9 @@ def doc_overlap_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(
             " ", F.slice(F.col("t"), F.col("start") + 1, CHUNK_TOKENS)
         ).alias("chunk_text"),
-        F.least(F.lit(CHUNK_TOKENS), F.col("n") - F.col("start")).alias(
-            "n_chunk_tokens"
-        ),
+        F.least(F.lit(CHUNK_TOKENS), F.col("n") - F.col("start"))
+        .cast("long")
+        .alias("n_chunk_tokens"),
     )
 
 
@@ -345,10 +351,17 @@ def knuth_hash_col(key) -> "F.Column":
 
 
 def knuth_hash_sql(key_expr: str) -> str:
-    """DuckDB twin of ``knuth_hash_col`` over an integer SQL expression."""
+    """DuckDB twin of ``knuth_hash_col`` over an integer SQL expression.
+
+    The first reduction folds negatives back into [0, 2^32) — DuckDB's
+    ``%`` is sign-preserving while the Spark twin uses ``pmod``, so
+    without it a negative key would silently diverge cross-engine
+    (r4 ADVICE). Later ``%`` are applied to nonnegative products only.
+    """
+    k = f"(((({key_expr}) % {SPLIT_MOD}) + {SPLIT_MOD}) % {SPLIT_MOD})"
     return (
-        f"((((({key_expr}) % {SPLIT_MOD}) // 65536) * {_KNUTH}) % {SPLIT_MOD}"
-        f" * 65536 + ((({key_expr}) % {SPLIT_MOD}) % 65536) * {_KNUTH})"
+        f"((({k} // 65536) * {_KNUTH}) % {SPLIT_MOD}"
+        f" * 65536 + ({k} % 65536) * {_KNUTH})"
         f" % {SPLIT_MOD}"
     )
 
@@ -709,9 +722,10 @@ def name_edit_distance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_tables(spark, sf_dir, "customer")["customer"]
     return (
         cust.groupBy(
-            F.levenshtein(F.col("c_name"), F.lit("Customer#000000500")).alias(
-                "edit_distance"
-            )
+            # long: DuckDB LEVENSHTEIN is BIGINT (width parity)
+            F.levenshtein(F.col("c_name"), F.lit("Customer#000000500"))
+            .cast("long")
+            .alias("edit_distance")
         )
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
@@ -1325,4 +1339,69 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("jaccard"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture weights (multinomial alpha-sampling)
+# ---------------------------------------------------------------------------
+
+MIX_TEMP_ALPHA = 0.3  # the multilingual-LM standard temperature exponent
+
+
+@register(
+    "corpus_temperature_mixture",
+    oracle=f"""
+WITH s AS (
+  SELECT source, SUM(LEN(STRING_SPLIT(text, ' '))) AS n_tokens
+  FROM documents GROUP BY source
+),
+t AS (SELECT SUM(n_tokens) AS total FROM s),
+w AS (
+  SELECT source, n_tokens,
+         CAST(n_tokens AS DOUBLE) / total AS p,
+         POWER(CAST(n_tokens AS DOUBLE) / total, {MIX_TEMP_ALPHA}) AS wgt
+  FROM s CROSS JOIN t
+),
+z AS (SELECT SUM(wgt) AS zsum FROM w)
+SELECT source,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND(p, 6) AS p_natural,
+       ROUND(wgt / zsum, 6) AS p_temperature,
+       ROUND((wgt / zsum) / p, 6) AS upsample_factor
+FROM w CROSS JOIN z
+""",
+    doc=f"Temperature-scaled sampling weights per corpus source — the "
+        f"alpha-sampling rule (q_i proportional to p_i^alpha, alpha="
+        f"{MIX_TEMP_ALPHA}) that multilingual/multi-source LM "
+        f"training uses to up-weight small sources without letting "
+        f"them dominate: each source reports its natural token share, "
+        f"its temperature-flattened sampling probability, and the "
+        f"implied upsample factor that corpus_mixture_upsample then "
+        f"realizes row-wise. Scale shape: one token-count aggregate "
+        f"over the corpus (map-side combinable) collapses to "
+        f"|sources| rows; the total and the normalizer are one-row "
+        f"broadcast scalars (BNLJ by design, allowlisted) — "
+        f"everything after the first aggregate is dimension-sized.",
+    tags=("text", "sampling", "mixture", "aggregate", "pipeline"),
+)
+def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    s = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens")
+    )
+    t = s.agg(F.sum("n_tokens").alias("total"))
+    p = F.col("n_tokens").cast("double") / F.col("total")
+    w = s.crossJoin(F.broadcast(t)).select(
+        "source", "n_tokens", p.alias("p"),
+        F.pow(p, F.lit(MIX_TEMP_ALPHA)).alias("wgt"),
+    )
+    z = w.agg(F.sum("wgt").alias("zsum"))
+    q = F.col("wgt") / F.col("zsum")
+    return w.crossJoin(F.broadcast(z)).select(
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("p", 6).alias("p_natural"),
+        F.round(q, 6).alias("p_temperature"),
+        F.round(q / F.col("p"), 6).alias("upsample_factor"),
     )

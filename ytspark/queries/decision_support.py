@@ -124,7 +124,12 @@ def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .where(F.col("sn_key") != F.col("cn_key"))
-        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            # long: DuckDB EXTRACT(YEAR ...) is BIGINT (width parity)
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
         .agg(F.sum(_rev()).cast("double").alias("revenue"))
     )
 
@@ -164,7 +169,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(
             F.col("n_name").alias("nation"),
-            F.year("o_orderdate").alias("order_year"),
+            # long: DuckDB EXTRACT(YEAR ...) is BIGINT (width parity)
+            F.year("o_orderdate").cast("long").alias("order_year"),
         )
         .agg(F.sum(_rev() - cost).cast("double").alias("profit"))
     )
@@ -502,7 +508,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(asia), F.col("c_nationkey") == F.col("cn_key"))
         .join(maybe_broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
-        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
         .agg(
             (F.sum(nation7_rev).cast("double") / F.sum(_rev()).cast("double")).alias(
                 "mkt_share"

@@ -1035,7 +1035,7 @@ def priority_price_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume_dist"),
-        F.dense_rank().over(w).alias("drank"),
+        F.dense_rank().over(w).cast("long").alias("drank"),
     )
 
 
@@ -1473,9 +1473,10 @@ def range_frame_trailing_week(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.where(F.col("o_orderkey") <= 20000)
         .groupBy(
             F.col("o_orderpriority").alias("pri"),
-            F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01")).alias(
-                "day_no"
-            ),
+            # long: the oracle's day arithmetic is BIGINT (width parity)
+            F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01"))
+            .cast("long")
+            .alias("day_no"),
         )
         .agg(
             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
@@ -1627,20 +1628,20 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH rev AS (
   SELECT c.c_mktsegment AS seg, c.c_custkey AS k,
-         SUM(o.o_totalprice) AS r
+         SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS r
   FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
   GROUP BY 1, 2
 ),
 ranked AS (
-  SELECT seg, r,
+  SELECT seg, r, CAST(r AS DOUBLE) AS rd,
          ROW_NUMBER() OVER (PARTITION BY seg ORDER BY r, k) AS i,
          COUNT(*) OVER (PARTITION BY seg) AS n
   FROM rev
 )
 SELECT seg,
        CAST(MAX(n) AS BIGINT) AS n_customers,
-       ROUND(SUM(r), 2) AS total_revenue,
-       ROUND(2.0 * SUM(i * r) / (MAX(n) * SUM(r))
+       ROUND(CAST(SUM(r) AS DOUBLE), 2) AS total_revenue,
+       ROUND(2.0 * SUM(i * rd) / (MAX(n) * SUM(rd))
              - (MAX(n) + 1.0) / MAX(n), 6) AS gini
 FROM ranked
 GROUP BY seg
@@ -1671,21 +1672,25 @@ def revenue_gini_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_mktsegment").alias("seg"),
             F.col("c_custkey").alias("k"),
         )
-        .agg(F.sum("o_totalprice").alias("r"))
+        # DECIMAL money determinism (repo policy, ADVICE r4): the
+        # per-customer sum is exact, so the rank order and the total
+        # cannot flip at a .005 boundary under summation reorder
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("r"))
     )
     w = Window.partitionBy("seg").orderBy("r", "k")
     ranked = rev.select(
         "seg",
         "r",
+        F.col("r").cast("double").alias("rd"),
         F.row_number().over(w).alias("i"),
         F.count(F.lit(1)).over(Window.partitionBy("seg")).alias("n"),
     )
     return ranked.groupBy("seg").agg(
         F.max("n").cast("long").alias("n_customers"),
-        F.round(F.sum("r"), 2).alias("total_revenue"),
+        F.round(F.sum("r").cast("double"), 2).alias("total_revenue"),
         F.round(
-            F.lit(2.0) * F.sum(F.col("i") * F.col("r"))
-            / (F.max("n") * F.sum("r"))
+            F.lit(2.0) * F.sum(F.col("i") * F.col("rd"))
+            / (F.max("n") * F.sum("rd"))
             - (F.max("n") + F.lit(1.0)) / F.max("n"),
             6,
         ).alias("gini"),
