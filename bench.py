@@ -214,6 +214,9 @@ HEADLINE = [
     "corpus_temperature_mixture",
     "column_mutual_information",
     "overlap_pair_explosion_guard",
+    # round 5: in-engine quality evaluation of the approximate indexes
+    "ann_recall_eval",
+    "dedup_lsh_recall_eval",
 ]
 
 

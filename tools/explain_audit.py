@@ -80,6 +80,8 @@ EXPECTED_NESTED_LOOP = {
     "customer_balance_quartiles",    # broadcast one-row total for NTILE math
     "corpus_temperature_mixture",    # broadcast one-row total + normalizer
     "column_mutual_information",     # broadcast one-row table count
+    "ann_recall_eval",               # composes the broadcast-query KNN pipelines
+    "dedup_lsh_recall_eval",         # broadcast one-row candidate count
 }
 # queries whose UNPARTITIONED window runs on an input bounded by
 # construction — never on data-sized rows. Every entry names its bound;

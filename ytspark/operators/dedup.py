@@ -1735,3 +1735,76 @@ def dedup_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_docs_majority_dup"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup quality evaluation: banded-LSH recall/precision vs exact Jaccard
+# ---------------------------------------------------------------------------
+
+
+def _lsh_recall_oracle() -> str:
+    from ytspark.queries import _REGISTRY
+
+    exact = _REGISTRY["dedup_ngram_jaccard"].oracle
+    est = _checkable_minhash_oracle()
+    return f"""
+WITH t AS (SELECT doc_a, doc_b FROM ({exact})),
+c AS (SELECT doc_a, doc_b FROM ({est})),
+h AS (SELECT COUNT(*) AS n_hits FROM t JOIN c USING (doc_a, doc_b)),
+tt AS (SELECT COUNT(*) AS n_true FROM t),
+cc AS (SELECT COUNT(*) AS n_est FROM c)
+SELECT CAST(n_true AS BIGINT) AS n_true_pairs,
+       CAST(n_est AS BIGINT) AS n_est_pairs,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       ROUND(n_hits * 1.0 / n_true, 6) AS lsh_recall,
+       ROUND(n_hits * 1.0 / n_est, 6) AS lsh_precision
+FROM tt CROSS JOIN cc CROSS JOIN h
+"""
+
+
+def _register_lsh_recall() -> None:
+    @register(
+        "dedup_lsh_recall_eval",
+        oracle=_lsh_recall_oracle(),
+        doc="DEDUP QUALITY EVALUATION — the companion of "
+            "ann_recall_eval for the near-dup family: recall and "
+            "precision of the banded MinHash-LSH candidate pairs "
+            "(checkable-hash pipeline, est Jaccard >= 0.5) against "
+            "the exact shingle-blocked Jaccard >= 0.8 ground truth, "
+            "computed in-engine as a join of two already-certified "
+            "pipelines — so the dedup index's quality numbers are "
+            "themselves cross-engine exact and a banding/permutation "
+            "regression fails the gate. Scale shape: both components "
+            "are the blocked (never all-pairs) pipelines; the eval "
+            "join is pair-list-sized; the three count scalars are "
+            "one-row broadcasts (allowlisted BNLJ).",
+        tags=("dedup", "evaluation", "minhash", "lsh", "join"),
+    )
+    def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_tables(spark, sf_dir, "documents")["documents"]
+        true_pairs = ngram_jaccard_pairs(docs, threshold=0.8, max_df=None).select(
+            "doc_a", "doc_b"
+        )
+        est_pairs = minhash_pairs_checkable(docs).select(
+            "doc_a", "doc_b", F.lit(1).alias("hit")
+        )
+        joined = true_pairs.join(est_pairs, ["doc_a", "doc_b"], "left")
+        t = joined.agg(
+            F.count(F.lit(1)).alias("n_true_pairs"),
+            F.count("hit").cast("long").alias("n_hits"),
+        )
+        c = est_pairs.agg(F.count(F.lit(1)).alias("n_est_pairs"))
+        return t.crossJoin(F.broadcast(c)).select(
+            "n_true_pairs",
+            "n_est_pairs",
+            "n_hits",
+            F.round(F.col("n_hits") * 1.0 / F.col("n_true_pairs"), 6).alias(
+                "lsh_recall"
+            ),
+            F.round(F.col("n_hits") * 1.0 / F.col("n_est_pairs"), 6).alias(
+                "lsh_precision"
+            ),
+        )
+
+
+_register_lsh_recall()
