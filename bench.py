@@ -217,6 +217,9 @@ HEADLINE = [
     # round 5: in-engine quality evaluation of the approximate indexes
     "ann_recall_eval",
     "dedup_lsh_recall_eval",
+    # round 5: exact two-pass order statistics + dedup application
+    "exact_percentiles_two_pass",
+    "dedup_apply_keep_canonical",
 ]
 
 

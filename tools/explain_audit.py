@@ -82,6 +82,7 @@ EXPECTED_NESTED_LOOP = {
     "column_mutual_information",     # broadcast one-row table count
     "ann_recall_eval",               # composes the broadcast-query KNN pipelines
     "dedup_lsh_recall_eval",         # broadcast one-row candidate count
+    "exact_percentiles_two_pass",    # 3-target x tiny-histogram theta join
 }
 # queries whose UNPARTITIONED window runs on an input bounded by
 # construction — never on data-sized rows. Every entry names its bound;
@@ -97,6 +98,7 @@ EXPECTED_GLOBAL_WINDOW = {
     "hilbert_layout_stats",        # disclosed gate-scale ntile stand-in
     "benford_digit_audit",         # grand-total over the 9-digit pre-aggregate
     "categorical_association_battery",  # totals over the |a|x|b| category grid
+    "exact_percentiles_two_pass",  # offsets over the fixed-width bucket table
 }
 # streaming queries execute eagerly; skip plan audit (they materialize
 # their own sinks and are correctness-checked by the oracle gate)

@@ -1806,3 +1806,103 @@ def _register_lsh_recall() -> None:
 
 
 _register_lsh_recall()
+
+
+# ---------------------------------------------------------------------------
+# Dedup APPLICATION: keep-canonical materialization accounting
+# ---------------------------------------------------------------------------
+
+
+def _keep_canonical_oracle() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  {_checkable_minhash_oracle()}
+),
+edges(s, d) AS (
+  SELECT doc_a, doc_b FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+nodes(n) AS (
+  SELECT doc_a FROM pairs UNION SELECT doc_b FROM pairs
+),
+reach(n, l) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT e.d, r.l FROM reach r JOIN edges e ON e.s = r.n
+),
+labels AS (SELECT n, MIN(l) AS label FROM reach GROUP BY n),
+d AS (
+  SELECT doc_id, source, LEN(STRING_SPLIT(text, ' ')) AS t FROM documents
+),
+marked AS (
+  SELECT d.source, d.t,
+         CASE WHEN l.n IS NULL OR l.label = d.doc_id THEN 1 ELSE 0 END AS keep
+  FROM d LEFT JOIN labels l ON l.n = d.doc_id
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(keep) AS BIGINT) AS n_kept,
+       CAST(COUNT(*) - SUM(keep) AS BIGINT) AS n_removed,
+       CAST(SUM(CASE WHEN keep = 1 THEN t ELSE 0 END) AS BIGINT)
+         AS tokens_kept,
+       CAST(SUM(CASE WHEN keep = 0 THEN t ELSE 0 END) AS BIGINT)
+         AS tokens_removed
+FROM marked GROUP BY source
+"""
+
+
+def _register_keep_canonical() -> None:
+    @register(
+        "dedup_apply_keep_canonical",
+        oracle=_keep_canonical_oracle(),
+        doc="Dedup APPLICATION — the step that actually shrinks the "
+            "corpus: MinHash-LSH pairs -> connected components -> keep "
+            "the component's min doc_id (the canonical representative; "
+            "unclustered docs always survive), reported as per-source "
+            "kept/removed document and token accounting — the numbers "
+            "a training-data pipeline records in its datasheet after "
+            "every dedup pass. End-to-end hash-certified: the "
+            "checkable-hash pair graph and a WITH RECURSIVE "
+            "reachability replay let DuckDB recompute the exact same "
+            "component labels, so the keep/remove DECISION for every "
+            "document — not just cluster counts — is cross-engine "
+            "certified. Scale shape: components via bounded-round "
+            "min-label propagation (localCheckpoint per round), then "
+            "one broadcast-or-shuffle join of labels (|clustered "
+            "docs|, << corpus) back to the corpus and one aggregate.",
+        tags=("dedup", "minhash", "clustering", "pipeline", "checkable"),
+    )
+    def dedup_apply_keep_canonical(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        docs = load_tables(spark, sf_dir, "documents")["documents"]
+        pairs = minhash_pairs_checkable(docs).select("doc_a", "doc_b")
+        labels = connected_components(pairs, "doc_a", "doc_b").withColumnRenamed(
+            "node", "doc_id"
+        )
+        d = docs.select(
+            "doc_id", "source", F.size(F.split("text", " ")).alias("t")
+        )
+        keep = F.when(
+            F.col("label").isNull() | (F.col("label") == F.col("doc_id")), 1
+        ).otherwise(0)
+        return (
+            d.join(labels, "doc_id", "left")
+            .select("source", "t", keep.alias("keep"))
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("keep").cast("long").alias("n_kept"),
+                (F.count(F.lit(1)) - F.sum("keep"))
+                .cast("long")
+                .alias("n_removed"),
+                F.sum(F.when(F.col("keep") == 1, F.col("t")).otherwise(0))
+                .cast("long")
+                .alias("tokens_kept"),
+                F.sum(F.when(F.col("keep") == 0, F.col("t")).otherwise(0))
+                .cast("long")
+                .alias("tokens_removed"),
+            )
+        )
+
+
+_register_keep_canonical()

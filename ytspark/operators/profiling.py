@@ -452,3 +452,78 @@ def column_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Exact order statistics via two-pass bucket histogram (no global sort)
+# ---------------------------------------------------------------------------
+
+PCTL_TARGETS = (("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+PCTL_BUCKET_WIDTH = 1000.0
+
+
+@register(
+    "exact_percentiles_two_pass",
+    oracle="""
+WITH d AS (SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v FROM orders),
+n AS (SELECT COUNT(*) AS n FROM d),
+t(pname, p) AS (VALUES ('p50', 0.5), ('p90', 0.9), ('p99', 0.99)),
+k AS (SELECT pname, p, CAST(CEIL(p * n.n) AS BIGINT) AS k FROM t CROSS JOIN n),
+r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM d)
+SELECT pname, p, k, CAST(v AS DOUBLE) AS value
+FROM k JOIN r ON r.rn = k.k
+""",
+    doc="EXACT percentiles (k-th smallest, k = ceil(p*N)) computed "
+        "WITHOUT a global sort — the two-pass distributed selection "
+        "that replaces approx_percentile when the answer must be "
+        "exact at 100 TB: pass 1 histograms values into fixed-width "
+        "buckets (one map-side-combinable aggregate; cumulative "
+        "counts over the tiny bucket table locate each target's "
+        "bucket and its within-bucket rank), pass 2 ranks ONLY the "
+        "rows of the ~3 target buckets (a partitioned window over "
+        "1/width of the data) and picks the k - offset smallest. "
+        "DECIMAL values make the order exact cross-engine; ties "
+        "share a value so the selected order statistic is "
+        "deterministic under any tiebreak. The oracle is the naive "
+        "full-sort ROW_NUMBER definition — feasible at gate scale, "
+        "which is exactly why the two-pass form exists for the real "
+        "one. The 3 x |buckets| target-location theta join is a "
+        "broadcast of the tiny cumulative histogram (allowlisted).",
+    tags=("profiling", "percentile", "statistics", "scale", "aggregate"),
+)
+def exact_percentiles_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    d = orders.select(
+        F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+        F.floor(F.col("o_totalprice") / F.lit(PCTL_BUCKET_WIDTH))
+        .cast("long")
+        .alias("bucket"),
+    )
+    hist = d.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+    # cumulative offsets over the bucket table: bounded (|value
+    # range| / width rows), never data-sized
+    ow = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.select(
+        "bucket", "c", F.coalesce(F.sum("c").over(ow), F.lit(0)).alias("off")
+    )
+    tot = d.agg(F.count(F.lit(1)).alias("n"))
+    targets = (
+        spark.createDataFrame(list(PCTL_TARGETS), "pname string, p double")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "pname", "p", F.ceil(F.col("p") * F.col("n")).cast("long").alias("k")
+        )
+    )
+    located = targets.join(
+        F.broadcast(cum),
+        (F.col("k") > F.col("off")) & (F.col("k") <= F.col("off") + F.col("c")),
+    ).select("pname", "p", "k", "bucket", "off")
+    wv = Window.partitionBy("pname").orderBy("v")
+    return (
+        d.join(F.broadcast(located), "bucket")
+        .withColumn("rn", F.row_number().over(wv))
+        .where(F.col("rn") == F.col("k") - F.col("off"))
+        .select("pname", "p", "k", F.col("v").cast("double").alias("value"))
+    )
