@@ -220,6 +220,9 @@ HEADLINE = [
     # round 5: exact two-pass order statistics + dedup application
     "exact_percentiles_two_pass",
     "dedup_apply_keep_canonical",
+    # round 5: multimodal decode->transform->encode round trips
+    "multimodal_image_resize",
+    "multimodal_audio_resample",
 ]
 
 

@@ -538,3 +538,204 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "duration_us bigint, sum_ch0 bigint, sum_ch1 bigint"
         ),
     )
+
+
+@register(
+    "multimodal_image_resize",
+    oracle=f"""
+WITH px AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+  FROM documents WHERE doc_id < {N_DECODE_DOCS}
+),
+dims AS (
+  SELECT doc_id, w, h, (w + 1) // 2 AS w2, (h + 1) // 2 AS h2 FROM px
+),
+xs AS (SELECT doc_id, w, h, w2, h2, UNNEST(RANGE(0, w2)) AS x2 FROM dims),
+grid AS (SELECT doc_id, w, h, w2, h2, x2, UNNEST(RANGE(0, h2)) AS y2 FROM xs)
+SELECT doc_id,
+       CAST(w2 AS BIGINT) AS out_w,
+       CAST(h2 AS BIGINT) AS out_h,
+       CAST(w2 * h2 AS BIGINT) AS n_pixels,
+       CAST(SUM((doc_id*7 + (2*x2)*3 + (2*y2)*5) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM((doc_id*11 + (2*x2)*2 + (2*y2)*7) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((doc_id*13 + (2*x2)*5 + (2*y2)*2) % 256) AS BIGINT) AS sum_b
+FROM grid GROUP BY doc_id, w2, h2
+""",
+    doc="REAL image RESIZE, end to end: the deterministic P6 PPM "
+        "payload (pixel (x,y) a pure function of doc_id, so the "
+        "oracle recomputes it relationally) is decoded by the real "
+        "PPM parser, nearest-neighbor downsampled 2x (output pixel "
+        "(x2, y2) = source pixel (2*x2, 2*y2) — the exact index "
+        "arithmetic the oracle replays in SQL), re-encoded and "
+        "re-decoded through the codec (round-trip proof), and the "
+        "resized per-channel sums verified value-for-value "
+        "cross-engine. The decode->transform->encode kernel is the "
+        "multimodal preprocessing shape (thumbnailing, patching for "
+        "vision models) as one Arrow-batched mapInPandas pass, no "
+        "shuffle; at 100 TB partitioning is by asset and the kernel "
+        "is embarrassingly parallel.",
+    tags=("multimodal", "binary", "decode", "resize", "pandas-udf"),
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = (
+        load_tables(spark, sf_dir, "documents")["documents"]
+        .where(F.col("doc_id") < N_DECODE_DOCS)
+        .select("doc_id")
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 4 + d % 5, 3 + d % 4
+                pixels = bytes(
+                    v
+                    for y in range(h)
+                    for x in range(w)
+                    for v in (
+                        (d * 7 + x * 3 + y * 5) % 256,
+                        (d * 11 + x * 2 + y * 7) % 256,
+                        (d * 13 + x * 5 + y * 2) % 256,
+                    )
+                )
+                sw, sh, raster = decode_ppm(encode_ppm(w, h, pixels))
+                w2, h2 = (sw + 1) // 2, (sh + 1) // 2
+                resized = bytes(
+                    raster[((2 * y2) * sw + (2 * x2)) * 3 + c]
+                    for y2 in range(h2)
+                    for x2 in range(w2)
+                    for c in (0, 1, 2)
+                )
+                # round-trip the RESIZED image through the codec too
+                rw, rh, rr = decode_ppm(encode_ppm(w2, h2, resized))
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "out_w": rw,
+                        "out_h": rh,
+                        "n_pixels": rw * rh,
+                        "sum_r": sum(rr[0::3]),
+                        "sum_g": sum(rr[1::3]),
+                        "sum_b": sum(rr[2::3]),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        kernel,
+        schema=(
+            "doc_id bigint, out_w bigint, out_h bigint, n_pixels bigint, "
+            "sum_r bigint, sum_g bigint, sum_b bigint"
+        ),
+    )
+
+
+@register(
+    "multimodal_audio_resample",
+    oracle=f"""
+WITH au AS (
+  SELECT doc_id,
+         8000 + (doc_id % 3) * 4000 AS rate,
+         1 + doc_id % 2 AS channels,
+         64 + doc_id % 64 AS n_frames
+  FROM documents WHERE doc_id < {N_AUDIO_DOCS}
+),
+grid AS (
+  SELECT doc_id, rate, channels, n_frames,
+         UNNEST(RANGE(0, n_frames, 2)) AS i
+  FROM au
+)
+SELECT doc_id,
+       CAST(rate // 2 AS BIGINT) AS out_rate,
+       channels,
+       CAST((n_frames + 1) // 2 AS BIGINT) AS out_frames,
+       CAST((n_frames + 1) // 2 * 1000000 // (rate // 2) AS BIGINT)
+         AS duration_us,
+       CAST(SUM((doc_id*31 + i*17) % 4096 - 2048) AS BIGINT) AS sum_ch0,
+       CAST(SUM(CASE WHEN channels = 2
+                     THEN (doc_id*31 + i*17 + 23) % 4096 - 2048
+                     ELSE 0 END) AS BIGINT) AS sum_ch1
+FROM grid
+GROUP BY doc_id, rate, channels, n_frames
+""",
+    doc="REAL audio RESAMPLE (2x decimation), end to end: the "
+        "deterministic PCM waveform is decoded by the RIFF chunk "
+        "walker, every second frame is kept (integer-exact decimation "
+        "to rate/2 — the index arithmetic the oracle replays via "
+        "RANGE(0, n, 2)), the decimated signal is re-encoded and "
+        "re-decoded through the WAV codec (round-trip proof), and "
+        "the resampled per-channel sums + the new integer-exact "
+        "duration verified cross-engine. Together with "
+        "multimodal_image_resize this certifies the "
+        "decode->transform->encode preprocessing shape on both "
+        "modalities; one Arrow-batched mapInPandas pass, no shuffle, "
+        "embarrassingly parallel by asset.",
+    tags=("multimodal", "binary", "audio", "resample", "pandas-udf"),
+)
+def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import struct
+
+    import pandas as pd
+
+    docs = (
+        load_tables(spark, sf_dir, "documents")["documents"]
+        .where(F.col("doc_id") < N_AUDIO_DOCS)
+        .select("doc_id")
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                rate = 8000 + (d % 3) * 4000
+                channels = 1 + d % 2
+                n_frames = 64 + d % 64
+                frames = [
+                    (d * 31 + i * 17 + c * 23) % 4096 - 2048
+                    for i in range(n_frames)
+                    for c in range(channels)
+                ]
+                payload = encode_wav(
+                    rate,
+                    channels,
+                    struct.pack(f"<{len(frames)}h", *frames),
+                    extra_chunk=b"INFOsynthetic" if d % 3 == 0 else None,
+                )
+                drate, dch, chans = decode_wav(payload)
+                # decimate: every 2nd frame, all channels
+                deci = [ch[0::2] for ch in chans]
+                out_rate = drate // 2
+                inter = [
+                    deci[c][i]
+                    for i in range(len(deci[0]))
+                    for c in range(dch)
+                ]
+                rpayload = encode_wav(
+                    out_rate, dch, struct.pack(f"<{len(inter)}h", *inter)
+                )
+                rrate, rch, rchans = decode_wav(rpayload)
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "out_rate": rrate,
+                        "channels": rch,
+                        "out_frames": len(rchans[0]),
+                        "duration_us": len(rchans[0]) * 1_000_000 // rrate,
+                        "sum_ch0": sum(rchans[0]),
+                        "sum_ch1": sum(rchans[1]) if rch == 2 else 0,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        kernel,
+        schema=(
+            "doc_id bigint, out_rate bigint, channels bigint, "
+            "out_frames bigint, duration_us bigint, "
+            "sum_ch0 bigint, sum_ch1 bigint"
+        ),
+    )
