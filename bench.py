@@ -223,6 +223,9 @@ HEADLINE = [
     # round 5: multimodal decode->transform->encode round trips
     "multimodal_image_resize",
     "multimodal_audio_resample",
+    # round 5: schema-evolution scan + ANSI try_* error-safety battery
+    "schema_evolution_read",
+    "try_arithmetic_battery",
 ]
 
 

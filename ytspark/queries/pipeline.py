@@ -796,3 +796,64 @@ def json_roundtrip_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("arr_sum"),
         "nested_priority",
     )
+
+
+@register(
+    "schema_evolution_read",
+    oracle="""
+WITH merged AS (
+  SELECT doc_id, source, NULL::BIGINT AS n_chars
+  FROM documents WHERE doc_id < 100
+  UNION ALL
+  SELECT doc_id, NULL, n_chars
+  FROM documents WHERE doc_id >= 100 AND doc_id < 200
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_source,
+       CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_nchars,
+       CAST(SUM(COALESCE(n_chars, 0)) AS BIGINT) AS total_chars
+FROM merged
+""",
+    doc="SCHEMA EVOLUTION read — the capability the reference's "
+        "per-channel CSVs implicitly rely on (channel schemas drift "
+        "as the API adds fields): two parquet batches are written "
+        "with DIFFERENT schemas (batch 1: doc_id+source; batch 2: "
+        "doc_id+n_chars), then read back in ONE scan with "
+        "mergeSchema=true — Spark unions the footers into the "
+        "superset schema and fills absent columns with NULL. The "
+        "query certifies exactly that contract (row count, per-batch "
+        "NULL counts, and the sum over the late-added column) "
+        "against a relational replay. At 100 TB this is the "
+        "bronze-layer reality: years of appends under an evolving "
+        "schema read as one table, no rewrite — the same property "
+        "Delta/Iceberg formalize, demonstrated on raw parquet.",
+    tags=("pipeline", "schema-evolution", "scan", "aggregate"),
+)
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    base = tempfile.mkdtemp() + "/evolving"
+    docs.where(F.col("doc_id") < 100).select("doc_id", "source").write.parquet(
+        base + "/b1"
+    )
+    docs.where(
+        (F.col("doc_id") >= 100) & (F.col("doc_id") < 200)
+    ).select("doc_id", "n_chars").write.parquet(base + "/b2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        base + "/b1", base + "/b2"
+    )
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("source").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_source"),
+        F.sum(F.when(F.col("n_chars").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_nchars"),
+        F.sum(F.coalesce(F.col("n_chars"), F.lit(0)))
+        .cast("long")
+        .alias("total_chars"),
+    )

@@ -1892,3 +1892,71 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@register(
+    "try_arithmetic_battery",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 10 = 0 THEN NULL
+            ELSE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 // (o_orderkey % 10)
+       END AS try_div,
+       CASE WHEN o_orderkey % 3 = 0
+            THEN CAST(9223372036854775807 AS BIGINT)
+            ELSE o_orderkey + 1 END AS try_add_guarded,
+       CASE WHEN o_orderkey % 3 = 0 THEN NULL
+            ELSE o_orderkey + 1 END AS try_add_overflow,
+       TRY_CAST(CASE WHEN o_orderkey % 2 = 0
+                     THEN CAST(o_orderkey AS VARCHAR)
+                     ELSE o_orderstatus || 'x' END AS BIGINT) AS try_cast_int,
+       CASE WHEN LEN(STRING_SPLIT(o_orderpriority, '-')) >= 3
+            THEN STRING_SPLIT(o_orderpriority, '-')[3] END AS try_elem
+FROM orders WHERE o_orderkey <= 1000
+""",
+    doc="ANSI ERROR-SAFETY battery: with spark.sql.ansi.enabled=true "
+        "(this engine's default) bad arithmetic RAISES, and the "
+        "try_* family is the lenient contract — this query certifies "
+        "each lenient form returns NULL exactly where strict mode "
+        "would error: try_divide by a cycling 0 divisor, try_add at "
+        "BIGINT max (overflow -> NULL, proven against a guarded "
+        "replay), try_cast of non-numeric strings, try_element_at "
+        "past the array end. The oracle replays every NULL site "
+        "relationally (CASE guards / TRY_CAST), so the engine's "
+        "error-handling SEMANTICS — not just happy-path values — "
+        "are hash-certified. Pure projections, one scan, no shuffle.",
+    tags=("functions", "scalar", "ansi", "nulls"),
+)
+def try_arithmetic_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")["orders"].where(
+        F.col("o_orderkey") <= 1000
+    )
+    big = F.lit(9223372036854775807).cast("long")
+    return o.select(
+        "o_orderkey",
+        F.try_divide(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"),
+            F.col("o_orderkey") % 10,
+        ).cast("long").alias("try_div"),
+        # guarded twin: what the overflow operand WAS (proves the
+        # overflow branch is the one exercised)
+        F.when(F.col("o_orderkey") % 3 == 0, big)
+        .otherwise(F.col("o_orderkey") + 1)
+        .alias("try_add_guarded"),
+        F.try_add(
+            F.when(F.col("o_orderkey") % 3 == 0, big).otherwise(
+                F.col("o_orderkey")
+            ),
+            F.lit(1),
+        ).alias("try_add_overflow"),
+        F.when(
+            F.col("o_orderkey") % 2 == 0,
+            F.col("o_orderkey").cast("string"),
+        )
+        .otherwise(F.concat(F.col("o_orderstatus"), F.lit("x")))
+        .try_cast("long")
+        .alias("try_cast_int"),
+        F.try_element_at(
+            F.split("o_orderpriority", "-"), F.lit(3)
+        ).alias("try_elem"),
+    )
