@@ -252,3 +252,33 @@ class TestRound5Operators:
         )
         assert guard["total_candidate_pairs"] == actual
         assert guard["within_budget"] is True
+
+
+class TestKnuthHashSignSafety:
+    def test_negative_keys_agree_cross_engine(self, spark):
+        """r4 ADVICE: DuckDB's % is sign-preserving while the Spark
+        twin uses pmod, so a negative key used to silently diverge.
+        The SQL twin now folds into [0, 2^32) first — prove agreement
+        on negatives, zero, and extremes."""
+        import duckdb
+
+        from pyspark.sql import functions as F
+
+        from ytspark.operators.text import knuth_hash_col, knuth_hash_sql
+
+        keys = [0, 1, -1, -2, 7, -999_999_937, 2**31, -(2**31),
+                2**62, -(2**62), 123456789, -123456789]
+        df = spark.createDataFrame([(k,) for k in keys], "k long")
+        got = {
+            r["k"]: r["h"]
+            for r in df.select("k", knuth_hash_col(F.col("k")).alias("h")).collect()
+        }
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t(k BIGINT)")
+        con.executemany("INSERT INTO t VALUES (?)", [(k,) for k in keys])
+        want = dict(
+            con.execute(f"SELECT k, {knuth_hash_sql('k')} FROM t").fetchall()
+        )
+        assert got == want
+        # every hash is in the canonical range
+        assert all(0 <= h < 2**32 for h in got.values())

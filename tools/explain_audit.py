@@ -83,6 +83,7 @@ EXPECTED_NESTED_LOOP = {
     "ann_recall_eval",               # composes the broadcast-query KNN pipelines
     "dedup_lsh_recall_eval",         # broadcast one-row candidate count
     "exact_percentiles_two_pass",    # 3-target x tiny-histogram theta join
+    "hilbert_layout_stats",          # broadcast one-row total for NTILE math
 }
 # queries whose UNPARTITIONED window runs on an input bounded by
 # construction — never on data-sized rows. Every entry names its bound;
@@ -95,7 +96,7 @@ EXPECTED_GLOBAL_WINDOW = {
     "hybrid_search_rrf",           # rank over <=RRF_LIST rows after LIMIT
     "skyline_pareto_parts",        # sweep over |distinct price| pre-aggregate
     "stratified_sample_exact",     # allocation window over |sources| rows
-    "hilbert_layout_stats",        # disclosed gate-scale ntile stand-in
+    "hilbert_layout_stats",        # offsets over the 256-bucket curve table
     "benford_digit_audit",         # grand-total over the 9-digit pre-aggregate
     "categorical_association_battery",  # totals over the |a|x|b| category grid
     "exact_percentiles_two_pass",  # offsets over the fixed-width bucket table

@@ -232,15 +232,46 @@ def hilbert_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     h = pts.withColumn("d", hilbert_col(F.col("x"), F.col("y")))
-    # equal-row file cuts via exact NTILE: certification apparatus for
-    # the spans a repartitionByRange(d) rewrite would produce (ties of
-    # (d, x, y) are interchangeable rows, so per-file value multisets
-    # — and their min/max spans — are deterministic). The production
-    # rewrite path is repartitionByRange(d).sortWithinPartitions(d);
-    # the global window here is the exactness stand-in at gate scale.
-    f = F.ntile(N_FILES).over(Window.orderBy("d", "x", "y")).cast("long")
+    # equal-row file cuts via the exact NTILE arithmetic computed with
+    # the bucketed-offsets distributed rank (the quartiles recipe) —
+    # NO data-sized single-partition window: curve distances bucket by
+    # their top bits (256 order-aligned buckets; ties of d share a
+    # bucket so the (x, y) tiebreak stays local), per-bucket counts
+    # become cumulative offsets over the tiny bucket table, global
+    # rank = offset + within-bucket row_number, and the file id comes
+    # from the exact NTILE rule (first N%k tiles get one extra row)
+    # against the broadcast total. This IS the certification twin of
+    # the production repartitionByRange(d).sortWithinPartitions(d)
+    # rewrite — per-file value multisets, hence min/max spans, are
+    # deterministic because tied (d, x, y) rows are interchangeable.
+    hb = h.withColumn(
+        "bucket", (F.col("d") / F.lit(1 << HBITS)).cast("long")
+    )
+    counts = hb.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+    ow = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "bucket", F.coalesce(F.sum("c").over(ow), F.lit(0)).alias("off")
+    )
+    total = hb.agg(F.count(F.lit(1)).alias("n_total"))
+    rw = Window.partitionBy("bucket").orderBy("d", "x", "y")
+    ranked = (
+        hb.join(F.broadcast(offsets), "bucket")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "x", "y", "n_total",
+            (F.col("off") + F.row_number().over(rw)).alias("r"),
+        )
+    )
+    base = F.floor(F.col("n_total") / N_FILES)
+    rem = F.col("n_total") % N_FILES
+    cut = rem * (base + 1)
+    f = (
+        F.when(F.col("r") <= cut, F.ceil(F.col("r") / (base + 1)))
+        .otherwise(rem + F.ceil((F.col("r") - cut) / base))
+        .cast("long")
+    )
     return (
-        h.select("x", "y", f.alias("file_id"))
+        ranked.select("x", "y", f.alias("file_id"))
         .groupBy("file_id")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
