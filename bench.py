@@ -226,6 +226,8 @@ HEADLINE = [
     # round 5: schema-evolution scan + ANSI try_* error-safety battery
     "schema_evolution_read",
     "try_arithmetic_battery",
+    # round 5: deterministic negative sampling for contrastive pairs
+    "negative_sample_pairs",
 ]
 
 

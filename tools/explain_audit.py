@@ -84,6 +84,7 @@ EXPECTED_NESTED_LOOP = {
     "dedup_lsh_recall_eval",         # broadcast one-row candidate count
     "exact_percentiles_two_pass",    # 3-target x tiny-histogram theta join
     "hilbert_layout_stats",          # broadcast one-row total for NTILE math
+    "negative_sample_pairs",         # broadcast one-row max part id
 }
 # queries whose UNPARTITIONED window runs on an input bounded by
 # construction — never on data-sized rows. Every entry names its bound;

@@ -346,3 +346,109 @@ def corpus_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_docs_out", F.lit(0)).alias("n_docs_out"),
         F.coalesce("tokens_out", F.lit(0)).alias("tokens_out"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic negative sampling for contrastive training pairs
+# ---------------------------------------------------------------------------
+
+NEG_K = 3  # negatives sampled per positive pair
+_NEG_SALT = 7919
+
+
+@register(
+    "negative_sample_pairs",
+    oracle=f"""
+WITH pos AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderkey <= 20000
+),
+mx AS (SELECT MAX(p_partkey) AS max_pk FROM part),
+neg AS (
+  SELECT pos.c, j,
+         ({knuth_hash_sql(f"pos.c * 31 + pos.p * 17 + j * {_NEG_SALT}")})
+           % mx.max_pk + 1 AS np
+  FROM pos
+  CROSS JOIN (SELECT UNNEST(RANGE(1, {NEG_K} + 1)) AS j)
+  CROSS JOIN mx
+)
+SELECT j,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(CASE WHEN q.c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_accidental_pos,
+       ROUND(SUM(CASE WHEN q.c IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS accidental_rate,
+       CAST(SUM(np) AS BIGINT) AS sample_checksum
+FROM neg
+LEFT JOIN pos q ON q.c = neg.c AND q.p = neg.np
+GROUP BY j
+""",
+    doc=f"Deterministic NEGATIVE SAMPLING — the contrastive-training "
+        f"data-prep step (recommendation / embedding / reranker "
+        f"training needs k negatives per positive pair): for every "
+        f"observed (customer, part) purchase pair, {NEG_K} pseudo-"
+        f"random negative part ids are drawn via the overflow-safe "
+        f"Knuth hash over (pair, slot) — no RNG state, replay-safe "
+        f"under retries, identical across engines — and the battery "
+        f"reports, per slot, the sample count, the ACCIDENTAL-"
+        f"POSITIVE count (sampled negatives that are actually "
+        f"observed pairs — the contamination metric a contrastive "
+        f"pipeline must track, since uncorrected false negatives "
+        f"poison the loss), the rate, and a membership checksum that "
+        f"certifies the exact sampled ids cross-engine. Scale shape: "
+        f"hash projection + one broadcast scalar (max part id) + one "
+        f"equi-join back to the positives on the sampled key — no "
+        f"shuffle beyond the positive-pair distinct and the "
+        f"accidental-hit join, both on natural keys.",
+    tags=("packing", "sampling", "negatives", "join", "pipeline"),
+)
+def negative_sample_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders", "lineitem", "part")
+    pos = (
+        t["orders"]
+        .where(F.col("o_orderkey") <= 20000)
+        .join(
+            t["lineitem"],
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    mx = t["part"].agg(F.max("p_partkey").alias("max_pk"))
+    # long literals: DuckDB RANGE yields BIGINT (width parity)
+    slots = F.explode(
+        F.array(*[F.lit(j).cast("long") for j in range(1, NEG_K + 1)])
+    ).alias("j")
+    neg = (
+        pos.select("c", "p", slots)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "c",
+            "j",
+            (
+                F.pmod(
+                    knuth_hash_col(
+                        F.col("c") * 31 + F.col("p") * 17 + F.col("j") * _NEG_SALT
+                    ),
+                    F.col("max_pk"),
+                )
+                + 1
+            ).alias("np"),
+        )
+    )
+    q = pos.select(F.col("c"), F.col("p").alias("np"), F.lit(1).alias("hit"))
+    return (
+        neg.join(q, ["c", "np"], "left")
+        .groupBy("j")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum(F.coalesce("hit", F.lit(0)))
+            .cast("long")
+            .alias("n_accidental_pos"),
+            F.round(
+                F.sum(F.coalesce("hit", F.lit(0))) * 1.0 / F.count(F.lit(1)), 6
+            ).alias("accidental_rate"),
+            F.sum("np").cast("long").alias("sample_checksum"),
+        )
+    )
