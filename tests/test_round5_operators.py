@@ -282,3 +282,30 @@ class TestKnuthHashSignSafety:
         assert got == want
         # every hash is in the canonical range
         assert all(0 <= h < 2**32 for h in got.values())
+
+
+class TestBucketedJoinQuery:
+    def test_registered_query_join_is_exchange_free(self, spark, sf_dir):
+        """bucketed_join_revenue's fact-fact join must plan with no
+        Exchange on the bucket key (the aggregation after it may
+        exchange on the group key — that's not the join)."""
+        import io
+        import contextlib
+
+        from ytspark.queries import registry
+
+        # disable size-gated broadcast: at gate scale the tiny orders
+        # side broadcasts (also fine); past the threshold — the 100 TB
+        # case — the plan must be the exchange-free SortMergeJoin
+        thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            df = registry()["bucketed_join_revenue"].fn(spark, sf_dir)
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "hashpartitioning(okey" not in plan
