@@ -228,6 +228,8 @@ HEADLINE = [
     "try_arithmetic_battery",
     # round 5: deterministic negative sampling for contrastive pairs
     "negative_sample_pairs",
+    # round 5: certified bucketed co-located fact-fact join
+    "bucketed_join_revenue",
 ]
 
 
