@@ -244,9 +244,12 @@ def hilbert_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the production repartitionByRange(d).sortWithinPartitions(d)
     # rewrite — per-file value multisets, hence min/max spans, are
     # deterministic because tied (d, x, y) rows are interchangeable.
+    # persist: the 4-state-machine curve fold is the expensive
+    # expression, and THREE consumers (bucket counts, total, rank
+    # pass) would otherwise each recompute it over the full scan
     hb = h.withColumn(
         "bucket", (F.col("d") / F.lit(1 << HBITS)).cast("long")
-    )
+    ).persist()
     counts = hb.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
     ow = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
