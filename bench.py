@@ -230,6 +230,8 @@ HEADLINE = [
     "negative_sample_pairs",
     # round 5: certified bucketed co-located fact-fact join
     "bucketed_join_revenue",
+    # round 5: classifier evaluation battery over the NB matrix
+    "classifier_eval_metrics",
 ]
 
 

@@ -85,6 +85,7 @@ EXPECTED_NESTED_LOOP = {
     "exact_percentiles_two_pass",    # 3-target x tiny-histogram theta join
     "hilbert_layout_stats",          # broadcast one-row total for NTILE math
     "negative_sample_pairs",         # broadcast one-row max part id
+    "classifier_eval_metrics",       # broadcast one-row accuracy scalar
 }
 # queries whose UNPARTITIONED window runs on an input bounded by
 # construction — never on data-sized rows. Every entry names its bound;

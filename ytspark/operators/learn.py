@@ -510,3 +510,106 @@ def trend_by_priority_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept("y", "x"), 6).alias("intercept_m"),
         F.round(F.regr_r2("y", "x"), 6).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Classifier evaluation battery (precision/recall/F1 over the NB matrix)
+# ---------------------------------------------------------------------------
+
+
+def _classifier_eval_oracle() -> str:
+    return f"""
+WITH cm AS (SELECT true_lang, pred_lang, n FROM ({_NB_ORACLE})),
+act AS (SELECT true_lang AS lang, SUM(n) AS n_true FROM cm GROUP BY 1),
+prd AS (SELECT pred_lang AS lang, SUM(n) AS n_pred FROM cm GROUP BY 1),
+tp AS (SELECT true_lang AS lang, SUM(n) AS tp FROM cm
+       WHERE true_lang = pred_lang GROUP BY 1),
+tot AS (SELECT SUM(n) AS n_total,
+               SUM(CASE WHEN true_lang = pred_lang THEN n ELSE 0 END) AS n_correct
+        FROM cm)
+SELECT act.lang,
+       CAST(act.n_true AS BIGINT) AS n_true,
+       CAST(COALESCE(prd.n_pred, 0) AS BIGINT) AS n_pred,
+       CAST(COALESCE(tp.tp, 0) AS BIGINT) AS tp,
+       CASE WHEN COALESCE(prd.n_pred, 0) > 0
+            THEN ROUND(COALESCE(tp.tp, 0) * 1.0 / prd.n_pred, 6) END
+         AS prec,
+       ROUND(COALESCE(tp.tp, 0) * 1.0 / act.n_true, 6) AS recall,
+       CASE WHEN COALESCE(tp.tp, 0) > 0
+            THEN ROUND(2.0 * (tp.tp * 1.0 / prd.n_pred)
+                           * (tp.tp * 1.0 / act.n_true)
+                       / (tp.tp * 1.0 / prd.n_pred
+                          + tp.tp * 1.0 / act.n_true), 6)
+            ELSE 0.0 END AS f1,
+       ROUND(tot.n_correct * 1.0 / tot.n_total, 6) AS accuracy
+FROM act
+LEFT JOIN prd ON prd.lang = act.lang
+LEFT JOIN tp ON tp.lang = act.lang
+CROSS JOIN tot
+"""
+
+
+def _register_classifier_eval() -> None:
+    @register(
+        "classifier_eval_metrics",
+        oracle=_classifier_eval_oracle(),
+        doc="CLASSIFIER EVALUATION battery — per-class precision, "
+            "recall, F1 and overall accuracy derived from the in-engine "
+            "Naive Bayes language classifier's confusion matrix (itself "
+            "hash-certified): the model-eval step of an ML data "
+            "pipeline, run where the data lives instead of exporting "
+            "predictions. Composes the certified NB oracle as a nested "
+            "CTE, so the metric VALUES — including the never-predicted-"
+            "class NULL-precision edge and the tp=0 -> F1=0 convention "
+            "— are cross-engine exact. Everything after the confusion "
+            "matrix is |classes|-sized; the overall accuracy is a "
+            "broadcast one-row scalar (allowlisted BNLJ).",
+        tags=("learn", "evaluation", "classifier", "aggregate"),
+    )
+    def classifier_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+        cm = lang_nb_classifier(spark, sf_dir)
+        act = cm.groupBy(F.col("true_lang").alias("lang")).agg(
+            F.sum("n").alias("n_true")
+        )
+        prd = cm.groupBy(F.col("pred_lang").alias("lang")).agg(
+            F.sum("n").alias("n_pred")
+        )
+        tp = (
+            cm.where(F.col("true_lang") == F.col("pred_lang"))
+            .groupBy(F.col("true_lang").alias("lang"))
+            .agg(F.sum("n").alias("tp"))
+        )
+        tot = cm.agg(
+            F.sum("n").alias("n_total"),
+            F.sum(
+                F.when(
+                    F.col("true_lang") == F.col("pred_lang"), F.col("n")
+                ).otherwise(0)
+            ).alias("n_correct"),
+        )
+        tpc = F.coalesce(F.col("tp"), F.lit(0))
+        npred = F.coalesce(F.col("n_pred"), F.lit(0))
+        p = tpc * 1.0 / F.col("n_pred")
+        r = tpc * 1.0 / F.col("n_true")
+        return (
+            act.join(prd, "lang", "left")
+            .join(tp, "lang", "left")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "lang",
+                F.col("n_true").cast("long").alias("n_true"),
+                npred.cast("long").alias("n_pred"),
+                tpc.cast("long").alias("tp"),
+                F.when(npred > 0, F.round(p, 6)).alias("prec"),
+                F.round(r, 6).alias("recall"),
+                F.when(tpc > 0, F.round(2.0 * p * r / (p + r), 6))
+                .otherwise(F.lit(0.0))
+                .alias("f1"),
+                F.round(F.col("n_correct") * 1.0 / F.col("n_total"), 6).alias(
+                    "accuracy"
+                ),
+            )
+        )
+
+
+_register_classifier_eval()
