@@ -232,6 +232,8 @@ HEADLINE = [
     "bucketed_join_revenue",
     # round 5: classifier evaluation battery over the NB matrix
     "classifier_eval_metrics",
+    # round 5: per-group exact median, fully partitioned two-pass
+    "grouped_exact_median_two_pass",
 ]
 
 

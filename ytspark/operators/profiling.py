@@ -527,3 +527,78 @@ def exact_percentiles_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == F.col("k") - F.col("off"))
         .select("pname", "p", "k", F.col("v").cast("double").alias("value"))
     )
+
+
+@register(
+    "grouped_exact_median_two_pass",
+    oracle="""
+WITH d AS (
+  SELECT o_orderpriority AS pri, CAST(o_totalprice AS DECIMAL(18,2)) AS v
+  FROM orders
+),
+n AS (SELECT pri, COUNT(*) AS n FROM d GROUP BY pri),
+k AS (SELECT pri, n, CAST(CEIL(0.5 * n) AS BIGINT) AS k FROM n),
+r AS (SELECT pri, v, ROW_NUMBER() OVER (PARTITION BY pri ORDER BY v) AS rn
+      FROM d)
+SELECT k.pri, CAST(k.n AS BIGINT) AS n_orders, k.k,
+       CAST(r.v AS DOUBLE) AS median_price
+FROM k JOIN r ON r.pri = k.pri AND r.rn = k.k
+""",
+    doc="PER-GROUP exact median (k-th smallest, k = ceil(n/2)) via "
+        "the two-pass bucket histogram, fully partitioned: with a "
+        "group key every step partitions naturally — per-(group, "
+        "bucket) counts, cumulative offsets per group over its own "
+        "tiny bucket list, and a rank pass over only each group's "
+        "target bucket — so unlike the global exact_percentiles_"
+        "two_pass there is NO unpartitioned window anywhere, and "
+        "group skew splits across buckets. DECIMAL values make the "
+        "order exact cross-engine; the oracle is the naive per-group "
+        "full-sort definition. This is the exact-median-per-segment "
+        "query a 100 TB fact table answers with two aggregate-shaped "
+        "passes instead of a per-group sort.",
+    tags=("profiling", "percentile", "statistics", "scale", "window"),
+)
+def grouped_exact_median_two_pass(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    d = orders.select(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+        F.floor(F.col("o_totalprice") / F.lit(PCTL_BUCKET_WIDTH))
+        .cast("long")
+        .alias("bucket"),
+    )
+    hist = d.groupBy("pri", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    ow = (
+        Window.partitionBy("pri")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = hist.select(
+        "pri",
+        "bucket",
+        "c",
+        F.coalesce(F.sum("c").over(ow), F.lit(0)).alias("off"),
+    )
+    n = d.groupBy("pri").agg(F.count(F.lit(1)).alias("n"))
+    k = n.select(
+        "pri", "n", F.ceil(F.lit(0.5) * F.col("n")).cast("long").alias("k")
+    )
+    located = k.join(cum, "pri").where(
+        (F.col("k") > F.col("off")) & (F.col("k") <= F.col("off") + F.col("c"))
+    ).select("pri", "n", "k", "bucket", "off")
+    wv = Window.partitionBy("pri").orderBy("v")
+    return (
+        d.join(F.broadcast(located), ["pri", "bucket"])
+        .withColumn("rn", F.row_number().over(wv))
+        .where(F.col("rn") == F.col("k") - F.col("off"))
+        .select(
+            "pri",
+            F.col("n").cast("long").alias("n_orders"),
+            "k",
+            F.col("v").cast("double").alias("median_price"),
+        )
+    )
