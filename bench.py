@@ -234,6 +234,8 @@ HEADLINE = [
     "classifier_eval_metrics",
     # round 5: per-group exact median, fully partitioned two-pass
     "grouped_exact_median_two_pass",
+    # round 5: probability calibration of the trained classifier
+    "logreg_calibration_report",
 ]
 
 

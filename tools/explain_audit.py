@@ -86,6 +86,7 @@ EXPECTED_NESTED_LOOP = {
     "hilbert_layout_stats",          # broadcast one-row total for NTILE math
     "negative_sample_pairs",         # broadcast one-row max part id
     "classifier_eval_metrics",       # broadcast one-row accuracy scalar
+    "logreg_calibration_report",     # broadcast one-row weight vector
 }
 # queries whose UNPARTITIONED window runs on an input bounded by
 # construction — never on data-sized rows. Every entry names its bound;

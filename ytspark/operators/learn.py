@@ -613,3 +613,91 @@ def _register_classifier_eval() -> None:
 
 
 _register_classifier_eval()
+
+
+# ---------------------------------------------------------------------------
+# Probability calibration report for the trained logistic classifier
+# ---------------------------------------------------------------------------
+
+
+def _calibration_oracle() -> str:
+    return f"""
+WITH f AS ({_FEATS_SQL}),
+g0 AS (SELECT 0.0 AS b, 0.0 AS w_x1, 0.0 AS w_x2),
+{",".join(_gd_iter_sql(f"g{i}", f"g{i + 1}") for i in range(GD_ITERS))},
+w AS (SELECT ROUND(b, {W_ROUND}) AS b, ROUND(w_x1, {W_ROUND}) AS w_x1,
+             ROUND(w_x2, {W_ROUND}) AS w_x2 FROM g{GD_ITERS}),
+scored AS (
+  SELECT ROUND(1.0 / (1.0 + EXP(-(w.b + w.w_x1 * f.x1 + w.w_x2 * f.x2))),
+               6) AS p,
+         f.y
+  FROM f CROSS JOIN w
+)
+SELECT LEAST(CAST(FLOOR(p * 1000) AS BIGINT), 999) AS score_band,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(p), 6) AS mean_predicted,
+       ROUND(AVG(y), 6) AS positive_rate,
+       ROUND(AVG((p - y) * (p - y)), 6) AS brier
+FROM scored
+GROUP BY 1
+"""
+
+
+def _register_calibration() -> None:
+    @register(
+        "logreg_calibration_report",
+        oracle=_calibration_oracle(),
+        doc="PROBABILITY CALIBRATION report for the in-engine logistic "
+            "classifier — the reliability-diagram companion of "
+            "classifier_eval_metrics: every document is scored with "
+            "the certified GD weights (rounded to the same 6 dp the "
+            "train query reports, so scoring operands are bit-"
+            "identical cross-engine), predictions bucket into "
+            "milli-probability score bands (floor(p*1000) — fine "
+            "enough to resolve a weakly-separating model's curve, "
+            "bounded at 1000 bands at any scale), and each band "
+            "reports its mean predicted probability vs the actual "
+            "positive rate (their gap IS the calibration error) plus "
+            "the Brier contribution — the "
+            "check that decides whether a filter threshold on the "
+            "model's scores means what it claims before the model "
+            "gates a 100 TB corpus. Scoring is one broadcast of the "
+            "one-row weight vector over the feature scan; the report "
+            "is a 10-row aggregate.",
+        tags=("learn", "evaluation", "calibration", "aggregate"),
+    )
+    def logreg_calibration_report(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        docs = load_tables(spark, sf_dir, "documents")["documents"]
+        toks = F.split(F.col("text"), " ")
+        feats = docs.select(
+            (F.array_size(toks) / F.lit(100.0)).alias("x1"),
+            (
+                F.array_size(F.array_distinct(toks)).cast("double")
+                / F.array_size(toks)
+            ).alias("x2"),
+            F.when(F.col("lang") == "en", F.lit(1.0))
+            .otherwise(F.lit(0.0))
+            .alias("y"),
+        )
+        w = quality_logreg_train(spark, sf_dir).select("b", "w_x1", "w_x2")
+        z = F.col("b") + F.col("w_x1") * F.col("x1") + F.col("w_x2") * F.col("x2")
+        p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+        scored = feats.crossJoin(F.broadcast(w)).select(p.alias("p"), "y")
+        band = F.least(F.floor(F.col("p") * 1000).cast("long"), F.lit(999))
+        return (
+            scored.groupBy(band.alias("score_band"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.round(F.avg("p"), 6).alias("mean_predicted"),
+                F.round(F.avg("y"), 6).alias("positive_rate"),
+                F.round(
+                    F.avg((F.col("p") - F.col("y")) * (F.col("p") - F.col("y"))),
+                    6,
+                ).alias("brier"),
+            )
+        )
+
+
+_register_calibration()
