@@ -172,3 +172,32 @@ def test_stream_side_bronze_to_mart_continuous(spark, tmp_path):
     assert {tuple(r) for r in streamed.select(*key_cols).collect()} == {
         tuple(r) for r in batch_mart.select(*key_cols).collect()
     }
+
+
+class TestTransformWithStateGate:
+    def test_tws_gated_on_protobuf(self, spark, sf_dir):
+        """transformWithStateInPandas is environment-gated: its Python
+        state client needs google.protobuf, absent in this container.
+        The probe must agree with reality, and the implementation must
+        either run (protobuf present) or fail with the documented
+        ImportError — never crash obscurely."""
+        import pytest
+
+        from ytspark.streaming.queries import (
+            streaming_tws_user_stats,
+            transform_with_state_available,
+        )
+
+        try:
+            from google.protobuf import descriptor  # noqa: F401
+
+            has_pb = True
+        except ImportError:
+            has_pb = False
+        assert transform_with_state_available() == has_pb
+        if not has_pb:
+            with pytest.raises(ImportError, match="protobuf"):
+                streaming_tws_user_stats(spark, sf_dir)
+        else:  # pragma: no cover - runs only where protobuf exists
+            out = streaming_tws_user_stats(spark, sf_dir)
+            assert out.count() > 0

