@@ -309,3 +309,20 @@ class TestBucketedJoinQuery:
         plan = buf.getvalue()
         assert "SortMergeJoin" in plan
         assert "hashpartitioning(okey" not in plan
+
+
+class TestHarnessCacheHygiene:
+    def test_clear_cache_drops_query_persists(self, spark, sf_dir):
+        """r4 ADVICE: query functions persist() shared intermediates
+        and, being lazy, cannot unpersist them before the action runs
+        — so the harnesses (bench.py, oracle_check) clearCache between
+        queries. Pin that contract: a persist-heavy query leaves
+        cached RDDs behind, and clearCache empties them."""
+        from ytspark.queries import registry
+
+        spark.catalog.clearCache()
+        registry()["dedup_jaccard_ppjoin"].fn(spark, sf_dir).count()
+        n_cached = spark.sparkContext._jsc.getPersistentRDDs().size()
+        assert n_cached > 0  # the shingle table persisted
+        spark.catalog.clearCache()
+        assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
