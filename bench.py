@@ -236,6 +236,8 @@ HEADLINE = [
     "grouped_exact_median_two_pass",
     # round 5: probability calibration of the trained classifier
     "logreg_calibration_report",
+    # round 5: ER survivorship merge (match -> cluster -> golden record)
+    "fuzzy_er_survivorship",
 ]
 
 

@@ -329,3 +329,141 @@ def fuzzy_er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return k
+
+
+# ---------------------------------------------------------------------------
+# ER survivorship: entity clusters -> one canonical merged record
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fuzzy_er_survivorship",
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+  SELECT a.c_custkey AS ka, b.c_custkey AS kb
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey AND a.c_name < b.c_name
+  WHERE LEVENSHTEIN(a.c_name, b.c_name) <= {MAX_EDIT}
+),
+edges(s, d) AS (
+  SELECT ka, kb FROM pairs UNION ALL SELECT kb, ka FROM pairs
+),
+nodes(n) AS (SELECT ka FROM pairs UNION SELECT kb FROM pairs),
+reach(n, l) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT e.d, r.l FROM reach r JOIN edges e ON e.s = r.n
+),
+labels AS (SELECT n, MIN(l) AS label FROM reach GROUP BY n),
+ent AS (
+  SELECT lb.label AS entity_id, c.c_custkey, c.c_name,
+         CAST(c.c_acctbal AS DECIMAL(18,2)) AS bal,
+         c.c_mktsegment, c.c_nationkey,
+         ROW_NUMBER() OVER (PARTITION BY lb.label
+                            ORDER BY LEN(c.c_name) DESC, c.c_name)
+           AS rn_name,
+         ROW_NUMBER() OVER (PARTITION BY lb.label
+                            ORDER BY c.c_custkey) AS rn_key
+  FROM labels lb JOIN customer c ON lb.n = c.c_custkey
+)
+SELECT CAST(entity_id AS BIGINT) AS entity_id,
+       CAST(MAX(c_nationkey) AS BIGINT) AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       MAX(CASE WHEN rn_name = 1 THEN c_name END) AS canonical_name,
+       MAX(CASE WHEN rn_key = 1 THEN c_mktsegment END) AS primary_segment,
+       CAST(SUM(bal) AS DOUBLE) AS total_acctbal
+FROM ent
+GROUP BY entity_id
+HAVING COUNT(*) >= 2
+""",
+    doc="ER SURVIVORSHIP — the merge step that turns entity clusters "
+        "into ONE canonical record each (the deliverable after "
+        "match->cluster: what MDM calls the golden record): per "
+        "multi-member entity, the canonical name survives by the "
+        "most-complete-field rule (longest, lexicographic tiebreak), "
+        "the segment by source priority (the min-custkey member), "
+        "balances MERGE by exact DECIMAL sum, and the nation rides "
+        "along (constant within an entity by blocking). Field "
+        "precedence runs as two entity-partitioned row_numbers over "
+        "ONE shuffle; the oracle replays blocking, components (WITH "
+        "RECURSIVE reachability) and the identical precedence "
+        "windows, so every per-field survivorship DECISION is "
+        "hash-certified, completing the match -> cluster -> merge "
+        "story over fuzzy_join_customer_names and fuzzy_er_clusters.",
+    tags=("fuzzy", "er", "survivorship", "window", "pipeline"),
+)
+def fuzzy_er_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ytspark.operators.dedup import connected_components
+
+    cust = load_tables(spark, sf_dir, "customer")["customer"].select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    va = deletion_variants(cust.select("c_name"), "c_name").join(
+        cust.select("c_custkey", "c_name", "c_nationkey"), "c_name"
+    ).select(
+        F.col("c_custkey").alias("ka"),
+        F.col("c_name").alias("name_a"),
+        F.col("c_nationkey").alias("nat_a"),
+        "variant",
+    )
+    vb = va.select(
+        F.col("ka").alias("kb"),
+        F.col("name_a").alias("name_b"),
+        F.col("nat_a").alias("nat_b"),
+        "variant",
+    )
+    pairs = (
+        va.join(vb, "variant")
+        .where(
+            (F.col("nat_a") == F.col("nat_b"))
+            & (F.col("name_a") < F.col("name_b"))
+        )
+        .where(F.levenshtein("name_a", "name_b", MAX_EDIT) >= 0)
+        .select("ka", "kb")
+        .distinct()
+    )
+    labels = connected_components(pairs, "ka", "kb").withColumnRenamed(
+        "node", "c_custkey"
+    )
+    ent = labels.join(cust, "c_custkey").select(
+        F.col("label").alias("entity_id"),
+        "c_custkey",
+        "c_name",
+        F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+        "c_mktsegment",
+        "c_nationkey",
+    )
+    wn = Window.partitionBy("entity_id").orderBy(
+        F.length("c_name").desc(), "c_name"
+    )
+    wk = Window.partitionBy("entity_id").orderBy("c_custkey")
+    ranked = ent.select(
+        "*",
+        F.row_number().over(wn).alias("rn_name"),
+        F.row_number().over(wk).alias("rn_key"),
+    )
+    return (
+        ranked.groupBy("entity_id")
+        .agg(
+            F.max("c_nationkey").cast("long").alias("nation"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(
+                F.when(F.col("rn_name") == 1, F.col("c_name"))
+            ).alias("canonical_name"),
+            F.max(
+                F.when(F.col("rn_key") == 1, F.col("c_mktsegment"))
+            ).alias("primary_segment"),
+            F.sum("bal").cast("double").alias("total_acctbal"),
+        )
+        .where(F.col("n_members") >= 2)
+        .select(
+            F.col("entity_id").cast("long").alias("entity_id"),
+            "nation",
+            "n_members",
+            "canonical_name",
+            "primary_segment",
+            "total_acctbal",
+        )
+    )
