@@ -238,6 +238,8 @@ HEADLINE = [
     "logreg_calibration_report",
     # round 5: ER survivorship merge (match -> cluster -> golden record)
     "fuzzy_er_survivorship",
+    # round 5: sketch-served retention with compounded error bound
+    "hll_retention_estimate_bounds",
 ]
 
 

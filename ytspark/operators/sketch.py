@@ -404,3 +404,89 @@ def hll_intersection_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(est_inter - F.col("exact_both")).cast("double") <= bound
         ).alias("estimate_within_bound"),
     )
+
+
+@register(
+    "hll_retention_estimate_bounds",
+    oracle="""
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+act AS (SELECT d, COUNT(*) AS n FROM ud GROUP BY d),
+pairs AS (
+  SELECT a.d, a.n AS n_day, b.n AS n_next
+  FROM act a JOIN act b ON b.d = a.d + INTERVAL 1 DAY
+),
+ret AS (
+  SELECT a.d, COUNT(*) AS retained
+  FROM ud a JOIN ud b
+    ON b.user_id = a.user_id AND b.d = a.d + INTERVAL 1 DAY
+  GROUP BY a.d
+)
+SELECT STRFTIME(p.d, '%Y-%m-%d') AS day,
+       CAST(p.n_day AS BIGINT) AS active_users,
+       CAST(p.n_next AS BIGINT) AS active_next_day,
+       CAST(COALESCE(r.retained, 0) AS BIGINT) AS retained_next_day,
+       ROUND(COALESCE(r.retained, 0) * 1.0 / p.n_day, 6) AS retention_rate,
+       TRUE AS estimate_within_bound
+FROM pairs p LEFT JOIN ret r ON r.d = p.d
+""",
+    doc="SKETCH-SERVED RETENTION — the application the HLL sketch "
+        "table exists for: day-over-day retained users estimated by "
+        "inclusion-exclusion over per-day HLL sketches (est(A) + "
+        "est(B) - est(A union B), the union via hll_union — three "
+        "sketch reads, NO raw-event rescan, which is how a 100 TB "
+        "events table serves retention dashboards), certified two "
+        "ways like the other sketch queries: the exact per-day "
+        "activity, retained counts and rates hash-match the oracle, "
+        "and the HLL estimate is asserted within the compounded "
+        "4-sigma bound (sum of the three estimates' tolerances, the "
+        "hll_intersection_bounds convention) with TRUE expected by "
+        "the oracle — a sketch-accuracy regression fails the gate. "
+        "The exact side needs one distinct (user, day) table and one "
+        "self-join shifted by a day; the sketch side is "
+        "|days|-sized after the one sketch-building aggregate.",
+    tags=("sketch", "approx", "retention", "aggregate", "join"),
+)
+def hll_retention_estimate_bounds(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct().persist()
+    act = ud.groupBy("d").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.hll_sketch_agg("user_id", 12).alias("sk"),
+    )
+    nxt = act.select(
+        F.date_sub("d", 1).alias("d"),
+        F.col("n").alias("n_next"),
+        F.col("sk").alias("sk_next"),
+    )
+    pairs = act.join(nxt, "d")
+    shifted = ud.select("user_id", F.date_sub("d", 1).alias("d"))
+    ret = (
+        ud.join(shifted, ["user_id", "d"])
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("retained"))
+    )
+    est_a = F.hll_sketch_estimate("sk")
+    est_b = F.hll_sketch_estimate("sk_next")
+    est_u = F.hll_sketch_estimate(F.hll_union("sk", "sk_next"))
+    est_inter = est_a + est_b - est_u
+    # lgConfigK=12: rsd ~= 1.04/sqrt(2^12); 4-sigma per estimate,
+    # compounded over the three estimates entering the identity
+    bound = 4 * 1.04 / (2 ** 12) ** 0.5
+    retained = F.coalesce(F.col("retained"), F.lit(0))
+    union_exact = F.col("n") + F.col("n_next") - retained
+    tolerance = F.lit(bound) * (F.col("n") + F.col("n_next") + union_exact)
+    return (
+        pairs.join(ret, "d", "left")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("n").cast("long").alias("active_users"),
+            F.col("n_next").cast("long").alias("active_next_day"),
+            retained.cast("long").alias("retained_next_day"),
+            F.round(retained * 1.0 / F.col("n"), 6).alias("retention_rate"),
+            (F.abs(est_inter - retained) <= tolerance).alias(
+                "estimate_within_bound"
+            ),
+        )
+    )
