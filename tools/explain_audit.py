@@ -87,6 +87,7 @@ EXPECTED_NESTED_LOOP = {
     "negative_sample_pairs",         # broadcast one-row max part id
     "classifier_eval_metrics",       # broadcast one-row accuracy scalar
     "logreg_calibration_report",     # broadcast one-row weight vector
+    "spearman_rank_correlation",     # broadcast one-row level counts
 }
 # queries whose UNPARTITIONED window runs on an input bounded by
 # construction — never on data-sized rows. Every entry names its bound;
@@ -103,6 +104,7 @@ EXPECTED_GLOBAL_WINDOW = {
     "benford_digit_audit",         # grand-total over the 9-digit pre-aggregate
     "categorical_association_battery",  # totals over the |a|x|b| category grid
     "exact_percentiles_two_pass",  # offsets over the fixed-width bucket table
+    "spearman_rank_correlation",   # rank windows over <=50-row marginals
 }
 # streaming queries execute eagerly; skip plan audit (they materialize
 # their own sinks and are correctness-checked by the oracle gate)

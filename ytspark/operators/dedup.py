@@ -1906,3 +1906,92 @@ def _register_keep_canonical() -> None:
 
 
 _register_keep_canonical()
+
+
+# ------------------------------------------- containment near-dup dedup
+
+CONTAIN_THRESHOLD = 0.9
+
+
+@register(
+    "dedup_ngram_containment",
+    oracle=f"""
+WITH shingled AS (
+  SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+           RANGE(1, GREATEST(LEN(STRING_SPLIT(text, ' ')) - 2, 0) + 1),
+           i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i:i+2], ' ')))) AS shingle
+  FROM documents
+),
+counts AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shingled GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM shingled a JOIN shingled b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common,
+       ROUND(CAST(n_common AS DOUBLE)
+             / LEAST(ca.n_shingles, cb.n_shingles), 6) AS containment,
+       ROUND(CAST(n_common AS DOUBLE)
+             / (ca.n_shingles + cb.n_shingles - n_common), 6) AS jaccard
+FROM common
+JOIN counts ca ON ca.doc_id = doc_a
+JOIN counts cb ON cb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE)
+      / LEAST(ca.n_shingles, cb.n_shingles) >= {CONTAIN_THRESHOLD}
+""",
+    doc="CONTAINMENT near-dup detection: |A∩B| / min(|A|,|B|) >= 0.9 "
+        "over word-3-gram shingle sets — the asymmetric-size dedup "
+        "criterion (a snippet quoted inside a longer page, a doc "
+        "re-published with boilerplate appended) that symmetric "
+        "Jaccard structurally misses: a 50-shingle doc fully "
+        "contained in a 500-shingle doc scores containment 1.0 but "
+        "Jaccard 0.1. Same scale shape as dedup_ngram_jaccard: "
+        "candidates come from the shingle-hash equi-join (cost "
+        "follows posting lists, never n²), per-doc sizes from one "
+        "aggregate; each reported pair carries both scores so "
+        "curation can route contained-vs-overlapping cases "
+        "differently. The df-capped blocking mode of "
+        "ngram_jaccard_pairs applies unchanged at 100 TB.",
+    tags=("dedup", "jaccard", "join"),
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    shingled = (
+        shingle_rows(docs)
+        .select("doc_id", F.xxhash64("shingle").alias("sh"))
+        .persist()
+    )
+    counts = shingled.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    a, b = shingled.alias("a"), shingled.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca, cb = counts.alias("ca"), counts.alias("cb")
+    contain = F.col("n_common").cast("double") / F.least(
+        F.col("ca.n_shingles"), F.col("cb.n_shingles")
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("ca.n_shingles") + F.col("cb.n_shingles") - F.col("n_common")
+    )
+    return (
+        common.join(F.broadcast(ca), F.col("ca.doc_id") == F.col("doc_a"))
+        .join(F.broadcast(cb), F.col("cb.doc_id") == F.col("doc_b"))
+        # threshold on the UNROUNDED score, exactly as the oracle's
+        # WHERE clause (rounding first would admit 0.5-ulp impostors)
+        .where(contain >= CONTAIN_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.round(contain, 6).alias("containment"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )

@@ -576,3 +576,94 @@ def graph_modularity_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("modularity_contrib"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounded-hop BFS distance by frontier expansion
+# ---------------------------------------------------------------------------
+
+BFS_HOPS = 4  # fixed hop budget: deterministic, cross-engine replayable
+
+_BFS_ORACLE = f"""
+WITH RECURSIVE op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+e AS (
+  SELECT a.p AS u, b.p AS v
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p HAVING COUNT(*) >= 2
+),
+sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+seed AS (SELECT MIN(u) AS s FROM sym),
+reach(node, dist) AS (
+  SELECT s, 0 FROM seed
+  UNION
+  SELECT sym.v, reach.dist + 1
+  FROM reach JOIN sym ON sym.u = reach.node
+  WHERE reach.dist < {BFS_HOPS}
+),
+best AS (SELECT node, MIN(dist) AS dist FROM reach GROUP BY node)
+SELECT CAST(dist AS INTEGER) AS dist,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       MIN(node) AS min_node,
+       MAX(node) AS max_node
+FROM best GROUP BY dist
+"""
+
+
+@register(
+    "graph_bfs_distance",
+    oracle=_BFS_ORACLE,
+    doc=f"Bounded-hop BFS ({BFS_HOPS} hops) from the min-id seed over "
+        "the repeat-co-purchase graph (parts sharing >= 2 orders — "
+        "the kcore sparsification), reporting per-level reachability "
+        "(node count + id range per distance). Spark runs FRONTIER "
+        "expansion — each round joins only the newly discovered "
+        "frontier to the edge list, anti-joins the visited set, and "
+        "localCheckpoints the (small) frontier so lineage stays "
+        "linear in rounds. This is the scale-right BFS: work per "
+        "round is O(frontier out-edges), never O(V) re-relaxation, "
+        "and every shuffle keys on the node id so the edge table and "
+        "frontier co-partition at 100 TB. The DuckDB oracle is the "
+        "textbook recursive-CTE reachability bounded to the same hop "
+        "budget (min dist per node == first-discovery BFS level), so "
+        "the hash match certifies every expansion round cross-engine.",
+    tags=("graph", "iterative", "join", "aggregate"),
+)
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    e = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= KCORE_W_MIN)
+        .select("u", "v")
+    )
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
+    seed = sym.agg(F.min("u").alias("node")).select(
+        "node", F.lit(0).cast("int").alias("dist")
+    )
+    visited = seed.localCheckpoint()
+    frontier = visited
+    for i in range(1, BFS_HOPS + 1):
+        frontier = (
+            frontier.join(sym, frontier["node"] == sym["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .select("node", F.lit(i).cast("int").alias("dist"))
+            .localCheckpoint()  # frontier is small; lineage stays flat
+        )
+        if frontier.isEmpty():  # graph exhausted before the hop budget
+            break
+        visited = visited.unionAll(frontier).localCheckpoint()
+    sym.unpersist()
+    return visited.groupBy("dist").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("node").alias("min_node"),
+        F.max("node").alias("max_node"),
+    )

@@ -602,3 +602,126 @@ def grouped_exact_median_two_pass(
             F.col("v").cast("double").alias("median_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation via bounded-cardinality average ranks
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "spearman_rank_correlation",
+    oracle="""
+WITH d AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS dc
+  FROM lineitem
+),
+joint AS (SELECT q, dc, COUNT(*) AS c FROM d GROUP BY q, dc),
+mq AS (SELECT q, SUM(c) AS cq FROM joint GROUP BY q),
+rq AS (SELECT q, 2 * (SUM(cq) OVER (ORDER BY q) - cq) + cq + 1 AS x FROM mq),
+md AS (SELECT dc, SUM(c) AS cd FROM joint GROUP BY dc),
+rd AS (SELECT dc, 2 * (SUM(cd) OVER (ORDER BY dc) - cd) + cd + 1 AS y
+       FROM md),
+s AS (
+  SELECT SUM(c) AS n,
+         SUM(CAST(c AS HUGEINT) * x) AS sx,
+         SUM(CAST(c AS HUGEINT) * y) AS sy,
+         SUM(CAST(c AS HUGEINT) * x * x) AS sxx,
+         SUM(CAST(c AS HUGEINT) * y * y) AS syy,
+         SUM(CAST(c AS HUGEINT) * x * y) AS sxy
+  FROM joint JOIN rq USING (q) JOIN rd USING (dc)
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST((SELECT COUNT(*) FROM mq) AS BIGINT) AS n_qty_levels,
+       CAST((SELECT COUNT(*) FROM md) AS BIGINT) AS n_disc_levels,
+       ROUND(
+         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / SQRT(
+             (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+         6) AS rho_spearman
+FROM s
+""",
+    doc="EXACT tie-corrected Spearman rank correlation (quantity vs "
+        "discount) with NO data-sized sort or rank anywhere: both "
+        "columns have bounded cardinality (<=50 quantity levels, 11 "
+        "discount percents), so the average rank of every value is "
+        "derived from the per-value counts alone — avg_rank(v) = "
+        "#less(v) + (#eq(v)+1)/2, kept integer as 2*rank — via a "
+        "cumulative window over the TINY distinct-value table "
+        "(allowlisted; <=50 rows by construction). One groupBy over "
+        "the data builds the joint (q, dc, count) contingency table "
+        "(<=550 rows); every rank/sum after that is arithmetic on "
+        "that table. Sums of c*x*y are exact DECIMAL(38,0) (Spark) / "
+        "HUGEINT (DuckDB) — 4n^3 fits to n ~ 1e12 rows — and only "
+        "the final Pearson-on-ranks combination drops to double, an "
+        "identical fixed expression tree in both engines, rounded to "
+        "6 dp. This is the rank-correlation monitor a 100 TB fact "
+        "table answers with one aggregate-shaped pass.",
+    tags=("statistics", "profiling", "aggregate", "scale"),
+)
+def spearman_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    d = li.select(
+        F.col("l_quantity").cast("long").alias("q"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("dc"),
+    )
+    joint = d.groupBy("q", "dc").agg(F.count(F.lit(1)).alias("c")).persist()
+    # marginal counts: <=50 / <=11 rows — the cumulative windows below
+    # run over these tiny pre-aggregates, never over data-sized input
+    mq = joint.groupBy("q").agg(F.sum("c").alias("cq"))
+    md = joint.groupBy("dc").agg(F.sum("c").alias("cd"))
+    wq = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
+    wd = Window.orderBy("dc").rowsBetween(Window.unboundedPreceding, -1)
+    # 2*average-rank stays integer: 2*#less + #eq + 1
+    rq = mq.select(
+        "q",
+        (2 * F.coalesce(F.sum("cq").over(wq), F.lit(0)) + F.col("cq") + 1)
+        .cast("decimal(13,0)")
+        .alias("x"),
+    )
+    rd = md.select(
+        "dc",
+        (2 * F.coalesce(F.sum("cd").over(wd), F.lit(0)) + F.col("cd") + 1)
+        .cast("decimal(13,0)")
+        .alias("y"),
+    )
+    cd_ = F.col("c").cast("decimal(18,0)")
+    s = (
+        joint.join(F.broadcast(rq), "q")
+        .join(F.broadcast(rd), "dc")
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum(cd_ * F.col("x")).alias("sx"),
+            F.sum(cd_ * F.col("y")).alias("sy"),
+            F.sum(cd_ * F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(cd_ * F.col("y") * F.col("y")).alias("syy"),
+            F.sum(cd_ * F.col("x") * F.col("y")).alias("sxy"),
+        )
+    )
+    nq = mq.agg(F.count(F.lit(1)).cast("long").alias("n_qty_levels"))
+    nd = md.agg(F.count(F.lit(1)).cast("long").alias("n_disc_levels"))
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        s.crossJoin(F.broadcast(nq))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            "n_qty_levels",
+            "n_disc_levels",
+            F.round(
+                (dbl("n") * dbl("sxy") - dbl("sx") * dbl("sy"))
+                / F.sqrt(
+                    (dbl("n") * dbl("sxx") - dbl("sx") * dbl("sx"))
+                    * (dbl("n") * dbl("syy") - dbl("sy") * dbl("sy"))
+                ),
+                6,
+            ).alias("rho_spearman"),
+        )
+    )

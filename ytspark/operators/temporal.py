@@ -913,3 +913,111 @@ def state_duration_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_interval_us"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Peak concurrency by day: distributed sweep line (two-pass prefix sum)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "peak_concurrency_by_day",
+    oracle="""
+WITH iv AS (
+  SELECT user_id, DATE_TRUNC('day', ts) AS day, MIN(ts) AS s, MAX(ts) AS e
+  FROM events GROUP BY user_id, DATE_TRUNC('day', ts)
+),
+d AS (
+  SELECT day, s AS ts, 1 AS delta FROM iv
+  UNION ALL
+  SELECT day, e AS ts, -1 AS delta FROM iv
+),
+r AS (
+  SELECT day, ts,
+         SUM(delta) OVER (PARTITION BY day ORDER BY ts, delta DESC) AS running
+  FROM d
+),
+p AS (SELECT day, MAX(running) AS peak FROM r GROUP BY day),
+sel AS (
+  SELECT r.day, MIN(r.ts) AS peak_ts
+  FROM r JOIN p ON r.day = p.day AND r.running = p.peak
+  GROUP BY r.day
+),
+cnt AS (SELECT day, COUNT(*) AS n_intervals FROM iv GROUP BY day)
+SELECT cnt.day AS day,
+       CAST(cnt.n_intervals AS BIGINT) AS n_intervals,
+       CAST(p.peak AS BIGINT) AS peak_concurrency,
+       sel.peak_ts AS peak_ts
+FROM cnt JOIN p ON p.day = cnt.day JOIN sel ON sel.day = cnt.day
+""",
+    doc="Per-day PEAK CONCURRENCY of user activity intervals (per-user "
+        "daily [first event, last event] spans) by the sweep-line "
+        "+1/-1 running sum — the max-concurrent-sessions / capacity "
+        "planning primitive. Spark computes the running sum as a "
+        "DISTRIBUTED TWO-PASS PREFIX SUM (the generalization of the "
+        "bucketed-offsets rank): pass 1 aggregates net deltas per "
+        "(day, hour) and computes cumulative hour offsets with a "
+        "window over each day's <=24-row hour list; pass 2 runs the "
+        "running sum only WITHIN (day, hour) partitions and adds the "
+        "offset — so no partition ever exceeds one hour of one day "
+        "regardless of total scale, where a naive per-day window "
+        "would concentrate a full day of a 100 TB stream on one "
+        "executor. Tie handling is deterministic by construction: "
+        "the default RANGE frame gives every row of a (ts, delta) "
+        "tie block the block-end prefix value in both engines, and "
+        "starts sort before ends (delta DESC) so intervals touching "
+        "at an instant count as concurrent. The oracle runs the "
+        "textbook single-window sweep — feasible at gate scale, "
+        "which is exactly why the two-pass form exists at real "
+        "scale. Output: per day, the interval count, the peak, and "
+        "the earliest instant attaining it.",
+    tags=("temporal", "window", "aggregate", "scale"),
+)
+def peak_concurrency_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    iv = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    d = iv.select(
+        "day", F.col("s").alias("ts"), F.lit(1).alias("delta")
+    ).unionAll(
+        iv.select("day", F.col("e").alias("ts"), F.lit(-1).alias("delta"))
+    ).withColumn("hr", F.hour("ts"))
+    # pass 1: net delta per (day, hour); cumulative offsets over each
+    # day's <=24-row hour list — bounded by construction
+    hourly = d.groupBy("day", "hr").agg(F.sum("delta").alias("net"))
+    ow = (
+        Window.partitionBy("day")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = hourly.select(
+        "day", "hr", F.coalesce(F.sum("net").over(ow), F.lit(0)).alias("off")
+    )
+    # pass 2: running sum within (day, hour) only + the hour offset.
+    # Default RANGE frame: every row of a (ts, delta) tie block gets
+    # the block-end value — deterministic per row in both engines.
+    rw = Window.partitionBy("day", "hr").orderBy(
+        F.col("ts").asc(), F.col("delta").desc()
+    )
+    r = d.join(off, ["day", "hr"]).select(
+        "day", "ts", (F.col("off") + F.sum("delta").over(rw)).alias("running")
+    )
+    p = r.groupBy("day").agg(F.max("running").alias("peak"))
+    sel = (
+        r.join(p, "day")
+        .where(F.col("running") == F.col("peak"))
+        .groupBy("day")
+        .agg(F.min("ts").alias("peak_ts"))
+    )
+    cnt = iv.groupBy("day").agg(F.count(F.lit(1)).alias("n_intervals"))
+    return (
+        cnt.join(p, "day")
+        .join(sel, "day")
+        .select(
+            "day",
+            F.col("n_intervals").cast("long").alias("n_intervals"),
+            F.col("peak").cast("long").alias("peak_concurrency"),
+            "peak_ts",
+        )
+    )
