@@ -104,7 +104,6 @@ _PRIORITY: tuple[str, ...] = (
     "try_arithmetic_battery",
     "dedup_repeated_ngram_spans",
     "intersect_all_segments",
-    "salted_skew_join_revenue",
     # scalar functions + window battery
     "window_rank_battery",
     # exact distributed order statistics (round 5)
@@ -113,9 +112,7 @@ _PRIORITY: tuple[str, ...] = (
     "asof_last_click_before_purchase",
     # dedup family — incl. the persisted incremental store and the
     # cross-engine-checkable (hash-certified) signature variants
-    "dedup_exact_stats",
     "dedup_minhash_lsh_checkable",
-    "dedup_minhash_incremental",
     "dedup_jaccard_ppjoin",
     # similarity / embeddings
     "knn_cosine_ivf",
@@ -123,7 +120,6 @@ _PRIORITY: tuple[str, ...] = (
     # text analysis + curation safety battery
     "lang_id_heuristic",
     "corpus_curation_pipeline",
-    "train_val_test_split",
     # search / fuzzy ER / data layout / sketches (round 3)
     "approx_distinct_users_bounds",
     "bm25_search",
@@ -140,7 +136,6 @@ _PRIORITY: tuple[str, ...] = (
     # models, CMS heavy hitters, Jaro-Winkler kernel
     "events_value_ewma",
     "value_outlier_mad_battery",
-    "revenue_trend_ols",
     "lang_nb_classifier",
     "cms_heavy_hitters",
     "jaro_winkler_verify_pairs",
@@ -158,12 +153,27 @@ _PRIORITY: tuple[str, ...] = (
     # families; q21 and the minmax-norm kernel rotate out with r1-r3
     # driver passes on record and same-family mates still inside)
     "market_basket_rules",
-    "fd_discovery_profile",
     # round-4b rotation: the delta-join IVM identity and the
     # integer-exact clamped fold (events_sessionization and
     # top_tokens_udtf rotate out with r1-r3 driver passes on record)
     "incremental_join_view",
     "rate_limit_token_bucket",
+    # round-5c rotation: the evaluation family (index/classifier
+    # quality measured in-engine), a second window-battery member
+    # (window first-tag was 1/12 in-window), and the statistics +
+    # temporal debuts (Spearman via bounded-cardinality ranks; the
+    # two-pass sweep-line peak concurrency). Rotated out with driver
+    # passes on record and every family still tag-covered (simulated
+    # against check_priority_window before the swap): dedup_exact_
+    # stats, dedup_minhash_incremental, train_val_test_split,
+    # revenue_trend_ols, fd_discovery_profile, salted_skew_join_
+    # revenue.
+    "ann_recall_eval",
+    "dedup_lsh_recall_eval",
+    "classifier_eval_metrics",
+    "window_navigation_battery",
+    "spearman_rank_correlation",
+    "peak_concurrency_by_day",
     # structured streaming
     "streaming_hourly_counts",
     "streaming_stateful_user_stats",
