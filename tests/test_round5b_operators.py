@@ -171,3 +171,91 @@ class TestContainmentDedup:
 
         for r in dedup_ngram_containment(spark, sf_dir).collect():
             assert r["containment"] >= r["jaccard"] - 1e-9
+
+
+class TestMarkovAttribution:
+    def test_matches_pure_python_chain(self, spark, sf_dir):
+        """Removal-effect attribution equals a from-scratch Python
+        replay: journeys -> transition counts -> normalized chain ->
+        8 absorption iterations per removal variant."""
+        from ytspark.operators.temporal import (
+            MARKOV_CHANNELS,
+            MARKOV_ITERS,
+            markov_attribution_removal,
+        )
+
+        ev = pd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "ts", "event_id", "event_type"],
+        )
+        ev["day"] = ev.ts.dt.floor("D")
+        trans = collections.Counter()
+        for (_, _), grp in ev.groupby(["user_id", "day"]):
+            grp = grp.sort_values(["ts", "event_id"])
+            purch = grp[grp.event_type == "purchase"]
+            pts = purch.ts.min() if len(purch) else None
+            path = grp[
+                (grp.event_type != "purchase")
+                & (grp.ts < pts if pts is not None else True)
+            ].event_type.tolist()
+            outcome = "CONV" if pts is not None else "DROP"
+            if not path:
+                if pts is not None:
+                    trans[("START", "CONV")] += 1
+                continue
+            trans[("START", path[0])] += 1
+            for a, b in zip(path, path[1:]):
+                trans[(a, b)] += 1
+            trans[(path[-1], outcome)] += 1
+
+        out_tot = collections.Counter()
+        for (s, _), c in trans.items():
+            out_tot[s] += c
+        norm = {k: c / out_tot[k[0]] for k, c in trans.items()}
+
+        def conv_prob(removed):
+            rows = [
+                (s, "DROP" if removed and d == removed else d, p)
+                for (s, d), p in norm.items()
+                if removed is None or s != removed
+            ]
+            p = collections.defaultdict(float)
+            for _ in range(MARKOV_ITERS):
+                nxt = collections.defaultdict(float)
+                for s, d, pr in rows:
+                    nxt[s] += pr * (
+                        1.0 if d == "CONV" else 0.0 if d == "DROP" else p[d]
+                    )
+                p = nxt
+            return p["START"]
+
+        base = conv_prob(None)
+        effects = {
+            c: 1.0 - conv_prob(c) / base for c in MARKOV_CHANNELS
+        }
+        tot = sum(effects.values())
+
+        got = {
+            r["channel"]: r
+            for r in markov_attribution_removal(spark, sf_dir).collect()
+        }
+        assert set(got) == set(MARKOV_CHANNELS)
+        for c in MARKOV_CHANNELS:
+            assert got[c]["base_conv_prob"] == pytest.approx(base, abs=1e-6)
+            assert got[c]["removal_effect"] == pytest.approx(
+                effects[c], abs=1e-6
+            )
+            assert got[c]["attribution_share"] == pytest.approx(
+                effects[c] / tot, abs=1e-6
+            )
+
+    def test_shares_sum_to_one(self, spark, sf_dir):
+        from ytspark.operators.temporal import markov_attribution_removal
+
+        rows = markov_attribution_removal(spark, sf_dir).collect()
+        assert sum(r["attribution_share"] for r in rows) == pytest.approx(
+            1.0, abs=1e-5
+        )
+        for r in rows:
+            # removing a touch channel can only reduce conversions
+            assert r["conv_wo_channel"] <= r["base_conv_prob"] + 1e-9

@@ -88,6 +88,7 @@ EXPECTED_NESTED_LOOP = {
     "classifier_eval_metrics",       # broadcast one-row accuracy scalar
     "logreg_calibration_report",     # broadcast one-row weight vector
     "spearman_rank_correlation",     # broadcast one-row level counts
+    "markov_attribution_removal",    # broadcast 5-row variants + 1-row base
 }
 # queries whose UNPARTITIONED window runs on an input bounded by
 # construction — never on data-sized rows. Every entry names its bound;
@@ -105,6 +106,7 @@ EXPECTED_GLOBAL_WINDOW = {
     "categorical_association_battery",  # totals over the |a|x|b| category grid
     "exact_percentiles_two_pass",  # offsets over the fixed-width bucket table
     "spearman_rank_correlation",   # rank windows over <=50-row marginals
+    "markov_attribution_removal",  # share normalizer over the 4-channel rows
 }
 # streaming queries execute eagerly; skip plan audit (they materialize
 # their own sinks and are correctness-checked by the oracle gate)

@@ -1021,3 +1021,252 @@ def peak_concurrency_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
             "peak_ts",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov-chain attribution: removal effect of each touch channel
+# ---------------------------------------------------------------------------
+
+MARKOV_ITERS = 8  # fixed absorption iterations: deterministic replay
+MARKOV_CHANNELS = ("click", "error", "signup", "view")
+
+
+def _markov_transitions_sql() -> str:
+    """Journey -> transition-count CTEs shared by the oracle."""
+    return """
+ev AS (
+  SELECT user_id, DATE_TRUNC('day', ts) AS day, ts, event_id, event_type
+  FROM events
+),
+fp AS (
+  SELECT user_id, day, MIN(ts) AS pts
+  FROM ev WHERE event_type = 'purchase' GROUP BY user_id, day
+),
+j AS (
+  SELECT e.user_id, e.day, e.ts, e.event_id, e.event_type, fp.pts
+  FROM ev e LEFT JOIN fp ON fp.user_id = e.user_id AND fp.day = e.day
+  WHERE e.event_type <> 'purchase' AND (fp.pts IS NULL OR e.ts < fp.pts)
+),
+seq AS (
+  SELECT *,
+         LEAD(event_type) OVER w AS nxt,
+         ROW_NUMBER() OVER w AS rn
+  FROM j
+  WINDOW w AS (PARTITION BY user_id, day ORDER BY ts, event_id)
+),
+trans AS (
+  SELECT 'START' AS src, event_type AS dst FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT event_type, nxt FROM seq WHERE nxt IS NOT NULL
+  UNION ALL
+  SELECT event_type,
+         CASE WHEN pts IS NOT NULL THEN 'CONV' ELSE 'DROP' END
+  FROM seq WHERE nxt IS NULL
+  UNION ALL
+  SELECT 'START', 'CONV'
+  FROM fp LEFT JOIN (SELECT DISTINCT user_id, day FROM j) jj
+    ON jj.user_id = fp.user_id AND jj.day = fp.day
+  WHERE jj.user_id IS NULL
+),
+cnt AS (SELECT src, dst, COUNT(*) AS c FROM trans GROUP BY src, dst),
+norm AS (
+  SELECT src, dst,
+         c * 1.0 / SUM(c) OVER (PARTITION BY src) AS p
+  FROM cnt
+),
+variants(v) AS (VALUES ('base'), ('click'), ('error'), ('signup'), ('view')),
+pv AS (
+  SELECT v, src,
+         CASE WHEN v <> 'base' AND dst = v THEN 'DROP' ELSE dst END AS dst,
+         p
+  FROM norm CROSS JOIN variants
+  WHERE v = 'base' OR src <> v
+)"""
+
+
+def _markov_oracle() -> str:
+    cur = "p0 AS (SELECT v, src, 0.0 AS p FROM pv GROUP BY v, src)"
+    ctes = [cur]
+    prev = "p0"
+    for k in range(1, MARKOV_ITERS + 1):
+        ctes.append(f"""
+p{k} AS (
+  SELECT pv.v, pv.src,
+         SUM(pv.p * CASE WHEN pv.dst = 'CONV' THEN 1.0
+                         WHEN pv.dst = 'DROP' THEN 0.0
+                         ELSE COALESCE(q.p, 0.0) END) AS p
+  FROM pv LEFT JOIN {prev} q ON q.v = pv.v AND q.src = pv.dst
+  GROUP BY pv.v, pv.src
+)""")
+        prev = f"p{k}"
+    return f"""
+WITH {_markov_transitions_sql()},
+{','.join(ctes)},
+base AS (SELECT p FROM {prev} WHERE v = 'base' AND src = 'START'),
+rem AS (
+  SELECT v AS channel, p AS conv_wo_channel
+  FROM {prev} WHERE v <> 'base' AND src = 'START'
+),
+re AS (
+  SELECT channel, conv_wo_channel,
+         1.0 - conv_wo_channel / (SELECT p FROM base) AS effect
+  FROM rem
+)
+SELECT channel,
+       ROUND((SELECT p FROM base), 6) AS base_conv_prob,
+       ROUND(conv_wo_channel, 6) AS conv_wo_channel,
+       ROUND(effect, 6) AS removal_effect,
+       ROUND(effect / SUM(effect) OVER (), 6) AS attribution_share
+FROM re
+"""
+
+
+@register(
+    "markov_attribution_removal",
+    oracle=_markov_oracle(),
+    doc=f"Markov-chain multi-touch attribution by REMOVAL EFFECT — the "
+        "data-driven attribution model that replaces heuristic "
+        "linear/first/last credit: per (user, day) journeys (events "
+        "before the first purchase, truncated there) become a "
+        "START/channel/CONV/DROP transition matrix; conversion "
+        "probability from START is the absorbing-chain fixpoint, "
+        f"estimated by {MARKOV_ITERS} fixed iterations; each "
+        "channel's removal effect is 1 - conv(chain with that "
+        "channel's inbound mass redirected to DROP)/conv(base), "
+        "normalized into attribution shares. Scale shape: the ONLY "
+        "data-sized work is the journey/transition extraction (one "
+        "partitioned LEAD window + one groupBy); the matrix is "
+        "<= (|channels|+1) x (|channels|+2) rows, so all 5 chain "
+        "variants iterate TOGETHER as one variant-keyed tiny "
+        "DataFrame (localCheckpointed once; "
+        f"{MARKOV_ITERS} broadcast join+agg rounds touch only it). "
+        "The DuckDB oracle replays the identical iterations as "
+        "generated chained CTEs (the PageRank replay pattern), so "
+        "the hash match certifies journey extraction, normalization, "
+        "redirect, and every absorption round cross-engine.",
+    tags=("temporal", "attribution", "learn", "iterative", "aggregate"),
+)
+def markov_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"].select(
+        "user_id",
+        F.date_trunc("day", "ts").alias("day"),
+        "ts",
+        "event_id",
+        "event_type",
+    )
+    fp = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "day")
+        .agg(F.min("ts").alias("pts"))
+    )
+    j = (
+        ev.join(fp, ["user_id", "day"], "left")
+        .where(
+            (F.col("event_type") != "purchase")
+            & (F.col("pts").isNull() | (F.col("ts") < F.col("pts")))
+        )
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    seq = j.select(
+        "user_id",
+        "day",
+        "event_type",
+        "pts",
+        F.lead("event_type").over(w).alias("nxt"),
+        F.row_number().over(w).alias("rn"),
+    )
+    trans = (
+        seq.where(F.col("rn") == 1)
+        .select(F.lit("START").alias("src"), F.col("event_type").alias("dst"))
+        .unionAll(
+            seq.where(F.col("nxt").isNotNull()).select(
+                F.col("event_type").alias("src"), F.col("nxt").alias("dst")
+            )
+        )
+        .unionAll(
+            seq.where(F.col("nxt").isNull()).select(
+                F.col("event_type").alias("src"),
+                F.when(F.col("pts").isNotNull(), F.lit("CONV"))
+                .otherwise(F.lit("DROP"))
+                .alias("dst"),
+            )
+        )
+        .unionAll(  # purchase-only journeys: START -> CONV directly
+            fp.join(
+                j.select("user_id", "day").distinct(),
+                ["user_id", "day"],
+                "left_anti",
+            ).select(F.lit("START").alias("src"), F.lit("CONV").alias("dst"))
+        )
+    )
+    cnt = trans.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("c"))
+    sw = Window.partitionBy("src")
+    norm = cnt.select(
+        "src", "dst", (F.col("c") * 1.0 / F.sum("c").over(sw)).alias("p")
+    )
+    variants = spark.createDataFrame(
+        [("base",)] + [(c,) for c in MARKOV_CHANNELS], "v string"
+    )
+    # tiny variant-keyed matrix, materialized ONCE for all iterations
+    pv = (
+        norm.crossJoin(F.broadcast(variants))
+        .where((F.col("v") == "base") | (F.col("src") != F.col("v")))
+        .select(
+            "v",
+            "src",
+            F.when(
+                (F.col("v") != "base") & (F.col("dst") == F.col("v")),
+                F.lit("DROP"),
+            )
+            .otherwise(F.col("dst"))
+            .alias("dst"),
+            "p",
+        )
+        .localCheckpoint()
+    )
+    p = pv.groupBy("v", "src").agg(F.lit(0.0).alias("p"))
+    for _ in range(MARKOV_ITERS):
+        q = p.select(
+            F.col("v").alias("qv"),
+            F.col("src").alias("qs"),
+            F.col("p").alias("qp"),
+        )
+        p = (
+            pv.join(
+                F.broadcast(q),
+                (F.col("qv") == F.col("v")) & (F.col("qs") == F.col("dst")),
+                "left",
+            )
+            .groupBy("v", "src")
+            .agg(
+                F.sum(
+                    F.col("p")
+                    * F.when(F.col("dst") == "CONV", F.lit(1.0))
+                    .when(F.col("dst") == "DROP", F.lit(0.0))
+                    .otherwise(F.coalesce(F.col("qp"), F.lit(0.0)))
+                ).alias("p")
+            )
+        )
+    start = p.where(F.col("src") == "START")
+    base = start.where(F.col("v") == "base").select(F.col("p").alias("base_p"))
+    rem = start.where(F.col("v") != "base").select(
+        F.col("v").alias("channel"), F.col("p").alias("conv_wo_channel")
+    )
+    re_ = rem.crossJoin(F.broadcast(base)).select(
+        "channel",
+        "base_p",
+        "conv_wo_channel",
+        (F.lit(1.0) - F.col("conv_wo_channel") / F.col("base_p")).alias(
+            "effect"
+        ),
+    )
+    tw = Window.partitionBy()  # 4-row normalizer over the channel list
+    return re_.select(
+        "channel",
+        F.round("base_p", 6).alias("base_conv_prob"),
+        F.round("conv_wo_channel", 6).alias("conv_wo_channel"),
+        F.round("effect", 6).alias("removal_effect"),
+        F.round(F.col("effect") / F.sum("effect").over(tw), 6).alias(
+            "attribution_share"
+        ),
+    )
