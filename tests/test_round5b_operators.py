@@ -259,3 +259,70 @@ class TestMarkovAttribution:
         for r in rows:
             # removing a touch channel can only reduce conversions
             assert r["conv_wo_channel"] <= r["base_conv_prob"] + 1e-9
+
+
+class TestItemItemCosine:
+    def test_matches_pandas_recompute(self, spark, sf_dir):
+        from ytspark.operators.affinity import (
+            COSINE_MIN_COMMON,
+            COSINE_TOP_K,
+            item_item_cosine_neighbors,
+        )
+
+        li = pd.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+        ).drop_duplicates()
+        ni = li.groupby("l_partkey").size().to_dict()
+        pairs = collections.Counter()
+        for _, grp in li.groupby("l_orderkey"):
+            ps = sorted(grp.l_partkey)
+            for i in range(len(ps)):
+                for j in range(i + 1, len(ps)):
+                    pairs[(ps[i], ps[j])] += 1
+        scored = collections.defaultdict(list)
+        for (i, j), c in pairs.items():
+            if c < COSINE_MIN_COMMON:
+                continue
+            cos = c / (ni[i] * ni[j]) ** 0.5
+            scored[i].append((-cos, j, c))
+            scored[j].append((-cos, i, c))
+        want = {}
+        for i, lst in scored.items():
+            lst.sort()
+            for rnk, (negcos, j, c) in enumerate(lst[:COSINE_TOP_K], 1):
+                want[(i, rnk)] = (j, c, -negcos)
+
+        got = {
+            (r["part_key"], r["rnk"]): r
+            for r in item_item_cosine_neighbors(spark, sf_dir).collect()
+        }
+        assert set(got) == set(want)
+        for key, (j, c, cos) in want.items():
+            assert got[key]["neighbor"] == j
+            assert got[key]["n_common"] == c
+            assert got[key]["cosine"] == pytest.approx(cos, abs=1e-6)
+
+
+class TestPhraseSearch:
+    def test_matches_pure_python(self, spark, sf_dir):
+        from ytspark.operators.search import phrase_search_positional
+
+        docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+        bigrams = collections.Counter()
+        toks = {d: t.split(" ") for d, t in zip(docs.doc_id, docs.text)}
+        for ts in toks.values():
+            for a, b in zip(ts, ts[1:]):
+                bigrams[(a, b)] += 1
+        (w1, w2), _ = min(
+            bigrams.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        want = {}
+        for d, ts in toks.items():
+            n = sum(1 for a, b in zip(ts, ts[1:]) if (a, b) == (w1, w2))
+            if n:
+                want[d] = n
+
+        rows = phrase_search_positional(spark, sf_dir).collect()
+        assert {(r["w1"], r["w2"]) for r in rows} == {(w1, w2)}
+        got = {r["doc_id"]: r["n_occurrences"] for r in rows}
+        assert got == want

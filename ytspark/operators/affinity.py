@@ -141,3 +141,114 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "antecedent",
         "consequent",
     ).limit(RULES_TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# Item-item cosine neighbors: normalized co-occurrence recommendations
+# ---------------------------------------------------------------------------
+
+COSINE_MIN_COMMON = 2  # shared-basket support pruning the pair table
+COSINE_TOP_K = 3  # neighbors kept per item
+
+_ITEM_COSINE_ORACLE = f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+item AS (SELECT p, COUNT(*) AS ni FROM op GROUP BY p),
+pair AS (
+  SELECT a.p AS i, b.p AS j, COUNT(*) AS c
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p
+  HAVING COUNT(*) >= {COSINE_MIN_COMMON}
+),
+sym AS (
+  SELECT i, j, c FROM pair
+  UNION ALL
+  SELECT j AS i, i AS j, c FROM pair
+),
+scored AS (
+  SELECT sym.i, sym.j, sym.c,
+         CAST(sym.c AS DOUBLE) / SQRT(CAST(ia.ni AS DOUBLE)
+                                      * CAST(ja.ni AS DOUBLE)) AS cosine
+  FROM sym
+  JOIN item ia ON ia.p = sym.i
+  JOIN item ja ON ja.p = sym.j
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY i
+                               ORDER BY cosine DESC, j) AS rnk
+  FROM scored
+)
+SELECT i AS part_key, CAST(rnk AS INTEGER) AS rnk, j AS neighbor,
+       CAST(c AS BIGINT) AS n_common,
+       ROUND(cosine, 6) AS cosine
+FROM ranked WHERE rnk <= {COSINE_TOP_K}
+"""
+
+
+@register(
+    "item_item_cosine_neighbors",
+    oracle=_ITEM_COSINE_ORACLE,
+    doc=f"Item-item collaborative filtering: each part's top-"
+        f"{COSINE_TOP_K} neighbors by COSINE-normalized basket "
+        "co-occurrence (c_ij / sqrt(c_i c_j)) with >= "
+        f"{COSINE_MIN_COMMON} shared baskets — the memory-based "
+        "recommender kernel, and the normalization that stops "
+        "bestsellers from dominating raw co-counts (which is what "
+        "the association-rules lift addresses multiplicatively; "
+        "cosine is the geometric variant serving systems cache). "
+        "Determinism: counts are exact integers and cosine is two "
+        "IEEE correctly-rounded ops (multiply under sqrt, divide) "
+        "on them, so the per-item (cosine DESC, j) ranking is "
+        "bit-identical cross-engine — no epsilon anywhere. Scale: "
+        "pair generation is per-basket (never across baskets), the "
+        "support filter prunes before scoring, and the top-k is a "
+        "per-item partitioned window — co-partitioned with the "
+        "serving layout that reads it.",
+    tags=("recommend", "affinity", "join", "window", "aggregate"),
+)
+def item_item_cosine_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    item = op.groupBy("p").agg(F.count(F.lit(1)).alias("ni"))
+    a, b = op.alias("a"), op.alias("b")
+    pair = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("i"), F.col("b.p").alias("j"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= COSINE_MIN_COMMON)
+    )
+    sym = pair.unionAll(
+        pair.select(F.col("j").alias("i"), F.col("i").alias("j"), "c")
+    )
+    ia = item.select(F.col("p").alias("i"), F.col("ni").alias("ni_i"))
+    ja = item.select(F.col("p").alias("j"), F.col("ni").alias("ni_j"))
+    scored = (
+        sym.join(ia, "i")
+        .join(ja, "j")
+        .select(
+            "i",
+            "j",
+            "c",
+            (
+                F.col("c").cast("double")
+                / F.sqrt(
+                    F.col("ni_i").cast("double") * F.col("ni_j").cast("double")
+                )
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("i").orderBy(F.col("cosine").desc(), F.col("j"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= COSINE_TOP_K)
+        .select(
+            F.col("i").alias("part_key"),
+            F.col("rnk").cast("int").alias("rnk"),
+            F.col("j").alias("neighbor"),
+            F.col("c").cast("long").alias("n_common"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )

@@ -424,3 +424,89 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rc").alias("cos_rank"),
     )
     return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(RRF_TOP)
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase search: consecutive-position posting intersection
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "phrase_search_positional",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(STRING_SPLIT(text, ' ')) AS term,
+         UNNEST(RANGE(0, LEN(STRING_SPLIT(text, ' ')))) AS pos
+  FROM documents
+),
+big AS (
+  SELECT t1.term AS w1, t2.term AS w2, COUNT(*) AS c
+  FROM toks t1 JOIN toks t2
+    ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+  GROUP BY t1.term, t2.term
+),
+top AS (SELECT w1, w2 FROM big ORDER BY c DESC, w1, w2 LIMIT 1),
+occ AS (
+  SELECT t1.doc_id, COUNT(*) AS n_occurrences
+  FROM toks t1
+  JOIN top ON t1.term = top.w1
+  JOIN toks t2 ON t2.doc_id = t1.doc_id
+             AND t2.pos = t1.pos + 1 AND t2.term = top.w2
+  GROUP BY t1.doc_id
+)
+SELECT occ.doc_id, top.w1, top.w2,
+       CAST(occ.n_occurrences AS BIGINT) AS n_occurrences
+FROM occ CROSS JOIN top
+""",
+    doc="PHRASE search over a positional inverted index — exact "
+        "consecutive-word match, the IR capability bag-of-words "
+        "retrieval (TF-IDF/BM25 above) cannot express. The index is "
+        "(doc, term, position) postings from one posexplode; the "
+        "query phrase is data-derived (the corpus's most frequent "
+        "bigram, fully tie-broken) so the query is deterministic at "
+        "every scale; matching is the classic positional-intersect: "
+        "filter postings to the phrase's terms FIRST (predicate "
+        "pushdown to the explode — serving cost is O(postings of "
+        "the two terms), not O(corpus)), then equi-join on (doc_id, "
+        "pos + 1). The phrase-selection top-1 is a "
+        "TakeOrderedAndProject (no global window); the 1-row phrase "
+        "broadcasts into both posting filters. Output: every "
+        "matching doc with its occurrence count.",
+    tags=("search", "text", "join", "aggregate"),
+)
+def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "term"),
+    ).persist()
+    t1, t2 = toks.alias("t1"), toks.alias("t2")
+    big = (
+        t1.join(
+            t2,
+            (F.col("t2.doc_id") == F.col("t1.doc_id"))
+            & (F.col("t2.pos") == F.col("t1.pos") + 1),
+        )
+        .groupBy(F.col("t1.term").alias("w1"), F.col("t2.term").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = big.orderBy(F.desc("c"), "w1", "w2").limit(1).select("w1", "w2")
+    m1 = toks.join(F.broadcast(top), F.col("term") == F.col("w1")).select(
+        "doc_id", "pos", "w1", "w2"
+    )
+    occ = (
+        m1.alias("m")
+        .join(
+            t2,
+            (F.col("t2.doc_id") == F.col("m.doc_id"))
+            & (F.col("t2.pos") == F.col("m.pos") + 1)
+            & (F.col("t2.term") == F.col("m.w2")),
+        )
+        .groupBy(F.col("m.doc_id").alias("doc_id"), "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    return occ.select(
+        "doc_id", "w1", "w2", F.col("n_occurrences").cast("long")
+        .alias("n_occurrences")
+    )
