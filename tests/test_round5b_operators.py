@@ -326,3 +326,86 @@ class TestPhraseSearch:
         assert {(r["w1"], r["w2"]) for r in rows} == {(w1, w2)}
         got = {r["doc_id"]: r["n_occurrences"] for r in rows}
         assert got == want
+
+
+class TestFeatureStorePit:
+    def test_no_future_leakage_and_staleness(self, spark, sf_dir):
+        """Every attached feature predates (or equals) its purchase,
+        staleness is the exact microsecond gap, and the values match a
+        pandas merge_asof recompute."""
+        from ytspark.operators.temporal import feature_store_pit_join
+
+        ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+        p = (
+            ev[ev.event_type == "purchase"]
+            .sort_values("ts")
+            .reset_index(drop=True)
+        )
+        want = p[["event_id", "user_id", "ts"]]
+        for feat in ("click", "view"):
+            f = (
+                ev[ev.event_type == feat]
+                .sort_values("ts")[["user_id", "ts", "value"]]
+                .rename(columns={"ts": f"{feat}_ts", "value": f"{feat}_value"})
+            )
+            want = pd.merge_asof(
+                want, f, left_on="ts", right_on=f"{feat}_ts",
+                by="user_id", direction="backward",
+            )
+        want = want.set_index("event_id")
+
+        rows = feature_store_pit_join(spark, sf_dir).collect()
+        assert len(rows) == len(want)
+        for r in rows:
+            w = want.loc[r["purchase_id"]]
+            for feat in ("click", "view"):
+                wts = w[f"{feat}_ts"]
+                if pd.isna(wts):
+                    assert r[f"{feat}_ts"] is None
+                    assert r[f"{feat}_staleness_us"] is None
+                    continue
+                assert r[f"{feat}_ts"] == wts.to_pydatetime()
+                assert r[f"{feat}_value"] == pytest.approx(
+                    w[f"{feat}_value"]
+                )
+                assert r[f"{feat}_ts"] <= r["purchase_ts"]
+                gap = r["purchase_ts"] - r[f"{feat}_ts"]
+                gap_us = (
+                    gap.days * 86_400_000_000
+                    + gap.seconds * 1_000_000
+                    + gap.microseconds
+                )
+                assert r[f"{feat}_staleness_us"] == gap_us
+
+
+class TestTwap:
+    def test_matches_pandas_recompute(self, spark, sf_dir):
+        from ytspark.operators.temporal import twap_value_by_type_day
+
+        ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+        ev["day"] = ev.ts.dt.floor("D")
+        # parquet timestamps load as datetime64[us]: int64 view IS µs
+        ev["us"] = ev.ts.astype("int64")
+        ev["cents"] = (ev.value * 100).round().astype("int64")
+        want = {}
+        for (t, d), grp in ev.groupby(["event_type", "day"]):
+            grp = grp.sort_values(["us", "event_id"])
+            us = grp.us.to_numpy()
+            cents = grp.cents.to_numpy()
+            durs = us[1:] - us[:-1]
+            span = int(durs.sum())
+            if span == 0:
+                continue
+            wsum = int((cents[:-1] * durs).sum())
+            want[(t, d)] = (len(grp), span, wsum / span / 100.0)
+
+        got = {
+            (r["event_type"], r["day"]): r
+            for r in twap_value_by_type_day(spark, sf_dir).collect()
+        }
+        assert {(t, d.to_pydatetime()) for t, d in want} == set(got)
+        for (t, d), (n, span, twap) in want.items():
+            r = got[(t, d.to_pydatetime())]
+            assert r["n_events"] == n
+            assert r["span_us"] == span
+            assert r["twap"] == pytest.approx(twap, abs=1e-6)

@@ -1270,3 +1270,178 @@ def markov_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "attribution_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature-store point-in-time join: one spine, several feature tables
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "feature_store_pit_join",
+    oracle="""
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       p.ts AS purchase_ts,
+       c.ts AS click_ts,
+       c.value AS click_value,
+       EPOCH_US(p.ts) - EPOCH_US(c.ts) AS click_staleness_us,
+       v.ts AS view_ts,
+       v.value AS view_value,
+       EPOCH_US(p.ts) - EPOCH_US(v.ts) AS view_staleness_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+""",
+    doc="Feature-store POINT-IN-TIME join: every purchase (the label "
+        "spine) picks up the latest value of TWO feature tables "
+        "(clicks, views) as of its own timestamp, plus per-feature "
+        "staleness in exact microseconds — the no-future-leakage "
+        "training-set assembly every ML backfill needs. Composition "
+        "of the engine's union+window as-of join, once per feature "
+        "table: each feature adds ONE shuffle on the entity key "
+        "(never a pair blowup), features with no history stay NULL, "
+        "and the whole plan co-partitions on user_id so N feature "
+        "tables cost N co-located window passes at 100 TB. The "
+        "oracle is DuckDB's native chained ASOF LEFT JOIN, so the "
+        "hash match certifies the at-or-before semantics (equal "
+        "timestamps visible) for both features and the staleness "
+        "arithmetic.",
+    tags=("temporal", "asof", "join", "pipeline"),
+)
+def feature_store_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    spine = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.col("ts").alias("view_ts"),
+        F.col("value").alias("view_value"),
+    )
+    out = asof_join(
+        spine, clicks, "user_id", "purchase_ts", "ts",
+        ["click_ts", "click_value"],
+    )
+    out = asof_join(
+        out, views, "user_id", "purchase_ts", "ts",
+        ["view_ts", "view_value"],
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts",
+        F.col("asof_click_ts").alias("click_ts"),
+        F.col("asof_click_value").alias("click_value"),
+        (
+            F.unix_micros("purchase_ts") - F.unix_micros("asof_click_ts")
+        ).alias("click_staleness_us"),
+        F.col("asof_view_ts").alias("view_ts"),
+        F.col("asof_view_value").alias("view_value"),
+        (
+            F.unix_micros("purchase_ts") - F.unix_micros("asof_view_ts")
+        ).alias("view_staleness_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TWAP: time-weighted average value per (event_type, day)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "twap_value_by_type_day",
+    oracle="""
+WITH e AS (
+  SELECT event_type, DATE_TRUNC('day', ts) AS day,
+         EPOCH_US(ts) AS us,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         event_id
+  FROM events
+),
+seg AS (
+  SELECT event_type, day, cents,
+         LEAD(us) OVER (PARTITION BY event_type, day
+                        ORDER BY us, event_id) - us AS dur
+  FROM e
+),
+agg AS (
+  SELECT event_type, day,
+         COUNT(*) AS n_events,
+         SUM(CASE WHEN dur IS NULL THEN 0
+                  ELSE CAST(cents AS HUGEINT) * dur END) AS wsum,
+         SUM(COALESCE(dur, 0)) AS span_us
+  FROM seg GROUP BY event_type, day
+)
+SELECT event_type, day,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(span_us AS BIGINT) AS span_us,
+       ROUND(CAST(wsum AS DOUBLE) / CAST(span_us AS DOUBLE) / 100.0, 6)
+         AS twap
+FROM agg WHERE span_us > 0
+""",
+    doc="TWAP (time-weighted average value) per (event_type, day): "
+        "each observation's value holds until the next observation "
+        "(piecewise-constant carry), so the average weights values "
+        "by their holding DURATION, not their count — the standard "
+        "metric wherever sampling is irregular (price feeds, gauge "
+        "metrics, queue depths) and the plain AVG over-weights bursts. "
+        "Exact arithmetic end to end: values are 2-dp (integer "
+        "cents), durations are integer microseconds from one "
+        "partitioned LEAD window, and the weighted sum accumulates "
+        "as DECIMAL(38,0)/HUGEINT — only the final ratio drops to "
+        "double (two correctly-rounded ops, identical cross-engine). "
+        "Groups whose observations all share one instant (zero "
+        "span) are excluded by both engines. Scale: one window + "
+        "one aggregate, both partitioned by (type, day).",
+    tags=("temporal", "window", "aggregate", "time"),
+)
+def twap_value_by_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    e = ev.select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type", "day").orderBy("us", "event_id")
+    seg = e.select(
+        "event_type",
+        "day",
+        "cents",
+        (F.lead("us").over(w) - F.col("us")).alias("dur"),
+    )
+    agg = seg.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(F.col("dur").isNull(), F.lit(0).cast("decimal(38,0)"))
+            .otherwise(
+                F.col("cents").cast("decimal(38,0)") * F.col("dur")
+            )
+        ).alias("wsum"),
+        F.sum(F.coalesce("dur", F.lit(0))).alias("span_us"),
+    )
+    return agg.where(F.col("span_us") > 0).select(
+        "event_type",
+        "day",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("span_us").cast("long").alias("span_us"),
+        F.round(
+            F.col("wsum").cast("double")
+            / F.col("span_us").cast("double")
+            / 100.0,
+            6,
+        ).alias("twap"),
+    )
