@@ -240,6 +240,17 @@ HEADLINE = [
     "fuzzy_er_survivorship",
     # round 5: sketch-served retention with compounded error bound
     "hll_retention_estimate_bounds",
+    # round 5b: statistics / graph / temporal / dedup / recommend /
+    # search widening
+    "spearman_rank_correlation",
+    "graph_bfs_distance",
+    "peak_concurrency_by_day",
+    "dedup_ngram_containment",
+    "markov_attribution_removal",
+    "item_item_cosine_neighbors",
+    "phrase_search_positional",
+    "feature_store_pit_join",
+    "twap_value_by_type_day",
 ]
 
 

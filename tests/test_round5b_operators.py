@@ -409,3 +409,62 @@ class TestTwap:
             assert r["n_events"] == n
             assert r["span_us"] == span
             assert r["twap"] == pytest.approx(twap, abs=1e-6)
+
+
+class TestConformalIntervals:
+    def test_matches_numpy_recompute(self, spark, sf_dir):
+        """Band equals a from-scratch split-conformal recompute, and
+        the calibration-half empirical coverage meets the finite-
+        sample guarantee."""
+        import math
+
+        from ytspark.operators.learn import (
+            CONFORMAL_ALPHA,
+            CONFORMAL_HORIZON,
+            conformal_trend_intervals,
+        )
+
+        o = pd.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+        )
+        cents = (
+            o.assign(c=(o.o_totalprice * 100).round().astype("int64"))
+            .groupby("o_orderdate")
+            .c.sum()
+            .sort_index()
+        )
+        d0 = cents.index.min()
+        x = ((cents.index - d0).days).to_numpy()
+        y = cents.to_numpy(dtype="float64")
+        tr = x % 2 == 0
+        n = int(tr.sum())
+        sx, sy = int(x[tr].sum()), float(y[tr].sum())
+        sxx = int((x[tr].astype("int64") ** 2).sum())
+        sxy = float((x[tr] * y[tr]).sum())
+        b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        a = (sy - b * sx) / n
+        cal = ~tr
+        r = sorted(
+            zip(abs(y[cal] - (a + b * x[cal])), x[cal])
+        )
+        n_cal = len(r)
+        k = min(math.ceil((n_cal + 1) * (1 - CONFORMAL_ALPHA)), n_cal)
+        q = r[k - 1][0]
+        xm = int(x.max())
+
+        rows = conformal_trend_intervals(spark, sf_dir).collect()
+        assert len(rows) == CONFORMAL_HORIZON
+        for row in rows:
+            assert row["n_train"] == n
+            assert row["n_cal"] == n_cal
+            xf = xm + row["step"]
+            assert row["x"] == xf
+            yhat = (a + b * xf) / 100
+            assert row["yhat"] == pytest.approx(yhat, abs=1e-3)
+            assert row["lo"] == pytest.approx(yhat - q / 100, abs=1e-3)
+            assert row["hi"] == pytest.approx(yhat + q / 100, abs=1e-3)
+
+        # finite-sample marginal coverage on the calibration half:
+        # by construction >= (k)/(n_cal+1) of residuals are <= q
+        covered = sum(1 for ri, _ in r if ri <= q)
+        assert covered / n_cal >= 1 - CONFORMAL_ALPHA - 1e-9

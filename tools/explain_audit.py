@@ -89,6 +89,7 @@ EXPECTED_NESTED_LOOP = {
     "logreg_calibration_report",     # broadcast one-row weight vector
     "spearman_rank_correlation",     # broadcast one-row level counts
     "markov_attribution_removal",    # broadcast 5-row variants + 1-row base
+    "conformal_trend_intervals",     # broadcast 1-row fit/quantile scalars
 }
 # queries whose UNPARTITIONED window runs on an input bounded by
 # construction — never on data-sized rows. Every entry names its bound;
@@ -107,6 +108,7 @@ EXPECTED_GLOBAL_WINDOW = {
     "exact_percentiles_two_pass",  # offsets over the fixed-width bucket table
     "spearman_rank_correlation",   # rank windows over <=50-row marginals
     "markov_attribution_removal",  # share normalizer over the 4-channel rows
+    "conformal_trend_intervals",   # residual rank over the O(days) rollup
 }
 # streaming queries execute eagerly; skip plan audit (they materialize
 # their own sinks and are correctness-checked by the oracle gate)

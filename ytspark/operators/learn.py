@@ -701,3 +701,193 @@ def _register_calibration() -> None:
 
 
 _register_calibration()
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction intervals around the OLS revenue trend
+# ---------------------------------------------------------------------------
+
+CONFORMAL_ALPHA = 0.2  # target 80% coverage
+CONFORMAL_HORIZON = 5  # days forecast beyond the observed window
+
+
+@register(
+    "conformal_trend_intervals",
+    oracle=f"""
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS HUGEINT)
+           AS cents
+  FROM orders GROUP BY o_orderdate
+),
+mind AS (SELECT MIN(d) AS d0 FROM daily),
+pts AS (
+  SELECT DATE_DIFF('day', mind.d0, daily.d) AS x, cents
+  FROM daily CROSS JOIN mind
+),
+train AS (SELECT * FROM pts WHERE x % 2 = 0),
+fit AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(x AS HUGEINT)) AS sx,
+         SUM(cents) AS sy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(x AS HUGEINT) * cents) AS sxy
+  FROM train
+),
+ab AS (
+  SELECT (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b,
+         CAST(n AS BIGINT) AS n_train
+  FROM fit
+),
+ab2 AS (
+  SELECT ab.b,
+         (CAST(f.sy AS DOUBLE) - ab.b * CAST(f.sx AS DOUBLE))
+           / CAST(f.n AS DOUBLE) AS a,
+         ab.n_train
+  FROM ab CROSS JOIN fit f
+),
+calib AS (
+  SELECT x, ABS(CAST(cents AS DOUBLE) - (ab2.a + ab2.b * x)) AS r
+  FROM pts CROSS JOIN ab2 WHERE x % 2 = 1
+),
+ncal AS (SELECT COUNT(*) AS n_cal FROM calib),
+kq AS (
+  SELECT n_cal,
+         CAST(CEIL((n_cal + 1) * {1 - CONFORMAL_ALPHA}) AS BIGINT) AS k
+  FROM ncal
+),
+ranked AS (
+  SELECT r, ROW_NUMBER() OVER (ORDER BY r, x) AS rn FROM calib
+),
+q AS (
+  SELECT kq.n_cal, kq.k,
+         CASE WHEN kq.k > kq.n_cal
+              THEN (SELECT MAX(r) FROM ranked)
+              ELSE (SELECT r FROM ranked WHERE rn = kq.k) END AS qr
+  FROM kq
+),
+maxx AS (SELECT MAX(x) AS xm FROM pts),
+h(step) AS (SELECT UNNEST(RANGE(1, {CONFORMAL_HORIZON} + 1)))
+SELECT CAST(h.step AS INTEGER) AS step,
+       CAST(maxx.xm + h.step AS BIGINT) AS x,
+       ab2.n_train, q.n_cal,
+       ROUND(ab2.b / 100, 6) AS slope_dollars,
+       ROUND((ab2.a + ab2.b * (maxx.xm + h.step)) / 100, 4) AS yhat,
+       ROUND((ab2.a + ab2.b * (maxx.xm + h.step) - q.qr) / 100, 4) AS lo,
+       ROUND((ab2.a + ab2.b * (maxx.xm + h.step) + q.qr) / 100, 4) AS hi
+FROM h CROSS JOIN ab2 CROSS JOIN q CROSS JOIN maxx
+""",
+    doc=f"SPLIT-CONFORMAL prediction intervals around the daily-"
+        "revenue OLS trend — distribution-free uncertainty "
+        "quantification computed where the data lives: even day "
+        "indices train the line (exact integer-cent sums, the "
+        "normal-equations precedent), odd days are the calibration "
+        "half, and the interval half-width is the k-th smallest "
+        f"absolute calibration residual with k = ceil((n+1)·"
+        f"{1 - CONFORMAL_ALPHA}) — the finite-sample guarantee "
+        f"P(y in [lo, hi]) >= {1 - CONFORMAL_ALPHA} that holds with "
+        "NO distributional assumption on the residuals. Output: the "
+        f"{CONFORMAL_HORIZON}-day-ahead forecast band. Determinism: "
+        "every sum is HUGEINT/DECIMAL-exact; a, b, residuals and the "
+        "ranked quantile are identical fixed double expression trees "
+        "in both engines (the residual rank tiebreaks on the day "
+        "index). Scale: the daily rollup is the only data-sized "
+        "shuffle; the residual rank runs over the O(days) calibration "
+        "rollup (allowlisted bound).",
+    tags=("learn", "conformal", "statistics", "aggregate", "window"),
+)
+def conformal_trend_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("decimal(38,0)")
+        .alias("cents")
+    )
+    mind = daily.agg(F.min("d").alias("d0"))
+    pts = daily.crossJoin(F.broadcast(mind)).select(
+        F.datediff("d", "d0").alias("x"), "cents"
+    )
+    train = pts.where(F.col("x") % 2 == 0)
+    xd = F.col("x").cast("decimal(38,0)")
+    fit = train.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum("cents").alias("sy"),
+        F.sum(xd * F.col("x")).alias("sxx"),
+        F.sum(xd * F.col("cents")).alias("sxy"),
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    ab = fit.select(
+        (
+            (dbl("n") * dbl("sxy") - dbl("sx") * dbl("sy"))
+            / (dbl("n") * dbl("sxx") - dbl("sx") * dbl("sx"))
+        ).alias("b"),
+        F.col("n").cast("long").alias("n_train"),
+        "sx",
+        "sy",
+        "n",
+    )
+    ab2 = ab.select(
+        "b",
+        ((dbl("sy") - F.col("b") * dbl("sx")) / dbl("n")).alias("a"),
+        "n_train",
+    )
+    calib = (
+        pts.where(F.col("x") % 2 == 1)
+        .crossJoin(F.broadcast(ab2))
+        .select(
+            "x",
+            "a",
+            "b",
+            "n_train",
+            F.abs(
+                F.col("cents").cast("double")
+                - (F.col("a") + F.col("b") * F.col("x"))
+            ).alias("r"),
+        )
+    )
+    ncal = calib.agg(F.count(F.lit(1)).alias("n_cal"))
+    kq = ncal.select(
+        "n_cal",
+        F.ceil((F.col("n_cal") + 1) * (1 - CONFORMAL_ALPHA))
+        .cast("long")
+        .alias("k"),
+    )
+    # residual rank over the O(days) calibration rollup — bounded by
+    # the time dimension, never data-sized (allowlisted)
+    rw = Window.orderBy("r", "x")
+    ranked = calib.select("r", "x").withColumn(
+        "rn", F.row_number().over(rw)
+    )
+    qr = (
+        ranked.crossJoin(F.broadcast(kq))
+        .where(
+            (F.col("rn") == F.least(F.col("k"), F.col("n_cal")))
+        )
+        .select("n_cal", "k", F.col("r").alias("qr"))
+    )
+    maxx = pts.agg(F.max("x").alias("xm"))
+    h = spark.range(1, CONFORMAL_HORIZON + 1).select(
+        F.col("id").cast("int").alias("step")
+    )
+    yhat = F.col("a") + F.col("b") * (F.col("xm") + F.col("step"))
+    return (
+        h.crossJoin(F.broadcast(ab2))
+        .crossJoin(F.broadcast(qr))
+        .crossJoin(F.broadcast(maxx))
+        .select(
+            "step",
+            (F.col("xm") + F.col("step")).cast("long").alias("x"),
+            "n_train",
+            "n_cal",
+            F.round(F.col("b") / 100, 6).alias("slope_dollars"),
+            F.round(yhat / 100, 4).alias("yhat"),
+            F.round((yhat - F.col("qr")) / 100, 4).alias("lo"),
+            F.round((yhat + F.col("qr")) / 100, 4).alias("hi"),
+        )
+    )
