@@ -251,6 +251,10 @@ HEADLINE = [
     "phrase_search_positional",
     "feature_store_pit_join",
     "twap_value_by_type_day",
+    "conformal_trend_intervals",
+    "grouped_weighted_median_two_pass",
+    "analyze_column_stats",
+    "parts_personalized_pagerank",
 ]
 
 

@@ -468,3 +468,73 @@ class TestConformalIntervals:
         # by construction >= (k)/(n_cal+1) of residuals are <= q
         covered = sum(1 for ri, _ in r if ri <= q)
         assert covered / n_cal >= 1 - CONFORMAL_ALPHA - 1e-9
+
+
+class TestWeightedMedian:
+    def test_matches_pandas_recompute(self, spark, sf_dir):
+        from ytspark.operators.profiling import (
+            grouped_weighted_median_two_pass,
+        )
+
+        li = pd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_linestatus", "l_extendedprice", "l_quantity"],
+        )
+        want = {}
+        for g, grp in li.groupby("l_linestatus"):
+            grp = grp.sort_values("l_extendedprice")
+            w = grp.l_quantity.astype("int64").to_numpy()
+            tw = int(w.sum())
+            k = -(-tw // 2)  # ceil(tw/2)
+            cum = w.cumsum()
+            idx = int((cum >= k).argmax())
+            want[g] = (tw, k, round(float(grp.l_extendedprice.iloc[idx]), 2))
+
+        got = {
+            r["linestatus"]: r
+            for r in grouped_weighted_median_two_pass(spark, sf_dir).collect()
+        }
+        assert set(got) == set(want)
+        for g, (tw, k, v) in want.items():
+            assert got[g]["total_weight"] == tw
+            assert got[g]["k"] == k
+            assert got[g]["wmedian_price"] == pytest.approx(v, abs=1e-9)
+
+
+class TestAnalyzeStats:
+    def test_matches_pandas_recompute(self, spark, sf_dir):
+        from ytspark.operators.profiling import (
+            ANALYZE_COLS,
+            analyze_column_stats,
+        )
+
+        li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+        got = {
+            r["col_name"]: r for r in analyze_column_stats(spark, sf_dir).collect()
+        }
+        assert set(got) == set(ANALYZE_COLS)
+        for c in ANALYZE_COLS:
+            s = li[c]
+            assert got[c]["n_nulls"] == int(s.isna().sum())
+            assert got[c]["ndv"] == s.nunique()
+
+
+class TestPersonalizedPagerank:
+    def test_seed_mass_and_conservation(self, spark, sf_dir):
+        """Seeds carry the teleport mass; total PPR mass <= 1 (dangling
+        leak only); every score nonnegative; seeds exist."""
+        from ytspark.operators.graph import parts_personalized_pagerank
+
+        rows = parts_personalized_pagerank(spark, sf_dir).collect()
+        assert len(rows) > 0
+        seeds = [r for r in rows if r["is_seed"]]
+        assert seeds
+        total = sum(r["ppr"] for r in rows)
+        assert 0 < total <= 1 + 1e-6
+        assert all(r["ppr"] >= 0 for r in rows)
+        # personalization: mean seed score should exceed the mean
+        # non-seed score (teleport mass restricted to seeds)
+        non = [r for r in rows if not r["is_seed"]]
+        mean_seed = sum(r["ppr"] for r in seeds) / len(seeds)
+        mean_non = sum(r["ppr"] for r in non) / len(non)
+        assert mean_seed > mean_non

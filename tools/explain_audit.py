@@ -90,6 +90,7 @@ EXPECTED_NESTED_LOOP = {
     "spearman_rank_correlation",     # broadcast one-row level counts
     "markov_attribution_removal",    # broadcast 5-row variants + 1-row base
     "conformal_trend_intervals",     # broadcast 1-row fit/quantile scalars
+    "parts_personalized_pagerank",   # broadcast 1-row seed count |S|
 }
 # queries whose UNPARTITIONED window runs on an input bounded by
 # construction — never on data-sized rows. Every entry names its bound;

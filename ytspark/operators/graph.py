@@ -667,3 +667,148 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("node").alias("min_node"),
         F.max("node").alias("max_node"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank: teleport restricted to a seed set
+# ---------------------------------------------------------------------------
+
+PPR_ITERS = 3
+PPR_DAMPING = 0.85
+
+
+def _ppr_iter_sql(prev: str, out: str) -> str:
+    return f"""{out} AS (
+  SELECT e.node,
+         (1 - {PPR_DAMPING}) * e.ev
+           + {PPR_DAMPING} * COALESCE(t.c, 0) AS pr
+  FROM e
+  LEFT JOIN (
+    SELECT p.dst, SUM({prev}.pr * p.p) AS c
+    FROM p JOIN {prev} ON {prev}.node = p.src
+    GROUP BY p.dst
+  ) t ON t.dst = e.node
+)"""
+
+
+_PPR_ORACLE = f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS pk FROM lineitem
+),
+eg AS (
+  SELECT a.pk AS u, b.pk AS v, COUNT(*) AS w
+  FROM op a JOIN op b ON a.o = b.o AND a.pk < b.pk
+  GROUP BY a.pk, b.pk HAVING COUNT(*) >= {KCORE_W_MIN}
+),
+sym AS (
+  SELECT u, v, w FROM eg UNION ALL SELECT v AS u, u AS v, w FROM eg
+),
+p AS (
+  SELECT u AS src, v AS dst, w * 1.0 / SUM(w) OVER (PARTITION BY u) AS p
+  FROM sym
+),
+nodes AS (SELECT DISTINCT u AS node FROM sym),
+sb AS (
+  SELECT MIN(p_brand) AS b
+  FROM part JOIN nodes ON part.p_partkey = nodes.node
+),
+seeds AS (
+  SELECT node FROM nodes JOIN part ON p_partkey = node
+  WHERE p_brand = (SELECT b FROM sb)
+),
+ns AS (SELECT COUNT(*) AS n FROM seeds),
+e AS (
+  SELECT n.node,
+         CASE WHEN s.node IS NULL THEN 0.0 ELSE 1.0 / ns.n END AS ev
+  FROM nodes n LEFT JOIN seeds s ON s.node = n.node CROSS JOIN ns
+),
+r0 AS (SELECT node, ev AS pr FROM e),
+{_ppr_iter_sql('r0', 'r1')},
+{_ppr_iter_sql('r1', 'r2')},
+{_ppr_iter_sql('r2', 'r3')}
+SELECT r3.node, CAST(e.ev > 0 AS BOOLEAN) AS is_seed,
+       ROUND(r3.pr, {PR_ROUND}) AS ppr
+FROM r3 JOIN e ON e.node = r3.node
+"""
+
+
+@register(
+    "parts_personalized_pagerank",
+    oracle=_PPR_ORACLE,
+    doc=f"PERSONALIZED PageRank over the repeat-co-purchase part "
+        "graph: the teleport vector is uniform over one brand's "
+        "parts (the min brand present — deterministic at any scale) "
+        "instead of uniform over all nodes, so scores measure "
+        "proximity TO THAT SEED SET — the related-items / "
+        "seeded-recommendation primitive, and the graph-proximity "
+        "counterpart of the cosine neighbors query. Same "
+        f"join+aggregate iteration as global PageRank ({PPR_ITERS} "
+        f"unrolled rounds, damping {PPR_DAMPING}), same 100 TB "
+        "shape: edge table and rank vector co-partition on the node "
+        "key; the seed vector is built by one broadcast-joined "
+        "lookup against the part dimension. The chained-CTE oracle "
+        "replays every round, certifying the seeded teleport "
+        "arithmetic cross-engine.",
+    tags=("graph", "pagerank", "recommend", "iterative", "join"),
+)
+def parts_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    li, part = t["lineitem"], t["part"]
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    eg = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= KCORE_W_MIN)
+    )
+    sym = eg.unionAll(
+        eg.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    )
+    uw = Window.partitionBy("u")
+    p = sym.select(
+        F.col("u").alias("src"),
+        F.col("v").alias("dst"),
+        (F.col("w") * 1.0 / F.sum("w").over(uw)).alias("p"),
+    ).persist()  # read by every unrolled iteration
+    nodes = sym.select(F.col("u").alias("node")).distinct()
+    pk = part.select(F.col("p_partkey").alias("node"), "p_brand")
+    sb = nodes.join(pk, "node").agg(F.min("p_brand").alias("b"))
+    seeds = (
+        nodes.join(pk, "node")
+        .join(F.broadcast(sb), F.col("p_brand") == F.col("b"))
+        .select("node")
+    )
+    ns = seeds.agg(F.count(F.lit(1)).alias("n"))
+    e = (
+        nodes.join(seeds.withColumn("s", F.lit(1)), "node", "left")
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "node",
+            F.when(F.col("s").isNull(), F.lit(0.0))
+            .otherwise(F.lit(1.0) / F.col("n"))
+            .alias("ev"),
+        )
+        .persist()  # teleport vector read by every iteration
+    )
+    r = e.select("node", F.col("ev").alias("pr"))
+    for _ in range(PPR_ITERS):
+        contrib = (
+            p.join(r, p["src"] == r["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") * F.col("p")).alias("c"))
+        )
+        r = e.join(contrib, F.col("node") == F.col("dst"), "left").select(
+            "node",
+            (
+                (1.0 - PPR_DAMPING) * F.col("ev")
+                + PPR_DAMPING * F.coalesce(F.col("c"), F.lit(0.0))
+            ).alias("pr"),
+        )
+    return r.join(e, "node").select(
+        "node",
+        (F.col("ev") > 0).alias("is_seed"),
+        F.round("pr", PR_ROUND).alias("ppr"),
+    )

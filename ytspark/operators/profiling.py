@@ -725,3 +725,162 @@ def spearman_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rho_spearman"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped WEIGHTED median via the two-pass bucket histogram
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "grouped_weighted_median_two_pass",
+    oracle="""
+WITH d AS (
+  SELECT l_linestatus AS g,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+         CAST(l_quantity AS BIGINT) AS w,
+         l_orderkey AS ok, l_linenumber AS ln
+  FROM lineitem
+),
+tot AS (SELECT g, SUM(w) AS tw FROM d GROUP BY g),
+k AS (SELECT g, tw, CAST(CEIL(tw / 2.0) AS BIGINT) AS k FROM tot),
+r AS (
+  SELECT g, v, w,
+         SUM(w) OVER (PARTITION BY g ORDER BY v, ok, ln
+                      ROWS UNBOUNDED PRECEDING) AS cumw
+  FROM d
+)
+SELECT k.g AS linestatus,
+       CAST(k.tw AS BIGINT) AS total_weight,
+       k.k,
+       CAST(r.v AS DOUBLE) AS wmedian_price
+FROM k JOIN r ON r.g = k.g AND r.cumw >= k.k AND r.cumw - r.w < k.k
+""",
+    doc="Per-group WEIGHTED median (smallest v whose cumulative "
+        "weight reaches ceil(W/2), weights = line quantities) via "
+        "the same two-pass bucket histogram as the exact median — "
+        "the robust central-tendency statistic when rows carry "
+        "unequal mass (units, durations, bytes): pass 1 sums WEIGHTS "
+        "per (group, bucket) instead of counting rows, cumulative "
+        "offsets locate each group's target bucket, pass 2 runs the "
+        "weighted running sum over only that bucket's rows. Fully "
+        "partitioned, no unpartitioned window anywhere; ties in v "
+        "are harmless (every boundary row shares the same v) but "
+        "the running sum still totally orders on (v, orderkey, "
+        "linenumber) so exactly ONE row satisfies the boundary "
+        "predicate in both engines. The oracle is the naive "
+        "single-window definition — feasible at gate scale, which "
+        "is why the two-pass form exists at real scale.",
+    tags=("profiling", "percentile", "statistics", "scale", "window"),
+)
+def grouped_weighted_median_two_pass(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    d = li.select(
+        F.col("l_linestatus").alias("g"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("v"),
+        F.col("l_quantity").cast("long").alias("w"),
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+        F.floor(F.col("l_extendedprice") / F.lit(PCTL_BUCKET_WIDTH))
+        .cast("long")
+        .alias("bucket"),
+    )
+    hist = d.groupBy("g", "bucket").agg(F.sum("w").alias("c"))
+    ow = (
+        Window.partitionBy("g")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = hist.select(
+        "g", "bucket", "c",
+        F.coalesce(F.sum("c").over(ow), F.lit(0)).alias("off"),
+    )
+    tot = d.groupBy("g").agg(F.sum("w").alias("tw"))
+    k = tot.select(
+        "g", "tw", F.ceil(F.col("tw") / 2.0).cast("long").alias("k")
+    )
+    located = (
+        k.join(cum, "g")
+        .where((F.col("k") > F.col("off")) & (F.col("k") <= F.col("off") + F.col("c")))
+        .select("g", "tw", "k", "bucket", "off")
+    )
+    wv = (
+        Window.partitionBy("g")
+        .orderBy("v", "ok", "ln")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t = F.col("k") - F.col("off")  # target weighted rank within bucket
+    return (
+        d.join(F.broadcast(located), ["g", "bucket"])
+        .withColumn("cumw", F.sum("w").over(wv))
+        .where((F.col("cumw") >= t) & (F.col("cumw") - F.col("w") < t))
+        .select(
+            F.col("g").alias("linestatus"),
+            F.col("tw").cast("long").alias("total_weight"),
+            "k",
+            F.col("v").cast("double").alias("wmedian_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANALYZE-style column statistics battery (CBO inputs)
+# ---------------------------------------------------------------------------
+
+ANALYZE_COLS = (
+    "l_orderkey",
+    "l_suppkey",
+    "l_quantity",
+    "l_returnflag",
+    "l_shipdate",
+)
+
+
+def _analyze_sql(col: str) -> str:
+    return f"""
+SELECT '{col}' AS col_name,
+       CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {col}) AS BIGINT) AS ndv,
+       CAST(MIN({col}) AS VARCHAR) AS min_str,
+       CAST(MAX({col}) AS VARCHAR) AS max_str,
+       ROUND(AVG(LEN(CAST({col} AS VARCHAR))), 4) AS avg_len
+FROM lineitem"""
+
+
+@register(
+    "analyze_column_stats",
+    oracle=" UNION ALL ".join(_analyze_sql(c) for c in ANALYZE_COLS),
+    doc="ANALYZE TABLE column statistics — the inputs a cost-based "
+        "optimizer (and this repo's own broadcast/skew heuristics) "
+        "feeds on: per column, the null count, EXACT distinct count, "
+        "min/max (string form, stable across engines for integer/"
+        "date/varchar columns), and mean rendered length (the row-"
+        "width estimate that sizes shuffles). Each column is one "
+        "map-side-combinable aggregate over the fact table; at "
+        "100 TB you'd swap the exact NDV for the engine's HLL "
+        "(approx_count_distinct — the sketch family here certifies "
+        "its bounds separately) and keep everything else unchanged. "
+        "All-integer/string outputs hash bit-identically.",
+    tags=("profiling", "quality", "aggregate", "statistics"),
+)
+def analyze_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    out = None
+    for c in ANALYZE_COLS:
+        s = F.col(c).cast("string")
+        row = li.agg(
+            F.lit(c).alias("col_name"),
+            (F.count(F.lit(1)) - F.count(c)).cast("long").alias("n_nulls"),
+            F.countDistinct(c).cast("long").alias("ndv"),
+            # min/max in the column's NATIVE order, rendered after
+            # (string-order min of integers would be lexicographic)
+            F.min(F.col(c)).cast("string").alias("min_str"),
+            F.max(F.col(c)).cast("string").alias("max_str"),
+            F.round(F.avg(F.length(s)), 4).alias("avg_len"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
