@@ -91,6 +91,8 @@ EXPECTED_NESTED_LOOP = {
     "markov_attribution_removal",    # broadcast 5-row variants + 1-row base
     "conformal_trend_intervals",     # broadcast 1-row fit/quantile scalars
     "parts_personalized_pagerank",   # broadcast 1-row seed count |S|
+    "kaplan_meier_survival",         # broadcast 1-row window-max day
+    "theil_sen_trend_robust",        # broadcast 1-row k + OLS scalars
 }
 # queries whose UNPARTITIONED window runs on an input bounded by
 # construction — never on data-sized rows. Every entry names its bound;
@@ -110,6 +112,8 @@ EXPECTED_GLOBAL_WINDOW = {
     "spearman_rank_correlation",   # rank windows over <=50-row marginals
     "markov_attribution_removal",  # share normalizer over the 4-channel rows
     "conformal_trend_intervals",   # residual rank over the O(days) rollup
+    "kaplan_meier_survival",       # risk/survival over the O(days) lifetimes
+    "theil_sen_trend_robust",      # slope rank over the O(days) rollup
 }
 # streaming queries execute eagerly; skip plan audit (they materialize
 # their own sinks and are correctness-checked by the oracle gate)

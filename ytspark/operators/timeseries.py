@@ -932,3 +932,208 @@ def seasonal_adjusted_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("resid_z")).desc(), "event_type", "anomaly_day")
         .limit(ANOM_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival estimator (user lifetime with right-censoring)
+# ---------------------------------------------------------------------------
+
+KM_CENSOR_TAIL_DAYS = 3  # users active in the final window are censored
+
+
+@register(
+    "kaplan_meier_survival",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, DATE_TRUNC('day', ts) AS day FROM events
+),
+w AS (SELECT MAX(day) AS wmax FROM ev),
+u AS (
+  SELECT user_id,
+         DATE_DIFF('day', MIN(day), MAX(day)) AS t,
+         MAX(day) >= (SELECT wmax FROM w)
+                     - INTERVAL {KM_CENSOR_TAIL_DAYS} DAY AS censored
+  FROM ev GROUP BY user_id
+),
+byt AS (
+  SELECT t,
+         SUM(CASE WHEN censored THEN 0 ELSE 1 END) AS d,
+         SUM(CASE WHEN censored THEN 1 ELSE 0 END) AS c
+  FROM u GROUP BY t
+),
+risk AS (
+  SELECT t, d, c,
+         SUM(d + c) OVER (ORDER BY t DESC) AS n_risk
+  FROM byt
+),
+surv AS (
+  SELECT t, d, c, n_risk,
+         EXP(SUM(CASE WHEN d > 0 THEN LN(1.0 - d * 1.0 / n_risk)
+                      ELSE 0.0 END)
+             OVER (ORDER BY t)) AS s
+  FROM risk
+)
+SELECT CAST(t AS BIGINT) AS lifetime_days,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS n_deaths,
+       CAST(c AS BIGINT) AS n_censored,
+       ROUND(s, 6) AS survival
+FROM surv
+""",
+    doc="KAPLAN-MEIER survival curve of user lifetime (days between "
+        "first and last event) with RIGHT-CENSORING — the churn/"
+        "retention estimator that, unlike a naive lifetime histogram, "
+        "does not bias downward from users still active at the "
+        f"window edge (last event within {KM_CENSOR_TAIL_DAYS} days "
+        "of the window end = censored: they exit the risk set "
+        "without counting as churned). S(t) = prod over death times "
+        "u <= t of (1 - d_u / n_risk_u), computed in log space over "
+        "the O(days) per-lifetime rollup (the only data-sized work "
+        "is the per-user min/max aggregate). Both engines run the "
+        "identical EXP/LN expression on exact integer ratios and "
+        "round to 6 dp (the MI-battery precedent for transcendental "
+        "batteries). Windows run over the bounded lifetime table "
+        "(allowlisted). The standard deaths-before-censoring tie "
+        "convention at equal t holds in both engines by "
+        "construction (censored users stay in n_risk at their t).",
+    tags=("time", "statistics", "retention", "aggregate", "window"),
+)
+def kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"].select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    )
+    w = ev.agg(F.max("day").alias("wmax"))
+    u = (
+        ev.groupBy("user_id")
+        .agg(F.min("day").alias("fd"), F.max("day").alias("ld"))
+        .crossJoin(F.broadcast(w))
+        .select(
+            F.datediff("ld", "fd").alias("t"),
+            (
+                F.col("ld")
+                >= F.col("wmax") - F.expr(
+                    f"INTERVAL {KM_CENSOR_TAIL_DAYS} DAY"
+                )
+            ).alias("censored"),
+        )
+    )
+    byt = u.groupBy("t").agg(
+        F.sum(F.when(F.col("censored"), 0).otherwise(1)).alias("d"),
+        F.sum(F.when(F.col("censored"), 1).otherwise(0)).alias("c"),
+    )
+    wdesc = Window.orderBy(F.col("t").desc()).rangeBetween(
+        Window.unboundedPreceding, 0
+    )
+    wasc = Window.orderBy("t").rangeBetween(Window.unboundedPreceding, 0)
+    risk = byt.select(
+        "t", "d", "c", F.sum(F.col("d") + F.col("c")).over(wdesc).alias("n_risk")
+    )
+    surv = risk.select(
+        "t",
+        "d",
+        "c",
+        "n_risk",
+        F.exp(
+            F.sum(
+                F.when(
+                    F.col("d") > 0,
+                    F.log(F.lit(1.0) - F.col("d") * 1.0 / F.col("n_risk")),
+                ).otherwise(F.lit(0.0))
+            ).over(wasc)
+        ).alias("s"),
+    )
+    return surv.select(
+        F.col("t").cast("long").alias("lifetime_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("n_deaths"),
+        F.col("c").cast("long").alias("n_censored"),
+        F.round("s", 6).alias("survival"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen-style robust trend: exact median of consecutive-day slopes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "theil_sen_trend_robust",
+    oracle="""
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y
+  FROM orders GROUP BY o_orderdate
+),
+mind AS (SELECT MIN(d) AS d0 FROM daily),
+pts AS (
+  SELECT DATE_DIFF('day', mind.d0, daily.d) AS x, y
+  FROM daily CROSS JOIN mind
+),
+sl AS (
+  SELECT x,
+         (LEAD(y) OVER (ORDER BY x) - y)
+           / (LEAD(x) OVER (ORDER BY x) - x) AS slope
+  FROM pts
+  QUALIFY slope IS NOT NULL
+),
+n AS (SELECT COUNT(*) AS n FROM sl),
+k AS (SELECT n, CAST(CEIL(n / 2.0) AS BIGINT) AS k FROM n),
+r AS (SELECT slope, ROW_NUMBER() OVER (ORDER BY slope, x) AS rn FROM sl),
+ols AS (SELECT REGR_SLOPE(y, x) AS b FROM pts)
+SELECT CAST(k.n AS BIGINT) AS n_slopes, k.k,
+       ROUND(r.slope, 6) AS median_slope,
+       ROUND(ols.b, 6) AS ols_slope
+FROM k JOIN r ON r.rn = k.k CROSS JOIN ols
+""",
+    doc="Robust daily-revenue trend: the EXACT MEDIAN of consecutive-"
+        "day slopes (the bounded-pair Theil-Sen variant — the full "
+        "estimator medians all O(n^2) pairs; consecutive pairs keep "
+        "the breakdown robustness a monitoring trend needs at O(n) "
+        "cost) side by side with the native OLS slope, so one row "
+        "quantifies how far outlier days pull the least-squares fit. "
+        "Slopes are exact IEEE divisions of DECIMAL-exact daily "
+        "sums; the median is the k-th smallest with a full (slope, "
+        "day) tiebreak over the O(days) slope table (allowlisted "
+        "bound — at data-sized inputs the two-pass bucket selection "
+        "replaces it). Cross-engine: Spark's regr_slope certifies "
+        "against DuckDB's (the revenue_trend_ols precedent).",
+    tags=("time", "statistics", "learn", "aggregate", "window"),
+)
+def theil_sen_trend_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("y")
+    )
+    mind = daily.agg(F.min("d").alias("d0"))
+    pts = daily.crossJoin(F.broadcast(mind)).select(
+        F.datediff("d", "d0").alias("x"), "y"
+    )
+    wx = Window.orderBy("x")
+    sl = (
+        pts.select(
+            "x",
+            (
+                (F.lead("y").over(wx) - F.col("y"))
+                / (F.lead("x").over(wx) - F.col("x"))
+            ).alias("slope"),
+        )
+        .where(F.col("slope").isNotNull())
+    )
+    n = sl.agg(F.count(F.lit(1)).alias("n"))
+    k = n.select("n", F.ceil(F.col("n") / 2.0).cast("long").alias("k"))
+    wr = Window.orderBy("slope", "x")
+    r = sl.withColumn("rn", F.row_number().over(wr))
+    ols = pts.agg(F.regr_slope("y", "x").alias("b"))
+    return (
+        r.crossJoin(F.broadcast(k))
+        .where(F.col("rn") == F.col("k"))
+        .crossJoin(F.broadcast(ols))
+        .select(
+            F.col("n").cast("long").alias("n_slopes"),
+            "k",
+            F.round("slope", 6).alias("median_slope"),
+            F.round("b", 6).alias("ols_slope"),
+        )
+    )
