@@ -108,11 +108,12 @@ _PRIORITY: tuple[str, ...] = (
     "window_rank_battery",
     # exact distributed order statistics (round 5)
     "exact_percentiles_two_pass",
-    # temporal joins
+    # temporal joins (feature-store point-in-time join debuts here)
     "asof_last_click_before_purchase",
-    # dedup family — incl. the persisted incremental store and the
-    # cross-engine-checkable (hash-certified) signature variants
-    "dedup_minhash_lsh_checkable",
+    "feature_store_pit_join",
+    # dedup family — the round-5 redesigned PPJoin stays in for
+    # recertification; the checkable MinHash twin rotates out with
+    # r3+r4 driver passes on record (dedup keeps 4 tag carriers)
     "dedup_jaccard_ppjoin",
     # similarity / embeddings
     "knn_cosine_ivf",
@@ -123,7 +124,6 @@ _PRIORITY: tuple[str, ...] = (
     # search / fuzzy ER / data layout / sketches (round 3)
     "approx_distinct_users_bounds",
     "bm25_search",
-    "fuzzy_join_customer_names",
     "zorder_layout_stats",
     # training-set assembly + iterative graph/learning (round 3)
     "sequence_pack_greedy",
@@ -134,7 +134,6 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_image_decode",
     # round-4 rotation: time-series folds, robust stats, learned
     # models, CMS heavy hitters, Jaro-Winkler kernel
-    "events_value_ewma",
     "value_outlier_mad_battery",
     "lang_nb_classifier",
     "cms_heavy_hitters",
@@ -174,6 +173,17 @@ _PRIORITY: tuple[str, ...] = (
     "window_navigation_battery",
     "spearman_rank_correlation",
     "peak_concurrency_by_day",
+    # round-5d rotation: the recommendation family debuts
+    # (item-item cosine neighbors — the first "recommend" first-tag
+    # query, which the window gate requires) plus the right-censored
+    # Kaplan-Meier survival curve; with feature_store_pit_join above,
+    # three debut operators enter. Rotated out with driver passes on
+    # record and every family still tag-covered (simulated against
+    # check_priority_window before the swap): dedup_minhash_lsh_
+    # checkable (r3+r4), events_value_ewma (r4), fuzzy_join_customer_
+    # names (r3+r4; fuzzy keeps the Jaro-Winkler kernel in-window).
+    "item_item_cosine_neighbors",
+    "kaplan_meier_survival",
     # structured streaming
     "streaming_hourly_counts",
     "streaming_stateful_user_stats",
