@@ -255,6 +255,14 @@ HEADLINE = [
     "grouped_weighted_median_two_pass",
     "analyze_column_stats",
     "parts_personalized_pagerank",
+    "kaplan_meier_survival",
+    "theil_sen_trend_robust",
+    "events_hits_hubs_authorities",
+    "k_anonymity_audit",
+    "join_size_estimate_cms",
+    "rfm_customer_segments",
+    "mann_whitney_value_shift",
+    "kneser_ney_bigram_lm",
 ]
 
 

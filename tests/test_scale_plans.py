@@ -333,3 +333,28 @@ def test_explicit_bloom_prefilter_cuts_join_input(spark, sf_dir, no_broadcast):
         dim, reduced.o_custkey == dim.key, "leftsemi"
     ).count()
     assert exact_after_bloom == n_match
+
+
+def test_write_bucketed_overwrites_orphaned_location(spark, sf_dir):
+    """A warehouse directory left by a dead process (pid-reused scratch
+    name, crashed writer) must not block saveAsTable in a fresh
+    catalog — write_bucketed drops the orphan and proceeds."""
+    import shutil
+    import uuid as _uuid
+
+    t = load_tables(spark, sf_dir, "orders")
+    od = t["orders"].select(F.col("o_orderkey").alias("okey"), "o_totalprice")
+    table = f"orphan_bkt_{_uuid.uuid4().hex[:8]}"
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    orphan = os.path.join(wh, table)
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "stale-part"), "w") as f:
+        f.write("left behind by a dead writer")
+    try:
+        assert not spark.catalog.tableExists(table)
+        write_bucketed(od, table, "okey", n_buckets=4)
+        assert spark.table(table).count() == od.count()
+        assert not os.path.exists(os.path.join(orphan, "stale-part"))
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(orphan, ignore_errors=True)

@@ -93,6 +93,9 @@ EXPECTED_NESTED_LOOP = {
     "parts_personalized_pagerank",   # broadcast 1-row seed count |S|
     "kaplan_meier_survival",         # broadcast 1-row window-max day
     "theil_sen_trend_robust",        # broadcast 1-row k + OLS scalars
+    "events_hits_hubs_authorities",  # broadcast 1-row N + sum normalizers
+    "join_size_estimate_cms",        # broadcast 1-row exact/N1/N2 scalars
+    "rfm_customer_segments",         # broadcast 1-row max-date + N scalars
 }
 # queries whose UNPARTITIONED window runs on an input bounded by
 # construction — never on data-sized rows. Every entry names its bound;
@@ -114,6 +117,8 @@ EXPECTED_GLOBAL_WINDOW = {
     "conformal_trend_intervals",   # residual rank over the O(days) rollup
     "kaplan_meier_survival",       # risk/survival over the O(days) lifetimes
     "theil_sen_trend_robust",      # slope rank over the O(days) rollup
+    "rfm_customer_segments",       # offsets over value-bounded metric buckets
+    "mann_whitney_value_shift",    # midranks over the bounded cent-value grid
 }
 # streaming queries execute eagerly; skip plan audit (they materialize
 # their own sinks and are correctness-checked by the oracle gate)

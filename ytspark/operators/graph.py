@@ -812,3 +812,151 @@ def parts_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ev") > 0).alias("is_seed"),
         F.round("pr", PR_ROUND).alias("ppr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities over the event-transition graph
+# ---------------------------------------------------------------------------
+
+HITS_ITERS = 2  # unrolled mutual-reinforcement rounds
+HITS_ROUND = 8
+
+
+def _hits_iter_sql(prev_h: str, out_a: str, out_h: str) -> str:
+    """One unrolled HITS iteration (authority then hub, sum-normalized)
+    as two chained CTE definition bodies."""
+    return f"""{out_a}_raw AS (
+  SELECT n.node, COALESCE(t.s, 0) AS a
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst, SUM({prev_h}.h * e.w) AS s
+    FROM e JOIN {prev_h} ON {prev_h}.node = e.src
+    GROUP BY e.dst
+  ) t ON t.dst = n.node
+),
+{out_a} AS (
+  SELECT node, a / (SELECT SUM(a) FROM {out_a}_raw) AS a FROM {out_a}_raw
+),
+{out_h}_raw AS (
+  SELECT n.node, COALESCE(t.s, 0) AS h
+  FROM nodes n LEFT JOIN (
+    SELECT e.src, SUM({out_a}.a * e.w) AS s
+    FROM e JOIN {out_a} ON {out_a}.node = e.dst
+    GROUP BY e.src
+  ) t ON t.src = n.node
+),
+{out_h} AS (
+  SELECT node, h / (SELECT SUM(h) FROM {out_h}_raw) AS h FROM {out_h}_raw
+)"""
+
+
+_HITS_ORACLE = f"""
+WITH seq AS (
+  SELECT event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+e AS (
+  SELECT prev_type AS src, event_type AS dst, COUNT(*) AS w
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+),
+nodes AS (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+h0 AS (SELECT node, 1.0 / nn.n AS h FROM nodes CROSS JOIN nn),
+{_hits_iter_sql('h0', 'a1', 'h1')},
+{_hits_iter_sql('h1', 'a2', 'h2')}
+SELECT a2.node,
+       ROUND(a2.a, {HITS_ROUND}) AS authority,
+       ROUND(h2.h, {HITS_ROUND}) AS hub
+FROM a2 JOIN h2 ON a2.node = h2.node
+"""
+
+
+@register(
+    "events_hits_hubs_authorities",
+    oracle=_HITS_ORACLE,
+    doc="HITS (Kleinberg hubs & authorities) over the weighted "
+        "event-transition graph: authority(v) = sum of hub scores "
+        "over in-edges, hub(u) = sum of authority scores over "
+        f"out-edges, each sum-normalized, {HITS_ITERS} unrolled "
+        "iterations from the uniform hub vector. Each half-step is "
+        "one join + one aggregate + one broadcast scalar divide — "
+        "the identical co-partitioned lineage shape as the certified "
+        "PageRank, so the same 100 TB partitioning argument applies "
+        "(edge table persisted once, rank vectors reuse its hash "
+        "partitioning; normalizers are one-row broadcast aggregates, "
+        "never driver collects). Sum normalization (not L2) keeps "
+        "every score an exact rational of integer edge weights, so "
+        "the chained-CTE DuckDB replay certifies all scores to "
+        f"{HITS_ROUND} dp. On a transition graph, authorities are "
+        "the event types sessions converge INTO, hubs the types that "
+        "fan out.",
+    tags=("graph", "hits", "iterative", "join"),
+)
+def events_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    edges = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("src"), F.col("next_type").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .persist()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n_df = nodes.agg(F.count(F.lit(1)).alias("n"))
+    hub = nodes.crossJoin(F.broadcast(n_df)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("h")
+    )
+
+    def _norm(df: DataFrame, col: str) -> DataFrame:
+        tot = df.agg(F.sum(col).alias("tot"))
+        return df.crossJoin(F.broadcast(tot)).select(
+            "node", (F.col(col) / F.col("tot")).alias(col)
+        )
+
+    auth = None
+    for _ in range(HITS_ITERS):
+        a_raw = (
+            edges.join(hub, edges["src"] == hub["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("h") * F.col("w")).alias("s"))
+        )
+        auth = _norm(
+            nodes.join(a_raw, F.col("node") == F.col("dst"), "left").select(
+                "node", F.coalesce(F.col("s"), F.lit(0.0)).alias("a")
+            ),
+            "a",
+        )
+        h_raw = (
+            edges.join(auth, edges["dst"] == auth["node"])
+            .groupBy("src")
+            .agg(F.sum(F.col("a") * F.col("w")).alias("s"))
+        )
+        hub = _norm(
+            nodes.join(h_raw, F.col("node") == F.col("src"), "left").select(
+                "node", F.coalesce(F.col("s"), F.lit(0.0)).alias("h")
+            ),
+            "h",
+        )
+    return (
+        auth.join(hub, "node")
+        .select(
+            "node",
+            F.round("a", HITS_ROUND).alias("authority"),
+            F.round("h", HITS_ROUND).alias("hub"),
+        )
+    )

@@ -884,3 +884,88 @@ def analyze_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity / l-diversity privacy audit
+# ---------------------------------------------------------------------------
+
+KANON_K = 5  # the k in "k-anonymous" the audit certifies against
+KANON_ROUND = 6
+
+
+@register(
+    "k_anonymity_audit",
+    oracle=f"""
+WITH q AS (
+  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+         CASE WHEN c_acctbal < 0 THEN 'delinquent'
+              WHEN c_acctbal < 5000 THEN 'standard'
+              ELSE 'premium' END AS sensitive
+  FROM customer
+),
+cls AS (
+  SELECT nation, segment,
+         COUNT(*) AS class_size,
+         COUNT(DISTINCT sensitive) AS l_distinct
+  FROM q GROUP BY nation, segment
+),
+tops AS (
+  SELECT nation, segment, MAX(cnt) AS top_cnt FROM (
+    SELECT nation, segment, sensitive, COUNT(*) AS cnt
+    FROM q GROUP BY nation, segment, sensitive
+  ) GROUP BY nation, segment
+)
+SELECT CAST(cls.nation AS BIGINT) AS nation, cls.segment,
+       CAST(class_size AS BIGINT) AS class_size,
+       CAST(l_distinct AS BIGINT) AS l_distinct,
+       ROUND(top_cnt * 1.0 / class_size, {KANON_ROUND}) AS top_sensitive_share,
+       class_size >= {KANON_K} AS k_anonymous,
+       l_distinct >= 2 AS l_diverse
+FROM cls JOIN tops
+  ON cls.nation = tops.nation AND cls.segment = tops.segment
+""",
+    doc="PRIVACY AUDIT of a release candidate: treating (nation, "
+        "market segment) as the quasi-identifier and the account-"
+        "balance tier as the sensitive attribute, report every "
+        "equivalence class's size (k-anonymity: a class below "
+        f"k={KANON_K} makes its members re-identifiable), distinct "
+        "sensitive values (l-diversity: l=1 means the QI alone "
+        "discloses the attribute), and the top sensitive-value share "
+        "(the t-closeness-style skew signal — a class can be "
+        "l-diverse yet 99% one value). Training-data pipelines run "
+        "exactly this gate before shipping a de-identified corpus. "
+        "Two map-side-combinable groupBys over one scan — the class "
+        "report is O(|QI cardinality|), so the audit costs a scan at "
+        "100 TB regardless of row count. Exact integer counts; the "
+        "one ratio is rounded.",
+    tags=("profiling", "privacy", "quality", "aggregate"),
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_tables(spark, sf_dir, "customer")["customer"]
+    q = cust.select(
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.when(F.col("c_acctbal") < 0, F.lit("delinquent"))
+        .when(F.col("c_acctbal") < 5000, F.lit("standard"))
+        .otherwise(F.lit("premium"))
+        .alias("sensitive"),
+    )
+    per_sens = q.groupBy("nation", "segment", "sensitive").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    cls = per_sens.groupBy("nation", "segment").agg(
+        F.sum("cnt").alias("class_size"),
+        F.count(F.lit(1)).alias("l_distinct"),
+        F.max("cnt").alias("top_cnt"),
+    )
+    return cls.select(
+        "nation",
+        "segment",
+        F.col("class_size").cast("long").alias("class_size"),
+        F.col("l_distinct").cast("long").alias("l_distinct"),
+        F.round(F.col("top_cnt") * 1.0 / F.col("class_size"), KANON_ROUND)
+        .alias("top_sensitive_share"),
+        (F.col("class_size") >= KANON_K).alias("k_anonymous"),
+        (F.col("l_distinct") >= 2).alias("l_diverse"),
+    )

@@ -1405,3 +1405,117 @@ def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(q, 6).alias("p_temperature"),
         F.round(q / F.col("p"), 6).alias("upsample_factor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram smoothing
+# ---------------------------------------------------------------------------
+
+KN_DISCOUNT = 0.75  # the standard absolute discount
+KN_TOP_K = 25
+KN_ROUND = 8
+
+
+_KN_ORACLE = f"""
+WITH toks AS (
+  SELECT STRING_SPLIT(text, ' ') AS l FROM documents
+),
+bi AS (
+  SELECT p[1] AS w1, p[2] AS w2
+  FROM (SELECT UNNEST(LIST_ZIP(l[:-2], l[2:])) AS p FROM toks)
+),
+bi_cnt AS (
+  SELECT w1, w2, COUNT(*) AS c_xy FROM bi GROUP BY w1, w2
+),
+ctx AS (
+  SELECT w1, SUM(c_xy) AS c_ctx, COUNT(*) AS n_follow
+  FROM bi_cnt GROUP BY w1
+),
+cont AS (
+  SELECT w2, COUNT(*) AS n_precede FROM bi_cnt GROUP BY w2
+),
+tot AS (SELECT COUNT(*) AS n_types FROM bi_cnt)
+SELECT b.w1, b.w2,
+       CAST(b.c_xy AS BIGINT) AS c_bigram,
+       CAST(x.c_ctx AS BIGINT) AS c_context,
+       CAST(x.n_follow AS BIGINT) AS n_follow,
+       CAST(y.n_precede AS BIGINT) AS n_precede,
+       ROUND(CAST(y.n_precede AS DOUBLE) / t.n_types, {KN_ROUND})
+         AS p_continuation,
+       ROUND(GREATEST(b.c_xy - {KN_DISCOUNT}, 0) / x.c_ctx
+             + {KN_DISCOUNT} * x.n_follow / x.c_ctx
+               * (CAST(y.n_precede AS DOUBLE) / t.n_types),
+             {KN_ROUND}) AS p_kn
+FROM bi_cnt b
+JOIN ctx x ON x.w1 = b.w1
+JOIN cont y ON y.w2 = b.w2
+CROSS JOIN tot t
+ORDER BY c_bigram DESC, b.w1, b.w2
+LIMIT {KN_TOP_K}
+"""
+
+
+@register(
+    "kneser_ney_bigram_lm",
+    oracle=_KN_ORACLE,
+    doc="INTERPOLATED KNESER-NEY bigram smoothing — the LM estimator "
+        "real n-gram pipelines (KenLM-style) ship, upgrading the "
+        "certified add-one bigram LM: P(w2|w1) = max(c(w1,w2)-D,0)/"
+        f"c(w1) + D*N1+(w1.)/c(w1) * Pcont(w2), D={KN_DISCOUNT}, "
+        "where the CONTINUATION probability Pcont(w2) = N1+(.w2)/"
+        "|bigram types| ranks words by how many contexts they follow "
+        "— the insight that makes KN the strongest count-based "
+        "smoother. All four statistics (bigram counts, context "
+        "totals, follower fan-out, preceder fan-in) are one groupBy "
+        "each over the zip_with bigram explode (no positional "
+        "self-join); the probability combines them via two shuffle "
+        "joins on the token key (vocabulary is NOT broadcastable at "
+        "100 TB) and a one-row type-count broadcast. Exact integer "
+        "counts until the final divisions; reported for the top-"
+        f"{KN_TOP_K} bigrams by count (TakeOrdered, total tiebreak).",
+    tags=("text", "lm", "tokenizer", "aggregate", "join"),
+)
+def kneser_ney_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    l = tokens(F.col("text"))
+    n1 = F.array_size(l) - F.lit(1)
+    pairs = F.zip_with(
+        F.slice(l, 1, n1),
+        F.slice(l, 2, n1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bi_cnt = (
+        docs.select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .persist()  # feeds ctx, cont, tot and the final join
+    )
+    ctx = bi_cnt.groupBy("w1").agg(
+        F.sum("c_xy").alias("c_ctx"), F.count(F.lit(1)).alias("n_follow")
+    )
+    cont = bi_cnt.groupBy("w2").agg(F.count(F.lit(1)).alias("n_precede"))
+    tot = bi_cnt.agg(F.count(F.lit(1)).alias("n_types"))
+    d = F.lit(KN_DISCOUNT)
+    p_cont = F.col("n_precede").cast("double") / F.col("n_types")
+    return (
+        bi_cnt.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_xy").cast("long").alias("c_bigram"),
+            F.col("c_ctx").cast("long").alias("c_context"),
+            F.col("n_follow").cast("long").alias("n_follow"),
+            F.col("n_precede").cast("long").alias("n_precede"),
+            F.round(p_cont, KN_ROUND).alias("p_continuation"),
+            F.round(
+                F.greatest(F.col("c_xy") - d, F.lit(0.0)) / F.col("c_ctx")
+                + d * F.col("n_follow") / F.col("c_ctx") * p_cont,
+                KN_ROUND,
+            ).alias("p_kn"),
+        )
+        .orderBy(F.col("c_bigram").desc(), "w1", "w2")
+        .limit(KN_TOP_K)
+    )

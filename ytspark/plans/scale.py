@@ -37,7 +37,24 @@ def write_bucketed(
 
     Joins/aggregations on ``key`` between tables written with the same
     bucket spec run shuffle-free (and sort-free when sorted).
+
+    Replay-idempotent against orphaned locations: a managed-table
+    directory can survive a dead writer (crash mid-write, or a
+    pid-reused scratch name) while the fresh session's catalog has no
+    such table — ``saveAsTable`` then fails with
+    LOCATION_ALREADY_EXISTS instead of overwriting. If the name is
+    absent from the catalog but its default warehouse location exists,
+    drop the orphan first (Hadoop FS API, so any scheme works).
     """
+    spark = df.sparkSession
+    if not spark.catalog.tableExists(table):
+        jvm = spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(
+            spark.conf.get("spark.sql.warehouse.dir"), table.lower()
+        )
+        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(path):
+            fs.delete(path, True)
     writer = df.write.mode("overwrite").bucketBy(n_buckets, key)
     if sort:
         writer = writer.sortBy(key)

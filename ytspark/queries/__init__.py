@@ -211,6 +211,7 @@ def registry() -> dict[str, Query]:
         pareto,
         profiling,
         search,
+        segmentation,
         similarity,
         sketch,
         spatial,

@@ -918,3 +918,116 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U: the nonparametric two-sample test beside the z-test
+# ---------------------------------------------------------------------------
+
+MWU_A, MWU_B = "click", "purchase"  # the two compared event types
+MWU_ROUND = 6
+
+
+@register(
+    "mann_whitney_value_shift",
+    oracle=f"""
+WITH s AS (
+  SELECT event_type AS g, CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM events
+  WHERE event_type IN ('{MWU_A}', '{MWU_B}') AND value IS NOT NULL
+),
+per_v AS (
+  SELECT v,
+         SUM(CASE WHEN g = '{MWU_A}' THEN 1 ELSE 0 END) AS na,
+         COUNT(*) AS t
+  FROM s GROUP BY v
+),
+ranked AS (
+  SELECT v, na, t,
+         COALESCE(SUM(t) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + (t + 1) / 2.0 AS midrank
+  FROM per_v
+),
+agg AS (
+  SELECT SUM(na) AS n1, SUM(t) - SUM(na) AS n2, SUM(t) AS n,
+         SUM(na * midrank) AS r1,
+         SUM(CAST(t AS DOUBLE) * t * t - t) AS tie3
+  FROM ranked
+)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       ROUND(r1 - n1 * (n1 + 1) / 2.0, 1) AS u1,
+       ROUND(n1 * n2 / 2.0, 1) AS mu,
+       ROUND(SQRT(n1 * n2 / 12.0
+             * ((n + 1) - tie3 / (CAST(n AS DOUBLE) * (n - 1)))), {MWU_ROUND})
+         AS sigma,
+       ROUND((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+             / SQRT(n1 * n2 / 12.0
+               * ((n + 1) - tie3 / (CAST(n AS DOUBLE) * (n - 1)))),
+             {MWU_ROUND}) AS z_score
+FROM agg
+""",
+    doc="MANN-WHITNEY U (Wilcoxon rank-sum) — the nonparametric "
+        f"complement to ab_test_ztest: does '{MWU_B}' shift the value "
+        f"distribution vs '{MWU_A}' without assuming normality? "
+        "Values land on the exact cent grid (x100 integers), so "
+        "ranking happens over the VALUE-BOUNDED distinct grid, not "
+        "the data: one count aggregate per value level, midranks via "
+        "a running sum over that bounded table (allowlisted — the "
+        "customer_balance_quartiles precedent; ~2k levels here, "
+        "~50k at any scale because the grid is bounded by the value "
+        "range, not row count). U from the rank sum, normal "
+        "approximation with the EXACT tie correction "
+        "sigma = sqrt(n1*n2/12 * ((N+1) - sum(t^3-t)/(N(N-1)))). "
+        "Integer counts keep every term exact until the final "
+        "divisions, rounded identically cross-engine.",
+    tags=("statistics", "experiment", "aggregate", "window", "pipeline"),
+)
+def mann_whitney_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    s = ev.where(
+        F.col("event_type").isin(MWU_A, MWU_B) & F.col("value").isNotNull()
+    ).select(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    per_v = s.groupBy("v").agg(
+        F.sum(F.when(F.col("g") == MWU_A, 1).otherwise(0)).alias("na"),
+        F.count(F.lit(1)).alias("t"),
+    )
+    # running sum over the value grid: bounded by the cent-grid range
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_v.select(
+        "v",
+        "na",
+        "t",
+        (
+            F.coalesce(F.sum("t").over(w), F.lit(0))
+            + (F.col("t") + 1) / 2.0
+        ).alias("midrank"),
+    )
+    agg = ranked.agg(
+        F.sum("na").alias("n1"),
+        (F.sum("t") - F.sum("na")).alias("n2"),
+        F.sum("t").alias("n"),
+        F.sum(F.col("na") * F.col("midrank")).alias("r1"),
+        F.sum(
+            F.col("t").cast("double") * F.col("t") * F.col("t") - F.col("t")
+        ).alias("tie3"),
+    )
+    n1, n2, n = F.col("n1"), F.col("n2"), F.col("n")
+    u1 = F.col("r1") - n1 * (n1 + 1) / 2.0
+    sigma = F.sqrt(
+        n1 * n2 / 12.0
+        * ((n + 1) - F.col("tie3") / (n.cast("double") * (n - 1)))
+    )
+    return agg.select(
+        n1.cast("long").alias("n1"),
+        n2.cast("long").alias("n2"),
+        F.round(u1, 1).alias("u1"),
+        F.round(n1 * n2 / 2.0, 1).alias("mu"),
+        F.round(sigma, MWU_ROUND).alias("sigma"),
+        F.round((u1 - n1 * n2 / 2.0) / sigma, MWU_ROUND).alias("z_score"),
+    )
