@@ -263,6 +263,10 @@ HEADLINE = [
     "rfm_customer_segments",
     "mann_whitney_value_shift",
     "kneser_ney_bigram_lm",
+    "embedding_truncation_recall",
+    "benjamini_hochberg_nations",
+    "textrank_keywords",
+    "holt_winters_weekly_revenue",
 ]
 
 

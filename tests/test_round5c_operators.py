@@ -308,3 +308,162 @@ class TestKneserNey:
             # KN probabilities over a context sum to <= 1 by construction;
             # spot-check the interpolation weight is positive
             assert 0 < r.p_kn <= 1
+
+
+class TestTruncationRecall:
+    def test_matches_numpy_recompute(self, spark, sf_dir):
+        from ytspark.operators.similarity import N_QUERIES, TOP_K, TRUNC_DIMS
+        from ytspark.queries import registry
+
+        embedding_truncation_recall = registry()["embedding_truncation_recall"].fn
+
+        emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        V = np.stack(emb.embedding.to_numpy()).astype(float)
+        ids = emb.vec_id.to_numpy()
+
+        def topk(M):
+            sims = {}
+            for qi in range(len(ids)):
+                if ids[qi] >= N_QUERIES:
+                    continue
+                q = M[qi]
+                cos = (M @ q) / (
+                    np.linalg.norm(M, axis=1) * np.linalg.norm(q) + 0.0
+                )
+                cos = np.round(cos, 6)
+                order = sorted(
+                    [
+                        (float(-cos[j]), int(ids[j]))
+                        for j in range(len(ids))
+                        if ids[j] != ids[qi]
+                    ]
+                )[:TOP_K]
+                sims[int(ids[qi])] = {nid for _, nid in order}
+            return sims
+
+        full = topk(V)
+        trunc = topk(V[:, :TRUNC_DIMS])
+        got = embedding_truncation_recall(spark, sf_dir).toPandas()
+        assert len(got) == N_QUERIES
+        for row in got.itertuples():
+            hits = len(full[row.query_id] & trunc[row.query_id])
+            assert row.n_hits == hits
+            assert row.recall_truncated == pytest.approx(hits / TOP_K, abs=1e-6)
+            assert -1 <= row.avg_sim_truncated_picks <= row.avg_sim_full_topk + 1e-9
+
+
+class TestBenjaminiHochberg:
+    def test_matches_scipy_free_recompute(self, spark, sf_dir):
+        from ytspark.queries.pipeline import BH_ALPHA, benjamini_hochberg_nations
+
+        cust = pd.read_parquet(f"{sf_dir}/customer.parquet")
+        mu = cust.c_acctbal.mean()
+        var_g = (cust.c_acctbal**2).sum() / len(cust) - mu * mu
+        per = cust.groupby("c_nationkey").c_acctbal.agg(["count", "mean"])
+        z = (per["mean"] - mu) / np.sqrt(var_g / per["count"])
+        # A&S 7.1.26 two-sided p (same approximation as the engine)
+        t = 1.0 / (1.0 + 0.3275911 * z.abs())
+        poly = (
+            0.254829592 * t - 0.284496736 * t**2 + 1.421413741 * t**3
+            - 1.453152027 * t**4 + 1.061405429 * t**5
+        )
+        p = 2.0 * np.exp(-z.abs() ** 2 / 2.0) / np.sqrt(2 * np.pi) * poly
+        p = p.round(8)
+        m = len(p)
+        order = p.to_frame("p").assign(nation=p.index).sort_values(["p", "nation"])
+        order["rk"] = np.arange(1, m + 1)
+        passing = order[order.p <= order.rk * BH_ALPHA / m]
+        kstar = int(passing.rk.max()) if len(passing) else 0
+        rejected = set(order[order.rk <= kstar].nation)
+
+        got = benjamini_hochberg_nations(spark, sf_dir).toPandas()
+        assert len(got) == m
+        for row in got.itertuples():
+            assert row.p_value == pytest.approx(p[row.nation], abs=1e-8)
+            assert row.rejected == (row.nation in rejected)
+        # step-up property: the rejection set is a prefix of the p-order
+        rej = got[got.rejected]
+        if len(rej):
+            assert rej.p_rank.max() == len(rej)
+
+
+class TestTextRank:
+    def test_matches_numpy_pagerank(self, spark, sf_dir):
+        from ytspark.operators.graph import PR_DAMPING, PR_ITERS
+        from ytspark.operators.text import TEXTRANK_TOP_K
+        from ytspark.queries import registry
+
+        textrank_keywords = registry()["textrank_keywords"].fn
+
+        docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+        edges = collections.Counter()
+        for text in docs.text:
+            toks = text.split(" ")
+            for a, b in zip(toks, toks[1:]):
+                edges[(a, b)] += 1
+                edges[(b, a)] += 1
+        nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+        idx = {n: i for i, n in enumerate(nodes)}
+        N = len(nodes)
+        out_w = collections.Counter()
+        for (u, _), w in edges.items():
+            out_w[u] += w
+        pr = np.full(N, 1.0 / N)
+        for _ in range(PR_ITERS):
+            nxt = np.full(N, (1.0 - PR_DAMPING) / N)
+            for (u, v), w in edges.items():
+                nxt[idx[v]] += PR_DAMPING * pr[idx[u]] * w / out_w[u]
+            pr = nxt
+        want = sorted(
+            ((round(pr[idx[n]], 8), n) for n in nodes),
+            key=lambda kv: (-kv[0], kv[1]),
+        )[:TEXTRANK_TOP_K]
+
+        got = textrank_keywords(spark, sf_dir).toPandas()
+        assert [(r.textrank, r.token) for r in got.itertuples()] == [
+            (pytest.approx(s, abs=1e-8), n) for s, n in want
+        ]
+
+
+class TestHoltWinters:
+    def test_matches_pure_python_fold(self, spark, sf_dir):
+        from ytspark.operators.timeseries import (
+            HW_ALPHA,
+            HW_BETA,
+            HW_GAMMA,
+            HW_H,
+            HW_M,
+            holt_winters_weekly_revenue,
+        )
+
+        od = pd.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+        )
+        y = (
+            od.assign(v=od.o_totalprice.round(2))
+            .groupby("o_orderdate")
+            .v.sum()
+            .sort_index()
+            .to_numpy()
+            .astype(float)
+        )
+        m = HW_M
+        l = y[:m].sum() / m
+        b = (y[m : 2 * m].sum() / m - y[:m].sum() / m) / m
+        s = [y[k] - l for k in range(m)]
+        for i in range(2 * m, len(y)):
+            k = i % m
+            l_new = HW_ALPHA * (y[i] - s[k]) + (1 - HW_ALPHA) * (l + b)
+            b = HW_BETA * (l_new - l) + (1 - HW_BETA) * b
+            s[k] = HW_GAMMA * (y[i] - l_new) + (1 - HW_GAMMA) * s[k]
+            l = l_new
+
+        row = holt_winters_weekly_revenue(spark, sf_dir).collect()[0]
+        assert row["n_days"] == len(y)
+        assert row["level_last"] == pytest.approx(l, rel=1e-9)
+        assert row["trend_last"] == pytest.approx(b, rel=1e-6)
+        for k in range(m):
+            assert row[f"season_{k + 1}"] == pytest.approx(s[k], rel=1e-6)
+        for h in range(1, HW_H + 1):
+            want = l + h * b + s[(len(y) + h - 1) % m]
+            assert row[f"forecast_h{h}"] == pytest.approx(want, rel=1e-9)

@@ -96,6 +96,10 @@ EXPECTED_NESTED_LOOP = {
     "events_hits_hubs_authorities",  # broadcast 1-row N + sum normalizers
     "join_size_estimate_cms",        # broadcast 1-row exact/N1/N2 scalars
     "rfm_customer_segments",         # broadcast 1-row max-date + N scalars
+    "embedding_truncation_recall",   # broadcast query set, != predicate
+    "benjamini_hochberg_nations",    # broadcast 1-row global mean/variance
+    "textrank_keywords",             # broadcast 1-row node count N (pagerank)
+    "kneser_ney_bigram_lm",          # broadcast 1-row bigram-type count
 }
 # queries whose UNPARTITIONED window runs on an input bounded by
 # construction — never on data-sized rows. Every entry names its bound;
@@ -119,6 +123,7 @@ EXPECTED_GLOBAL_WINDOW = {
     "theil_sen_trend_robust",      # slope rank over the O(days) rollup
     "rfm_customer_segments",       # offsets over value-bounded metric buckets
     "mann_whitney_value_shift",    # midranks over the bounded cent-value grid
+    "benjamini_hochberg_nations",  # step-up scan over the m=25 test rows
 }
 # streaming queries execute eagerly; skip plan audit (they materialize
 # their own sinks and are correctness-checked by the oracle gate)

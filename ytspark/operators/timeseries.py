@@ -1137,3 +1137,181 @@ def theil_sen_trend_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("b", 6).alias("ols_slope"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters additive (7-day season) on the daily revenue series
+# ---------------------------------------------------------------------------
+
+HW_ALPHA = 0.3  # level smoothing
+HW_BETA = 0.1  # trend smoothing
+HW_GAMMA = 0.2  # season smoothing
+HW_M = 7  # season length (weekly)
+HW_H = 3  # forecast horizons reported
+
+
+def _hw_oracle() -> str:
+    m, a, b, g = HW_M, HW_ALPHA, HW_BETA, HW_GAMMA
+    s_cols = ", ".join(f"s{k}" for k in range(1, m + 1))
+    # init: l = mean(first m), b = (mean(second m) - mean(first m))/m,
+    # s_k = y_k - mean(first m)
+    init_s = ",\n           ".join(
+        f"(SELECT y FROM seq WHERE rn = {k}) - f.l0 AS s{k}"
+        for k in range(1, m + 1)
+    )
+    l_new = f"{a} * (s.y - CASE (r.i % {m}) + 1 " + " ".join(
+        f"WHEN {k} THEN r.s{k}" for k in range(1, m + 1)
+    ) + f" END) + (1 - {a}) * (r.l + r.b)"
+    s_updates = ",\n           ".join(
+        f"CASE WHEN (r.i % {m}) + 1 = {k} THEN "
+        f"{g} * (s.y - ({l_new})) + (1 - {g}) * r.s{k} "
+        f"ELSE r.s{k} END AS s{k}"
+        for k in range(1, m + 1)
+    )
+    fc = ",\n       ".join(
+        f"ROUND(l + {h} * b + CASE ((n + {h} - 1) % {m}) + 1 "
+        + " ".join(f"WHEN {k} THEN s{k}" for k in range(1, m + 1))
+        + f" END, 6) AS forecast_h{h}"
+        for h in range(1, HW_H + 1)
+    )
+    return f"""
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y
+  FROM orders GROUP BY o_orderdate
+),
+seq AS (
+  SELECT y, ROW_NUMBER() OVER (ORDER BY d) AS rn,
+         COUNT(*) OVER () AS n
+  FROM daily
+),
+f AS (
+  SELECT (SELECT AVG(y) FROM seq WHERE rn <= {m}) AS l0,
+         ((SELECT AVG(y) FROM seq WHERE rn > {m} AND rn <= {2 * m})
+          - (SELECT AVG(y) FROM seq WHERE rn <= {m})) / {m} AS b0
+),
+folded AS (
+  WITH RECURSIVE r AS (
+    SELECT (SELECT MAX(n) FROM seq) AS n, {2 * m} AS i,
+           f.l0 AS l, f.b0 AS b,
+           {init_s}
+    FROM f
+    UNION ALL
+    SELECT r.n, r.i + 1,
+           {l_new} AS l,
+           {b} * (({l_new}) - r.l) + (1 - {b}) * r.b AS b,
+           {s_updates}
+    FROM r JOIN seq s ON s.rn = r.i + 1
+  )
+  SELECT * FROM r WHERE i = n
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       ROUND(l, 6) AS level_last,
+       ROUND(b, 6) AS trend_last,
+       {", ".join(f"ROUND(s{k}, 6) AS season_{k}" for k in range(1, m + 1))},
+       {fc}
+FROM folded
+"""
+
+
+@register(
+    "holt_winters_weekly_revenue",
+    oracle=_hw_oracle(),
+    doc="HOLT-WINTERS ADDITIVE triple-exponential smoothing "
+        f"(alpha={HW_ALPHA}, beta={HW_BETA}, gamma={HW_GAMMA}, "
+        f"season m={HW_M}) on the daily order-revenue series — the "
+        "forecaster that beats Holt whenever the series has a weekly "
+        "pulse, completing the EWMA -> Holt -> Holt-Winters ladder. "
+        "The ordered fold carries an 11-field struct state (level, "
+        f"trend, {HW_M} season slots, position) through the "
+        "aggregate HOF; the touched season slot is selected by a "
+        "CASE over the position mod m, and the level expression is "
+        "duplicated inside the trend and season updates exactly as "
+        "the recursive-CTE oracle duplicates it, so every float op "
+        "matches (the events_value_holt precedent, widened). "
+        "Classic init: l = mean of week 1, b = (mean week 2 - mean "
+        "week 1)/m, s_k = y_k - l. The only data-sized work is the "
+        "per-day DECIMAL aggregate; the fold runs over the bounded "
+        "O(days) rollup (allowlisted), as any single-series "
+        f"forecaster must. Reports the final state and h=1..{HW_H} "
+        "seasonal forecasts l + h*b + s[(n+h-1) mod m].",
+    tags=("time", "forecast", "aggregate", "hof", "window"),
+)
+def holt_winters_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m, al, bt, gm = HW_M, HW_ALPHA, HW_BETA, HW_GAMMA
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("y")
+    )
+    series = daily.agg(
+        F.sort_array(F.collect_list(F.struct("d", "y"))).alias("seq")
+    ).select(F.col("seq.y").alias("ys"), F.size("seq").alias("n"))
+    ys = F.col("ys")
+    wk1 = F.aggregate(
+        F.slice(ys, 1, m), F.lit(0.0), lambda acc, v: acc + v
+    ) / float(m)
+    wk2 = F.aggregate(
+        F.slice(ys, m + 1, m), F.lit(0.0), lambda acc, v: acc + v
+    ) / float(m)
+    init = F.struct(
+        wk1.alias("l"),
+        ((wk2 - wk1) / float(m)).alias("b"),
+        *[
+            (F.element_at(ys, k) - wk1).alias(f"s{k}")
+            for k in range(1, m + 1)
+        ],
+        F.lit(2 * m).alias("i"),
+    )
+
+    def step(acc, y):
+        # season slot of the INCOMING element (position acc.i + 1):
+        # ((i + 1) - 1) % m + 1 == (i % m) + 1
+        idx = (acc["i"] % m) + 1
+        s_cur = F.lit(None).cast("double")
+        for k in range(m, 0, -1):
+            s_cur = F.when(idx == k, acc[f"s{k}"]).otherwise(s_cur)
+
+        def l_new():
+            return al * (y - s_cur) + (1.0 - al) * (acc["l"] + acc["b"])
+
+        fields = [
+            l_new().alias("l"),
+            (bt * (l_new() - acc["l"]) + (1.0 - bt) * acc["b"]).alias("b"),
+        ]
+        for k in range(1, m + 1):
+            fields.append(
+                F.when(
+                    idx == k,
+                    gm * (y - l_new()) + (1.0 - gm) * acc[f"s{k}"],
+                )
+                .otherwise(acc[f"s{k}"])
+                .alias(f"s{k}")
+            )
+        fields.append((acc["i"] + 1).alias("i"))
+        return F.struct(*fields)
+
+    state = F.aggregate(
+        F.slice(ys, 2 * m + 1, F.greatest(F.size(ys) - 2 * m, F.lit(0))),
+        init,
+        step,
+    )
+    out = [
+        F.col("n").cast("long").alias("n_days"),
+        F.round(state["l"], 6).alias("level_last"),
+        F.round(state["b"], 6).alias("trend_last"),
+    ]
+    for k in range(1, m + 1):
+        out.append(F.round(state[f"s{k}"], 6).alias(f"season_{k}"))
+    for h in range(1, HW_H + 1):
+        slot = ((F.col("n") + h - 1) % m) + 1
+        s_h = F.lit(None).cast("double")
+        for k in range(m, 0, -1):
+            s_h = F.when(slot == k, state[f"s{k}"]).otherwise(s_h)
+        out.append(
+            F.round(state["l"] + float(h) * state["b"] + s_h, 6).alias(
+                f"forecast_h{h}"
+            )
+        )
+    return series.select(*out)

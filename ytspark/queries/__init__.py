@@ -118,9 +118,15 @@ _PRIORITY: tuple[str, ...] = (
     # similarity / embeddings
     "knn_cosine_ivf",
     "embedding_pca_power",
-    # text analysis + curation safety battery
+    # text analysis battery
     "lang_id_heuristic",
-    "corpus_curation_pipeline",
+    # round-5e rotation: the segmentation family debuts (RFM customer
+    # segments — the first "segmentation" first-tag query, which the
+    # window gate requires). corpus_curation_pipeline rotates out with
+    # r2-r4 driver passes on record and the text family keeping 7 tag
+    # carriers in-window (simulated against check_priority_window
+    # before the swap).
+    "rfm_customer_segments",
     # search / fuzzy ER / data layout / sketches (round 3)
     "approx_distinct_users_bounds",
     "bm25_search",

@@ -1031,3 +1031,149 @@ def mann_whitney_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sigma, MWU_ROUND).alias("sigma"),
         F.round((u1 - n1 * n2 / 2.0) / sigma, MWU_ROUND).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg FDR over the per-nation balance z-tests
+# ---------------------------------------------------------------------------
+
+BH_ALPHA = 0.05
+# Abramowitz & Stegun 7.1.26 constants for the normal CDF tail
+_AS_P = 0.3275911
+_AS_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+BH_ROUND = 8
+
+
+def _norm_sf2_sql(z: str) -> str:
+    """Two-sided p-value 2*(1-Phi(|z|)) via the A&S 7.1.26 polynomial —
+    plain arithmetic + EXP, so DuckDB and Spark evaluate it
+    bit-identically (no native erf in either SQL dialect)."""
+    a1, a2, a3, a4, a5 = _AS_A
+    t = f"(1.0 / (1.0 + {_AS_P} * ABS({z})))"
+    poly = (
+        f"({a1} * {t} + {a2} * POWER({t}, 2) + {a3} * POWER({t}, 3)"
+        f" + {a4} * POWER({t}, 4) + {a5} * POWER({t}, 5))"
+    )
+    phi = f"(EXP(-ABS({z}) * ABS({z}) / 2.0) / SQRT(2.0 * PI()))"
+    return f"(2.0 * {phi} * {poly})"
+
+
+@register(
+    "benjamini_hochberg_nations",
+    oracle=f"""
+WITH g AS (
+  SELECT AVG(c_acctbal) AS mu,
+         SUM(c_acctbal * c_acctbal) / COUNT(*)
+           - AVG(c_acctbal) * AVG(c_acctbal) AS var_g
+  FROM customer
+),
+per AS (
+  SELECT c_nationkey AS nation, COUNT(*) AS n, AVG(c_acctbal) AS mean_bal
+  FROM customer GROUP BY c_nationkey
+),
+z AS (
+  SELECT nation, n, mean_bal,
+         (mean_bal - g.mu) / SQRT(g.var_g / n) AS zval
+  FROM per CROSS JOIN g
+),
+p AS (
+  SELECT nation, n, mean_bal, zval,
+         ROUND({_norm_sf2_sql('zval')}, {BH_ROUND}) AS p_value
+  FROM z
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY p_value, nation) AS rk,
+         COUNT(*) OVER () AS m
+  FROM p
+),
+dec AS (
+  SELECT *, ROUND(rk * {BH_ALPHA} / m, {BH_ROUND}) AS bh_threshold,
+         MAX(CASE WHEN p_value <= rk * {BH_ALPHA} / m THEN 1 ELSE 0 END)
+           OVER (ORDER BY rk DESC) AS rejected_i
+  FROM ranked
+)
+SELECT CAST(nation AS BIGINT) AS nation, CAST(n AS BIGINT) AS n,
+       ROUND(mean_bal, 4) AS mean_bal,
+       ROUND(zval, 6) AS z_score, p_value,
+       CAST(rk AS BIGINT) AS p_rank, bh_threshold,
+       rejected_i = 1 AS rejected
+FROM dec
+""",
+    doc="MULTIPLE-TESTING CONTROL — the Benjamini-Hochberg step-up "
+        "at FDR "
+        f"alpha={BH_ALPHA} over the 25 per-nation mean-balance "
+        "z-tests (vs the global mean, pooled variance): sort "
+        "p-values, compare p_(i) to i*alpha/m, reject everything at "
+        "or below the LARGEST passing rank (the step-up scan is a "
+        "reverse cummax over the m=25 test rows — bounded, "
+        "allowlisted). Without this, 25 tests at alpha=0.05 "
+        "expect a false positive by chance; with it the expected "
+        "false-discovery RATE is controlled. p-values come from the "
+        "Abramowitz-Stegun 7.1.26 polynomial (EXP + arithmetic — "
+        "neither engine has native erf), evaluated IDENTICALLY in "
+        "both engines so the certified values match to "
+        f"{BH_ROUND} dp. The data-sized work is one power-sum "
+        "aggregate per nation; everything after is O(m).",
+    tags=("statistics", "experiment", "aggregate", "window", "pipeline"),
+)
+def benjamini_hochberg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    cust = load_tables(spark, sf_dir, "customer")["customer"]
+    g = cust.agg(
+        F.avg("c_acctbal").alias("mu"),
+        (
+            F.sum(F.col("c_acctbal") * F.col("c_acctbal")) / F.count(F.lit(1))
+            - F.avg("c_acctbal") * F.avg("c_acctbal")
+        ).alias("var_g"),
+    )
+    per = cust.groupBy(F.col("c_nationkey").alias("nation")).agg(
+        F.count(F.lit(1)).alias("n"), F.avg("c_acctbal").alias("mean_bal")
+    )
+    z = per.crossJoin(F.broadcast(g)).select(
+        "nation",
+        "n",
+        "mean_bal",
+        (
+            (F.col("mean_bal") - F.col("mu"))
+            / F.sqrt(F.col("var_g") / F.col("n"))
+        ).alias("zval"),
+    )
+    az = F.abs(F.col("zval"))
+    t = 1.0 / (1.0 + _AS_P * az)
+    a1, a2, a3, a4, a5 = _AS_A
+    poly = (
+        a1 * t + a2 * F.pow(t, 2) + a3 * F.pow(t, 3)
+        + a4 * F.pow(t, 4) + a5 * F.pow(t, 5)
+    )
+    phi = F.exp(-az * az / 2.0) / F.sqrt(F.lit(2.0) * F.lit(3.141592653589793))
+    # NB: SQL PI() and this literal are the same IEEE double
+    p = z.withColumn("p_value", F.round(2.0 * phi * poly, BH_ROUND))
+    w_rank = Window.orderBy("p_value", "nation")
+    ranked = p.withColumn("rk", F.row_number().over(w_rank)).withColumn(
+        "m", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    w_step = Window.orderBy(F.col("rk").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    dec = ranked.withColumn(
+        "bh_threshold",
+        F.round(F.col("rk") * BH_ALPHA / F.col("m"), BH_ROUND),
+    ).withColumn(
+        "rejected_i",
+        F.max(
+            F.when(
+                F.col("p_value") <= F.col("rk") * BH_ALPHA / F.col("m"), 1
+            ).otherwise(0)
+        ).over(w_step),
+    )
+    return dec.select(
+        F.col("nation").cast("long").alias("nation"),
+        F.col("n").cast("long").alias("n"),
+        F.round("mean_bal", 4).alias("mean_bal"),
+        F.round("zval", 6).alias("z_score"),
+        "p_value",
+        F.col("rk").cast("long").alias("p_rank"),
+        "bh_threshold",
+        (F.col("rejected_i") == 1).alias("rejected"),
+    )
