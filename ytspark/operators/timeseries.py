@@ -1150,9 +1150,22 @@ HW_M = 7  # season length (weekly)
 HW_H = 3  # forecast horizons reported
 
 
-def _hw_oracle() -> str:
+def _hw_season_case(slot: str) -> str:
+    """SQL CASE selecting the season slot ``slot`` (1..m) from s1..sm."""
+    return (
+        f"CASE {slot} "
+        + " ".join(f"WHEN {k} THEN s{k}" for k in range(1, HW_M + 1))
+        + " END"
+    )
+
+
+def _hw_sql_core(stop: str) -> str:
+    """Shared WITH-prefix (daily/seq/f/folded) of the Holt-Winters
+    oracles: the recursive-CTE fold over the daily revenue series.
+    ``stop`` is the fold position (SQL expression in ``n``) whose state
+    the ``folded`` CTE exposes — ``n`` for the full-series fit,
+    ``n - m`` for the backtest that holds out the last season."""
     m, a, b, g = HW_M, HW_ALPHA, HW_BETA, HW_GAMMA
-    s_cols = ", ".join(f"s{k}" for k in range(1, m + 1))
     # init: l = mean(first m), b = (mean(second m) - mean(first m))/m,
     # s_k = y_k - mean(first m)
     init_s = ",\n           ".join(
@@ -1167,12 +1180,6 @@ def _hw_oracle() -> str:
         f"{g} * (s.y - ({l_new})) + (1 - {g}) * r.s{k} "
         f"ELSE r.s{k} END AS s{k}"
         for k in range(1, m + 1)
-    )
-    fc = ",\n       ".join(
-        f"ROUND(l + {h} * b + CASE ((n + {h} - 1) % {m}) + 1 "
-        + " ".join(f"WHEN {k} THEN s{k}" for k in range(1, m + 1))
-        + f" END, 6) AS forecast_h{h}"
-        for h in range(1, HW_H + 1)
     )
     return f"""
 WITH daily AS (
@@ -1203,8 +1210,19 @@ folded AS (
            {s_updates}
     FROM r JOIN seq s ON s.rn = r.i + 1
   )
-  SELECT * FROM r WHERE i = n
-)
+  SELECT * FROM r WHERE i = {stop}
+)"""
+
+
+def _hw_oracle() -> str:
+    m = HW_M
+    fc = ",\n       ".join(
+        f"ROUND(l + {h} * b + "
+        + _hw_season_case(f"((n + {h} - 1) % {m}) + 1")
+        + f", 6) AS forecast_h{h}"
+        for h in range(1, HW_H + 1)
+    )
+    return _hw_sql_core("n") + f"""
 SELECT CAST(n AS BIGINT) AS n_days,
        ROUND(l, 6) AS level_last,
        ROUND(b, 6) AS trend_last,
