@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ytspark.plans.scale import finish
 from ytspark.queries import register
 from ytspark.session import load_tables
 
@@ -135,12 +136,16 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
-    return scored.orderBy(
-        F.col("lift").desc(),
-        F.col("support").desc(),
-        "antecedent",
-        "consequent",
-    ).limit(RULES_TOP_K)
+    # top-k rules; release the basket-item cache (3 consumers)
+    return finish(
+        scored.orderBy(
+            F.col("lift").desc(),
+            F.col("support").desc(),
+            "antecedent",
+            "consequent",
+        ).limit(RULES_TOP_K),
+        op,
+    )
 
 
 # ---------------------------------------------------------------------------

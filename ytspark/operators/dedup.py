@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ytspark.plans.scale import finish
 from ytspark.queries import register
 from ytspark.session import load_tables
 
@@ -250,11 +251,14 @@ def ngram_jaccard_pairs(
     jac = F.col("n_common").cast("double") / (
         F.col("ca.n_shingles") + F.col("cb.n_shingles") - F.col("n_common")
     )
-    return (
+    # pair results are bounded (near-dups at >= threshold only):
+    # eager-checkpoint them, then release the shingle cache
+    return finish(
         common.join(F.broadcast(ca), F.col("ca.doc_id") == F.col("doc_a"))
         .join(F.broadcast(cb), F.col("cb.doc_id") == F.col("doc_b"))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
+        .where(F.col("jaccard") >= threshold),
+        shingled,
     )
 
 
@@ -397,7 +401,8 @@ def minhash_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.first("est_jaccard").alias("est_jaccard"))
     )
-    return cand
+    # bounded candidate set; release the signature table it self-joined
+    return finish(cand, sig)
 
 
 # ------------------------ cross-engine-checkable MinHash (oracle twin)
@@ -516,7 +521,7 @@ def minhash_pairs_checkable(docs: DataFrame, threshold: float = 0.5) -> DataFram
         ).cast("double")
         / N_PERMUTATIONS
     )
-    return (
+    cand = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -532,6 +537,8 @@ def minhash_pairs_checkable(docs: DataFrame, threshold: float = 0.5) -> DataFram
         .groupBy("doc_a", "doc_b")
         .agg(F.first("est_jaccard").alias("est_jaccard"))
     )
+    # bounded candidate set; release the signature table it self-joined
+    return finish(cand, sig)
 
 
 def _checkable_bands_cte() -> str:
@@ -742,6 +749,9 @@ def connected_components(
         labels = new_labels.drop("old")
         if changed == 0:
             break
+    # labels is checkpointed (lineage truncated), so the propagation
+    # cache can be released before returning
+    edges.unpersist()
     return labels
 
 
@@ -889,7 +899,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = chunks.alias("a")
     b = chunks.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
+    # bounded near-dup pairs; release the signature self-join cache
+    return finish(
         a.join(
             b,
             (F.col("a.chunk_id") == F.col("b.chunk_id"))
@@ -903,7 +914,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["doc_a", "doc_b"])
         .where(F.col("hamming") <= 8)
-        .orderBy("doc_a", "doc_b")
+        .orderBy("doc_a", "doc_b"),
+        sig,
     )
 
 
@@ -1043,7 +1055,8 @@ def dedup_simhash_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     ).cast("bigint")
-    return (
+    # bounded near-dup pairs; release the signature self-join cache
+    return finish(
         a.join(
             b,
             (F.col("a.chunk_id") == F.col("b.chunk_id"))
@@ -1057,7 +1070,8 @@ def dedup_simhash_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["doc_a", "doc_b"])
         .where(F.col("hamming") <= SIM_CHK_HAMMING)
-        .orderBy("doc_a", "doc_b")
+        .orderBy("doc_a", "doc_b"),
+        sig,
     )
 
 
@@ -1398,10 +1412,13 @@ def persist_minhash_store(
     the xxhash64 default stays the production choice."""
     sig_fn = checkable_minhash_signatures_df if checkable else minhash_signatures_df
     sigs = sig_fn(docs).persist()
-    sigs.write.mode("overwrite").parquet(path + "/sigs")
-    _banded(sigs, checkable=checkable).write.mode("overwrite").partitionBy(
-        "band_id"
-    ).parquet(path + "/bands")
+    try:
+        sigs.write.mode("overwrite").parquet(path + "/sigs")
+        _banded(sigs, checkable=checkable).write.mode("overwrite").partitionBy(
+            "band_id"
+        ).parquet(path + "/bands")
+    finally:
+        sigs.unpersist()
 
 
 def incremental_minhash_dedup(
@@ -1520,11 +1537,16 @@ def incremental_minhash_dedup(
     # signatures back into this result on a later recompute (a cache()
     # would be best-effort and could silently re-read the mutated store)
     result = pairs.localCheckpoint(eager=True)
-    if append:
-        new_sigs.write.mode("append").parquet(path + "/sigs")
-        _banded(new_sigs, checkable=checkable).write.mode("append").partitionBy(
-            "band_id"
-        ).parquet(path + "/bands")
+    try:
+        if append:
+            new_sigs.write.mode("append").parquet(path + "/sigs")
+            _banded(new_sigs, checkable=checkable).write.mode("append").partitionBy(
+                "band_id"
+            ).parquet(path + "/bands")
+    finally:
+        # result is checkpointed and the append is flushed — the
+        # batch-signature cache has no consumers left
+        new_sigs.unpersist()
     return result
 
 
@@ -1637,11 +1659,13 @@ def dedup_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("n_common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_common")
     )
-    return (
+    # bounded verified-pair result; release the shingle cache
+    return finish(
         common.join(ca, "doc_lo")
         .join(cb, "doc_hi")
         .where(jac >= F.lit(t))
-        .select("doc_lo", "doc_hi", F.round(jac, 6).alias("jaccard"))
+        .select("doc_lo", "doc_hi", F.round(jac, 6).alias("jaccard")),
+        shingled,
     )
 
 
@@ -1981,7 +2005,8 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("n_common").cast("double") / (
         F.col("ca.n_shingles") + F.col("cb.n_shingles") - F.col("n_common")
     )
-    return (
+    # bounded contained/near-dup pairs; release the shingle cache
+    return finish(
         common.join(F.broadcast(ca), F.col("ca.doc_id") == F.col("doc_a"))
         .join(F.broadcast(cb), F.col("cb.doc_id") == F.col("doc_b"))
         # threshold on the UNROUNDED score, exactly as the oracle's
@@ -1993,5 +2018,6 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_common").cast("long").alias("n_common"),
             F.round(contain, 6).alias("containment"),
             F.round(jac, 6).alias("jaccard"),
-        )
+        ),
+        shingled,
     )

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ytspark.plans.scale import finish
 from ytspark.queries import register
 from ytspark.session import load_tables
 
@@ -87,7 +88,11 @@ def pagerank(
                 ).alias("pr"),
             )
         )
-    return ranks.select("node", F.round("pr", PR_ROUND).alias("pr"))
+    # eager-checkpoint the bounded (node, pr) result, then release the
+    # per-iteration caches — the unrolled lineage no longer needs them
+    return finish(
+        ranks.select("node", F.round("pr", PR_ROUND).alias("pr")), p, nodes
+    )
 
 
 def _pr_iter_sql(prev: str, out: str, damping: float) -> str:
@@ -342,7 +347,8 @@ def copurchase_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("d") * (F.col("d") - 1) / F.lit(2.0)).alias("wedges"),
     )
     n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
-    return (
+    # one-row result: eager-checkpoint it and release both edge caches
+    return finish(
         stats.crossJoin(F.broadcast(n_edges))
         .crossJoin(F.broadcast(tri))
         .select(
@@ -353,7 +359,9 @@ def copurchase_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.lit(3.0) * F.col("t") / F.col("wedges"), 6).alias(
                 "global_clustering"
             ),
-        )
+        ),
+        e,
+        directed,
     )
 
 
@@ -464,11 +472,13 @@ def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ef = e.join(alive.withColumnRenamed("p", "pa"), "pa", "leftsemi").join(
         alive.withColumnRenamed("p", "pb"), "pb", "leftsemi"
     )
-    return (
+    # bounded (surviving k-core members) result; release the peel cache
+    return finish(
         ef.select(F.col("pa").alias("part_key"))
         .unionAll(ef.select(F.col("pb").alias("part_key")))
         .groupBy("part_key")
-        .agg(F.count(F.lit(1)).alias("core_deg"))
+        .agg(F.count(F.lit(1)).alias("core_deg")),
+        e,
     )
 
 
@@ -560,7 +570,8 @@ def graph_modularity_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("brand")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    return (
+    # per-brand result (bounded by |brands|); release the labeled edges
+    return finish(
         deg.join(intra, "brand", "left")
         .crossJoin(F.broadcast(m))
         .select(
@@ -574,7 +585,8 @@ def graph_modularity_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 6,
             ).alias("modularity_contrib"),
-        )
+        ),
+        le,
     )
 
 
@@ -807,10 +819,15 @@ def parts_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + PPR_DAMPING * F.coalesce(F.col("c"), F.lit(0.0))
             ).alias("pr"),
         )
-    return r.join(e, "node").select(
-        "node",
-        (F.col("ev") > 0).alias("is_seed"),
-        F.round("pr", PR_ROUND).alias("ppr"),
+    # per-node result; release the transition + teleport caches
+    return finish(
+        r.join(e, "node").select(
+            "node",
+            (F.col("ev") > 0).alias("is_seed"),
+            F.round("pr", PR_ROUND).alias("ppr"),
+        ),
+        p,
+        e,
     )
 
 
@@ -952,11 +969,14 @@ def events_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "h",
         )
-    return (
+    # |event types| rows; release the transition-graph caches
+    return finish(
         auth.join(hub, "node")
         .select(
             "node",
             F.round("a", HITS_ROUND).alias("authority"),
             F.round("h", HITS_ROUND).alias("hub"),
-        )
+        ),
+        edges,
+        nodes,
     )

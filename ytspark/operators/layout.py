@@ -29,6 +29,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ytspark.plans.scale import finish
 from ytspark.queries import register
 from ytspark.session import load_tables
 
@@ -273,7 +274,8 @@ def hilbert_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(rem + F.ceil((F.col("r") - cut) / base))
         .cast("long")
     )
-    return (
+    # N_FILES-row result; release the curve-fold cache (3 consumers)
+    return finish(
         ranked.select("x", "y", f.alias("file_id"))
         .groupBy("file_id")
         .agg(
@@ -282,5 +284,6 @@ def hilbert_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("x").alias("x_max"),
             F.min("y").cast("long").alias("y_min"),
             F.max("y").cast("long").alias("y_max"),
-        )
+        ),
+        hb,
     )

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ytspark.plans.scale import finish
 from ytspark.queries import register
 from ytspark.session import load_tables
 
@@ -708,7 +709,8 @@ def spearman_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     nq = mq.agg(F.count(F.lit(1)).cast("long").alias("n_qty_levels"))
     nd = md.agg(F.count(F.lit(1)).cast("long").alias("n_disc_levels"))
     dbl = lambda c: F.col(c).cast("double")  # noqa: E731
-    return (
+    # one-row result; release the joint-histogram cache (3 consumers)
+    return finish(
         s.crossJoin(F.broadcast(nq))
         .crossJoin(F.broadcast(nd))
         .select(
@@ -723,7 +725,8 @@ def spearman_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 6,
             ).alias("rho_spearman"),
-        )
+        ),
+        joint,
     )
 
 

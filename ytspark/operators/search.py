@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ytspark.operators.text import knuth_hash_col, knuth_hash_sql, tokens
+from ytspark.plans.scale import finish
 from ytspark.queries import register
 from ytspark.session import load_tables
 
@@ -506,7 +507,11 @@ def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("m.doc_id").alias("doc_id"), "w1", "w2")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )
-    return occ.select(
-        "doc_id", "w1", "w2", F.col("n_occurrences").cast("long")
-        .alias("n_occurrences")
+    # bounded (matching docs only); release the postings cache
+    return finish(
+        occ.select(
+            "doc_id", "w1", "w2", F.col("n_occurrences").cast("long")
+            .alias("n_occurrences")
+        ),
+        toks,
     )

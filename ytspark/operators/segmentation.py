@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ytspark.plans.scale import finish
 from ytspark.queries import register
 from ytspark.session import load_tables
 
@@ -177,11 +178,13 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), F.lit("new"))
         .otherwise(F.lit("core"))
     )
-    return (
+    # <=125-cell result; release the RFM base cache (4 consumers)
+    return finish(
         scored.withColumn("segment", seg)
         .groupBy("r_score", "f_score", "m_score", "segment")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_customers"),
             F.sum("m_sum").cast("double").alias("revenue"),
-        )
+        ),
+        rfm,
     )

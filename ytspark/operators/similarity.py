@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ytspark.plans.scale import finish
 from ytspark.queries import register
 from ytspark.session import load_tables
 
@@ -980,11 +981,18 @@ def knn_from_ivf_index(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
-    return (
+    result = (
         scored.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= top_k)
         .select("query_id", "neighbor_id", "cos_sim")
     )
+    if small:
+        # nothing persisted on the driver path — return the lazy plan
+        # (its partition-pruned index scan is a pinned test property)
+        return result
+    # distributed path: bounded top-k per query; release the
+    # probe-assignment cache the plan consumed twice
+    return finish(result, probes_df)
 
 
 # ---------------------------------------------------------------------------

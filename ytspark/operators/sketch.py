@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ytspark.plans.scale import finish
 from ytspark.queries import register
 from ytspark.session import load_tables
 
@@ -477,7 +478,8 @@ def hll_retention_estimate_bounds(
     retained = F.coalesce(F.col("retained"), F.lit(0))
     union_exact = F.col("n") + F.col("n_next") - retained
     tolerance = F.lit(bound) * (F.col("n") + F.col("n_next") + union_exact)
-    return (
+    # |days|-row result; release the distinct (user, day) cache
+    return finish(
         pairs.join(ret, "d", "left")
         .select(
             F.date_format("d", "yyyy-MM-dd").alias("day"),
@@ -488,7 +490,8 @@ def hll_retention_estimate_bounds(
             (F.abs(est_inter - retained) <= tolerance).alias(
                 "estimate_within_bound"
             ),
-        )
+        ),
+        ud,
     )
 
 

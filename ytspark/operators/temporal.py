@@ -310,6 +310,18 @@ def purchase_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 OVERLAP_TOP_K = 50
 
+# Assertable routing threshold for the exact interval-overlap join: the
+# blocked candidate-pair volume (sum over blocks of n*(n-1)/2) the
+# operator is sized for. user_activity_overlap_pairs ENFORCES it with a
+# pre-flight aggregate; above it, dense co-presence questions route to
+# the sketch/heavy-hitter family instead of the exact join.
+OVERLAP_PAIR_BUDGET = 100_000_000
+
+
+class PairBudgetExceededError(RuntimeError):
+    """A blocked pairwise operator refused to run: its exact pre-flight
+    candidate-pair count exceeded the routing budget."""
+
 
 _OVERLAP_ORACLE = f"""
 WITH spans AS (
@@ -358,17 +370,42 @@ LIMIT {OVERLAP_TOP_K}
         "this operator is for SPARSE interval sets (sessions, "
         "incidents, deploy windows) where per-block populations are "
         "small, and dense co-presence questions route to the "
-        "sketch/heavy-hitter family instead — a rule made ASSERTABLE "
-        "by the overlap_pair_explosion_guard companion, which "
-        "computes the exact blocked candidate-pair volume against "
-        "OVERLAP_PAIR_BUDGET before this join runs.",
+        "sketch/heavy-hitter family instead — a rule this operator "
+        "ENFORCES: a pre-flight aggregate computes the exact blocked "
+        "candidate-pair volume and raises PairBudgetExceededError "
+        "over OVERLAP_PAIR_BUDGET (overlap_pair_explosion_guard is "
+        "the same aggregate as a queryable report).",
     tags=("temporal", "join", "interval", "aggregate"),
 )
-def user_activity_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def user_activity_overlap_pairs(
+    spark: SparkSession, sf_dir: str, budget: int | None = None
+) -> DataFrame:
     ev = load_tables(spark, sf_dir, "events")["events"]
     spans = ev.groupBy(
         "user_id", F.to_date("ts").alias("d")
     ).agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    # ENFORCED pre-flight (not advisory): the exact candidate-pair
+    # volume this blocked join will evaluate — sum over day blocks of
+    # n*(n-1)/2, one tiny aggregate over the span table — must fit the
+    # routing budget, else the dense-data question belongs to the
+    # sketch/heavy-hitter family and this operator refuses to run it.
+    # overlap_pair_explosion_guard remains the queryable form of the
+    # same aggregate (check-then-run as a user-visible report).
+    budget = OVERLAP_PAIR_BUDGET if budget is None else budget
+    total = (
+        spans.groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.expr("n * (n - 1) div 2")).alias("t"))
+        .first()["t"]
+    ) or 0
+    if total > budget:
+        raise PairBudgetExceededError(
+            f"user_activity_overlap_pairs: blocked interval join would "
+            f"evaluate {total:,} candidate pairs > budget {budget:,}; "
+            "route dense co-presence to the sketch/heavy-hitter family "
+            "(e.g. cms_heavy_hitters / approx_distinct_users_bounds) "
+            "or raise the budget explicitly."
+        )
     a = spans.select(
         F.col("user_id").alias("ua"), F.col("d"),
         F.col("s").alias("sa"), F.col("e").alias("ea"),
@@ -398,14 +435,6 @@ def user_activity_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total_overlap_us").desc(), "ua", "ub")
         .limit(OVERLAP_TOP_K)
     )
-
-
-# Assertable routing threshold for the exact interval-overlap join:
-# the blocked candidate-pair volume (sum over blocks of n*(n-1)/2)
-# this operator is sized for. Above it, dense co-presence questions
-# route to the sketch/heavy-hitter family instead of the exact join —
-# the rule the overlap docstring states in prose, made checkable here.
-OVERLAP_PAIR_BUDGET = 100_000_000
 
 
 @register(

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ytspark.plans.scale import finish
 from ytspark.queries import register
 from ytspark.session import load_tables
 
@@ -1320,7 +1321,8 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     za = sizes.select(F.col("source").alias("source_a"), F.col("nv").alias("vocab_a"))
     zb = sizes.select(F.col("source").alias("source_b"), F.col("nv").alias("vocab_b"))
-    return (
+    # |sources|^2-bounded result; release the distinct-vocab cache
+    return finish(
         inter.join(F.broadcast(za), "source_a")
         .join(F.broadcast(zb), "source_b")
         .select(
@@ -1338,7 +1340,8 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 6,
             ).alias("jaccard"),
-        )
+        ),
+        sv,
     )
 
 
@@ -1498,7 +1501,8 @@ def kneser_ney_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = bi_cnt.agg(F.count(F.lit(1)).alias("n_types"))
     d = F.lit(KN_DISCOUNT)
     p_cont = F.col("n_precede").cast("double") / F.col("n_types")
-    return (
+    # top-k result; release the bigram-count cache (4 consumers)
+    return finish(
         bi_cnt.join(ctx, "w1")
         .join(cont, "w2")
         .crossJoin(F.broadcast(tot))
@@ -1517,7 +1521,8 @@ def kneser_ney_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_kn"),
         )
         .orderBy(F.col("c_bigram").desc(), "w1", "w2")
-        .limit(KN_TOP_K)
+        .limit(KN_TOP_K),
+        bi_cnt,
     )
 
 

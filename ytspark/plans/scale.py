@@ -125,3 +125,52 @@ def salted_join(
     )
     joined = salted_l.join(replicated_r, on=[key, "__salt"], how=how)
     return joined.drop("__salt")
+
+
+def finish(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Materialize a BOUNDED query result and release its cached inputs.
+
+    Query functions that ``persist()`` a multi-consumer intermediate
+    (a signature table feeding both sides of a self-join, an edge list
+    read by every unrolled iteration) would leak those cached blocks
+    for the life of the session if they returned the lazy plan and
+    never unpersisted — and unpersisting *before* the caller collects
+    would silently recompute the intermediate once per consumer,
+    defeating the persist. ``finish`` resolves the tension: an EAGER
+    ``localCheckpoint`` computes ``result`` now (one materialization,
+    caches hot), truncates its lineage so it no longer references the
+    intermediates, then drops every cached input.
+
+    Scale note: the checkpoint pins the RESULT partitions
+    (MEMORY_AND_DISK, spillable), so this is for bounded query outputs
+    — top-k lists, per-group aggregates, per-document labels — not for
+    full-table transforms, which should stream to a sink instead.
+    Harnesses call :func:`release_all_cached` between queries to drop
+    the checkpoint blocks themselves once results are consumed.
+    """
+    out = result.localCheckpoint(eager=True)
+    for df in cached:
+        df.unpersist()
+    return out
+
+
+def release_all_cached(spark: SparkSession) -> int:
+    """Drop every cached DataFrame and persistent RDD block in the
+    session; return how many RDDs were released.
+
+    The between-queries hygiene hook for long sessions (the bench
+    harness runs 250 queries in one JVM): per-query ``persist()`` sites
+    release their own blocks via ``finish``/``unpersist``, and this
+    sweeps what remains — eager localCheckpoint blocks (whose lifetime
+    is intentionally "until the caller is done") and any cache a future
+    operator forgets. Safe between queries because every registered
+    query re-derives its inputs from parquet, never from session state.
+    """
+    jsc = spark.sparkContext._jsc
+    n = jsc.getPersistentRDDs().size()  # count BEFORE clearCache drops DF caches
+    spark.catalog.clearCache()
+    # py4j exposes the java map dict-like; sweep whatever clearCache
+    # left behind (localCheckpoint blocks, raw RDD persists)
+    for rdd in list(jsc.getPersistentRDDs().values()):
+        rdd.unpersist(False)
+    return n
