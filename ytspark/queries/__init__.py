@@ -80,6 +80,33 @@ def register(
 # exact_percentiles_two_pass (replacing token_entropy_pandas_udf,
 # whose udf family keeps the Jaro-Winkler kernel and two pandas-udf
 # carriers). All three rotated-out entries carry r1-r4 driver passes.
+# Round 6 rotation (the r5 judge's top item): the 10 operators
+# registered in round 5's final hours — locally hash-certified but
+# never driver-checked — rotate in (textrank_keywords,
+# holt_winters_weekly_revenue, events_hits_hubs_authorities,
+# kneser_ney_bigram_lm, mann_whitney_value_shift,
+# benjamini_hochberg_nations, theil_sen_trend_robust,
+# k_anonymity_audit, join_size_estimate_cms,
+# embedding_truncation_recall), plus one more member each of the two
+# thinnest families (range_frame_trailing_week for window,
+# interval_union_coverage for temporal — r5 judge item 7). Twelve
+# driver-certified entries rotate out, every vacated family keeping a
+# window carrier (simulated against check_priority_window before the
+# swap): events_pagerank (r3-r5; graph keeps HITS + textrank),
+# lang_id_heuristic (r3-r5; text keeps 4 carriers),
+# spearman_rank_correlation (r5; statistics keeps Mann-Whitney + BH +
+# Theil-Sen), value_outlier_mad_battery (r4-r5; time keeps
+# Holt-Winters + Theil-Sen + rate_limit), exact_percentiles_two_pass
+# (r5; profiling keeps k_anonymity_audit), approx_distinct_users_
+# bounds (r3-r5; sketch keeps CMS heavy hitters + join-size),
+# ann_recall_eval (r5; evaluation keeps LSH-recall + classifier +
+# truncation), asof_last_click_before_purchase (r5; asof/temporal
+# keep feature_store_pit_join), lang_nb_classifier (r4-r5;
+# learn/classifier keep logreg + classifier_eval), embedding_kmeans_
+# assign (r3-r5; clustering tag stays via embedding_pca_power),
+# events_daily_retention (r1-r5; retention tag stays via
+# kaplan_meier_survival), q1_pricing_summary (r1-r5; filter tag stays
+# via bloom_semijoin_reduction).
 # TRANSPARENCY: the code under test
 # chooses this ordering, so the external 50-row gate is breadth-first
 # by construction; the UNCAPPED result is auditable — every registered
@@ -92,24 +119,25 @@ _PRIORITY: tuple[str, ...] = (
     "mart_union_cast",
     "model_dag_mart",
     "data_quality_report",
-    # events analytics over the snapshot model
+    # events analytics + the sweep-line interval-union debut (r6)
     "events_props_map_explode",
-    "events_daily_retention",
+    "interval_union_coverage",
     "funnel_view_click_purchase",
-    # relational battery: joins, outer/semi/anti, set ops, grouping
-    "q1_pricing_summary",
+    # statistics debut (r6): Mann-Whitney U shift test
+    "mann_whitney_value_shift",
     "top_revenue_customers",
     "bpe_encode_stats",
     "unpivot_order_metrics",
     "try_arithmetic_battery",
     "dedup_repeated_ngram_spans",
     "intersect_all_segments",
-    # scalar functions + window battery
+    # window battery
     "window_rank_battery",
-    # exact distributed order statistics (round 5)
-    "exact_percentiles_two_pass",
-    # temporal joins (feature-store point-in-time join debuts here)
-    "asof_last_click_before_purchase",
+    # statistics debuts (r6): BH multiple-testing correction +
+    # Theil-Sen robust trend
+    "benjamini_hochberg_nations",
+    "theil_sen_trend_robust",
+    # temporal joins (feature-store point-in-time join)
     "feature_store_pit_join",
     # dedup family — the round-5 redesigned PPJoin stays in for
     # recertification; the checkable MinHash twin rotates out with
@@ -118,8 +146,8 @@ _PRIORITY: tuple[str, ...] = (
     # similarity / embeddings
     "knn_cosine_ivf",
     "embedding_pca_power",
-    # text analysis battery
-    "lang_id_heuristic",
+    # text analysis battery (Kneser-Ney bigram LM debuts, r6)
+    "kneser_ney_bigram_lm",
     # round-5e rotation: the segmentation family debuts (RFM customer
     # segments — the first "segmentation" first-tag query, which the
     # window gate requires). corpus_curation_pipeline rotates out with
@@ -127,21 +155,23 @@ _PRIORITY: tuple[str, ...] = (
     # carriers in-window (simulated against check_priority_window
     # before the swap).
     "rfm_customer_segments",
-    # search / fuzzy ER / data layout / sketches (round 3)
-    "approx_distinct_users_bounds",
+    # sketches (CMS join-size estimation debuts, r6) / search / layout
+    "join_size_estimate_cms",
     "bm25_search",
     "zorder_layout_stats",
-    # training-set assembly + iterative graph/learning (round 3)
+    # training-set assembly + iterative graph/learning (HITS and
+    # TextRank debut, r6)
     "sequence_pack_greedy",
-    "events_pagerank",
+    "events_hits_hubs_authorities",
     "quality_logreg_train",
-    "embedding_kmeans_assign",
+    "textrank_keywords",
     # multimodal (image_decode exercises the real PPM codec path)
     "multimodal_image_decode",
-    # round-4 rotation: time-series folds, robust stats, learned
-    # models, CMS heavy hitters, Jaro-Winkler kernel
-    "value_outlier_mad_battery",
-    "lang_nb_classifier",
+    # forecasting + privacy-audit debuts (r6): Holt-Winters and
+    # k-anonymity; CMS heavy hitters and the Jaro-Winkler kernel
+    # stay from round 4
+    "holt_winters_weekly_revenue",
+    "k_anonymity_audit",
     "cms_heavy_hitters",
     "jaro_winkler_verify_pairs",
     # round-4b rotation: Bloom semi-join reduction + KS/PSI drift
@@ -173,11 +203,11 @@ _PRIORITY: tuple[str, ...] = (
     # stats, dedup_minhash_incremental, train_val_test_split,
     # revenue_trend_ols, fd_discovery_profile, salted_skew_join_
     # revenue.
-    "ann_recall_eval",
+    "embedding_truncation_recall",  # Matryoshka dim-ablation debut (r6)
     "dedup_lsh_recall_eval",
     "classifier_eval_metrics",
     "window_navigation_battery",
-    "spearman_rank_correlation",
+    "range_frame_trailing_week",  # window family widened (r6)
     "peak_concurrency_by_day",
     # round-5d rotation: the recommendation family debuts
     # (item-item cosine neighbors — the first "recommend" first-tag
