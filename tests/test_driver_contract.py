@@ -49,3 +49,32 @@ def test_entry_returns_nonempty_dataframe(spark):
     df = m.entry(spark)
     assert df.count() > 0
     assert len(df.columns) > 0
+
+
+def test_bench_covers_full_registry():
+    """r5 VERDICT item 5: the bench list must equal the registry —
+    every registered query gets an sf0.1 timing each round, no silent
+    n_queries < len(registry()) gaps."""
+    import bench
+    from ytspark.queries import registry
+
+    reg = registry()
+    names = bench.bench_names(reg)
+    assert len(names) == len(reg)
+    assert set(names) == set(reg)
+    assert len(set(names)) == len(names)  # no duplicates double-timed
+
+
+def test_committed_inventory_matches_registry():
+    """r5 VERDICT item 4: the committed QUERIES.md must be regenerated
+    after the last registration — its row count equals the registry."""
+    from ytspark.queries import registry
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "QUERIES.md")
+    with open(path) as fh:
+        n_rows = sum(1 for line in fh if line.startswith("| `"))
+    assert n_rows == len(registry()), (
+        f"QUERIES.md lists {n_rows} queries but the registry holds "
+        f"{len(registry())} — rerun tools/gen_query_inventory.py"
+    )
