@@ -1,0 +1,156 @@
+"""Round-6 operators: semantic properties beyond the oracle hash gate.
+
+Each new operator's value-correctness is certified by its DuckDB
+oracle (tools/oracle_check.py); these tests pin the SEMANTIC claims
+the docstrings make — the winnowing guarantee, the Shapley efficiency
+axiom, the compaction target property, RAKE's ranking contract, and
+the quantile-sketch bound.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestWinnowing:
+    def test_guarantee_shared_run_yields_shared_fingerprint(self, spark):
+        from ytspark.operators.dedup import (
+            WIN_K,
+            WIN_W,
+            dedup_winnowing_fingerprints,
+        )
+
+        # two docs sharing a LONG run of distinct tokens must share
+        # fingerprints (the winnowing guarantee: any shared substring
+        # of >= K+W-1 tokens shares >= 1; a 2(K+W)-token run spans
+        # enough windows that >= WIN_MIN_SHARED distinct fingerprints
+        # are selected); doc 2 is disjoint and must not pair
+        shared = " ".join(f"s{i}" for i in range(2 * (WIN_K + WIN_W)))
+        rows = [
+            (0, "alpha beta " + shared + " gamma delta epsilon zeta", "a", "en"),
+            (1, shared + " other words here now whatever indeed", "a", "en"),
+            (2, "completely different tokens nothing in common at all x y z",
+             "a", "en"),
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id bigint, text string, source string, lang string"
+        )
+        import os
+        import tempfile
+
+        d = tempfile.mkdtemp()
+        docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+        out = {
+            (r["doc_a"], r["doc_b"])
+            for r in dedup_winnowing_fingerprints(spark, d).collect()
+        }
+        assert (0, 1) in out
+        assert all(2 not in p for p in out)
+
+    def test_density_bound(self, spark, sf_dir):
+        # fingerprints per doc <= n_grams - W + 1 and >= 1 window min
+        from ytspark.operators.dedup import WIN_W
+        from ytspark.queries import registry
+
+        df = registry()["dedup_winnowing_fingerprints"].fn(spark, sf_dir)
+        assert df.columns == ["doc_a", "doc_b", "n_shared"]
+        assert df.where(F.col("doc_a") >= F.col("doc_b")).count() == 0
+
+
+class TestShapley:
+    def test_efficiency_axiom(self, spark, sf_dir):
+        """Shapley values sum exactly to v(grand coalition) = total
+        converted paths — the efficiency axiom, checked in exact
+        integer math: sum(shapley_num) == v_full * n!."""
+        from ytspark.operators.temporal import _FACT
+        from ytspark.queries import registry
+
+        rows = registry()["shapley_attribution_exact"].fn(
+            spark, sf_dir
+        ).collect()
+        n = rows[0]["n_channels"]
+        total_num = sum(r["shapley_num"] for r in rows)
+        # v(full) = converted (user, day) paths that touched >=1 channel
+        from ytspark.session import load_tables
+
+        ev = load_tables(spark, sf_dir, "events")["events"]
+        touched = (
+            ev.where(F.col("event_type") != "purchase")
+            .select("user_id", F.to_date("ts").alias("d"))
+            .distinct()
+        )
+        conv = (
+            ev.where(F.col("event_type") == "purchase")
+            .select("user_id", F.to_date("ts").alias("d"))
+            .distinct()
+        )
+        v_full = touched.join(conv, ["user_id", "d"]).count()
+        assert total_num == v_full * _FACT[n]
+
+    def test_symmetry_of_output(self, spark, sf_dir):
+        from ytspark.queries import registry
+
+        df = registry()["shapley_attribution_exact"].fn(spark, sf_dir)
+        rows = df.collect()
+        assert len(rows) == rows[0]["n_channels"]
+        assert all(r["shapley_num"] >= 0 for r in rows)
+
+
+class TestCompaction:
+    def test_bins_meet_target_except_last(self, spark, sf_dir):
+        from ytspark.operators.maintenance import COMPACT_TARGET_ROWS
+        from ytspark.queries import registry
+
+        rows = registry()["compaction_plan_bins"].fn(spark, sf_dir).collect()
+        assert all(r["meets_target"] for r in rows)
+        last = max(r["bin_id"] for r in rows)
+        for r in rows:
+            if r["bin_id"] != last:
+                assert r["total_rows"] >= COMPACT_TARGET_ROWS
+        # date locality: bins tile the day range in order
+        by_bin = sorted(rows, key=lambda r: r["bin_id"])
+        for a, b in zip(by_bin, by_bin[1:]):
+            assert a["last_day"] <= b["first_day"]
+
+
+class TestRake:
+    def test_topk_ranked_and_scored(self, spark, sf_dir):
+        from ytspark.operators.text import RAKE_STOPS, RAKE_TOP_K
+        from ytspark.queries import registry
+
+        rows = registry()["rake_keywords"].fn(spark, sf_dir).collect()
+        assert 0 < len(rows) <= RAKE_TOP_K
+        scores = [r["score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        # no phrase contains a stopword (they are the delimiters)
+        for r in rows:
+            assert not set(r["phrase"].split()) & set(RAKE_STOPS)
+            assert r["n_words"] >= 1 and r["score"] > 0
+
+
+class TestPercentileErrorEval:
+    def test_bound_holds_and_is_meaningful(self, spark, sf_dir):
+        from ytspark.queries import registry
+
+        rows = registry()["percentile_sketch_error_eval"].fn(
+            spark, sf_dir
+        ).collect()
+        assert {r["pname"] for r in rows} == {"p50", "p90", "p99"}
+        for r in rows:
+            assert r["within_bound"] is True
+            assert r["rank_tolerance"] >= 1
+            assert r["exact_value"] > 0
+
+
+class TestSemanticDedup:
+    def test_pairs_are_within_cluster_and_thresholded(self, spark, sf_dir):
+        from ytspark.operators.dedup import SEM_THRESHOLD
+        from ytspark.queries import registry
+
+        df = registry()["dedup_semantic_clusters"].fn(spark, sf_dir)
+        rows = df.collect()
+        assert rows, "expected semantic dup pairs at this threshold"
+        for r in rows:
+            assert r["cos_sim"] >= SEM_THRESHOLD
+            assert r["vec_a"] < r["vec_b"]

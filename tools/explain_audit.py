@@ -89,6 +89,9 @@ EXPECTED_NESTED_LOOP = {
     "logreg_calibration_report",     # broadcast one-row weight vector
     "spearman_rank_correlation",     # broadcast one-row level counts
     "markov_attribution_removal",    # broadcast 5-row variants + 1-row base
+    "shapley_attribution_exact",     # 2^|channels| coalition lattice joins
+    "percentile_sketch_error_eval",  # broadcast 1-row sketch values + locator
+    "dedup_semantic_clusters",       # broadcast K-row centroid assignment
     "conformal_trend_intervals",     # broadcast 1-row fit/quantile scalars
     "parts_personalized_pagerank",   # broadcast 1-row seed count |S|
     "kaplan_meier_survival",         # broadcast 1-row window-max day
@@ -118,6 +121,9 @@ EXPECTED_GLOBAL_WINDOW = {
     "exact_percentiles_two_pass",  # offsets over the fixed-width bucket table
     "spearman_rank_correlation",   # rank windows over <=50-row marginals
     "markov_attribution_removal",  # share normalizer over the 4-channel rows
+    "shapley_attribution_exact",   # bit index over the |event types| dim
+    "compaction_plan_bins",        # cumulative bins over the O(days) stats
+    "percentile_sketch_error_eval",  # offsets over the fixed-width buckets
     "conformal_trend_intervals",   # residual rank over the O(days) rollup
     "kaplan_meier_survival",       # risk/survival over the O(days) lifetimes
     "theil_sen_trend_robust",      # slope rank over the O(days) rollup

@@ -578,3 +578,106 @@ def scd2_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(ASOF_DATE).cast("date"), F.to_date("effective_from")
         ).cast("long").alias("regime_age_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Compaction planning: cumulative-size bin assignment over partition stats
+# ---------------------------------------------------------------------------
+
+COMPACT_TARGET_ROWS = 4000  # target rows per compacted output file
+
+
+_COMPACTION_ORACLE = f"""
+WITH parts AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(LENGTH(event_type) + LENGTH(COALESCE(props, ''))
+                  + 28) AS BIGINT) AS est_bytes
+  FROM events GROUP BY 1
+),
+plan AS (
+  SELECT d, n_rows, est_bytes,
+         COALESCE(SUM(n_rows) OVER (
+           ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) // {COMPACT_TARGET_ROWS} AS bin_id
+  FROM parts
+),
+lastb AS (SELECT MAX(bin_id) AS lb FROM plan)
+SELECT CAST(bin_id AS BIGINT) AS bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_partitions,
+       CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+       CAST(SUM(est_bytes) AS BIGINT) AS total_bytes,
+       STRFTIME(MIN(d), '%Y-%m-%d') AS first_day,
+       STRFTIME(MAX(d), '%Y-%m-%d') AS last_day,
+       SUM(n_rows) >= {COMPACT_TARGET_ROWS} OR bin_id = MIN(lastb.lb)
+         AS meets_target
+FROM plan CROSS JOIN lastb
+GROUP BY bin_id
+"""
+
+
+@register(
+    "compaction_plan_bins",
+    oracle=_COMPACTION_ORACLE,
+    doc="Small-file COMPACTION PLANNER (the metadata half of OPTIMIZE, "
+        "shaped for the Delta/Iceberg jars the sandbox lacks — see "
+        "SCALE.md): per-partition stats (row count + estimated bytes "
+        "from value widths) roll up from the fact table, then "
+        "date-ordered partitions are assigned to output bins by "
+        "CUMULATIVE-ROW bucketing (bin = running_rows_before div "
+        f"{COMPACT_TARGET_ROWS}) — the deterministic, order-preserving "
+        "equivalent of greedy first-fit on a sorted stream: date "
+        "locality inside each compacted file is preserved (range "
+        "pruning keeps working after compaction) and every bin except "
+        "possibly the last meets the target (asserted per bin in "
+        "meets_target). The plan is O(|partitions|) METADATA rows — "
+        "the only data-sized work is the stats aggregate, which a real "
+        "lakehouse reads from the manifest instead. The cumulative "
+        "window runs over the O(days) pre-aggregate, not data.",
+    tags=("maintenance", "compaction", "scale", "aggregate", "window"),
+)
+def compaction_plan_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    parts = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.length("event_type")
+            + F.length(F.coalesce(F.col("props"), F.lit("")))
+            + F.lit(28)
+        ).alias("est_bytes"),
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    plan = parts.select(
+        "d",
+        "n_rows",
+        "est_bytes",
+        F.expr(
+            f"COALESCE(SUM(n_rows) OVER (ORDER BY d ROWS BETWEEN "
+            f"UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            f"div {COMPACT_TARGET_ROWS}"
+        ).alias("bin_id"),
+    )
+    last_bin = plan.agg(F.max("bin_id").alias("lb"))
+    return (
+        plan.groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_partitions"),
+            F.sum("n_rows").alias("total_rows"),
+            F.sum("est_bytes").alias("total_bytes"),
+            F.min("d").alias("first_day"),
+            F.max("d").alias("last_day"),
+        )
+        .crossJoin(F.broadcast(last_bin))
+        .select(
+            F.col("bin_id").cast("long").alias("bin_id"),
+            F.col("n_partitions").cast("long").alias("n_partitions"),
+            F.col("total_rows").cast("long").alias("total_rows"),
+            F.col("total_bytes").cast("long").alias("total_bytes"),
+            F.date_format("first_day", "yyyy-MM-dd").alias("first_day"),
+            F.date_format("last_day", "yyyy-MM-dd").alias("last_day"),
+            (
+                (F.col("total_rows") >= COMPACT_TARGET_ROWS)
+                | (F.col("bin_id") == F.col("lb"))
+            ).alias("meets_target"),
+        )
+    )

@@ -972,3 +972,136 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("class_size") >= KANON_K).alias("k_anonymous"),
         (F.col("l_distinct") >= 2).alias("l_diverse"),
     )
+
+
+# ---------------------------------------------------------------------------
+# approx_percentile error certification (rank-error bound evaluation)
+# ---------------------------------------------------------------------------
+
+APPROX_PCTL_ACCURACY = 1000  # Spark's accuracy knob: rank err <= N/accuracy
+
+
+@register(
+    "percentile_sketch_error_eval",
+    oracle=f"""
+WITH d AS (SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v FROM orders),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+t(pname, p) AS (VALUES ('p50', 0.5), ('p90', 0.9), ('p99', 0.99)),
+k AS (SELECT pname, p, CAST(CEIL(p * n.n) AS BIGINT) AS k, n.n
+      FROM t CROSS JOIN n),
+r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM d)
+SELECT pname, p, k.n,
+       CAST(r.v AS DOUBLE) AS exact_value,
+       CAST(CEIL(CAST(k.n AS DOUBLE) / {APPROX_PCTL_ACCURACY}) AS BIGINT)
+         AS rank_tolerance,
+       TRUE AS within_bound
+FROM k JOIN r ON r.rn = k.k
+""",
+    doc="CERTIFIES Spark's approx_percentile (Greenwald-Khanna-style "
+        f"quantile summary, accuracy={APPROX_PCTL_ACCURACY}) against "
+        "its own published guarantee: for each target p the sketch "
+        "value's TRUE rank interval [count(<v)+1, count(<=v)] must "
+        f"come within N/{APPROX_PCTL_ACCURACY} of the target rank "
+        "ceil(p*N). The exact side (value + tolerance) is recomputed "
+        "from first principles and hash-checked; within_bound is the "
+        "engine-side assertion the oracle pins to TRUE — a violated "
+        "bound hash-mismatches and fails the gate (same pattern as "
+        "hll_retention_estimate_bounds). This is the missing "
+        "evaluation-family member for ORDER STATISTICS: the engine "
+        "measures its own sketch error in-engine, the precondition "
+        "for choosing sketch-vs-two-pass-exact per query at 100 TB. "
+        "Plan: one approx_percentile aggregate (map-side mergeable "
+        "summaries), one rank-counting aggregate conditioned on the "
+        "3 broadcast sketch values, the exact two-pass locator for "
+        "the exact values — no global sort, no collect.",
+    tags=("profiling", "evaluation", "percentile", "sketch", "aggregate"),
+)
+def percentile_sketch_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    d = orders.select(
+        F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+        F.floor(F.col("o_totalprice") / F.lit(PCTL_BUCKET_WIDTH))
+        .cast("long")
+        .alias("bucket"),
+    )
+    # sketch side: one mergeable-summary aggregate, 3 values out
+    approx = orders.agg(
+        *[
+            F.percentile_approx(
+                F.col("o_totalprice"), p, APPROX_PCTL_ACCURACY
+            ).alias(f"a_{pname}")
+            for pname, p in PCTL_TARGETS
+        ]
+    )
+    # true rank interval of each sketch value: one conditional-count
+    # aggregate against the 3 broadcast values
+    ranks = d.crossJoin(F.broadcast(approx)).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(
+                (F.col("v") < F.col(f"a_{pname}")).cast("long")
+            ).alias(f"lt_{pname}")
+            for pname, _ in PCTL_TARGETS
+        ],
+        *[
+            F.sum(
+                (F.col("v") <= F.col(f"a_{pname}")).cast("long")
+            ).alias(f"le_{pname}")
+            for pname, _ in PCTL_TARGETS
+        ],
+    )
+    # exact side: the two-pass locator (shared shape with
+    # exact_percentiles_two_pass)
+    hist = d.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+    ow = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.select(
+        "bucket", "c", F.coalesce(F.sum("c").over(ow), F.lit(0)).alias("off")
+    )
+    tot = d.agg(F.count(F.lit(1)).alias("n"))
+    targets = (
+        spark.createDataFrame(list(PCTL_TARGETS), "pname string, p double")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "pname", "p", F.ceil(F.col("p") * F.col("n")).cast("long").alias("k")
+        )
+    )
+    located = targets.join(
+        F.broadcast(cum),
+        (F.col("k") > F.col("off")) & (F.col("k") <= F.col("off") + F.col("c")),
+    ).select("pname", "p", "k", "bucket", "off")
+    wv = Window.partitionBy("pname").orderBy("v")
+    exact = (
+        d.join(F.broadcast(located), "bucket")
+        .withColumn("rn", F.row_number().over(wv))
+        .where(F.col("rn") == F.col("k") - F.col("off"))
+        .select("pname", "p", "k", F.col("v").cast("double").alias("exact_value"))
+    )
+    # per-target bound check from the one-row rank frame
+    checks = None
+    for pname, _p in PCTL_TARGETS:
+        row = ranks.select(
+            F.lit(pname).alias("pname"),
+            F.col("n"),
+            F.col(f"lt_{pname}").alias("lt"),
+            F.col(f"le_{pname}").alias("le"),
+        )
+        checks = row if checks is None else checks.unionByName(row)
+    tol = F.ceil(F.col("n").cast("double") / APPROX_PCTL_ACCURACY).cast("long")
+    return (
+        exact.join(F.broadcast(checks), "pname")
+        .select(
+            "pname",
+            "p",
+            F.col("n").cast("long").alias("n"),
+            "exact_value",
+            tol.alias("rank_tolerance"),
+            # the sketch value's rank interval must intersect
+            # [k - tol, k + tol]
+            (
+                (F.col("lt") + 1 <= F.col("k") + tol)
+                & (F.col("le") >= F.col("k") - tol)
+            ).alias("within_bound"),
+        )
+    )

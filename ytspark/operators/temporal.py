@@ -1474,3 +1474,184 @@ def twap_value_by_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("twap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact Shapley-value channel attribution (coalition-coverage model)
+# ---------------------------------------------------------------------------
+
+SHAP_ROUND = 6
+
+# factorials 0!..8! — the coalition grid is 2^n for n = |channels|
+# (bounded by the event-type vocabulary), so a CASE over bit_count
+# keeps every weight an exact integer on both engines
+_FACT = [1, 1, 2, 6, 24, 120, 720, 5040, 40320]
+
+
+def _fact_case(expr: str) -> str:
+    return (
+        "CASE " + " ".join(
+            f"WHEN {expr} = {k} THEN {v}" for k, v in enumerate(_FACT)
+        ) + " END"
+    )
+
+
+_SHAPLEY_ORACLE = f"""
+WITH ch AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c) - 1 AS ci
+  FROM (SELECT DISTINCT event_type AS c FROM events
+        WHERE event_type <> 'purchase')
+),
+n AS (SELECT COUNT(*) AS n FROM ch),
+touch AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         CAST(SUM(DISTINCT 1 << ci) AS BIGINT) AS mask
+  FROM (SELECT DISTINCT user_id, CAST(ts AS DATE) AS ts, event_type
+        FROM events WHERE event_type <> 'purchase') e
+  JOIN ch ON ch.c = e.event_type
+  GROUP BY 1, 2
+),
+conv AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+  FROM events WHERE event_type = 'purchase'
+),
+mstats AS (
+  SELECT t.mask, CAST(COUNT(*) AS BIGINT) AS n_paths,
+         CAST(SUM(CASE WHEN conv.user_id IS NULL THEN 0 ELSE 1 END)
+              AS BIGINT) AS n_conv
+  FROM touch t LEFT JOIN conv ON conv.user_id = t.user_id AND conv.d = t.d
+  GROUP BY 1
+),
+coal AS (
+  SELECT UNNEST(RANGE(0, 1 << n)) AS t FROM n
+),
+v AS (
+  SELECT coal.t,
+         CAST(COALESCE(SUM(m.n_conv), 0) AS BIGINT) AS vt
+  FROM coal LEFT JOIN mstats m ON (m.mask & coal.t) = m.mask
+  GROUP BY 1
+),
+contrib AS (
+  SELECT ch.c AS channel, n.n,
+         {_fact_case("BIT_COUNT(v0.t)")}
+           * {_fact_case("n.n - 1 - BIT_COUNT(v0.t)")}
+           * (v1.vt - v0.vt) AS w
+  FROM ch CROSS JOIN n
+  JOIN v v0 ON ((v0.t >> ch.ci) & 1) = 0
+  JOIN v v1 ON v1.t = (v0.t | (1 << ch.ci))
+)
+SELECT channel,
+       CAST(MIN(n) AS BIGINT) AS n_channels,
+       CAST(SUM(w) AS BIGINT) AS shapley_num,
+       ROUND(CAST(SUM(w) AS DOUBLE) / {_fact_case("MIN(n)")},
+             {SHAP_ROUND}) AS shapley_conversions
+FROM contrib
+GROUP BY channel
+"""
+
+
+@register(
+    "shapley_attribution_exact",
+    oracle=_SHAPLEY_ORACLE,
+    doc="EXACT Shapley-value attribution of conversions to touch "
+        "channels under the coalition-coverage value function "
+        "v(T) = converted (user, day) paths whose touched-channel set "
+        "is a subset of T — the game-theoretic gold standard the "
+        "Markov removal-effect model approximates. Exactness is "
+        "affordable because the coalition lattice is 2^|channels| "
+        "(channels = the bounded event-type vocabulary, never users "
+        "or rows): ONE distinct-aggregate over events folds every "
+        "path to a channel BITMASK, per-mask conversion counts are a "
+        "tiny table, v(T) is a subset-sum over that table, and the "
+        "Shapley sum Σ |T|!(n-1-|T|)!(v(T∪c)-v(T)) runs over the "
+        "n·2^(n-1) lattice rows entirely in exact integer math (the "
+        "factorial weights via a CASE over bit_count) — one exactly- "
+        "rounded division by n! at the end. At 100 TB only the mask "
+        "fold touches data; everything after is O(2^n) broadcast "
+        "rows. shapley_num certifies the integer numerator "
+        "bit-for-bit; shapley_conversions is the conventional "
+        "report.",
+    tags=("temporal", "attribution", "statistics", "aggregate"),
+)
+def shapley_attribution_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    ch = (
+        ev.where(F.col("event_type") != "purchase")
+        .select(F.col("event_type").alias("c"))
+        .distinct()
+    )
+    # bit index per channel: window over the <=|event types| channel dim
+    wc = Window.orderBy("c")
+    chx = ch.select("c", (F.row_number().over(wc) - 1).alias("ci"))
+    n_df = chx.agg(F.count(F.lit(1)).alias("n"))
+    touch = (
+        ev.where(F.col("event_type") != "purchase")
+        .select(
+            "user_id",
+            F.to_date("ts").alias("d"),
+            F.col("event_type").alias("c"),
+        )
+        .distinct()
+        .join(F.broadcast(chx), "c")
+        .groupBy("user_id", "d")
+        .agg(F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), ci)")).alias("mask"))
+    )
+    conv = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+        .withColumn("cv", F.lit(1))
+    )
+    mstats = (
+        touch.join(conv, ["user_id", "d"], "left")
+        .groupBy("mask")
+        .agg(
+            F.count(F.lit(1)).alias("n_paths"),
+            F.sum(F.coalesce(F.col("cv"), F.lit(0))).alias("n_conv"),
+        )
+    )
+    # coalition lattice: 2^n rows from the one-row channel count
+    coal = n_df.select(
+        F.explode(
+            F.sequence(F.lit(0), F.expr("shiftleft(CAST(1 AS BIGINT), n) - 1"))
+        ).alias("t")
+    )
+    v = (
+        coal.join(
+            F.broadcast(mstats),
+            F.expr("(mask & t) = mask"),
+            "left",
+        )
+        .groupBy("t")
+        .agg(F.coalesce(F.sum("n_conv"), F.lit(0)).cast("long").alias("vt"))
+    )
+    v0 = v.select(F.col("t"), F.col("vt").alias("v0"))
+    v1 = v.select(F.col("t").alias("t1"), F.col("vt").alias("v1"))
+    fact = "CASE " + " ".join(
+        f"WHEN {{0}} = {k} THEN {w}" for k, w in enumerate(_FACT)
+    ) + " END"
+    contrib = (
+        chx.crossJoin(F.broadcast(n_df))
+        .join(F.broadcast(v0), F.expr("((t >> ci) & 1) = 0"))
+        .join(
+            F.broadcast(v1),
+            F.expr("t1 = (t | shiftleft(CAST(1 AS BIGINT), ci))"),
+        )
+        .select(
+            F.col("c").alias("channel"),
+            "n",
+            (
+                F.expr(fact.format("bit_count(t)"))
+                * F.expr(fact.format("n - 1 - bit_count(t)"))
+                * (F.col("v1") - F.col("v0"))
+            ).alias("w"),
+        )
+    )
+    return contrib.groupBy("channel").agg(
+        F.min("n").cast("long").alias("n_channels"),
+        F.sum("w").cast("long").alias("shapley_num"),
+        F.round(
+            F.sum("w").cast("double") / F.expr(fact.format("MIN(n)")),
+            SHAP_ROUND,
+        ).alias("shapley_conversions"),
+    )

@@ -1627,3 +1627,145 @@ def _register_textrank() -> None:
 
 
 _register_textrank()
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction (degree/frequency scoring of stopword-split
+# candidate phrases)
+# ---------------------------------------------------------------------------
+
+RAKE_TOP_K = 25
+RAKE_SCALE = 1_000_000  # word score = degree*SCALE // freq (exact integer)
+
+# union of the per-language stopword lists: the phrase delimiter set
+RAKE_STOPS = tuple(sorted({w for ws in LANG_STOPWORDS.values() for w in ws}))
+
+
+def _rake_oracle() -> str:
+    stops = ", ".join(f"'{w}'" for w in RAKE_STOPS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(RANGE(1, LEN(STRING_SPLIT(text, ' ')) + 1)) - 1 AS pos,
+         UNNEST(STRING_SPLIT(text, ' ')) AS tok
+  FROM documents
+),
+marked AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN tok IN ({stops}) THEN 1 ELSE 0 END AS stop,
+         SUM(CASE WHEN tok IN ({stops}) THEN 1 ELSE 0 END) OVER (
+           PARTITION BY doc_id ORDER BY pos) AS phrase_id
+  FROM toks
+),
+words AS (
+  SELECT doc_id, phrase_id, pos, tok,
+         COUNT(*) OVER (PARTITION BY doc_id, phrase_id) AS plen
+  FROM marked WHERE stop = 0
+),
+wstats AS (
+  SELECT tok,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(plen) AS BIGINT) AS degree
+  FROM words GROUP BY tok
+),
+phrases AS (
+  SELECT w.doc_id, w.phrase_id,
+         STRING_AGG(w.tok, ' ' ORDER BY w.pos) AS phrase,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(ws.degree * {RAKE_SCALE} // ws.freq) AS BIGINT)
+           AS score_scaled
+  FROM words w JOIN wstats ws ON ws.tok = w.tok
+  GROUP BY 1, 2
+)
+SELECT phrase,
+       CAST(MIN(n_words) AS BIGINT) AS n_words,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       ROUND(CAST(MIN(score_scaled) AS DOUBLE) / {RAKE_SCALE}, 6) AS score
+FROM phrases
+GROUP BY phrase
+ORDER BY MIN(score_scaled) DESC, phrase
+LIMIT {RAKE_TOP_K}
+"""
+
+
+@register(
+    "rake_keywords",
+    oracle=_rake_oracle(),
+    doc=f"RAKE keyword extraction (Rose et al.): documents split into "
+        "candidate phrases at stopword delimiters (the union of the "
+        "lang-id stopword lists), each word scored corpus-wide by "
+        "degree/frequency (degree = sum of containing-phrase lengths "
+        "— frequency plus co-occurrence, the RAKE definition), and "
+        "each phrase scored as the sum of its word scores; the top-"
+        f"{RAKE_TOP_K} distinct phrases by score are reported. The "
+        "float-summation-order trap is engineered out: word scores "
+        f"are EXACT integers degree*{RAKE_SCALE} div freq, phrase "
+        "scores exact integer sums, so ranking and the final rounded "
+        "report are bit-identical cross-engine (the same "
+        "integer-scaling trick as the engine's DECIMAL money policy). "
+        "Plan: one posexplode, a per-doc cumulative window for phrase "
+        "ids (doc-partitioned), one word-stats aggregate, one phrase "
+        "aggregate, TakeOrderedAndProject top-k — no global window, "
+        "no collect. Complements textrank_keywords: RAKE is the "
+        "O(corpus) non-iterative baseline, TextRank the graph-random-"
+        "walk refinement.",
+    tags=("text", "rake", "keywords", "window", "aggregate", "topk"),
+)
+def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    stop_arr = F.array(*[F.lit(w) for w in RAKE_STOPS])
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
+    ).select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.array_contains(stop_arr, F.col("tok")).cast("int").alias("stop"),
+    )
+    wcum = Window.partitionBy("doc_id").orderBy("pos")
+    marked = toks.withColumn("phrase_id", F.sum("stop").over(wcum))
+    wplen = Window.partitionBy("doc_id", "phrase_id")
+    words = (
+        marked.where(F.col("stop") == 0)
+        .withColumn("plen", F.count(F.lit(1)).over(wplen))
+    )
+    wstats = words.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("degree")
+    )
+    phrases = (
+        words.join(wstats, "tok")
+        .groupBy("doc_id", "phrase_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "tok"))
+                    ),
+                    lambda s: s["tok"],
+                ),
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(
+                F.expr(f"degree * {RAKE_SCALE} div freq")
+            ).alias("score_scaled"),
+        )
+    )
+    return (
+        phrases.groupBy("phrase")
+        .agg(
+            F.min("n_words").cast("long").alias("n_words"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("score_scaled").alias("ss"),
+        )
+        .orderBy(F.col("ss").desc(), "phrase")
+        .limit(RAKE_TOP_K)
+        .select(
+            "phrase",
+            "n_words",
+            F.col("n_occurrences").cast("long").alias("n_occurrences"),
+            F.round(F.col("ss").cast("double") / RAKE_SCALE, 6).alias("score"),
+        )
+    )
