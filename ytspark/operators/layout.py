@@ -245,12 +245,16 @@ def hilbert_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the production repartitionByRange(d).sortWithinPartitions(d)
     # rewrite — per-file value multisets, hence min/max spans, are
     # deterministic because tied (d, x, y) rows are interchangeable.
-    # persist: the 4-state-machine curve fold is the expensive
-    # expression, and THREE consumers (bucket counts, total, rank
-    # pass) would otherwise each recompute it over the full scan
+    # eager localCheckpoint: the 4-state-machine curve fold is the
+    # expensive expression and THREE consumers (bucket counts, total,
+    # rank pass) would otherwise each recompute it over the full scan;
+    # the checkpoint materializes it once AND truncates its lineage so
+    # every consumer plans against a leaf (faster than persist for
+    # multi-branch plans — same measurement as the PPR inputs). Blocks
+    # are swept by release_all_cached between queries.
     hb = h.withColumn(
         "bucket", (F.col("d") / F.lit(1 << HBITS)).cast("long")
-    ).persist()
+    ).localCheckpoint(eager=True)
     counts = hb.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
     ow = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
@@ -274,8 +278,8 @@ def hilbert_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(rem + F.ceil((F.col("r") - cut) / base))
         .cast("long")
     )
-    # N_FILES-row result; release the curve-fold cache (3 consumers)
-    return finish(
+    # curve-fold input is checkpointed (no persisted cache to release)
+    return (
         ranked.select("x", "y", f.alias("file_id"))
         .groupBy("file_id")
         .agg(
@@ -284,6 +288,5 @@ def hilbert_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("x").alias("x_max"),
             F.min("y").cast("long").alias("y_min"),
             F.max("y").cast("long").alias("y_max"),
-        ),
-        hb,
+        )
     )
