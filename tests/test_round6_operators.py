@@ -154,3 +154,76 @@ class TestSemanticDedup:
         for r in rows:
             assert r["cos_sim"] >= SEM_THRESHOLD
             assert r["vec_a"] < r["vec_b"]
+
+
+class TestWinnowingClusters:
+    def test_clusters_are_min_label_and_nontrivial(self, spark, sf_dir):
+        from ytspark.queries import registry
+
+        rows = registry()["dedup_winnowing_clusters"].fn(
+            spark, sf_dir
+        ).collect()
+        assert rows
+        for r in rows:
+            assert r["n_docs"] >= 2
+
+
+class TestBootstrapCI:
+    def test_interval_brackets_mean_and_is_ordered(self, spark, sf_dir):
+        from ytspark.queries import registry
+
+        row = registry()["bootstrap_ci_revenue"].fn(spark, sf_dir).first()
+        assert row["ci_lo"] <= row["ci_hi"]
+        assert row["ci_contains_mean"] is True
+        assert row["n_replicates"] == 40
+        # half-subsampling keeps the CI in the data's ballpark
+        assert 0 < row["ci_lo"] < 2 * row["mean_full"]
+
+
+class TestAllenRelations:
+    def test_relations_partition_the_pair_set(self, spark, sf_dir):
+        from ytspark.operators.temporal import (
+            PairBudgetExceededError,
+            allen_interval_relations,
+        )
+        from ytspark.queries import registry
+        import pytest
+
+        rows = registry()["allen_interval_relations"].fn(
+            spark, sf_dir
+        ).collect()
+        names = {r["relation"] for r in rows}
+        allowed = {
+            "precedes", "meets", "equals", "starts", "started_by",
+            "finished_by", "finishes", "contains", "during", "overlaps",
+        }
+        assert names <= allowed
+        total = sum(r["n_pairs"] for r in rows)
+        # must equal the blocked pair count from the guard query
+        guard = registry()["overlap_pair_explosion_guard"].fn(
+            spark, sf_dir
+        ).first()
+        assert total == guard["total_candidate_pairs"]
+        # shares the enforced budget
+        with pytest.raises(PairBudgetExceededError):
+            allen_interval_relations(spark, sf_dir, budget=5)
+
+
+class TestWindowTies:
+    def test_tie_semantics_invariants(self, spark, sf_dir):
+        from ytspark.queries import registry
+
+        rows = registry()["window_ties_battery"].fn(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            n, nd = r["n_rows"], r["n_distinct_buckets"]
+            assert r["has_ties"] is True and nd < n
+            # dense_rank sums below rank sums exactly when ties exist
+            assert r["sum_dense_rank"] <= r["sum_rank"]
+            # ntile sums to the exact SQL-standard allocation:
+            # tile t gets base(+1) rows; sum = sum over tiles t*size_t
+            base, rem = divmod(n, 4)
+            expected = sum(
+                t * (base + (1 if t <= rem else 0)) for t in range(1, 5)
+            )
+            assert r["sum_ntile4"] == expected

@@ -2099,9 +2099,15 @@ HAVING COUNT(*) >= {WIN_MIN_SHARED}
     tags=("dedup", "winnowing", "fingerprint", "join", "checkable"),
 )
 def dedup_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return winnowing_pairs(docs)
+
+
+def winnowing_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_shared) pairs sharing >= WIN_MIN_SHARED
+    winnowing fingerprints (see dedup_winnowing_fingerprints)."""
     from pyspark.sql import Window
 
-    docs = load_tables(spark, sf_dir, "documents")["documents"]
     toks = docs.select(
         "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
     ).select(
@@ -2266,4 +2272,57 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return assigned.groupBy("cluster").applyInPandas(
         score, schema="cluster bigint, vec_a bigint, vec_b bigint, cos_sim double"
+    )
+
+
+def _winnow_clusters_oracle() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  {_winnow_oracle()}
+),
+edges(s, d) AS (
+  SELECT doc_a, doc_b FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+nodes(n) AS (
+  SELECT doc_a FROM pairs UNION SELECT doc_b FROM pairs
+),
+reach(n, l) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT e.d, r.l FROM reach r JOIN edges e ON e.s = r.n
+),
+labels AS (SELECT n, MIN(l) AS label FROM reach GROUP BY n)
+SELECT label AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM labels GROUP BY label
+HAVING COUNT(*) >= 2
+"""
+
+
+@register(
+    "dedup_winnowing_clusters",
+    oracle=_winnow_clusters_oracle(),
+    doc="Boilerplate/citation-cluster accounting: the winnowing "
+        "fingerprint pair graph (dedup_winnowing_fingerprints) closed "
+        "into connected components by the engine's min-label "
+        "propagation, reported as (cluster_id = min doc id, n_docs). "
+        "Certified END TO END the same way as the MinHash cluster "
+        "twin: the cross-engine fingerprint selection makes the pair "
+        "set reproducible in SQL and a WITH RECURSIVE reachability "
+        "replay recomputes the true components the converged "
+        "propagation must equal — so fingerprinting, pairing AND the "
+        "iterative clustering are all value-certified in one gate. "
+        "This is the substring-level counterpart of whole-document "
+        "near-dup clusters: shared-boilerplate families (license "
+        "headers, templated pages) that MinHash under-weights when "
+        "the surrounding text differs.",
+    tags=("dedup", "winnowing", "clusters", "iterative", "checkable"),
+)
+def dedup_winnowing_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    pairs = winnowing_pairs(docs)
+    labels = connected_components(pairs, "doc_a", "doc_b")
+    return (
+        labels.groupBy(F.col("label").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
     )

@@ -1105,3 +1105,99 @@ def percentile_sketch_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_bound"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic subsample-bootstrap confidence interval
+# ---------------------------------------------------------------------------
+
+BOOT_B = 40  # bootstrap replicates
+BOOT_LO_K = 1  # ceil(0.025 * B): 2.5th percentile order statistic
+BOOT_HI_K = 39  # ceil(0.975 * B)
+
+
+def _boot_oracle() -> str:
+    from ytspark.operators.text import SPLIT_MOD, knuth_hash_sql
+
+    half = SPLIT_MOD // 2
+    stats = ", ".join(
+        f"ROUND(CAST(SUM(CASE WHEN {knuth_hash_sql(f'o_orderkey * 131 + {b}')}"
+        f" < {half} THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)"
+        f" / SUM(CASE WHEN {knuth_hash_sql(f'o_orderkey * 131 + {b}')}"
+        f" < {half} THEN 1 END), 6)"
+        for b in range(1, BOOT_B + 1)
+    )
+    return f"""
+WITH agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+         ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*), 6) AS mean_full,
+         LIST_SORT([{stats}]) AS reps
+  FROM orders
+)
+SELECT n_orders,
+       CAST({BOOT_B} AS BIGINT) AS n_replicates,
+       mean_full,
+       reps[{BOOT_LO_K}] AS ci_lo,
+       reps[{BOOT_HI_K}] AS ci_hi,
+       mean_full >= reps[{BOOT_LO_K}] AND mean_full <= reps[{BOOT_HI_K}]
+         AS ci_contains_mean
+FROM agg
+"""
+
+
+@register(
+    "bootstrap_ci_revenue",
+    oracle=_boot_oracle(),
+    doc=f"DETERMINISTIC bootstrap confidence interval for mean order "
+        f"value: {BOOT_B} half-subsample replicates (m-out-of-n "
+        "bootstrap), each membership decided by the overflow-safe "
+        "cross-engine Knuth hash of (orderkey*131 + replicate) — no "
+        "RNG state, so retries/AQE re-execution and the DuckDB replay "
+        "all see identical samples. The whole thing is ONE aggregate "
+        f"pass: {2 * BOOT_B} conditional SUM/COUNT expressions with "
+        "map-side combine — never a B-fold explode of the data, which "
+        "is what makes resampling affordable at 100 TB (B x data "
+        "replication is the naive shape). Replicate means are rounded "
+        "then sorted INSIDE a one-row array (array_sort + "
+        "element_at), so the percentile selection needs no window at "
+        "all. Reports the 95% percentile-bootstrap interval and "
+        "whether it brackets the full-sample mean.",
+    tags=("statistics", "bootstrap", "profiling", "aggregate", "scale"),
+)
+def bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ytspark.operators.text import SPLIT_MOD, knuth_hash_col
+
+    half = SPLIT_MOD // 2
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    v = F.col("o_totalprice").cast("decimal(18,2)")
+
+    def incl(b: int):
+        return knuth_hash_col(F.col("o_orderkey") * F.lit(131) + F.lit(b)) < half
+
+    rep_means = [
+        F.round(
+            F.sum(F.when(incl(b), v)).cast("double")
+            / F.sum(F.when(incl(b), F.lit(1))),
+            6,
+        )
+        for b in range(1, BOOT_B + 1)
+    ]
+    agg = orders.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(v).cast("double") / F.count(F.lit(1)), 6).alias(
+            "mean_full"
+        ),
+        F.array_sort(F.array(*rep_means)).alias("reps"),
+    )
+    return agg.select(
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.lit(BOOT_B).cast("long").alias("n_replicates"),
+        "mean_full",
+        F.element_at("reps", BOOT_LO_K).alias("ci_lo"),
+        F.element_at("reps", BOOT_HI_K).alias("ci_hi"),
+        (
+            (F.col("mean_full") >= F.element_at("reps", BOOT_LO_K))
+            & (F.col("mean_full") <= F.element_at("reps", BOOT_HI_K))
+        ).alias("ci_contains_mean"),
+    )

@@ -323,6 +323,33 @@ class PairBudgetExceededError(RuntimeError):
     candidate-pair count exceeded the routing budget."""
 
 
+def enforce_pair_budget(
+    spans: DataFrame, block_col: str, op_name: str, budget: int
+) -> None:
+    """ENFORCED pre-flight (not advisory) for blocked pairwise
+    operators: the exact candidate-pair volume the blocked join will
+    evaluate — sum over blocks of n*(n-1)/2, one tiny aggregate over
+    the span table — must fit the routing budget, else the dense-data
+    question belongs to the sketch/heavy-hitter family and the
+    operator refuses to run it. overlap_pair_explosion_guard is the
+    queryable form of the same aggregate (check-then-run as a
+    user-visible report)."""
+    total = (
+        spans.groupBy(block_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.expr("n * (n - 1) div 2")).alias("t"))
+        .first()["t"]
+    ) or 0
+    if total > budget:
+        raise PairBudgetExceededError(
+            f"{op_name}: blocked interval join would evaluate "
+            f"{total:,} candidate pairs > budget {budget:,}; route "
+            "dense co-presence to the sketch/heavy-hitter family "
+            "(e.g. cms_heavy_hitters / approx_distinct_users_bounds) "
+            "or raise the budget explicitly."
+        )
+
+
 _OVERLAP_ORACLE = f"""
 WITH spans AS (
   SELECT user_id, CAST(ts AS DATE) AS d,
@@ -384,28 +411,8 @@ def user_activity_overlap_pairs(
     spans = ev.groupBy(
         "user_id", F.to_date("ts").alias("d")
     ).agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
-    # ENFORCED pre-flight (not advisory): the exact candidate-pair
-    # volume this blocked join will evaluate — sum over day blocks of
-    # n*(n-1)/2, one tiny aggregate over the span table — must fit the
-    # routing budget, else the dense-data question belongs to the
-    # sketch/heavy-hitter family and this operator refuses to run it.
-    # overlap_pair_explosion_guard remains the queryable form of the
-    # same aggregate (check-then-run as a user-visible report).
     budget = OVERLAP_PAIR_BUDGET if budget is None else budget
-    total = (
-        spans.groupBy("d")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .agg(F.sum(F.expr("n * (n - 1) div 2")).alias("t"))
-        .first()["t"]
-    ) or 0
-    if total > budget:
-        raise PairBudgetExceededError(
-            f"user_activity_overlap_pairs: blocked interval join would "
-            f"evaluate {total:,} candidate pairs > budget {budget:,}; "
-            "route dense co-presence to the sketch/heavy-hitter family "
-            "(e.g. cms_heavy_hitters / approx_distinct_users_bounds) "
-            "or raise the budget explicitly."
-        )
+    enforce_pair_budget(spans, "d", "user_activity_overlap_pairs", budget)
     a = spans.select(
         F.col("user_id").alias("ua"), F.col("d"),
         F.col("s").alias("sa"), F.col("e").alias("ea"),
@@ -1654,4 +1661,82 @@ def shapley_attribution_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("w").cast("double") / F.expr(fact.format("MIN(n)")),
             SHAP_ROUND,
         ).alias("shapley_conversions"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Allen interval-algebra relation census over daily activity spans
+# ---------------------------------------------------------------------------
+
+_ALLEN_CASE_SQL = """CASE
+  WHEN ea < sb THEN 'precedes'
+  WHEN ea = sb THEN 'meets'
+  WHEN sa = sb AND ea = eb THEN 'equals'
+  WHEN sa = sb AND ea < eb THEN 'starts'
+  WHEN sa = sb THEN 'started_by'
+  WHEN ea = eb AND sa < sb THEN 'finished_by'
+  WHEN ea = eb THEN 'finishes'
+  WHEN sa < sb AND ea > eb THEN 'contains'
+  WHEN sa > sb AND ea < eb THEN 'during'
+  ELSE 'overlaps'
+END"""
+
+
+_ALLEN_ORACLE = f"""
+WITH spans AS (
+  SELECT user_id, CAST(ts AS DATE) AS d, MIN(ts) AS s, MAX(ts) AS e
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT {_ALLEN_CASE_SQL} AS relation
+  FROM (SELECT a.d, a.s AS sa, a.e AS ea, b.s AS sb, b.e AS eb
+        FROM spans a JOIN spans b
+          ON a.d = b.d AND a.user_id < b.user_id)
+)
+SELECT relation, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY relation
+"""
+
+
+@register(
+    "allen_interval_relations",
+    oracle=_ALLEN_ORACLE,
+    doc="ALLEN INTERVAL-ALGEBRA census: every same-day (user a < user "
+        "b) pair of daily activity spans is classified into its Allen "
+        "relation (precedes/meets/overlaps/starts/during/finishes, "
+        "their inverses collapsed onto the a<b orientation, and "
+        "equals) by a single CASE over the four endpoints — the "
+        "temporal-reasoning primitive behind conflict detection, "
+        "schedule validation, and co-presence typing that a plain "
+        "overlap predicate flattens into one bit. Same TEMPORALLY "
+        "BLOCKED join as user_activity_overlap_pairs (the day-key "
+        "equality carries the shuffle; no cartesian) and the same "
+        "ENFORCED pair budget: the shared enforce_pair_budget "
+        "pre-flight raises PairBudgetExceededError on dense interval "
+        "sets before any pair is evaluated. Output is bounded: one "
+        "row per realized relation (<= 10 under this orientation).",
+    tags=("temporal", "interval", "join", "aggregate"),
+)
+def allen_interval_relations(
+    spark: SparkSession, sf_dir: str, budget: int | None = None
+) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    spans = ev.groupBy(
+        "user_id", F.to_date("ts").alias("d")
+    ).agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    budget = OVERLAP_PAIR_BUDGET if budget is None else budget
+    enforce_pair_budget(spans, "d", "allen_interval_relations", budget)
+    a = spans.select(
+        F.col("user_id").alias("ua"), "d",
+        F.col("s").alias("sa"), F.col("e").alias("ea"),
+    )
+    b = spans.select(
+        F.col("user_id").alias("ub"), "d",
+        F.col("s").alias("sb"), F.col("e").alias("eb"),
+    )
+    pairs = a.join(b, ["d"]).where(F.col("ua") < F.col("ub"))
+    return (
+        pairs.select(F.expr(_ALLEN_CASE_SQL).alias("relation"))
+        .groupBy("relation")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
     )

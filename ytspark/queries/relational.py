@@ -1960,3 +1960,75 @@ def try_arithmetic_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split("o_orderpriority", "-"), F.lit(3)
         ).alias("try_elem"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Window TIE-semantics battery: rank vs dense_rank vs ntile under ties
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_ties_battery",
+    oracle="""
+WITH d AS (
+  SELECT o_orderpriority AS pri,
+         CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS pb
+  FROM orders
+),
+r AS (
+  SELECT pri, pb,
+         RANK()       OVER (PARTITION BY pri ORDER BY pb) AS rk,
+         DENSE_RANK() OVER (PARTITION BY pri ORDER BY pb) AS dr,
+         NTILE(4)     OVER (PARTITION BY pri ORDER BY pb) AS nt,
+         COUNT(*)     OVER (PARTITION BY pri) AS n
+  FROM d
+)
+SELECT pri,
+       CAST(MIN(n) AS BIGINT) AS n_rows,
+       CAST(MAX(dr) AS BIGINT) AS n_distinct_buckets,
+       CAST(SUM(rk) AS BIGINT) AS sum_rank,
+       CAST(SUM(dr) AS BIGINT) AS sum_dense_rank,
+       CAST(SUM(nt) AS BIGINT) AS sum_ntile4,
+       SUM(rk) < MIN(n) * (MIN(n) + 1) // 2 AS has_ties
+FROM r GROUP BY pri
+""",
+    doc="Tie-semantics battery for the ranking window functions: "
+        "prices are bucketed to thousands (guaranteeing ties), then "
+        "RANK (gaps after ties), DENSE_RANK (no gaps) and NTILE(4) "
+        "(SQL-standard uneven-tile rule) run over one per-priority "
+        "window spec. Whole columns are certified via EXACT integer "
+        "checksums — sum(rank), sum(dense_rank), sum(ntile), and "
+        "max(dense_rank) = distinct buckets — so the gate "
+        "value-checks every row's rank without emitting per-row "
+        "output; has_ties pins that sum(rank) < n(n+1)/2, i.e. ties "
+        "actually exercised the gap semantics. One window partitioned "
+        "by priority (no global window), one aggregate.",
+    tags=("window", "rank", "ties", "aggregate"),
+)
+def window_ties_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    d = orders.select(
+        F.col("o_orderpriority").alias("pri"),
+        F.floor(F.col("o_totalprice") / 1000).cast("long").alias("pb"),
+    )
+    w = Window.partitionBy("pri").orderBy("pb")
+    wn = Window.partitionBy("pri")
+    r = d.select(
+        "pri",
+        F.rank().over(w).alias("rk"),
+        F.dense_rank().over(w).alias("dr"),
+        F.ntile(4).over(w).alias("nt"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return r.groupBy("pri").agg(
+        F.min("n").cast("long").alias("n_rows"),
+        F.max("dr").cast("long").alias("n_distinct_buckets"),
+        F.sum("rk").cast("long").alias("sum_rank"),
+        F.sum("dr").cast("long").alias("sum_dense_rank"),
+        F.sum("nt").cast("long").alias("sum_ntile4"),
+        (
+            F.sum("rk") < F.min("n") * (F.min("n") + 1) / 2
+        ).alias("has_ties"),
+    )
