@@ -227,3 +227,31 @@ class TestWindowTies:
                 t * (base + (1 if t <= rem else 0)) for t in range(1, 5)
             )
             assert r["sum_ntile4"] == expected
+
+
+class TestLangConfusion:
+    def test_cells_partition_corpus(self, spark, sf_dir):
+        from ytspark.queries import registry
+        from ytspark.session import load_tables
+
+        rows = registry()["lang_id_confusion_matrix"].fn(
+            spark, sf_dir
+        ).collect()
+        n_docs = load_tables(spark, sf_dir, "documents")["documents"].count()
+        assert sum(r["n_docs"] for r in rows) == n_docs
+        assert abs(sum(r["frac"] for r in rows) - 1.0) < 1e-4
+        preds = {r["lang_pred"] for r in rows}
+        assert preds <= {"en", "de", "und"}
+
+
+class TestDecisionStump:
+    def test_split_is_proper_and_gain_maximal(self, spark, sf_dir):
+        from ytspark.queries import registry
+
+        row = registry()["decision_stump_train"].fn(spark, sf_dir).first()
+        assert row["n_left"] > 0 and row["n_right"] > 0
+        assert 0 <= row["gain"] <= 1.0  # binary entropy gain bound (nats<=ln2)
+        n = row["n_left"] + row["n_right"]
+        pos = row["pos_left"] + row["pos_right"]
+        # accuracy at least the majority-class baseline
+        assert row["train_accuracy"] * n >= max(pos, n - pos) - 1

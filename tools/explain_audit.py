@@ -92,6 +92,8 @@ EXPECTED_NESTED_LOOP = {
     "shapley_attribution_exact",     # 2^|channels| coalition lattice joins
     "percentile_sketch_error_eval",  # broadcast 1-row sketch values + locator
     "dedup_semantic_clusters",       # broadcast K-row centroid assignment
+    "lang_id_confusion_matrix",      # broadcast one-row corpus size
+    "bootstrap_ci_revenue",          # one-row aggregate (no join at all)
     "conformal_trend_intervals",     # broadcast 1-row fit/quantile scalars
     "parts_personalized_pagerank",   # broadcast 1-row seed count |S|
     "kaplan_meier_survival",         # broadcast 1-row window-max day
@@ -124,6 +126,7 @@ EXPECTED_GLOBAL_WINDOW = {
     "shapley_attribution_exact",   # bit index over the |event types| dim
     "compaction_plan_bins",        # cumulative bins over the O(days) stats
     "percentile_sketch_error_eval",  # offsets over the fixed-width buckets
+    "decision_stump_train",        # cumulative gain over the bucket histogram
     "conformal_trend_intervals",   # residual rank over the O(days) rollup
     "kaplan_meier_survival",       # risk/survival over the O(days) lifetimes
     "theil_sen_trend_robust",      # slope rank over the O(days) rollup

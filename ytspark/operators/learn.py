@@ -891,3 +891,155 @@ def conformal_trend_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((yhat + F.col("qr")) / 100, 4).alias("hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact decision-stump training (best information-gain split)
+# ---------------------------------------------------------------------------
+
+STUMP_BUCKET = 1000  # candidate thresholds = price-bucket boundaries
+STUMP_ROUND = 6
+
+
+_STUMP_ENT = (
+    "CASE WHEN {p} <= 0 OR {p} >= 1 THEN 0.0 "
+    "ELSE -({p}) * LN({p}) - (1 - ({p})) * LN(1 - ({p})) END"
+)
+
+
+def _stump_oracle() -> str:
+    ent = _STUMP_ENT
+    hl = ent.format(p="CAST(posl AS DOUBLE) / nl")
+    hr = ent.format(p="CAST(post - posl AS DOUBLE) / (nt - nl)")
+    h0 = ent.format(p="CAST(post AS DOUBLE) / nt")
+    gain = (
+        f"ROUND({h0} - (CAST(nl AS DOUBLE) / nt) * ({hl})"
+        f" - (CAST(nt - nl AS DOUBLE) / nt) * ({hr}), {STUMP_ROUND})"
+    )
+    return f"""
+WITH d AS (
+  SELECT CAST(FLOOR(o_totalprice / {STUMP_BUCKET}) AS BIGINT) AS pb,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders
+),
+hist AS (
+  SELECT pb, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS pos
+  FROM d GROUP BY pb
+),
+cum AS (
+  SELECT pb,
+         SUM(n)   OVER (ORDER BY pb) AS nl,
+         SUM(pos) OVER (ORDER BY pb) AS posl,
+         SUM(n)   OVER () AS nt,
+         SUM(pos) OVER () AS post
+  FROM hist
+),
+scored AS (
+  SELECT pb AS threshold_bucket, nl, posl, nt, post,
+         {gain} AS gain
+  FROM cum WHERE nl > 0 AND nl < nt
+)
+SELECT CAST(threshold_bucket AS BIGINT) AS threshold_bucket,
+       CAST((threshold_bucket + 1) * {STUMP_BUCKET} AS DOUBLE)
+         AS threshold_price,
+       CAST(nl AS BIGINT) AS n_left,
+       CAST(nt - nl AS BIGINT) AS n_right,
+       CAST(posl AS BIGINT) AS pos_left,
+       CAST(post - posl AS BIGINT) AS pos_right,
+       gain,
+       ROUND((CAST(GREATEST(posl, nl - posl)
+              + GREATEST(post - posl, (nt - nl) - (post - posl)) AS DOUBLE))
+             / nt, {STUMP_ROUND}) AS train_accuracy
+FROM scored
+ORDER BY gain DESC, threshold_bucket
+LIMIT 1
+"""
+
+
+@register(
+    "decision_stump_train",
+    oracle=_stump_oracle(),
+    doc="EXACT decision-stump training in-engine: the best "
+        "information-gain threshold on order value for predicting "
+        "order finality (o_orderstatus = 'F'), found by EXHAUSTIVE "
+        "search over every candidate split — affordable at 100 TB "
+        "because candidates are value-bucket boundaries: one "
+        "map-side-combinable histogram aggregate reduces the data to "
+        "|buckets| (count, positives) rows, cumulative sums over that "
+        "tiny table give every split's left/right class counts, and "
+        "the entropy gain is computed per candidate from exact "
+        "integers (0·log0 handled; gain rounded before the argmax "
+        "rank so the selection is a cross-engine total order with the "
+        "bucket tiebreak). Reports the chosen threshold, its exact "
+        "split counts, the gain, and the stump's majority-vote "
+        "training accuracy — the baseline every fancier in-engine "
+        "model (logreg, NB) must beat, and the building block of "
+        "boosted-stump scorers for data curation. The cumulative "
+        "window runs over the bounded bucket histogram, never data.",
+    tags=("learn", "tree", "statistics", "aggregate", "scale"),
+)
+def decision_stump_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    d = orders.select(
+        F.floor(F.col("o_totalprice") / STUMP_BUCKET).cast("long").alias("pb"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("y"),
+    )
+    hist = d.groupBy("pb").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+    )
+    wc = Window.orderBy("pb").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    cum = hist.select(
+        "pb",
+        F.sum("n").over(wc).alias("nl"),
+        F.sum("pos").over(wc).alias("posl"),
+        F.sum("n").over(wt).alias("nt"),
+        F.sum("pos").over(wt).alias("post"),
+    ).where((F.col("nl") > 0) & (F.col("nl") < F.col("nt")))
+
+    def ent(p):
+        return (
+            F.when((p <= 0) | (p >= 1), F.lit(0.0))
+            .otherwise(-p * F.log(p) - (1 - p) * F.log(1 - p))
+        )
+
+    pl = F.col("posl").cast("double") / F.col("nl")
+    pr = (F.col("post") - F.col("posl")).cast("double") / (
+        F.col("nt") - F.col("nl")
+    )
+    p0 = F.col("post").cast("double") / F.col("nt")
+    gain = F.round(
+        ent(p0)
+        - (F.col("nl").cast("double") / F.col("nt")) * ent(pl)
+        - ((F.col("nt") - F.col("nl")).cast("double") / F.col("nt")) * ent(pr),
+        STUMP_ROUND,
+    )
+    acc = F.round(
+        (
+            F.greatest(F.col("posl"), F.col("nl") - F.col("posl"))
+            + F.greatest(
+                F.col("post") - F.col("posl"),
+                (F.col("nt") - F.col("nl")) - (F.col("post") - F.col("posl")),
+            )
+        ).cast("double")
+        / F.col("nt"),
+        STUMP_ROUND,
+    )
+    return (
+        cum.select(
+            F.col("pb").alias("threshold_bucket"),
+            ((F.col("pb") + 1) * STUMP_BUCKET).cast("double").alias(
+                "threshold_price"
+            ),
+            F.col("nl").cast("long").alias("n_left"),
+            (F.col("nt") - F.col("nl")).cast("long").alias("n_right"),
+            F.col("posl").cast("long").alias("pos_left"),
+            (F.col("post") - F.col("posl")).cast("long").alias("pos_right"),
+            gain.alias("gain"),
+            acc.alias("train_accuracy"),
+        )
+        .orderBy(F.col("gain").desc(), "threshold_bucket")
+        .limit(1)
+    )

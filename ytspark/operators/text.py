@@ -1769,3 +1769,64 @@ def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("ss").cast("double") / RAKE_SCALE, 6).alias("score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix: heuristic prediction vs labeled lang
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lang_id_confusion_matrix",
+    oracle="""
+WITH pred AS (
+  SELECT lang,
+         CASE
+           WHEN LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                    t -> t IN ('der', 'die', 'das', 'und', 'ist')))
+              > LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                    t -> t IN ('the', 'a', 'of', 'and', 'to'))) THEN 'de'
+           WHEN LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                    t -> t IN ('the', 'a', 'of', 'and', 'to'))) > 0 THEN 'en'
+           ELSE 'und'
+         END AS lang_pred
+  FROM documents
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pred)
+SELECT lang AS lang_true, lang_pred,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / MIN(n.n), 6) AS frac
+FROM pred CROSS JOIN n
+GROUP BY 1, 2
+""",
+    doc="CONFUSION MATRIX of the stopword language-ID heuristic "
+        "against the corpus's labeled lang column — the evaluation "
+        "closing the loop on lang_id_heuristic the same way "
+        "classifier_eval_metrics closes it on the NB classifier: a "
+        "curation pipeline must KNOW its router's error structure "
+        "(which languages leak into the 'en' bucket) before filtering "
+        "100 TB by predicted language. One aggregate over the scored "
+        "corpus; cells carry exact counts and the exactly-rounded "
+        "corpus fraction.",
+    tags=("text", "evaluation", "langid", "aggregate"),
+)
+def lang_id_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    de = stopword_hits(F.col("text"), LANG_STOPWORDS["de"])
+    en = stopword_hits(F.col("text"), LANG_STOPWORDS["en"])
+    pred = F.when(de > en, "de").when(en > 0, "en").otherwise("und")
+    scored = docs.select(F.col("lang").alias("lang_true"), pred.alias("lang_pred"))
+    n = scored.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        scored.groupBy("lang_true", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang_true",
+            "lang_pred",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.round(F.col("n_docs").cast("double") / F.col("n"), 6).alias(
+                "frac"
+            ),
+        )
+    )
