@@ -358,3 +358,66 @@ def test_write_bucketed_overwrites_orphaned_location(spark, sf_dir):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         shutil.rmtree(orphan, ignore_errors=True)
+
+
+def test_winnowing_plan_is_blocked_not_cartesian(spark, sf_dir):
+    """Winnowing: the fingerprint join must be an equi-join on fh
+    (hash-partitioned), never a nested loop; the gram windows stay
+    doc_id-partitioned (no global WindowExec)."""
+    from ytspark.queries import registry
+
+    df = registry()["dedup_winnowing_fingerprints"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_shapley_single_data_aggregate(spark, sf_dir):
+    """Shapley: only the mask fold touches events; everything after is
+    bounded-lattice joins. The executed plan must contain no more than
+    the expected handful of scans of the fact table."""
+    from ytspark.queries import registry
+
+    df = registry()["shapley_attribution_exact"].fn(spark, sf_dir)
+    plan = _plan(df)
+    # events parquet is scanned for touches, conversions and the
+    # channel dim — bounded, never once per coalition (which would be
+    # 2^n scans)
+    assert plan.count("events.parquet") <= 4
+    assert "BatchEvalPython" not in plan
+
+
+def test_compaction_plan_metadata_sized(spark, sf_dir):
+    """Compaction planning scans the fact table exactly once (the
+    stats aggregate); the bin assignment runs over the pre-aggregate."""
+    from ytspark.queries import registry
+
+    df = registry()["compaction_plan_bins"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("events.parquet") <= 2  # stats + last-bin scalar
+    assert "BatchEvalPython" not in plan
+
+
+def test_bootstrap_single_pass_no_explode(spark, sf_dir):
+    """The bootstrap must be ONE aggregate pass with conditional
+    sums — no Generate (explode) node replicating the data B times."""
+    from ytspark.queries import registry
+
+    df = registry()["bootstrap_ci_revenue"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "Generate" not in plan  # no B-fold explode
+    assert plan.count("orders.parquet") == 1
+    assert "HashAggregate" in plan
+
+
+def test_stump_cumulative_over_histogram_only(spark, sf_dir):
+    """The stump's global cumulative window must run over the bucket
+    histogram (post-aggregate), so the scan feeds exactly one
+    HashAggregate before any WindowExec."""
+    from ytspark.queries import registry
+
+    df = registry()["decision_stump_train"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("orders.parquet") == 1
+    assert "TakeOrderedAndProject" in plan  # argmax is top-1, no sort-all

@@ -94,6 +94,7 @@ EXPECTED_NESTED_LOOP = {
     "dedup_semantic_clusters",       # broadcast K-row centroid assignment
     "lang_id_confusion_matrix",      # broadcast one-row corpus size
     "bootstrap_ci_revenue",          # one-row aggregate (no join at all)
+    "compaction_plan_bins",          # broadcast one-row last-bin scalar
     "conformal_trend_intervals",     # broadcast 1-row fit/quantile scalars
     "parts_personalized_pagerank",   # broadcast 1-row seed count |S|
     "kaplan_meier_survival",         # broadcast 1-row window-max day

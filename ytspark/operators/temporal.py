@@ -1587,9 +1587,15 @@ def shapley_attribution_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("event_type").alias("c"))
         .distinct()
     )
-    # bit index per channel: window over the <=|event types| channel dim
+    # bit index per channel: window over the <=|event types| channel
+    # dim. Eagerly checkpointed — chx is reused by the mask fold, the
+    # count, and the final lattice join, and without materialization
+    # each reuse re-plans a full events scan (10 scans of the fact
+    # table in the naive plan; 3 with the two bounded checkpoints).
     wc = Window.orderBy("c")
-    chx = ch.select("c", (F.row_number().over(wc) - 1).alias("ci"))
+    chx = ch.select(
+        "c", (F.row_number().over(wc) - 1).alias("ci")
+    ).localCheckpoint(eager=True)
     n_df = chx.agg(F.count(F.lit(1)).alias("n"))
     touch = (
         ev.where(F.col("event_type") != "purchase")
@@ -1609,6 +1615,8 @@ def shapley_attribution_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("cv", F.lit(1))
     )
+    # <= 2^n rows; checkpointed so the subset-sum and both lattice
+    # sides read a leaf instead of re-scanning events
     mstats = (
         touch.join(conv, ["user_id", "d"], "left")
         .groupBy("mask")
@@ -1616,6 +1624,7 @@ def shapley_attribution_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_paths"),
             F.sum(F.coalesce(F.col("cv"), F.lit(0))).alias("n_conv"),
         )
+        .localCheckpoint(eager=True)
     )
     # coalition lattice: 2^n rows from the one-row channel count
     coal = n_df.select(
