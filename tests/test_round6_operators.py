@@ -255,3 +255,38 @@ class TestDecisionStump:
         pos = row["pos_left"] + row["pos_right"]
         # accuracy at least the majority-class baseline
         assert row["train_accuracy"] * n >= max(pos, n - pos) - 1
+
+
+class TestTargetEncoding:
+    def test_no_leakage_and_smoothing_bounds(self, spark, sf_dir):
+        from ytspark.operators.learn import TE_FOLDS
+        from ytspark.queries import registry
+
+        rows = registry()["target_encode_oof"].fn(spark, sf_dir).collect()
+        assert rows
+        # every encoding is a proper rate in (0, 1) pulled toward the
+        # prior; folds are the configured count
+        assert {r["held_out_fold"] for r in rows} <= set(range(TE_FOLDS))
+        for r in rows:
+            assert 0.0 < r["te_smoothed"] < 1.0
+            assert r["pos_in"] <= r["n_in"]
+
+
+class TestFeatureHashing:
+    def test_collision_accounting_identities(self, spark, sf_dir):
+        from ytspark.operators.sketch import FH_BITS
+        from ytspark.queries import registry
+
+        r = registry()["feature_hashing_collision_stats"].fn(
+            spark, sf_dir
+        ).first()
+        assert r["n_buckets"] == 1 << FH_BITS
+        assert r["buckets_used"] <= min(r["vocab_size"], r["n_buckets"])
+        # vocab = singleton buckets + collided terms + one rep per
+        # collided bucket
+        singles = r["buckets_used"] - r["buckets_with_collisions"]
+        assert (
+            singles + r["buckets_with_collisions"] + r["terms_collided"]
+            == r["vocab_size"]
+        )
+        assert r["max_bucket_terms"] >= 1

@@ -95,6 +95,8 @@ EXPECTED_NESTED_LOOP = {
     "lang_id_confusion_matrix",      # broadcast one-row corpus size
     "bootstrap_ci_revenue",          # one-row aggregate (no join at all)
     "compaction_plan_bins",          # broadcast one-row last-bin scalar
+    "target_encode_oof",             # broadcast one-row global prior
+    "feature_hashing_collision_stats",  # broadcast one-row vocab size
     "conformal_trend_intervals",     # broadcast 1-row fit/quantile scalars
     "parts_personalized_pagerank",   # broadcast 1-row seed count |S|
     "kaplan_meier_survival",         # broadcast 1-row window-max day

@@ -1043,3 +1043,110 @@ def decision_stump_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("gain").desc(), "threshold_bucket")
         .limit(1)
     )
+
+
+# ---------------------------------------------------------------------------
+# Out-of-fold target encoding (leakage-protected categorical feature)
+# ---------------------------------------------------------------------------
+
+TE_FOLDS = 3
+TE_SMOOTH = 20  # prior pseudo-count for the smoothed encoding
+TE_ROUND = 6
+
+
+def _te_oracle() -> str:
+    from ytspark.operators.text import knuth_hash_sql
+
+    fold = f"({knuth_hash_sql('o_orderkey')} % {TE_FOLDS})"
+    return f"""
+WITH d AS (
+  SELECT o_custkey % 100 AS cat,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+         {fold} AS fold
+  FROM orders
+),
+folds AS (
+  SELECT cat, fold,
+         CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS pos
+  FROM d GROUP BY cat, fold
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(pos) AS BIGINT) AS post
+  FROM folds
+),
+oof AS (
+  SELECT f.cat, f.fold AS held_out_fold,
+         CAST(SUM(o.n) AS BIGINT) AS n_in,
+         CAST(SUM(o.pos) AS BIGINT) AS pos_in
+  FROM (SELECT DISTINCT cat, fold FROM folds) f
+  JOIN folds o ON o.cat = f.cat AND o.fold <> f.fold
+  GROUP BY 1, 2
+)
+SELECT oof.cat, held_out_fold, n_in, pos_in,
+       ROUND((pos_in + {TE_SMOOTH} * (CAST(post AS DOUBLE) / nt))
+             / (n_in + {TE_SMOOTH}), {TE_ROUND}) AS te_smoothed
+FROM oof CROSS JOIN tot
+"""
+
+
+@register(
+    "target_encode_oof",
+    oracle=_te_oracle(),
+    doc=f"OUT-OF-FOLD target encoding — the leakage-protected "
+        "categorical feature every tabular training pipeline needs: "
+        "each (category, fold) cell's encoding is the smoothed "
+        "positive rate computed from the OTHER folds only "
+        f"(smoothing: {TE_SMOOTH} pseudo-counts of the global prior), "
+        "so no row's own label leaks into its feature. Fold "
+        "assignment is the deterministic cross-engine Knuth hash of "
+        "the row key (reproducible across retries/engines — no RNG). "
+        "Plan: one (category, fold) aggregate over data — map-side "
+        "combinable, shuffle O(|cats| x folds) — then the "
+        "leave-fold-out sums are a self-join over that TINY grid, "
+        "never a second data pass. Exact integer counts; one "
+        "exactly-rounded division. The encoded value would join back "
+        "to rows by (cat, fold) at feature-build time — the grid IS "
+        "the feature table.",
+    tags=("learn", "features", "encoding", "aggregate", "scale"),
+)
+def target_encode_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ytspark.operators.text import knuth_hash_col
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    d = orders.select(
+        (F.col("o_custkey") % 100).alias("cat"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("y"),
+        F.pmod(knuth_hash_col(F.col("o_orderkey")), F.lit(TE_FOLDS)).alias(
+            "fold"
+        ),
+    )
+    folds = d.groupBy("cat", "fold").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+    ).localCheckpoint(eager=True)  # tiny grid read by 3 consumers
+    tot = folds.agg(
+        F.sum("n").alias("nt"), F.sum("pos").alias("post")
+    )
+    cells = folds.select("cat", F.col("fold").alias("held_out_fold")).distinct()
+    oof = (
+        cells.join(
+            folds.select(
+                F.col("cat"), F.col("fold").alias("of"),
+                F.col("n"), F.col("pos"),
+            ),
+            "cat",
+        )
+        .where(F.col("of") != F.col("held_out_fold"))
+        .groupBy("cat", "held_out_fold")
+        .agg(F.sum("n").alias("n_in"), F.sum("pos").alias("pos_in"))
+    )
+    prior = F.col("post").cast("double") / F.col("nt")
+    return oof.crossJoin(F.broadcast(tot)).select(
+        "cat",
+        "held_out_fold",
+        F.col("n_in").cast("long").alias("n_in"),
+        F.col("pos_in").cast("long").alias("pos_in"),
+        F.round(
+            (F.col("pos_in") + TE_SMOOTH * prior) / (F.col("n_in") + TE_SMOOTH),
+            TE_ROUND,
+        ).alias("te_smoothed"),
+    )

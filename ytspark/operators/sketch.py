@@ -628,3 +628,96 @@ def join_size_estimate_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_bound"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature-hashing (hashing trick) collision accounting
+# ---------------------------------------------------------------------------
+
+FH_BITS = 12  # 4096 hash buckets — the hashing-trick feature width
+
+
+@register(
+    "feature_hashing_collision_stats",
+    oracle=f"""
+WITH vocab AS (
+  SELECT DISTINCT t AS term
+  FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents)
+),
+hashed AS (
+  SELECT term,
+         (((((((LIST_REDUCE(LIST_PREPEND(CAST(7 AS BIGINT), LIST_TRANSFORM(STRING_SPLIT(term, ''), c -> CAST(UNICODE(c) AS BIGINT))), (acc, x) -> (acc * 131 + x) % 2147483647)) % 4294967296) + 4294967296) % 4294967296) // 65536) * 2654435761) % 4294967296 * 65536 + (((((LIST_REDUCE(LIST_PREPEND(CAST(7 AS BIGINT), LIST_TRANSFORM(STRING_SPLIT(term, ''), c -> CAST(UNICODE(c) AS BIGINT))), (acc, x) -> (acc * 131 + x) % 2147483647)) % 4294967296) + 4294967296) % 4294967296) % 65536) * 2654435761) % 4294967296 % {1 << FH_BITS} AS bucket
+  FROM vocab
+),
+buckets AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_terms
+  FROM hashed GROUP BY bucket
+)
+SELECT CAST((SELECT COUNT(*) FROM vocab) AS BIGINT) AS vocab_size,
+       CAST({1 << FH_BITS} AS BIGINT) AS n_buckets,
+       CAST(COUNT(*) AS BIGINT) AS buckets_used,
+       CAST(SUM(CASE WHEN n_terms > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS buckets_with_collisions,
+       CAST(SUM(CASE WHEN n_terms > 1 THEN n_terms ELSE 0 END)
+            - SUM(CASE WHEN n_terms > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS terms_collided,
+       CAST(MAX(n_terms) AS BIGINT) AS max_bucket_terms,
+       ROUND(CAST((SELECT COUNT(*) FROM vocab) AS DOUBLE)
+             / {1 << FH_BITS}, 6) AS load_factor
+FROM buckets
+""",
+    doc=f"HASHING-TRICK accounting for the corpus vocabulary: every "
+        f"distinct term maps to one of 2^{FH_BITS} feature buckets via "
+        "the cross-engine Knuth hash of its rolling term hash, and the "
+        "report quantifies what the dimensionality reduction costs — "
+        "buckets used, buckets with collisions, terms sharing a "
+        "bucket, worst bucket, load factor. This is the measurement a "
+        "pipeline runs before replacing an unbounded vocabulary with "
+        "fixed-width hashed features (the scalability trade the "
+        "hashing trick makes at 100 TB, where exact vocabularies "
+        "outgrow the driver). Plan: one distinct over exploded terms "
+        "(map-side combinable), one bucket aggregate over the vocab — "
+        "data is touched once.",
+    tags=("sketch", "features", "hashing", "text", "aggregate"),
+)
+def feature_hashing_collision_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ytspark.operators.text import knuth_hash_col
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("term")).distinct()
+    )
+    # term -> integer via the rolling char hash (SQL-expressible),
+    # then Knuth-mixed into 2^FH_BITS buckets
+    tv = F.aggregate(
+        F.split(F.col("term"), ""),
+        F.lit(7).cast("bigint"),
+        lambda acc, c: F.pmod(
+            acc * F.lit(131) + F.ascii(c), F.lit(2147483647)
+        ),
+    )
+    hashed = vocab.select(
+        F.pmod(knuth_hash_col(tv), F.lit(1 << FH_BITS)).alias("bucket")
+    )
+    buckets = hashed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_terms"))
+    nv = vocab.agg(F.count(F.lit(1)).alias("vocab_size"))
+    return buckets.agg(
+        F.count(F.lit(1)).alias("buckets_used"),
+        F.sum(F.when(F.col("n_terms") > 1, 1).otherwise(0)).alias("bwc"),
+        F.sum(
+            F.when(F.col("n_terms") > 1, F.col("n_terms") - 1).otherwise(0)
+        ).alias("tc"),
+        F.max("n_terms").alias("max_bucket_terms"),
+    ).crossJoin(F.broadcast(nv)).select(
+        F.col("vocab_size").cast("long").alias("vocab_size"),
+        F.lit(1 << FH_BITS).cast("long").alias("n_buckets"),
+        F.col("buckets_used").cast("long").alias("buckets_used"),
+        F.col("bwc").cast("long").alias("buckets_with_collisions"),
+        F.col("tc").cast("long").alias("terms_collided"),
+        F.col("max_bucket_terms").cast("long").alias("max_bucket_terms"),
+        F.round(
+            F.col("vocab_size").cast("double") / (1 << FH_BITS), 6
+        ).alias("load_factor"),
+    )
