@@ -290,3 +290,33 @@ class TestFeatureHashing:
             == r["vocab_size"]
         )
         assert r["max_bucket_terms"] >= 1
+
+
+class TestLabelBuilder:
+    def test_labels_partition_examples(self, spark, sf_dir):
+        from ytspark.queries import registry
+        from ytspark.session import load_tables
+
+        r = registry()["label_return_within_window"].fn(spark, sf_dir).first()
+        assert (
+            r["n_returned"] + r["n_churned"] + r["n_censored"]
+            == r["n_examples"]
+        )
+        # one censored example per user (their last active day)
+        ev = load_tables(spark, sf_dir, "events")["events"]
+        n_users = ev.select("user_id").distinct().count()
+        assert r["n_censored"] == n_users
+        assert 0.0 <= r["return_rate"] <= 1.0
+
+
+class TestSessionFeatures:
+    def test_checksums_conserve_events(self, spark, sf_dir):
+        from ytspark.queries import registry
+        from ytspark.session import load_tables
+
+        r = registry()["session_feature_vectors"].fn(spark, sf_dir).first()
+        ev = load_tables(spark, sf_dir, "events")["events"]
+        assert r["total_events"] == ev.count()
+        assert 1 <= r["max_session_events"] <= r["total_events"]
+        assert r["sessions_with_purchase"] <= r["n_sessions"]
+        assert r["sum_value"] > 0

@@ -1749,3 +1749,189 @@ def allen_interval_relations(
         .groupBy("relation")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-label construction: return-within-window (churn) labels
+# ---------------------------------------------------------------------------
+
+CHURN_WINDOW_DAYS = 7
+
+
+@register(
+    "label_return_within_window",
+    oracle=f"""
+WITH active AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+lab AS (
+  SELECT user_id, d,
+         LEAD(d) OVER (PARTITION BY user_id ORDER BY d) AS next_d
+  FROM active
+)
+SELECT CAST(SUM(CASE WHEN next_d IS NOT NULL
+                 AND next_d - d <= {CHURN_WINDOW_DAYS}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+       CAST(SUM(CASE WHEN next_d IS NOT NULL
+                 AND next_d - d > {CHURN_WINDOW_DAYS}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+       CAST(SUM(CASE WHEN next_d IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_censored,
+       CAST(COUNT(*) AS BIGINT) AS n_examples,
+       ROUND(CAST(SUM(CASE WHEN next_d IS NOT NULL
+                       AND next_d - d <= {CHURN_WINDOW_DAYS}
+                      THEN 1 ELSE 0 END) AS DOUBLE)
+             / NULLIF(SUM(CASE WHEN next_d IS NOT NULL THEN 1 ELSE 0 END), 0),
+             6) AS return_rate
+FROM lab
+""",
+    doc=f"TRAINING-LABEL BUILDER for churn modeling: each (user, "
+        "active-day) example gets the label 'returned within "
+        f"{CHURN_WINDOW_DAYS} days' from the user's NEXT active day "
+        "(one LEAD over a per-user window — the label join every "
+        "churn/retention model needs, built without self-joining the "
+        "fact table). Examples whose observation window is still open "
+        "(no next activity at all) are CENSORED, counted separately "
+        "rather than silently labeled churned — the right-censoring "
+        "discipline Kaplan-Meier formalizes, applied at label-"
+        "construction time where most pipelines get it wrong. Output "
+        "is the label distribution (returned/churned/censored + "
+        "return rate) — the class-balance report read before "
+        "training; the per-example label table is the same plan "
+        "minus the final aggregate. One distinct + one partitioned "
+        "window + one aggregate; no global window, no self-join.",
+    tags=("temporal", "labels", "retention", "window", "aggregate"),
+)
+def label_return_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    active = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    lab = active.withColumn("next_d", F.lead("d").over(w))
+    gap = F.datediff("next_d", "d")
+    returned = (F.col("next_d").isNotNull() & (gap <= CHURN_WINDOW_DAYS)).cast(
+        "int"
+    )
+    churned = (F.col("next_d").isNotNull() & (gap > CHURN_WINDOW_DAYS)).cast(
+        "int"
+    )
+    censored = F.col("next_d").isNull().cast("int")
+    return lab.agg(
+        F.sum(returned).cast("long").alias("n_returned"),
+        F.sum(churned).cast("long").alias("n_churned"),
+        F.sum(censored).cast("long").alias("n_censored"),
+        F.count(F.lit(1)).alias("n_examples"),
+        F.round(
+            F.sum(returned).cast("double")
+            / F.nullif(F.sum(returned + churned), F.lit(0)),
+            6,
+        ).alias("return_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session featurization: per-session training feature vectors
+# ---------------------------------------------------------------------------
+
+SESS_GAP_MIN = 30  # session break: >30 min inactivity
+
+
+@register(
+    "session_feature_vectors",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, ts, event_type, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts,
+                                      event_id)
+                   > INTERVAL {SESS_GAP_MIN} MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 IS NULL
+              THEN 1 ELSE 0 END AS brk,
+         event_id
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, event_type, value,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+  FROM seq
+),
+feat AS (
+  SELECT user_id, sid,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+         CAST(DATEDIFF('second', MIN(ts), MAX(ts)) AS BIGINT)
+           AS duration_s,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_purchases,
+         COALESCE(SUM(CAST(value AS DECIMAL(18,2))), 0) AS total_value
+  FROM sess GROUP BY 1, 2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS total_events,
+       CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+       CAST(SUM(CASE WHEN n_purchases > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS sessions_with_purchase,
+       CAST(MAX(duration_s) AS BIGINT) AS max_duration_s,
+       CAST(SUM(n_types) AS BIGINT) AS sum_types,
+       CAST(SUM(total_value) AS DOUBLE) AS sum_value
+FROM feat
+""",
+    doc=f"SESSION FEATURIZER: events split into sessions at "
+        f">{SESS_GAP_MIN}-minute gaps (the standard sessionization "
+        "fold: one LAG + one cumulative SUM over the same per-user "
+        "window spec, one sort+shuffle), then each session is reduced "
+        "to the training feature vector (event count, distinct types, "
+        "duration, purchases, summed value) — the example-assembly "
+        "step of every session-level model. The certified output is "
+        "the corpus-level checksum view of the feature table (counts, "
+        "sums, maxima — exact integers and DECIMAL-rounded value "
+        "sums certify every per-session vector without emitting "
+        "O(sessions) rows through the gate); the per-session table "
+        "is the same plan minus the final aggregate. No global "
+        "window, no self-join, value sums in DECIMAL before the "
+        "single rounding.",
+    tags=("temporal", "features", "sessionize", "window", "aggregate"),
+)
+def session_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    brk = (
+        prev.isNull()
+        | (F.unix_micros("ts") - F.unix_micros(prev) > SESS_GAP_MIN * 60_000_000)
+    ).cast("int")
+    sess = ev.select(
+        "user_id", "ts", "event_type", "value", "event_id"
+    ).withColumn("brk", brk).withColumn(
+        "sid",
+        F.sum("brk").over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    feat = sess.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("event_type").alias("n_types"),
+        (
+            F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))
+        ).alias("dur_us"),
+        F.sum(
+            (F.col("event_type") == "purchase").cast("int")
+        ).alias("n_purchases"),
+        F.coalesce(
+            F.sum(F.col("value").cast("decimal(18,2)")), F.lit(0)
+        ).alias("total_value"),
+    )
+    return feat.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("total_events"),
+        F.max("n_events").cast("long").alias("max_session_events"),
+        F.sum((F.col("n_purchases") > 0).cast("int"))
+        .cast("long")
+        .alias("sessions_with_purchase"),
+        F.max(F.expr("dur_us div 1000000")).cast("long").alias(
+            "max_duration_s"
+        ),
+        F.sum("n_types").cast("long").alias("sum_types"),
+        F.sum("total_value").cast("double").alias("sum_value"),
+    )
