@@ -312,17 +312,18 @@ class TestBucketedJoinQuery:
 
 
 class TestHarnessCacheHygiene:
-    def test_clear_cache_drops_query_persists(self, spark, sf_dir):
-        """r4 ADVICE: query functions persist() shared intermediates
-        and, being lazy, cannot unpersist them before the action runs
-        — so the harnesses (bench.py, oracle_check) clearCache between
-        queries. Pin that contract: a persist-heavy query leaves
-        cached RDDs behind, and clearCache empties them."""
+    def test_queries_release_their_own_persists(self, spark, sf_dir):
+        """r5 ADVICE (closed in r6): query functions now release their
+        persisted intermediates via plans.scale.finish — after the
+        query only the deliberate eager-checkpoint blocks remain
+        (bounded result + loop inputs), and release_all_cached sweeps
+        the session to zero between harness queries."""
+        from ytspark.plans.scale import release_all_cached
         from ytspark.queries import registry
 
-        spark.catalog.clearCache()
+        release_all_cached(spark)
         registry()["dedup_jaccard_ppjoin"].fn(spark, sf_dir).count()
         n_cached = spark.sparkContext._jsc.getPersistentRDDs().size()
-        assert n_cached > 0  # the shingle table persisted
-        spark.catalog.clearCache()
+        assert n_cached <= 2  # result checkpoint only, never the shingles
+        release_all_cached(spark)
         assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0

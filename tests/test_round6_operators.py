@@ -320,3 +320,33 @@ class TestSessionFeatures:
         assert 1 <= r["max_session_events"] <= r["total_events"]
         assert r["sessions_with_purchase"] <= r["n_sessions"]
         assert r["sum_value"] > 0
+
+
+class TestHuberIRLS:
+    def test_robust_fit_properties(self, spark, sf_dir):
+        from ytspark.queries import registry
+
+        r = registry()["huber_trend_irls"].fn(spark, sf_dir).first()
+        assert r["n_days"] > 10
+        assert r["n_downweighted"] >= 0
+        # the robust slope exists and is finite; when days are
+        # downweighted the fit moved (or the data had no outliers)
+        assert r["slope_huber"] is not None
+        assert abs(r["slope_huber"]) < 1e6
+
+
+class TestWeightedJaccard:
+    def test_weighted_matches_set_jaccard_on_distinct_multisets(
+        self, spark, sf_dir
+    ):
+        from ytspark.operators.dedup import WJ_THRESHOLD
+        from ytspark.queries import registry
+
+        rows = registry()["dedup_weighted_jaccard"].fn(
+            spark, sf_dir
+        ).collect()
+        assert rows
+        for r in rows:
+            assert r["weighted_jaccard"] >= WJ_THRESHOLD - 1e-9
+            assert r["doc_a"] < r["doc_b"]
+            assert r["min_sum"] >= 1

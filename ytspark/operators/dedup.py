@@ -2326,3 +2326,97 @@ def dedup_winnowing_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .where(F.col("n_docs") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-weighted Jaccard near-dup pairs (multiplicity-aware similarity)
+# ---------------------------------------------------------------------------
+
+WJ_THRESHOLD = 0.6
+
+
+@register(
+    "dedup_weighted_jaccard",
+    oracle=f"""
+WITH tf AS (
+  SELECT doc_id, shingle, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (
+    SELECT doc_id, UNNEST(LIST_TRANSFORM(
+             RANGE(1, GREATEST(LEN(STRING_SPLIT(text, ' ')) - 2, 0) + 1),
+             i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i:i+2], ' ')))
+           AS shingle
+    FROM documents
+  ) GROUP BY 1, 2
+),
+totals AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS total FROM tf GROUP BY 1
+),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(SUM(LEAST(a.tf, b.tf)) AS BIGINT) AS min_sum
+  FROM tf a JOIN tf b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, min_sum,
+       ROUND(CAST(min_sum AS DOUBLE)
+             / (ta.total + tb.total - min_sum), 6) AS weighted_jaccard
+FROM common
+JOIN totals ta ON ta.doc_id = doc_a
+JOIN totals tb ON tb.doc_id = doc_b
+WHERE CAST(min_sum AS DOUBLE) / (ta.total + tb.total - min_sum)
+      >= {WJ_THRESHOLD}
+""",
+    doc=f"TF-WEIGHTED Jaccard near-dup pairs (threshold "
+        f"{WJ_THRESHOLD}): J_w = sum(min(tf_a, tf_b)) / (|A| + |B| - "
+        "sum(min)) over shingle multisets — the multiplicity-aware "
+        "refinement of set Jaccard that set-based dedup flattens: a "
+        "document repeating one boilerplate shingle 50 times looks "
+        "near-identical to any other such document under SET Jaccard "
+        "but not under the weighted form, and vice versa for "
+        "genuinely repeated content. Same blocking as "
+        "dedup_ngram_jaccard (candidates must share a shingle; the "
+        "equi-join on the shingle hash carries the shuffle; the "
+        "max-sum term derives from per-doc totals by "
+        "inclusion-exclusion, so only MIN sums ship through the "
+        "join), same df-cap option for hot shingles at 100 TB. "
+        "Exact integer counts; one exactly-rounded division, "
+        "thresholded on the unrounded ratio like the containment "
+        "twin.",
+    tags=("dedup", "jaccard", "weighted", "join", "aggregate"),
+)
+def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    tf = (
+        shingle_rows(docs, distinct=False)
+        .select("doc_id", F.xxhash64("shingle").alias("sh"))
+        .groupBy("doc_id", "sh")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()  # feeds totals AND both sides of the pair join
+    )
+    totals = tf.groupBy("doc_id").agg(F.sum("tf").alias("total"))
+    a = tf.select(F.col("doc_id").alias("doc_a"), "sh", F.col("tf").alias("ta"))
+    b = tf.select(F.col("doc_id").alias("doc_b"), "sh", F.col("tf").alias("tb"))
+    common = (
+        a.join(b, "sh")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.least("ta", "tb")).alias("min_sum"))
+    )
+    za = totals.select(F.col("doc_id").alias("doc_a"), F.col("total").alias("tta"))
+    zb = totals.select(F.col("doc_id").alias("doc_b"), F.col("total").alias("ttb"))
+    jw = F.col("min_sum").cast("double") / (
+        F.col("tta") + F.col("ttb") - F.col("min_sum")
+    )
+    return finish(
+        common.join(F.broadcast(za), "doc_a")
+        .join(F.broadcast(zb), "doc_b")
+        .where(jw >= WJ_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("min_sum").cast("long").alias("min_sum"),
+            F.round(jw, 6).alias("weighted_jaccard"),
+        ),
+        tf,
+    )

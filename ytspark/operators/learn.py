@@ -1150,3 +1150,148 @@ def target_encode_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
             TE_ROUND,
         ).alias("te_smoothed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Huber robust trend fit via IRLS (iteratively reweighted least squares)
+# ---------------------------------------------------------------------------
+
+HUBER_DELTA = 1.0  # Huber threshold in revenue-millions units
+HUBER_ITERS = 2
+HUBER_FIT_ROUND = 9  # per-iteration fit rounding: pins cross-engine parity
+
+
+def _huber_oracle() -> str:
+    delta = HUBER_DELTA
+    fits = []
+    prev_a, prev_b = "a0", "b0"
+    for k in range(1, HUBER_ITERS + 1):
+        fits.append(f"""
+w{k} AS (
+  SELECT x, y,
+         CASE WHEN ABS(y - ({prev_a} + {prev_b} * x)) <= {delta}
+              THEN 1.0
+              ELSE {delta} / ABS(y - ({prev_a} + {prev_b} * x)) END AS w
+  FROM daily CROSS JOIN f{k - 1}
+),
+f{k} AS (
+  SELECT ROUND((SUM(w) * SUM(w * x * y) - SUM(w * x) * SUM(w * y))
+               / (SUM(w) * SUM(w * x * x) - SUM(w * x) * SUM(w * x)),
+               {HUBER_FIT_ROUND}) AS b{k},
+         ROUND((SUM(w * y)
+                - (SUM(w) * SUM(w * x * y) - SUM(w * x) * SUM(w * y))
+                  / (SUM(w) * SUM(w * x * x) - SUM(w * x) * SUM(w * x))
+                  * SUM(w * x)) / SUM(w), {HUBER_FIT_ROUND}) AS a{k}
+  FROM w{k}
+)""")
+        prev_a, prev_b = f"a{k}", f"b{k}"
+    chain = ",".join(fits)
+    K = HUBER_ITERS
+    return f"""
+WITH daily AS (
+  SELECT DATEDIFF('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS x,
+         SUM(o_totalprice) / 1e6 AS y
+  FROM orders GROUP BY 1
+),
+f0 AS (
+  SELECT ROUND(REGR_SLOPE(y, x), {HUBER_FIT_ROUND}) AS b0,
+         ROUND(REGR_INTERCEPT(y, x), {HUBER_FIT_ROUND}) AS a0
+  FROM daily
+),{chain}
+SELECT CAST((SELECT COUNT(*) FROM daily) AS BIGINT) AS n_days,
+       ROUND(f0.b0, 6) AS slope_ols,
+       ROUND(f{K}.b{K}, 6) AS slope_huber,
+       ROUND(f{K}.a{K}, 6) AS intercept_huber,
+       CAST((SELECT SUM(CASE WHEN ABS(y - (f{K}.a{K} + f{K}.b{K} * x))
+                              > {delta} THEN 1 ELSE 0 END)
+             FROM daily) AS BIGINT) AS n_downweighted
+FROM f0 CROSS JOIN f{K}
+"""
+
+
+@register(
+    "huber_trend_irls",
+    oracle=_huber_oracle(),
+    doc=f"HUBER robust trend fit of daily revenue by {HUBER_ITERS} "
+        "IRLS rounds: start from the OLS fit, downweight days whose "
+        f"residual exceeds {HUBER_DELTA}M (w = delta/|r|, the Huber "
+        "psi), refit WEIGHTED least squares in closed form, repeat. "
+        "Between Theil-Sen (50% breakdown, O(n^2) slope pairs) and "
+        "plain OLS (zero robustness), Huber-IRLS is the practical "
+        "middle: each round is ONE map-side-combinable aggregate of "
+        "five weighted moments over the daily rollup — no pair "
+        "explosion, no sort. Every fit is rounded to "
+        f"{HUBER_FIT_ROUND} dp before feeding the next round's "
+        "weights, which pins the iteration to a cross-engine-"
+        "identical trajectory (the same per-iteration rounding "
+        "discipline as the BPE merge fold); the oracle replays the "
+        "rounds as chained CTEs. Reports OLS vs Huber slope and how "
+        "many days the final fit downweighted.",
+    tags=("learn", "regression", "robust", "aggregate", "time"),
+)
+def huber_trend_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    daily = orders.groupBy(
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date")
+        ).alias("x")
+    ).agg((F.sum("o_totalprice") / F.lit(1e6)).alias("y")).localCheckpoint(
+        eager=True
+    )  # read by every IRLS round; O(days) rows
+    fit = daily.agg(
+        F.round(F.regr_slope("y", "x"), HUBER_FIT_ROUND).alias("b"),
+        F.round(F.regr_intercept("y", "x"), HUBER_FIT_ROUND).alias("a"),
+    )
+    ols = fit
+    for _ in range(HUBER_ITERS):
+        r = F.col("y") - (F.col("a") + F.col("b") * F.col("x"))
+        w = F.when(F.abs(r) <= HUBER_DELTA, F.lit(1.0)).otherwise(
+            F.lit(HUBER_DELTA) / F.abs(r)
+        )
+        wd = daily.crossJoin(F.broadcast(fit)).select("x", "y", w.alias("w"))
+        sums = wd.agg(
+            F.sum("w").alias("sw"),
+            F.sum(F.col("w") * F.col("x")).alias("swx"),
+            F.sum(F.col("w") * F.col("y")).alias("swy"),
+            F.sum(F.col("w") * F.col("x") * F.col("x")).alias("swx2"),
+            F.sum(F.col("w") * F.col("x") * F.col("y")).alias("swxy"),
+        )
+        b = (
+            F.col("sw") * F.col("swxy") - F.col("swx") * F.col("swy")
+        ) / (F.col("sw") * F.col("swx2") - F.col("swx") * F.col("swx"))
+        fit = sums.select(
+            F.round(b, HUBER_FIT_ROUND).alias("b"),
+            F.round(
+                (F.col("swy") - b * F.col("swx")) / F.col("sw"),
+                HUBER_FIT_ROUND,
+            ).alias("a"),
+        )
+    n = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    resid = F.col("y") - (F.col("a") + F.col("b") * F.col("x"))
+    down = (
+        daily.crossJoin(F.broadcast(fit))
+        .agg(
+            F.sum(
+                (F.abs(resid) > HUBER_DELTA).cast("int")
+            ).alias("n_downweighted")
+        )
+    )
+    return (
+        n.crossJoin(F.broadcast(ols.select(F.round("b", 6).alias("slope_ols"))))
+        .crossJoin(
+            F.broadcast(
+                fit.select(
+                    F.round("b", 6).alias("slope_huber"),
+                    F.round("a", 6).alias("intercept_huber"),
+                )
+            )
+        )
+        .crossJoin(F.broadcast(down))
+        .select(
+            F.col("n_days").cast("long").alias("n_days"),
+            "slope_ols",
+            "slope_huber",
+            "intercept_huber",
+            F.col("n_downweighted").cast("long").alias("n_downweighted"),
+        )
+    )
