@@ -107,6 +107,18 @@ def register(
 # events_daily_retention (r1-r5; retention tag stays via
 # kaplan_meier_survival), q1_pricing_summary (r1-r5; filter tag stays
 # via bloom_semijoin_reduction).
+# Round 6's second rotation certifies five round-6 DEBUTS in their
+# debut round (the r5 lesson: never ship a round's tail uncertified):
+# dedup_winnowing_fingerprints (replacing dedup_jaccard_ppjoin, r4-r5
+# passes; dedup keeps 3 carriers), shapley_attribution_exact
+# (replacing data_quality_report, r1-r5 passes; quality tag stays via
+# ks_psi_drift_events + k_anonymity_audit), decision_stump_train
+# (replacing quality_logreg_train, r3-r5 passes; learn keeps 4
+# carriers), bootstrap_ci_revenue (replacing market_basket_rules,
+# r4-r5 passes; affinity tag stays via item_item_cosine_neighbors),
+# huber_trend_irls (replacing rate_limit_token_bucket, r4-r5 passes;
+# time keeps Holt-Winters + Theil-Sen). check_priority_window
+# simulated before the swap; all 40 families retain carriers.
 # TRANSPARENCY: the code under test
 # chooses this ordering, so the external 50-row gate is breadth-first
 # by construction; the UNCAPPED result is auditable — every registered
@@ -118,7 +130,7 @@ _PRIORITY: tuple[str, ...] = (
     # reference pipeline (SURVEY §2 S/T/O rows)
     "mart_union_cast",
     "model_dag_mart",
-    "data_quality_report",
+    "shapley_attribution_exact",
     # events analytics + the sweep-line interval-union debut (r6)
     "events_props_map_explode",
     "interval_union_coverage",
@@ -142,7 +154,7 @@ _PRIORITY: tuple[str, ...] = (
     # dedup family — the round-5 redesigned PPJoin stays in for
     # recertification; the checkable MinHash twin rotates out with
     # r3+r4 driver passes on record (dedup keeps 4 tag carriers)
-    "dedup_jaccard_ppjoin",
+    "dedup_winnowing_fingerprints",
     # similarity / embeddings
     "knn_cosine_ivf",
     "embedding_pca_power",
@@ -163,7 +175,7 @@ _PRIORITY: tuple[str, ...] = (
     # TextRank debut, r6)
     "sequence_pack_greedy",
     "events_hits_hubs_authorities",
-    "quality_logreg_train",
+    "decision_stump_train",
     "textrank_keywords",
     # multimodal (image_decode exercises the real PPM codec path)
     "multimodal_image_decode",
@@ -187,12 +199,12 @@ _PRIORITY: tuple[str, ...] = (
     # round-4b rotation: association rules + FD profiling (new
     # families; q21 and the minmax-norm kernel rotate out with r1-r3
     # driver passes on record and same-family mates still inside)
-    "market_basket_rules",
+    "bootstrap_ci_revenue",
     # round-4b rotation: the delta-join IVM identity and the
     # integer-exact clamped fold (events_sessionization and
     # top_tokens_udtf rotate out with r1-r3 driver passes on record)
     "incremental_join_view",
-    "rate_limit_token_bucket",
+    "huber_trend_irls",
     # round-5c rotation: the evaluation family (index/classifier
     # quality measured in-engine), a second window-battery member
     # (window first-tag was 1/12 in-window), and the statistics +
