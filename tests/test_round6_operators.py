@@ -350,3 +350,17 @@ class TestWeightedJaccard:
             assert r["weighted_jaccard"] >= WJ_THRESHOLD - 1e-9
             assert r["doc_a"] < r["doc_b"]
             assert r["min_sum"] >= 1
+
+
+class TestImageDhash:
+    def test_blocking_is_lossless_and_thresholded(self, spark, sf_dir):
+        from ytspark.operators.multimodal import DHASH_HAMMING
+        from ytspark.queries import registry
+
+        rows = registry()["multimodal_image_dhash_dedup"].fn(
+            spark, sf_dir
+        ).collect()
+        assert rows
+        for r in rows[:50]:
+            assert 0 <= r["hamming"] <= DHASH_HAMMING
+            assert r["doc_a"] < r["doc_b"]

@@ -739,3 +739,154 @@ def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_ch0 bigint, sum_ch1 bigint"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash (dHash) image near-dup pairs over the decoded assets
+# ---------------------------------------------------------------------------
+
+DHASH_COLS = 9  # sample grid: 9 columns x 7 rows -> 8x7 = 56 gradient bits
+DHASH_ROWS = 7
+DHASH_HAMMING = 3  # near-dup threshold; 4x14-bit chunks: pigeonhole-lossless
+
+
+def _dhash_oracle() -> str:
+    gray = (
+        "(((d*7 + sx*3 + sy*5) % 256) + ((d*11 + sx*2 + sy*7) % 256)"
+        " + ((d*13 + sx*5 + sy*2) % 256)) // 3"
+    )
+    gray_next = gray.replace("sx", "sxn")
+    return f"""
+WITH ids AS (
+  SELECT doc_id AS d, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+  FROM documents WHERE doc_id < {N_DECODE_DOCS}
+),
+cells AS (
+  SELECT d, w, h,
+         UNNEST(RANGE(0, {DHASH_ROWS})) AS j
+  FROM ids
+),
+bits AS (
+  SELECT d, j, i,
+         (i * w) // {DHASH_COLS} AS sx,
+         ((i + 1) * w) // {DHASH_COLS} AS sxn,
+         (j * h) // {DHASH_ROWS} AS sy
+  FROM (SELECT d, w, h, j, UNNEST(RANGE(0, {DHASH_COLS - 1})) AS i
+        FROM cells)
+),
+hashes AS (
+  SELECT d AS doc_id,
+         CAST(SUM(CASE WHEN {gray_next} > {gray}
+                  THEN CAST(1 AS BIGINT) << (j * {DHASH_COLS - 1} + i)
+                  ELSE 0 END) AS BIGINT) AS dhash
+  FROM bits GROUP BY d
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(BIT_COUNT(XOR(a.dhash, b.dhash)) AS BIGINT) AS hamming
+FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+WHERE BIT_COUNT(XOR(a.dhash, b.dhash)) <= {DHASH_HAMMING}
+"""
+
+
+@register(
+    "multimodal_image_dhash_dedup",
+    oracle=_dhash_oracle(),
+    doc="PERCEPTUAL image dedup over the decoded assets: each PPM "
+        "payload round-trips through the real P6 parser, converts to "
+        f"integer grayscale, nearest-neighbor-samples a {DHASH_COLS}x"
+        f"{DHASH_ROWS} grid (pure integer index arithmetic, so the "
+        "oracle replays the EXACT pixels relationally from the "
+        "deterministic asset contract), and packs the 56 horizontal-"
+        "gradient comparisons into a dHash (56 bits keeps every shift "
+        "ANSI-safe in signed 64). Near-dups are pairs within Hamming "
+        f"{DHASH_HAMMING}, found by the same 4-chunk pigeonhole "
+        "blocking as the SimHash family — each 14-bit chunk is an "
+        "equi-join key, recall-lossless at distance <= chunks-1, so "
+        "the plan is hash joins on chunk values, never all-pairs "
+        "(the oracle's quadratic form is the gate-scale certification "
+        "of exactly that blocking). This is the image-side near-dup "
+        "story a multimodal corpus needs: byte-identical dedup "
+        "misses re-encoded/resized copies; dHash catches them.",
+    tags=("multimodal", "dedup", "phash", "binary", "pandas-udf"),
+)
+def multimodal_image_dhash_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import pandas as pd
+
+    docs = (
+        load_tables(spark, sf_dir, "documents")["documents"]
+        .where(F.col("doc_id") < N_DECODE_DOCS)
+        .select("doc_id")
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 4 + d % 5, 3 + d % 4
+                pixels = bytes(
+                    v
+                    for y in range(h)
+                    for x in range(w)
+                    for v in (
+                        (d * 7 + x * 3 + y * 5) % 256,
+                        (d * 11 + x * 2 + y * 7) % 256,
+                        (d * 13 + x * 5 + y * 2) % 256,
+                    )
+                )
+                dw, dh, raster = decode_ppm(encode_ppm(w, h, pixels))
+
+                def gray(x: int, y: int) -> int:
+                    o = (y * dw + x) * 3
+                    return (raster[o] + raster[o + 1] + raster[o + 2]) // 3
+
+                bits = 0
+                for j in range(DHASH_ROWS):
+                    sy = (j * dh) // DHASH_ROWS
+                    for i in range(DHASH_COLS - 1):
+                        sx = (i * dw) // DHASH_COLS
+                        sxn = ((i + 1) * dw) // DHASH_COLS
+                        if gray(sxn, sy) > gray(sx, sy):
+                            bits |= 1 << (j * (DHASH_COLS - 1) + i)
+                rows.append({"doc_id": d, "dhash": bits})
+            yield pd.DataFrame(rows)
+
+    hashes = docs.mapInPandas(kernel, schema="doc_id bigint, dhash bigint")
+    chunks = hashes.select(
+        "doc_id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftrightunsigned(F.col("dhash"), 14 * c)
+                        .bitwiseAND(F.lit(0x3FFF))
+                        .alias("chunk_val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select("doc_id", "dhash", "ch.chunk_id", "ch.chunk_val")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    hamming = F.bit_count(
+        F.col("a.dhash").bitwiseXOR(F.col("b.dhash"))
+    ).cast("bigint")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .where(F.col("hamming") <= DHASH_HAMMING)
+    )
