@@ -364,3 +364,17 @@ class TestImageDhash:
         for r in rows[:50]:
             assert 0 <= r["hamming"] <= DHASH_HAMMING
             assert r["doc_a"] < r["doc_b"]
+
+
+class TestAudioFingerprint:
+    def test_blocking_thresholded(self, spark, sf_dir):
+        from ytspark.operators.multimodal import AFP_HAMMING
+        from ytspark.queries import registry
+
+        rows = registry()["multimodal_audio_fingerprint_dedup"].fn(
+            spark, sf_dir
+        ).collect()
+        assert rows
+        for r in rows[:50]:
+            assert 0 <= r["hamming"] <= AFP_HAMMING
+            assert r["doc_a"] < r["doc_b"]

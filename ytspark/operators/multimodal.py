@@ -890,3 +890,157 @@ def multimodal_image_dhash_dedup(
         .dropDuplicates(["doc_a", "doc_b"])
         .where(F.col("hamming") <= DHASH_HAMMING)
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio energy fingerprint: frame-energy gradient hash near-dup pairs
+# ---------------------------------------------------------------------------
+
+AFP_FRAMES = 32  # energy frames per clip -> 31 gradient bits
+AFP_HAMMING = 3  # near-dup threshold; 4x8-bit chunks, pigeonhole-lossless
+
+
+def _afp_oracle() -> str:
+    s = "((d*31 + i*17) % 4096 - 2048)"
+    return f"""
+WITH au AS (
+  SELECT doc_id AS d, 64 + doc_id % 64 AS n
+  FROM documents WHERE doc_id < {N_AUDIO_DOCS}
+),
+frames AS (
+  SELECT d, n, UNNEST(RANGE(0, {AFP_FRAMES})) AS f FROM au
+),
+energy AS (
+  SELECT d, f,
+         CAST(SUM({s} * {s}) AS BIGINT) AS e
+  FROM (SELECT d, n, f,
+               UNNEST(RANGE((f * n) // {AFP_FRAMES},
+                            ((f + 1) * n) // {AFP_FRAMES})) AS i
+        FROM frames)
+  GROUP BY d, f
+),
+hashes AS (
+  SELECT a.d AS doc_id,
+         CAST(SUM(CASE WHEN b.e > a.e
+                  THEN CAST(1 AS BIGINT) << a.f ELSE 0 END) AS BIGINT)
+           AS afp
+  FROM energy a JOIN energy b ON b.d = a.d AND b.f = a.f + 1
+  GROUP BY a.d
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(BIT_COUNT(XOR(a.afp, b.afp)) AS BIGINT) AS hamming
+FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+WHERE BIT_COUNT(XOR(a.afp, b.afp)) <= {AFP_HAMMING}
+"""
+
+
+@register(
+    "multimodal_audio_fingerprint_dedup",
+    oracle=_afp_oracle(),
+    doc="AUDIO FINGERPRINT near-dup pairs — the audio-modality twin "
+        "of the image dHash: each clip round-trips through the real "
+        "RIFF chunk walker, channel-0 samples are framed into "
+        f"{AFP_FRAMES} equal windows by pure integer index "
+        "arithmetic, per-frame ENERGY (sum of squared samples, exact "
+        "int64) is computed, and the 31 energy-gradient comparisons "
+        "pack into a fingerprint (the shape of real audio "
+        "fingerprinting — Shazam-style sign-of-delta features — "
+        "minus the FFT, which the deterministic asset contract lets "
+        "the oracle skip while still exercising the full decode-> "
+        "frame->feature->hash pipeline relationally). Near-dups "
+        f"within Hamming {AFP_HAMMING} via the 4x8-bit-chunk "
+        "pigeonhole blocking; the oracle's quadratic form certifies "
+        "the blocking is lossless at gate scale. Completes the "
+        "modality matrix: text (MinHash/SimHash/winnowing), image "
+        "(dHash), audio (energy fingerprint) all have certified "
+        "near-dup paths.",
+    tags=("multimodal", "dedup", "fingerprint", "audio", "pandas-udf"),
+)
+def multimodal_audio_fingerprint_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import struct
+
+    import pandas as pd
+
+    docs = (
+        load_tables(spark, sf_dir, "documents")["documents"]
+        .where(F.col("doc_id") < N_AUDIO_DOCS)
+        .select("doc_id")
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                rate = 8000 + (d % 3) * 4000
+                channels = 1 + d % 2
+                n_frames = 64 + d % 64
+                frames = [
+                    (d * 31 + i * 17 + c * 23) % 4096 - 2048
+                    for i in range(n_frames)
+                    for c in range(channels)
+                ]
+                payload = encode_wav(
+                    rate,
+                    channels,
+                    struct.pack(f"<{len(frames)}h", *frames),
+                    extra_chunk=b"INFOsynthetic" if d % 3 == 0 else None,
+                )
+                _rate, _ch, chans = decode_wav(payload)
+                ch0 = chans[0]
+                n = len(ch0)
+                energies = [
+                    sum(
+                        s * s
+                        for s in ch0[
+                            (f * n) // AFP_FRAMES : ((f + 1) * n) // AFP_FRAMES
+                        ]
+                    )
+                    for f in range(AFP_FRAMES)
+                ]
+                bits = 0
+                for f in range(AFP_FRAMES - 1):
+                    if energies[f + 1] > energies[f]:
+                        bits |= 1 << f
+                rows.append({"doc_id": d, "afp": bits})
+            yield pd.DataFrame(rows)
+
+    hashes = docs.mapInPandas(kernel, schema="doc_id bigint, afp bigint")
+    chunks = hashes.select(
+        "doc_id",
+        "afp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftrightunsigned(F.col("afp"), 8 * c)
+                        .bitwiseAND(F.lit(0xFF))
+                        .alias("chunk_val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select("doc_id", "afp", "ch.chunk_id", "ch.chunk_val")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    hamming = F.bit_count(
+        F.col("a.afp").bitwiseXOR(F.col("b.afp"))
+    ).cast("bigint")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .where(F.col("hamming") <= AFP_HAMMING)
+    )
