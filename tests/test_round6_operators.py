@@ -378,3 +378,22 @@ class TestAudioFingerprint:
         for r in rows[:50]:
             assert 0 <= r["hamming"] <= AFP_HAMMING
             assert r["doc_a"] < r["doc_b"]
+
+
+class TestLinkPrediction:
+    def test_candidates_are_nonedges_with_shared_neighbors(
+        self, spark, sf_dir
+    ):
+        from ytspark.operators.graph import LP_MIN_COMMON, LP_TOP_K
+        from ytspark.queries import registry
+
+        rows = registry()["copurchase_link_prediction"].fn(
+            spark, sf_dir
+        ).collect()
+        assert 0 < len(rows) <= LP_TOP_K
+        jacs = [r["jaccard"] for r in rows]
+        assert jacs == sorted(jacs, reverse=True)
+        for r in rows:
+            assert r["common"] >= LP_MIN_COMMON
+            assert 0 < r["jaccard"] <= 1.0
+            assert r["part_a"] < r["part_b"]

@@ -982,3 +982,126 @@ def events_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("h", HITS_ROUND).alias("hub"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Link prediction: common-neighbor / Jaccard scores for absent edges
+# ---------------------------------------------------------------------------
+
+LP_TOP_K = 50
+LP_MIN_COMMON = 2  # candidate floor: pairs sharing >= 2 neighbors
+
+
+@register(
+    "copurchase_link_prediction",
+    oracle=f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+e AS (
+  SELECT a.p AS pa, b.p AS pb
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+adj AS (
+  SELECT pa AS m, pb AS nbr FROM e
+  UNION ALL SELECT pb AS m, pa AS nbr FROM e
+),
+deg AS (SELECT m AS node, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY m),
+wedge AS (
+  SELECT a.nbr AS na, b.nbr AS nb, CAST(COUNT(*) AS BIGINT) AS common
+  FROM adj a JOIN adj b ON a.m = b.m AND a.nbr < b.nbr
+  GROUP BY 1, 2 HAVING COUNT(*) >= {LP_MIN_COMMON}
+),
+cand AS (
+  SELECT w.na, w.nb, w.common
+  FROM wedge w
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.pa = w.na AND e.pb = w.nb)
+)
+SELECT na AS part_a, nb AS part_b, common,
+       ROUND(CAST(common AS DOUBLE) / (da.d + db.d - common), 6)
+         AS jaccard
+FROM cand
+JOIN deg da ON da.node = na
+JOIN deg db ON db.node = nb
+ORDER BY ROUND(CAST(common AS DOUBLE) / (da.d + db.d - common), 6) DESC,
+         common DESC, na, nb
+LIMIT {LP_TOP_K}
+""",
+    doc=f"LINK PREDICTION over the co-purchase graph: for part pairs "
+        "NOT currently connected, the common-neighbor count and "
+        "neighborhood Jaccard — the classic unsupervised link "
+        "predictors (Liben-Nowell & Kleinberg) that power "
+        "'frequently bought together' candidates beyond observed "
+        "co-occurrence. Candidates come from the WEDGE join (pairs "
+        "of neighbors of a shared center, the same shape triangle "
+        "counting avoids for COUNTING but which is exactly the "
+        "candidate generator prediction needs), floored at "
+        f">= {LP_MIN_COMMON} shared neighbors; known edges are "
+        "removed by an anti-join; scores rank on the rounded Jaccard "
+        "with (common, id) tiebreaks so the top-{LP_TOP_K} is a "
+        "cross-engine total order. Scale: wedge volume is sum of "
+        "deg^2 over centers — bounded here by the weight-sparsified "
+        "graph (w >= KCORE_W_MIN); on power-law graphs cap hub "
+        "degrees or sample neighbors per center (documented trade), "
+        "and the pair-budget guard pattern applies with the center "
+        "as the block key.",
+    tags=("graph", "linkpred", "join", "aggregate", "topk"),
+)
+def copurchase_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    e = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= KCORE_W_MIN)
+        .select("pa", "pb")
+        # read by the adjacency build AND the known-edge anti-join;
+        # checkpoint truncates the pair-join lineage for both
+        .localCheckpoint(eager=True)
+    )
+    adj = e.select(F.col("pa").alias("m"), F.col("pb").alias("nbr")).unionAll(
+        e.select(F.col("pb").alias("m"), F.col("pa").alias("nbr"))
+    )
+    deg = adj.groupBy(F.col("m").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    wa, wb = adj.alias("wa"), adj.alias("wb")
+    wedge = (
+        wa.join(
+            wb,
+            (F.col("wa.m") == F.col("wb.m"))
+            & (F.col("wa.nbr") < F.col("wb.nbr")),
+        )
+        .groupBy(F.col("wa.nbr").alias("na"), F.col("wb.nbr").alias("nb"))
+        .agg(F.count(F.lit(1)).alias("common"))
+        .where(F.col("common") >= LP_MIN_COMMON)
+    )
+    cand = wedge.join(
+        e,
+        (F.col("na") == F.col("pa")) & (F.col("nb") == F.col("pb")),
+        "left_anti",
+    )
+    da = deg.select(F.col("node").alias("na"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("nb"), F.col("d").alias("db"))
+    jac = F.col("common").cast("double") / (
+        F.col("da") + F.col("db") - F.col("common")
+    )
+    return (
+        cand.join(da, "na")
+        .join(db, "nb")
+        .select(
+            F.col("na").alias("part_a"),
+            F.col("nb").alias("part_b"),
+            F.col("common"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .orderBy(
+            F.col("jaccard").desc(), F.col("common").desc(), "part_a", "part_b"
+        )
+        .limit(LP_TOP_K)
+    )
