@@ -397,3 +397,28 @@ class TestLinkPrediction:
             assert r["common"] >= LP_MIN_COMMON
             assert 0 < r["jaccard"] <= 1.0
             assert r["part_a"] < r["part_b"]
+
+
+class TestForecastBacktest:
+    def test_mase_identities(self, spark, sf_dir):
+        from ytspark.operators.timeseries import BT_HOLDOUT
+        from ytspark.queries import registry
+
+        r = registry()["forecast_backtest_mase"].fn(spark, sf_dir).first()
+        assert r["n_holdout_days"] == BT_HOLDOUT
+        assert r["mae_seasonal_naive"] > 0 and r["mae_naive"] > 0
+        assert r["mase"] > 0
+
+
+class TestEmbeddingNorms:
+    def test_moment_identities(self, spark, sf_dir):
+        from ytspark.queries import registry
+        from ytspark.session import load_tables
+
+        r = registry()["embedding_norm_outliers"].fn(spark, sf_dir).first()
+        n = load_tables(spark, sf_dir, "embeddings")["embeddings"].count()
+        assert r["n_vectors"] == n
+        assert r["min_norm"] <= r["mean_norm"] <= r["max_norm"]
+        assert r["std_norm"] >= 0
+        assert 0 <= r["n_outliers"] < n
+        assert r["n_zero"] == 0  # corpus fixture has no corrupt rows

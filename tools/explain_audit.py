@@ -97,6 +97,8 @@ EXPECTED_NESTED_LOOP = {
     "compaction_plan_bins",          # broadcast one-row last-bin scalar
     "target_encode_oof",             # broadcast one-row global prior
     "feature_hashing_collision_stats",  # broadcast one-row vocab size
+    "forecast_backtest_mase",        # broadcast one-row train-scale agg
+    "embedding_norm_outliers",       # broadcast one-row moment frame
     "conformal_trend_intervals",     # broadcast 1-row fit/quantile scalars
     "parts_personalized_pagerank",   # broadcast 1-row seed count |S|
     "kaplan_meier_survival",         # broadcast 1-row window-max day
@@ -130,6 +132,7 @@ EXPECTED_GLOBAL_WINDOW = {
     "compaction_plan_bins",        # cumulative bins over the O(days) stats
     "percentile_sketch_error_eval",  # offsets over the fixed-width buckets
     "decision_stump_train",        # cumulative gain over the bucket histogram
+    "forecast_backtest_mase",      # two lags over the O(days) rollup
     "conformal_trend_intervals",   # residual rank over the O(days) rollup
     "kaplan_meier_survival",       # risk/survival over the O(days) lifetimes
     "theil_sen_trend_robust",      # slope rank over the O(days) rollup

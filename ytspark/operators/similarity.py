@@ -1245,3 +1245,89 @@ def _register_truncation_recall() -> None:
 
 
 _register_truncation_recall()
+
+
+# ---------------------------------------------------------------------------
+# Embedding hygiene: norm distribution and outlier accounting
+# ---------------------------------------------------------------------------
+
+NORM_Z = 3.0  # outlier threshold in standard deviations
+
+
+@register(
+    "embedding_norm_outliers",
+    oracle=f"""
+WITH n AS (
+  SELECT vec_id,
+         SQRT(LIST_DOT_PRODUCT(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS nrm
+  FROM embeddings
+),
+s AS (
+  SELECT COUNT(*) AS cnt, AVG(nrm) AS mu,
+         SQRT(GREATEST(AVG(nrm * nrm) - AVG(nrm) * AVG(nrm), 0)) AS sd,
+         MIN(nrm) AS mn, MAX(nrm) AS mx
+  FROM n
+)
+SELECT CAST(cnt AS BIGINT) AS n_vectors,
+       ROUND(mu, 6) AS mean_norm,
+       ROUND(sd, 6) AS std_norm,
+       ROUND(mn, 6) AS min_norm,
+       ROUND(mx, 6) AS max_norm,
+       CAST((SELECT COUNT(*) FROM n CROSS JOIN s
+             WHERE ABS(nrm - mu) > {NORM_Z} * sd) AS BIGINT) AS n_outliers,
+       CAST((SELECT COUNT(*) FROM n WHERE nrm = 0) AS BIGINT) AS n_zero
+FROM s
+""",
+    doc=f"EMBEDDING HYGIENE report: the L2-norm distribution of the "
+        "vector corpus (mean/std/min/max) plus the count of vectors "
+        f"beyond {NORM_Z} standard deviations and exact-zero vectors "
+        "— the pre-index sanity screen every ANN/dedup pipeline runs, "
+        "because corrupted rows (zero vectors, exploded norms from a "
+        "bad encoder batch) silently poison cosine indexes and "
+        "k-means centroids. Norms come from the same left-fold dot "
+        "product the similarity family certifies; population moments "
+        "are one aggregate; the z-screen is a second conditional "
+        "count against the broadcast one-row moment frame. Everything "
+        "rounds once at the report edge.",
+    tags=("similarity", "quality", "embedding", "aggregate"),
+)
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    v = as_double(F.col("embedding"))
+    nrm = F.sqrt(F.aggregate(
+        F.zip_with(v, v, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ))
+    norms = emb.select("vec_id", nrm.alias("nrm"))
+    s = norms.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.avg("nrm").alias("mu"),
+        F.sqrt(
+            F.greatest(
+                F.avg(F.col("nrm") * F.col("nrm"))
+                - F.avg("nrm") * F.avg("nrm"),
+                F.lit(0.0),
+            )
+        ).alias("sd"),
+        F.min("nrm").alias("mn"),
+        F.max("nrm").alias("mx"),
+    )
+    flagged = norms.crossJoin(F.broadcast(s)).agg(
+        F.sum(
+            (F.abs(F.col("nrm") - F.col("mu")) > NORM_Z * F.col("sd")).cast(
+                "int"
+            )
+        ).alias("n_outliers"),
+        F.sum((F.col("nrm") == 0).cast("int")).alias("n_zero"),
+    )
+    return s.crossJoin(F.broadcast(flagged)).select(
+        F.col("cnt").cast("long").alias("n_vectors"),
+        F.round("mu", 6).alias("mean_norm"),
+        F.round("sd", 6).alias("std_norm"),
+        F.round("mn", 6).alias("min_norm"),
+        F.round("mx", 6).alias("max_norm"),
+        F.col("n_outliers").cast("long").alias("n_outliers"),
+        F.col("n_zero").cast("long").alias("n_zero"),
+    )

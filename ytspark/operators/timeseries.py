@@ -1333,3 +1333,108 @@ def holt_winters_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return series.select(*out)
+
+
+# ---------------------------------------------------------------------------
+# Forecast backtesting: seasonal-naive vs naive, MAE / MASE
+# ---------------------------------------------------------------------------
+
+BT_SEASON = 7  # weekly seasonality
+BT_HOLDOUT = 28  # final days scored as the holdout
+
+
+@register(
+    "forecast_backtest_mase",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1
+),
+lagged AS (
+  SELECT d, rev,
+         LAG(rev, {BT_SEASON}) OVER (ORDER BY d) AS rev_sn,
+         LAG(rev, 1) OVER (ORDER BY d) AS rev_naive,
+         MAX(d) OVER () AS dmax
+  FROM daily
+),
+holdout AS (
+  SELECT * FROM lagged WHERE d > dmax - {BT_HOLDOUT}
+),
+train AS (
+  SELECT * FROM lagged WHERE d <= dmax - {BT_HOLDOUT}
+    AND rev_naive IS NOT NULL
+)
+SELECT CAST((SELECT COUNT(*) FROM holdout) AS BIGINT) AS n_holdout_days,
+       CAST((SELECT SUM(ABS(rev - rev_sn)) FROM holdout) AS DOUBLE)
+         / (SELECT COUNT(*) FROM holdout) AS mae_seasonal_naive,
+       CAST((SELECT SUM(ABS(rev - rev_naive)) FROM holdout) AS DOUBLE)
+         / (SELECT COUNT(*) FROM holdout) AS mae_naive,
+       ROUND((CAST((SELECT SUM(ABS(rev - rev_sn)) FROM holdout) AS DOUBLE)
+              / (SELECT COUNT(*) FROM holdout))
+             / (CAST((SELECT SUM(ABS(rev - rev_naive)) FROM train)
+                     AS DOUBLE) / (SELECT COUNT(*) FROM train)), 6)
+         AS mase,
+       (CAST((SELECT SUM(ABS(rev - rev_sn)) FROM holdout) AS DOUBLE)
+        <= CAST((SELECT SUM(ABS(rev - rev_naive)) FROM holdout) AS DOUBLE))
+         AS seasonal_beats_naive
+FROM (SELECT 1)
+""",
+    doc=f"FORECAST BACKTEST: seasonal-naive (value {BT_SEASON} days "
+        f"prior) scored against the final {BT_HOLDOUT}-day holdout of "
+        "daily revenue, with MAE, the one-step-naive MAE, and MASE "
+        "(Hyndman-Koehler: holdout seasonal-naive MAE scaled by the "
+        "TRAIN-period naive MAE) — the evaluation layer for the "
+        "forecasting family (Holt, Holt-Winters, conformal): a "
+        "forecaster that cannot beat seasonal-naive on MASE should "
+        "not ship, and this query measures that in-engine. All "
+        "absolute errors accumulate in exact DECIMAL before the two "
+        "final divisions; the lag features are two LAGs over one "
+        "date-ordered window on the O(days) rollup (bounded input, "
+        "allowlisted). seasonal_beats_naive certifies the expected "
+        "ordering on this data.",
+    tags=("time", "forecast", "evaluation", "window", "aggregate"),
+)
+def forecast_backtest_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "d",
+        "rev",
+        F.lag("rev", BT_SEASON).over(w).alias("rev_sn"),
+        F.lag("rev", 1).over(w).alias("rev_naive"),
+        F.max("d").over(Window.partitionBy()).alias("dmax"),
+    ).localCheckpoint(eager=True)  # O(days) rows, read by both splits
+    holdout = lagged.where(
+        F.col("d") > F.date_sub(F.col("dmax"), BT_HOLDOUT)
+    )
+    train = lagged.where(
+        (F.col("d") <= F.date_sub(F.col("dmax"), BT_HOLDOUT))
+        & F.col("rev_naive").isNotNull()
+    )
+    h = holdout.agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.sum(F.abs(F.col("rev") - F.col("rev_sn"))).alias("sae_sn"),
+        F.sum(F.abs(F.col("rev") - F.col("rev_naive"))).alias("sae_nv"),
+    )
+    t = train.agg(
+        F.count(F.lit(1)).alias("nt"),
+        F.sum(F.abs(F.col("rev") - F.col("rev_naive"))).alias("sae_tr"),
+    )
+    mae_sn = F.col("sae_sn").cast("double") / F.col("nh")
+    mae_nv = F.col("sae_nv").cast("double") / F.col("nh")
+    scale = F.col("sae_tr").cast("double") / F.col("nt")
+    return h.crossJoin(F.broadcast(t)).select(
+        F.col("nh").cast("long").alias("n_holdout_days"),
+        mae_sn.alias("mae_seasonal_naive"),
+        mae_nv.alias("mae_naive"),
+        F.round(mae_sn / scale, 6).alias("mase"),
+        (
+            F.col("sae_sn").cast("double") <= F.col("sae_nv").cast("double")
+        ).alias("seasonal_beats_naive"),
+    )
