@@ -424,3 +424,17 @@ class TestEmbeddingNorms:
         # unit-normalized fixture: degenerate spread flags nothing
         assert 0 <= r["n_outliers"] < n
         assert r["n_zero"] == 0  # corpus fixture has no corrupt rows
+
+
+class TestSearchAgreement:
+    def test_tau_bounds_and_overlap(self, spark, sf_dir):
+        from ytspark.queries import registry
+
+        r = registry()["search_rank_agreement_eval"].fn(
+            spark, sf_dir
+        ).first()
+        assert 0 <= r["overlap_at_10"] <= min(10, r["n_common"])
+        if r["kendall_tau"] is not None:
+            assert -1.0 <= r["kendall_tau"] <= 1.0
+            npairs = r["n_common"] * (r["n_common"] - 1) // 2
+            assert r["concordant"] + r["discordant"] <= npairs

@@ -99,6 +99,7 @@ EXPECTED_NESTED_LOOP = {
     "feature_hashing_collision_stats",  # broadcast one-row vocab size
     "forecast_backtest_mase",        # broadcast one-row train-scale agg
     "embedding_norm_outliers",       # broadcast one-row moment frame
+    "search_rank_agreement_eval",    # <=50-row common-list pair join
     "conformal_trend_intervals",     # broadcast 1-row fit/quantile scalars
     "parts_personalized_pagerank",   # broadcast 1-row seed count |S|
     "kaplan_meier_survival",         # broadcast 1-row window-max day
@@ -120,6 +121,7 @@ EXPECTED_GLOBAL_WINDOW = {
     "corpus_global_shuffle",       # offsets window over SHUFFLE_BUCKETS rows
     "customer_balance_quartiles",  # offsets window over ~55 balance buckets
     "hybrid_search_rrf",           # rank over <=RRF_LIST rows after LIMIT
+    "search_rank_agreement_eval",  # rank over <=RRF_LIST rows after LIMIT
     "skyline_pareto_parts",        # sweep over |distinct price| pre-aggregate
     "stratified_sample_exact",     # allocation window over |sources| rows
     "hilbert_layout_stats",        # offsets over the 256-bucket curve table

@@ -515,3 +515,172 @@ def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         toks,
     )
+
+
+# ---------------------------------------------------------------------------
+# Retriever agreement evaluation: BM25 vs embedding ranking concordance
+# ---------------------------------------------------------------------------
+
+AGREE_AT = 10  # head-overlap depth
+
+
+_AGREE_ORACLE = f"""
+WITH dt AS (
+  SELECT doc_id, t AS term, COUNT(*) AS tf
+  FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents)
+  WHERE t IN ({_BM25_QUERY_SQL})
+  GROUP BY doc_id, t
+),
+stats AS (SELECT term, COUNT(*) AS doc_freq FROM dt GROUP BY term),
+dl AS (SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS dl FROM documents),
+n AS (SELECT COUNT(*) AS n_docs,
+             AVG(LEN(STRING_SPLIT(text, ' '))) AS avg_dl FROM documents),
+bm AS (
+  SELECT dt.doc_id, ROUND(SUM(
+           LN(1.0 + (n.n_docs - s.doc_freq + 0.5) / (s.doc_freq + 0.5))
+           * dt.tf * ({BM25_K1} + 1.0)
+           / (dt.tf + {BM25_K1}
+              * (1.0 - {BM25_B} + {BM25_B} * dl.dl / n.avg_dl))), 6) AS bm25
+  FROM dt JOIN stats s USING (term) JOIN dl USING (doc_id) CROSS JOIN n
+  WHERE dt.doc_id <> {HYBRID_QUERY_VEC}
+  GROUP BY dt.doc_id
+),
+bm_rank AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rb
+  FROM bm QUALIFY rb <= {RRF_LIST}
+),
+q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings
+  WHERE vec_id = {HYBRID_QUERY_VEC}
+),
+cos AS (
+  SELECT e.vec_id AS doc_id,
+         ROUND(LIST_DOT_PRODUCT(q.qv, e.embedding::DOUBLE[])
+               / (SQRT(LIST_DOT_PRODUCT(q.qv, q.qv))
+                  * SQRT(LIST_DOT_PRODUCT(e.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[]))), 6)
+           AS cos_sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> {HYBRID_QUERY_VEC}
+),
+cos_rank AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id) AS rc
+  FROM cos QUALIFY rc <= {RRF_LIST}
+),
+common AS (
+  SELECT b.doc_id, b.rb, c.rc
+  FROM bm_rank b JOIN cos_rank c ON b.doc_id = c.doc_id
+),
+pairs AS (
+  SELECT CAST(SUM(CASE WHEN (a.rb - b.rb) * (a.rc - b.rc) > 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+         CAST(SUM(CASE WHEN (a.rb - b.rb) * (a.rc - b.rc) < 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS discordant
+  FROM common a JOIN common b ON a.doc_id < b.doc_id
+)
+SELECT CAST((SELECT COUNT(*) FROM common) AS BIGINT) AS n_common,
+       CAST((SELECT COUNT(*) FROM common
+             WHERE rb <= {AGREE_AT} AND rc <= {AGREE_AT}) AS BIGINT)
+         AS overlap_at_{AGREE_AT},
+       concordant, discordant,
+       CASE WHEN concordant + discordant = 0 THEN NULL
+            ELSE ROUND(CAST(concordant - discordant AS DOUBLE)
+                       / (concordant + discordant), 6) END AS kendall_tau
+FROM pairs
+"""
+
+
+@register(
+    "search_rank_agreement_eval",
+    oracle=_AGREE_ORACLE,
+    doc=f"RETRIEVER AGREEMENT evaluation for the hybrid-search family: "
+        f"the BM25 top-{RRF_LIST} and embedding-cosine top-{RRF_LIST} "
+        "lists that hybrid_search_rrf fuses are compared directly — "
+        f"head overlap at {AGREE_AT}, common-list size, and Kendall "
+        "tau over the commonly-retrieved docs (concordant minus "
+        "discordant rank pairs over their total; ranks are distinct "
+        "integers so tau is exact-integer arithmetic with one rounded "
+        "division). LOW agreement is the justification for fusion — "
+        "RRF only helps when the retrievers disagree — and this "
+        "measures it in-engine, the same closing-the-loop move as "
+        "ann_recall_eval for the ANN index. Cost after the two "
+        f"retrievals is pairs over a <= {RRF_LIST}-doc common list — "
+        "nothing data-sized; the retrievals themselves reuse the "
+        "certified BM25 and cosine pipelines.",
+    tags=("search", "evaluation", "statistics", "join", "aggregate"),
+)
+def search_rank_agreement_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ytspark.operators.similarity import as_double, cosine
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    bm = bm25_scores(docs).where(F.col("doc_id") != HYBRID_QUERY_VEC)
+    wb = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    bm_rank = (
+        bm.orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(RRF_LIST)
+        .withColumn("rb", F.row_number().over(wb))
+        .select("doc_id", "rb")
+    )
+    corpus = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    qv = F.broadcast(
+        corpus.where(F.col("vec_id") == HYBRID_QUERY_VEC).select(
+            F.col("v").alias("qv")
+        )
+    )
+    cos = (
+        corpus.where(F.col("vec_id") != HYBRID_QUERY_VEC)
+        .crossJoin(qv)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        )
+    )
+    wc = Window.orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+    cos_rank = (
+        cos.orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+        .limit(RRF_LIST)
+        .withColumn("rc", F.row_number().over(wc))
+        .select("doc_id", "rc")
+    )
+    common = bm_rank.join(cos_rank, "doc_id").localCheckpoint(eager=True)
+    a = common.select(
+        F.col("doc_id").alias("da"), F.col("rb").alias("rba"),
+        F.col("rc").alias("rca"),
+    )
+    b = common.select(
+        F.col("doc_id").alias("db"), F.col("rb").alias("rbb"),
+        F.col("rc").alias("rcb"),
+    )
+    prod = (F.col("rba") - F.col("rbb")) * (F.col("rca") - F.col("rcb"))
+    pairs = (
+        a.join(b, F.col("da") < F.col("db"))
+        .agg(
+            F.sum((prod > 0).cast("int")).alias("concordant"),
+            F.sum((prod < 0).cast("int")).alias("discordant"),
+        )
+    )
+    nstats = common.agg(
+        F.count(F.lit(1)).alias("n_common"),
+        F.sum(
+            ((F.col("rb") <= AGREE_AT) & (F.col("rc") <= AGREE_AT)).cast("int")
+        ).alias("ov"),
+    )
+    tau_den = F.col("concordant") + F.col("discordant")
+    return nstats.crossJoin(F.broadcast(pairs)).select(
+        F.col("n_common").cast("long").alias("n_common"),
+        F.col("ov").cast("long").alias(f"overlap_at_{AGREE_AT}"),
+        F.col("concordant").cast("long").alias("concordant"),
+        F.col("discordant").cast("long").alias("discordant"),
+        F.when(tau_den == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                (F.col("concordant") - F.col("discordant")).cast("double")
+                / tau_den,
+                6,
+            )
+        )
+        .alias("kendall_tau"),
+    )
