@@ -1201,3 +1201,64 @@ def bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("mean_full") <= F.element_at("reps", BOOT_HI_K))
         ).alias("ci_contains_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count overdispersion check: variance/mean ratio of daily event counts
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "count_overdispersion_check",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(AVG(c), 6) AS mean_daily,
+       ROUND(GREATEST(AVG(c * c) - AVG(c) * AVG(c), 0)
+             * COUNT(*) / (COUNT(*) - 1), 6) AS var_daily,
+       ROUND(GREATEST(AVG(c * c) - AVG(c) * AVG(c), 0)
+             * COUNT(*) / (COUNT(*) - 1) / AVG(c), 6) AS dispersion,
+       GREATEST(AVG(c * c) - AVG(c) * AVG(c), 0)
+         * COUNT(*) / (COUNT(*) - 1) / AVG(c) > 1.5 AS overdispersed
+FROM daily
+GROUP BY event_type
+""",
+    doc="OVERDISPERSION check for daily event counts: per event type, "
+        "the sample variance/mean ratio (index of dispersion) of the "
+        "daily-count series with a >1.5 flag — the screen that decides "
+        "whether a count-model assumption (Poisson: dispersion = 1) "
+        "holds before rates, anomaly thresholds, or A/B variance "
+        "estimates are built on it; overdispersed streams need "
+        "negative-binomial-width intervals, and this measures the "
+        "need in-engine. Sample variance from the two-moment identity "
+        "with the n/(n-1) correction and a float-cancellation guard; "
+        "one rollup aggregate + one tiny per-type aggregate — counts "
+        "exact, ratios exactly-rounded.",
+    tags=("statistics", "profiling", "quality", "aggregate"),
+)
+def count_overdispersion_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    n = F.count(F.lit(1))
+    var = (
+        F.greatest(
+            F.avg(F.col("c") * F.col("c")) - F.avg("c") * F.avg("c"),
+            F.lit(0.0),
+        )
+        * n
+        / (n - 1)
+    )
+    disp = var / F.avg("c")
+    return daily.groupBy("event_type").agg(
+        n.cast("long").alias("n_days"),
+        F.round(F.avg("c"), 6).alias("mean_daily"),
+        F.round(var, 6).alias("var_daily"),
+        F.round(disp, 6).alias("dispersion"),
+        (disp > 1.5).alias("overdispersed"),
+    )
