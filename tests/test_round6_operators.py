@@ -438,3 +438,18 @@ class TestSearchAgreement:
             assert -1.0 <= r["kendall_tau"] <= 1.0
             npairs = r["n_common"] * (r["n_common"] - 1) // 2
             assert r["concordant"] + r["discordant"] <= npairs
+
+
+class TestOverdispersion:
+    def test_dispersion_identity(self, spark, sf_dir):
+        from ytspark.queries import registry
+
+        rows = registry()["count_overdispersion_check"].fn(
+            spark, sf_dir
+        ).collect()
+        assert len(rows) == 5  # one per event type
+        for r in rows:
+            assert r["mean_daily"] > 0 and r["var_daily"] >= 0
+            assert abs(
+                r["dispersion"] - r["var_daily"] / r["mean_daily"]
+            ) < 1e-3
