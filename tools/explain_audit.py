@@ -100,6 +100,7 @@ EXPECTED_NESTED_LOOP = {
     "forecast_backtest_mase",        # broadcast one-row train-scale agg
     "embedding_norm_outliers",       # broadcast one-row moment frame
     "search_rank_agreement_eval",    # <=50-row common-list pair join
+    "huber_trend_irls",              # broadcast one-row fit per IRLS round
     "conformal_trend_intervals",     # broadcast 1-row fit/quantile scalars
     "parts_personalized_pagerank",   # broadcast 1-row seed count |S|
     "kaplan_meier_survival",         # broadcast 1-row window-max day
