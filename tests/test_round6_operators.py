@@ -453,3 +453,19 @@ class TestOverdispersion:
             assert abs(
                 r["dispersion"] - r["var_daily"] / r["mean_daily"]
             ) < 1e-3
+
+
+class TestNBCrossval:
+    def test_folds_partition_and_beat_chance(self, spark, sf_dir):
+        from ytspark.operators.learn import CV_FOLDS
+        from ytspark.queries import registry
+        from ytspark.session import load_tables
+
+        rows = registry()["nb_crossval_metrics"].fn(spark, sf_dir).collect()
+        assert {r["fold"] for r in rows} == set(range(CV_FOLDS))
+        n_docs = load_tables(spark, sf_dir, "documents")["documents"].count()
+        assert sum(r["n_test"] for r in rows) == n_docs
+        for r in rows:
+            assert r["n_correct"] <= r["n_test"]
+            # 4 language classes: NB must beat uniform chance per fold
+            assert r["accuracy"] > 0.25

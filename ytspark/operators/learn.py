@@ -1295,3 +1295,202 @@ def huber_trend_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_downweighted").cast("long").alias("n_downweighted"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# K-fold cross-validation of the Naive Bayes language classifier
+# ---------------------------------------------------------------------------
+
+CV_FOLDS = 3
+
+
+def _nb_cv_oracle() -> str:
+    from ytspark.operators.text import knuth_hash_sql
+
+    fold = f"({knuth_hash_sql('doc_id')} % {CV_FOLDS})"
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, text, {fold} AS fold FROM documents
+),
+folds AS (SELECT UNNEST(RANGE(0, {CV_FOLDS})) AS f),
+tok AS (
+  SELECT doc_id, lang, fold, t AS tok
+  FROM (SELECT doc_id, lang, fold, UNNEST(STRING_SPLIT(text, ' ')) AS t
+        FROM base)
+),
+doc_tok AS (
+  SELECT doc_id, fold, tok, COUNT(*) AS k FROM tok GROUP BY 1, 2, 3
+),
+doc_len AS (
+  SELECT doc_id, lang, fold, COUNT(*) AS n_d FROM tok GROUP BY 1, 2, 3
+),
+class_tok AS (
+  SELECT f.f, t.lang, t.tok, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM folds f JOIN tok t ON t.fold <> f.f
+  GROUP BY 1, 2, 3
+),
+class_stats AS (
+  SELECT f.f, t.lang, CAST(COUNT(*) AS BIGINT) AS toks_c
+  FROM folds f JOIN tok t ON t.fold <> f.f
+  GROUP BY 1, 2
+),
+priors AS (
+  SELECT f.f, b.lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM folds f JOIN base b ON b.fold <> f.f
+  GROUP BY 1, 2
+),
+consts AS (
+  SELECT f.f,
+         CAST(COUNT(DISTINCT t.tok) AS BIGINT) AS v,
+         CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS n
+  FROM folds f JOIN tok t ON t.fold <> f.f
+  GROUP BY 1
+),
+hits AS (
+  SELECT d.doc_id, d.fold, c.lang, SUM(d.k * LN(c.cnt + 1)) AS s1
+  FROM doc_tok d JOIN class_tok c ON c.tok = d.tok AND c.f = d.fold
+  GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT dl.doc_id, dl.fold, dl.lang AS true_lang, p.lang AS cand,
+         ROUND(LN(CAST(p.n_docs AS DOUBLE) / k.n)
+               - dl.n_d * LN(cs.toks_c + k.v)
+               + COALESCE(h.s1, 0.0), {NB_ROUND}) AS score
+  FROM doc_len dl
+  JOIN priors p ON p.f = dl.fold
+  JOIN class_stats cs ON cs.f = dl.fold AND cs.lang = p.lang
+  JOIN consts k ON k.f = dl.fold
+  LEFT JOIN hits h ON h.doc_id = dl.doc_id AND h.fold = dl.fold
+                   AND h.lang = p.lang
+),
+pred AS (
+  SELECT doc_id, fold, true_lang, cand AS pred_lang FROM (
+    SELECT doc_id, fold, true_lang, cand,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, cand) AS rk
+    FROM scored
+  ) WHERE rk = 1
+)
+SELECT CAST(fold AS BIGINT) AS fold,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       CAST(SUM(CASE WHEN pred_lang = true_lang THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       ROUND(CAST(SUM(CASE WHEN pred_lang = true_lang THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS accuracy
+FROM pred GROUP BY fold
+"""
+
+
+@register(
+    "nb_crossval_metrics",
+    oracle=_nb_cv_oracle(),
+    doc=f"{CV_FOLDS}-FOLD CROSS-VALIDATION of the in-engine Naive "
+        "Bayes language classifier: deterministic Knuth-hash folds, "
+        "per-fold training statistics (class token counts, priors, "
+        "vocabulary) computed from the OTHER folds only, every "
+        "held-out document scored against its fold's model, per-fold "
+        "accuracy reported. This is the honest generalization "
+        "estimate the single-split classifier_eval_metrics cannot "
+        "give — and the k-fold shape is affordable in-engine because "
+        "training IS aggregation: each fold's model is the same "
+        "map-side-combinable count aggregate restricted by one fold "
+        "predicate (a folds x tokens join, the standard (k-1)x "
+        f"training cost), never k retrainings of an external model. "
+        "Per-fold vocabularies and priors differ by construction "
+        "(that is the point), and the score replay is the same "
+        f"{NB_ROUND}-dp-rounded argmax as the parent classifier.",
+    tags=("learn", "evaluation", "classifier", "aggregate", "scale"),
+)
+def nb_crossval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ytspark.operators.text import knuth_hash_col
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.pmod(knuth_hash_col(F.col("doc_id")), F.lit(CV_FOLDS)).alias("fold"),
+    )
+    folds = spark.range(CV_FOLDS).select(F.col("id").cast("int").alias("f"))
+    tok = base.select(
+        "doc_id", "lang", "fold", F.explode(F.split("text", " ")).alias("tok")
+    )
+    doc_tok = tok.groupBy("doc_id", "fold", "tok").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    doc_len = tok.groupBy("doc_id", "lang", "fold").agg(
+        F.count(F.lit(1)).alias("n_d")
+    )
+    trn = folds.join(tok, F.col("fold") != F.col("f"))
+    class_tok = trn.groupBy("f", "lang", "tok").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    class_stats = trn.groupBy("f", "lang").agg(
+        F.count(F.lit(1)).alias("toks_c")
+    )
+    priors = (
+        folds.join(base, F.col("fold") != F.col("f"))
+        .groupBy("f", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    consts = trn.groupBy("f").agg(
+        F.count_distinct("tok").alias("v"),
+        F.count_distinct("doc_id").alias("n"),
+    )
+    ct = class_tok.select(
+        F.col("f").alias("hf"),
+        F.col("lang").alias("cand"),
+        F.col("tok").alias("tk"),
+        "cnt",
+    )
+    hits = (
+        doc_tok.join(
+            ct,
+            (F.col("hf") == F.col("fold")) & (F.col("tk") == F.col("tok")),
+        )
+        .groupBy("doc_id", "fold", "cand")
+        .agg(F.sum(F.col("k") * F.log(F.col("cnt") + 1)).alias("s1"))
+    )
+    classes = priors.join(class_stats, ["f", "lang"]).select(
+        "f", F.col("lang").alias("cand"), "n_docs", "toks_c"
+    )
+    kf = consts.select(
+        F.col("f").alias("cf"), F.col("v"), F.col("n")
+    )
+    scored = (
+        doc_len.join(F.broadcast(classes), F.col("fold") == F.col("f"))
+        .join(F.broadcast(kf), F.col("fold") == F.col("cf"))
+        .join(hits, ["doc_id", "fold", "cand"], "left")
+        .select(
+            "doc_id",
+            "fold",
+            F.col("lang").alias("true_lang"),
+            "cand",
+            F.round(
+                F.log(F.col("n_docs").cast("double") / F.col("n"))
+                - F.col("n_d") * F.log(F.col("toks_c") + F.col("v"))
+                + F.coalesce(F.col("s1"), F.lit(0.0)),
+                NB_ROUND,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "cand")
+    pred = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("fold", "true_lang", F.col("cand").alias("pred_lang"))
+    )
+    return pred.groupBy(F.col("fold").cast("long").alias("fold")).agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum(
+            (F.col("pred_lang") == F.col("true_lang")).cast("int")
+        ).cast("long").alias("n_correct"),
+        F.round(
+            F.sum((F.col("pred_lang") == F.col("true_lang")).cast("int"))
+            .cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("accuracy"),
+    )
