@@ -469,3 +469,31 @@ class TestNBCrossval:
             assert r["n_correct"] <= r["n_test"]
             # 4 language classes: NB must beat uniform chance per fold
             assert r["accuracy"] > 0.25
+
+
+class TestScd2Integrity:
+    def test_compaction_output_holds_invariants(self, spark, sf_dir):
+        from ytspark.queries import registry
+
+        r = registry()["scd2_integrity_audit"].fn(spark, sf_dir).first()
+        assert r["integrity_ok"] is True
+        assert r["keys_one_current"] == r["n_keys"]
+        assert r["inverted_intervals"] == 0 and r["regime_gaps"] == 0
+        assert r["n_regimes"] >= r["n_keys"]
+
+
+class TestRareCategoryCollapse:
+    def test_collapse_partitions_rows(self, spark, sf_dir):
+        from ytspark.queries import registry
+        from ytspark.session import load_tables
+
+        rows = registry()["rare_category_collapse"].fn(
+            spark, sf_dir
+        ).collect()
+        n = load_tables(spark, sf_dir, "customer")["customer"].count()
+        assert sum(r["n_rows"] for r in rows) == n
+        other = [r for r in rows if r["mapped_cat"] == "__other__"]
+        assert len(other) == 1 and other[0]["n_source_cats"] >= 2
+        for r in rows:
+            if r["mapped_cat"] != "__other__":
+                assert r["n_source_cats"] == 1

@@ -681,3 +681,118 @@ def compaction_plan_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("meets_target"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD-2 integrity audit: regime invariants a dimension table must hold
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scd2_integrity_audit",
+    oracle="""
+WITH hist AS (
+  SELECT o_custkey AS k, o_orderstatus AS attr,
+         o_orderdate AS effective_from,
+         LEAD(o_orderdate) OVER w AS effective_to
+  FROM (
+    SELECT *,
+           LAG(o_orderstatus) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey) AS prev
+    FROM orders
+  )
+  WHERE prev IS NULL OR prev <> o_orderstatus
+  WINDOW w AS (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey)
+),
+per_key AS (
+  SELECT k,
+         CAST(COUNT(*) AS BIGINT) AS n_regimes,
+         CAST(SUM(CASE WHEN effective_to IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_current,
+         CAST(SUM(CASE WHEN effective_to IS NOT NULL
+                        AND effective_to < effective_from
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_inverted,
+         CAST(SUM(CASE WHEN next_from IS NOT NULL
+                        AND effective_to IS NOT NULL
+                        AND next_from <> effective_to
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps
+  FROM (
+    SELECT *, LEAD(effective_from) OVER (
+      PARTITION BY k ORDER BY effective_from) AS next_from
+    FROM hist
+  )
+  GROUP BY k
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(n_regimes) AS BIGINT) AS n_regimes,
+       CAST(SUM(CASE WHEN n_current = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS keys_one_current,
+       CAST(SUM(n_inverted) AS BIGINT) AS inverted_intervals,
+       CAST(SUM(n_gaps) AS BIGINT) AS regime_gaps,
+       SUM(CASE WHEN n_current = 1 THEN 1 ELSE 0 END) = COUNT(*)
+         AND SUM(n_inverted) = 0 AND SUM(n_gaps) = 0 AS integrity_ok
+FROM per_key
+""",
+    doc="SCD-2 INTEGRITY AUDIT over the compacted order-status "
+        "dimension: the three invariants every Type-2 table must hold "
+        "— exactly ONE current regime per key, no inverted intervals "
+        "(effective_to >= effective_from), and no gaps (each regime's "
+        "end equals the next regime's start — the compaction "
+        "guarantees contiguity by construction and this VERIFIES it "
+        "from the output, not the code). The audit a warehouse runs "
+        "after every dimension merge, because a violated invariant "
+        "silently double-counts or drops history in every as-of join "
+        "downstream. Same single window partitioning as the "
+        "compaction (one sort+shuffle), then per-key and global "
+        "aggregates; exact integers and one boolean verdict.",
+    tags=("maintenance", "quality", "scd2", "window", "aggregate"),
+)
+def scd2_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    hist = scd2_compact(
+        orders.select("o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey"),
+        key=["o_custkey"],
+        attr="o_orderstatus",
+        seq=["o_orderdate", "o_orderkey"],
+        effective_col="o_orderdate",
+    )
+    wk = Window.partitionBy("o_custkey").orderBy("effective_from")
+    per = (
+        hist.withColumn("next_from", F.lead("effective_from").over(wk))
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_regimes"),
+            F.sum(F.col("effective_to").isNull().cast("int")).alias(
+                "n_current"
+            ),
+            F.sum(
+                (
+                    F.col("effective_to").isNotNull()
+                    & (F.col("effective_to") < F.col("effective_from"))
+                ).cast("int")
+            ).alias("n_inverted"),
+            F.sum(
+                (
+                    F.col("next_from").isNotNull()
+                    & F.col("effective_to").isNotNull()
+                    & (F.col("next_from") != F.col("effective_to"))
+                ).cast("int")
+            ).alias("n_gaps"),
+        )
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n_regimes").cast("long").alias("n_regimes"),
+        F.sum((F.col("n_current") == 1).cast("int"))
+        .cast("long")
+        .alias("keys_one_current"),
+        F.sum("n_inverted").cast("long").alias("inverted_intervals"),
+        F.sum("n_gaps").cast("long").alias("regime_gaps"),
+        (
+            (F.sum((F.col("n_current") == 1).cast("int")) == F.count(F.lit(1)))
+            & (F.sum("n_inverted") == 0)
+            & (F.sum("n_gaps") == 0)
+        ).alias("integrity_ok"),
+    )

@@ -1262,3 +1262,71 @@ def count_overdispersion_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(disp, 6).alias("dispersion"),
         (disp > 1.5).alias("overdispersed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rare-category collapse: min-support bucketing for categorical features
+# ---------------------------------------------------------------------------
+
+RARE_MIN_FRAC = 0.039  # categories below this corpus share collapse
+
+
+@register(
+    "rare_category_collapse",
+    oracle=f"""
+WITH counts AS (
+  SELECT c_nationkey AS cat, CAST(COUNT(*) AS BIGINT) AS n
+  FROM customer GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM counts),
+mapped AS (
+  SELECT CASE WHEN CAST(n AS DOUBLE) / t >= {RARE_MIN_FRAC}
+              THEN CAST(cat AS VARCHAR) ELSE '__other__' END AS mapped_cat,
+         n, CASE WHEN CAST(n AS DOUBLE) / t >= {RARE_MIN_FRAC}
+                 THEN 0 ELSE 1 END AS collapsed
+  FROM counts CROSS JOIN tot
+)
+SELECT mapped_cat,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_source_cats,
+       CAST(MIN(collapsed) AS BIGINT) AS is_collapsed_bucket,
+       ROUND(CAST(SUM(n) AS DOUBLE) / MIN(t), 6) AS frac
+FROM mapped CROSS JOIN tot
+GROUP BY mapped_cat
+""",
+    doc=f"RARE-CATEGORY COLLAPSE for categorical features: nation keys "
+        f"whose corpus share falls below {RARE_MIN_FRAC:.1%} map to a "
+        "single __other__ bucket — the standard cardinality control "
+        "applied before one-hot/target encoding so tail categories "
+        "cannot blow up feature width or leak single-row groups (the "
+        "k-anonymity failure mode the audit flags). The report is the "
+        "resulting category mapping with per-bucket row counts, how "
+        "many source categories merged, and corpus fractions — the "
+        "feature dictionary a training pipeline persists. One count "
+        "aggregate + a broadcast one-row total; exact integers, "
+        "exactly-rounded shares.",
+    tags=("profiling", "features", "encoding", "aggregate"),
+)
+def rare_category_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_tables(spark, sf_dir, "customer")["customer"]
+    counts = cust.groupBy(F.col("c_nationkey").alias("cat")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = counts.agg(F.sum("n").alias("t"))
+    keep = F.col("n").cast("double") / F.col("t") >= RARE_MIN_FRAC
+    mapped = counts.crossJoin(F.broadcast(tot)).select(
+        F.when(keep, F.col("cat").cast("string"))
+        .otherwise(F.lit("__other__"))
+        .alias("mapped_cat"),
+        "n",
+        F.when(keep, F.lit(0)).otherwise(F.lit(1)).alias("collapsed"),
+        "t",
+    )
+    return mapped.groupBy("mapped_cat").agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_source_cats"),
+        F.min("collapsed").cast("long").alias("is_collapsed_bucket"),
+        F.round(
+            F.sum("n").cast("double") / F.min("t"), 6
+        ).alias("frac"),
+    )
