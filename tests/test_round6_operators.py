@@ -497,3 +497,41 @@ class TestRareCategoryCollapse:
         for r in rows:
             if r["mapped_cat"] != "__other__":
                 assert r["n_source_cats"] == 1
+
+
+class TestCohortLTV:
+    def test_curves_monotone_per_cohort(self, spark, sf_dir):
+        from ytspark.queries import registry
+
+        rows = registry()["cohort_ltv_curves"].fn(spark, sf_dir).collect()
+        assert rows
+        by_cohort = {}
+        for r in rows:
+            by_cohort.setdefault(r["cohort_week"], []).append(r)
+        for cw, cells in by_cohort.items():
+            cells.sort(key=lambda r: r["age_weeks"])
+            vals = [c["cum_value"] for c in cells]
+            assert vals == sorted(vals)  # cumulative: nondecreasing
+            assert all(c["ltv_per_user"] > 0 for c in cells)
+
+
+class TestOOVRate:
+    def test_rates_partition_tokens(self, spark, sf_dir):
+        from ytspark.queries import registry
+
+        rows = registry()["token_oov_rate_eval"].fn(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert 0.0 <= r["oov_rate"] < 1.0
+            assert r["n_oov"] <= r["n_tokens"]
+
+
+class TestMinhashError:
+    def test_error_bounded_by_construction(self, spark, sf_dir):
+        from ytspark.queries import registry
+
+        r = registry()["minhash_estimate_error_eval"].fn(
+            spark, sf_dir
+        ).first()
+        assert r["n_pairs"] > 0
+        assert 0 <= r["mean_abs_err"] <= r["max_abs_err"] <= 1.0

@@ -2420,3 +2420,111 @@ def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         tf,
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimate-error evaluation: |est - exact| over candidate pairs
+# ---------------------------------------------------------------------------
+
+_ERR_SCALE = 1_000_000
+
+
+def _minhash_err_oracle() -> str:
+    return f"""
+WITH {_checkable_bands_cte()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(LEN(LIST_FILTER(
+           LIST_ZIP(a.sig, b.sig), z -> z[1] = z[2])) AS DOUBLE)
+           / {N_PERMUTATIONS} AS est
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+hs AS (SELECT DISTINCT doc_id, h FROM sh),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM hs GROUP BY 1),
+exact AS (
+  SELECT c.doc_a, c.doc_b, c.est,
+         CAST(cnt AS DOUBLE) / (sa.n + sb.n - cnt) AS ex
+  FROM (
+    SELECT c.doc_a, c.doc_b, ANY_VALUE(c.est) AS est,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM cand c
+    JOIN hs a ON a.doc_id = c.doc_a
+    JOIN hs b ON b.doc_id = c.doc_b AND b.h = a.h
+    GROUP BY c.doc_a, c.doc_b
+  ) c
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b
+),
+scaled AS (
+  SELECT CAST(ROUND(ABS(est - ex) * {_ERR_SCALE}, 0) AS BIGINT) AS e
+  FROM exact
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(CAST(SUM(e) AS DOUBLE) / (COUNT(*) * {_ERR_SCALE}), 6)
+         AS mean_abs_err,
+       ROUND(CAST(MAX(e) AS DOUBLE) / {_ERR_SCALE}, 6) AS max_abs_err
+FROM scaled
+"""
+
+
+@register(
+    "minhash_estimate_error_eval",
+    oracle=_minhash_err_oracle(),
+    doc=f"SKETCH-ACCURACY evaluation for MinHash: over every "
+        "banded-LSH candidate pair (the checkable-hash pipeline), the "
+        f"{N_PERMUTATIONS}-permutation signature estimate is compared "
+        "to the EXACT shingle-set Jaccard and the absolute-error "
+        "distribution reported (mean, max) — dedup_lsh_recall_eval "
+        "measures what the index FINDS, this measures how well it "
+        "SCORES, the two halves of trusting a threshold set on "
+        "estimated similarity. Per-pair errors are identical doubles "
+        "cross-engine (exact division each side), then scaled to "
+        "integers before summation so the MEAN cannot drift with "
+        "aggregation order (the RAKE integer-scaling discipline). "
+        "Exact Jaccard per candidate costs one common-shingle count "
+        "join restricted to the (bounded) candidate set — the "
+        "verify-after-block shape, never all-pairs.",
+    tags=("dedup", "evaluation", "minhash", "join", "aggregate"),
+)
+def minhash_estimate_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    # ALL banded candidates (threshold 0): the error profile must
+    # include low-estimate pairs, not just the ones that pass dedup
+    cand = minhash_pairs_checkable(docs, threshold=0.0).select(
+        "doc_a", "doc_b", F.col("est_jaccard").alias("est")
+    )
+    hs = checkable_shingle_hashes(docs).dropDuplicates(["doc_id", "h"])
+    sizes = hs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = hs.select(F.col("doc_id").alias("doc_a"), "h")
+    b = hs.select(F.col("doc_id").alias("doc_b"), "h")
+    common = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.any_value("est").alias("est"), F.count(F.lit(1)).alias("cnt"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    ex = F.col("cnt").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("cnt")
+    )
+    scaled = (
+        common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            F.round(F.abs(F.col("est") - ex) * _ERR_SCALE, 0)
+            .cast("long")
+            .alias("e")
+        )
+    )
+    return scaled.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(
+            F.sum("e").cast("double") / (F.count(F.lit(1)) * _ERR_SCALE), 6
+        ).alias("mean_abs_err"),
+        F.round(F.max("e").cast("double") / _ERR_SCALE, 6).alias(
+            "max_abs_err"
+        ),
+    )

@@ -1830,3 +1830,76 @@ def lang_id_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer vocabulary coverage: OOV rate against the top-V vocabulary
+# ---------------------------------------------------------------------------
+
+OOV_VOCAB_SIZE = 500  # top-V corpus tokens form the closed vocabulary
+
+
+@register(
+    "token_oov_rate_eval",
+    oracle=f"""
+WITH tok AS (
+  SELECT source, t AS tok
+  FROM (SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents)
+),
+freq AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY tok
+),
+vocab AS (
+  SELECT tok FROM freq
+  ORDER BY n DESC, tok LIMIT {OOV_VOCAB_SIZE}
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       ROUND(CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS oov_rate
+FROM tok LEFT JOIN vocab v USING (tok)
+GROUP BY source
+""",
+    doc=f"TOKENIZER VOCABULARY COVERAGE: per corpus source, the "
+        f"fraction of token occurrences outside the top-{OOV_VOCAB_SIZE} "
+        "closed vocabulary (selected by corpus frequency with a "
+        "deterministic token tiebreak) — the out-of-vocabulary rate "
+        "that decides whether a fixed word vocabulary suffices or the "
+        "pipeline needs subword tokenization (the BPE family), and "
+        "the per-source breakdown shows WHICH ingest streams drive "
+        "OOV. Vocabulary selection is a TakeOrderedAndProject top-V "
+        "over the term-frequency aggregate (broadcast to the "
+        "membership probe, no global sort); counting is one "
+        "left-join + aggregate over exploded tokens. Exact integer "
+        "counts, one exactly-rounded rate.",
+    tags=("text", "evaluation", "tokenizer", "aggregate"),
+)
+def token_oov_rate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    tok = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    vocab = (
+        freq.orderBy(F.desc("n"), "tok")
+        .limit(OOV_VOCAB_SIZE)
+        .select("tok")
+        .withColumn("in_vocab", F.lit(1))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("in_vocab").isNull().cast("int"))
+            .cast("long")
+            .alias("n_oov"),
+            F.round(
+                F.sum(F.col("in_vocab").isNull().cast("int")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("oov_rate"),
+        )
+    )

@@ -1177,3 +1177,99 @@ def benjamini_hochberg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bh_threshold",
         (F.col("rejected_i") == 1).alias("rejected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curves: cumulative per-user value by cohort age
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cohort_ltv_curves",
+    oracle="""
+WITH firstwk AS (
+  SELECT user_id, MIN(DATE_TRUNC('week', ts)) AS cohort_wk
+  FROM events GROUP BY user_id
+),
+weekly AS (
+  SELECT e.user_id, DATE_TRUNC('week', e.ts) AS wk,
+         SUM(CAST(COALESCE(e.value, 0) AS DECIMAL(18,2))) AS v
+  FROM events e WHERE e.event_type = 'purchase'
+  GROUP BY 1, 2
+),
+sizes AS (
+  SELECT cohort_wk, CAST(COUNT(*) AS BIGINT) AS cohort_users
+  FROM firstwk GROUP BY cohort_wk
+),
+cells AS (
+  SELECT f.cohort_wk,
+         CAST(DATEDIFF('week', f.cohort_wk, w.wk) AS BIGINT) AS age_weeks,
+         SUM(w.v) AS wk_value
+  FROM weekly w JOIN firstwk f USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT STRFTIME(cohort_wk, '%Y-%m-%d') AS cohort_week,
+       age_weeks,
+       CAST(SUM(wk_value) OVER (
+         PARTITION BY cohort_wk ORDER BY age_weeks) AS DOUBLE)
+         AS cum_value,
+       ROUND(CAST(SUM(wk_value) OVER (
+               PARTITION BY cohort_wk ORDER BY age_weeks) AS DOUBLE)
+             / s.cohort_users, 6) AS ltv_per_user,
+       s.cohort_users
+FROM cells JOIN sizes s USING (cohort_wk)
+""",
+    doc="COHORT LTV CURVES: users cohorted by first-active week, "
+        "purchase value accumulated per (cohort, age-week) and "
+        "normalized per cohort member — the cumulative lifetime-value "
+        "triangle finance reads next to the retention triangle "
+        "(cohort_retention_matrix shares the cohorting spine). "
+        "Purchase value sums in DECIMAL end to end (the engine's "
+        "money policy); the running total per cohort is a window over "
+        "the |cohorts x ages| PRE-AGGREGATE, never raw events; cohort "
+        "sizes broadcast. Curves that flatten early are the churn "
+        "signal LTV models price in.",
+    tags=("retention", "cohort", "window", "aggregate", "pipeline"),
+)
+def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    firstwk = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", "ts")).alias("cohort_wk")
+    )
+    weekly = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.date_trunc("week", "ts").alias("wk"))
+        .agg(
+            F.sum(
+                F.coalesce(F.col("value"), F.lit(0)).cast("decimal(18,2)")
+            ).alias("v")
+        )
+    )
+    sizes = firstwk.groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    age = (
+        F.datediff(F.to_date("wk"), F.to_date("cohort_wk")) / 7
+    ).cast("bigint")
+    cells = (
+        weekly.join(firstwk, "user_id")
+        .groupBy("cohort_wk", age.alias("age_weeks"))
+        .agg(F.sum("v").alias("wk_value"))
+    )
+    wcum = Window.partitionBy("cohort_wk").orderBy("age_weeks")
+    return (
+        cells.join(F.broadcast(sizes), "cohort_wk")
+        .select(
+            F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+            "age_weeks",
+            F.sum("wk_value").over(wcum).cast("double").alias("cum_value"),
+            F.round(
+                F.sum("wk_value").over(wcum).cast("double")
+                / F.col("cohort_users"),
+                6,
+            ).alias("ltv_per_user"),
+            "cohort_users",
+        )
+    )
