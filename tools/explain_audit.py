@@ -101,6 +101,12 @@ EXPECTED_NESTED_LOOP = {
     "embedding_norm_outliers",       # broadcast one-row moment frame
     "search_rank_agreement_eval",    # <=50-row common-list pair join
     "huber_trend_irls",              # broadcast one-row fit per IRLS round
+    "term_burstiness_profile",       # broadcast one-row corpus size
+    "cohort_ltv_curves",             # broadcast cohort-size dim
+    "token_oov_rate_eval",           # broadcast top-V vocab membership
+    "rare_category_collapse",        # broadcast one-row total
+    "count_overdispersion_check",    # plain rollup aggregate
+    "nb_crossval_metrics",           # broadcast per-fold class stats
     "conformal_trend_intervals",     # broadcast 1-row fit/quantile scalars
     "parts_personalized_pagerank",   # broadcast 1-row seed count |S|
     "kaplan_meier_survival",         # broadcast 1-row window-max day

@@ -1903,3 +1903,81 @@ def token_oov_rate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Term burstiness: variance-to-mean of per-document term frequency
+# ---------------------------------------------------------------------------
+
+BURST_MIN_DF = 20  # profile terms appearing in at least this many docs
+BURST_TOP_K = 25
+
+
+@register(
+    "term_burstiness_profile",
+    oracle=f"""
+WITH tf AS (
+  SELECT doc_id, t AS tok, CAST(COUNT(*) AS BIGINT) AS k
+  FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents)
+  GROUP BY 1, 2
+),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+stats AS (
+  SELECT tok,
+         CAST(COUNT(*) AS BIGINT) AS df,
+         CAST(SUM(k) AS BIGINT) AS cf,
+         CAST(SUM(k * k) AS BIGINT) AS cf2
+  FROM tf GROUP BY tok
+)
+SELECT tok, df, cf,
+       ROUND((CAST(cf2 AS DOUBLE) / n
+              - (CAST(cf AS DOUBLE) / n) * (CAST(cf AS DOUBLE) / n))
+             / (CAST(cf AS DOUBLE) / n), 6) AS burstiness
+FROM stats CROSS JOIN nd
+WHERE df >= {BURST_MIN_DF}
+ORDER BY ROUND((CAST(cf2 AS DOUBLE) / n
+                - (CAST(cf AS DOUBLE) / n) * (CAST(cf AS DOUBLE) / n))
+               / (CAST(cf AS DOUBLE) / n), 6) DESC, tok
+LIMIT {BURST_TOP_K}
+""",
+    doc=f"TERM BURSTINESS profile (Church-Gale): per term with "
+        f"document frequency >= {BURST_MIN_DF}, the variance-to-mean "
+        "ratio of its per-document count over the whole corpus "
+        "(absent docs count as zero — the moments fold from exact "
+        "integer sums cf and cf^2 against the corpus size, so no "
+        "densified doc x term grid is ever built). Burstiness ~1 is "
+        "Poisson scatter (function words); high burstiness marks "
+        "topical content words that clump — the signal separating "
+        "keyword candidates from glue words, complementing TF-IDF "
+        f"and RAKE. Top-{BURST_TOP_K} by rounded ratio with a token "
+        "tiebreak. One tf aggregate + one per-term aggregate; exact "
+        "integers until the final two divisions.",
+    tags=("text", "statistics", "burstiness", "aggregate", "topk"),
+)
+def term_burstiness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    tf = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("k"))
+    nd = docs.agg(F.count(F.lit(1)).alias("n"))
+    stats = tf.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("k").alias("cf"),
+        F.sum(F.col("k") * F.col("k")).alias("cf2"),
+    )
+    mean = F.col("cf").cast("double") / F.col("n")
+    burst = F.round(
+        (F.col("cf2").cast("double") / F.col("n") - mean * mean) / mean, 6
+    )
+    return (
+        stats.where(F.col("df") >= BURST_MIN_DF)
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "tok",
+            F.col("df").cast("long").alias("df"),
+            F.col("cf").cast("long").alias("cf"),
+            burst.alias("burstiness"),
+        )
+        .orderBy(F.col("burstiness").desc(), "tok")
+        .limit(BURST_TOP_K)
+    )
