@@ -535,3 +535,53 @@ class TestMinhashError:
         ).first()
         assert r["n_pairs"] > 0
         assert 0 <= r["mean_abs_err"] <= r["max_abs_err"] <= 1.0
+
+
+class TestConstraintSuite:
+    def test_all_rules_pass_on_clean_fixtures(self, spark, sf_dir):
+        from ytspark.queries import registry
+
+        rows = registry()["constraint_suite_report"].fn(
+            spark, sf_dir
+        ).collect()
+        assert len(rows) == 7
+        assert all(r["passed"] for r in rows)
+        assert {r["tbl"] for r in rows} == {
+            "events", "orders", "documents", "lineitem", "customer"
+        }
+
+    def test_rules_catch_injected_violations(self, spark, tmp_path):
+        """The suite must FAIL on bad data, not just pass on good:
+        inject nulls and an out-of-range price, re-evaluate."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from ytspark.checks import constraint_suite
+        from ytspark.session import load_tables
+
+        src = "/root/testdata/sf0.001"
+        t = load_tables(
+            spark, src, "events", "orders", "documents", "lineitem",
+            "customer",
+        )
+        bad_ev = t["events"].withColumn(
+            "value",
+            F.when(F.col("event_id") % 2 == 0, F.lit(None)).otherwise(
+                F.col("value")
+            ),
+        )
+        bad_orders = t["orders"].withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") == 1, F.lit(9e9)).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        report = constraint_suite(
+            {**t, "events": bad_ev, "orders": bad_orders}
+        ).collect()
+        by_rule = {r["rule"]: r for r in report}
+        assert by_rule["null_rate:value<=0.05"]["passed"] is False
+        assert by_rule["range:o_totalprice[0,600000]"]["passed"] is False
+        # untouched tables still pass
+        assert by_rule["cardinality:c_mktsegment[3,10]"]["passed"] is True

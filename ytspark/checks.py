@@ -124,3 +124,74 @@ def run_checks(df: DataFrame, spec: dict) -> list[CheckResult]:
         cols = [key] if isinstance(key, str) else list(key)
         out.append(unique(df, *cols))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Constraint suite (Deequ-style): rule-driven profile beyond the dbt four
+# ---------------------------------------------------------------------------
+
+CONSTRAINT_REFERENCE_DATE = "2024-02-15"  # pinned "now" for freshness
+
+
+def constraint_suite(tables: dict) -> "DataFrame":
+    """Evaluate the declarative constraint suite over loaded tables and
+    return one report row per rule: (rule, tbl, metric, threshold,
+    passed). Each rule compiles to ONE aggregate over its table —
+    metrics, never violation rows — so the whole suite is one scan per
+    distinct table with map-side partials (the Deequ analyzer shape).
+    Rules cover the classes the dbt four don't: rate thresholds
+    (null-rate, pattern-match rate), numeric ranges, cross-column
+    consistency, freshness against a pinned reference instant, and
+    cardinality bands."""
+    ev, orders = tables["events"], tables["orders"]
+    docs, li, cust = tables["documents"], tables["lineitem"], tables["customer"]
+
+    def row(df, rule, tbl, metric, threshold, passed):
+        return df.agg(
+            F.lit(rule).alias("rule"),
+            F.lit(tbl).alias("tbl"),
+            F.round(metric, 6).alias("metric"),
+            F.lit(float(threshold)).alias("threshold"),
+            passed.alias("passed"),
+        )
+
+    null_rate = (
+        F.sum(F.col("value").isNull().cast("int")).cast("double")
+        / F.count(F.lit(1))
+    )
+    r1 = row(ev, "null_rate:value<=0.05", "events",
+             null_rate, 0.05, null_rate <= 0.05)
+    oob = F.sum(
+        ((F.col("o_totalprice") < 0) | (F.col("o_totalprice") > 600000))
+        .cast("int")
+    ).cast("double")
+    r2 = row(orders, "range:o_totalprice[0,600000]", "orders",
+             oob, 0.0, oob == 0)
+    pat = (
+        F.sum(F.col("lang").rlike("^[a-z][a-z]$").cast("int")).cast("double")
+        / F.count(F.lit(1))
+    )
+    r3 = row(docs, "pattern_rate:lang~^[a-z]{2}$>=0.99", "documents",
+             pat, 0.99, pat >= 0.99)
+    age = F.datediff(
+        F.lit(CONSTRAINT_REFERENCE_DATE).cast("date"), F.max(F.to_date("ts"))
+    ).cast("double")
+    r4 = row(ev, "freshness:max(ts)age<=30d", "events",
+             age, 30.0, age <= 30)
+    uniq = (
+        F.count_distinct("o_orderkey").cast("double") / F.count(F.lit(1))
+    )
+    r5 = row(orders, "unique_ratio:o_orderkey=1", "orders",
+             uniq, 1.0, uniq == 1.0)
+    xcol = F.sum(
+        (F.col("l_tax") + F.col("l_discount") >= 1).cast("int")
+    ).cast("double")
+    r6 = row(li, "cross_column:l_tax+l_discount<1", "lineitem",
+             xcol, 0.0, xcol == 0)
+    card = F.count_distinct("c_mktsegment").cast("double")
+    r7 = row(cust, "cardinality:c_mktsegment[3,10]", "customer",
+             card, 10.0, (card >= 3) & (card <= 10))
+    out = r1
+    for r in (r2, r3, r4, r5, r6, r7):
+        out = out.unionByName(r)
+    return out

@@ -1273,3 +1273,84 @@ def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cohort_users",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deequ-style constraint suite over five tables
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "constraint_suite_report",
+    oracle="""
+SELECT 'null_rate:value<=0.05' AS rule, 'events' AS tbl,
+       ROUND(CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS metric,
+       0.05 AS threshold,
+       CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) <= 0.05 AS passed
+FROM events
+UNION ALL
+SELECT 'range:o_totalprice[0,600000]', 'orders',
+       ROUND(CAST(SUM(CASE WHEN o_totalprice < 0 OR o_totalprice > 600000
+                      THEN 1 ELSE 0 END) AS DOUBLE), 6),
+       0.0,
+       SUM(CASE WHEN o_totalprice < 0 OR o_totalprice > 600000
+            THEN 1 ELSE 0 END) = 0
+FROM orders
+UNION ALL
+SELECT 'pattern_rate:lang~^[a-z]{2}$>=0.99', 'documents',
+       ROUND(CAST(SUM(CASE WHEN REGEXP_MATCHES(lang, '^[a-z][a-z]$')
+                      THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6),
+       0.99,
+       CAST(SUM(CASE WHEN REGEXP_MATCHES(lang, '^[a-z][a-z]$')
+            THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) >= 0.99
+FROM documents
+UNION ALL
+SELECT 'freshness:max(ts)age<=30d', 'events',
+       ROUND(CAST(DATEDIFF('day', MAX(CAST(ts AS DATE)),
+                           DATE '2024-02-15') AS DOUBLE), 6),
+       30.0,
+       DATEDIFF('day', MAX(CAST(ts AS DATE)), DATE '2024-02-15') <= 30
+FROM events
+UNION ALL
+SELECT 'unique_ratio:o_orderkey=1', 'orders',
+       ROUND(CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) / COUNT(*), 6),
+       1.0,
+       CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) / COUNT(*) = 1.0
+FROM orders
+UNION ALL
+SELECT 'cross_column:l_tax+l_discount<1', 'lineitem',
+       ROUND(CAST(SUM(CASE WHEN l_tax + l_discount >= 1
+                      THEN 1 ELSE 0 END) AS DOUBLE), 6),
+       0.0,
+       SUM(CASE WHEN l_tax + l_discount >= 1 THEN 1 ELSE 0 END) = 0
+FROM lineitem
+UNION ALL
+SELECT 'cardinality:c_mktsegment[3,10]', 'customer',
+       ROUND(CAST(COUNT(DISTINCT c_mktsegment) AS DOUBLE), 6),
+       10.0,
+       COUNT(DISTINCT c_mktsegment) BETWEEN 3 AND 10
+FROM customer
+""",
+    doc="DECLARATIVE CONSTRAINT SUITE (the Deequ analyzer shape) "
+        "extending the dbt four with the rule classes production "
+        "tables actually break: rate thresholds (null-rate, regex "
+        "pattern-match rate), numeric range violations, cross-column "
+        "consistency, freshness against a pinned reference instant, "
+        "unique-ratio, and categorical cardinality bands — seven "
+        "rules over five tables, each compiled to ONE metric "
+        "aggregate (never violation rows), unioned into the "
+        "(rule, table, metric, threshold, passed) report a DQ "
+        "scheduler alerts on. At 100 TB the suite is one scan per "
+        "distinct table with map-side partials; adding a rule adds "
+        "an aggregate expression, not a pass.",
+    tags=("quality", "checks", "constraints", "aggregate", "pipeline"),
+)
+def constraint_suite_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ytspark.checks import constraint_suite
+
+    tables = load_tables(
+        spark, sf_dir, "events", "orders", "documents", "lineitem", "customer"
+    )
+    return constraint_suite(tables)
