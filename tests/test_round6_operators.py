@@ -585,3 +585,19 @@ class TestConstraintSuite:
         assert by_rule["range:o_totalprice[0,600000]"]["passed"] is False
         # untouched tables still pass
         assert by_rule["cardinality:c_mktsegment[3,10]"]["passed"] is True
+
+
+class TestIvfIncremental:
+    def test_append_is_invisible_vs_full_index(self, spark, sf_dir):
+        from ytspark.operators.similarity import IVF_INCR_SPLIT
+        from ytspark.queries import registry
+        from ytspark.session import load_tables
+
+        rows = registry()["ivf_index_incremental_add"].fn(
+            spark, sf_dir
+        ).collect()
+        n = load_tables(spark, sf_dir, "embeddings")["embeddings"].count()
+        assert sum(r["n_vectors"] for r in rows) == n
+        appended = sum(r["n_appended"] for r in rows)
+        assert appended == max(0, n - IVF_INCR_SPLIT)
+        assert appended > 0  # the append path actually exercised
