@@ -601,3 +601,29 @@ class TestIvfIncremental:
         appended = sum(r["n_appended"] for r in rows)
         assert appended == max(0, n - IVF_INCR_SPLIT)
         assert appended > 0  # the append path actually exercised
+
+
+class TestWinnowingIncremental:
+    def test_store_matches_direct_cross_region_pairs(self, spark, sf_dir):
+        from ytspark.operators.dedup import INCR_SPLIT
+        from ytspark.queries import registry
+
+        rows = registry()["dedup_winnowing_incremental"].fn(
+            spark, sf_dir
+        ).collect()
+        assert rows
+        for r in rows[:50]:
+            assert r["new_doc_id"] >= INCR_SPLIT
+            assert r["existing_doc_id"] < INCR_SPLIT
+            assert r["n_shared"] >= 2
+
+
+class TestNoveltyCurve:
+    def test_rates_and_attribution(self, spark, sf_dir):
+        from ytspark.queries import registry
+
+        rows = registry()["ngram_novelty_curve"].fn(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert 0.0 < r["novelty_rate"] <= 1.0
+            assert r["novel_grams"] <= r["total_grams"]

@@ -23,6 +23,8 @@ Scale design (the point of these operators at 100 TB):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -2105,39 +2107,10 @@ def dedup_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def winnowing_pairs(docs: DataFrame) -> DataFrame:
     """(doc_a, doc_b, n_shared) pairs sharing >= WIN_MIN_SHARED
-    winnowing fingerprints (see dedup_winnowing_fingerprints)."""
-    from pyspark.sql import Window
-
-    toks = docs.select(
-        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
-    ).select(
-        "doc_id",
-        "pos",
-        (F.length("tok") * F.lit(131) + F.ascii("tok")).cast("bigint").alias("v"),
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    vs = [F.col("v")] + [F.lead("v", i).over(w) for i in range(1, WIN_K)]
-    grams = toks.select(
-        "doc_id", "pos", F.when(vs[-1].isNotNull(), _poly_fold(vs)).alias("h")
-    ).where(F.col("h").isNotNull())
-    # winnowing selection: min of (h*2^20 + pos) over each window of
-    # WIN_W consecutive grams — same doc_id partitioning as the gram
-    # window, so no additional exchange; only full windows select
-    # (docs with fewer than WIN_W grams contribute no fingerprint,
-    # mirrored by the oracle's pos <= n_grams - W filter)
-    wf = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WIN_W - 1)
-    wn = Window.partitionBy("doc_id")
-    sel = grams.select(
-        "doc_id",
-        "pos",
-        F.min(F.col("h") * F.lit(_WIN_POS_SHIFT) + F.col("pos")).over(wf).alias(
-            "sel_key"
-        ),
-        F.count(F.lit(1)).over(wn).alias("n_grams"),
-    ).where(F.col("pos") <= F.col("n_grams") - WIN_W)
-    fp = sel.select(
-        "doc_id", F.expr(f"sel_key div {_WIN_POS_SHIFT}").alias("fh")
-    ).distinct()
+    winnowing fingerprints (see dedup_winnowing_fingerprints).
+    Selection is delegated to ``winnowing_fingerprints`` — the single
+    implementation the incremental store shares."""
+    fp = winnowing_fingerprints(docs)
     a = fp.select(F.col("doc_id").alias("doc_a"), "fh")
     b = fp.select(F.col("doc_id").alias("doc_b"), "fh")
     return (
@@ -2146,132 +2119,6 @@ def winnowing_pairs(docs: DataFrame) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= WIN_MIN_SHARED)
-    )
-
-
-# ---------------------------------------------------------------------------
-# Semantic dedup (SemDeDup-style): cluster-blocked embedding-cosine pairs
-# ---------------------------------------------------------------------------
-
-SEM_THRESHOLD = 0.4  # within-cluster cosine floor for a semantic dup pair
-
-
-def _semantic_oracle() -> str:
-    from ytspark.operators.clustering import DIST_ROUND, KM_K
-
-    return f"""
-WITH c AS (
-  SELECT vec_id AS centroid_id, embedding AS cv
-  FROM embeddings WHERE vec_id < {KM_K}
-),
-p AS (
-  SELECT e.vec_id, e.embedding, c.centroid_id,
-         ROUND(LIST_REDUCE(
-           LIST_TRANSFORM(GENERATE_SERIES(1, LEN(e.embedding)),
-             i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))
-                * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))),
-           (a, x) -> a + x), {DIST_ROUND}) AS dist_r
-  FROM embeddings e CROSS JOIN c
-),
-assign AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v, centroid_id AS cluster
-  FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                                 ORDER BY dist_r, centroid_id) AS rk
-    FROM p
-  ) WHERE rk = 1
-)
-SELECT a.cluster,
-       a.vec_id AS vec_a, b.vec_id AS vec_b,
-       ROUND(LIST_DOT_PRODUCT(a.v, b.v)
-             / (SQRT(LIST_DOT_PRODUCT(a.v, a.v))
-                * SQRT(LIST_DOT_PRODUCT(b.v, b.v))), 6) AS cos_sim
-FROM assign a JOIN assign b
-  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-WHERE ROUND(LIST_DOT_PRODUCT(a.v, b.v)
-            / (SQRT(LIST_DOT_PRODUCT(a.v, a.v))
-               * SQRT(LIST_DOT_PRODUCT(b.v, b.v))), 6) >= {SEM_THRESHOLD}
-"""
-
-
-@register(
-    "dedup_semantic_clusters",
-    oracle=_semantic_oracle(),
-    doc="SEMANTIC dedup, SemDeDup-style (Abbas et al.): embeddings are "
-        "assigned to their nearest k-means centroid (the fixed seed "
-        "centroids the kmeans operator certifies, broadcast K-row "
-        "table, map-only assignment) and cosine similarity is scored "
-        "ONLY within clusters — the cluster structure bounds the "
-        "quadratic blowup that makes brute-force embedding dedup "
-        f"(dedup_embedding_cosine) infeasible at corpus scale. Pairs "
-        f"with cosine >= {SEM_THRESHOLD} are reported with their "
-        "cluster. At 100 TB the centroid count scales with the corpus "
-        "(SemDeDup uses ~100k clusters for billions of docs) so "
-        "per-cluster populations stay bounded; here the certified "
-        "K-seed assignment stands in, and the per-cluster scoring is "
-        "an Arrow-batched numpy GEMM per cluster group (the same "
-        "kernel discipline as the block-pair GEMM), never an "
-        "interpreted per-pair expression. Misses cross-cluster pairs "
-        "near boundaries by design — the recall trade SemDeDup "
-        "documents; dedup_lsh_recall_eval's methodology applies for "
-        "measuring it.",
-    tags=("dedup", "semantic", "embedding", "clustering", "udf"),
-)
-def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-    import pandas as pd
-
-    from ytspark.operators.clustering import DIST_ROUND, KM_K
-
-    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
-    cents = emb.where(F.col("vec_id") < KM_K).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
-    )
-    diff2 = F.zip_with(
-        "embedding",
-        "cv",
-        lambda x, y: (x.cast("double") - y.cast("double"))
-        * (x.cast("double") - y.cast("double")),
-    )
-    dist2 = F.aggregate(diff2, F.lit(0.0), lambda a, x: a + x)
-    from pyspark.sql import Window
-
-    pairs = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "embedding", "centroid_id",
-        F.round(dist2, DIST_ROUND).alias("dist_r"),
-    )
-    w = Window.partitionBy("vec_id").orderBy("dist_r", "centroid_id")
-    assigned = (
-        pairs.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
-        .select("vec_id", "embedding", F.col("centroid_id").alias("cluster"))
-    )
-
-    def score(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
-            return pd.DataFrame(
-                {"cluster": [], "vec_a": [], "vec_b": [], "cos_sim": []}
-            )
-        ids = pdf["vec_id"].to_numpy()
-        order = np.argsort(ids)
-        ids = ids[order]
-        m = np.stack(pdf["embedding"].to_numpy()[order]).astype("float64")
-        norms = np.sqrt((m * m).sum(axis=1))
-        sims = (m @ m.T) / (norms[:, None] * norms[None, :])
-        iu = np.triu_indices(len(ids), k=1)
-        cs = np.round(sims[iu], 6)
-        keep = cs >= SEM_THRESHOLD
-        return pd.DataFrame(
-            {
-                "cluster": np.full(int(keep.sum()), pdf["cluster"].iloc[0]),
-                "vec_a": ids[iu[0][keep]],
-                "vec_b": ids[iu[1][keep]],
-                "cos_sim": cs[keep],
-            }
-        )
-
-    return assigned.groupBy("cluster").applyInPandas(
-        score, schema="cluster bigint, vec_a bigint, vec_b bigint, cos_sim double"
     )
 
 
@@ -2527,4 +2374,143 @@ def minhash_estimate_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("e").cast("double") / _ERR_SCALE, 6).alias(
             "max_abs_err"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental winnowing store: fingerprint the batch, probe the corpus
+# ---------------------------------------------------------------------------
+
+
+def persist_winnowing_store(docs: DataFrame, path: str) -> None:
+    """Bootstrap the persisted winnowing-fingerprint store: one row per
+    (doc_id, fh). Fingerprints are a PURE function of each document's
+    own text (no corpus statistics), so the store needs no rebuild
+    when documents arrive — the property that makes winnowing the
+    cheapest incremental substring-dedup primitive."""
+    fps = winnowing_fingerprints(docs).persist()
+    try:
+        fps.write.mode("overwrite").parquet(path)
+    finally:
+        fps.unpersist()
+
+
+def winnowing_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, fh) distinct winnowing fingerprints (the selection
+    stage of winnowing_pairs, exposed for the store)."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
+    ).select(
+        "doc_id",
+        "pos",
+        (F.length("tok") * F.lit(131) + F.ascii("tok")).cast("bigint").alias("v"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    vs = [F.col("v")] + [F.lead("v", i).over(w) for i in range(1, WIN_K)]
+    grams = toks.select(
+        "doc_id", "pos", F.when(vs[-1].isNotNull(), _poly_fold(vs)).alias("h")
+    ).where(F.col("h").isNotNull())
+    wf = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WIN_W - 1)
+    wn = Window.partitionBy("doc_id")
+    sel = grams.select(
+        "doc_id",
+        "pos",
+        F.min(F.col("h") * F.lit(_WIN_POS_SHIFT) + F.col("pos")).over(wf).alias(
+            "sel_key"
+        ),
+        F.count(F.lit(1)).over(wn).alias("n_grams"),
+    ).where(F.col("pos") <= F.col("n_grams") - WIN_W)
+    return sel.select(
+        "doc_id", F.expr(f"sel_key div {_WIN_POS_SHIFT}").alias("fh")
+    ).distinct()
+
+
+def _winnow_incr_oracle() -> str:
+    # batch-recompute twin: fingerprint ALL docs in one pass, pair the
+    # batch region against the corpus region — exactly what the
+    # store-mediated plan produces, because fingerprints are per-doc
+    # pure functions and the store is just the corpus rows persisted
+    sh = "7"
+    for j in range(WIN_K):
+        sh = f"(({sh}) * {_POLY} + v[i+{j}]) % {_M31}"
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         LIST_TRANSFORM(STRING_SPLIT(text, ' '),
+                        t -> CAST(LENGTH(t) * 131 + UNICODE(t) AS BIGINT)) AS v
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         UNNEST(RANGE(1, GREATEST(LEN(v) - {WIN_K - 1}, 0) + 1)) - 1 AS pos,
+         UNNEST(LIST_TRANSFORM(
+           RANGE(1, GREATEST(LEN(v) - {WIN_K - 1}, 0) + 1),
+           i -> {sh})) AS h,
+         GREATEST(LEN(v) - {WIN_K - 1}, 0) AS n_grams
+  FROM toks
+),
+sel AS (
+  SELECT doc_id, pos, n_grams,
+         MIN(h * {_WIN_POS_SHIFT} + pos) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND {WIN_W - 1} FOLLOWING) AS sel_key
+  FROM g
+),
+fp AS (
+  SELECT DISTINCT doc_id, sel_key // {_WIN_POS_SHIFT} AS fh
+  FROM sel WHERE pos <= n_grams - {WIN_W}
+)
+SELECT n.doc_id AS new_doc_id, o.doc_id AS existing_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM fp n JOIN fp o ON n.fh = o.fh
+WHERE n.doc_id >= {INCR_SPLIT} AND o.doc_id < {INCR_SPLIT}
+GROUP BY 1, 2
+HAVING COUNT(*) >= {WIN_MIN_SHARED}
+"""
+
+
+@register(
+    "dedup_winnowing_incremental",
+    oracle=_winnow_incr_oracle(),
+    doc="INCREMENTAL substring dedup via the persisted winnowing "
+        "store: the corpus fingerprints once (doc_id < "
+        f"{INCR_SPLIT}), each incoming batch fingerprints ONLY its "
+        "own documents (winnowing selection is a pure per-document "
+        "function — no corpus statistics, so no store rebuild, an "
+        "even stronger incrementality property than MinHash whose "
+        "signatures at least share hash parameters) and equi-joins "
+        "the stored fingerprint table; per-batch cost is O(batch + "
+        "matched candidates). The oracle is the batch-recompute twin: "
+        "fingerprint everything in one pass and pair batch against "
+        "corpus — the store-mediated result must match exactly, "
+        "certifying slicing-independence for the substring-dedup "
+        "family the way dedup_minhash_incremental certifies it for "
+        "whole-document similarity.",
+    tags=("dedup", "winnowing", "incremental", "store", "join"),
+)
+def dedup_winnowing_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ytspark.plans.scratch import scratch_dir
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    root = scratch_dir(f"winnow_store_{sf_dir}")
+    store = os.path.join(root, "fps")
+    shutil.rmtree(store, ignore_errors=True)
+    persist_winnowing_store(docs.where(F.col("doc_id") < INCR_SPLIT), store)
+    batch_fps = winnowing_fingerprints(
+        docs.where(F.col("doc_id") >= INCR_SPLIT)
+    )
+    stored = spark.read.parquet(store)
+    return (
+        batch_fps.select(F.col("doc_id").alias("new_doc_id"), "fh")
+        .join(
+            stored.select(F.col("doc_id").alias("existing_doc_id"), "fh"),
+            "fh",
+        )
+        .groupBy("new_doc_id", "existing_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= WIN_MIN_SHARED)
     )

@@ -1981,3 +1981,83 @@ def term_burstiness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("burstiness").desc(), "tok")
         .limit(BURST_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus novelty curve: fraction of never-seen n-grams per source slice
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ngram_novelty_curve",
+    oracle="""
+WITH g AS (
+  SELECT doc_id, source,
+         UNNEST(LIST_TRANSFORM(
+           RANGE(1, GREATEST(LEN(STRING_SPLIT(text, ' ')) - 2, 0) + 1),
+           i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i:i+2], ' ')))
+           AS gram
+  FROM documents
+),
+firsts AS (
+  SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram
+),
+slices AS (
+  SELECT g.source, g.doc_id, g.gram,
+         CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END AS maybe_first
+  FROM g JOIN firsts f USING (gram)
+),
+per_doc AS (
+  SELECT source, doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(COUNT(DISTINCT CASE WHEN maybe_first = 1 THEN gram END)
+              AS BIGINT) AS novel_grams
+  FROM slices GROUP BY 1, 2
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_grams) AS BIGINT) AS total_grams,
+       CAST(SUM(novel_grams) AS BIGINT) AS novel_grams,
+       ROUND(CAST(SUM(novel_grams) AS DOUBLE) / SUM(n_grams), 6)
+         AS novelty_rate
+FROM per_doc GROUP BY source
+""",
+    doc="CORPUS NOVELTY accounting: each trigram is attributed to the "
+        "single document (lowest doc_id — the ingestion-order proxy) "
+        "that introduced it, and every source's share of "
+        "first-introduced grams is reported — the curve that detects "
+        "when an ingest stream stops contributing new content and "
+        "starts re-crawling what the corpus already holds (novelty "
+        "collapse is the practical stop signal for scraping spend, "
+        "and the inverse signal of the repeated-span dedup family). "
+        "One gram aggregate for first-occurrence attribution, one "
+        "join back, two rollups — no window at all; exact integer "
+        "counts with one rounded rate.",
+    tags=("text", "corpus", "novelty", "aggregate", "pipeline"),
+)
+def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ytspark.operators.dedup import shingle_rows
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    g = shingle_rows(docs, distinct=False).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    firsts = g.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        g.join(firsts, "shingle")
+        .groupBy("source", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count_distinct(
+                F.when(F.col("first_doc") == F.col("doc_id"), F.col("shingle"))
+            ).alias("novel_grams"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_grams").cast("long").alias("total_grams"),
+        F.sum("novel_grams").cast("long").alias("novel_grams"),
+        F.round(
+            F.sum("novel_grams").cast("double") / F.sum("n_grams"), 6
+        ).alias("novelty_rate"),
+    )
