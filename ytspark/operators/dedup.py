@@ -2122,6 +2122,132 @@ def winnowing_pairs(docs: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style): cluster-blocked embedding-cosine pairs
+# ---------------------------------------------------------------------------
+
+SEM_THRESHOLD = 0.4  # within-cluster cosine floor for a semantic dup pair
+
+
+def _semantic_oracle() -> str:
+    from ytspark.operators.clustering import DIST_ROUND, KM_K
+
+    return f"""
+WITH c AS (
+  SELECT vec_id AS centroid_id, embedding AS cv
+  FROM embeddings WHERE vec_id < {KM_K}
+),
+p AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         ROUND(LIST_REDUCE(
+           LIST_TRANSFORM(GENERATE_SERIES(1, LEN(e.embedding)),
+             i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))
+                * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))),
+           (a, x) -> a + x), {DIST_ROUND}) AS dist_r
+  FROM embeddings e CROSS JOIN c
+),
+assign AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, centroid_id AS cluster
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY dist_r, centroid_id) AS rk
+    FROM p
+  ) WHERE rk = 1
+)
+SELECT a.cluster,
+       a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(LIST_DOT_PRODUCT(a.v, b.v)
+             / (SQRT(LIST_DOT_PRODUCT(a.v, a.v))
+                * SQRT(LIST_DOT_PRODUCT(b.v, b.v))), 6) AS cos_sim
+FROM assign a JOIN assign b
+  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+WHERE ROUND(LIST_DOT_PRODUCT(a.v, b.v)
+            / (SQRT(LIST_DOT_PRODUCT(a.v, a.v))
+               * SQRT(LIST_DOT_PRODUCT(b.v, b.v))), 6) >= {SEM_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_semantic_clusters",
+    oracle=_semantic_oracle(),
+    doc="SEMANTIC dedup, SemDeDup-style (Abbas et al.): embeddings are "
+        "assigned to their nearest k-means centroid (the fixed seed "
+        "centroids the kmeans operator certifies, broadcast K-row "
+        "table, map-only assignment) and cosine similarity is scored "
+        "ONLY within clusters — the cluster structure bounds the "
+        "quadratic blowup that makes brute-force embedding dedup "
+        f"(dedup_embedding_cosine) infeasible at corpus scale. Pairs "
+        f"with cosine >= {SEM_THRESHOLD} are reported with their "
+        "cluster. At 100 TB the centroid count scales with the corpus "
+        "(SemDeDup uses ~100k clusters for billions of docs) so "
+        "per-cluster populations stay bounded; here the certified "
+        "K-seed assignment stands in, and the per-cluster scoring is "
+        "an Arrow-batched numpy GEMM per cluster group (the same "
+        "kernel discipline as the block-pair GEMM), never an "
+        "interpreted per-pair expression. Misses cross-cluster pairs "
+        "near boundaries by design — the recall trade SemDeDup "
+        "documents; dedup_lsh_recall_eval's methodology applies for "
+        "measuring it.",
+    tags=("dedup", "semantic", "embedding", "clustering", "udf"),
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from ytspark.operators.clustering import DIST_ROUND, KM_K
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    cents = emb.where(F.col("vec_id") < KM_K).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+    )
+    diff2 = F.zip_with(
+        "embedding",
+        "cv",
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    dist2 = F.aggregate(diff2, F.lit(0.0), lambda a, x: a + x)
+    from pyspark.sql import Window
+
+    pairs = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "embedding", "centroid_id",
+        F.round(dist2, DIST_ROUND).alias("dist_r"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist_r", "centroid_id")
+    assigned = (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "embedding", F.col("centroid_id").alias("cluster"))
+    )
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"cluster": [], "vec_a": [], "vec_b": [], "cos_sim": []}
+            )
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = np.stack(pdf["embedding"].to_numpy()[order]).astype("float64")
+        norms = np.sqrt((m * m).sum(axis=1))
+        sims = (m @ m.T) / (norms[:, None] * norms[None, :])
+        iu = np.triu_indices(len(ids), k=1)
+        cs = np.round(sims[iu], 6)
+        keep = cs >= SEM_THRESHOLD
+        return pd.DataFrame(
+            {
+                "cluster": np.full(int(keep.sum()), pdf["cluster"].iloc[0]),
+                "vec_a": ids[iu[0][keep]],
+                "vec_b": ids[iu[1][keep]],
+                "cos_sim": cs[keep],
+            }
+        )
+
+    return assigned.groupBy("cluster").applyInPandas(
+        score, schema="cluster bigint, vec_a bigint, vec_b bigint, cos_sim double"
+    )
+
+
 def _winnow_clusters_oracle() -> str:
     return f"""
 WITH RECURSIVE pairs AS (
