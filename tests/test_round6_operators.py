@@ -627,3 +627,15 @@ class TestNoveltyCurve:
         for r in rows:
             assert 0.0 < r["novelty_rate"] <= 1.0
             assert r["novel_grams"] <= r["total_grams"]
+
+
+class TestStreamingDQ:
+    def test_counters_collapse_to_batch(self, spark, sf_dir):
+        from ytspark.queries import registry
+        from ytspark.session import load_tables
+
+        r = registry()["streaming_dq_monitor"].fn(spark, sf_dir).first()
+        n = load_tables(spark, sf_dir, "events")["events"].count()
+        assert r["n_rows"] == n
+        assert r["n_batches"] == 4
+        assert r["all_clean"] is True  # fixtures carry no violations

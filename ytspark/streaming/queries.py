@@ -669,3 +669,112 @@ def streaming_tws_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = f"stream_tws_{abs(hash(sf_dir)) % 10_000_000}"
     _run_to_memory(stats, sink, output_mode="append")
     return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
+# Streaming data-quality monitor: additive constraint counters per batch
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_dq_monitor",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_value,
+       CAST(SUM(CASE WHEN value < 0 OR value > 10000
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_out_of_range,
+       CAST(SUM(CASE WHEN event_type NOT IN
+                     ('view', 'click', 'purchase', 'signup', 'error')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_type,
+       ROUND(CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS null_rate,
+       CAST(4 AS BIGINT) AS n_batches,
+       SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) = 0
+         AND SUM(CASE WHEN value < 0 OR value > 10000
+                  THEN 1 ELSE 0 END) = 0
+         AND SUM(CASE WHEN event_type NOT IN
+                      ('view', 'click', 'purchase', 'signup', 'error')
+                  THEN 1 ELSE 0 END) = 0 AS all_clean
+FROM events
+""",
+    doc="STREAMING DQ MONITOR: the constraint-suite counters "
+        "maintained over a micro-batched stream (file source, one "
+        "batch per file, foreachBatch) — each tick computes its "
+        "batch's null/range/domain violation counts with ONE "
+        "aggregate and ADDS them into the running totals (counters "
+        "are additive, so the monitor state is a handful of integers "
+        "regardless of stream length — the Deequ-on-streams shape). "
+        "After the availableNow drain, the accumulated totals must "
+        "equal the batch recompute over everything streamed: the "
+        "batch-collapse certification that slicing into micro-batches "
+        "cannot change what the monitor reports. Per-tick state is "
+        "eagerly checkpointed so lineage stays O(1) per tick.",
+    tags=("streaming", "quality", "checks", "aggregate"),
+)
+def streaming_dq_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ytspark.plans.scratch import scratch_dir
+    from ytspark.session import load_tables
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    stage = os.path.join(scratch_dir(f"stream_dq_{sf_dir}"), "stage")
+    shutil.rmtree(stage, ignore_errors=True)
+    ev.repartitionByRange(4, "event_id").write.parquet(stage)
+    schema = spark.read.parquet(stage).schema
+
+    state = {"df": None, "n_batches": 0}
+    good_types = ("view", "click", "purchase", "signup", "error")
+
+    def tick(batch_df, batch_id):
+        counters = batch_df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("value").isNull().cast("int")).alias("n_null_value"),
+            F.sum(
+                ((F.col("value") < 0) | (F.col("value") > 10000)).cast("int")
+            ).alias("n_out_of_range"),
+            F.sum(
+                (~F.col("event_type").isin(*good_types)).cast("int")
+            ).alias("n_bad_type"),
+        ).na.fill(0)
+        merged = (
+            counters
+            if state["df"] is None
+            else state["df"]
+            .unionByName(counters)
+            .agg(
+                F.sum("n_rows").alias("n_rows"),
+                F.sum("n_null_value").alias("n_null_value"),
+                F.sum("n_out_of_range").alias("n_out_of_range"),
+                F.sum("n_bad_type").alias("n_bad_type"),
+            )
+        )
+        state["df"] = merged.localCheckpoint(eager=True)
+        state["n_batches"] += 1
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.foreachBatch(tick)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    s = state["df"]
+    return s.select(
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_null_value").cast("long").alias("n_null_value"),
+        F.col("n_out_of_range").cast("long").alias("n_out_of_range"),
+        F.col("n_bad_type").cast("long").alias("n_bad_type"),
+        F.round(
+            F.col("n_null_value").cast("double") / F.col("n_rows"), 6
+        ).alias("null_rate"),
+        F.lit(state["n_batches"]).cast("long").alias("n_batches"),
+        (
+            (F.col("n_null_value") == 0)
+            & (F.col("n_out_of_range") == 0)
+            & (F.col("n_bad_type") == 0)
+        ).alias("all_clean"),
+    )
