@@ -639,3 +639,20 @@ class TestStreamingDQ:
         assert r["n_rows"] == n
         assert r["n_batches"] == 4
         assert r["all_clean"] is True  # fixtures carry no violations
+
+
+class TestPRFExpansion:
+    def test_expansion_widens_reach(self, spark, sf_dir):
+        from ytspark.operators.search import BM25_QUERY, PRF_EXPANSION_E
+        from ytspark.queries import registry
+
+        rows = registry()["bm25_prf_expansion"].fn(spark, sf_dir).collect()
+        assert rows
+        terms = rows[0]["exp_terms"].split(",")
+        assert 1 <= len(terms) <= PRF_EXPANSION_E
+        assert not set(terms) & set(BM25_QUERY)  # genuinely new terms
+        # reach flag is well-formed (whether expansion ADDS docs is
+        # data-dependent: common query terms may already reach all)
+        assert all(isinstance(r["was_in_base"], bool) for r in rows)
+        scores = [r["bm25_expanded"] for r in rows]
+        assert scores == sorted(scores, reverse=True)

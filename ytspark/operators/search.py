@@ -684,3 +684,190 @@ def search_rank_agreement_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("kendall_tau"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pseudo-relevance-feedback (PRF) query expansion for BM25
+# ---------------------------------------------------------------------------
+
+PRF_FEEDBACK_K = 10  # base-retrieval docs used as feedback
+PRF_EXPANSION_E = 3  # expansion terms added to the query
+PRF_MIN_FEEDBACK_DF = 2  # expansion term must appear in >= 2 feedback docs
+PRF_TOP = 20
+
+
+_PRF_ORACLE = f"""
+WITH dt_all AS (
+  SELECT doc_id, t AS term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents)
+  GROUP BY doc_id, t
+),
+stats_all AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS doc_freq
+  FROM dt_all GROUP BY term
+),
+dl AS (SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS dl FROM documents),
+n AS (SELECT COUNT(*) AS n_docs,
+             AVG(LEN(STRING_SPLIT(text, ' '))) AS avg_dl FROM documents),
+base AS (
+  SELECT dt.doc_id, ROUND(SUM(
+           LN(1.0 + (n.n_docs - s.doc_freq + 0.5) / (s.doc_freq + 0.5))
+           * dt.tf * ({BM25_K1} + 1.0)
+           / (dt.tf + {BM25_K1}
+              * (1.0 - {BM25_B} + {BM25_B} * dl.dl / n.avg_dl))), 6) AS bm25
+  FROM dt_all dt JOIN stats_all s USING (term)
+  JOIN dl USING (doc_id) CROSS JOIN n
+  WHERE dt.term IN ({_BM25_QUERY_SQL})
+  GROUP BY dt.doc_id
+),
+feedback AS (
+  SELECT doc_id FROM base
+  ORDER BY bm25 DESC, doc_id LIMIT {PRF_FEEDBACK_K}
+),
+exp_terms AS (
+  SELECT term FROM (
+    SELECT dt.term,
+           ROUND(SUM(dt.tf * LN(CAST(n.n_docs AS DOUBLE) / s.doc_freq)), 6)
+             AS w,
+           COUNT(*) AS fb_df
+    FROM dt_all dt
+    JOIN feedback f USING (doc_id)
+    JOIN stats_all s USING (term)
+    CROSS JOIN n
+    WHERE dt.term NOT IN ({_BM25_QUERY_SQL})
+    GROUP BY dt.term
+  )
+  WHERE fb_df >= {PRF_MIN_FEEDBACK_DF}
+  ORDER BY w DESC, term LIMIT {PRF_EXPANSION_E}
+),
+qterms AS (
+  SELECT UNNEST([{_BM25_QUERY_SQL}]) AS term
+  UNION SELECT term FROM exp_terms
+),
+expanded AS (
+  SELECT dt.doc_id, ROUND(SUM(
+           LN(1.0 + (n.n_docs - s.doc_freq + 0.5) / (s.doc_freq + 0.5))
+           * dt.tf * ({BM25_K1} + 1.0)
+           / (dt.tf + {BM25_K1}
+              * (1.0 - {BM25_B} + {BM25_B} * dl.dl / n.avg_dl))), 6)
+           AS bm25_expanded
+  FROM dt_all dt
+  JOIN qterms q USING (term)
+  JOIN stats_all s USING (term)
+  JOIN dl USING (doc_id) CROSS JOIN n
+  GROUP BY dt.doc_id
+),
+terms_str AS (
+  SELECT STRING_AGG(term, ',' ORDER BY term) AS exp_terms FROM exp_terms
+)
+SELECT e.doc_id, e.bm25_expanded,
+       b.bm25 IS NOT NULL AS was_in_base,
+       t.exp_terms
+FROM expanded e
+LEFT JOIN base b ON b.doc_id = e.doc_id
+CROSS JOIN terms_str t
+ORDER BY e.bm25_expanded DESC, e.doc_id
+LIMIT {PRF_TOP}
+"""
+
+
+@register(
+    "bm25_prf_expansion",
+    oracle=_PRF_ORACLE,
+    doc=f"PSEUDO-RELEVANCE-FEEDBACK query expansion (Rocchio-style "
+        f"PRF): the BM25 top-{PRF_FEEDBACK_K} for the literal query "
+        f"become feedback docs, the top-{PRF_EXPANSION_E} non-query "
+        "terms by feedback TF-IDF mass (appearing in >= "
+        f"{PRF_MIN_FEEDBACK_DF} feedback docs, rounded-weight + term "
+        "tiebreak so selection is a cross-engine total order) join "
+        "the query, and BM25 re-runs over the expanded term set — "
+        "the classic recall lever when literal queries miss "
+        "vocabulary variants. Every ranked row carries the chosen "
+        "expansion terms and whether it was reachable by the base "
+        "query, so the gate certifies the term SELECTION and the "
+        "re-ranking in one result. Serving cost stays O(postings of "
+        "query+expansion terms): the term filter lands on the "
+        "exploded postings before any join, feedback is a bounded "
+        "top-k, and expansion scoring touches only feedback-doc "
+        "postings.",
+    tags=("search", "text", "prf", "join", "topk"),
+)
+def bm25_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    dt_all = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats_all = dt_all.groupBy("term").agg(
+        F.count(F.lit(1)).alias("doc_freq")
+    )
+    dl = docs.select(
+        "doc_id", F.array_size(tokens(F.col("text"))).cast("double").alias("dl")
+    )
+    n = F.broadcast(_corpus_scalars(docs))
+
+    def bm25_over(terms_df):
+        return (
+            dt_all.join(F.broadcast(terms_df), "term")
+            .join(stats_all, "term")
+            .join(dl, "doc_id")
+            .crossJoin(n)
+            .groupBy("doc_id")
+            .agg(F.round(F.sum(_bm25_score()), 6).alias("score"))
+        )
+
+    qterms = spark.createDataFrame(
+        [(t,) for t in BM25_QUERY], "term string"
+    )
+    base = bm25_over(qterms)
+    feedback = (
+        base.orderBy(F.desc("score"), "doc_id")
+        .limit(PRF_FEEDBACK_K)
+        .select("doc_id")
+    )
+    exp_terms = (
+        dt_all.join(F.broadcast(feedback), "doc_id")
+        .where(~F.col("term").isin(*BM25_QUERY))
+        .join(stats_all, "term")
+        .crossJoin(n)
+        .groupBy("term")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("tf")
+                    * F.log(F.col("n_docs").cast("double") / F.col("doc_freq"))
+                ),
+                6,
+            ).alias("w"),
+            F.count(F.lit(1)).alias("fb_df"),
+        )
+        .where(F.col("fb_df") >= PRF_MIN_FEEDBACK_DF)
+        .orderBy(F.desc("w"), "term")
+        .limit(PRF_EXPANSION_E)
+        .select("term")
+        .localCheckpoint(eager=True)  # bounded; read by union + string agg
+    )
+    all_terms = qterms.unionByName(exp_terms).distinct()
+    expanded = bm25_over(all_terms).withColumnRenamed(
+        "score", "bm25_expanded"
+    )
+    terms_str = exp_terms.agg(
+        F.concat_ws(",", F.array_sort(F.collect_list("term"))).alias(
+            "exp_terms"
+        )
+    )
+    return (
+        expanded.join(
+            base.select("doc_id").withColumn("ib", F.lit(1)), "doc_id", "left"
+        )
+        .crossJoin(F.broadcast(terms_str))
+        .select(
+            "doc_id",
+            "bm25_expanded",
+            F.col("ib").isNotNull().alias("was_in_base"),
+            "exp_terms",
+        )
+        .orderBy(F.desc("bm25_expanded"), "doc_id")
+        .limit(PRF_TOP)
+    )
