@@ -656,3 +656,16 @@ class TestPRFExpansion:
         assert all(isinstance(r["was_in_base"], bool) for r in rows)
         scores = [r["bm25_expanded"] for r in rows]
         assert scores == sorted(scores, reverse=True)
+
+
+class TestWeeklyJSD:
+    def test_jsd_bounds(self, spark, sf_dir):
+        import math
+
+        from ytspark.queries import registry
+
+        rows = registry()["weekly_jsd_drift"].fn(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert 0.0 <= r["jsd"] <= math.log(2) + 1e-9
+            assert r["n_types"] >= 1

@@ -221,3 +221,84 @@ def ks_psi_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("psi_raw", 6).alias("psi"),
         F.round("max_bin_share", 6).alias("max_bin_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Week-over-week distribution drift: Jensen-Shannon divergence series
+# ---------------------------------------------------------------------------
+
+JSD_ALERT = 0.1  # nats; flag threshold for the weekly series
+
+
+@register(
+    "weekly_jsd_drift",
+    oracle=f"""
+WITH wt AS (
+  SELECT CAST(DATE_TRUNC('week', ts) AS DATE) AS wk, event_type,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT wk, CAST(SUM(c) AS BIGINT) AS t FROM wt GROUP BY wk),
+p AS (
+  SELECT wt.wk, wt.event_type, CAST(wt.c AS DOUBLE) / tot.t AS p
+  FROM wt JOIN tot USING (wk)
+),
+pairs AS (
+  SELECT cur.wk, cur.event_type, cur.p AS pc, prv.p AS pp
+  FROM p cur JOIN p prv
+    ON prv.event_type = cur.event_type
+   AND prv.wk = cur.wk - INTERVAL 7 DAY
+)
+SELECT STRFTIME(wk, '%Y-%m-%d') AS week,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       ROUND(SUM(
+         0.5 * pc * LN(pc / ((pc + pp) / 2))
+         + 0.5 * pp * LN(pp / ((pc + pp) / 2))), 6) AS jsd,
+       SUM(0.5 * pc * LN(pc / ((pc + pp) / 2))
+           + 0.5 * pp * LN(pp / ((pc + pp) / 2))) > {JSD_ALERT}
+         AS drift_alert
+FROM pairs GROUP BY wk
+""",
+    doc="WEEK-OVER-WEEK distribution drift as a Jensen-Shannon "
+        "divergence SERIES: each week's event-type distribution is "
+        "compared to the previous week's (consecutive weeks aligned "
+        "by an exact 7-day join on the week key — no window needed) "
+        f"and weeks beyond {JSD_ALERT} nats are flagged — the "
+        "time-resolved complement of the half-vs-half KS/PSI monitor: "
+        "a single global test cannot say WHEN the mix shifted, the "
+        "weekly series can. JSD is symmetric and bounded (<= ln 2), "
+        "the right default for categorical mix monitoring; terms fold "
+        "from exact count ratios with one rounding at the report "
+        "edge. Types present in only one of the two weeks drop from "
+        "the pair join (documented simplification — the event-type "
+        "vocabulary here is closed; open vocabularies add a smoothing "
+        "floor).",
+    tags=("drift", "statistics", "time", "aggregate"),
+)
+def weekly_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    wt = ev.groupBy(
+        F.date_trunc("week", "ts").cast("date").alias("wk"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tot = wt.groupBy("wk").agg(F.sum("c").alias("t"))
+    p = wt.join(tot, "wk").select(
+        "wk", "event_type", (F.col("c").cast("double") / F.col("t")).alias("p")
+    )
+    cur = p.select("wk", "event_type", F.col("p").alias("pc"))
+    prv = p.select(
+        F.date_add("wk", 7).alias("wk"),
+        "event_type",
+        F.col("p").alias("pp"),
+    )
+    pairs = cur.join(prv, ["wk", "event_type"])
+    m = (F.col("pc") + F.col("pp")) / 2
+    term = 0.5 * F.col("pc") * F.log(F.col("pc") / m) + 0.5 * F.col(
+        "pp"
+    ) * F.log(F.col("pp") / m)
+    return pairs.groupBy(
+        F.date_format("wk", "yyyy-MM-dd").alias("week")
+    ).agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(F.sum(term), 6).alias("jsd"),
+        (F.sum(term) > JSD_ALERT).alias("drift_alert"),
+    )
