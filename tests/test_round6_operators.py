@@ -669,3 +669,21 @@ class TestWeeklyJSD:
         for r in rows:
             assert 0.0 <= r["jsd"] <= math.log(2) + 1e-9
             assert r["n_types"] >= 1
+
+
+class TestGapSweep:
+    def test_sweep_agrees_with_full_sessionization(self, spark, sf_dir):
+        """Cross-operator consistency: the sweep's 30-minute count must
+        equal the session featurizer's actual session count."""
+        from ytspark.queries import registry
+
+        sweep = {
+            r["gap_minutes"]: r["n_sessions"]
+            for r in registry()["sessionization_gap_sweep"].fn(
+                spark, sf_dir
+            ).collect()
+        }
+        full = registry()["session_feature_vectors"].fn(spark, sf_dir).first()
+        assert sweep[30] == full["n_sessions"]
+        # monotone: larger gaps merge sessions
+        assert sweep[15] >= sweep[30] >= sweep[60]

@@ -1935,3 +1935,83 @@ def session_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_types").cast("long").alias("sum_types"),
         F.sum("total_value").cast("double").alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization parameter sweep: session counts across gap thresholds
+# ---------------------------------------------------------------------------
+
+GAP_SWEEP_MIN = (15, 30, 60)  # candidate inactivity gaps (minutes)
+
+
+def _gap_sweep_sql(gap_min: int) -> str:
+    return f"""
+SELECT {gap_min} AS gap_minutes,
+       CAST(COUNT(*) AS BIGINT) + CAST((
+         SELECT COUNT(DISTINCT user_id) FROM events) AS BIGINT) AS n_sessions,
+       CAST((SELECT COUNT(*) FROM events) AS BIGINT) AS n_events
+FROM (
+  SELECT user_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+)
+WHERE prev IS NOT NULL
+  AND ts - prev > INTERVAL {gap_min} MINUTE
+"""
+
+
+@register(
+    "sessionization_gap_sweep",
+    oracle=" UNION ALL ".join(_gap_sweep_sql(g) for g in GAP_SWEEP_MIN),
+    doc="SESSIONIZATION PARAMETER SWEEP: the session count each "
+        f"candidate inactivity gap {GAP_SWEEP_MIN} would produce, "
+        "computed in ONE pass — sessions(gap) = users + breaks(gap), "
+        "and all three break counts are conditional sums over the "
+        "same LAG column, so sweeping the parameter costs one window "
+        "+ one aggregate, not one sessionization per candidate (the "
+        "elbow-finding run every pipeline does before fixing its gap; "
+        "a 3x pass-per-candidate sweep is the naive shape this "
+        "replaces). The identity sessions = users + breaks is exact "
+        "because every user's first event opens a session and every "
+        "gap violation opens exactly one more.",
+    tags=("temporal", "sessionize", "window", "aggregate", "scale"),
+)
+def sessionization_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "user_id",
+        "ts",
+        F.lag("ts").over(w).alias("prev"),
+    )
+    gap_us = [
+        (
+            g,
+            F.sum(
+                (
+                    F.col("prev").isNotNull()
+                    & (
+                        F.unix_micros("ts") - F.unix_micros("prev")
+                        > g * 60_000_000
+                    )
+                ).cast("long")
+            ),
+        )
+        for g in GAP_SWEEP_MIN
+    ]
+    agg = lagged.agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+        *[b.alias(f"breaks_{g}") for g, b in gap_us],
+    )
+    out = None
+    for g in GAP_SWEEP_MIN:
+        row = agg.select(
+            F.lit(g).cast("long").alias("gap_minutes"),
+            (F.col(f"breaks_{g}") + F.col("n_users"))
+            .cast("long")
+            .alias("n_sessions"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
