@@ -687,3 +687,19 @@ class TestGapSweep:
         assert sweep[30] == full["n_sessions"]
         # monotone: larger gaps merge sessions
         assert sweep[15] >= sweep[30] >= sweep[60]
+
+
+class TestInterarrival:
+    def test_order_statistics_sane(self, spark, sf_dir):
+        from ytspark.queries import registry
+
+        rows = registry()["interarrival_profile"].fn(spark, sf_dir).collect()
+        assert len(rows) == 5
+        for r in rows:
+            assert (
+                r["min_gap_s"]
+                <= r["median_gap_s"]
+                <= r["p90_gap_s"]
+                <= r["max_gap_s"]
+            )
+            assert r["n_gaps"] > 0

@@ -2015,3 +2015,111 @@ def sessionization_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival time profile: exact grouped median via the two-pass rank
+# ---------------------------------------------------------------------------
+
+IAT_BUCKET_S = 600  # 10-minute histogram buckets for the locator pass
+
+
+@register(
+    "interarrival_profile",
+    oracle=f"""
+WITH gaps AS (
+  SELECT event_type,
+         (EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER (
+           PARTITION BY user_id, event_type
+           ORDER BY ts, event_id))) // 1000000 AS gap_s
+  FROM events
+),
+g AS (SELECT event_type, gap_s FROM gaps WHERE gap_s IS NOT NULL),
+r AS (
+  SELECT event_type, gap_s,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY gap_s) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM g
+)
+SELECT event_type,
+       CAST(MIN(n) AS BIGINT) AS n_gaps,
+       CAST(MIN(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT)
+                THEN gap_s END) AS BIGINT) AS median_gap_s,
+       CAST(MIN(CASE WHEN rn = CAST(CEIL(0.9 * n) AS BIGINT)
+                THEN gap_s END) AS BIGINT) AS p90_gap_s,
+       CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
+       CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
+FROM r GROUP BY event_type
+""",
+    doc="INTER-ARRIVAL TIME profile: per event type, the EXACT median "
+        "and p90 of the gaps between a user's consecutive events of "
+        "that type (integer epoch-second arithmetic) — the base rates "
+        "behind session-gap choices, anomaly thresholds, and queueing "
+        "assumptions (exponential inter-arrivals would put p90 ~ "
+        "3.3x median; heavier tails shift it). The engine side "
+        "computes the order statistics with the two-pass bucket "
+        "locator (10-minute histogram buckets, cumulative offsets "
+        "over the tiny per-type bucket table, within-bucket "
+        "row_number over ~1/bucket of the data) — no full sort; the "
+        "oracle is the naive full-rank definition, feasible at gate "
+        "scale, which is exactly why the two-pass form exists for "
+        "the real one.",
+    tags=("temporal", "statistics", "percentile", "window", "aggregate"),
+)
+def interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        F.expr(
+            "(unix_micros(ts) - unix_micros(lag(ts) OVER "
+            "(PARTITION BY user_id, event_type ORDER BY ts, event_id)))"
+            " div 1000000"
+        ).alias("gap_s"),
+    ).where(F.col("gap_s").isNotNull())
+    d = gaps.withColumn(
+        "bucket", F.expr(f"gap_s div {IAT_BUCKET_S}")
+    ).localCheckpoint(eager=True)  # read by hist, extremes AND rank pass
+    hist = d.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    ow = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = hist.select(
+        "event_type", "bucket", "c",
+        F.coalesce(F.sum("c").over(ow), F.lit(0)).alias("off"),
+    )
+    stats = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("gap_s").alias("min_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+    )
+    out = None
+    for pname, p in (("median_gap_s", 0.5), ("p90_gap_s", 0.9)):
+        k = stats.select(
+            "event_type",
+            F.ceil(F.lit(p) * F.col("n")).cast("long").alias("k"),
+        )
+        located = k.join(cum, "event_type").where(
+            (F.col("k") > F.col("off"))
+            & (F.col("k") <= F.col("off") + F.col("c"))
+        ).select("event_type", "k", "bucket", "off")
+        wv = Window.partitionBy("event_type").orderBy("gap_s")
+        sel = (
+            d.join(F.broadcast(located), ["event_type", "bucket"])
+            .withColumn("rn", F.row_number().over(wv))
+            .where(F.col("rn") == F.col("k") - F.col("off"))
+            .select("event_type", F.col("gap_s").alias(pname))
+        )
+        out = sel if out is None else out.join(sel, "event_type")
+    return stats.join(out, "event_type").select(
+        "event_type",
+        F.col("n").cast("long").alias("n_gaps"),
+        "median_gap_s",
+        "p90_gap_s",
+        "min_gap_s",
+        "max_gap_s",
+    )
