@@ -101,6 +101,7 @@ EXPECTED_NESTED_LOOP = {
     "embedding_norm_outliers",       # broadcast one-row moment frame
     "search_rank_agreement_eval",    # <=50-row common-list pair join
     "bm25_prf_expansion",            # broadcast 1-row scalars + terms string
+    "interarrival_profile",          # per-type x tiny-histogram theta join
     "huber_trend_irls",              # broadcast one-row fit per IRLS round
     "term_burstiness_profile",       # broadcast one-row corpus size
     "cohort_ltv_curves",             # broadcast cohort-size dim
