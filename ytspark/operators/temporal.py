@@ -1946,7 +1946,7 @@ GAP_SWEEP_MIN = (15, 30, 60)  # candidate inactivity gaps (minutes)
 
 def _gap_sweep_sql(gap_min: int) -> str:
     return f"""
-SELECT {gap_min} AS gap_minutes,
+SELECT CAST({gap_min} AS BIGINT) AS gap_minutes,
        CAST(COUNT(*) AS BIGINT) + CAST((
          SELECT COUNT(DISTINCT user_id) FROM events) AS BIGINT) AS n_sessions,
        CAST((SELECT COUNT(*) FROM events) AS BIGINT) AS n_events
