@@ -2123,3 +2123,60 @@ def interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_gap_s",
         "max_gap_s",
     )
+
+
+# ---------------------------------------------------------------------------
+# Activity streaks: gaps-and-islands over per-user active days
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "activity_streak_histogram",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+r AS (
+  SELECT user_id, day,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+  FROM days
+),
+s AS (
+  SELECT user_id, day - CAST(rn AS INTEGER) AS island,
+         CAST(COUNT(*) AS BIGINT) AS len
+  FROM r GROUP BY 1, 2
+)
+SELECT len AS streak_days,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM s GROUP BY 1
+""",
+    doc="ACTIVITY STREAKS via the gaps-and-islands idiom: a user's "
+        "consecutive-active-day runs collapse to a constant island "
+        "key (day minus the user-ordered row number — consecutive "
+        "days advance both by one), so streak extraction is ONE "
+        "per-user window + ONE aggregate; the output is the streak- "
+        "length histogram (how many runs of each length, how many "
+        "distinct users have one) that powers engagement/retention "
+        "dashboards and streak-badge features. Scale: the window "
+        "partitions by user_id (no global sort), the distinct and "
+        "both aggregates shuffle on keys with map-side combine; "
+        "cardinality after the first distinct is |user x active-day|, "
+        "already << |events|.",
+    tags=("temporal", "window", "aggregate", "sessionize"),
+)
+def activity_streak_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.select(
+        "user_id",
+        F.date_sub(F.col("day"), F.row_number().over(w)).alias("island"),
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("streak_days")
+    )
+    return streaks.groupBy("streak_days").agg(
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
