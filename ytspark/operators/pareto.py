@@ -89,3 +89,91 @@ def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_size").cast("long").alias("p_size"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ABC (Pareto 80/95) inventory classification per brand
+# ---------------------------------------------------------------------------
+
+_ABC_REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(4,2))"
+
+
+@register(
+    "abc_pareto_classes",
+    oracle=f"""
+WITH pr AS (
+  SELECT p.p_brand, l.l_partkey, SUM({_ABC_REV}) AS rev
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+),
+c AS (
+  SELECT p_brand, l_partkey, rev,
+         SUM(rev) OVER (PARTITION BY p_brand
+                        ORDER BY rev DESC, l_partkey
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(rev) OVER (PARTITION BY p_brand) AS total
+  FROM pr
+),
+k AS (
+  SELECT p_brand,
+         CASE WHEN cum * 100 <= total * 80 THEN 'A'
+              WHEN cum * 100 <= total * 95 THEN 'B'
+              ELSE 'C' END AS abc_class,
+         rev
+  FROM c
+)
+SELECT p_brand, abc_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(rev) AS DOUBLE) AS class_revenue
+FROM k GROUP BY 1, 2
+""",
+    doc="ABC / PARETO 80-95 CLASSIFICATION per brand: parts ranked by "
+        "exact DECIMAL revenue within their brand, classified A while "
+        "the running total stays within 80% of the brand total, B to "
+        "95%, C beyond — the standard inventory-stratification cut "
+        "('A-items get daily counts, C-items yearly'). All boundary "
+        "comparisons are pure DECIMAL (cum*100 <= total*80), so both "
+        "engines classify the boundary part identically — no float "
+        "share ever computed. Scale: one key-shuffled aggregate to "
+        "|brand x part| rows, then a window PARTITIONED BY brand "
+        "(never global) over that already-reduced table; the part "
+        "dim join is broadcast-eligible and the class rollup is a "
+        "map-side-combinable aggregate.",
+    tags=("relational", "window", "aggregate", "pareto"),
+)
+def abc_pareto_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    li, part = t["lineitem"], t["part"]
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
+    )
+    pr = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "l_partkey")
+        .agg(F.sum(rev).alias("rev"))
+    )
+    wcum = (
+        Window.partitionBy("p_brand")
+        .orderBy(F.col("rev").desc(), F.col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("p_brand")
+    c = pr.select(
+        "p_brand",
+        "rev",
+        F.sum("rev").over(wcum).alias("cum"),
+        F.sum("rev").over(wtot).alias("total"),
+    )
+    k = c.select(
+        "p_brand",
+        F.when(F.col("cum") * 100 <= F.col("total") * 80, F.lit("A"))
+        .when(F.col("cum") * 100 <= F.col("total") * 95, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+        "rev",
+    )
+    return k.groupBy("p_brand", "abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("rev").cast("double").alias("class_revenue"),
+    )
