@@ -208,3 +208,29 @@ class TestGapFill:
         assert out["revenue_filled"].notna().all()
         # every (pri, day) appears exactly once — dense spine
         assert not out.duplicated(["pri", "day"]).any()
+
+
+class TestFileSkipping:
+    def test_clustered_layout_skips_random_does_not(self, spark, sf_dir):
+        """The operator's whole point: under min/max zone-map pruning a
+        time-clustered layout scans a small fraction of files for a
+        one-month predicate while a hash-random layout scans ~all of
+        them — and both layouts agree on rows_matched (pruning never
+        changes the answer)."""
+        from ytspark.operators.layout import file_skipping_stats
+
+        out = file_skipping_stats(spark, sf_dir).toPandas()
+        piv = out.set_index(["layout", "predicate"])
+        for pred in out["predicate"].unique():
+            clus = piv.loc[("time_clustered", pred)]
+            rand = piv.loc[("hash_random", pred)]
+            # same answer regardless of layout
+            assert clus["rows_matched"] == rand["rows_matched"] > 0
+            # scanning is sound: matched rows only come from scanned files
+            assert clus["rows_scanned"] >= clus["rows_matched"]
+            assert rand["rows_scanned"] >= rand["rows_matched"]
+            # random layout: ~every file overlaps every month (at tiny
+            # test SF a sparse bucket can squeak through — allow 5%)
+            assert rand["files_scanned"] >= rand["n_files"] * 0.95
+            # clustered layout: a month predicate prunes >70% of files
+            assert clus["files_scanned"] < clus["n_files"] * 0.3

@@ -290,3 +290,131 @@ def hilbert_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("y").cast("long").alias("y_max"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-skipping effectiveness: per-file min/max pruning, clustered vs random
+# ---------------------------------------------------------------------------
+
+# Week-bucket origin for the time-clustered layout.  Chosen BEFORE the
+# earliest TPC-H shipdate (1992-01-02) so datediff is always >= 0 and
+# Spark's `div` (truncate toward zero) agrees with DuckDB's `//`
+# (floor) — they differ on negatives.
+SKIP_EPOCH = "1992-01-01"
+SKIP_N_HASH_FILES = 128
+# one-month probe predicates, half-open [lo, hi)
+SKIP_PREDICATES = (
+    ("1996-03", "1996-03-01", "1996-04-01"),
+    ("1997-06", "1997-06-01", "1997-07-01"),
+    ("1998-09", "1998-09-01", "1998-10-01"),
+    ("2000-01", "2000-01-01", "2000-02-01"),
+)
+
+
+def _skip_oracle() -> str:
+    layouts = (
+        ("time_clustered",
+         f"DATEDIFF('day', DATE '{SKIP_EPOCH}', day) // 7"),
+        ("hash_random", f"l_orderkey % {SKIP_N_HASH_FILES}"),
+    )
+    parts = []
+    for lname, fk in layouts:
+        match_cols = ", ".join(
+            f"SUM(CASE WHEN day >= DATE '{lo}' AND day < DATE '{hi}' "
+            f"THEN 1 ELSE 0 END) AS m_{i}"
+            for i, (_, lo, hi) in enumerate(SKIP_PREDICATES)
+        )
+        stats = f"""
+  SELECT {fk} AS fk, MIN(day) AS mn, MAX(day) AS mx,
+         COUNT(*) AS c, {match_cols}
+  FROM (SELECT CAST(l_shipdate AS DATE) AS day, l_orderkey FROM lineitem)
+  GROUP BY 1
+"""
+        for i, (pname, lo, hi) in enumerate(SKIP_PREDICATES):
+            scan = f"(mn < DATE '{hi}' AND mx >= DATE '{lo}')"
+            parts.append(f"""
+SELECT '{lname}' AS layout, '{pname}' AS predicate,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(CASE WHEN {scan} THEN 1 ELSE 0 END) AS BIGINT)
+         AS files_scanned,
+       CAST(SUM(CASE WHEN {scan} THEN c ELSE 0 END) AS BIGINT)
+         AS rows_scanned,
+       CAST(SUM(m_{i}) AS BIGINT) AS rows_matched
+FROM ({stats})
+""")
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "file_skipping_stats",
+    oracle=_skip_oracle(),
+    doc="DATA-SKIPPING EFFECTIVENESS: simulate the lakehouse min/max "
+        "zone-map pruning that Delta/Iceberg/parquet row groups give "
+        "you, under two physical layouts of lineitem — time-clustered "
+        "(file = ship week, what a sorted/partitioned table produces) "
+        "vs hash-random (file = orderkey % "
+        f"{SKIP_N_HASH_FILES}, what unclustered ingest produces) — "
+        "probed by four one-month predicates. A file must be scanned "
+        "iff its [min,max] ship-date span overlaps the predicate; the "
+        "output (files scanned, rows scanned, rows actually matching) "
+        "quantifies why clustering matters: the clustered layout "
+        "scans ~predicate-width/total-span of the data, the random "
+        "layout scans everything for the same answer. This is the "
+        "measurement behind every OPTIMIZE/ZORDER decision; the "
+        "z-order and Hilbert queries compute the layouts, this one "
+        "prices them. Scale: ONE aggregate per layout to |files| "
+        "rows carrying per-predicate match counters (the sweep "
+        "pattern — parameters as conditional sums, not passes), then "
+        "constant-size selects over the tiny stats tables.",
+    tags=("layout", "scale", "aggregate", "profiling"),
+)
+def file_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    base = li.select(
+        F.to_date("l_shipdate").alias("day"),
+        F.col("l_orderkey"),
+    )
+    layouts = (
+        (
+            "time_clustered",
+            F.expr(f"datediff(day, DATE '{SKIP_EPOCH}') div 7"),
+        ),
+        ("hash_random", F.col("l_orderkey") % SKIP_N_HASH_FILES),
+    )
+    out = None
+    for lname, fk in layouts:
+        stats = base.groupBy(fk.alias("fk")).agg(
+            F.min("day").alias("mn"),
+            F.max("day").alias("mx"),
+            F.count(F.lit(1)).alias("c"),
+            *[
+                F.sum(
+                    (
+                        (F.col("day") >= F.lit(lo).cast("date"))
+                        & (F.col("day") < F.lit(hi).cast("date"))
+                    ).cast("long")
+                ).alias(f"m_{i}")
+                for i, (_, lo, hi) in enumerate(SKIP_PREDICATES)
+            ],
+        ).localCheckpoint(eager=True)  # read once per predicate below
+        for i, (pname, lo, hi) in enumerate(SKIP_PREDICATES):
+            scan = (F.col("mn") < F.lit(hi).cast("date")) & (
+                F.col("mx") >= F.lit(lo).cast("date")
+            )
+            row = stats.agg(
+                F.count(F.lit(1)).alias("n_files"),
+                F.sum(scan.cast("long")).alias("files_scanned"),
+                F.sum(F.when(scan, F.col("c")).otherwise(F.lit(0)))
+                .cast("long")
+                .alias("rows_scanned"),
+                F.sum(f"m_{i}").cast("long").alias("rows_matched"),
+            ).select(
+                F.lit(lname).alias("layout"),
+                F.lit(pname).alias("predicate"),
+                "n_files",
+                "files_scanned",
+                "rows_scanned",
+                "rows_matched",
+            )
+            out = row if out is None else out.unionByName(row)
+    return out

@@ -119,6 +119,13 @@ def register(
 # huber_trend_irls (replacing rate_limit_token_bucket, r4-r5 passes;
 # time keeps Holt-Winters + Theil-Sen). check_priority_window
 # simulated before the swap; all 40 families retain carriers.
+# Round 6's third rotation: the late-registered abc_pareto_classes
+# debuted the `relational` first tag (classic ABC inventory
+# classification), which the window gate requires a carrier for; it
+# rotates in over peak_concurrency_by_day (r5 driver pass on record;
+# temporal keeps 3 in-window carriers: Shapley, interval-union,
+# feature-store PIT). Simulated against check_priority_window before
+# the swap — all families retain carriers.
 # TRANSPARENCY: the code under test
 # chooses this ordering, so the external 50-row gate is breadth-first
 # by construction; the UNCAPPED result is auditable — every registered
@@ -220,7 +227,7 @@ _PRIORITY: tuple[str, ...] = (
     "classifier_eval_metrics",
     "window_navigation_battery",
     "range_frame_trailing_week",  # window family widened (r6)
-    "peak_concurrency_by_day",
+    "abc_pareto_classes",
     # round-5d rotation: the recommendation family debuts
     # (item-item cosine neighbors — the first "recommend" first-tag
     # query, which the window gate requires) plus the right-censored
