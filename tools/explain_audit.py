@@ -73,6 +73,7 @@ EXPECTED_NESTED_LOOP = {
     "bigram_lm_perplexity",          # broadcast one-row vocabulary size
     "categorical_association_battery",  # densified grid: a x broadcast b
     "graph_modularity_brands",       # broadcast one-row edge count m
+    "t_closeness_emd_audit",         # broadcast one-row global tier dist
     "funnel_latency_percentiles",    # broadcast one-row percentile agg
     "sliding_distinct_users_7d",     # |days|-row spine x trailing band
     "referential_integrity_audit",   # broadcast one-row child counts

@@ -1330,3 +1330,96 @@ def rare_category_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").cast("double") / F.min("t"), 6
         ).alias("frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t-closeness audit: exact EMD between class and global sensitive dist.
+# ---------------------------------------------------------------------------
+
+TCLOSE_INV_T = 5  # certify t-closeness at t = 1/5 = 0.2
+
+
+@register(
+    "t_closeness_emd_audit",
+    oracle=f"""
+WITH q AS (
+  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+         CASE WHEN c_acctbal < 0 THEN 0
+              WHEN c_acctbal < 5000 THEN 1
+              ELSE 2 END AS tier
+  FROM customer
+),
+cls AS (
+  SELECT nation, segment, COUNT(*) AS n,
+         SUM(CASE WHEN tier <= 0 THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN tier <= 1 THEN 1 ELSE 0 END) AS c2
+  FROM q GROUP BY nation, segment
+),
+tot AS (
+  SELECT COUNT(*) AS nn,
+         SUM(CASE WHEN tier <= 0 THEN 1 ELSE 0 END) AS g1,
+         SUM(CASE WHEN tier <= 1 THEN 1 ELSE 0 END) AS g2
+  FROM q
+)
+SELECT CAST(nation AS BIGINT) AS nation, segment,
+       CAST(n AS BIGINT) AS class_size,
+       CAST(ABS(c1 * nn - g1 * n) + ABS(c2 * nn - g2 * n) AS BIGINT)
+         AS emd_num,
+       CAST(2 * n * nn AS BIGINT) AS emd_den,
+       {TCLOSE_INV_T} * (ABS(c1 * nn - g1 * n) + ABS(c2 * nn - g2 * n))
+         <= 2 * n * nn AS t_close
+FROM cls CROSS JOIN tot
+""",
+    doc="T-CLOSENESS privacy audit — the third rung of the "
+        "de-identification ladder after k-anonymity and l-diversity "
+        "(both in `k_anonymity_audit`): a class can be large AND "
+        "diverse yet still leak because its sensitive DISTRIBUTION "
+        "differs from the table's. For the ordered account-balance "
+        "tiers (delinquent < standard < premium) the right distance "
+        "is the Earth Mover's Distance, which for ordered categories "
+        "is the mean |cumulative-share difference|. Computed EXACTLY "
+        "in integers: with class cumulative counts C_i (size n) and "
+        "global G_i (size N), EMD = (|C1*N-G1*n| + |C2*N-G2*n|) / "
+        "(2*n*N) — emitted as numerator/denominator BIGINTs so the "
+        "cross-engine hash has no float rounding to disagree on, and "
+        f"the t <= 1/{TCLOSE_INV_T} verdict is the integer comparison "
+        f"{TCLOSE_INV_T}*num <= den. Scale: one groupBy to |QI| rows "
+        "+ one global aggregate broadcast as a single row — a scan "
+        "and a map-side join at 100 TB. (BIGINT n*N overflows past "
+        "~3e9 rows; promote to DECIMAL(38,0) there.)",
+    tags=("profiling", "privacy", "statistics", "aggregate"),
+)
+def t_closeness_emd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_tables(spark, sf_dir, "customer")["customer"]
+    q = cust.select(
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.when(F.col("c_acctbal") < 0, F.lit(0))
+        .when(F.col("c_acctbal") < 5000, F.lit(1))
+        .otherwise(F.lit(2))
+        .alias("tier"),
+    )
+    cls = q.groupBy("nation", "segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("tier") <= 0).cast("long")).alias("c1"),
+        F.sum((F.col("tier") <= 1).cast("long")).alias("c2"),
+    )
+    glob = q.agg(
+        F.count(F.lit(1)).alias("nn"),
+        F.sum((F.col("tier") <= 0).cast("long")).alias("g1"),
+        F.sum((F.col("tier") <= 1).cast("long")).alias("g2"),
+    )
+    # one-row global distribution: broadcast cross join is a map-side
+    # enrich, never a shuffle (audit-allowlisted scalar pattern)
+    num = F.abs(F.col("c1") * F.col("nn") - F.col("g1") * F.col("n")) + F.abs(
+        F.col("c2") * F.col("nn") - F.col("g2") * F.col("n")
+    )
+    den = F.lit(2) * F.col("n") * F.col("nn")
+    return cls.crossJoin(F.broadcast(glob)).select(
+        "nation",
+        "segment",
+        F.col("n").cast("long").alias("class_size"),
+        num.cast("long").alias("emd_num"),
+        den.cast("long").alias("emd_den"),
+        (F.lit(TCLOSE_INV_T) * num <= den).alias("t_close"),
+    )
