@@ -74,6 +74,7 @@ EXPECTED_NESTED_LOOP = {
     "categorical_association_battery",  # densified grid: a x broadcast b
     "graph_modularity_brands",       # broadcast one-row edge count m
     "t_closeness_emd_audit",         # broadcast one-row global tier dist
+    "query_likelihood_dirichlet",    # candidates x broadcast 3-row term grid
     "funnel_latency_percentiles",    # broadcast one-row percentile agg
     "sliding_distinct_users_7d",     # |days|-row spine x trailing band
     "referential_integrity_audit",   # broadcast one-row child counts

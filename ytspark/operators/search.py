@@ -871,3 +871,108 @@ def bm25_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25_expanded"), "doc_id")
         .limit(PRF_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Query-likelihood retrieval with Dirichlet smoothing
+# ---------------------------------------------------------------------------
+
+QL_MU = 2000.0  # Dirichlet prior mass (standard default)
+QL_TOP = 20
+
+_QL_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents
+),
+dt AS (
+  SELECT doc_id, t AS term, COUNT(*) AS tf
+  FROM toks WHERE t IN ({_BM25_QUERY_SQL}) GROUP BY doc_id, t
+),
+ctf AS (
+  SELECT t AS term, COUNT(*) AS ctf
+  FROM toks WHERE t IN ({_BM25_QUERY_SQL}) GROUP BY t
+),
+coll AS (SELECT COUNT(*) AS clen FROM toks),
+dl AS (
+  SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS dl FROM documents
+),
+cand AS (SELECT DISTINCT doc_id FROM dt),
+scored AS (
+  SELECT cand.doc_id,
+         SUM(LN((COALESCE(dt.tf, 0) + {QL_MU} * ctf.ctf / coll.clen)
+                / (dl.dl + {QL_MU}))) AS score,
+         CAST(SUM(CASE WHEN dt.tf IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_terms_hit
+  FROM cand
+  CROSS JOIN ctf
+  CROSS JOIN coll
+  JOIN dl ON dl.doc_id = cand.doc_id
+  LEFT JOIN dt ON dt.doc_id = cand.doc_id AND dt.term = ctf.term
+  GROUP BY cand.doc_id
+)
+SELECT doc_id, ROUND(score, 6) AS ql_score, n_terms_hit
+FROM scored
+ORDER BY ROUND(score, 6) DESC, doc_id
+LIMIT {QL_TOP}
+"""
+
+
+@register(
+    "query_likelihood_dirichlet",
+    oracle=_QL_ORACLE,
+    doc="QUERY-LIKELIHOOD retrieval with Dirichlet smoothing (mu="
+        f"{QL_MU:g}) for the query {BM25_QUERY} — the language-model "
+        "ranking family (Ponte-Croft / Zhai-Lafferty) that complements "
+        "BM25's probabilistic-relevance family: score(d) = sum over "
+        "query terms of log((tf + mu*P(t|C)) / (dl + mu)). Unlike "
+        "BM25, ABSENT query terms still contribute (the smoothed "
+        "background mass), so each candidate is scored against the "
+        "full |query|-row term grid: candidates (docs hitting >=1 "
+        "term, found by filtering postings BEFORE any shuffle) "
+        "cross-join the broadcast 3-row collection-frequency table "
+        "and LEFT-join their own tf. Serving cost is O(query-term "
+        "postings) x |query| — independent of corpus size; collection "
+        "stats (ctf per term, total token count) are one extra "
+        "aggregate pass each, amortized across a query workload in "
+        "practice by keeping them as a tiny stats table. Scores "
+        "rounded to 6 dp before ranking with a doc_id tiebreak (the "
+        "BM25 cross-engine float policy).",
+    tags=("search", "text", "join", "topk"),
+)
+def query_likelihood_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    qtoks = toks.where(F.col("term").isin(*BM25_QUERY))
+    dt = qtoks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    ctf = F.broadcast(
+        qtoks.groupBy("term").agg(F.count(F.lit(1)).alias("ctf"))
+    )
+    coll = F.broadcast(toks.agg(F.count(F.lit(1)).alias("clen")))
+    dl = docs.select(
+        "doc_id", F.array_size(tokens(F.col("text"))).cast("double").alias("dl")
+    )
+    cand = dt.select("doc_id").distinct()
+    term_ll = F.log(
+        (F.coalesce(F.col("tf"), F.lit(0)) + F.lit(QL_MU) * F.col("ctf") / F.col("clen"))
+        / (F.col("dl") + F.lit(QL_MU))
+    )
+    return (
+        cand.crossJoin(ctf)  # |cand| x |query| grid, 3-row broadcast side
+        .crossJoin(coll)
+        .join(dl, "doc_id")
+        .join(dt, ["doc_id", "term"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(term_ll).alias("score"),
+            F.sum(F.col("tf").isNotNull().cast("long")).alias("n_terms_hit"),
+        )
+        .select(
+            "doc_id",
+            F.round(F.col("score"), 6).alias("ql_score"),
+            "n_terms_hit",
+        )
+        .orderBy(F.desc("ql_score"), F.asc("doc_id"))
+        .limit(QL_TOP)
+    )
