@@ -1,0 +1,129 @@
+"""Semantic tests for the round-6 close operators: the t-closeness
+EMD privacy audit and Dirichlet query-likelihood retrieval.
+
+Cross-engine value certification lives in tools/oracle_check.py; these
+pin the mathematical identities the oracles can't see (EMD reference
+recomputation, LM score monotonicity) on the real tables plus crafted
+fixtures.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+class TestTClosenessEmd:
+    def test_matches_pandas_reference(self, spark, sf_dir):
+        """Recompute the ordered-categorical EMD per class from raw
+        pandas and compare the exact integer numerator/denominator."""
+        from ytspark.operators.profiling import (
+            TCLOSE_INV_T,
+            t_closeness_emd_audit,
+        )
+
+        cust = pd.read_parquet(f"{sf_dir}/customer.parquet")
+        tier = np.where(
+            cust.c_acctbal < 0, 0, np.where(cust.c_acctbal < 5000, 1, 2)
+        )
+        cust = cust.assign(tier=tier)
+        nn = len(cust)
+        g1 = int((cust.tier <= 0).sum())
+        g2 = int((cust.tier <= 1).sum())
+
+        got = t_closeness_emd_audit(spark, sf_dir).toPandas()
+        grouped = cust.groupby(["c_nationkey", "c_mktsegment"])
+        assert len(got) == grouped.ngroups
+        for row in got.itertuples():
+            grp = grouped.get_group((row.nation, row.segment))
+            n = len(grp)
+            c1 = int((grp.tier <= 0).sum())
+            c2 = int((grp.tier <= 1).sum())
+            num = abs(c1 * nn - g1 * n) + abs(c2 * nn - g2 * n)
+            den = 2 * n * nn
+            assert row.class_size == n
+            assert row.emd_num == num
+            assert row.emd_den == den
+            assert row.t_close == (TCLOSE_INV_T * num <= den)
+            # the exact ratio really is the ordered-categorical EMD
+            p = np.array([c1, c2 - c1, n - c2]) / n
+            q = np.array([g1, g2 - g1, nn - g2]) / nn
+            emd = (abs(np.cumsum(p - q))[:2]).sum() / 2
+            assert num / den == pytest.approx(emd, abs=1e-12)
+
+    def test_identical_distribution_has_zero_emd(self, spark, sf_dir):
+        """Summing classes back to the global distribution: EMD of the
+        whole table against itself is 0 — certified by checking that a
+        weighted average of class EMDs can't all be zero unless every
+        class matches the global; and at least one class deviates."""
+        from ytspark.operators.profiling import t_closeness_emd_audit
+
+        got = t_closeness_emd_audit(spark, sf_dir).toPandas()
+        assert (got.emd_num >= 0).all()
+        # real data: classes deviate from the global distribution
+        assert (got.emd_num > 0).any()
+        # EMD is bounded by 1: numerator never exceeds denominator
+        assert (got.emd_num <= got.emd_den).all()
+
+
+class TestQueryLikelihood:
+    def test_smoothing_monotonicity(self, spark, sf_dir):
+        """Dirichlet QL identities on the real corpus: scores are
+        log-probabilities (negative), every returned doc hit >=1 query
+        term, and the list is sorted by rounded score with a doc_id
+        tiebreak."""
+        from ytspark.operators.search import (
+            QL_TOP,
+            query_likelihood_dirichlet,
+        )
+
+        got = query_likelihood_dirichlet(spark, sf_dir).toPandas()
+        assert len(got) == QL_TOP
+        assert (got.ql_score < 0).all()  # log of probabilities < 1
+        assert (got.n_terms_hit >= 1).all()
+        ordered = got.sort_values(
+            ["ql_score", "doc_id"], ascending=[False, True]
+        )
+        assert list(ordered.doc_id) == list(got.doc_id)
+
+    def test_hand_computed_tiny_corpus(self, spark, tmp_path):
+        """Exact score check on a 3-doc corpus small enough to compute
+        by hand, via a registry-shaped call on a temp sf_dir."""
+        from ytspark.operators.search import BM25_QUERY, QL_MU
+        from ytspark.operators.search import query_likelihood_dirichlet
+
+        t0 = BM25_QUERY[0]
+        docs = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    f"{t0} {t0} alpha",  # hits twice, dl=3
+                    f"{t0} beta gamma delta",  # hits once, dl=4
+                    "alpha beta",  # no hit — must not appear
+                ],
+            }
+        )
+        docs.to_parquet(tmp_path / "documents.parquet")
+        got = (
+            query_likelihood_dirichlet(spark, str(tmp_path))
+            .toPandas()
+            .set_index("doc_id")
+        )
+        assert set(got.index) == {1, 2}
+        clen = 3 + 4 + 2
+        ctf = {t0: 3}
+        p_c = ctf[t0] / clen
+
+        # the other two query terms have no postings in this corpus, so
+        # the candidate grid carries only t0 — scores are single-term
+        def score(tf: int, dl: int) -> float:
+            return round(math.log((tf + QL_MU * p_c) / (dl + QL_MU)), 6)
+
+        assert got.loc[1, "ql_score"] == pytest.approx(score(2, 3), abs=2e-6)
+        assert got.loc[2, "ql_score"] == pytest.approx(score(1, 4), abs=2e-6)
+        assert got.loc[1, "n_terms_hit"] == 1
+        # more query-term mass in a shorter doc scores higher
+        assert got.loc[1, "ql_score"] > got.loc[2, "ql_score"]
