@@ -153,6 +153,7 @@ def main() -> int:
             odf = con.execute(q.oracle).df()
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"duckdb error: {str(e).splitlines()[0][:200]}"))
+            record(name, "fail", err=f"duckdb error: {str(e).splitlines()[0][:200]}")
             print(f"FAIL  {name}: duckdb error: {str(e).splitlines()[0][:120]}")
             continue
         if len(sdf) != len(odf):
@@ -189,9 +190,33 @@ def main() -> int:
     # Persist the uncapped run so the external gate's 50-query window is
     # auditable against the full registry (ADVICE r2: publish the full
     # local oracle_check results alongside the curated window).
-    if not only:
-        import json
+    # A NAMED run (only=...) merges its results into the existing
+    # artifact — registering a query and certifying it in one step
+    # keeps ORACLE_LOCAL.json fresh without a full sweep (the r5
+    # VERDICT's artifact-freshness race, fixed structurally). Entries
+    # for queries no longer in the registry are pruned on merge.
+    import json
 
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "ORACLE_LOCAL.json",
+    )
+    if only and results and os.path.exists(path):
+        with open(path) as fh:
+            prev = json.load(fh)
+        merged = {
+            n: r for n, r in prev.get("results", {}).items() if n in reg
+        }
+        merged.update(results)
+        if prev.get("sf_dir") == sf_dir:
+            results = dict(sorted(merged.items()))
+        else:
+            print(
+                f"note: not merging into {path} (it was recorded at "
+                f"{prev.get('sf_dir')}, this run used {sf_dir})"
+            )
+            results = {}
+    if results:
         out = {
             "sf_dir": sf_dir,
             "n_queries": len(results),
@@ -204,10 +229,6 @@ def main() -> int:
             "n_fail": sum(1 for r in results.values() if r["status"] == "fail"),
             "results": results,
         }
-        path = os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "ORACLE_LOCAL.json",
-        )
         with open(path, "w") as fh:
             json.dump(out, fh, indent=1)
         print(f"wrote {path}")
