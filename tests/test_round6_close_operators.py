@@ -127,3 +127,42 @@ class TestQueryLikelihood:
         assert got.loc[1, "n_terms_hit"] == 1
         # more query-term mass in a shorter doc scores higher
         assert got.loc[1, "ql_score"] > got.loc[2, "ql_score"]
+
+
+class TestQuantileNormalizeSources:
+    def test_matches_numpy_order_statistics(self, spark, sf_dir):
+        """The mapping table's values are the exact k = ceil(p*n)-th
+        smallest within each source and in the pool, recomputed from
+        raw pandas."""
+        from ytspark.operators.profiling import (
+            QNORM_TARGETS,
+            quantile_normalize_sources,
+        )
+
+        docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+        got = quantile_normalize_sources(spark, sf_dir).toPandas()
+        sources = docs.source.unique()
+        assert len(got) == len(sources) * len(QNORM_TARGETS)
+        pooled = np.sort(docs.n_chars.to_numpy())
+        for row in got.itertuples():
+            vals = np.sort(
+                docs.loc[docs.source == row.source, "n_chars"].to_numpy()
+            )
+            p = dict(QNORM_TARGETS)[row.pname]
+            k = math.ceil(p * len(vals))
+            assert row.k_source == k
+            assert row.source_value == vals[k - 1]
+            kp = math.ceil(p * len(pooled))
+            assert row.pooled_value == pooled[kp - 1]
+            assert row.shift == row.pooled_value - row.source_value
+
+    def test_mapping_is_monotone_per_source(self, spark, sf_dir):
+        """Quantile maps are monotone: higher percentiles never map to
+        smaller values, on either side of the table."""
+        from ytspark.operators.profiling import quantile_normalize_sources
+
+        got = quantile_normalize_sources(spark, sf_dir).toPandas()
+        for _, grp in got.groupby("source"):
+            g = grp.sort_values("p")
+            assert g.source_value.is_monotonic_increasing
+            assert g.pooled_value.is_monotonic_increasing

@@ -75,6 +75,7 @@ EXPECTED_NESTED_LOOP = {
     "graph_modularity_brands",       # broadcast one-row edge count m
     "t_closeness_emd_audit",         # broadcast one-row global tier dist
     "query_likelihood_dirichlet",    # candidates x broadcast 3-row term grid
+    "quantile_normalize_sources",    # sources x broadcast 5-row target grid
     "funnel_latency_percentiles",    # broadcast one-row percentile agg
     "sliding_distinct_users_7d",     # |days|-row spine x trailing band
     "referential_integrity_audit",   # broadcast one-row child counts

@@ -1423,3 +1423,141 @@ def t_closeness_emd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         den.cast("long").alias("emd_den"),
         (F.lit(TCLOSE_INV_T) * num <= den).alias("t_close"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source quantile normalization map (exact two-pass order stats)
+# ---------------------------------------------------------------------------
+
+QNORM_TARGETS = (
+    ("p10", 0.10),
+    ("p25", 0.25),
+    ("p50", 0.50),
+    ("p75", 0.75),
+    ("p90", 0.90),
+)
+QNORM_BUCKET = 50  # n_chars histogram bucket width
+QNORM_ALL = "__all__"
+
+_QNORM_TARGET_SQL = ", ".join(f"('{n}', {p})" for n, p in QNORM_TARGETS)
+
+
+@register(
+    "quantile_normalize_sources",
+    oracle=f"""
+WITH d AS (SELECT source, n_chars AS v FROM documents),
+a AS (
+  SELECT source, v FROM d
+  UNION ALL SELECT '{QNORM_ALL}' AS source, v FROM d
+),
+n AS (SELECT source, COUNT(*) AS n FROM a GROUP BY source),
+t(pname, p) AS (VALUES {_QNORM_TARGET_SQL}),
+k AS (
+  SELECT source, pname, p, CAST(CEIL(p * n) AS BIGINT) AS k
+  FROM n CROSS JOIN t
+),
+r AS (
+  SELECT source, v,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY v) AS rn
+  FROM a
+),
+q AS (
+  SELECT k.source, k.pname, k.p, k.k, r.v
+  FROM k JOIN r ON r.source = k.source AND r.rn = k.k
+)
+SELECT q.source, q.pname, q.p, q.k AS k_source,
+       CAST(q.v AS BIGINT) AS source_value,
+       CAST(pool.v AS BIGINT) AS pooled_value,
+       CAST(pool.v - q.v AS BIGINT) AS shift
+FROM q JOIN q AS pool ON pool.source = '{QNORM_ALL}'
+                     AND pool.pname = q.pname
+WHERE q.source <> '{QNORM_ALL}'
+""",
+    doc="CROSS-SOURCE QUANTILE-NORMALIZATION MAP — the calibration "
+        "table a corpus-mixing pipeline needs before it can compare "
+        "per-source quality/length scores on one scale: for each "
+        "source and each target percentile, the source's EXACT "
+        "order-statistic value next to the POOLED corpus's value at "
+        "the same percentile (and their shift). Remapping a row is "
+        "then a broadcast lookup: within-source value -> within-"
+        "source percentile -> pooled value. Exactness comes from the "
+        "repo's two-pass distributed selection (no global sort): one "
+        "histogram aggregate per (source, bucket), cumulative offsets "
+        "over each source's tiny bucket list, and a rank pass over "
+        "only the located target buckets, all windows PARTITIONED by "
+        "source — the pooled distribution rides along as one synthetic "
+        f"'{QNORM_ALL}' group (its rank pass touches ~|targets|/width "
+        "of the data, the disclosed pooled-selection cost). Output is "
+        "|sources| x |targets| rows — a broadcastable mapping table "
+        "regardless of corpus size. All-integer output hashes "
+        "bit-identically; k = ceil(p*n) makes ties deterministic "
+        "under any tiebreak. Oracle: the naive per-group full-sort "
+        "ROW_NUMBER definition.",
+    tags=("profiling", "percentile", "scale", "statistics", "text"),
+)
+def quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    d0 = docs.select("source", F.col("n_chars").alias("v"))
+    d = d0.unionByName(
+        d0.select(F.lit(QNORM_ALL).alias("source"), "v")
+    ).withColumn(
+        "bucket", F.floor(F.col("v") / F.lit(QNORM_BUCKET)).cast("long")
+    )
+    hist = d.groupBy("source", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    ow = (
+        Window.partitionBy("source")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = hist.select(
+        "source",
+        "bucket",
+        "c",
+        F.coalesce(F.sum("c").over(ow), F.lit(0)).alias("off"),
+    )
+    n = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    targets = (
+        n.crossJoin(
+            F.broadcast(
+                spark.createDataFrame(
+                    list(QNORM_TARGETS), "pname string, p double"
+                )
+            )
+        ).select(
+            "source",
+            "pname",
+            "p",
+            F.ceil(F.col("p") * F.col("n")).cast("long").alias("k"),
+        )
+    )
+    located = targets.join(
+        cum,
+        (targets.source == cum.source)
+        & (F.col("k") > F.col("off"))
+        & (F.col("k") <= F.col("off") + F.col("c")),
+    ).select(targets.source, "pname", "p", "k", "bucket", "off")
+    wv = Window.partitionBy("source", "pname").orderBy("v")
+    q = (
+        d.join(located, ["source", "bucket"])
+        .withColumn("rn", F.row_number().over(wv))
+        .where(F.col("rn") == F.col("k") - F.col("off"))
+        .select("source", "pname", "p", "k", "v")
+    )
+    pool = q.where(F.col("source") == QNORM_ALL).select(
+        F.col("pname").alias("pp"), F.col("v").alias("pooled_value")
+    )
+    return (
+        q.where(F.col("source") != QNORM_ALL)
+        .join(F.broadcast(pool), F.col("pname") == F.col("pp"))
+        .select(
+            "source",
+            "pname",
+            "p",
+            F.col("k").alias("k_source"),
+            F.col("v").cast("long").alias("source_value"),
+            F.col("pooled_value").cast("long").alias("pooled_value"),
+            (F.col("pooled_value") - F.col("v")).cast("long").alias("shift"),
+        )
+    )
