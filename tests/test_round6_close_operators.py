@@ -166,3 +166,52 @@ class TestQuantileNormalizeSources:
             g = grp.sort_values("p")
             assert g.source_value.is_monotonic_increasing
             assert g.pooled_value.is_monotonic_increasing
+
+
+class TestBitextMarginMining:
+    def test_mutuality_and_margin_reference(self, spark, sf_dir):
+        """Every mined pair is each side's margin-argmax, recomputed
+        from a numpy reference of the full pair matrix."""
+        from ytspark.operators.similarity import (
+            BITEXT_K,
+            BITEXT_SIDE_A,
+            BITEXT_SIDE_B,
+            bitext_margin_mining,
+        )
+
+        emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        A = emb[emb.label == BITEXT_SIDE_A].sort_values("vec_id")
+        B = emb[emb.label == BITEXT_SIDE_B].sort_values("vec_id")
+        xa = np.stack(A.embedding.to_numpy()).astype(np.float64)
+        xb = np.stack(B.embedding.to_numpy()).astype(np.float64)
+        cos = np.round(
+            (xa @ xb.T)
+            / (
+                np.linalg.norm(xa, axis=1)[:, None]
+                * np.linalg.norm(xb, axis=1)[None, :]
+            ),
+            6,
+        )
+        # top-k means per row/column over the ROUNDED cosines
+        mx = np.mean(np.sort(cos, axis=1)[:, ::-1][:, :BITEXT_K], axis=1)
+        my = np.mean(np.sort(cos, axis=0)[::-1, :][:BITEXT_K, :], axis=0)
+        margin = np.round(cos / ((mx[:, None] + my[None, :]) / 2), 6)
+
+        got = bitext_margin_mining(spark, sf_dir).toPandas()
+        assert len(got) > 0
+        aid = {v: i for i, v in enumerate(A.vec_id)}
+        bid = {v: i for i, v in enumerate(B.vec_id)}
+        for row in got.itertuples():
+            i, j = aid[row.x_id], bid[row.y_id]
+            assert row.cos_sim == pytest.approx(cos[i, j], abs=2e-6)
+            assert row.margin == pytest.approx(margin[i, j], abs=2e-6)
+            # mutual argmax (numpy argmax takes the first/lowest id on
+            # ties — same tiebreak as the rank windows)
+            assert margin[i, :].max() == pytest.approx(
+                margin[i, j], abs=2e-6
+            )
+            assert margin[:, j].max() == pytest.approx(
+                margin[i, j], abs=2e-6
+            )
+        # mutual best match is one-to-one by construction
+        assert got.x_id.is_unique and got.y_id.is_unique

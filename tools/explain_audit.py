@@ -76,6 +76,7 @@ EXPECTED_NESTED_LOOP = {
     "t_closeness_emd_audit",         # broadcast one-row global tier dist
     "query_likelihood_dirichlet",    # candidates x broadcast 3-row term grid
     "quantile_normalize_sources",    # sources x broadcast 5-row target grid
+    "bitext_margin_mining",          # bounded label-slice pair join (oracle-twin)
     "funnel_latency_percentiles",    # broadcast one-row percentile agg
     "sliding_distinct_users_7d",     # |days|-row spine x trailing band
     "referential_integrity_audit",   # broadcast one-row child counts

@@ -1487,3 +1487,147 @@ def _persist_with_centroids(spark, emb, cents, path) -> None:
     spark.createDataFrame(
         cent_rows, "cell int, centroid array<double>"
     ).write.mode("overwrite").parquet(path + "__centroids")
+
+
+# ---------------------------------------------------------------------------
+# Margin-based bitext mining: mutual best match between two vector sets
+# ---------------------------------------------------------------------------
+
+BITEXT_SIDE_A = 0  # label playing "language A"
+BITEXT_SIDE_B = 1  # label playing "language B"
+BITEXT_K = 4  # neighborhood size for the margin denominator
+BITEXT_MARGIN_T = "1.0"  # acceptance threshold (ratio margin)
+
+
+@register(
+    "bitext_margin_mining",
+    oracle=f"""
+WITH a AS (
+  SELECT vec_id AS x_id, embedding::DOUBLE[] AS xv
+  FROM embeddings WHERE label = {BITEXT_SIDE_A}
+),
+b AS (
+  SELECT vec_id AS y_id, embedding::DOUBLE[] AS yv
+  FROM embeddings WHERE label = {BITEXT_SIDE_B}
+),
+pairs AS (
+  SELECT x_id, y_id,
+         ROUND(LIST_DOT_PRODUCT(xv, yv)
+               / (SQRT(LIST_DOT_PRODUCT(xv, xv))
+                  * SQRT(LIST_DOT_PRODUCT(yv, yv))), 6) AS cos_sim
+  FROM a CROSS JOIN b
+),
+fr AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY x_id
+                               ORDER BY cos_sim DESC, y_id) AS rkx,
+            ROW_NUMBER() OVER (PARTITION BY y_id
+                               ORDER BY cos_sim DESC, x_id) AS rky
+  FROM pairs
+),
+mx AS (
+  SELECT x_id, AVG(cos_sim) AS m_x FROM fr
+  WHERE rkx <= {BITEXT_K} GROUP BY x_id
+),
+my AS (
+  SELECT y_id, AVG(cos_sim) AS m_y FROM fr
+  WHERE rky <= {BITEXT_K} GROUP BY y_id
+),
+scored AS (
+  SELECT p.x_id, p.y_id, p.cos_sim,
+         ROUND(p.cos_sim / ((mx.m_x + my.m_y) / 2), 6) AS margin
+  FROM pairs p JOIN mx USING (x_id) JOIN my USING (y_id)
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY x_id
+                               ORDER BY margin DESC, y_id) AS rf,
+            ROW_NUMBER() OVER (PARTITION BY y_id
+                               ORDER BY margin DESC, x_id) AS rb
+  FROM scored
+)
+SELECT x_id, y_id, cos_sim, margin,
+       margin > {BITEXT_MARGIN_T} AS accepted
+FROM ranked WHERE rf = 1 AND rb = 1
+""",
+    doc="MARGIN-BASED BITEXT MINING (the Artetxe-Schwenk criterion "
+        "behind LASER/CCMatrix parallel-corpus extraction — a core "
+        "multilingual-training-data operator): between two embedding "
+        f"sets (labels {BITEXT_SIDE_A} and {BITEXT_SIDE_B} standing "
+        "in for the two languages), score every pair by RATIO MARGIN "
+        "= cos(x,y) / (mean of x's top-k cosines + mean of y's "
+        f"top-k)/2 with k={BITEXT_K} — dividing by the neighborhood "
+        "density defeats hubness, where raw cosine mines the same hub "
+        "vector for everything — and keep pairs that are each "
+        "other's MUTUAL margin-best, flagging those above the "
+        f"{BITEXT_MARGIN_T} acceptance threshold. Determinism: the "
+        "zip_with/aggregate dot fold matches DuckDB list_dot_product "
+        "bit-for-bit, cosines round to 6 dp before any ranking or "
+        "averaging, and every window breaks ties on vec_id. Scale: "
+        "sides here are bounded label slices so the exact all-pairs "
+        "IS the certified oracle-twin design; at corpus scale the "
+        "pair stage is replaced by the engine's LSH/IVF candidate "
+        "generation (certified separately) and the margin/mutual "
+        "logic — partitioned rank windows and per-id means — is "
+        "unchanged on the candidate set.",
+    tags=("similarity", "knn", "text", "join"),
+)
+def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    base = emb.select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+    a = base.where(F.col("label") == BITEXT_SIDE_A).select(
+        F.col("vec_id").alias("x_id"), F.col("v").alias("xv")
+    )
+    b = base.where(F.col("label") == BITEXT_SIDE_B).select(
+        F.col("vec_id").alias("y_id"), F.col("v").alias("yv")
+    )
+    pairs = a.crossJoin(F.broadcast(b)).select(
+        "x_id",
+        "y_id",
+        F.round(cosine(F.col("xv"), F.col("yv")), 6).alias("cos_sim"),
+    )
+    wx = Window.partitionBy("x_id").orderBy(F.desc("cos_sim"), F.asc("y_id"))
+    wy = Window.partitionBy("y_id").orderBy(F.desc("cos_sim"), F.asc("x_id"))
+    fr = pairs.withColumn("rkx", F.row_number().over(wx)).withColumn(
+        "rky", F.row_number().over(wy)
+    )
+    mx = (
+        fr.where(F.col("rkx") <= BITEXT_K)
+        .groupBy("x_id")
+        .agg(F.avg("cos_sim").alias("m_x"))
+    )
+    my = (
+        fr.where(F.col("rky") <= BITEXT_K)
+        .groupBy("y_id")
+        .agg(F.avg("cos_sim").alias("m_y"))
+    )
+    scored = (
+        pairs.join(F.broadcast(mx), "x_id")
+        .join(F.broadcast(my), "y_id")
+        .select(
+            "x_id",
+            "y_id",
+            "cos_sim",
+            F.round(
+                F.col("cos_sim") / ((F.col("m_x") + F.col("m_y")) / 2), 6
+            ).alias("margin"),
+        )
+    )
+    wf = Window.partitionBy("x_id").orderBy(F.desc("margin"), F.asc("y_id"))
+    wb = Window.partitionBy("y_id").orderBy(F.desc("margin"), F.asc("x_id"))
+    return (
+        scored.withColumn("rf", F.row_number().over(wf))
+        .withColumn("rb", F.row_number().over(wb))
+        .where((F.col("rf") == 1) & (F.col("rb") == 1))
+        .select(
+            "x_id",
+            "y_id",
+            "cos_sim",
+            "margin",
+            (F.col("margin") > F.lit(float(BITEXT_MARGIN_T))).alias(
+                "accepted"
+            ),
+        )
+    )
