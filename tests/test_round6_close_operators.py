@@ -215,3 +215,59 @@ class TestBitextMarginMining:
             )
         # mutual best match is one-to-one by construction
         assert got.x_id.is_unique and got.y_id.is_unique
+
+
+class TestIsotonicPav:
+    def test_matches_sklearn_free_pav_reference(self, spark, sf_dir):
+        """Recompute PAV with the classic stack algorithm in pure
+        Python and compare to the max-min identity's output."""
+        from ytspark.operators.learn import (
+            ISO_BIN_WIDTH,
+            ISO_BINS,
+            isotonic_calibration_pav,
+        )
+
+        orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+        b = np.minimum(
+            (orders.o_totalprice // ISO_BIN_WIDTH).astype(int), ISO_BINS - 1
+        )
+        y = orders.o_orderpriority.isin(["1-URGENT", "2-HIGH"]).astype(int)
+        df = pd.DataFrame({"bin": b, "y": y}).groupby("bin").agg(
+            n=("y", "size"), pos=("y", "sum")
+        )
+        # pool-adjacent-violators over the ordered bins
+        stack: list[list[float]] = []  # [pos, n]
+        for _, row in df.sort_index().iterrows():
+            stack.append([row.pos, row.n])
+            while (
+                len(stack) > 1
+                and stack[-2][0] * stack[-1][1]
+                >= stack[-1][0] * stack[-2][1]
+            ):
+                p2, n2 = stack.pop()
+                stack[-1][0] += p2
+                stack[-1][1] += n2
+        # expand block means back over their bins
+        it = iter(stack)
+        blk = next(it)
+        remaining = blk[1]
+        sizes = df.sort_index().n.to_list()
+        vals = []
+        for n_i in sizes:
+            if remaining == 0:
+                blk = next(it)
+                remaining = blk[1]
+            vals.append(blk[0] / blk[1])
+            remaining -= n_i
+
+        got = (
+            isotonic_calibration_pav(spark, sf_dir)
+            .toPandas()
+            .sort_values("bin")
+        )
+        assert list(got.bin) == list(df.sort_index().index)
+        assert (got.n.to_numpy() == df.sort_index().n.to_numpy()).all()
+        for got_iso, ref in zip(got.iso_rate, vals):
+            assert got_iso == pytest.approx(round(ref, 6), abs=2e-6)
+        # fitted curve is monotone nondecreasing
+        assert got.iso_rate.is_monotonic_increasing

@@ -77,6 +77,7 @@ EXPECTED_NESTED_LOOP = {
     "query_likelihood_dirichlet",    # candidates x broadcast 3-row term grid
     "quantile_normalize_sources",    # sources x broadcast 5-row target grid
     "bitext_margin_mining",          # bounded label-slice pair join (oracle-twin)
+    "isotonic_calibration_pav",      # <=B^2 interval-lattice theta joins
     "funnel_latency_percentiles",    # broadcast one-row percentile agg
     "sliding_distinct_users_7d",     # |days|-row spine x trailing band
     "referential_integrity_audit",   # broadcast one-row child counts

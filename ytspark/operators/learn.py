@@ -1494,3 +1494,136 @@ def nb_crossval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("accuracy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact isotonic regression (PAV) over binned scores — max-min identity
+# ---------------------------------------------------------------------------
+
+ISO_BINS = 20
+ISO_BIN_WIDTH = 30000.0  # o_totalprice bin width -> <=20 occupied bins
+
+
+@register(
+    "isotonic_calibration_pav",
+    oracle=f"""
+WITH raw AS (
+  SELECT LEAST(CAST(FLOOR(o_totalprice / {ISO_BIN_WIDTH}) AS BIGINT),
+               {ISO_BINS - 1}) AS bin,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS y
+  FROM orders
+),
+bins AS (
+  SELECT bin, COUNT(*) AS n, SUM(y) AS pos FROM raw GROUP BY bin
+),
+cum AS (
+  SELECT bin, n, pos,
+         SUM(n) OVER (ORDER BY bin) AS cn,
+         SUM(pos) OVER (ORDER BY bin) AS cp
+  FROM bins
+),
+intervals AS (
+  SELECT j.bin AS jb, k.bin AS kb,
+         (k.cp - (j.cp - j.pos)) * 1.0 / (k.cn - (j.cn - j.n)) AS mean_jk
+  FROM cum j JOIN cum k ON j.bin <= k.bin
+),
+minmax AS (
+  SELECT i.bin, iv.jb, MIN(iv.mean_jk) AS min_k
+  FROM cum i JOIN intervals iv ON iv.jb <= i.bin AND iv.kb >= i.bin
+  GROUP BY i.bin, iv.jb
+)
+SELECT c.bin, CAST(c.n AS BIGINT) AS n, CAST(c.pos AS BIGINT) AS pos,
+       ROUND(c.pos * 1.0 / c.n, 6) AS raw_rate,
+       ROUND(m.iso, 6) AS iso_rate
+FROM cum c JOIN (
+  SELECT bin, MAX(min_k) AS iso FROM minmax GROUP BY bin
+) m USING (bin)
+""",
+    doc="EXACT ISOTONIC REGRESSION (pool-adjacent-violators) of the "
+        "urgent-order rate against the order-value score, the "
+        "standard calibration step after training any scorer "
+        "(complements logreg_calibration_report's reliability "
+        "diagram): the PAV fit is computed by its closed-form max-min "
+        "identity iso_i = max_{{j<=i}} min_{{k>=i}} mean(y, bins "
+        "j..k), which needs no iteration and no driver state — ONE "
+        f"binning aggregate reduces the fact table to <={ISO_BINS} "
+        "(bin, n, pos) rows, cumulative sums run over that bounded "
+        "bin table, and the max-min evaluates on the <=B^2 interval "
+        "lattice with exact integer numerators/denominators (IEEE "
+        "division of identical integers is bit-identical cross-"
+        "engine; rounding is display-only). The fitted curve is the "
+        "unique monotone least-squares calibration map — apply it at "
+        "serving time as a broadcast lookup. Scale: the only "
+        "data-sized pass is the binning aggregate; everything after "
+        "is constant-size lattice math — the same envelope as the "
+        "Shapley and bootstrap operators.",
+    tags=("learn", "calibration", "statistics", "aggregate"),
+)
+def isotonic_calibration_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    raw = orders.select(
+        F.least(
+            F.floor(F.col("o_totalprice") / F.lit(ISO_BIN_WIDTH)).cast("long"),
+            F.lit(ISO_BINS - 1),
+        ).alias("bin"),
+        F.col("o_orderpriority")
+        .isin("1-URGENT", "2-HIGH")
+        .cast("int")
+        .alias("y"),
+    )
+    bins = raw.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+    )
+    # cumulative sums over the <=ISO_BINS-row bin table (bounded by
+    # construction — EXPECTED_GLOBAL_WINDOW)
+    ow = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.select(
+        "bin",
+        "n",
+        "pos",
+        F.sum("n").over(ow).alias("cn"),
+        F.sum("pos").over(ow).alias("cp"),
+    ).localCheckpoint(eager=True)  # tiny; read 3x below
+    j = cum.select(
+        F.col("bin").alias("jb"),
+        (F.col("cp") - F.col("pos")).alias("cp_before"),
+        (F.col("cn") - F.col("n")).alias("cn_before"),
+    )
+    k = cum.select(
+        F.col("bin").alias("kb"),
+        F.col("cp").alias("cp_k"),
+        F.col("cn").alias("cn_k"),
+    )
+    intervals = j.join(k, F.col("jb") <= F.col("kb")).select(
+        "jb",
+        "kb",
+        (
+            (F.col("cp_k") - F.col("cp_before"))
+            * 1.0
+            / (F.col("cn_k") - F.col("cn_before"))
+        ).alias("mean_jk"),
+    )
+    i = cum.select(F.col("bin").alias("ib"))
+    minmax = (
+        i.join(
+            intervals,
+            (F.col("jb") <= F.col("ib")) & (F.col("kb") >= F.col("ib")),
+        )
+        .groupBy("ib", "jb")
+        .agg(F.min("mean_jk").alias("min_k"))
+        .groupBy("ib")
+        .agg(F.max("min_k").alias("iso"))
+    )
+    return (
+        cum.join(minmax, F.col("bin") == F.col("ib"))
+        .select(
+            "bin",
+            F.col("n").cast("long").alias("n"),
+            F.col("pos").cast("long").alias("pos"),
+            F.round(F.col("pos") * 1.0 / F.col("n"), 6).alias("raw_rate"),
+            F.round(F.col("iso"), 6).alias("iso_rate"),
+        )
+    )
