@@ -271,3 +271,39 @@ class TestIsotonicPav:
             assert got_iso == pytest.approx(round(ref, 6), abs=2e-6)
         # fitted curve is monotone nondecreasing
         assert got.iso_rate.is_monotonic_increasing
+
+
+class TestRendezvousRebalance:
+    def test_hrw_minimal_movement_property(self, spark, sf_dir):
+        """The defining consistent-hashing property: adding a node
+        moves keys ONLY to the new node, never between survivors, and
+        total movement is ~1/(N+1)."""
+        from ytspark.operators.layout import (
+            HRW_NODES,
+            rendezvous_rebalance_audit,
+        )
+
+        got = (
+            rendezvous_rebalance_audit(spark, sf_dir)
+            .toPandas()
+            .set_index("node")
+            .sort_index()
+        )
+        assert list(got.index) == list(range(HRW_NODES + 1))
+        total = got.load_before.sum()
+        assert got.load_after.sum() == total
+        # the new node starts empty and everything it gained moved out
+        # of survivors
+        assert got.loc[HRW_NODES, "load_before"] == 0
+        assert got.loc[HRW_NODES, "moved_out"] == 0
+        assert got.moved_out.sum() == got.loc[HRW_NODES, "load_after"]
+        # survivors only shrink (keys never move between survivors)
+        surv = got.iloc[:HRW_NODES]
+        assert (
+            surv.load_after == surv.load_before - surv.moved_out
+        ).all()
+        # movement is near the theoretical 1/(N+1) share
+        frac = got.moved_out.sum() / total
+        assert 0.3 / (HRW_NODES + 1) < frac < 3 / (HRW_NODES + 1)
+        # and the hash balances: no survivor carries > 3x the mean
+        assert surv.load_before.max() < 3 * total / HRW_NODES

@@ -418,3 +418,111 @@ def file_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Rendezvous (HRW) consistent-hashing rebalance audit
+# ---------------------------------------------------------------------------
+
+HRW_NODES = 12  # shard count before the scale-out
+HRW_MIX = 1_000_003  # key-side mixing prime for the (key, node) weight
+
+
+def _hrw_oracle() -> str:
+    from ytspark.operators.text import knuth_hash_sql
+
+    n1 = HRW_NODES + 1
+    w = knuth_hash_sql(f"c_custkey * {HRW_MIX} + node")
+    return f"""
+WITH grid AS (
+  SELECT c_custkey, node, ({w}) * 16 + node AS wk
+  FROM customer CROSS JOIN (
+    SELECT UNNEST(RANGE({n1})) AS node
+  )
+),
+assign AS (
+  SELECT c_custkey,
+         MAX(wk) FILTER (WHERE node < {HRW_NODES}) % 16 AS node_before,
+         MAX(wk) % 16 AS node_after
+  FROM grid GROUP BY c_custkey
+)
+SELECT node,
+       CAST(COUNT(*) FILTER (WHERE node_before = node) AS BIGINT)
+         AS load_before,
+       CAST(COUNT(*) FILTER (WHERE node_after = node) AS BIGINT)
+         AS load_after,
+       CAST(COUNT(*) FILTER (WHERE node_before = node
+                             AND node_after <> node) AS BIGINT)
+         AS moved_out
+FROM assign CROSS JOIN (SELECT UNNEST(RANGE({n1})) AS node)
+GROUP BY node
+"""
+
+
+@register(
+    "rendezvous_rebalance_audit",
+    oracle=_hrw_oracle(),
+    doc="RENDEZVOUS (highest-random-weight) CONSISTENT-HASHING "
+        "rebalance audit — the shard-planning operator behind "
+        "minimal-movement scale-out: every key's shard is the argmax "
+        f"over nodes of a portable per-(key, node) hash; adding node "
+        f"{HRW_NODES} to a {HRW_NODES}-node ring can, by the HRW "
+        "property, only move keys TO the new node, so the audit "
+        "reports per node the load before, the load after, and the "
+        "keys that moved out — certifying both the ~1/(N+1) expected "
+        "movement and that no key moved between surviving nodes "
+        "(moved_out = 0 everywhere except the donors' share to the "
+        "newcomer; modulo-hashing would reshuffle ~all keys). "
+        "Spark-first shape: the keys x (N+1) weight grid is ONE "
+        "projection (the broadcast node spine multiplies the scan by "
+        "N+1 — HRW's inherent per-key O(N) cost, disclosed; jump "
+        "hash is the O(log N) variant when N is large), both "
+        "before/after argmaxes fold in ONE map-side-combinable "
+        "integer MAX per key (weight*16+node encodes argmax with a "
+        "node-id tiebreak in a single BIGINT), and the per-node report is a "
+        "second tiny aggregate. The weight hash is the repo's "
+        "overflow-free Knuth mix, bit-identical in DuckDB, and "
+        "argmax ties break on node id — fully deterministic. "
+        "All-integer output.",
+    tags=("layout", "scale", "aggregate", "join"),
+)
+def rendezvous_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ytspark.operators.text import knuth_hash_col
+
+    n1 = HRW_NODES + 1
+    cust = load_tables(spark, sf_dir, "customer")["customer"]
+    nodes = F.broadcast(
+        spark.range(n1).select(F.col("id").cast("long").alias("node"))
+    )
+    grid = cust.select("c_custkey").crossJoin(nodes).select(
+        "c_custkey",
+        "node",
+        # weight*16 + node: one BIGINT whose max IS the argmax with a
+        # node-id tiebreak (weight < 2^32, node < 16 -> fits easily)
+        (
+            knuth_hash_col(
+                F.col("c_custkey") * F.lit(HRW_MIX) + F.col("node")
+            )
+            * F.lit(16)
+            + F.col("node")
+        ).alias("wk"),
+    )
+    assign = grid.groupBy("c_custkey").agg(
+        (
+            F.max(F.when(F.col("node") < HRW_NODES, F.col("wk"))) % 16
+        ).alias("node_before"),
+        (F.max("wk") % 16).alias("node_after"),
+    )
+    report = assign.crossJoin(nodes).groupBy("node").agg(
+        F.sum((F.col("node_before") == F.col("node")).cast("long"))
+        .alias("load_before"),
+        F.sum((F.col("node_after") == F.col("node")).cast("long"))
+        .alias("load_after"),
+        F.sum(
+            (
+                (F.col("node_before") == F.col("node"))
+                & (F.col("node_after") != F.col("node"))
+            ).cast("long")
+        ).alias("moved_out"),
+    )
+    return report
