@@ -307,3 +307,54 @@ class TestRendezvousRebalance:
         assert 0.3 / (HRW_NODES + 1) < frac < 3 / (HRW_NODES + 1)
         # and the hash balances: no survivor carries > 3x the mean
         assert surv.load_before.max() < 3 * total / HRW_NODES
+
+
+class TestCausalExperimentOps:
+    def test_did_matches_pandas_cells(self, spark, sf_dir):
+        from ytspark.queries.pipeline import (
+            DID_POST_DATE,
+            DID_TREAT_SEGMENT,
+            did_estimator_orders,
+        )
+
+        orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+        cust = pd.read_parquet(f"{sf_dir}/customer.parquet")
+        df = orders.merge(
+            cust[["c_custkey", "c_mktsegment"]],
+            left_on="o_custkey",
+            right_on="c_custkey",
+        )
+        df["treat"] = (df.c_mktsegment == DID_TREAT_SEGMENT).astype(int)
+        df["post"] = (
+            pd.to_datetime(df.o_orderdate)
+            >= pd.Timestamp(DID_POST_DATE)
+        ).astype(int)
+        y = df.o_totalprice.astype(float)
+        m = {
+            (g, p): y[(df.treat == g) & (df.post == p)].mean()
+            for g in (0, 1)
+            for p in (0, 1)
+        }
+        did = (m[(1, 1)] - m[(1, 0)]) - (m[(0, 1)] - m[(0, 0)])
+
+        got = did_estimator_orders(spark, sf_dir).toPandas().iloc[0]
+        assert got.n_treat_post == (
+            (df.treat == 1) & (df.post == 1)
+        ).sum()
+        assert got.did_estimate == pytest.approx(did, abs=1e-2)
+        assert got.mean_ctrl_pre == pytest.approx(m[(0, 0)], abs=1e-4)
+
+    def test_cuped_reduces_variance_and_preserves_algebra(
+        self, spark, sf_dir
+    ):
+        from ytspark.queries.pipeline import ab_test_cuped
+
+        got = ab_test_cuped(spark, sf_dir).toPandas().iloc[0]
+        # theta is a real fit and the adjustment cannot inflate the
+        # pooled variance (guaranteed by the OLS optimality of theta
+        # up to arm-vs-pooled fitting slack)
+        assert got.n_control > 0 and got.n_treatment > 0
+        assert -0.5 < got.var_reduction < 1
+        # CUPED z moves in the same direction as the adjusted diff
+        assert np.sign(got.z_cuped) == np.sign(got.diff_cuped)
+        assert np.sign(got.z_raw) == np.sign(got.diff_raw)

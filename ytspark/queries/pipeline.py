@@ -1354,3 +1354,334 @@ def constraint_suite_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "events", "orders", "documents", "lineitem", "customer"
     )
     return constraint_suite(tables)
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences estimator (causal readout from the warehouse)
+# ---------------------------------------------------------------------------
+
+DID_TREAT_SEGMENT = "BUILDING"
+DID_POST_DATE = "1998-01-01"
+
+_DID_CELLS = (
+    ("n", "COUNT(*)"),
+    ("s1", "SUM(y)"),
+    ("s2", "SUM(y * y)"),
+)
+
+
+def _did_oracle() -> str:
+    cells = []
+    for g in (0, 1):
+        for p in (0, 1):
+            for suffix, expr in _DID_CELLS:
+                agg = expr.replace(
+                    "(y", "(CASE WHEN treat = {g} AND post = {p} THEN y END"
+                ).replace("(*)", "(CASE WHEN treat = {g} AND post = {p} THEN 1 END)")
+                cells.append(
+                    agg.format(g=g, p=p) + f" AS {suffix}_{g}{p}"
+                )
+    cell_sql = ", ".join(cells)
+    means = {
+        f"m{g}{p}": f"(s1_{g}{p} / n_{g}{p})" for g in (0, 1) for p in (0, 1)
+    }
+    variances = {
+        f"v{g}{p}": f"(s2_{g}{p} / n_{g}{p} - {m} * {m})"
+        for (g, p), m in (
+            ((g, p), means[f"m{g}{p}"]) for g in (0, 1) for p in (0, 1)
+        )
+    }
+    did = f"({means['m11']} - {means['m10']}) - ({means['m01']} - {means['m00']})"
+    se = (
+        "SQRT("
+        + " + ".join(f"{variances[f'v{g}{p}']} / n_{g}{p}" for g in (0, 1) for p in (0, 1))
+        + ")"
+    )
+    mean_cols = ", ".join(
+        f"ROUND({means[f'm{g}{p}']}, 6) AS mean_{'treat' if g else 'ctrl'}_{'post' if p else 'pre'}"
+        for g in (0, 1)
+        for p in (0, 1)
+    )
+    n_cols = ", ".join(
+        f"CAST(n_{g}{p} AS BIGINT) AS n_{'treat' if g else 'ctrl'}_{'post' if p else 'pre'}"
+        for g in (0, 1)
+        for p in (0, 1)
+    )
+    return f"""
+WITH raw AS (
+  SELECT CASE WHEN c.c_mktsegment = '{DID_TREAT_SEGMENT}' THEN 1 ELSE 0 END
+           AS treat,
+         CASE WHEN o.o_orderdate >= DATE '{DID_POST_DATE}' THEN 1 ELSE 0 END
+           AS post,
+         CAST(o.o_totalprice AS DOUBLE) AS y
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+cells AS (SELECT {cell_sql} FROM raw)
+SELECT {n_cols}, {mean_cols},
+       ROUND(({did}), 6) AS did_estimate,
+       ROUND(({did}) / {se}, 6) AS t_stat
+FROM cells
+"""
+
+
+@register(
+    "did_estimator_orders",
+    oracle=_did_oracle(),
+    doc="DIFFERENCE-IN-DIFFERENCES causal readout — the standard "
+        "quasi-experimental estimator a warehouse answers when a "
+        "treatment rolled out to one group at a known date: with "
+        f"'{DID_TREAT_SEGMENT}'-segment customers as the treated "
+        f"group and {DID_POST_DATE} as the rollout date, DiD = "
+        "(treat_post - treat_pre) - (ctrl_post - ctrl_pre) of mean "
+        "order value nets out both the group level difference and "
+        "the common time trend. The whole estimator is ONE aggregate "
+        "over the orders-customer join (all four cells as "
+        "conditional power sums — n, sum, sum-of-squares — in a "
+        "single map-side-combinable pass; the customer dim join is "
+        "broadcast), then a one-row projection computes the "
+        "estimate and its large-sample t statistic from the cell "
+        "variances. Experiment readout at 100 TB = one scan. "
+        "Arithmetic ordered identically cross-engine, rounded 6 dp.",
+    tags=("experiment", "statistics", "aggregate", "pipeline"),
+)
+def did_estimator_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    raw = (
+        t["orders"]
+        .join(
+            F.broadcast(t["customer"].select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            (F.col("c_mktsegment") == DID_TREAT_SEGMENT)
+            .cast("int")
+            .alias("treat"),
+            (F.col("o_orderdate") >= F.lit(DID_POST_DATE).cast("date"))
+            .cast("int")
+            .alias("post"),
+            F.col("o_totalprice").cast("double").alias("y"),
+        )
+    )
+    aggs = []
+    for g in (0, 1):
+        for p in (0, 1):
+            cell = (F.col("treat") == g) & (F.col("post") == p)
+            aggs += [
+                F.count(F.when(cell, 1)).alias(f"n_{g}{p}"),
+                F.sum(F.when(cell, F.col("y"))).alias(f"s1_{g}{p}"),
+                F.sum(F.when(cell, F.col("y") * F.col("y"))).alias(
+                    f"s2_{g}{p}"
+                ),
+            ]
+    cells = raw.agg(*aggs)
+    m = {
+        (g, p): F.col(f"s1_{g}{p}") / F.col(f"n_{g}{p}")
+        for g in (0, 1)
+        for p in (0, 1)
+    }
+    v = {
+        (g, p): F.col(f"s2_{g}{p}") / F.col(f"n_{g}{p}") - m[(g, p)] * m[(g, p)]
+        for g in (0, 1)
+        for p in (0, 1)
+    }
+    did = (m[(1, 1)] - m[(1, 0)]) - (m[(0, 1)] - m[(0, 0)])
+    se = F.sqrt(
+        sum(v[(g, p)] / F.col(f"n_{g}{p}") for g in (0, 1) for p in (0, 1))
+    )
+    label = {0: "ctrl", 1: "treat"}
+    period = {0: "pre", 1: "post"}
+    return cells.select(
+        *[
+            F.col(f"n_{g}{p}").cast("long").alias(
+                f"n_{label[g]}_{period[p]}"
+            )
+            for g in (0, 1)
+            for p in (0, 1)
+        ],
+        *[
+            F.round(m[(g, p)], 6).alias(f"mean_{label[g]}_{period[p]}")
+            for g in (0, 1)
+            for p in (0, 1)
+        ],
+        F.round(did, 6).alias("did_estimate"),
+        F.round(did / se, 6).alias("t_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction for the A/B readout
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ab_test_cuped",
+    oracle="""
+WITH mid AS (
+  SELECT MIN(epoch_us(ts))
+         + (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 2 AS mid
+  FROM events
+),
+per_user AS (
+  SELECT e.user_id,
+         CASE WHEN e.user_id % 2 = 0 THEN 'control' ELSE 'treatment' END
+           AS arm,
+         SUM(CASE WHEN epoch_us(e.ts) < m.mid THEN e.value END)
+           / COUNT(CASE WHEN epoch_us(e.ts) < m.mid THEN 1 END) AS x,
+         SUM(CASE WHEN epoch_us(e.ts) >= m.mid THEN e.value END)
+           / COUNT(CASE WHEN epoch_us(e.ts) >= m.mid THEN 1 END) AS y
+  FROM events e CROSS JOIN mid m
+  WHERE e.value IS NOT NULL
+  GROUP BY e.user_id
+  HAVING COUNT(CASE WHEN epoch_us(e.ts) < m.mid THEN 1 END) > 0
+     AND COUNT(CASE WHEN epoch_us(e.ts) >= m.mid THEN 1 END) > 0
+),
+sums AS (
+  SELECT
+    COUNT(*) FILTER (WHERE arm = 'control') AS nc,
+    SUM(x) FILTER (WHERE arm = 'control') AS xc,
+    SUM(y) FILTER (WHERE arm = 'control') AS yc,
+    SUM(x * y) FILTER (WHERE arm = 'control') AS xyc,
+    SUM(x * x) FILTER (WHERE arm = 'control') AS xxc,
+    SUM(y * y) FILTER (WHERE arm = 'control') AS yyc,
+    COUNT(*) FILTER (WHERE arm = 'treatment') AS nt,
+    SUM(x) FILTER (WHERE arm = 'treatment') AS xt,
+    SUM(y) FILTER (WHERE arm = 'treatment') AS yt,
+    SUM(x * y) FILTER (WHERE arm = 'treatment') AS xyt,
+    SUM(x * x) FILTER (WHERE arm = 'treatment') AS xxt,
+    SUM(y * y) FILTER (WHERE arm = 'treatment') AS yyt
+  FROM per_user
+),
+derived AS (
+  SELECT *,
+    (xyc + xyt) / (nc + nt)
+      - ((xc + xt) / (nc + nt)) * ((yc + yt) / (nc + nt)) AS cov_xy,
+    (xxc + xxt) / (nc + nt)
+      - ((xc + xt) / (nc + nt)) * ((xc + xt) / (nc + nt)) AS var_x
+  FROM sums
+),
+theta AS (SELECT *, cov_xy / var_x AS th FROM derived)
+SELECT
+  CAST(nc AS BIGINT) AS n_control, CAST(nt AS BIGINT) AS n_treatment,
+  ROUND(th, 6) AS theta,
+  ROUND(yt / nt - yc / nc, 6) AS diff_raw,
+  ROUND((yt / nt - yc / nc)
+        / SQRT((yyc / nc - (yc / nc) * (yc / nc)) / nc
+               + (yyt / nt - (yt / nt) * (yt / nt)) / nt), 6) AS z_raw,
+  ROUND((yt / nt - th * (xt / nt)) - (yc / nc - th * (xc / nc)), 6)
+    AS diff_cuped,
+  ROUND(((yt / nt - th * (xt / nt)) - (yc / nc - th * (xc / nc)))
+        / SQRT(((yyc / nc - (yc / nc) * (yc / nc))
+                - 2 * th * (xyc / nc - (xc / nc) * (yc / nc))
+                + th * th * (xxc / nc - (xc / nc) * (xc / nc))) / nc
+               + ((yyt / nt - (yt / nt) * (yt / nt))
+                  - 2 * th * (xyt / nt - (xt / nt) * (yt / nt))
+                  + th * th * (xxt / nt - (xt / nt) * (xt / nt))) / nt),
+        6) AS z_cuped,
+  ROUND(1.0
+        - (((yyc / nc - (yc / nc) * (yc / nc))
+            - 2 * th * (xyc / nc - (xc / nc) * (yc / nc))
+            + th * th * (xxc / nc - (xc / nc) * (xc / nc)))
+           + ((yyt / nt - (yt / nt) * (yt / nt))
+              - 2 * th * (xyt / nt - (xt / nt) * (yt / nt))
+              + th * th * (xxt / nt - (xt / nt) * (xt / nt))))
+          / ((yyc / nc - (yc / nc) * (yc / nc))
+             + (yyt / nt - (yt / nt) * (yt / nt))), 6)
+    AS var_reduction
+FROM theta
+""",
+    doc="CUPED (Controlled-experiment Using Pre-Experiment Data) — "
+        "the industry-standard variance-reduction companion to "
+        "ab_test_ztest: each user's pre-period mean value is the "
+        "covariate X, the experiment-period mean is the metric Y "
+        "(split at the stream's midpoint timestamp, the ks_psi "
+        "convention), theta = cov(X,Y)/var(X) is fit POOLED, and the "
+        "adjusted metric Y - theta*(X - mean X) keeps the same "
+        "expectation with variance shrunk by the pre-period's "
+        "explanatory power — the report shows the raw and CUPED "
+        "z-scores side by side plus the realized variance reduction. "
+        "Scale shape: ONE per-user aggregate (conditional pre/post "
+        "power sums over the scan), then ONE per-arm aggregate of "
+        "(X, Y, XY, X^2, Y^2) power sums from which theta, both "
+        "adjusted variances, and both z-scores all derive in a "
+        "one-row projection — no second pass over the data, no "
+        "per-user theta join. The midpoint is a broadcast one-row "
+        "scalar. Arithmetic ordered identically cross-engine, "
+        "rounded 6 dp.",
+    tags=("experiment", "statistics", "aggregate", "pipeline"),
+)
+def ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    mid = ev.agg(
+        (
+            F.min(F.unix_micros("ts"))
+            + F.expr("(MAX(unix_micros(ts)) - MIN(unix_micros(ts))) div 2")
+        ).alias("mid")
+    )
+    pre = F.unix_micros("ts") < F.col("mid")
+    per_user = (
+        ev.where(F.col("value").isNotNull())
+        .crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            (F.sum(F.when(pre, F.col("value"))) / F.count(F.when(pre, 1)))
+            .alias("x"),
+            (
+                F.sum(F.when(~pre, F.col("value")))
+                / F.count(F.when(~pre, 1))
+            ).alias("y"),
+            F.count(F.when(pre, 1)).alias("n_pre"),
+            F.count(F.when(~pre, 1)).alias("n_post"),
+        )
+        .where((F.col("n_pre") > 0) & (F.col("n_post") > 0))
+        .select(
+            F.when(F.col("user_id") % 2 == 0, F.lit("control"))
+            .otherwise(F.lit("treatment"))
+            .alias("arm"),
+            "x",
+            "y",
+        )
+    )
+    aggs = []
+    for arm, a in (("control", "c"), ("treatment", "t")):
+        w = F.col("arm") == arm
+        aggs += [
+            F.count(F.when(w, 1)).alias(f"n{a}"),
+            F.sum(F.when(w, F.col("x"))).alias(f"x{a}"),
+            F.sum(F.when(w, F.col("y"))).alias(f"y{a}"),
+            F.sum(F.when(w, F.col("x") * F.col("y"))).alias(f"xy{a}"),
+            F.sum(F.when(w, F.col("x") * F.col("x"))).alias(f"xx{a}"),
+            F.sum(F.when(w, F.col("y") * F.col("y"))).alias(f"yy{a}"),
+        ]
+    s = per_user.agg(*aggs)
+    n_all = F.col("nc") + F.col("nt")
+    mx_all = (F.col("xc") + F.col("xt")) / n_all
+    my_all = (F.col("yc") + F.col("yt")) / n_all
+    cov_xy = (F.col("xyc") + F.col("xyt")) / n_all - mx_all * my_all
+    var_x = (F.col("xxc") + F.col("xxt")) / n_all - mx_all * mx_all
+    th = cov_xy / var_x
+
+    def arm_stats(a: str):
+        n = F.col(f"n{a}")
+        mx, my = F.col(f"x{a}") / n, F.col(f"y{a}") / n
+        vy = F.col(f"yy{a}") / n - my * my
+        cxy = F.col(f"xy{a}") / n - mx * my
+        vx = F.col(f"xx{a}") / n - mx * mx
+        v_adj = vy - 2 * th * cxy + th * th * vx
+        return n, mx, my, vy, v_adj
+
+    nc, mxc, myc, vyc, vac = arm_stats("c")
+    nt, mxt, myt, vyt, vat = arm_stats("t")
+    diff_raw = myt - myc
+    diff_cuped = (myt - th * mxt) - (myc - th * mxc)
+    return s.select(
+        nc.cast("long").alias("n_control"),
+        nt.cast("long").alias("n_treatment"),
+        F.round(th, 6).alias("theta"),
+        F.round(diff_raw, 6).alias("diff_raw"),
+        F.round(diff_raw / F.sqrt(vyc / nc + vyt / nt), 6).alias("z_raw"),
+        F.round(diff_cuped, 6).alias("diff_cuped"),
+        F.round(diff_cuped / F.sqrt(vac / nc + vat / nt), 6).alias(
+            "z_cuped"
+        ),
+        F.round(1.0 - (vac + vat) / (vyc + vyt), 6).alias("var_reduction"),
+    )
