@@ -358,3 +358,24 @@ class TestCausalExperimentOps:
         # CUPED z moves in the same direction as the adjusted diff
         assert np.sign(got.z_cuped) == np.sign(got.diff_cuped)
         assert np.sign(got.z_raw) == np.sign(got.diff_raw)
+
+
+class TestLocalClustering:
+    def test_sums_to_three_times_global_triangles(self, spark, sf_dir):
+        """Every triangle has exactly 3 members, so the per-node
+        counts must sum to 3x the global count — a cross-operator
+        identity with copurchase_triangle_count."""
+        from ytspark.operators.graph import (
+            copurchase_triangle_count,
+            local_clustering_coefficients,
+        )
+
+        lcc = local_clustering_coefficients(spark, sf_dir).toPandas()
+        glob = copurchase_triangle_count(spark, sf_dir).toPandas().iloc[0]
+        assert lcc.triangles.sum() == 3 * glob.n_triangles
+        assert ((lcc.local_clustering >= 0) & (lcc.local_clustering <= 1)).all()
+        assert (lcc.degree >= 2).all()
+        # triangles at a node never exceed its wedge count
+        assert (
+            lcc.triangles <= lcc.degree * (lcc.degree - 1) / 2
+        ).all()
