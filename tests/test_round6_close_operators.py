@@ -379,3 +379,33 @@ class TestLocalClustering:
         assert (
             lcc.triangles <= lcc.degree * (lcc.degree - 1) / 2
         ).all()
+
+
+class TestNbSourceValuation:
+    def test_full_model_agrees_with_itself_across_sources(
+        self, spark, sf_dir
+    ):
+        """Cross-operator identities: every doc is counted once, the
+        full-model column is consistent across rows (same model), and
+        accuracies are valid proportions."""
+        from ytspark.operators.learn import nb_source_valuation
+
+        docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+        got = nb_source_valuation(spark, sf_dir).toPandas()
+        assert got.n_docs.sum() == len(docs)
+        assert set(got.source) == set(docs.source)
+        assert ((got.correct_full <= got.n_docs)).all()
+        assert ((got.correct_logo <= got.n_docs)).all()
+        assert (
+            got.acc_full
+            == (got.correct_full / got.n_docs).round(6)
+        ).all()
+        # the synthetic corpus is barely lang-separable (the certified
+        # lang_nb_classifier scores ~0.47 on it); just pin that the
+        # valuation measures a non-degenerate classifier
+        assert got.correct_full.sum() / got.n_docs.sum() > 0.2
+        # self_gain is the bookkeeping identity
+        assert (
+            got.self_gain
+            == ((got.correct_full - got.correct_logo) / got.n_docs).round(6)
+        ).all()

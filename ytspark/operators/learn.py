@@ -1627,3 +1627,270 @@ def isotonic_calibration_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("iso"), 6).alias("iso_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-source-out NB data valuation (additive sufficient statistics)
+# ---------------------------------------------------------------------------
+
+_NBV_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, lang, source, t AS tok
+  FROM (SELECT doc_id, lang, source,
+               UNNEST(STRING_SPLIT(text, ' ')) AS t
+        FROM documents)
+),
+doc_tok AS (
+  SELECT doc_id, source, tok, COUNT(*) AS k
+  FROM tok GROUP BY doc_id, source, tok
+),
+doc_meta AS (
+  SELECT doc_id, lang, source, COUNT(*) AS n_d
+  FROM tok GROUP BY doc_id, lang, source
+),
+ct AS (SELECT lang, tok, COUNT(*) AS cnt FROM tok GROUP BY lang, tok),
+cts AS (
+  SELECT source, lang, tok, COUNT(*) AS cnt_s
+  FROM tok GROUP BY source, lang, tok
+),
+cs AS (SELECT lang, COUNT(*) AS toks_c FROM tok GROUP BY lang),
+css AS (
+  SELECT source, lang, COUNT(*) AS toks_s FROM tok GROUP BY source, lang
+),
+pr AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+prs AS (
+  SELECT source, lang, COUNT(*) AS n_docs_s
+  FROM documents GROUP BY source, lang
+),
+consts AS (
+  SELECT (SELECT COUNT(DISTINCT tok) FROM tok) AS v,
+         (SELECT COUNT(*) FROM documents) AS n,
+         (SELECT COUNT(DISTINCT lang) FROM documents) AS l,
+         (SELECT COUNT(DISTINCT source) FROM documents) AS n_src
+),
+src_n AS (SELECT source, COUNT(*) AS docs_s FROM documents GROUP BY source),
+hits AS (
+  SELECT d.doc_id, d.source, c.lang,
+         SUM(d.k * LN(c.cnt + 1)) AS s1f,
+         SUM(d.k * LN(c.cnt - COALESCE(x.cnt_s, 0) + 1)) AS s1l
+  FROM doc_tok d
+  JOIN ct c ON c.tok = d.tok
+  LEFT JOIN cts x ON x.source = d.source AND x.lang = c.lang
+                 AND x.tok = d.tok
+  GROUP BY d.doc_id, d.source, c.lang
+),
+scored AS (
+  SELECT dm.doc_id, dm.lang AS true_lang, dm.source, p.lang AS cand,
+         ROUND(LN((p.n_docs + 1.0) / (k.n + k.l))
+               - dm.n_d * LN(cs.toks_c + k.v)
+               + COALESCE(h.s1f, 0.0), 6) AS score_f,
+         ROUND(LN((p.n_docs - COALESCE(ps.n_docs_s, 0) + 1.0)
+                  / (k.n - sn.docs_s + k.l))
+               - dm.n_d * LN(cs.toks_c - COALESCE(xs.toks_s, 0) + k.v)
+               + COALESCE(h.s1l, 0.0), 6) AS score_l
+  FROM doc_meta dm
+  CROSS JOIN pr p
+  JOIN cs ON cs.lang = p.lang
+  CROSS JOIN consts k
+  JOIN src_n sn ON sn.source = dm.source
+  LEFT JOIN prs ps ON ps.source = dm.source AND ps.lang = p.lang
+  LEFT JOIN css xs ON xs.source = dm.source AND xs.lang = p.lang
+  LEFT JOIN hits h ON h.doc_id = dm.doc_id AND h.lang = p.lang
+),
+pred2 AS (
+  SELECT doc_id, true_lang, source,
+         FIRST(cand ORDER BY score_f DESC, cand) AS pred_f,
+         FIRST(cand ORDER BY score_l DESC, cand) AS pred_l
+  FROM scored GROUP BY doc_id, true_lang, source
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN pred_f = true_lang THEN 1 ELSE 0 END) AS BIGINT)
+         AS correct_full,
+       CAST(SUM(CASE WHEN pred_l = true_lang THEN 1 ELSE 0 END) AS BIGINT)
+         AS correct_logo,
+       ROUND(SUM(CASE WHEN pred_f = true_lang THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS acc_full,
+       ROUND(SUM(CASE WHEN pred_l = true_lang THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS acc_logo,
+       ROUND((SUM(CASE WHEN pred_f = true_lang THEN 1 ELSE 0 END)
+              - SUM(CASE WHEN pred_l = true_lang THEN 1 ELSE 0 END)) * 1.0
+             / COUNT(*), 6) AS self_gain
+FROM pred2 GROUP BY source
+"""
+
+
+@register(
+    "nb_source_valuation",
+    oracle=_NBV_ORACLE,
+    doc="LEAVE-ONE-SOURCE-OUT DATA VALUATION of the Naive Bayes "
+        "language classifier — the per-source contribution audit a "
+        "corpus-mixing pipeline runs before pruning or reweighting "
+        "sources: for every source, score its documents under the "
+        "FULL model and under the model retrained WITHOUT that "
+        "source, and report accuracy on the source's own docs both "
+        "ways; the gap (self_gain) measures how much each source's "
+        "presence in training explains its own predictions — the "
+        "memorization-vs-generalization signal. The trick that makes "
+        "20 'retrains' ONE pass: multinomial-NB sufficient statistics "
+        "(class-token counts, class token totals, priors) are "
+        "ADDITIVE, so the held-out model's parameters are the global "
+        "tables minus the source's own (source, lang, tok) slice, "
+        "joined in next to the global counts — no per-holdout "
+        "training jobs, just one extra bounded side table per "
+        "statistic. Both scores share one doc-token join; argmaxes "
+        "are rank windows partitioned by doc with a candidate "
+        "tiebreak, scores rounded to 6 dp first (the NB convention). "
+        "The vocabulary smoothing constant V is held at the full-"
+        "corpus vocabulary across holdouts (documented fixed-"
+        "smoothing simplification; distinct counts are the one "
+        "non-additive statistic). Priors are Laplace-smoothed so a "
+        "lang concentrated in one source never hits ln(0). Scale: "
+        "the data-sized work is the token explode + the doc_tok x "
+        "class join, identical to lang_nb_classifier; every "
+        "valuation-specific table is bounded by |sources| x |langs| "
+        "x |vocab|.",
+    tags=("learn", "evaluation", "text", "aggregate"),
+)
+def nb_source_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(F.split(F.col("text"), " ")).alias("tok"),
+    )
+    doc_tok = tok.groupBy("doc_id", "source", "tok").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    doc_meta = tok.groupBy("doc_id", "lang", "source").agg(
+        F.count(F.lit(1)).alias("n_d")
+    )
+    ct = tok.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    cts = tok.groupBy("source", "lang", "tok").agg(
+        F.count(F.lit(1)).alias("cnt_s")
+    )
+    cs = tok.groupBy("lang").agg(F.count(F.lit(1)).alias("toks_c"))
+    css = tok.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("toks_s")
+    )
+    pr = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    prs = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs_s")
+    )
+    src_n = docs.groupBy("source").agg(F.count(F.lit(1)).alias("docs_s"))
+    consts = docs.crossJoin(
+        tok.agg(F.countDistinct("tok").alias("v"))
+    ).agg(
+        F.any_value("v").alias("v"),
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("lang").alias("l"),
+    )
+    hits = (
+        doc_tok.join(ct, "tok")
+        .join(
+            cts.withColumnRenamed("cnt_s", "cnt_s_x"),
+            ["source", "lang", "tok"],
+            "left",
+        )
+        .groupBy("doc_id", "source", "lang")
+        .agg(
+            F.sum(F.col("k") * F.log(F.col("cnt") + 1)).alias("s1f"),
+            F.sum(
+                F.col("k")
+                * F.log(
+                    F.col("cnt") - F.coalesce(F.col("cnt_s_x"), F.lit(0)) + 1
+                )
+            ).alias("s1l"),
+        )
+    )
+    cand = pr.join(cs, "lang").select(
+        F.col("lang").alias("cand"), "n_docs", "toks_c"
+    )
+    scored = (
+        doc_meta.crossJoin(F.broadcast(cand))
+        .crossJoin(F.broadcast(consts))
+        .join(F.broadcast(src_n), "source")
+        .join(
+            F.broadcast(
+                prs.select(
+                    "source", F.col("lang").alias("cand"), "n_docs_s"
+                )
+            ),
+            ["source", "cand"],
+            "left",
+        )
+        .join(
+            F.broadcast(
+                css.select("source", F.col("lang").alias("cand"), "toks_s")
+            ),
+            ["source", "cand"],
+            "left",
+        )
+        .join(
+            hits.select(
+                "doc_id", F.col("lang").alias("cand"), "s1f", "s1l"
+            ),
+            ["doc_id", "cand"],
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.col("lang").alias("true_lang"),
+            "source",
+            "cand",
+            F.round(
+                F.log((F.col("n_docs") + 1.0) / (F.col("n") + F.col("l")))
+                - F.col("n_d") * F.log(F.col("toks_c") + F.col("v"))
+                + F.coalesce(F.col("s1f"), F.lit(0.0)),
+                6,
+            ).alias("score_f"),
+            F.round(
+                F.log(
+                    (
+                        F.col("n_docs")
+                        - F.coalesce(F.col("n_docs_s"), F.lit(0))
+                        + 1.0
+                    )
+                    / (F.col("n") - F.col("docs_s") + F.col("l"))
+                )
+                - F.col("n_d")
+                * F.log(
+                    F.col("toks_c")
+                    - F.coalesce(F.col("toks_s"), F.lit(0))
+                    + F.col("v")
+                )
+                + F.coalesce(F.col("s1l"), F.lit(0.0)),
+                6,
+            ).alias("score_l"),
+        )
+    )
+    wf = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_f"), F.asc("cand")
+    )
+    wl = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_l"), F.asc("cand")
+    )
+    pred = (
+        scored.withColumn("rf", F.row_number().over(wf))
+        .withColumn("rl", F.row_number().over(wl))
+        .groupBy("doc_id", "true_lang", "source")
+        .agg(
+            F.max(F.when(F.col("rf") == 1, F.col("cand"))).alias("pred_f"),
+            F.max(F.when(F.col("rl") == 1, F.col("cand"))).alias("pred_l"),
+        )
+    )
+    hit_f = (F.col("pred_f") == F.col("true_lang")).cast("long")
+    hit_l = (F.col("pred_l") == F.col("true_lang")).cast("long")
+    return pred.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(hit_f).alias("correct_full"),
+        F.sum(hit_l).alias("correct_logo"),
+        F.round(F.sum(hit_f) * 1.0 / F.count(F.lit(1)), 6).alias("acc_full"),
+        F.round(F.sum(hit_l) * 1.0 / F.count(F.lit(1)), 6).alias("acc_logo"),
+        F.round(
+            (F.sum(hit_f) - F.sum(hit_l)) * 1.0 / F.count(F.lit(1)), 6
+        ).alias("self_gain"),
+    )
