@@ -409,3 +409,37 @@ class TestNbSourceValuation:
             got.self_gain
             == ((got.correct_full - got.correct_logo) / got.n_docs).round(6)
         ).all()
+
+
+class TestPartitionChecksum:
+    def test_detects_single_row_mutation(self, spark, sf_dir, tmp_path):
+        """The point of the checksum: a one-row change flips exactly
+        its partition's checksum and the root, every other partition
+        checksum is unchanged, and the result is row-order
+        independent."""
+        from ytspark.operators.maintenance import partition_checksum_merkle
+
+        base = partition_checksum_merkle(spark, sf_dir).toPandas()
+        orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+        # mutate one row's price by one cent, shuffle row order too
+        mutated = orders.sample(frac=1.0, random_state=7).reset_index(
+            drop=True
+        )
+        mutated.loc[0, "o_totalprice"] = (
+            float(mutated.loc[0, "o_totalprice"]) + 0.01
+        )
+        changed_month = pd.Timestamp(
+            mutated.loc[0, "o_orderdate"]
+        ).strftime("%Y-%m-01")
+        mdir = tmp_path / "m"
+        mdir.mkdir()
+        mutated.to_parquet(mdir / "orders.parquet")
+        got = partition_checksum_merkle(spark, str(mdir)).toPandas()
+
+        b = base.set_index("part_month").sort_index()
+        g = got.set_index("part_month").sort_index()
+        assert list(b.index) == list(g.index)
+        diff = b.checksum != g.checksum
+        assert diff.sum() == 1 and diff[changed_month]
+        assert (b.n_rows == g.n_rows).all()
+        assert b.root_checksum.iloc[0] != g.root_checksum.iloc[0]

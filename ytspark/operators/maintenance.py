@@ -796,3 +796,90 @@ def scd2_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.sum("n_gaps") == 0)
         ).alias("integrity_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Merkle-style partition checksums (cheap table-version diffing)
+# ---------------------------------------------------------------------------
+
+MERKLE_MOD = 2_147_483_647  # keep per-row hashes summable in int64
+
+
+def _merkle_row_hash_sql() -> str:
+    from ytspark.operators.text import knuth_hash_sql
+
+    # fold the business columns into one integer key, then Knuth-mix;
+    # cents arithmetic keeps the price exact in integers
+    key = (
+        "o_orderkey * 7 + o_custkey * 11"
+        " + CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 13"
+        " + LENGTH(o_orderstatus) * 17"
+    )
+    return f"({knuth_hash_sql(key)}) % {MERKLE_MOD}"
+
+
+@register(
+    "partition_checksum_merkle",
+    oracle=f"""
+WITH hashed AS (
+  SELECT DATE_TRUNC('month', o_orderdate) AS part_month,
+         {_merkle_row_hash_sql()} AS h
+  FROM orders
+),
+parts AS (
+  SELECT part_month, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(h) % {MERKLE_MOD} AS BIGINT) AS checksum
+  FROM hashed GROUP BY part_month
+)
+SELECT STRFTIME(CAST(part_month AS DATE), '%Y-%m-%d') AS part_month,
+       n_rows, checksum,
+       CAST((SELECT SUM(checksum) % {MERKLE_MOD} FROM parts) AS BIGINT)
+         AS root_checksum
+FROM parts
+""",
+    doc="MERKLE-STYLE PARTITION CHECKSUMS — the cheap table-version "
+        "diff primitive replication and backfill verification need at "
+        "100 TB: per partition (order month), an order-independent "
+        "content checksum (sum of per-row Knuth hashes over the "
+        "business columns, price folded in exact cents, modulo a "
+        "Mersenne prime so int64 never overflows even at trillions "
+        "of rows per partition) plus the table-level root (sum of "
+        "partition checksums). Two table versions are compared by "
+        "root first (one row), then by the <=|partitions| checksum "
+        "rows to locate exactly which partitions diverged — no "
+        "row-level diff (table_diff_audit) until the blast radius is "
+        "known. Commutative/associative summing makes the checksum "
+        "insensitive to row order and partition layout — precisely "
+        "what survives a repartition or engine migration, unlike "
+        "file-level MD5s. One map-side-combinable aggregate; the "
+        "root rides along as a broadcast one-row scalar. All-integer "
+        "output hashes bit-identically.",
+    tags=("maintenance", "quality", "aggregate", "scale"),
+)
+def partition_checksum_merkle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ytspark.operators.text import knuth_hash_col
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    key = (
+        F.col("o_orderkey") * 7
+        + F.col("o_custkey") * 11
+        + (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long") * 13
+        + F.length("o_orderstatus") * 17
+    )
+    hashed = orders.select(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd")
+        .alias("part_month"),
+        (knuth_hash_col(key) % MERKLE_MOD).alias("h"),
+    )
+    parts = hashed.groupBy("part_month").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.sum("h") % MERKLE_MOD).cast("long").alias("checksum"),
+    )
+    root = parts.agg(
+        (F.sum("checksum") % MERKLE_MOD).cast("long").alias("root_checksum")
+    )
+    return parts.crossJoin(F.broadcast(root)).select(
+        "part_month", "n_rows", "checksum", "root_checksum"
+    )
