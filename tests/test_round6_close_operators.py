@@ -443,3 +443,40 @@ class TestPartitionChecksum:
         assert diff.sum() == 1 and diff[changed_month]
         assert (b.n_rows == g.n_rows).all()
         assert b.root_checksum.iloc[0] != g.root_checksum.iloc[0]
+
+
+class TestSceneChange:
+    def test_hand_computed_payload(self, spark, tmp_path):
+        """Two flat 'shots' with a hard boundary: the crafted payload
+        is 6 frames of 'a' then 4 frames of 'z' — exactly one sampled
+        transition spans the boundary and must fire as a cut."""
+        from ytspark.operators.multimodal import (
+            SCN_CUT_MEAN,
+            SCN_FRAME,
+            SCN_STEP,
+            multimodal_scene_change,
+        )
+
+        text = "a" * (6 * SCN_FRAME) + "z" * (4 * SCN_FRAME)
+        docs = pd.DataFrame(
+            {
+                "doc_id": [1],
+                "text": [text],
+                "lang": ["en"],
+                "source": ["s"],
+                "n_chars": [len(text)],
+            }
+        )
+        docs.to_parquet(tmp_path / "documents.parquet")
+        got = (
+            multimodal_scene_change(spark, str(tmp_path))
+            .toPandas()
+            .iloc[0]
+        )
+        # 10 frames, sampled pairs (0,2)...(6,8) -> 4 pairs
+        assert got.n_pairs == 4
+        # only the (4,6) pair crosses the a->z boundary
+        per_byte = abs(ord("z") - ord("a"))
+        assert got.total_abs_diff == per_byte * SCN_FRAME
+        assert per_byte > SCN_CUT_MEAN  # the boundary really is a cut
+        assert got.n_cuts == 1

@@ -1044,3 +1044,106 @@ def multimodal_audio_fingerprint_dedup(
         .dropDuplicates(["doc_a", "doc_b"])
         .where(F.col("hamming") <= AFP_HAMMING)
     )
+
+
+# --------------------------------------------------------------------
+# video: scene-change detection over sampled frames
+# --------------------------------------------------------------------
+
+SCN_FRAME = 64  # bytes per "frame" for the scene-change probe
+SCN_STEP = 2  # compare every 2nd frame (the sampled stream)
+SCN_CUT_MEAN = 24  # cut iff mean abs byte diff > this (exact: sum > 24*o)
+
+
+@register(
+    "multimodal_scene_change",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, text, LENGTH(text) AS l,
+         (LENGTH(text) + {SCN_FRAME - 1}) // {SCN_FRAME} AS nf
+  FROM documents WHERE lang = 'en'
+),
+pairs AS (
+  SELECT doc_id, text, l, k,
+         LEAST({SCN_FRAME}, l - (k + {SCN_STEP}) * {SCN_FRAME}) AS o
+  FROM d, UNNEST(RANGE(0, GREATEST(nf - {SCN_STEP}, 0), {SCN_STEP})) t(k)
+),
+diffs AS (
+  SELECT doc_id, k, o,
+         SUM(ABS(ORD(SUBSTR(text, k * {SCN_FRAME} + j + 1, 1))
+                 - ORD(SUBSTR(text, (k + {SCN_STEP}) * {SCN_FRAME} + j + 1,
+                              1)))) AS s
+  FROM pairs, UNNEST(RANGE(o)) u(j)
+  GROUP BY doc_id, k, o
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(s) AS BIGINT) AS total_abs_diff,
+       CAST(SUM(CASE WHEN s > {SCN_CUT_MEAN} * o THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_cuts
+FROM diffs GROUP BY doc_id
+""",
+    doc="VIDEO SCENE-CHANGE DETECTION over the sampled frame stream — "
+        "the shot-boundary primitive a video-training pipeline runs "
+        "right after frame sampling (keyframe selection, dedup of "
+        "static shots, clip segmentation): consecutive sampled "
+        f"frames ({SCN_FRAME}-byte frames, every {SCN_STEP}nd kept) "
+        "are compared by SUM |a_i - b_i| over their overlapping "
+        "bytes, and a cut fires when the mean abs difference exceeds "
+        f"{SCN_CUT_MEAN} — evaluated as the EXACT integer comparison "
+        "sum > thresh * overlap, so the output is all-integer and "
+        "hashes bit-identically. The kernel is the module's standard "
+        "Arrow path: payload bytes -> numpy uint8 per mapInPandas "
+        "batch, all per-frame arithmetic vectorized, one output row "
+        "per document — no byte ever crosses a JVM expression, no "
+        "shuffle until the per-doc counts. Restricted to the ASCII "
+        "('en') documents so the byte-level kernel and the DuckDB "
+        "character-level oracle (ORD/SUBSTR over an unnested "
+        "position range) measure the same payload. Scale: per-doc "
+        "work is linear in payload bytes and embarrassingly "
+        "parallel; at 100 TB this runs as the same scan that decodes "
+        "frames, with per-asset repartitioning keeping one video's "
+        "frames together.",
+    tags=("multimodal", "binary", "pandas-udf", "aggregate"),
+)
+def multimodal_scene_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd  # noqa: F401 (kernel-side)
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    media = attach_fake_media(docs.where(F.col("lang") == "en"))
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                a = np.frombuffer(payload, dtype=np.uint8)
+                nf = (len(a) + SCN_FRAME - 1) // SCN_FRAME
+                n_pairs = total = cuts = 0
+                for k in range(0, max(nf - SCN_STEP, 0), SCN_STEP):
+                    f1 = a[k * SCN_FRAME:(k + 1) * SCN_FRAME]
+                    start = (k + SCN_STEP) * SCN_FRAME
+                    f2 = a[start:start + SCN_FRAME]
+                    o = min(len(f1), len(f2))
+                    s = int(
+                        np.abs(
+                            f1[:o].astype(np.int64)
+                            - f2[:o].astype(np.int64)
+                        ).sum()
+                    )
+                    n_pairs += 1
+                    total += s
+                    cuts += int(s > SCN_CUT_MEAN * o)
+                if n_pairs:
+                    out.append((doc_id, n_pairs, total, cuts))
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "n_pairs", "total_abs_diff", "n_cuts"],
+            )
+
+    return media.select("doc_id", "media").mapInPandas(
+        kernel,
+        "doc_id long, n_pairs long, total_abs_diff long, n_cuts long",
+    )
