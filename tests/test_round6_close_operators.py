@@ -1,10 +1,15 @@
-"""Semantic tests for the round-6 close operators: the t-closeness
-EMD privacy audit and Dirichlet query-likelihood retrieval.
+"""Semantic tests for the round-6 close operators: t-closeness EMD,
+Dirichlet query-likelihood retrieval, cross-source quantile
+normalization, bitext margin mining, isotonic (PAV) calibration,
+rendezvous-hashing rebalance, DiD + CUPED experiment readouts, local
+clustering coefficients, NB leave-one-source-out valuation, Merkle
+partition checksums, and video scene-change detection.
 
 Cross-engine value certification lives in tools/oracle_check.py; these
-pin the mathematical identities the oracles can't see (EMD reference
-recomputation, LM score monotonicity) on the real tables plus crafted
-fixtures.
+pin the mathematical identities the oracles can't see (reference
+recomputations in numpy/pandas, the PAV stack algorithm, the HRW
+minimal-movement property, cross-operator identities, mutation
+detection) on the real tables plus crafted fixtures.
 """
 
 from __future__ import annotations
