@@ -78,3 +78,26 @@ def test_committed_inventory_matches_registry():
         f"QUERIES.md lists {n_rows} queries but the registry holds "
         f"{len(registry())} — rerun tools/gen_query_inventory.py"
     )
+
+
+def test_committed_oracle_local_matches_registry():
+    """Round-6 freshness contract, the ORACLE_LOCAL counterpart of the
+    QUERIES.md check: every registration must be certified into the
+    committed artifact (tools/oracle_check.py merges named runs), so
+    its query count always equals the registry and nothing ships
+    uncertified."""
+    import json
+
+    from ytspark.queries import registry
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "ORACLE_LOCAL.json")
+    with open(path) as fh:
+        data = json.load(fh)
+    assert data["n_queries"] == len(registry()), (
+        f"ORACLE_LOCAL.json records {data['n_queries']} queries but the "
+        f"registry holds {len(registry())} — run tools/oracle_check.py "
+        "(full, or named for the new queries: named runs merge)"
+    )
+    assert data["n_fail"] == 0
+    assert set(data["results"]) == set(registry())
