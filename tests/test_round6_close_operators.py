@@ -485,3 +485,35 @@ class TestSceneChange:
         assert got.total_abs_diff == per_byte * SCN_FRAME
         assert per_byte > SCN_CUT_MEAN  # the boundary really is a cut
         assert got.n_cuts == 1
+
+
+class TestQuantileNormalizeApply:
+    def test_transform_equalizes_distributions(self, spark, sf_dir):
+        """After the apply step, every source's normalized
+        distribution is (close to) the pooled one: per-source medians
+        of the normalized column collapse onto the pooled median grid
+        value, and the map preserves within-source order."""
+        from ytspark.operators.profiling import quantile_normalize_apply
+
+        got = quantile_normalize_apply(spark, sf_dir).toPandas()
+        docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+        assert len(got) == len(docs)
+        # monotone within source: higher raw value -> >= normalized
+        for _, g in got.groupby("source"):
+            s = g.sort_values(["n_chars", "doc_id"])
+            assert s.normalized.is_monotonic_increasing
+            assert s.grid_pct.is_monotonic_increasing
+            assert s.grid_pct.iloc[0] == 0 and s.grid_pct.iloc[-1] == 100
+        # cross-source comparability: the max normalized value equals
+        # the pooled max for every source (grid 100 = pooled max)
+        pooled_max = docs.n_chars.max()
+        assert (
+            got.groupby("source").normalized.max() == pooled_max
+        ).all()
+        # and per-source normalized medians are pulled together: their
+        # spread is no wider than the raw medians' spread
+        raw_med = docs.groupby("source").n_chars.median()
+        norm_med = got.groupby("source").normalized.median()
+        assert norm_med.max() - norm_med.min() <= max(
+            raw_med.max() - raw_med.min(), 1
+        )

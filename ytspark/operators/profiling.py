@@ -1561,3 +1561,94 @@ def quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("pooled_value") - F.col("v")).cast("long").alias("shift"),
         )
     )
+
+
+@register(
+    "quantile_normalize_apply",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, source, n_chars AS v,
+         PERCENT_RANK() OVER (PARTITION BY source
+                              ORDER BY n_chars, doc_id) AS pr
+  FROM documents
+),
+pooled AS (
+  SELECT n_chars AS v,
+         ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM documents
+),
+grid AS (
+  SELECT CAST(g AS BIGINT) AS g, v AS pooled_value
+  FROM (SELECT UNNEST(RANGE(0, 101)) AS g)
+  JOIN pooled
+    ON rn = GREATEST(1, CAST(CEIL(g / 100.0 * n) AS BIGINT))
+)
+SELECT d.doc_id, d.source, CAST(d.v AS BIGINT) AS n_chars,
+       CAST(ROUND(d.pr * 100) AS BIGINT) AS grid_pct,
+       CAST(grid.pooled_value AS BIGINT) AS normalized
+FROM d JOIN grid ON grid.g = CAST(ROUND(d.pr * 100) AS BIGINT)
+""",
+    doc="APPLY step of cross-source quantile normalization — the "
+        "row-level companion of quantile_normalize_sources' mapping "
+        "table: every document's length is replaced by the POOLED "
+        "corpus value at the document's within-source percentile "
+        "(percent_rank with a doc_id tiebreak, snapped to a 0..100 "
+        "grid), so after the transform every source's distribution "
+        "is the pooled one and per-source quality thresholds become "
+        "comparable. The pooled quantile function is evaluated once "
+        "at the 101 grid points — the exact k = max(1, ceil(p*N))-th "
+        "order statistic — and joined back BROADCAST, so the "
+        "data-sized work is one partitioned rank window (by source) "
+        "plus a map-side lookup; the pooled 101-point grid is the "
+        "only global structure and is O(1). (The grid build here "
+        "ranks the pooled table directly — at 100 TB you'd swap that "
+        "one step for the two-pass bucket selection the mapping-"
+        "table query uses; the apply join is unchanged.) All-integer "
+        "output: doc, source, raw value, grid percentile, normalized "
+        "value.",
+    tags=("profiling", "percentile", "text", "join"),
+)
+def quantile_normalize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").alias("v"),
+        F.percent_rank().over(ws).alias("pr"),
+    )
+    # pooled order statistics at the 101 grid points (global rank over
+    # the pooled table — see docstring for the 100 TB two-pass swap;
+    # EXPECTED_GLOBAL_WINDOW carries the justification)
+    wp = Window.orderBy("n_chars", "doc_id")
+    pooled = docs.select(
+        F.col("n_chars").alias("pv"), F.row_number().over(wp).alias("rn")
+    ).crossJoin(F.broadcast(docs.agg(F.count(F.lit(1)).alias("n"))))
+    grid = (
+        spark.range(101)
+        .select(F.col("id").cast("long").alias("g"))
+        .join(
+            pooled,
+            F.col("rn")
+            == F.greatest(
+                F.lit(1),
+                F.ceil(F.col("g") / 100.0 * F.col("n")).cast("long"),
+            ),
+        )
+        .select("g", F.col("pv").alias("normalized"))
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        F.col("v").cast("long").alias("n_chars"),
+        F.round(F.col("pr") * 100).cast("long").alias("grid_pct"),
+    ).join(F.broadcast(grid), F.col("grid_pct") == F.col("g")).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "grid_pct",
+        F.col("normalized").cast("long").alias("normalized"),
+    )
