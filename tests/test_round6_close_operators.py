@@ -517,3 +517,56 @@ class TestQuantileNormalizeApply:
         assert norm_med.max() - norm_med.min() <= max(
             raw_med.max() - raw_med.min(), 1
         )
+
+
+class TestCroston:
+    def test_closed_form_equals_textbook_recursion(self, spark, sf_dir):
+        """The unrolled closed form must reproduce the standard
+        recursive SES: z_1 = v_1; z_j = a*v_j + (1-a)*z_{j-1} — and
+        likewise for intervals."""
+        from ytspark.operators.timeseries import (
+            CROSTON_ALPHA,
+            CROSTON_QTY,
+            croston_intermittent_demand,
+        )
+
+        li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+        part = pd.read_parquet(f"{sf_dir}/part.parquet")
+        df = li[li.l_quantity >= CROSTON_QTY].merge(
+            part[["p_partkey", "p_brand"]],
+            left_on="l_partkey",
+            right_on="p_partkey",
+        )
+        wk = pd.to_datetime(df.l_shipdate).dt.to_period("W").dt.start_time
+        dem = (
+            df.assign(wk=wk)
+            .groupby(["p_brand", "wk"])
+            .size()
+            .rename("v")
+            .reset_index()
+            .sort_values(["p_brand", "wk"])
+        )
+
+        got = (
+            croston_intermittent_demand(spark, sf_dir)
+            .toPandas()
+            .set_index("brand")
+        )
+        a = CROSTON_ALPHA
+        for brand, g in dem.groupby("p_brand"):
+            v = g.v.to_list()
+            gaps = (g.wk.diff().dt.days // 7).dropna().to_list()
+            z = v[0]
+            for x in v[1:]:
+                z = a * x + (1 - a) * z
+            p = gaps[0]
+            for x in gaps[1:]:
+                p = a * x + (1 - a) * p
+            row = got.loc[brand]
+            assert row.n_demand_points == len(v)
+            assert row.total_units == sum(v)
+            assert row.z_hat == pytest.approx(z, abs=2e-6)
+            assert row.p_hat == pytest.approx(p, abs=2e-6)
+            assert row.forecast_per_week == pytest.approx(
+                round(z / p, 6), abs=2e-6
+            )

@@ -1438,3 +1438,145 @@ def forecast_backtest_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sae_sn").cast("double") <= F.col("sae_nv").cast("double")
         ).alias("seasonal_beats_naive"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Croston's method: intermittent-demand forecasting
+# ---------------------------------------------------------------------------
+
+CROSTON_ALPHA = 0.1
+CROSTON_QTY = 49  # "demand" = lineitems with quantity >= this (rare)
+
+
+@register(
+    "croston_intermittent_demand",
+    oracle=f"""
+WITH demand AS (
+  SELECT p.p_brand AS brand,
+         DATE_TRUNC('week', CAST(l.l_shipdate AS DATE)) AS wk,
+         COUNT(*) AS v
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE l.l_quantity >= {CROSTON_QTY}
+  GROUP BY 1, 2
+),
+seq AS (
+  SELECT brand, wk, v,
+         ROW_NUMBER() OVER (PARTITION BY brand ORDER BY wk) AS j,
+         COUNT(*) OVER (PARTITION BY brand) AS k,
+         DATEDIFF('day', LAG(wk) OVER (PARTITION BY brand ORDER BY wk),
+                  wk) // 7 AS gap
+  FROM demand
+),
+z AS (
+  SELECT brand, MAX(k) AS k,
+         CAST(SUM(CAST(ROUND(CASE WHEN j >= 2 THEN
+               {CROSTON_ALPHA} * v * POWER(1 - {CROSTON_ALPHA}, k - j)
+             ELSE POWER(1 - {CROSTON_ALPHA}, k - 1) * v END, 9)
+             AS DECIMAL(28,12))) AS DOUBLE) AS z_hat,
+         CAST(SUM(v) AS BIGINT) AS total_units
+  FROM seq GROUP BY brand
+),
+ivals AS (
+  SELECT brand, gap,
+         ROW_NUMBER() OVER (PARTITION BY brand ORDER BY j) AS m,
+         COUNT(*) OVER (PARTITION BY brand) AS mm
+  FROM seq WHERE j >= 2
+),
+p AS (
+  SELECT brand,
+         CAST(SUM(CAST(ROUND(CASE WHEN m >= 2 THEN
+               {CROSTON_ALPHA} * gap * POWER(1 - {CROSTON_ALPHA}, mm - m)
+             ELSE POWER(1 - {CROSTON_ALPHA}, mm - 1) * gap END, 9)
+             AS DECIMAL(28,12))) AS DOUBLE) AS p_hat
+  FROM ivals GROUP BY brand
+)
+SELECT z.brand, CAST(z.k AS BIGINT) AS n_demand_points, z.total_units,
+       ROUND(z.z_hat, 6) AS z_hat, ROUND(p.p_hat, 6) AS p_hat,
+       ROUND(z.z_hat / p.p_hat, 6) AS forecast_per_week
+FROM z JOIN p ON p.brand = z.brand
+""",
+    doc="CROSTON'S METHOD for intermittent demand — the standard "
+        "forecaster when most periods are ZERO (spare parts, rare "
+        "SKUs, long-tail content) where Holt-Winters and moving "
+        "averages systematically understate: exponential smoothing "
+        "runs ONLY at demand points, separately over demand SIZES "
+        f"(alpha={CROSTON_ALPHA}) and inter-demand INTERVALS (weeks "
+        "between consecutive demand weeks — no dense calendar spine "
+        "needed), and the rate forecast is size/interval. Demand "
+        f"here: weekly counts of quantity >= {CROSTON_QTY} line "
+        "items per brand (~78% zero weeks). The SES recursions are "
+        "UNROLLED to their closed form — z_K = alpha * sum v_j * "
+        "(1-alpha)^(K-j) + (1-alpha)^(K-1) * v_1 — so each series "
+        "needs one partitioned rank window and one aggregate, no "
+        "iteration; the weighted terms are rounded to 9 dp and "
+        "summed through DECIMAL(28,12), making the float fold "
+        "order-independent and bit-identical cross-engine (the "
+        "embedding_pq discipline). Scale: the demand table is one "
+        "aggregate over the scan; everything after is per-series "
+        "windows over |demand points| rows — intermittency itself "
+        "keeps that small.",
+    tags=("time", "forecast", "window", "aggregate"),
+)
+def croston_intermittent_demand(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    a = CROSTON_ALPHA
+    demand = (
+        t["lineitem"]
+        .where(F.col("l_quantity") >= CROSTON_QTY)
+        .join(
+            F.broadcast(t["part"].select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.date_trunc("week", F.to_date("l_shipdate")).alias("wk"),
+        )
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    wb = Window.partitionBy("brand").orderBy("wk")
+    wk_all = Window.partitionBy("brand")
+    seq = demand.select(
+        "brand",
+        "wk",
+        "v",
+        F.row_number().over(wb).alias("j"),
+        F.count(F.lit(1)).over(wk_all).alias("k"),
+        F.expr(
+            "datediff(wk, lag(wk) over "
+            "(partition by brand order by wk)) div 7"
+        ).alias("gap"),
+    )
+
+    def folded(term, idx, total):
+        """alpha-weighted closed-form SES fold, DECIMAL-summed."""
+        w = F.when(
+            idx >= 2, F.lit(a) * term * F.pow(F.lit(1 - a), total - idx)
+        ).otherwise(F.pow(F.lit(1 - a), total - 1) * term)
+        return F.sum(F.round(w, 9).cast("decimal(28,12)")).cast("double")
+
+    z = seq.groupBy("brand").agg(
+        F.max("k").alias("k"),
+        folded(F.col("v"), F.col("j"), F.col("k")).alias("z_hat"),
+        F.sum("v").cast("long").alias("total_units"),
+    )
+    ivals = seq.where(F.col("j") >= 2).select(
+        "brand",
+        "gap",
+        F.row_number().over(wb.orderBy("j")).alias("m"),
+        F.count(F.lit(1)).over(wk_all).alias("mm"),
+    )
+    p = ivals.groupBy("brand").agg(
+        folded(F.col("gap"), F.col("m"), F.col("mm")).alias("p_hat")
+    )
+    return z.join(p, "brand").select(
+        "brand",
+        F.col("k").cast("long").alias("n_demand_points"),
+        "total_units",
+        F.round("z_hat", 6).alias("z_hat"),
+        F.round("p_hat", 6).alias("p_hat"),
+        F.round(F.col("z_hat") / F.col("p_hat"), 6).alias(
+            "forecast_per_week"
+        ),
+    )
