@@ -161,6 +161,8 @@ EXPECTED_GLOBAL_WINDOW = {
     "rfm_customer_segments",       # offsets over value-bounded metric buckets
     "mann_whitney_value_shift",    # midranks over the bounded cent-value grid
     "benjamini_hochberg_nations",  # step-up scan over the m=25 test rows
+    "quantile_normalize_apply",    # pooled rank for the 101-pt grid
+                                   # (docstring: two-pass swap at scale)
 }
 # streaming queries execute eagerly; skip plan audit (they materialize
 # their own sinks and are correctness-checked by the oracle gate)
