@@ -570,3 +570,33 @@ class TestCroston:
             assert row.forecast_per_week == pytest.approx(
                 round(z / p, 6), abs=2e-6
             )
+
+
+class TestIvfPq:
+    def test_rerank_exact_and_recall_vs_bruteforce(self, spark, sf_dir):
+        """The re-ranked cosines must equal the brute-force exact
+        cosines for the same (query, neighbor) pairs, ADC must
+        correlate with the truth (the shortlist works), and recall@10
+        against exact brute force is well above chance."""
+        from ytspark.operators.similarity import (
+            TOP_K,
+            knn_cosine_bruteforce,
+            knn_cosine_ivf_pq,
+        )
+
+        exact = knn_cosine_bruteforce(spark, sf_dir).toPandas()
+        got = knn_cosine_ivf_pq(spark, sf_dir).toPandas()
+        assert set(got.groupby("query_id").size()) == {TOP_K}
+        ex = exact.set_index(["query_id", "neighbor_id"]).cos_sim
+        hits = 0
+        for row in got.itertuples():
+            key = (row.query_id, row.neighbor_id)
+            if key in ex.index:
+                hits += 1
+                # exact re-rank: identical rounded cosine
+                assert row.cos_sim == pytest.approx(ex[key], abs=2e-6)
+            # ADC approximates cosine: same sign region, bounded error
+            assert abs(row.adc_sim - row.cos_sim) < 0.5
+        recall = hits / len(exact)
+        # 4/16 probed cells alone cap recall; PQ shortlist keeps most
+        assert recall > 0.35, recall

@@ -83,6 +83,7 @@ EXPECTED_NESTED_LOOP = {
     "partition_checksum_merkle",     # broadcast one-row root checksum
     "woe_encoding_iv",               # broadcast one-row class totals
     "nb_source_valuation",           # docs x broadcast 5-row class grid
+    "knn_cosine_ivf_pq",             # broadcast 16-cell/128-code grids (ADC)
     "quantile_normalize_apply",      # 101-point grid locator theta join
     "funnel_latency_percentiles",    # broadcast one-row percentile agg
     "sliding_distinct_users_7d",     # |days|-row spine x trailing band

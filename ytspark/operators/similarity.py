@@ -1631,3 +1631,405 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse probe pruning + PQ asymmetric-distance shortlist + re-rank
+# ---------------------------------------------------------------------------
+
+IVFPQ_SHORTLIST = 40  # ADC shortlist size before the exact re-rank
+
+
+def _ivfpq_oracle() -> str:
+    """The knn_cosine_ivf and embedding_pq chained-CTE replays fused
+    into one pipeline (PQ CTEs renamed p*), plus the ADC serving
+    stage: per-(query, subspace, code) dot/norm terms (strict left
+    folds, rounded 9 dp), DECIMAL-summed across subspaces, shortlist
+    by rounded ADC with a vec_id tiebreak, exact cosine re-rank."""
+    from ytspark.operators.clustering import PQ_CODES, PQ_SUBSPACES
+    from ytspark.operators.text import knuth_hash_sql
+
+    sub = 64 // PQ_SUBSPACES
+    knuth = knuth_hash_sql("vec_id")
+    ss = f"GREATEST(1, nt // {PQ_CODES})"
+
+    def d2(bv: str, cv: str) -> str:
+        return (
+            f"LIST_REDUCE(LIST_TRANSFORM(RANGE(1, {sub + 1}),"
+            f" j -> ({bv}[j] - {cv}[j]) * ({bv}[j] - {cv}[j])),"
+            " (a, x) -> a + x)"
+        )
+
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+p AS (
+  SELECT GREATEST(1, COUNT(*) // {IVF_TRAIN_CAP}) AS stride FROM e
+),
+tru AS (
+  SELECT vec_id,
+         LIST_TRANSFORM(v, x -> x / SQRT(LIST_DOT_PRODUCT(v, v))) AS uv,
+         ROW_NUMBER() OVER (ORDER BY vec_id) AS rn,
+         COUNT(*) OVER () AS nt
+  FROM e WHERE ({knuth}) % (SELECT stride FROM p) = 0
+),
+seeds AS (
+  SELECT CAST((rn - 1) // GREATEST(1, nt // {N_IVF_CELLS}) AS INT) AS cell, uv
+  FROM tru
+  WHERE (rn - 1) % GREATEST(1, nt // {N_IVF_CELLS}) = 0
+    AND (rn - 1) // GREATEST(1, nt // {N_IVF_CELLS}) < {N_IVF_CELLS}
+),
+best AS (
+  SELECT vec_id, cell FROM (
+    SELECT t.vec_id, s.cell,
+           ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                              ORDER BY LIST_DOT_PRODUCT(t.uv, s.uv) DESC,
+                                       s.cell) AS rk
+    FROM tru t CROSS JOIN seeds s
+  ) WHERE rk = 1
+),
+dimsum AS (
+  SELECT b.cell, d.i AS dim,
+         LIST_REDUCE(LIST(t.uv[d.i] ORDER BY t.vec_id), (a, x) -> a + x)
+           / COUNT(*) AS mu
+  FROM best b
+  JOIN tru t USING (vec_id)
+  CROSS JOIN (SELECT UNNEST(RANGE(1, 65)) AS i) d
+  GROUP BY b.cell, d.i
+),
+mvec AS (
+  SELECT cell, LIST(mu ORDER BY dim) AS mv FROM dimsum GROUP BY cell
+),
+cents AS (
+  SELECT s.cell,
+         COALESCE(LIST_TRANSFORM(r.mv,
+                    x -> x / SQRT(LIST_DOT_PRODUCT(r.mv, r.mv))),
+                  s.uv) AS cv
+  FROM seeds s LEFT JOIN mvec r USING (cell)
+),
+cu AS (
+  SELECT vec_id, v,
+         LIST_TRANSFORM(v, x -> x / SQRT(LIST_DOT_PRODUCT(v, v))) AS uv
+  FROM e
+),
+corpus_cell AS (
+  SELECT vec_id, cell FROM (
+    SELECT cu.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY cu.vec_id
+                              ORDER BY LIST_DOT_PRODUCT(cu.uv, c.cv) DESC,
+                                       c.cell) AS rk
+    FROM cu CROSS JOIN cents c
+  ) WHERE rk = 1
+),
+probes AS (
+  SELECT query_id, probe_cell FROM (
+    SELECT cu.vec_id AS query_id, c.cell AS probe_cell,
+           ROW_NUMBER() OVER (PARTITION BY cu.vec_id
+                              ORDER BY LIST_DOT_PRODUCT(cu.uv, c.cv) DESC,
+                                       c.cell) AS rk
+    FROM cu CROSS JOIN cents c
+    WHERE cu.vec_id < {N_QUERIES}
+  ) WHERE rk <= {N_PROBE}
+),
+ptr AS (
+  SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn,
+         COUNT(*) OVER () AS nt
+  FROM e WHERE ({knuth}) % (SELECT stride FROM p) = 0
+),
+psub AS (SELECT UNNEST(RANGE(0, {PQ_SUBSPACES})) AS s),
+ptblocks AS (
+  SELECT ptr.vec_id, ptr.rn, ptr.nt, psub.s,
+         ptr.v[psub.s * {sub} + 1 : psub.s * {sub} + {sub}] AS bv
+  FROM ptr CROSS JOIN psub
+),
+pseeds AS (
+  SELECT s, CAST((rn - 1) // {ss} AS INT) AS code, bv
+  FROM ptblocks
+  WHERE (rn - 1) % {ss} = 0 AND (rn - 1) // {ss} < {PQ_CODES}
+),
+pbest AS (
+  SELECT s, vec_id, code FROM (
+    SELECT t.s, t.vec_id, c.code,
+           ROW_NUMBER() OVER (PARTITION BY t.s, t.vec_id
+                              ORDER BY {d2("t.bv", "c.bv")} ASC,
+                                       c.code) AS rk
+    FROM ptblocks t JOIN pseeds c ON c.s = t.s
+  ) WHERE rk = 1
+),
+pdimsum AS (
+  SELECT b.s, b.code, d.i AS dim,
+         LIST_REDUCE(LIST(t.bv[d.i] ORDER BY t.vec_id), (a, x) -> a + x)
+           / COUNT(*) AS mu
+  FROM pbest b
+  JOIN ptblocks t ON t.s = b.s AND t.vec_id = b.vec_id
+  CROSS JOIN (SELECT UNNEST(RANGE(1, {sub + 1})) AS i) d
+  GROUP BY b.s, b.code, d.i
+),
+pmvec AS (
+  SELECT s, code, LIST(mu ORDER BY dim) AS mv FROM pdimsum GROUP BY s, code
+),
+cbook AS (
+  SELECT sd.s, sd.code, COALESCE(r.mv, sd.bv) AS cv
+  FROM pseeds sd LEFT JOIN pmvec r ON r.s = sd.s AND r.code = sd.code
+),
+eblocks AS (
+  SELECT e.vec_id, psub.s,
+         e.v[psub.s * {sub} + 1 : psub.s * {sub} + {sub}] AS bv
+  FROM e CROSS JOIN psub
+),
+pqenc AS (
+  SELECT s, vec_id, code FROM (
+    SELECT t.s, t.vec_id, c.code,
+           ROW_NUMBER() OVER (PARTITION BY t.s, t.vec_id
+                              ORDER BY {d2("t.bv", "c.cv")} ASC,
+                                       c.code) AS rk
+    FROM eblocks t JOIN cbook c ON c.s = t.s
+  ) WHERE rk = 1
+),
+qv_q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}
+),
+qnorm AS (
+  SELECT query_id, SQRT(LIST_DOT_PRODUCT(qv, qv)) AS qn FROM qv_q
+),
+qterm AS (
+  SELECT q.query_id, c.s, c.code,
+         ROUND(LIST_REDUCE(LIST_TRANSFORM(RANGE(1, {sub + 1}),
+                 j -> q.qv[c.s * {sub} + j] * c.cv[j]),
+               (a, x) -> a + x), 9) AS term_dot,
+         ROUND(LIST_DOT_PRODUCT(c.cv, c.cv), 9) AS n2
+  FROM qv_q q CROSS JOIN cbook c
+),
+cand AS (
+  SELECT p2.query_id, cc.vec_id, en.s, en.code
+  FROM probes p2
+  JOIN corpus_cell cc
+    ON cc.cell = p2.probe_cell AND cc.vec_id <> p2.query_id
+  JOIN pqenc en ON en.vec_id = cc.vec_id
+),
+adc AS (
+  SELECT c.query_id, c.vec_id AS neighbor_id,
+         CAST(SUM(CAST(q.term_dot AS DECIMAL(28,12))) AS DOUBLE) AS num,
+         CAST(SUM(CAST(q.n2 AS DECIMAL(28,12))) AS DOUBLE) AS rn2
+  FROM cand c
+  JOIN qterm q ON q.query_id = c.query_id AND q.s = c.s
+              AND q.code = c.code
+  GROUP BY c.query_id, c.vec_id
+),
+short AS (
+  SELECT query_id, neighbor_id, adc_sim FROM (
+    SELECT a.query_id, a.neighbor_id,
+           ROUND(a.num / (n.qn * SQRT(a.rn2)), 6) AS adc_sim,
+           ROW_NUMBER() OVER (PARTITION BY a.query_id
+                              ORDER BY ROUND(a.num / (n.qn * SQRT(a.rn2)), 6)
+                                       DESC, a.neighbor_id) AS rk
+    FROM adc a JOIN qnorm n USING (query_id)
+  ) WHERE rk <= {IVFPQ_SHORTLIST}
+),
+rer AS (
+  SELECT s.query_id, s.neighbor_id, s.adc_sim,
+         ROUND(LIST_DOT_PRODUCT(q.qv, e2.v)
+               / (SQRT(LIST_DOT_PRODUCT(q.qv, q.qv))
+                  * SQRT(LIST_DOT_PRODUCT(e2.v, e2.v))), 6) AS cos_sim
+  FROM short s
+  JOIN qv_q q USING (query_id)
+  JOIN e e2 ON e2.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, adc_sim, cos_sim FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rk
+  FROM rer
+) WHERE rk <= {TOP_K}
+"""
+
+
+@register(
+    "knn_cosine_ivf_pq",
+    oracle=_ivfpq_oracle(),
+    doc="IVF-PQ ANN SERVING — the FAISS architecture end to end, "
+        "composed from the engine's two certified quantizers: the IVF "
+        "coarse index prunes each query to its n_probe nearest cells "
+        "(a partition filter at scale), the PQ codes give every "
+        "candidate an ASYMMETRIC-DISTANCE score from one 4-byte code "
+        "per vector via per-(query, subspace, code) lookup tables — "
+        "the full vector is never touched during the scan — and only "
+        f"the top-{IVFPQ_SHORTLIST} ADC shortlist is re-ranked with "
+        f"exact cosines into the final top-{TOP_K}. Cross-engine "
+        "determinism end to end: centroids/codebooks are the proven "
+        "Knuth-strided left-fold builders, the lookup-table terms are "
+        "Spark expressions rounded to 9 dp and DECIMAL-summed across "
+        "subspaces (order-independent — the embedding_pq discipline), "
+        "ADC rounds to 6 dp before ranking with a vec_id tiebreak, "
+        "and the oracle replays training + encoding + serving as one "
+        "chained-CTE pipeline. Scale: serving touches |probed "
+        "cells| x 4-byte codes (a ~64x smaller scan than raw "
+        "vectors), the lookup tables are |queries| x m x k rows "
+        "broadcast, and the exact re-rank reads only shortlist x "
+        "|queries| full vectors by key.",
+    tags=("similarity", "knn", "ivf", "quantization", "checkable"),
+)
+def knn_cosine_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from ytspark.operators.clustering import (
+        PQ_CODES,
+        PQ_SUBSPACES,
+        _fold_d2,
+        build_pq_codebooks,
+    )
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    cents = build_ivf_centroids(emb)
+    books = build_pq_codebooks(emb)
+    m, k, sub = books.shape
+    bc_c = spark.sparkContext.broadcast(cents)
+    bc_b = spark.sparkContext.broadcast(books)
+
+    def encode(batches):
+        import numpy as np
+
+        cs, bk = bc_c.value, bc_b.value
+        for pdf in batches:
+            mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            unit = mat / _fold_norms(mat)[:, None]
+            cell = _fold_scores(unit, cs).argmax(axis=1).astype("int64")
+            frames = []
+            for s in range(m):
+                codes = (
+                    _fold_d2(mat[:, s * sub : (s + 1) * sub], bk[s])
+                    .argmin(axis=1)
+                    .astype("int64")
+                )
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": pdf["vec_id"].to_numpy(),
+                            "cell": cell,
+                            "s": s,
+                            "code": codes,
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    enc = emb.mapInPandas(
+        encode, "vec_id long, cell long, s int, code int"
+    ).persist()
+
+    # centroid / codebook tables as literal rows (tiny)
+    cents_df = F.broadcast(
+        spark.createDataFrame(
+            [(i, [float(x) for x in row]) for i, row in enumerate(cents)],
+            "cell long, cv array<double>",
+        )
+    )
+    cbook_df = F.broadcast(
+        spark.createDataFrame(
+            [
+                (s, c, [float(x) for x in books[s][c]])
+                for s in range(m)
+                for c in range(k)
+            ],
+            "s int, code int, cv array<double>",
+        )
+    )
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        as_double(F.col("embedding")).alias("qv"),
+    )
+    quv = queries.select(
+        "query_id",
+        "qv",
+        F.transform(
+            F.col("qv"), lambda x: x / norm(F.col("qv"))
+        ).alias("uv"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("cell")
+    )
+    probes = F.broadcast(
+        quv.crossJoin(cents_df)
+        .select(
+            "query_id",
+            "cell",
+            dot(F.col("uv"), F.col("cv")).alias("score"),
+        )
+        .withColumn("rk", F.row_number().over(wq))
+        .where(F.col("rk") <= N_PROBE)
+        .select("query_id", F.col("cell").alias("probe_cell"))
+    )
+    qterm = F.broadcast(
+        queries.crossJoin(cbook_df).select(
+            "query_id",
+            "s",
+            "code",
+            F.round(
+                dot(
+                    F.expr(f"slice(qv, s * {sub} + 1, {sub})"),
+                    F.col("cv"),
+                ),
+                9,
+            ).alias("term_dot"),
+            F.round(dot(F.col("cv"), F.col("cv")), 9).alias("n2"),
+        )
+    )
+    qnorm = F.broadcast(
+        queries.select("query_id", norm(F.col("qv")).alias("qn"))
+    )
+    adc = (
+        enc.join(probes, enc["cell"] == probes["probe_cell"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .join(qterm, ["query_id", "s", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(
+            F.sum(F.col("term_dot").cast("decimal(28,12)"))
+            .cast("double")
+            .alias("num"),
+            F.sum(F.col("n2").cast("decimal(28,12)"))
+            .cast("double")
+            .alias("rn2"),
+        )
+        .join(qnorm, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.col("num") / (F.col("qn") * F.sqrt(F.col("rn2"))), 6
+            ).alias("adc_sim"),
+        )
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_sim"), F.asc("neighbor_id")
+    )
+    short = (
+        adc.withColumn("rk", F.row_number().over(ws))
+        .where(F.col("rk") <= IVFPQ_SHORTLIST)
+        .select("query_id", "neighbor_id", "adc_sim")
+    )
+    nvec = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        as_double(F.col("embedding")).alias("nv"),
+    )
+    rer = (
+        short.join(F.broadcast(queries), "query_id")
+        .join(nvec, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc_sim",
+            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    from ytspark.plans.scale import finish
+
+    return finish(
+        rer.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "adc_sim", "cos_sim"),
+        enc,
+    )
