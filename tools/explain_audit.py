@@ -84,6 +84,7 @@ EXPECTED_NESTED_LOOP = {
     "woe_encoding_iv",               # broadcast one-row class totals
     "nb_source_valuation",           # docs x broadcast 5-row class grid
     "knn_cosine_ivf_pq",             # broadcast 16-cell/128-code grids (ADC)
+    "ab_power_analysis",             # one-row stats x broadcast 5-row MDE grid
     "quantile_normalize_apply",      # 101-point grid locator theta join
     "funnel_latency_percentiles",    # broadcast one-row percentile agg
     "sliding_distinct_users_7d",     # |days|-row spine x trailing band

@@ -1685,3 +1685,86 @@ def ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(1.0 - (vac + vat) / (vyc + vyt), 6).alias("var_reduction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B power analysis: required sample size from observed variance
+# ---------------------------------------------------------------------------
+
+POWER_Z_ALPHA = "1.959964"  # two-sided alpha = 0.05
+POWER_Z_BETA = "0.841621"  # power = 0.80
+POWER_MDES = ("0.01", "0.02", "0.05", "0.1", "0.2")  # relative MDEs
+
+_POWER_MDE_SQL = ", ".join(f"({m})" for m in POWER_MDES)
+
+
+@register(
+    "ab_power_analysis",
+    oracle=f"""
+WITH stats AS (
+  SELECT COUNT(*) AS n, AVG(value) AS mu,
+         SUM(value * value) / COUNT(*) - AVG(value) * AVG(value) AS var
+  FROM events
+  WHERE event_type IN ('view', 'click') AND value IS NOT NULL
+),
+mde(m) AS (VALUES {_POWER_MDE_SQL})
+SELECT m AS mde_rel,
+       CAST(n AS BIGINT) AS n_observed,
+       ROUND(mu, 6) AS mean_value,
+       ROUND(m * mu, 6) AS mde_abs,
+       CAST(CEIL(2.0 * var
+                 * ({POWER_Z_ALPHA} + {POWER_Z_BETA})
+                 * ({POWER_Z_ALPHA} + {POWER_Z_BETA})
+                 / ((m * mu) * (m * mu))) AS BIGINT) AS n_per_arm,
+       CEIL(2.0 * var
+            * ({POWER_Z_ALPHA} + {POWER_Z_BETA})
+            * ({POWER_Z_ALPHA} + {POWER_Z_BETA})
+            / ((m * mu) * (m * mu))) <= n / 2.0 AS runnable_today
+FROM stats CROSS JOIN mde
+""",
+    doc="A/B POWER ANALYSIS — the pre-experiment sample-size readout "
+        "that closes the experimentation family (design -> "
+        "ab_power_analysis, readout -> ab_test_ztest, variance "
+        "reduction -> ab_test_cuped, rollout causal check -> "
+        "did_estimator_orders): from the metric's OBSERVED variance "
+        "(one power-sum aggregate over the scan), the required "
+        "per-arm n for a two-sided alpha=0.05 / power=0.80 test at "
+        "each relative minimum-detectable-effect in "
+        f"{POWER_MDES} — n = 2*sigma^2*(z_a/2+z_b)^2/delta^2 — plus "
+        "whether today's traffic could already run that test "
+        "(n_per_arm <= n/2). The z constants are literals so both "
+        "engines evaluate the identical closed form; the MDE grid is "
+        "a broadcast 5-row spine. ONE scan at any data size.",
+    tags=("experiment", "statistics", "aggregate", "pipeline"),
+)
+def ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    za, zb = float(POWER_Z_ALPHA), float(POWER_Z_BETA)
+    stats = ev.where(
+        F.col("event_type").isin("view", "click") & F.col("value").isNotNull()
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("mu"),
+        (
+            F.sum(F.col("value") * F.col("value")) / F.count(F.lit(1))
+            - F.avg("value") * F.avg("value")
+        ).alias("var"),
+    )
+    mde = F.broadcast(
+        spark.createDataFrame([(float(m),) for m in POWER_MDES], "m double")
+    )
+    need = F.ceil(
+        2.0
+        * F.col("var")
+        * (za + zb)
+        * (za + zb)
+        / ((F.col("m") * F.col("mu")) * (F.col("m") * F.col("mu")))
+    )
+    return stats.crossJoin(mde).select(
+        F.col("m").alias("mde_rel"),
+        F.col("n").cast("long").alias("n_observed"),
+        F.round("mu", 6).alias("mean_value"),
+        F.round(F.col("m") * F.col("mu"), 6).alias("mde_abs"),
+        need.cast("long").alias("n_per_arm"),
+        (need <= F.col("n") / 2.0).alias("runnable_today"),
+    )
