@@ -85,6 +85,7 @@ EXPECTED_NESTED_LOOP = {
     "nb_source_valuation",           # docs x broadcast 5-row class grid
     "knn_cosine_ivf_pq",             # broadcast 16-cell/128-code grids (ADC)
     "ab_power_analysis",             # one-row stats x broadcast 5-row MDE grid
+    "sprt_sequential_monitor",       # broadcast one-row H0/H1 rates
     "quantile_normalize_apply",      # 101-point grid locator theta join
     "funnel_latency_percentiles",    # broadcast one-row percentile agg
     "sliding_distinct_users_7d",     # |days|-row spine x trailing band
@@ -163,6 +164,7 @@ EXPECTED_GLOBAL_WINDOW = {
     "rfm_customer_segments",       # offsets over value-bounded metric buckets
     "mann_whitney_value_shift",    # midranks over the bounded cent-value grid
     "benjamini_hochberg_nations",  # step-up scan over the m=25 test rows
+    "sprt_sequential_monitor",     # cumulative LLR over the O(days) spine
     "quantile_normalize_apply",    # pooled rank for the 101-pt grid
                                    # (docstring: two-pass swap at scale)
 }

@@ -1768,3 +1768,112 @@ def ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         need.cast("long").alias("n_per_arm"),
         (need <= F.col("n") / 2.0).alias("runnable_today"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SPRT replay: anytime-valid sequential monitoring of a conversion lift
+# ---------------------------------------------------------------------------
+
+SPRT_LIFT = "1.15"  # H1: conversion rate = pooled rate * this
+SPRT_UPPER = "2.772589"  # ln((1-beta)/alpha), alpha=0.05, beta=0.2
+SPRT_LOWER = "-1.558145"  # ln(beta/(1-alpha))
+
+
+@register(
+    "sprt_sequential_monitor",
+    oracle=f"""
+WITH base AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END
+           AS arm,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x
+  FROM events
+),
+p0 AS (
+  SELECT SUM(x) * 1.0 / COUNT(*) AS p0,
+         LEAST(SUM(x) * 1.0 / COUNT(*) * {SPRT_LIFT}, 0.999999) AS p1
+  FROM base WHERE arm = 'control'
+),
+daily AS (
+  SELECT day, COUNT(*) AS n, SUM(x) AS c
+  FROM base WHERE arm = 'treatment' GROUP BY day
+),
+cum AS (
+  SELECT day, n, c,
+         SUM(c * LN(p.p1 / p.p0)
+             + (n - c) * LN((1 - p.p1) / (1 - p.p0)))
+           OVER (ORDER BY day) AS llr
+  FROM daily CROSS JOIN p0 p
+)
+SELECT STRFTIME(day, '%Y-%m-%d') AS day,
+       CAST(n AS BIGINT) AS n_trials,
+       CAST(c AS BIGINT) AS conversions,
+       ROUND(llr, 6) AS llr,
+       CASE WHEN llr >= {SPRT_UPPER} THEN 'reject_h0'
+            WHEN llr <= {SPRT_LOWER} THEN 'accept_h0'
+            ELSE 'continue' END AS decision
+FROM cum
+""",
+    doc="SPRT SEQUENTIAL MONITOR — the anytime-valid decision replay "
+        "that completes the experimentation family (design -> power, "
+        "readout -> z-test/CUPED, rollout -> DiD, MONITORING -> "
+        "this): Wald's sequential probability ratio test of the "
+        "treatment arm's purchase conversion against H0 = the "
+        "control arm's pooled rate vs H1 = a "
+        f"{SPRT_LIFT}x lift, accumulating the log-likelihood ratio "
+        "day by day — c*ln(p1/p0) + (n-c)*ln((1-p1)/(1-p0)) from "
+        "each day's (trials, conversions) — against the alpha=0.05 / "
+        "power=0.80 boundaries, so the report shows exactly WHEN the "
+        "experiment could have stopped, with no peeking penalty "
+        "(that is the point of SPRT vs repeated z-tests). Scale: one "
+        "conditional aggregate reduces the stream to O(days) rows; "
+        "the cumulative window runs over that bounded day spine "
+        "(EXPECTED_GLOBAL_WINDOW); the H0/H1 rates are a broadcast "
+        "one-row scalar. LLR rounds at 6 dp; counts are exact "
+        "integers; decisions derive from the unrounded LLR "
+        "identically in both engines.",
+    tags=("experiment", "statistics", "window", "pipeline"),
+)
+def sprt_sequential_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    base = ev.select(
+        F.col("ts").cast("date").alias("day"),
+        F.when(F.col("user_id") % 2 == 0, F.lit("control"))
+        .otherwise(F.lit("treatment"))
+        .alias("arm"),
+        (F.col("event_type") == "purchase").cast("int").alias("x"),
+    )
+    p = F.broadcast(
+        base.where(F.col("arm") == "control").agg(
+            (F.sum("x") * 1.0 / F.count(F.lit(1))).alias("p0"),
+            F.least(
+                F.sum("x") * 1.0 / F.count(F.lit(1)) * float(SPRT_LIFT),
+                F.lit(0.999999),
+            ).alias("p1"),
+        )
+    )
+    daily = (
+        base.where(F.col("arm") == "treatment")
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("c"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    llr_term = F.col("c") * F.log(F.col("p1") / F.col("p0")) + (
+        F.col("n") - F.col("c")
+    ) * F.log((1 - F.col("p1")) / (1 - F.col("p0")))
+    cum = daily.crossJoin(p).select(
+        "day", "n", "c", F.sum(llr_term).over(w).alias("llr")
+    )
+    up, lo = float(SPRT_UPPER), float(SPRT_LOWER)
+    return cum.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n").cast("long").alias("n_trials"),
+        F.col("c").cast("long").alias("conversions"),
+        F.round("llr", 6).alias("llr"),
+        F.when(F.col("llr") >= up, F.lit("reject_h0"))
+        .when(F.col("llr") <= lo, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    )
