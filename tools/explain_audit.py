@@ -86,6 +86,7 @@ EXPECTED_NESTED_LOOP = {
     "knn_cosine_ivf_pq",             # broadcast 16-cell/128-code grids (ADC)
     "ab_power_analysis",             # one-row stats x broadcast 5-row MDE grid
     "sprt_sequential_monitor",       # broadcast one-row H0/H1 rates
+    "eb_shrunk_nation_rates",        # broadcast one-row MoM prior
     "quantile_normalize_apply",      # 101-point grid locator theta join
     "funnel_latency_percentiles",    # broadcast one-row percentile agg
     "sliding_distinct_users_7d",     # |days|-row spine x trailing band

@@ -1981,3 +1981,96 @@ def woe_encoding_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Empirical-Bayes shrinkage of per-group rates (beta-binomial MoM prior)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "eb_shrunk_nation_rates",
+    oracle="""
+WITH g AS (
+  SELECT c_nationkey AS nation, COUNT(*) AS n,
+         SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS c
+  FROM customer GROUP BY c_nationkey
+),
+mom AS (
+  SELECT AVG(c * 1.0 / n) AS m,
+         SUM((c * 1.0 / n - (SELECT AVG(c * 1.0 / n) FROM g))
+             * (c * 1.0 / n - (SELECT AVG(c * 1.0 / n) FROM g)))
+           / (COUNT(*) - 1) AS v
+  FROM g
+),
+prior AS (
+  SELECT m, v,
+         GREATEST(m * (1 - m) / v - 1, 1.0) AS k
+  FROM mom
+)
+SELECT CAST(g.nation AS BIGINT) AS nation,
+       CAST(g.n AS BIGINT) AS n_customers,
+       CAST(g.c AS BIGINT) AS n_delinquent,
+       ROUND(g.c * 1.0 / g.n, 6) AS raw_rate,
+       ROUND(p.m, 6) AS prior_mean,
+       ROUND(p.k, 6) AS prior_strength,
+       ROUND((g.c + p.m * p.k) / (g.n + p.k), 6) AS shrunk_rate
+FROM g CROSS JOIN prior p
+""",
+    doc="EMPIRICAL-BAYES SHRINKAGE of per-nation delinquency rates — "
+        "the small-area-estimation move every per-segment dashboard "
+        "needs when some groups are tiny and their raw rates are "
+        "noise: fit a beta-binomial prior by method of moments over "
+        "the observed group rates (prior mean m = mean rate, prior "
+        "strength k = m(1-m)/var - 1, floored at 1 so a degenerate "
+        "variance cannot flip the sign), then report each group's "
+        "posterior mean (c + m*k)/(n + k) next to its raw rate — "
+        "small groups shrink hard toward the global mean, large "
+        "groups barely move, and downstream ranking by shrunk_rate "
+        "stops rewarding lucky small samples (the same machinery "
+        "behind ratings shrinkage and CTR priors). ONE groupBy over "
+        "the scan reduces to |groups| rows; the prior is two "
+        "constant-size aggregates over that tiny table broadcast "
+        "back as a one-row scalar. Deterministic: sample variance "
+        "with the explicit (n-1) divisor written identically in "
+        "both engines, everything else integer counts and 6-dp "
+        "rounded ratios.",
+    tags=("learn", "statistics", "aggregate", "quality"),
+)
+def eb_shrunk_nation_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_tables(spark, sf_dir, "customer")["customer"]
+    g = cust.groupBy(F.col("c_nationkey").alias("nation")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("c_acctbal") < 0).cast("int")).alias("c"),
+    )
+    rate = F.col("c") * 1.0 / F.col("n")
+    m_df = g.agg(F.avg(rate).alias("m"))
+    mom = (
+        g.crossJoin(F.broadcast(m_df))
+        .agg(
+            F.any_value("m").alias("m"),
+            (
+                F.sum((rate - F.col("m")) * (rate - F.col("m")))
+                / (F.count(F.lit(1)) - 1)
+            ).alias("v"),
+        )
+        .select(
+            "m",
+            "v",
+            F.greatest(
+                F.col("m") * (1 - F.col("m")) / F.col("v") - 1, F.lit(1.0)
+            ).alias("k"),
+        )
+    )
+    return g.crossJoin(F.broadcast(mom)).select(
+        F.col("nation").cast("long").alias("nation"),
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("c").cast("long").alias("n_delinquent"),
+        F.round(rate, 6).alias("raw_rate"),
+        F.round(F.col("m"), 6).alias("prior_mean"),
+        F.round(F.col("k"), 6).alias("prior_strength"),
+        F.round(
+            (F.col("c") + F.col("m") * F.col("k")) / (F.col("n") + F.col("k")),
+            6,
+        ).alias("shrunk_rate"),
+    )
