@@ -201,21 +201,33 @@ def main() -> int:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "ORACLE_LOCAL.json",
     )
-    if only and results and os.path.exists(path):
-        with open(path) as fh:
-            prev = json.load(fh)
-        merged = {
-            n: r for n, r in prev.get("results", {}).items() if n in reg
-        }
-        merged.update(results)
-        if prev.get("sf_dir") == sf_dir:
-            results = dict(sorted(merged.items()))
-        else:
+    if only and results:
+        if not os.path.exists(path):
+            # ADVICE r6: with the artifact absent (fresh clone, deleted
+            # file), a named run must NOT write a subset that presents
+            # itself with full-sweep semantics — skip, like the
+            # sf_dir-mismatch branch, and require a full sweep first
             print(
-                f"note: not merging into {path} (it was recorded at "
-                f"{prev.get('sf_dir')}, this run used {sf_dir})"
+                f"note: not writing {path} (artifact absent; a named "
+                f"run would record only {len(results)} queries with "
+                f"full-sweep semantics — run a full sweep first)"
             )
             results = {}
+        else:
+            with open(path) as fh:
+                prev = json.load(fh)
+            merged = {
+                n: r for n, r in prev.get("results", {}).items() if n in reg
+            }
+            merged.update(results)
+            if prev.get("sf_dir") == sf_dir:
+                results = dict(sorted(merged.items()))
+            else:
+                print(
+                    f"note: not merging into {path} (it was recorded at "
+                    f"{prev.get('sf_dir')}, this run used {sf_dir})"
+                )
+                results = {}
     if results:
         out = {
             "sf_dir": sf_dir,

@@ -2032,7 +2032,14 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 WIN_K = SHINGLE_WIDTH  # gram width (tokens) — shared with the shingle ops
 WIN_W = 4  # winnowing window: one fingerprint per W consecutive grams
 WIN_MIN_SHARED = 2  # report pairs sharing at least this many fingerprints
-_WIN_POS_SHIFT = 1 << 20  # pos < 2^20; key = h*2^20 + pos < 2^51 (M31 hash)
+# Packed selection key: sel_key = h * SHIFT + pos encodes the (hash,
+# position) lexicographic tie-break in ONE bigint MIN. SHIFT must
+# exceed any possible token position or pos bleeds into the hash part
+# (ADVICE r6). 2^32 is safe by construction: h < 2^31 (M31 hash) so
+# sel_key < 2^63 never overflows BIGINT, and a single document cannot
+# reach 2^32 tokens — Spark caps one cell at 2 GiB (< 2^31 bytes), so
+# pos < 2^31 < SHIFT physically holds for any readable row.
+_WIN_POS_SHIFT = 1 << 32
 
 
 def _winnow_oracle() -> str:
@@ -2082,7 +2089,9 @@ HAVING COUNT(*) >= {WIN_MIN_SHARED}
         "31-bit polynomial hash, and each sliding window of "
         f"{WIN_W} consecutive gram hashes contributes its minimum — "
         "ties broken to the LEFTMOST position by minimizing the "
-        "single integer h*2^20+pos, so selection is total and "
+        "single integer h*2^32+pos (positions bounded below 2^31 "
+        "by Spark's 2 GiB cell cap, so pos can never bleed into the "
+        "hash part), so selection is total and "
         "replayed bit-for-bit by the oracle. The winnowing guarantee: "
         f"any shared substring of >= {WIN_K + WIN_W - 1} tokens "
         "yields at least one shared fingerprint, with expected "

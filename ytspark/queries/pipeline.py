@@ -1790,8 +1790,9 @@ WITH base AS (
   FROM events
 ),
 p0 AS (
-  SELECT SUM(x) * 1.0 / COUNT(*) AS p0,
-         LEAST(SUM(x) * 1.0 / COUNT(*) * {SPRT_LIFT}, 0.999999) AS p1
+  SELECT GREATEST(SUM(x) * 1.0 / COUNT(*), 1e-6) AS p0,
+         LEAST(GREATEST(SUM(x) * 1.0 / COUNT(*), 1e-6) * {SPRT_LIFT},
+               0.999999) AS p1
   FROM base WHERE arm = 'control'
 ),
 daily AS (
@@ -1847,9 +1848,15 @@ def sprt_sequential_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = F.broadcast(
         base.where(F.col("arm") == "control").agg(
-            (F.sum("x") * 1.0 / F.count(F.lit(1))).alias("p0"),
+            # clamp symmetrically from BOTH sides (ADVICE r6): a
+            # zero-conversion control arm gives p0=p1=0 and
+            # LN(0/0)=NaN LLR rows on both engines
+            F.greatest(
+                F.sum("x") * 1.0 / F.count(F.lit(1)), F.lit(1e-6)
+            ).alias("p0"),
             F.least(
-                F.sum("x") * 1.0 / F.count(F.lit(1)) * float(SPRT_LIFT),
+                F.greatest(F.sum("x") * 1.0 / F.count(F.lit(1)), F.lit(1e-6))
+                * float(SPRT_LIFT),
                 F.lit(0.999999),
             ).alias("p1"),
         )
