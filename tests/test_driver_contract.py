@@ -101,3 +101,21 @@ def test_committed_oracle_local_matches_registry():
     )
     assert data["n_fail"] == 0
     assert set(data["results"]) == set(registry())
+
+
+def test_cross_round_bench_baseline_committed():
+    """Round-7 contract (r6 VERDICT item 2): bench.py diffs every run
+    against the FROZEN previous-round close. The baseline artifact must
+    exist, parse, and carry the fields the guard reads — a missing or
+    malformed file silently disables cross-round regression detection."""
+    import json
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH_BASELINE_ROUND.json")
+    with open(path) as fh:
+        base = json.load(fh)
+    assert base["origin"], "baseline must state which round close it froze"
+    assert isinstance(base["sf"], float)
+    assert base["queries"] and all(
+        isinstance(v, (int, float)) and v >= 0 for v in base["queries"].values()
+    )
