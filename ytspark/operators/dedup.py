@@ -1416,9 +1416,16 @@ def persist_minhash_store(
     sigs = sig_fn(docs).persist()
     try:
         sigs.write.mode("overwrite").parquet(path + "/sigs")
-        _banded(sigs, checkable=checkable).write.mode("overwrite").partitionBy(
-            "band_id"
-        ).parquet(path + "/bands")
+        # repartition by the partition column first: without it every
+        # shuffle partition writes a sliver into EVERY band directory
+        # (32 x n_bands tiny files per write — measured 256/append at
+        # sf0.1, 1280 store files after 4 streaming ticks, and the
+        # per-tick re-list/re-read dominated streaming_incremental_
+        # dedup). One file per band per write is the bounded,
+        # compactable layout a 100 TB store needs.
+        _banded(sigs, checkable=checkable).repartition("band_id").write.mode(
+            "overwrite"
+        ).partitionBy("band_id").parquet(path + "/bands")
     finally:
         sigs.unpersist()
 
@@ -1542,9 +1549,12 @@ def incremental_minhash_dedup(
     try:
         if append:
             new_sigs.write.mode("append").parquet(path + "/sigs")
-            _banded(new_sigs, checkable=checkable).write.mode("append").partitionBy(
+            # one file per band per append (see persist_minhash_store)
+            _banded(new_sigs, checkable=checkable).repartition(
                 "band_id"
-            ).parquet(path + "/bands")
+            ).write.mode("append").partitionBy("band_id").parquet(
+                path + "/bands"
+            )
     finally:
         # result is checkpointed and the append is flushed — the
         # batch-signature cache has no consumers left

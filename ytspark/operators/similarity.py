@@ -671,7 +671,12 @@ def persist_lsh_index(
     corpus = emb.select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     ).withColumn("bucket", bucket_id(F.col("v"), planes))
-    corpus.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    # one file per bucket, not one per input partition per bucket: the
+    # pruned probe-scan pays per-file open cost, so the index layout
+    # must be bounded by buckets, not by writer parallelism
+    corpus.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(path)
 
 
 def knn_from_index(
@@ -851,7 +856,10 @@ def persist_ivf_index(
     assigned = emb.select("vec_id", "embedding").mapInPandas(
         assign, schema="vec_id bigint, embedding array<float>, cell int"
     )
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    # bounded layout: one file per cell (see persist_lsh_index)
+    assigned.repartition("cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(path)
     cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)]
     spark.createDataFrame(
         cent_rows, "cell int, centroid array<double>"
@@ -1381,7 +1389,7 @@ def ivf_index_append(spark: SparkSession, path: str, batch: DataFrame) -> None:
 
     batch.select("vec_id", "embedding").mapInPandas(
         assign, schema="vec_id bigint, embedding array<float>, cell int"
-    ).write.mode("append").partitionBy("cell").parquet(path)
+    ).repartition("cell").write.mode("append").partitionBy("cell").parquet(path)
 
 
 def _ivf_incr_oracle() -> str:
@@ -1482,7 +1490,7 @@ def _persist_with_centroids(spark, emb, cents, path) -> None:
 
     emb.select("vec_id", "embedding").mapInPandas(
         assign, schema="vec_id bigint, embedding array<float>, cell int"
-    ).write.mode("overwrite").partitionBy("cell").parquet(path)
+    ).repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(path)
     cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)]
     spark.createDataFrame(
         cent_rows, "cell int, centroid array<double>"

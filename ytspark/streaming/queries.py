@@ -203,7 +203,13 @@ GROUP BY p.event_id
         "attribution: clicks in the hour before each purchase, same "
         "user). Both sides watermarked; the time-range condition bounds "
         "each side's join state. Joined rows land in an append sink; "
-        "the per-purchase rollup equals the batch join (oracle-checked).",
+        "the per-purchase rollup equals the batch join (oracle-checked). "
+        "Measured cost split (tools/streaming_floor.py, sf0.1, r7): a "
+        "single-tick no-op memory-sink stream FLOORS at ~0.8s; the "
+        "rest is the stateful symmetric-hash join itself (AQE is "
+        "disabled in stateful streaming, so the join keeps the static "
+        "32-partition shuffle; state-store checkpoint + watermark "
+        "bookkeeping dominate at this SF and amortize with volume).",
     tags=("streaming", "join", "stateful"),
 )
 def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -346,7 +352,17 @@ from ytspark.operators.dedup import _streaming_incremental_oracle
         "sees this one. Certified by a batch-collapse DuckDB oracle: "
         "slicing-independence means the union of ticks equals the "
         "full recompute restricted to pairs touching the batch "
-        "region. Streaming twin of dedup_minhash_incremental.",
+        "region. Streaming twin of dedup_minhash_incremental. "
+        "Measured cost split (tools/streaming_floor.py, sf0.1, r7): "
+        "the 4-tick no-op foreachBatch FLOOR is ~1.7s (~10%); the "
+        "other ~90% is per-tick kernel jobs — candidate/sig joins, "
+        "the eager checkpoint, and THREE writes per tick (pairs "
+        "sink, sigs append, bands append) — i.e. fixed per-job "
+        "overhead at sf0.1 batch sizes, not data volume; it "
+        "amortizes at production batch sizes. The band store writes "
+        "one file per band per tick (repartition before partitionBy "
+        "— without it each tick wrote 256 slivers and the store hit "
+        "1280 files by tick 4).",
     tags=("streaming", "dedup", "minhash", "incremental", "store"),
 )
 def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
