@@ -2659,3 +2659,289 @@ def dedup_winnowing_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= WIN_MIN_SHARED)
     )
+
+
+# ---------------------------------------------------------------------------
+# EXACT-substring dedup (the suffix-array corpus-prep mode)
+# ---------------------------------------------------------------------------
+
+EXSUB_K = 8  # minimum duplicated span length, tokens (Lee et al. use 50)
+LDS_CAP = 128  # LDS reported exactly up to this many tokens (both engines)
+
+
+def _exsub_spans_cte() -> str:
+    """Shared oracle CTE chain: token positions -> K-gram seeds ->
+    corpus-wide occurrence counts -> covered positions -> maximal
+    spans via gaps-and-islands."""
+    return f"""
+toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS v FROM documents),
+pos AS (
+  SELECT doc_id, v,
+         UNNEST(RANGE(1, GREATEST(LEN(v) - {EXSUB_K - 1}, 0) + 1)) AS p
+  FROM toks
+),
+g AS (
+  SELECT doc_id, p,
+         ARRAY_TO_STRING(v[p:p + {EXSUB_K - 1}], ' ') AS gram
+  FROM pos
+),
+cnt AS (SELECT gram, COUNT(*) AS occ FROM g GROUP BY gram),
+covered AS (
+  SELECT g.doc_id, g.p
+  FROM g JOIN cnt USING (gram)
+  WHERE cnt.occ >= 2
+),
+isl AS (
+  SELECT doc_id, p,
+         p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+  FROM covered
+),
+spans AS (
+  SELECT doc_id,
+         CAST(MIN(p) AS BIGINT) AS span_start,
+         CAST(MAX(p) + {EXSUB_K - 1} AS BIGINT) AS span_end,
+         CAST(MAX(p) + {EXSUB_K - 1} - MIN(p) + 1 AS BIGINT) AS span_len
+  FROM isl GROUP BY doc_id, grp
+)"""
+
+
+def _exsub_covered(docs: DataFrame) -> DataFrame:
+    """(doc_id, p) 1-based token positions whose K-gram occurs >= 2
+    times corpus-wide (ALL occurrences count — same-doc repeats too,
+    unlike dedup_repeated_ngram_spans' cross-doc df)."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos0")
+    parts = [F.col("tok")] + [
+        F.lead("tok", i).over(w) for i in range(1, EXSUB_K)
+    ]
+    g = toks.select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("p"),
+        F.when(parts[-1].isNotNull(), F.concat_ws(" ", *parts)).alias("gram"),
+    ).where(F.col("gram").isNotNull())
+    hot = (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .where(F.col("occ") >= 2)
+        .select("gram")
+    )
+    return g.join(hot, "gram", "left_semi").select("doc_id", "p")
+
+
+def _exsub_spans(docs: DataFrame) -> DataFrame:
+    """Maximal cross-duplicated spans per doc: merge runs of covered
+    positions (gaps-and-islands on the doc_id-partitioned window)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("p")
+    isl = _exsub_covered(docs).select(
+        "doc_id", "p", (F.col("p") - F.row_number().over(w)).alias("grp")
+    )
+    return isl.groupBy("doc_id", "grp").agg(
+        F.min("p").cast("long").alias("span_start"),
+        (F.max("p") + EXSUB_K - 1).cast("long").alias("span_end"),
+        (F.max("p") + EXSUB_K - 1 - F.min("p") + 1).cast("long").alias(
+            "span_len"
+        ),
+    ).drop("grp")
+
+
+@register(
+    "dedup_exact_substring_spans",
+    oracle=f"""
+WITH {_exsub_spans_cte()}
+SELECT doc_id, span_start, span_end, span_len FROM spans
+""",
+    doc=f"EXACT-substring dedup, detection stage — the suffix-array "
+        f"corpus-prep mode (Lee et al., 'Deduplicating Training Data "
+        f"Makes Language Models Better') the approximate family "
+        f"(MinHash/winnowing/SimHash) cannot express: every maximal "
+        f"token span of length >= {EXSUB_K} whose EVERY {EXSUB_K}-token "
+        f"window occurs at least twice corpus-wide (all occurrences "
+        f"count — same-document repeats too, unlike the cross-doc df "
+        f"of dedup_repeated_ngram_spans). Equivalent to scanning a "
+        f"corpus suffix array truncated at depth {EXSUB_K}: a seed "
+        f"gram occurring twice IS two suffixes sharing a depth-"
+        f"{EXSUB_K} prefix, and merging consecutive covered positions "
+        f"(gaps-and-islands over the doc_id-partitioned window) "
+        f"rebuilds the maximal duplicated spans without ever "
+        f"materializing suffixes. Scale: one posexplode + per-doc "
+        f"LEAD window builds positioned grams (codegen, same shape "
+        f"as shingle_rows), ONE gram-keyed aggregate counts "
+        f"occurrences (shuffle volume O(corpus grams), posting-list "
+        f"semantics — no pair join anywhere), a semi-join marks "
+        f"covered positions, and the island merge stays inside the "
+        f"doc_id partitioning. No quadratic term at any stage.",
+    tags=("dedup", "text", "span", "suffix", "exact"),
+)
+def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return _exsub_spans(docs)
+
+
+@register(
+    "dedup_exact_substring_apply",
+    oracle=f"""
+WITH {_exsub_spans_cte()},
+per_doc AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_spans,
+         CAST(SUM(span_len) AS BIGINT) AS dup_tokens,
+         CAST(MAX(span_len) AS BIGINT) AS longest_span
+  FROM spans GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(LEN(STRING_SPLIT(d.text, ' ')) AS BIGINT) AS n_tokens,
+       p.n_spans, p.dup_tokens, p.longest_span,
+       CAST(LEN(STRING_SPLIT(d.text, ' ')) - p.dup_tokens AS BIGINT)
+         AS n_tokens_after
+FROM per_doc p JOIN documents d USING (doc_id)
+""",
+    doc=f"EXACT-substring dedup, removal accounting — what a corpus "
+        f"rewrite dropping every duplicated span (the spans query's "
+        f"output) does to each affected document: token count before, "
+        f"span count, duplicated-token total, longest span, and the "
+        f"post-removal token count. Spans are maximal and disjoint by "
+        f"construction, so dup_tokens is an exact sum, not an "
+        f"inclusion-exclusion estimate. The rewrite itself is a "
+        f"filter of the positioned-token explode against the covered "
+        f"set — O(corpus) — but the accounting row set is what is "
+        f"certified cross-engine. Same plan shape as the detection "
+        f"stage plus one doc-keyed join against the documents table.",
+    tags=("dedup", "text", "span", "suffix", "exact", "apply"),
+)
+def dedup_exact_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    per_doc = _exsub_spans(docs).groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum("span_len").cast("long").alias("dup_tokens"),
+        F.max("span_len").cast("long").alias("longest_span"),
+    )
+    size = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
+    )
+    return per_doc.join(size, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "n_spans",
+        "dup_tokens",
+        "longest_span",
+        (F.col("n_tokens") - F.col("dup_tokens")).cast("long").alias(
+            "n_tokens_after"
+        ),
+    )
+
+
+@register(
+    "longest_duplicate_substring",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS v FROM documents),
+pos AS (
+  SELECT doc_id, v, UNNEST(RANGE(1, LEN(v) + 1)) AS p FROM toks
+),
+suf AS (SELECT v[p:p + {LDS_CAP - 1}] AS s FROM pos),
+ord AS (SELECT s, LEAD(s) OVER (ORDER BY s) AS t FROM suf),
+lcp AS (
+  SELECT COALESCE(
+           LIST_FILTER(RANGE(1, LEAST(LEN(s), LEN(t)) + 1),
+                       i -> s[i] <> t[i])[1] - 1,
+           LEAST(LEN(s), LEN(t))) AS l
+  FROM ord WHERE t IS NOT NULL
+),
+m AS (SELECT COALESCE(MAX(l), 0) AS max_l FROM lcp),
+rep AS (
+  SELECT ARRAY_TO_STRING(v[p:p + (SELECT max_l FROM m) - 1], ' ') AS gram,
+         COUNT(*) AS cnt
+  FROM pos
+  WHERE (SELECT max_l FROM m) >= 1
+    AND p <= LEN(v) - (SELECT max_l FROM m) + 1
+  GROUP BY 1 HAVING COUNT(*) >= 2
+),
+top AS (SELECT gram, cnt FROM rep ORDER BY gram LIMIT 1)
+SELECT CAST(m.max_l AS BIGINT) AS lds_tokens,
+       CAST(COALESCE((SELECT COUNT(*) FROM rep), 0) AS BIGINT)
+         AS n_distinct_repeated,
+       CAST(COALESCE((SELECT cnt FROM top), 0) AS BIGINT) AS n_occurrences,
+       (SELECT gram FROM top) AS example_gram
+FROM m
+""",
+    doc=f"LONGEST DUPLICATE SUBSTRING — the classic suffix-array "
+        f"diagnostic, computed distributed: the longest token span "
+        f"(capped at {LDS_CAP}; exact whenever the answer is shorter, "
+        f"cap documented in the result contract) occurring at least "
+        f"twice anywhere in the corpus, with the count of distinct "
+        f"maximal-length repeats, the occurrence count of the "
+        f"lexicographically smallest one, and its text. Spark side: "
+        f"binary search on span length L — the predicate 'some L-gram "
+        f"occurs twice' is monotone (a repeated L-gram's prefix "
+        f"repeats at the same two sites) — each probe ONE distributed "
+        f"groupBy over O(corpus tokens) grams of length L, "
+        f"~log2({LDS_CAP}) probes total, a bounded driver loop like "
+        f"the BPE merge loop; per-probe shuffle volume O(N x L) chars "
+        f"is the disclosed cost (production corpus-prep bounds L the "
+        f"same way). The DuckDB oracle certifies by a DIFFERENT exact "
+        f"algorithm — materialize suffixes (cap {LDS_CAP}), sort, max "
+        f"adjacent-pair LCP, the Manber-Myers identity that max LCP "
+        f"over ALL pairs equals max over sort-adjacent pairs — so "
+        f"agreement is algorithmic cross-validation, not replay.",
+    tags=("dedup", "text", "suffix", "exact", "iterative"),
+)
+def longest_duplicate_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = docs.select(F.split(F.col("text"), " ").alias("v")).localCheckpoint(
+        eager=True
+    )
+
+    def grams(L: int) -> DataFrame:
+        # all L-token windows as joined strings, positions 1..n-L+1
+        # CASE guard: sequence(1, 0) would generate DESCENDING [1, 0]
+        # in Spark, feeding slice() an invalid start of 0
+        return toks.select(
+            F.explode(
+                F.expr(
+                    f"CASE WHEN size(v) >= {L} THEN "
+                    f"transform(sequence(1, size(v) - {L} + 1),"
+                    f" p -> array_join(slice(v, p, {L}), ' ')) "
+                    f"ELSE array() END"
+                )
+            ).alias("gram")
+        )
+
+    def repeated(L: int) -> DataFrame:
+        return (
+            grams(L)
+            .groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .where(F.col("cnt") >= 2)
+        )
+
+    hi = min(
+        LDS_CAP,
+        toks.agg(F.max(F.size("v")).alias("m")).collect()[0]["m"] or 0,
+    )
+    lo = 0  # longest L PROVEN repeated
+    probe_hi = hi
+    while lo < probe_hi:
+        mid = (lo + probe_hi + 1) // 2
+        if repeated(mid).limit(1).count() > 0:
+            lo = mid
+        else:
+            probe_hi = mid - 1
+    if lo == 0:
+        return spark.createDataFrame(
+            [(0, 0, 0, None)],
+            "lds_tokens long, n_distinct_repeated long, "
+            "n_occurrences long, example_gram string",
+        )
+    return repeated(lo).agg(
+        F.lit(lo).cast("long").alias("lds_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_repeated"),
+        F.min(F.struct("gram", "cnt"))["cnt"].cast("long").alias(
+            "n_occurrences"
+        ),
+        F.min(F.struct("gram", "cnt"))["gram"].alias("example_gram"),
+    )

@@ -175,16 +175,21 @@ _PRIORITY: tuple[str, ...] = (
     "user_activity_overlap_pairs",
     "session_path_conversion",
     # profiling
-    "grouped_exact_median_two_pass",
     "t_closeness_emd_audit",
-    # dedup
+    # dedup — the round-7 exact-substring debuts certify in their
+    # debut round (cadence rule); minhash-clusters-checkable keeps its
+    # first-ever slot, ngram-containment + the grouped-median and
+    # corr-covar picks wait for the next rotation (their families keep
+    # in-window tag carriers: profiling via t_closeness_emd_audit,
+    # aggregate via funnel_view_click_purchase)
     "dedup_minhash_clusters_checkable",
-    "dedup_ngram_containment",
+    "dedup_exact_substring_spans",
+    "dedup_exact_substring_apply",
+    "longest_duplicate_substring",
     # learn
     "nb_source_valuation",
     "isotonic_calibration_pav",
     # aggregate
-    "corr_covar_battery",
     # structured streaming (r6 judge: "all of streaming ... only local")
     "streaming_stream_stream_join",
     "streaming_incremental_dedup",
