@@ -58,6 +58,8 @@ EXPECTED_NESTED_LOOP = {
     "hybrid_search_rrf",             # broadcast one-row query vector
     "token_pmi_bigrams",             # broadcast one-row corpus totals
     "jaro_winkler_verify_pairs",     # bounded probe-subset pair join
+    "ndcg_eval",                     # broadcast 1-row DCG/IDCG/n_rated scalars
+    "ridge_regression_path",         # broadcast 4-row lambda grid x 1-row moments
     "lang_nb_classifier",            # broadcast 5-row class stats + consts
     "copurchase_triangle_count",     # broadcast one-row edge/triangle totals
     "bloom_semijoin_reduction",      # broadcast one-row packed bitmap map
@@ -168,6 +170,8 @@ EXPECTED_GLOBAL_WINDOW = {
     "sprt_sequential_monitor",     # cumulative LLR over the O(days) spine
     "quantile_normalize_apply",    # pooled rank for the 101-pt grid
                                    # (docstring: two-pass swap at scale)
+    "ndcg_eval",                   # rank over the top-20 list / rated set
+                                   # (bounded by query-term df)
 }
 # streaming queries execute eagerly; skip plan audit (they materialize
 # their own sinks and are correctness-checked by the oracle gate)

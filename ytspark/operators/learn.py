@@ -2074,3 +2074,135 @@ def eb_shrunk_nation_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("shrunk_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ridge regression regularization path (closed form on centered moments)
+# ---------------------------------------------------------------------------
+
+RIDGE_LAMBDAS = (0.0, 1e2, 1e4, 1e6)
+
+# centered second moments from the SAME 10 exact sums the normal-
+# equations fit aggregates; identical expression text on both engines
+_RIDGE_CENTER = """
+  (s11 - sx1 * sx1 / n) AS c11,
+  (s12 - sx1 * sx2 / n) AS c12,
+  (s22 - sx2 * sx2 / n) AS c22,
+  (s1y - sx1 * sy / n) AS c1y,
+  (s2y - sx2 * sy / n) AS c2y,
+  (syy - sy * sy / n) AS cyy,
+  n AS n,
+  sx1 AS sx1,
+  sx2 AS sx2,
+  sy AS sy
+"""
+_RIDGE_DET = "((c11 + lam) * (c22 + lam) - c12 * c12)"
+_RIDGE_B1 = f"((c1y * (c22 + lam) - c12 * c2y) / {_RIDGE_DET})"
+_RIDGE_B2 = f"((c2y * (c11 + lam) - c12 * c1y) / {_RIDGE_DET})"
+_RIDGE_FINAL = f"""
+  lam,
+  ROUND({_RIDGE_B1}, 6) AS b1,
+  ROUND({_RIDGE_B2}, 6) AS b2,
+  ROUND(sy / n - {_RIDGE_B1} * sx1 / n - {_RIDGE_B2} * sx2 / n, 6)
+    AS intercept,
+  ROUND(1 - (cyy - 2 * ({_RIDGE_B1} * c1y + {_RIDGE_B2} * c2y)
+                 + {_RIDGE_B1} * {_RIDGE_B1} * c11
+                 + 2 * {_RIDGE_B1} * {_RIDGE_B2} * c12
+                 + {_RIDGE_B2} * {_RIDGE_B2} * c22) / cyy, 6) AS train_r2
+"""
+_RIDGE_LAM_SQL = " UNION ALL ".join(
+    f"SELECT CAST({v} AS DOUBLE) AS lam" for v in RIDGE_LAMBDAS
+)
+
+
+@register(
+    "ridge_regression_path",
+    oracle=f"""
+WITH feats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS x1,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12, 2))) AS DOUBLE) AS x2,
+         l_orderkey AS ok
+  FROM lineitem GROUP BY l_orderkey
+),
+d AS (
+  SELECT f.x1, f.x2,
+         CAST(CAST(o.o_totalprice AS DECIMAL(18, 2)) AS DOUBLE) AS y
+  FROM orders o JOIN feats f ON o.o_orderkey = f.ok
+),
+g AS (
+  SELECT
+    CAST(COUNT(*) AS DOUBLE) AS n,
+    CAST(SUM(CAST(x1 AS DECIMAL(18, 2))) AS DOUBLE) AS sx1,
+    CAST(SUM(CAST(x2 AS DECIMAL(18, 2))) AS DOUBLE) AS sx2,
+    CAST(SUM(CAST(y AS DECIMAL(18, 2))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(x1 AS DECIMAL(18, 2)) * CAST(x1 AS DECIMAL(18, 2)))
+         AS DOUBLE) AS s11,
+    CAST(SUM(CAST(x1 AS DECIMAL(18, 2)) * CAST(x2 AS DECIMAL(18, 2)))
+         AS DOUBLE) AS s12,
+    CAST(SUM(CAST(x2 AS DECIMAL(18, 2)) * CAST(x2 AS DECIMAL(18, 2)))
+         AS DOUBLE) AS s22,
+    CAST(SUM(CAST(x1 AS DECIMAL(18, 2)) * CAST(y AS DECIMAL(18, 2)))
+         AS DOUBLE) AS s1y,
+    CAST(SUM(CAST(x2 AS DECIMAL(18, 2)) * CAST(y AS DECIMAL(18, 2)))
+         AS DOUBLE) AS s2y,
+    CAST(SUM(CAST(y AS DECIMAL(18, 2)) * CAST(y AS DECIMAL(18, 2)))
+         AS DOUBLE) AS syy
+  FROM d
+),
+c AS (SELECT {_RIDGE_CENTER} FROM g),
+lams AS ({_RIDGE_LAM_SQL})
+SELECT {_RIDGE_FINAL} FROM c CROSS JOIN lams
+""",
+    doc="RIDGE REGRESSION REGULARIZATION PATH — the L2-penalized "
+        "extension of regression_normal_equations, one row per "
+        f"lambda in {RIDGE_LAMBDAS}: coefficients solve the CENTERED "
+        "2x2 system (Sxx + lambda*I) b = Sxy (centering exempts the "
+        "intercept from the penalty, the standard formulation), so "
+        "the whole path derives from the SAME ten exact DECIMAL sums "
+        "as the unpenalized fit — ONE data pass for every lambda, "
+        "never a pass per hyperparameter; the path is a constant-"
+        "size expression over the Gram moments, which is why ridge "
+        "paths are cheap at 100 TB while lasso needs iteration. "
+        "lambda=0 reproduces the OLS solution (cross-checked against "
+        "regression_normal_equations by construction); train R^2 is "
+        "computed from the centered moments via the quadratic-form "
+        "identity, monotonically decreasing along the path. Both "
+        "engines evaluate the identical Cramer/R^2 expression text "
+        "over bit-identical sums.",
+    tags=("learn", "regression", "aggregate", "scale"),
+)
+def ridge_regression_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    feats = t["lineitem"].groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.count(F.lit(1)).cast("double").alias("x1"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("x2"),
+    )
+    d = t["orders"].join(feats, F.col("o_orderkey") == F.col("ok")).select(
+        "x1",
+        "x2",
+        F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("y"),
+    )
+    dec = "CAST({c} AS DECIMAL(18, 2))"
+    g = d.selectExpr(
+        *[f"{dec.format(c=c)} AS {c}" for c in ("x1", "x2", "y")]
+    ).selectExpr(
+        "CAST(COUNT(*) AS DOUBLE) AS n",
+        "CAST(SUM(x1) AS DOUBLE) AS sx1",
+        "CAST(SUM(x2) AS DOUBLE) AS sx2",
+        "CAST(SUM(y) AS DOUBLE) AS sy",
+        "CAST(SUM(x1 * x1) AS DOUBLE) AS s11",
+        "CAST(SUM(x1 * x2) AS DOUBLE) AS s12",
+        "CAST(SUM(x2 * x2) AS DOUBLE) AS s22",
+        "CAST(SUM(x1 * y) AS DOUBLE) AS s1y",
+        "CAST(SUM(x2 * y) AS DOUBLE) AS s2y",
+        "CAST(SUM(y * y) AS DOUBLE) AS syy",
+    )
+    c = g.selectExpr(*[e.strip() for e in _RIDGE_CENTER.split(",\n")])
+    lams = F.broadcast(
+        spark.createDataFrame([(float(v),) for v in RIDGE_LAMBDAS], "lam double")
+    )
+    return c.crossJoin(lams).selectExpr(
+        *[e.strip() for e in _RIDGE_FINAL.split(",\n")]
+    )

@@ -1147,3 +1147,130 @@ def multimodal_scene_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         kernel,
         "doc_id long, n_pairs long, total_abs_diff long, n_cuts long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Energy-based voice-activity detection (VAD) segments
+# ---------------------------------------------------------------------------
+
+
+def _vad_oracle() -> str:
+    s = "((d*31 + i*17) % 4096 - 2048)"
+    return f"""
+WITH au AS (
+  SELECT doc_id AS d, 64 + doc_id % 64 AS n
+  FROM documents WHERE doc_id < {N_AUDIO_DOCS}
+),
+frames AS (
+  SELECT d, n, UNNEST(RANGE(0, {AFP_FRAMES})) AS f FROM au
+),
+energy AS (
+  SELECT d, f, CAST(SUM({s} * {s}) AS BIGINT) AS e
+  FROM (SELECT d, n, f,
+               UNNEST(RANGE((f * n) // {AFP_FRAMES},
+                            ((f + 1) * n) // {AFP_FRAMES})) AS i
+        FROM frames)
+  GROUP BY d, f
+),
+tot AS (SELECT d, CAST(SUM(e) AS BIGINT) AS te FROM energy GROUP BY d),
+active AS (
+  SELECT energy.d, energy.f
+  FROM energy JOIN tot USING (d)
+  WHERE energy.e * {AFP_FRAMES} > tot.te
+),
+isl AS (
+  SELECT d, f,
+         f - ROW_NUMBER() OVER (PARTITION BY d ORDER BY f) AS grp
+  FROM active
+)
+SELECT CAST(d AS BIGINT) AS doc_id,
+       CAST(MIN(f) AS BIGINT) AS seg_start,
+       CAST(MAX(f) AS BIGINT) AS seg_end,
+       CAST(MAX(f) - MIN(f) + 1 AS BIGINT) AS n_frames
+FROM isl GROUP BY d, grp
+"""
+
+
+@register(
+    "multimodal_audio_vad_segments",
+    oracle=_vad_oracle(),
+    doc="Energy-based VOICE-ACTIVITY DETECTION segments — the "
+        "segmentation member of the audio family (decode gives "
+        "samples, the fingerprint gives identity, VAD gives "
+        "STRUCTURE): each clip round-trips through the real RIFF "
+        f"parser, channel-0 samples frame into {AFP_FRAMES} integer-"
+        "arithmetic windows, per-frame energy (exact int64 sum of "
+        "squares) is compared against the clip mean by the integer "
+        f"cross-multiplication e*{AFP_FRAMES} > total (no float "
+        "threshold anywhere), and consecutive active frames merge "
+        "into maximal segments via the same gaps-and-islands shape "
+        "as the exact-substring spans — per-clip windows partitioned "
+        "by doc_id, never global. This is the pre-ASR trimming step "
+        "an audio training pipeline runs corpus-wide; cost is one "
+        "decode kernel pass plus two doc-keyed aggregates, O(clips) "
+        "at any corpus size.",
+    tags=("multimodal", "audio", "segmentation", "pandas-udf"),
+)
+def multimodal_audio_vad_segments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import struct
+
+    import pandas as pd
+
+    from pyspark.sql.window import Window
+
+    docs = (
+        load_tables(spark, sf_dir, "documents")["documents"]
+        .where(F.col("doc_id") < N_AUDIO_DOCS)
+        .select("doc_id")
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                rate = 8000 + (d % 3) * 4000
+                channels = 1 + d % 2
+                n_frames = 64 + d % 64
+                samples = [
+                    (d * 31 + i * 17 + c * 23) % 4096 - 2048
+                    for i in range(n_frames)
+                    for c in range(channels)
+                ]
+                payload = encode_wav(
+                    rate,
+                    channels,
+                    struct.pack(f"<{len(samples)}h", *samples),
+                    extra_chunk=b"INFOsynthetic" if d % 3 == 0 else None,
+                )
+                _rate, _ch, chans = decode_wav(payload)
+                ch0 = chans[0]
+                n = len(ch0)
+                for f in range(AFP_FRAMES):
+                    e = sum(
+                        s * s
+                        for s in ch0[
+                            (f * n) // AFP_FRAMES : ((f + 1) * n) // AFP_FRAMES
+                        ]
+                    )
+                    rows.append({"doc_id": d, "f": f, "e": e})
+            yield pd.DataFrame(rows)
+
+    energy = docs.mapInPandas(kernel, schema="doc_id bigint, f bigint, e bigint")
+    wt = Window.partitionBy("doc_id")
+    active = energy.select(
+        "doc_id",
+        "f",
+        (F.col("e") * AFP_FRAMES > F.sum("e").over(wt)).alias("is_active"),
+    ).where(F.col("is_active"))
+    wf = Window.partitionBy("doc_id").orderBy("f")
+    isl = active.select(
+        "doc_id", "f", (F.col("f") - F.row_number().over(wf)).alias("grp")
+    )
+    return isl.groupBy("doc_id", "grp").agg(
+        F.min("f").cast("long").alias("seg_start"),
+        F.max("f").cast("long").alias("seg_end"),
+        (F.max("f") - F.min("f") + 1).cast("long").alias("n_frames"),
+    ).drop("grp")

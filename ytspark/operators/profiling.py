@@ -1652,3 +1652,101 @@ def quantile_normalize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "grid_pct",
         F.col("normalized").cast("long").alias("normalized"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution-free median confidence interval via order statistics
+# ---------------------------------------------------------------------------
+
+MEDCI_Z = "1.959964"  # two-sided 95% normal quantile (shared text)
+
+
+@register(
+    "grouped_median_ci_order_stats",
+    oracle=f"""
+WITH r AS (
+  SELECT c_nationkey AS nation,
+         CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+         ROW_NUMBER() OVER (
+           PARTITION BY c_nationkey
+           ORDER BY CAST(c_acctbal AS DECIMAL(18,2)), c_custkey
+         ) AS rn,
+         COUNT(*) OVER (PARTITION BY c_nationkey) AS n
+  FROM customer
+),
+b AS (
+  SELECT nation, bal, rn, n,
+         (n + 1) // 2 AS med_rank,
+         GREATEST(CAST(FLOOR((n - {MEDCI_Z} * SQRT(n)) / 2) AS BIGINT), 1)
+           AS lo_rank,
+         LEAST(CAST(CEIL((n + {MEDCI_Z} * SQRT(n)) / 2 + 1) AS BIGINT), n)
+           AS hi_rank
+  FROM r
+)
+SELECT CAST(nation AS BIGINT) AS nation,
+       CAST(MAX(n) AS BIGINT) AS n,
+       CAST(MAX(CASE WHEN rn = med_rank THEN bal END) AS DOUBLE)
+         AS median_lower,
+       CAST(MAX(CASE WHEN rn = lo_rank THEN bal END) AS DOUBLE) AS ci_lo,
+       CAST(MAX(CASE WHEN rn = hi_rank THEN bal END) AS DOUBLE) AS ci_hi
+FROM b GROUP BY nation
+""",
+    doc="DISTRIBUTION-FREE median confidence interval per nation — "
+        "the order-statistic (sign-test inversion) CI every robust "
+        "reporting pipeline should attach to a median instead of a "
+        "normal-theory stderr: with ranks from ONE partitioned sort, "
+        "the 95% bounds are simply the values at ranks "
+        "floor((n - z*sqrt(n))/2) and ceil((n + z*sqrt(n))/2 + 1) "
+        "(normal approximation to the binomial(n, 1/2) rank "
+        "distribution, clamped to [1, n]), and the point estimate is "
+        "the exact lower median at rank (n+1)//2. No resampling: "
+        "where bootstrap_ci_revenue pays B conditional folds for a "
+        "mean CI, the median CI is CLOSED FORM in the ranks. Scale: "
+        "one nation-partitioned window (rank + count), one grouped "
+        "conditional aggregate — rank selection never leaves the "
+        "group's partition. DECIMAL-exact values; the only doubles "
+        "are the rank cutoffs, computed from the identical "
+        "expression text on both engines (integer n, so sqrt/floor "
+        "agree to the ulp).",
+    tags=("statistics", "profiling", "window", "aggregate"),
+)
+def grouped_median_ci_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    cust = load_tables(spark, sf_dir, "customer")["customer"]
+    base = cust.select(
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+        F.col("c_custkey").alias("ck"),
+    )
+    wq = Window.partitionBy("nation").orderBy("bal", "ck")
+    wn = Window.partitionBy("nation")
+    z = MEDCI_Z
+    r = base.select(
+        "nation",
+        "bal",
+        F.row_number().over(wq).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("n"),
+    ).selectExpr(
+        "nation",
+        "bal",
+        "rn",
+        "n",
+        "(n + 1) div 2 AS med_rank",
+        f"GREATEST(CAST(FLOOR((n - {z} * SQRT(n)) / 2) AS BIGINT), 1)"
+        " AS lo_rank",
+        f"LEAST(CAST(CEIL((n + {z} * SQRT(n)) / 2 + 1) AS BIGINT), n)"
+        " AS hi_rank",
+    )
+    return r.groupBy("nation").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max(F.when(F.col("rn") == F.col("med_rank"), F.col("bal")))
+        .cast("double")
+        .alias("median_lower"),
+        F.max(F.when(F.col("rn") == F.col("lo_rank"), F.col("bal")))
+        .cast("double")
+        .alias("ci_lo"),
+        F.max(F.when(F.col("rn") == F.col("hi_rank"), F.col("bal")))
+        .cast("double")
+        .alias("ci_hi"),
+    )

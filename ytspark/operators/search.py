@@ -976,3 +976,252 @@ def query_likelihood_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("ql_score"), F.asc("doc_id"))
         .limit(QL_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Ranking-quality evaluation: nDCG@k of the BM25 ranking
+# ---------------------------------------------------------------------------
+
+NDCG_K = 10
+
+
+@register(
+    "ndcg_eval",
+    oracle=f"""
+WITH base AS ({_BM25_ORACLE}),
+ranked AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r
+  FROM base
+),
+rel AS (
+  SELECT doc_id, COUNT(DISTINCT t) AS rel
+  FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents)
+  WHERE t IN ({_BM25_QUERY_SQL})
+  GROUP BY doc_id
+),
+dcg AS (
+  SELECT SUM((POW(2, rel.rel) - 1.0) / LOG2(ranked.r + 1.0)) AS dcg
+  FROM ranked JOIN rel USING (doc_id)
+  WHERE ranked.r <= {NDCG_K}
+),
+ideal AS (
+  SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS r FROM rel
+),
+idcg AS (
+  SELECT SUM((POW(2, rel) - 1.0) / LOG2(r + 1.0)) AS idcg
+  FROM ideal WHERE r <= {NDCG_K}
+)
+SELECT CAST({NDCG_K} AS BIGINT) AS k,
+       CAST((SELECT COUNT(*) FROM rel) AS BIGINT) AS n_rated,
+       ROUND(dcg.dcg, 6) AS dcg,
+       ROUND(idcg.idcg, 6) AS idcg,
+       ROUND(dcg.dcg / idcg.idcg, 6) AS ndcg
+FROM dcg CROSS JOIN idcg
+""",
+    doc=f"nDCG@{NDCG_K} of the BM25 ranking — the standard graded "
+        f"ranking-quality metric, closing the eval loop for the "
+        f"search family (rank-agreement/Kendall-tau measures "
+        f"retriever CONSISTENCY; nDCG measures retriever QUALITY "
+        f"against a relevance standard). Graded relevance is the "
+        f"distinct-query-term coverage of each document (0..3, exact "
+        f"integers), the ranking is BM25's rounded-score/doc_id "
+        f"order, and the ideal ranking re-sorts the relevance grades "
+        f"— ties contribute identical gain so IDCG is deterministic. "
+        f"Scale: relevance is one filtered explode + groupBy "
+        f"(O(query-term postings), same pushdown as bm25_search); "
+        f"DCG windows run over bounded inputs (the top-{BM25_TOP} "
+        f"list; the rated set, bounded by query-term document "
+        f"frequency). Both engines evaluate the identical gain "
+        f"expression; 6 dp rounding absorbs libm ulps.",
+    tags=("search", "evaluation", "text", "topk"),
+)
+def ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    ranked = (
+        bm25_scores(docs)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+            .alias("r"),
+        )
+        .where(F.col("r") <= NDCG_K)
+    )
+    rel = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+        .where(F.col("t").isin(*BM25_QUERY))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("t").alias("rel"))
+    )
+    gain = (F.pow(F.lit(2.0), F.col("rel")) - 1.0) / F.log2(F.col("r") + 1.0)
+    dcg = ranked.join(rel, "doc_id").agg(F.sum(gain).alias("dcg"))
+    ideal = rel.select(
+        "rel",
+        F.row_number()
+        .over(Window.orderBy(F.desc("rel"), F.asc("doc_id")))
+        .alias("r"),
+    ).where(F.col("r") <= NDCG_K)
+    idcg = ideal.agg(F.sum(gain).alias("idcg"))
+    n_rated = rel.agg(F.count(F.lit(1)).cast("long").alias("n_rated"))
+    return (
+        dcg.crossJoin(F.broadcast(idcg))
+        .crossJoin(F.broadcast(n_rated))
+        .select(
+            F.lit(NDCG_K).cast("long").alias("k"),
+            "n_rated",
+            F.round("dcg", 6).alias("dcg"),
+            F.round("idcg", 6).alias("idcg"),
+            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sparse TF-IDF document-document cosine neighbors via posting lists
+# ---------------------------------------------------------------------------
+
+DOC_COS_DFCAP = 30  # vocabulary restricted to terms with df <= this
+DOC_COS_TOPK = 5
+
+
+def _doc_cos_cte() -> str:
+    return f"""
+dt AS (
+  SELECT doc_id, t AS term, COUNT(*) AS tf
+  FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents)
+  GROUP BY doc_id, t
+),
+stats AS (
+  SELECT term, COUNT(*) AS df FROM dt GROUP BY term
+  HAVING COUNT(*) <= {DOC_COS_DFCAP}
+),
+nn AS (SELECT COUNT(*) AS n_docs FROM documents),
+w AS (
+  SELECT dt.doc_id, dt.term,
+         dt.tf * LN(1.0 + nn.n_docs / stats.df) AS w
+  FROM dt JOIN stats USING (term) CROSS JOIN nn
+),
+norms AS (
+  SELECT doc_id, SQRT(SUM(w * w)) AS nrm FROM w GROUP BY doc_id
+),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.w * b.w) AS dot
+  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+cos AS (
+  SELECT doc_a, doc_b,
+         ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+  FROM dots
+  JOIN norms na ON na.doc_id = doc_a
+  JOIN norms nb ON nb.doc_id = doc_b
+),
+mirrored AS (
+  SELECT doc_a AS doc_id, doc_b AS neighbor_id, cosine FROM cos
+  UNION ALL
+  SELECT doc_b AS doc_id, doc_a AS neighbor_id, cosine FROM cos
+)"""
+
+
+@register(
+    "doc_cosine_sparse_topk",
+    oracle=f"""
+WITH {_doc_cos_cte()}
+SELECT doc_id, neighbor_id, cosine,
+       CAST(rk AS BIGINT) AS rank
+FROM (
+  SELECT doc_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM mirrored
+) WHERE rk <= {DOC_COS_TOPK}
+""",
+    doc=f"SPARSE TF-IDF document-document cosine top-{DOC_COS_TOPK} "
+        f"neighbors via POSTING-LIST self-join — the lexical "
+        f"counterpart of the embedding KNN family (same output "
+        f"contract, totally different index): the vocabulary is "
+        f"restricted to terms with df <= {DOC_COS_DFCAP} (the "
+        f"standard stop-term cut — and the SCALE BOUND: pair volume "
+        f"is sum(df^2) <= {DOC_COS_DFCAP} x corpus postings, so the "
+        f"self-join is linear in postings with a constant factor, "
+        f"never |docs|^2), weights are tf x ln(1 + N/df), cosine is "
+        f"EXACT within the filtered space (norms use the same "
+        f"vocabulary as the dot products — self-consistent, not a "
+        f"truncated estimate), and per-doc top-k ranks on a "
+        f"doc_id-partitioned window with a rounded-score/neighbor-id "
+        f"tiebreak. At 100 TB this is the classic 'more-like-this' "
+        f"serving shape: one term-keyed shuffle for dots, one "
+        f"doc-keyed for norms and ranking.",
+    tags=("search", "similarity", "text", "topk", "join"),
+)
+def doc_cosine_sparse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    dt = doc_terms(docs)
+    stats = (
+        dt.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= DOC_COS_DFCAP)
+    )
+    nn = F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_docs")))
+    w = (
+        dt.join(stats, "term")
+        .crossJoin(nn)
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf")
+                * F.log(F.lit(1.0) + F.col("n_docs") / F.col("df"))
+            ).alias("w"),
+        )
+    )
+    # w feeds the norms aggregate AND both sides of the self-join —
+    # persist once, released via finish() on the bounded result below
+    w = w.persist()
+    norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    cos = (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    both = cos.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("neighbor_id"),
+        "cosine",
+    ).unionByName(
+        cos.select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("doc_a").alias("neighbor_id"),
+            "cosine",
+        )
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    out = both.select(
+        "doc_id",
+        "neighbor_id",
+        "cosine",
+        F.row_number().over(wdoc).cast("long").alias("rank"),
+    ).where(F.col("rank") <= DOC_COS_TOPK)
+    return finish(out, w)
