@@ -60,6 +60,10 @@ EXPECTED_NESTED_LOOP = {
     "jaro_winkler_verify_pairs",     # bounded probe-subset pair join
     "ndcg_eval",                     # broadcast 1-row DCG/IDCG/n_rated scalars
     "ridge_regression_path",         # broadcast 4-row lambda grid x 1-row moments
+    "gradient_boosted_stumps",       # broadcast 1-row split/total scalars
+    "heaps_law_fit",                 # broadcast 8-row checkpoint prefix filter
+    "knn_distance_outliers",         # bounded-corpus all-pairs by design;
+                                     # IVF/LSH shortlist swaps in at scale
     "lang_nb_classifier",            # broadcast 5-row class stats + consts
     "copurchase_triangle_count",     # broadcast one-row edge/triangle totals
     "bloom_semijoin_reduction",      # broadcast one-row packed bitmap map
@@ -172,6 +176,9 @@ EXPECTED_GLOBAL_WINDOW = {
                                    # (docstring: two-pass swap at scale)
     "ndcg_eval",                   # rank over the top-20 list / rated set
                                    # (bounded by query-term df)
+    "gradient_boosted_stumps",     # cumulative split scan over the bucket
+                                   # histogram (same bound as decision stump)
+    "group_sequential_obf_monitor",  # cumulative looks over the O(weeks) spine
 }
 # streaming queries execute eagerly; skip plan audit (they materialize
 # their own sinks and are correctness-checked by the oracle gate)

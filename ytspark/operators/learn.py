@@ -2206,3 +2206,198 @@ def ridge_regression_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.crossJoin(lams).selectExpr(
         *[e.strip() for e in _RIDGE_FINAL.split(",\n")]
     )
+
+
+# ---------------------------------------------------------------------------
+# Gradient-boosted stumps (squared loss, closed form on the histogram)
+# ---------------------------------------------------------------------------
+
+GBM_LR = "0.5"  # shrinkage (shared expression text)
+GBM_ROUNDS = 2
+
+
+def _gbm_oracle() -> str:
+    lr = GBM_LR
+    dec = "CAST(o_totalprice AS DECIMAL(18, 2))"
+    return f"""
+WITH hist AS (
+  SELECT CAST(FLOOR(o_totalprice / {STUMP_BUCKET}) AS BIGINT) AS pb,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM({dec}) AS DOUBLE) AS s,
+         CAST(SUM({dec} * {dec}) AS DOUBLE) AS s2
+  FROM orders GROUP BY 1
+),
+tot AS (SELECT SUM(n) AS nt, SUM(s) AS st FROM hist),
+r1 AS (
+  SELECT pb, n, s, s2, s - n * (tot.st / tot.nt) AS rs, tot.st / tot.nt AS f0
+  FROM hist CROSS JOIN tot
+),
+c1 AS (
+  SELECT pb, rs, f0,
+         SUM(n)  OVER (ORDER BY pb) AS nl,
+         SUM(rs) OVER (ORDER BY pb) AS sl,
+         SUM(n)  OVER () AS ntt,
+         SUM(rs) OVER () AS stt
+  FROM r1
+),
+t1 AS (
+  SELECT pb AS t, sl / nl AS lv, (stt - sl) / (ntt - nl) AS rv
+  FROM c1 WHERE nl > 0 AND nl < ntt
+  ORDER BY ROUND(sl * sl / nl + (stt - sl) * (stt - sl) / (ntt - nl), 6)
+           DESC, pb
+  LIMIT 1
+),
+f1 AS (
+  SELECT r1.pb, r1.n, r1.s, r1.s2,
+         r1.f0 + {lr} * (CASE WHEN r1.pb <= t1.t THEN t1.lv ELSE t1.rv END)
+           AS f
+  FROM r1 CROSS JOIN t1
+),
+m1 AS (SELECT SUM(s2 - 2 * f * s + n * f * f) / SUM(n) AS mse FROM f1),
+r2 AS (SELECT pb, n, s, s2, f, s - n * f AS rs FROM f1),
+c2 AS (
+  SELECT pb, rs,
+         SUM(n)  OVER (ORDER BY pb) AS nl,
+         SUM(rs) OVER (ORDER BY pb) AS sl,
+         SUM(n)  OVER () AS ntt,
+         SUM(rs) OVER () AS stt
+  FROM r2
+),
+t2 AS (
+  SELECT pb AS t, sl / nl AS lv, (stt - sl) / (ntt - nl) AS rv
+  FROM c2 WHERE nl > 0 AND nl < ntt
+  ORDER BY ROUND(sl * sl / nl + (stt - sl) * (stt - sl) / (ntt - nl), 6)
+           DESC, pb
+  LIMIT 1
+),
+f2 AS (
+  SELECT r2.pb, r2.n, r2.s, r2.s2,
+         r2.f + {lr} * (CASE WHEN r2.pb <= t2.t THEN t2.lv ELSE t2.rv END)
+           AS f
+  FROM r2 CROSS JOIN t2
+),
+m2 AS (SELECT SUM(s2 - 2 * f * s + n * f * f) / SUM(n) AS mse FROM f2)
+SELECT CAST(1 AS BIGINT) AS round,
+       CAST(t1.t AS BIGINT) AS threshold_bucket,
+       ROUND({lr} * t1.lv, 4) AS left_add,
+       ROUND({lr} * t1.rv, 4) AS right_add,
+       ROUND(m1.mse, 2) AS train_mse
+FROM t1 CROSS JOIN m1
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST(t2.t AS BIGINT),
+       ROUND({lr} * t2.lv, 4), ROUND({lr} * t2.rv, 4), ROUND(m2.mse, 2)
+FROM t2 CROSS JOIN m2
+"""
+
+
+@register(
+    "gradient_boosted_stumps",
+    oracle=_gbm_oracle(),
+    doc=f"GRADIENT-BOOSTED STUMPS (squared loss, {GBM_ROUNDS} rounds, "
+        f"shrinkage {GBM_LR}) trained entirely in closed form: "
+        f"because the feature is bucketed (value buckets of "
+        f"{STUMP_BUCKET}), the boosted model is a function of the "
+        f"bucket alone, so EVERY round's residuals reduce to the "
+        f"same per-bucket (n, sum_y, sum_y2) histogram — ONE "
+        f"map-side-combinable aggregate over the data, then the "
+        f"entire boosting chain (variance-reduction argmax split per "
+        f"round via cumulative sums, leaf values, shrinkage update, "
+        f"exact MSE from the sum-of-squares identity) runs over the "
+        f"bounded histogram with no second data pass and no driver "
+        f"loop. This is why histogram-based GBMs (LightGBM's core "
+        f"trick) are the 100 TB tree recipe; here the full recursion "
+        f"is expressed relationally and certified value-exact. "
+        f"Split scores round at 6 dp before the argmax (bucket "
+        f"tiebreak) so both engines select identical trees; sums are "
+        f"DECIMAL-exact before the double cast. Extends "
+        f"decision_stump_train (one classification stump) to the "
+        f"boosted regression ensemble.",
+    tags=("learn", "tree", "boosting", "aggregate", "scale"),
+)
+def gradient_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    hist = orders.groupBy(
+        F.floor(F.col("o_totalprice") / STUMP_BUCKET).cast("long").alias("pb")
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dec).cast("double").alias("s"),
+        F.sum(dec * dec).cast("double").alias("s2"),
+    )
+    tot = F.broadcast(
+        hist.agg(F.sum("n").alias("nt"), F.sum("s").alias("st"))
+    )
+    lr = float(GBM_LR)
+    cur = hist.crossJoin(tot).select(
+        "pb", "n", "s", "s2", (F.col("st") / F.col("nt")).alias("f")
+    )
+    wc = Window.orderBy("pb").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    out_rows = []
+    for rnd in range(1, GBM_ROUNDS + 1):
+        r = cur.select(
+            "pb", "n", "s", "s2", "f",
+            (F.col("s") - F.col("n") * F.col("f")).alias("rs"),
+        )
+        c = r.select(
+            "pb",
+            F.sum("n").over(wc).alias("nl"),
+            F.sum("rs").over(wc).alias("sl"),
+            F.sum("n").over(wt).alias("ntt"),
+            F.sum("rs").over(wt).alias("stt"),
+        ).where((F.col("nl") > 0) & (F.col("nl") < F.col("ntt")))
+        score = F.round(
+            F.col("sl") * F.col("sl") / F.col("nl")
+            + (F.col("stt") - F.col("sl"))
+            * (F.col("stt") - F.col("sl"))
+            / (F.col("ntt") - F.col("nl")),
+            6,
+        )
+        t = F.broadcast(
+            c.select(
+                F.col("pb").alias("t"),
+                (F.col("sl") / F.col("nl")).alias("lv"),
+                (
+                    (F.col("stt") - F.col("sl"))
+                    / (F.col("ntt") - F.col("nl"))
+                ).alias("rv"),
+                score.alias("score"),
+            )
+            .orderBy(F.desc("score"), "t")
+            .limit(1)
+            .drop("score")
+        )
+        cur = r.crossJoin(t).select(
+            "pb", "n", "s", "s2", "t", "lv", "rv",
+            (
+                F.col("f")
+                + lr
+                * F.when(F.col("pb") <= F.col("t"), F.col("lv")).otherwise(
+                    F.col("rv")
+                )
+            ).alias("f"),
+        )
+        mse = (
+            F.sum(
+                F.col("s2")
+                - 2 * F.col("f") * F.col("s")
+                + F.col("n") * F.col("f") * F.col("f")
+            )
+            / F.sum("n")
+        )
+        out_rows.append(
+            cur.agg(
+                F.lit(rnd).cast("long").alias("round"),
+                F.max("t").cast("long").alias("threshold_bucket"),
+                F.round(lr * F.max("lv"), 4).alias("left_add"),
+                F.round(lr * F.max("rv"), 4).alias("right_add"),
+                F.round(mse, 2).alias("train_mse"),
+            )
+        )
+        cur = cur.select("pb", "n", "s", "s2", "f")
+    out = out_rows[0]
+    for df in out_rows[1:]:
+        out = out.unionByName(df)
+    return out

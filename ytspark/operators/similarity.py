@@ -2041,3 +2041,81 @@ def knn_cosine_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "adc_sim", "cos_sim"),
         enc,
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN-distance outlier scoring (distance-based anomaly detection)
+# ---------------------------------------------------------------------------
+
+KDO_K = 5  # the k in "distance to the k-th nearest neighbor"
+KDO_TOP = 10  # outliers reported
+
+
+@register(
+    "knn_distance_outliers",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+),
+pair AS (
+  SELECT a.vec_id, a.label,
+         ROUND(1.0 - LIST_DOT_PRODUCT(a.v, b.v)
+               / (SQRT(LIST_DOT_PRODUCT(a.v, a.v))
+                  * SQRT(LIST_DOT_PRODUCT(b.v, b.v))), 6) AS d,
+         b.vec_id AS nb
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+),
+kth AS (
+  SELECT vec_id, label, d AS knn_distance FROM (
+    SELECT vec_id, label, d,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, nb) AS rk
+    FROM pair
+  ) WHERE rk = {KDO_K}
+)
+SELECT vec_id, CAST(label AS BIGINT) AS label, knn_distance
+FROM kth
+ORDER BY knn_distance DESC, vec_id
+LIMIT {KDO_TOP}
+""",
+    doc=f"DISTANCE-BASED OUTLIER detection over the embedding corpus "
+        f"— the classic kNN-distance score (Ramaswamy et al.): each "
+        f"vector's anomaly score is its cosine distance to its "
+        f"{KDO_K}-th nearest neighbor, and the top-{KDO_TOP} scores "
+        f"are the candidate mislabeled/contaminated points a curation "
+        f"pipeline quarantines. Complements embedding_norm_outliers "
+        f"(norm pathology) with GEOMETRIC isolation — a unit-norm "
+        f"vector in the wrong region scores high here and normal "
+        f"there. Gate-scale plan is the exact all-pairs join (the "
+        f"same bounded corpus contract as knn_cosine_bruteforce, "
+        f"with per-vector rank windows partitioned by vec_id); at "
+        f"100 TB the k-th-NN distance comes from the IVF/LSH "
+        f"shortlist exactly as knn serving does — the score "
+        f"definition and this certified kernel are unchanged, only "
+        f"the candidate generator swaps.",
+    tags=("similarity", "outlier", "knn", "quality"),
+)
+def knn_distance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    e = emb.select(
+        "vec_id", as_double(F.col("embedding")).alias("v"),
+        F.col("label").cast("long").alias("label"),
+    )
+    a = e.select(
+        F.col("vec_id"), F.col("label"), F.col("v")
+    )
+    b = e.select(F.col("vec_id").alias("nb"), F.col("v").alias("bv"))
+    pair = a.join(F.broadcast(b), F.col("vec_id") != F.col("nb")).select(
+        "vec_id",
+        "label",
+        "nb",
+        F.round(1.0 - cosine(F.col("v"), F.col("bv")), 6).alias("d"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("d", "nb")
+    kth = (
+        pair.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == KDO_K)
+        .select("vec_id", "label", F.col("d").alias("knn_distance"))
+    )
+    return kth.orderBy(F.desc("knn_distance"), "vec_id").limit(KDO_TOP)

@@ -2061,3 +2061,109 @@ def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("novel_grams").cast("double") / F.sum("n_grams"), 6
         ).alias("novelty_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Heaps' law fit: vocabulary growth V = K * N^beta
+# ---------------------------------------------------------------------------
+
+HEAPS_FRACS = (1, 2, 3, 4, 5, 6, 7, 8)  # checkpoint = ceil(maxd * k/8)
+
+
+@register(
+    "heaps_law_fit",
+    oracle=f"""
+WITH maxd AS (SELECT MAX(doc_id) + 1 AS md FROM documents),
+cks AS (
+  SELECT CAST(CEIL(md * k / 8.0) AS BIGINT) AS ck
+  FROM maxd, (SELECT UNNEST(ARRAY{list(HEAPS_FRACS)}) AS k)
+),
+toks AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents
+),
+pts AS (
+  SELECT cks.ck,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(COUNT(DISTINCT term) AS BIGINT) AS vocab
+  FROM toks JOIN cks ON toks.doc_id < cks.ck
+  GROUP BY cks.ck
+),
+ll AS (
+  SELECT ck, n_tokens, vocab,
+         LN(CAST(n_tokens AS DOUBLE)) AS lx,
+         LN(CAST(vocab AS DOUBLE)) AS ly
+  FROM pts
+),
+fit AS (
+  SELECT (COUNT(*) * SUM(lx * ly) - SUM(lx) * SUM(ly))
+         / (COUNT(*) * SUM(lx * lx) - SUM(lx) * SUM(lx)) AS beta,
+         (SUM(ly) - (COUNT(*) * SUM(lx * ly) - SUM(lx) * SUM(ly))
+                    / (COUNT(*) * SUM(lx * lx) - SUM(lx) * SUM(lx))
+                    * SUM(lx)) / COUNT(*) AS log_k
+  FROM ll
+)
+SELECT ll.ck AS checkpoint_docs, ll.n_tokens, ll.vocab,
+       ROUND(fit.beta, 6) AS heaps_beta,
+       ROUND(EXP(fit.log_k), 6) AS heaps_k
+FROM ll CROSS JOIN fit
+""",
+    doc="HEAPS' LAW FIT — vocabulary growth V(N) = K * N^beta across "
+        "8 doc_id-prefix checkpoints of the corpus, the companion "
+        "diagnostic to the Zipf slope (Zipf describes the frequency "
+        "distribution at a point; Heaps describes how the vocabulary "
+        "SCALES, which is what sizes tokenizer vocabularies and "
+        "predicts OOV rates as a corpus grows to 100 TB; the two "
+        "exponents are theoretically linked, beta ~ 1/zipf_alpha). "
+        "Each checkpoint's (tokens, vocab) comes from ONE explode "
+        "joined to the 8-row checkpoint table (a doc prefix filter — "
+        "NOT a cumulative window over docs, so the plan is one "
+        "term-keyed aggregate at any corpus size, at worst 8x the "
+        "postings volume), and the log-log OLS fit is a closed-form "
+        "5-sum aggregate over the 8 points. Exact integer "
+        "(tokens, vocab) pairs certify the curve; the fitted "
+        "exponent rounds at 6 dp.",
+    tags=("text", "statistics", "aggregate", "scale"),
+)
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    maxd = docs.agg((F.max("doc_id") + 1).alias("md"))
+    cks = F.broadcast(
+        maxd.crossJoin(
+            spark.createDataFrame([(k,) for k in HEAPS_FRACS], "k int")
+        ).select(F.ceil(F.col("md") * F.col("k") / 8.0).cast("long").alias("ck"))
+    )
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    pts = (
+        toks.join(cks, toks.doc_id < cks.ck)
+        .groupBy("ck")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.count_distinct("term").cast("long").alias("vocab"),
+        )
+    )
+    ll = pts.select(
+        "ck",
+        "n_tokens",
+        "vocab",
+        F.log(F.col("n_tokens").cast("double")).alias("lx"),
+        F.log(F.col("vocab").cast("double")).alias("ly"),
+    )
+    n = F.count(F.lit(1))
+    beta = (n * F.sum(F.col("lx") * F.col("ly")) - F.sum("lx") * F.sum("ly")) / (
+        n * F.sum(F.col("lx") * F.col("lx")) - F.sum("lx") * F.sum("lx")
+    )
+    fit = F.broadcast(
+        ll.agg(
+            beta.alias("beta"),
+            ((F.sum("ly") - beta * F.sum("lx")) / n).alias("log_k"),
+        )
+    )
+    return ll.crossJoin(fit).select(
+        F.col("ck").alias("checkpoint_docs"),
+        "n_tokens",
+        "vocab",
+        F.round("beta", 6).alias("heaps_beta"),
+        F.round(F.exp("log_k"), 6).alias("heaps_k"),
+    )

@@ -1884,3 +1884,217 @@ def sprt_sequential_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("continue"))
         .alias("decision"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov next-event prediction accuracy (train/test by user parity)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "markov_next_event_eval",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+train AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL AND user_id % 2 = 0
+  GROUP BY 1, 2
+),
+pred AS (
+  SELECT prev_type, next_type AS predicted FROM (
+    SELECT prev_type, next_type,
+           ROW_NUMBER() OVER (PARTITION BY prev_type
+                              ORDER BY n DESC, next_type) AS rk
+    FROM train
+  ) WHERE rk = 1
+),
+test AS (
+  SELECT prev_type, event_type AS next_type
+  FROM seq WHERE prev_type IS NOT NULL AND user_id % 2 = 1
+)
+SELECT t.prev_type, p.predicted,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       CAST(SUM(CASE WHEN t.next_type = p.predicted THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       ROUND(SUM(CASE WHEN t.next_type = p.predicted THEN 1 ELSE 0 END)
+             * 1.0 / COUNT(*), 6) AS accuracy
+FROM test t JOIN pred p USING (prev_type)
+GROUP BY 1, 2
+""",
+    doc="MARKOV NEXT-EVENT PREDICTION EVAL — closes the loop on "
+        "event_transition_matrix the way classifier_eval_metrics "
+        "closes it on the NB model: train the first-order argmax "
+        "predictor (most frequent next event per previous event, "
+        "count-desc/type-asc tiebreak) on EVEN user_ids, score it on "
+        "ODD user_ids, report per-state test support, hits, and "
+        "accuracy. The user-parity split is the same deterministic "
+        "holdout contract as the A/B arms (SPRT/z-test); transitions "
+        "come from one user-partitioned lag window shared with the "
+        "matrix query; train/pred/test are three small aggregates "
+        "over the bounded state grid — at 100 TB the only data-sized "
+        "cost is the one window shuffle on user_id.",
+    tags=("sequence", "evaluation", "learn", "window", "pipeline"),
+)
+def markov_next_event_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).where(F.col("prev_type").isNotNull())
+    train = (
+        seq.where(F.col("user_id") % 2 == 0)
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wr = Window.partitionBy("prev_type").orderBy(
+        F.desc("n"), F.asc("next_type")
+    )
+    pred = F.broadcast(
+        train.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") == 1)
+        .select("prev_type", F.col("next_type").alias("predicted"))
+    )
+    test = seq.where(F.col("user_id") % 2 == 1)
+    hit = (F.col("next_type") == F.col("predicted")).cast("int")
+    return (
+        test.join(pred, "prev_type")
+        .groupBy("prev_type", "predicted")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(hit).cast("long").alias("n_correct"),
+            F.round(F.sum(hit) * 1.0 / F.count(F.lit(1)), 6).alias(
+                "accuracy"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Group-sequential monitoring with O'Brien-Fleming boundaries
+# ---------------------------------------------------------------------------
+
+OBF_C = "2.0403"  # two-sided alpha=0.05, K=5 looks (Pocock/OBF tables)
+
+
+@register(
+    "group_sequential_obf_monitor",
+    oracle=f"""
+WITH base AS (
+  SELECT DATE_TRUNC('week', CAST(ts AS DATE)) AS wk,
+         CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END
+           AS arm,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x
+  FROM events
+),
+weekly AS (
+  SELECT wk,
+         SUM(CASE WHEN arm = 'control' THEN 1 ELSE 0 END) AS nc,
+         SUM(CASE WHEN arm = 'control' THEN x ELSE 0 END) AS cc,
+         SUM(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END) AS nt,
+         SUM(CASE WHEN arm = 'treatment' THEN x ELSE 0 END) AS ct
+  FROM base GROUP BY wk
+),
+cum AS (
+  SELECT wk,
+         SUM(nc) OVER (ORDER BY wk) AS nc,
+         SUM(cc) OVER (ORDER BY wk) AS cc,
+         SUM(nt) OVER (ORDER BY wk) AS nt,
+         SUM(ct) OVER (ORDER BY wk) AS ct,
+         SUM(nc + nt) OVER (ORDER BY wk) * 1.0
+           / SUM(nc + nt) OVER () AS info_frac
+  FROM weekly
+),
+z AS (
+  SELECT wk, nc, cc, nt, ct, info_frac,
+         (ct * 1.0 / nt - cc * 1.0 / nc)
+         / SQRT(((cc + ct) * 1.0 / (nc + nt))
+                * (1 - (cc + ct) * 1.0 / (nc + nt))
+                * (1.0 / nc + 1.0 / nt)) AS zstat,
+         {OBF_C} / SQRT(info_frac) AS bound
+  FROM cum
+)
+SELECT STRFTIME(wk, '%Y-%m-%d') AS week,
+       CAST(nc AS BIGINT) AS n_control,
+       CAST(nt AS BIGINT) AS n_treatment,
+       CAST(cc AS BIGINT) AS conv_control,
+       CAST(ct AS BIGINT) AS conv_treatment,
+       ROUND(info_frac, 6) AS info_frac,
+       ROUND(zstat, 6) AS z,
+       ROUND(bound, 6) AS obf_bound,
+       CASE WHEN ABS(zstat) >= bound THEN 'stop_efficacy'
+            ELSE 'continue' END AS decision
+FROM z
+""",
+    doc="GROUP-SEQUENTIAL experiment monitoring with O'Brien-Fleming "
+        "boundaries — the interim-look design that complements the "
+        "fully-sequential SPRT: at each weekly look the cumulative "
+        "two-proportion z-statistic (pooled-variance form, identical "
+        "to ab_test_ztest's) is compared against the OBF critical "
+        f"value c/sqrt(information fraction) with c={OBF_C} (the "
+        "tabulated two-sided alpha=0.05 constant for 5 looks), so "
+        "early looks demand overwhelming evidence and the final look "
+        "spends almost full alpha — the property that makes OBF the "
+        "regulatory default. One conditional aggregate reduces the "
+        "stream to O(weeks) rows; the cumulative window runs over "
+        "that bounded spine (EXPECTED_GLOBAL_WINDOW); decisions "
+        "derive from the unrounded z on both engines.",
+    tags=("experiment", "statistics", "window", "pipeline"),
+)
+def group_sequential_obf_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    base = ev.select(
+        F.date_trunc("week", F.col("ts").cast("date")).alias("wk"),
+        (F.col("user_id") % 2 == 0).alias("is_control"),
+        (F.col("event_type") == "purchase").cast("int").alias("x"),
+    )
+    weekly = base.groupBy("wk").agg(
+        F.sum(F.when(F.col("is_control"), 1).otherwise(0)).alias("nc"),
+        F.sum(F.when(F.col("is_control"), F.col("x")).otherwise(0)).alias("cc"),
+        F.sum(F.when(~F.col("is_control"), 1).otherwise(0)).alias("nt"),
+        F.sum(F.when(~F.col("is_control"), F.col("x")).otherwise(0)).alias("ct"),
+    )
+    wc = Window.orderBy("wk").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    cum = weekly.select(
+        "wk",
+        F.sum("nc").over(wc).alias("nc"),
+        F.sum("cc").over(wc).alias("cc"),
+        F.sum("nt").over(wc).alias("nt"),
+        F.sum("ct").over(wc).alias("ct"),
+        (
+            F.sum(F.col("nc") + F.col("nt")).over(wc)
+            * 1.0
+            / F.sum(F.col("nc") + F.col("nt")).over(wt)
+        ).alias("info_frac"),
+    )
+    pooled = (F.col("cc") + F.col("ct")) * 1.0 / (F.col("nc") + F.col("nt"))
+    zstat = (
+        F.col("ct") * 1.0 / F.col("nt") - F.col("cc") * 1.0 / F.col("nc")
+    ) / F.sqrt(
+        pooled * (1 - pooled) * (1.0 / F.col("nc") + 1.0 / F.col("nt"))
+    )
+    bound = F.lit(float(OBF_C)) / F.sqrt(F.col("info_frac"))
+    return cum.select(
+        F.date_format("wk", "yyyy-MM-dd").alias("week"),
+        F.col("nc").cast("long").alias("n_control"),
+        F.col("nt").cast("long").alias("n_treatment"),
+        F.col("cc").cast("long").alias("conv_control"),
+        F.col("ct").cast("long").alias("conv_treatment"),
+        F.round("info_frac", 6).alias("info_frac"),
+        F.round(zstat, 6).alias("z"),
+        F.round(bound, 6).alias("obf_bound"),
+        F.when(F.abs(zstat) >= bound, F.lit("stop_efficacy"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    )
