@@ -62,6 +62,7 @@ EXPECTED_NESTED_LOOP = {
     "ridge_regression_path",         # broadcast 4-row lambda grid x 1-row moments
     "gradient_boosted_stumps",       # broadcast 1-row split/total scalars
     "heaps_law_fit",                 # broadcast 8-row checkpoint prefix filter
+    "threshold_tuning_cost_curve",   # broadcast 1-row min-cost scalar
     "knn_distance_outliers",         # bounded-corpus all-pairs by design;
                                      # IVF/LSH shortlist swaps in at scale
     "lang_nb_classifier",            # broadcast 5-row class stats + consts
@@ -179,6 +180,8 @@ EXPECTED_GLOBAL_WINDOW = {
     "gradient_boosted_stumps",     # cumulative split scan over the bucket
                                    # histogram (same bound as decision stump)
     "group_sequential_obf_monitor",  # cumulative looks over the O(weeks) spine
+    "threshold_tuning_cost_curve", # cumulative confusion counts over the
+                                   # bucket histogram (decision-stump bound)
 }
 # streaming queries execute eagerly; skip plan audit (they materialize
 # their own sinks and are correctness-checked by the oracle gate)

@@ -2945,3 +2945,123 @@ def longest_duplicate_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.min(F.struct("gram", "cnt"))["gram"].alias("example_gram"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental exact-substring dedup via a persisted gram store
+# ---------------------------------------------------------------------------
+
+
+def persist_exsub_store(docs: DataFrame, path: str) -> None:
+    """Bootstrap the persisted exact-substring gram store: the DISTINCT
+    K-grams of the corpus with, per gram, the count of corpus
+    occurrences. Grams are stored as strings for cross-engine
+    certifiability; a production store would keep a 128-bit gram hash
+    instead (same plan, 16 bytes/row)."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos0")
+    parts = [F.col("tok")] + [
+        F.lead("tok", i).over(w) for i in range(1, EXSUB_K)
+    ]
+    g = toks.select(
+        F.when(parts[-1].isNotNull(), F.concat_ws(" ", *parts)).alias("gram")
+    ).where(F.col("gram").isNotNull())
+    g.groupBy("gram").agg(F.count(F.lit(1)).alias("occ")).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+@register(
+    "dedup_exact_substring_incremental",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS v FROM documents),
+pos AS (
+  SELECT doc_id, v,
+         UNNEST(RANGE(1, GREATEST(LEN(v) - {EXSUB_K - 1}, 0) + 1)) AS p
+  FROM toks
+),
+g AS (
+  SELECT doc_id, p, ARRAY_TO_STRING(v[p:p + {EXSUB_K - 1}], ' ') AS gram
+  FROM pos
+),
+corpus_grams AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id < {INCR_SPLIT}
+),
+covered AS (
+  SELECT g.doc_id, g.p
+  FROM g JOIN corpus_grams USING (gram)
+  WHERE g.doc_id >= {INCR_SPLIT}
+),
+isl AS (
+  SELECT doc_id, p,
+         p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+  FROM covered
+)
+SELECT doc_id,
+       CAST(MIN(p) AS BIGINT) AS span_start,
+       CAST(MAX(p) + {EXSUB_K - 1} AS BIGINT) AS span_end,
+       CAST(MAX(p) + {EXSUB_K - 1} - MIN(p) + 1 AS BIGINT) AS span_len
+FROM isl GROUP BY doc_id, grp
+""",
+    doc=f"INCREMENTAL exact-substring dedup — the ingest-cadence form "
+        f"of dedup_exact_substring_spans: the corpus K-gram store "
+        f"persists once (doc_id < {INCR_SPLIT}; distinct grams + "
+        f"occurrence counts), each incoming batch grams ONLY its own "
+        f"documents and semi-joins the store, so per-batch cost is "
+        f"O(batch grams + matched postings) and a new document is "
+        f"answered 'which parts of you already exist in the corpus' "
+        f"without touching corpus text. Spans merge per new doc via "
+        f"the same doc_id-partitioned gaps-and-islands as the batch "
+        f"operator. The oracle is the batch-recompute twin (gram "
+        f"everything, restrict coverage to batch-region positions "
+        f"whose gram exists in the corpus region) — store mediation "
+        f"must be invisible, the slicing-independence contract the "
+        f"MinHash and winnowing stores also certify. Completes the "
+        f"incremental-store triad: whole-doc similarity (MinHash), "
+        f"sampled substring (winnowing), EXACT substring (this).",
+    tags=("dedup", "text", "span", "suffix", "exact", "incremental", "store"),
+)
+def dedup_exact_substring_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+
+    from pyspark.sql import Window
+
+    from ytspark.plans.scratch import scratch_dir
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    store = os.path.join(scratch_dir(f"exsub_store_{sf_dir}"), "grams")
+    shutil.rmtree(store, ignore_errors=True)
+    persist_exsub_store(docs.where(F.col("doc_id") < INCR_SPLIT), store)
+
+    batch = docs.where(F.col("doc_id") >= INCR_SPLIT)
+    toks = batch.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos0")
+    parts = [F.col("tok")] + [
+        F.lead("tok", i).over(w) for i in range(1, EXSUB_K)
+    ]
+    g = toks.select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("p"),
+        F.when(parts[-1].isNotNull(), F.concat_ws(" ", *parts)).alias("gram"),
+    ).where(F.col("gram").isNotNull())
+    stored = spark.read.parquet(store).select("gram")
+    covered = g.join(stored, "gram", "left_semi").select("doc_id", "p")
+    wi = Window.partitionBy("doc_id").orderBy("p")
+    isl = covered.select(
+        "doc_id", "p", (F.col("p") - F.row_number().over(wi)).alias("grp")
+    )
+    return isl.groupBy("doc_id", "grp").agg(
+        F.min("p").cast("long").alias("span_start"),
+        (F.max("p") + EXSUB_K - 1).cast("long").alias("span_end"),
+        (F.max("p") + EXSUB_K - 1 - F.min("p") + 1).cast("long").alias(
+            "span_len"
+        ),
+    ).drop("grp")

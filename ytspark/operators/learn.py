@@ -2401,3 +2401,109 @@ def gradient_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in out_rows[1:]:
         out = out.unionByName(df)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Cost-sensitive decision-threshold tuning (full operating curve)
+# ---------------------------------------------------------------------------
+
+COST_FP = 1  # cost of acting on a non-final order
+COST_FN = 5  # cost of missing a final order
+
+
+@register(
+    "threshold_tuning_cost_curve",
+    oracle=f"""
+WITH d AS (
+  SELECT CAST(FLOOR(o_totalprice / {STUMP_BUCKET}) AS BIGINT) AS pb,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders
+),
+hist AS (
+  SELECT pb, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS pos
+  FROM d GROUP BY pb
+),
+cum AS (
+  SELECT pb,
+         SUM(n)   OVER (ORDER BY pb) AS nl,
+         SUM(pos) OVER (ORDER BY pb) AS posl,
+         SUM(n)   OVER () AS nt,
+         SUM(pos) OVER () AS post
+  FROM hist
+),
+curve AS (
+  SELECT pb AS threshold_bucket,
+         CAST(post - posl AS BIGINT) AS tp,
+         CAST((nt - nl) - (post - posl) AS BIGINT) AS fp,
+         CAST(posl AS BIGINT) AS fn,
+         CAST(nl - posl AS BIGINT) AS tn,
+         CAST({COST_FP} * ((nt - nl) - (post - posl))
+              + {COST_FN} * posl AS BIGINT) AS total_cost
+  FROM cum
+)
+SELECT threshold_bucket, tp, fp, fn, tn, total_cost,
+       total_cost = (SELECT MIN(total_cost) FROM curve) AS is_optimal
+FROM curve
+""",
+    doc=f"COST-SENSITIVE THRESHOLD TUNING — the decision-analysis "
+        f"layer the classifier family was missing: predicting 'act' "
+        f"when order value exceeds a bucket threshold (predict final "
+        f"when price > t), sweep EVERY candidate threshold and price "
+        f"each operating point under an asymmetric cost matrix "
+        f"(false positive = {COST_FP}, false negative = {COST_FN} — "
+        f"missing a real case costs {COST_FN}x a false alarm), "
+        f"emitting the full curve with exact integer confusion "
+        f"counts and flagging the cost-minimal threshold. Same "
+        f"bounded-histogram shape as decision_stump_train (one "
+        f"map-side aggregate reduces 100 TB to |buckets| rows; "
+        f"cumulative sums price every threshold at once); where the "
+        f"stump maximizes information gain, this minimizes DOLLARS — "
+        f"the quantity the on-call owner actually tunes.",
+    tags=("learn", "evaluation", "statistics", "aggregate"),
+)
+def threshold_tuning_cost_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    d = orders.select(
+        F.floor(F.col("o_totalprice") / STUMP_BUCKET).cast("long").alias("pb"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("y"),
+    )
+    hist = d.groupBy("pb").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+    )
+    wc = Window.orderBy("pb").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    cum = hist.select(
+        "pb",
+        F.sum("n").over(wc).alias("nl"),
+        F.sum("pos").over(wc).alias("posl"),
+        F.sum("n").over(wt).alias("nt"),
+        F.sum("pos").over(wt).alias("post"),
+    )
+    curve = cum.select(
+        F.col("pb").alias("threshold_bucket"),
+        (F.col("post") - F.col("posl")).cast("long").alias("tp"),
+        ((F.col("nt") - F.col("nl")) - (F.col("post") - F.col("posl")))
+        .cast("long")
+        .alias("fp"),
+        F.col("posl").cast("long").alias("fn"),
+        (F.col("nl") - F.col("posl")).cast("long").alias("tn"),
+        (
+            COST_FP
+            * ((F.col("nt") - F.col("nl")) - (F.col("post") - F.col("posl")))
+            + COST_FN * F.col("posl")
+        )
+        .cast("long")
+        .alias("total_cost"),
+    )
+    best = F.broadcast(curve.agg(F.min("total_cost").alias("min_cost")))
+    return curve.crossJoin(best).select(
+        "threshold_bucket",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        "total_cost",
+        (F.col("total_cost") == F.col("min_cost")).alias("is_optimal"),
+    )

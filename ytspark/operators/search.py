@@ -1225,3 +1225,146 @@ def doc_cosine_sparse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wdoc).cast("long").alias("rank"),
     ).where(F.col("rank") <= DOC_COS_TOPK)
     return finish(out, w)
+
+
+# ---------------------------------------------------------------------------
+# Maximal Marginal Relevance (MMR) diversified top-k
+# ---------------------------------------------------------------------------
+
+MMR_LAMBDA = "0.7"  # relevance weight (1 - this weighs redundancy)
+MMR_K = 5  # diversified results returned
+MMR_POOL = BM25_TOP  # candidate pool = the BM25 top-20
+
+
+def _mmr_oracle() -> str:
+    lam = MMR_LAMBDA
+    cte = [
+        f"cand AS (SELECT doc_id, bm25 AS rel FROM ({_BM25_ORACLE}))",
+        """sims AS (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+         ROUND(LIST_DOT_PRODUCT(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
+               / (SQRT(LIST_DOT_PRODUCT(ea.embedding::DOUBLE[],
+                                        ea.embedding::DOUBLE[]))
+                  * SQRT(LIST_DOT_PRODUCT(eb.embedding::DOUBLE[],
+                                          eb.embedding::DOUBLE[]))), 6)
+           AS sim
+  FROM cand a JOIN cand b ON a.doc_id <> b.doc_id
+  JOIN embeddings ea ON ea.vec_id = a.doc_id
+  JOIN embeddings eb ON eb.vec_id = b.doc_id
+)""",
+        f"""s1 AS (
+  SELECT doc_id, rel, ROUND({lam} * rel, 6) AS mmr
+  FROM cand ORDER BY rel DESC, doc_id LIMIT 1
+)""",
+        "sel1 AS (SELECT doc_id, rel, mmr FROM s1)",
+    ]
+    for i in range(2, MMR_K + 1):
+        cte.append(f"""s{i} AS (
+  SELECT c.doc_id, c.rel,
+         ROUND({lam} * c.rel - (1 - {lam}) * MAX(s.sim), 6) AS mmr
+  FROM cand c JOIN sims s ON s.a = c.doc_id
+  WHERE s.b IN (SELECT doc_id FROM sel{i - 1})
+    AND c.doc_id NOT IN (SELECT doc_id FROM sel{i - 1})
+  GROUP BY c.doc_id, c.rel
+  ORDER BY ROUND({lam} * c.rel - (1 - {lam}) * MAX(s.sim), 6) DESC, c.doc_id
+  LIMIT 1
+)""")
+        cte.append(
+            f"sel{i} AS (SELECT * FROM sel{i - 1} UNION ALL SELECT * FROM s{i})"
+        )
+    picks = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS pick_order, doc_id, rel, mmr FROM s{i}"
+        for i in range(1, MMR_K + 1)
+    )
+    return "WITH " + ",\n".join(cte) + "\n" + picks
+
+
+@register(
+    "mmr_diversified_topk",
+    oracle=_mmr_oracle(),
+    doc=f"MAXIMAL MARGINAL RELEVANCE — diversified retrieval, the "
+        f"post-ranking stage production search serves after BM25: "
+        f"from the top-{MMR_POOL} BM25 pool, greedily select "
+        f"{MMR_K} results maximizing lambda*relevance - "
+        f"(1-lambda)*max-similarity-to-already-selected "
+        f"(lambda={MMR_LAMBDA}; redundancy measured by embedding "
+        f"cosine between candidates — the hybrid lexical-relevance/"
+        f"semantic-diversity combination real systems run). The "
+        f"greedy recursion unrolls into {MMR_K} chained bounded "
+        f"argmax selections (each an aggregate + LIMIT 1 over the "
+        f"<= {MMR_POOL}-row pool with rounded-score/doc_id "
+        f"tiebreaks, eagerly checkpointed so the plan stays linear "
+        f"in k); candidate generation is the certified bm25_scores "
+        f"pushdown and the {MMR_POOL}x{MMR_POOL} sim matrix "
+        f"broadcasts. At 100 TB the pool stays k-bounded, so MMR "
+        f"costs O(pool^2) AFTER retrieval — independent of corpus "
+        f"size.",
+    tags=("search", "similarity", "topk", "iterative"),
+)
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ytspark.operators.similarity import as_double, cosine
+
+    lam = float(MMR_LAMBDA)
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    cand = (
+        bm25_scores(docs)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(MMR_POOL)
+        .select("doc_id", F.col("bm25").alias("rel"))
+        .localCheckpoint(eager=True)
+    )
+    ev = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    ca = cand.join(ev, cand.doc_id == ev.vec_id).select(
+        F.col("doc_id").alias("a"), F.col("v").alias("va")
+    )
+    cb = cand.join(ev, cand.doc_id == ev.vec_id).select(
+        F.col("doc_id").alias("b"), F.col("v").alias("vb")
+    )
+    sims = (
+        ca.join(F.broadcast(cb), F.col("a") != F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    picks = []
+    selected = None
+    for i in range(1, MMR_K + 1):
+        if selected is None:
+            pick = (
+                cand.orderBy(F.desc("rel"), F.asc("doc_id"))
+                .limit(1)
+                .select(
+                    "doc_id", "rel", F.round(lam * F.col("rel"), 6).alias("mmr")
+                )
+            )
+        else:
+            sel_ids = selected.select(F.col("doc_id").alias("b"))
+            pick = (
+                cand.join(
+                    selected.select("doc_id"), "doc_id", "left_anti"
+                )
+                .join(sims, F.col("doc_id") == F.col("a"))
+                .join(F.broadcast(sel_ids), "b", "left_semi")
+                .groupBy("doc_id", "rel")
+                .agg(
+                    F.round(
+                        lam * F.col("rel") - (1 - lam) * F.max("sim"), 6
+                    ).alias("mmr")
+                )
+                .orderBy(F.desc("mmr"), F.asc("doc_id"))
+                .limit(1)
+            )
+        # eager 1-row checkpoint keeps the unrolled plan linear in k
+        pick = pick.localCheckpoint(eager=True)
+        picks.append(pick.select(F.lit(i).cast("long").alias("pick_order"), "*"))
+        selected = (
+            pick if selected is None else selected.unionByName(pick)
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out

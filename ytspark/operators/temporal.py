@@ -2180,3 +2180,109 @@ def activity_streak_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_streaks"),
         F.count_distinct("user_id").alias("n_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Nearest-event temporal join (bidirectional as-of, min |gap|)
+# ---------------------------------------------------------------------------
+
+NEAREST_WINDOW_S = 3600  # candidate clicks within +/- 1 hour
+
+
+@register(
+    "asof_nearest_click_join",
+    oracle=f"""
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS p_ts
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT event_id AS click_id, user_id, ts AS c_ts
+  FROM events WHERE event_type = 'click'
+),
+cand AS (
+  SELECT p.purchase_id, c.click_id,
+         ABS(EPOCH_US(p.p_ts) - EPOCH_US(c.c_ts)) AS gap_us,
+         CASE WHEN c.c_ts <= p.p_ts THEN 0 ELSE 1 END AS side
+  FROM p JOIN c ON p.user_id = c.user_id
+   AND c.c_ts >= p.p_ts - INTERVAL {NEAREST_WINDOW_S} SECONDS
+   AND c.c_ts <= p.p_ts + INTERVAL {NEAREST_WINDOW_S} SECONDS
+)
+SELECT purchase_id,
+       ARG_MIN(click_id,
+               gap_us * 200000000 + side * 100000000 + click_id)
+         AS nearest_click_id,
+       CAST(MIN(gap_us * 200000000 + side * 100000000 + click_id)
+            // 200000000 AS BIGINT) AS gap_micros,
+       CAST((MIN(gap_us * 200000000 + side * 100000000 + click_id)
+             % 200000000) // 100000000 AS BIGINT) AS after_purchase
+FROM cand GROUP BY purchase_id
+""",
+    doc="NEAREST-event temporal join — the third as-of direction "
+        "(backward picks the last-before, forward the first-after; "
+        "this picks whichever click is CLOSEST in time, before "
+        f"preferred on exact ties, within +/-{NEAREST_WINDOW_S}s): "
+        "the sensor-alignment / log-correlation join shape. Plan: "
+        "the bounded range join generates per-purchase candidates "
+        "(user-key equi join + time band, the certified "
+        "range_join_clicks shape), then ONE selector aggregate picks "
+        "the winner per purchase by minimizing a single packed "
+        "integer (gap, side, click_id) — no window over candidates, "
+        "no second shuffle; min_by/arg_min is map-side combinable, "
+        "so the nearest-neighbor choice costs the same as a COUNT at "
+        "100 TB. The packed key is exact int64 (gap <= 3.6e9 us, x2e8 "
+        "< 2^63; ids below 1e8 by the generator contract); gaps "
+        "compare in exact integer MICROSECONDS on both engines "
+        "(EPOCH_US / unix_micros — fractional-second safe).",
+    tags=("join", "asof", "temporal", "selector"),
+)
+def asof_nearest_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    cand = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (
+            F.col("c_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {NEAREST_WINDOW_S} SECONDS")
+        )
+        & (
+            F.col("c_ts")
+            <= F.col("p_ts") + F.expr(f"INTERVAL {NEAREST_WINDOW_S} SECONDS")
+        ),
+    ).select(
+        "purchase_id",
+        "click_id",
+        # exact integer MICROSECONDS on both engines (EPOCH_US /
+        # unix_micros) — DuckDB's EPOCH keeps fractional seconds while
+        # Spark's unix_timestamp truncates, a sub-second divergence
+        F.abs(
+            F.unix_micros("p_ts") - F.unix_micros("c_ts")
+        ).alias("gap_us"),
+        F.when(F.col("c_ts") <= F.col("p_ts"), F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("side"),
+    )
+    key = (
+        F.col("gap_us") * F.lit(200_000_000)
+        + F.col("side") * F.lit(100_000_000)
+        + F.col("click_id")
+    )
+    return cand.groupBy("purchase_id").agg(
+        F.min_by("click_id", key).alias("nearest_click_id"),
+        (F.min(key) / F.lit(200_000_000)).cast("long").alias("gap_micros"),
+        (
+            F.pmod(F.min(key), F.lit(200_000_000)) / F.lit(100_000_000)
+        )
+        .cast("long")
+        .alias("after_purchase"),
+    )

@@ -170,7 +170,7 @@ _PRIORITY: tuple[str, ...] = (
     # text
     "markov_next_event_eval",
     "heaps_law_fit",
-    "stratified_sample_exact",
+    "mmr_diversified_topk",
     # temporal
     "group_sequential_obf_monitor",
     "session_path_conversion",
@@ -182,12 +182,12 @@ _PRIORITY: tuple[str, ...] = (
     # corr-covar picks wait for the next rotation (their families keep
     # in-window tag carriers: profiling via t_closeness_emd_audit,
     # aggregate via funnel_view_click_purchase)
-    "dedup_minhash_clusters_checkable",
+    "dedup_exact_substring_incremental",
     "dedup_exact_substring_spans",
     "dedup_exact_substring_apply",
     "longest_duplicate_substring",
     # learn
-    "nb_source_valuation",
+    "threshold_tuning_cost_curve",
     "gradient_boosted_stumps",
     "ridge_regression_path",
     # aggregate
@@ -223,7 +223,7 @@ _PRIORITY: tuple[str, ...] = (
     "fuzzy_er_clusters",  # fuzzy (named by the r6 judge)
     "sequence_pack_blocks",  # packing
     "grouped_median_ci_order_stats",  # statistics
-    "spatial_radius_join",  # join
+    "asof_nearest_click_join",  # join/asof
     "cogroup_purchase_click_gap",  # udf (named by the r6 judge)
     "weekly_jsd_drift",  # drift
     "array_hof_battery",  # functions
