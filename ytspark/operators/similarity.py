@@ -2048,6 +2048,7 @@ def knn_cosine_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 KDO_K = 5  # the k in "distance to the k-th nearest neighbor"
+KDO_BLOCK = 512  # block side for the pair-task GEMM grid
 KDO_TOP = 10  # outliers reported
 
 
@@ -2097,25 +2098,70 @@ LIMIT {KDO_TOP}
 def knn_distance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    import numpy as np
+    import pandas as pd
+
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     e = emb.select(
-        "vec_id", as_double(F.col("embedding")).alias("v"),
-        F.col("label").cast("long").alias("label"),
-    )
-    a = e.select(
-        F.col("vec_id"), F.col("label"), F.col("v")
-    )
-    b = e.select(F.col("vec_id").alias("nb"), F.col("v").alias("bv"))
-    pair = a.join(F.broadcast(b), F.col("vec_id") != F.col("nb")).select(
         "vec_id",
-        "label",
-        "nb",
-        F.round(1.0 - cosine(F.col("v"), F.col("bv")), 6).alias("d"),
+        as_double(F.col("embedding")).alias("v"),
+        (F.col("vec_id") / KDO_BLOCK).cast("long").alias("blk"),
     )
-    w = Window.partitionBy("vec_id").orderBy("d", "nb")
+    # blocked fold-GEMM, not an expression-tree pair join: the naive
+    # zip_with cosine over N^2 pairs ran 72s at sf0.1 (interpreted
+    # HOFs); here every vector is routed to its block's pair-tasks and
+    # each (block_a, block_b) task runs ONE vectorized numpy kernel
+    # with the same strict left-fold order as the SQL oracle. No
+    # driver collect; tasks are independent; at 100 TB the all-pairs
+    # block grid swaps for the IVF shortlist, kernel unchanged.
+    blks = e.select("blk").distinct()
+    pairs = (
+        blks.alias("x")
+        .join(F.broadcast(blks.alias("y")), F.col("x.blk") <= F.col("y.blk"))
+        .select(F.col("x.blk").alias("pa"), F.col("y.blk").alias("pb"))
+    )
+    routed = e.join(
+        F.broadcast(pairs),
+        (F.col("blk") == F.col("pa")) | (F.col("blk") == F.col("pb")),
+    )
+
+    def kernel(key, pdf):
+        pa, pb = int(key[0]), int(key[1])
+        av = pdf[pdf["blk"] == pa]
+        bv = pdf[pdf["blk"] == pb]
+        out = []
+        for side, other in (((av, bv)) , ((bv, av))) if pa != pb else ((av, av),):
+            m = np.stack(side["v"].to_numpy()).astype("float64")
+            o = np.stack(other["v"].to_numpy()).astype("float64")
+            d = 1.0 - _fold_scores(m, o) / (
+                _fold_norms(m)[:, None] * _fold_norms(o)[None, :]
+            )
+            d = np.round(d, 6)
+            if pa == pb:
+                np.fill_diagonal(d, np.inf)
+            k = min(KDO_K, d.shape[1] - (1 if pa == pb else 0))
+            if k <= 0:
+                continue
+            part = np.partition(d, k - 1, axis=1)[:, :k]
+            for vid, row in zip(side["vec_id"].to_numpy(), part):
+                for dist in row:
+                    if np.isfinite(dist):
+                        out.append({"vec_id": int(vid), "d": float(dist)})
+        return pd.DataFrame(out, columns=["vec_id", "d"])
+
+    cand = routed.groupBy("pa", "pb").applyInPandas(
+        kernel, schema="vec_id bigint, d double"
+    )
+    w = Window.partitionBy("vec_id").orderBy("d")
     kth = (
-        pair.withColumn("rk", F.row_number().over(w))
+        cand.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") == KDO_K)
-        .select("vec_id", "label", F.col("d").alias("knn_distance"))
+        .select("vec_id", F.col("d").alias("knn_distance"))
     )
-    return kth.orderBy(F.desc("knn_distance"), "vec_id").limit(KDO_TOP)
+    labels = emb.select("vec_id", F.col("label").cast("long").alias("label"))
+    return (
+        kth.join(labels, "vec_id")
+        .select("vec_id", "label", "knn_distance")
+        .orderBy(F.desc("knn_distance"), "vec_id")
+        .limit(KDO_TOP)
+    )
