@@ -180,6 +180,7 @@ EXPECTED_GLOBAL_WINDOW = {
     "gradient_boosted_stumps",     # cumulative split scan over the bucket
                                    # histogram (same bound as decision stump)
     "group_sequential_obf_monitor",  # cumulative looks over the O(weeks) spine
+    "running_distinct_users_daily",  # cumulative sum over the O(days) spine
     "threshold_tuning_cost_curve", # cumulative confusion counts over the
                                    # bucket histogram (decision-stump bound)
 }

@@ -3065,3 +3065,148 @@ def dedup_exact_substring_incremental(
             "span_len"
         ),
     ).drop("grp")
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring pair graph + clusters (document-level closure)
+# ---------------------------------------------------------------------------
+
+EXSUB_OCC_CAP = 20  # hot-gram blocking cap (disclosed, like the df caps)
+EXSUB_MIN_SHARED = 3  # pairs must share at least this many dup grams
+
+
+def _exsub_pairs_oracle() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS v FROM documents),
+pos AS (
+  SELECT doc_id, v,
+         UNNEST(RANGE(1, GREATEST(LEN(v) - {EXSUB_K - 1}, 0) + 1)) AS p
+  FROM toks
+),
+g AS (
+  SELECT DISTINCT doc_id,
+         ARRAY_TO_STRING(v[p:p + {EXSUB_K - 1}], ' ') AS gram
+  FROM pos
+),
+cnt AS (
+  SELECT gram, COUNT(*) AS docs FROM g GROUP BY gram
+  HAVING COUNT(*) >= 2 AND COUNT(*) <= {EXSUB_OCC_CAP}
+),
+hot AS (SELECT g.doc_id, g.gram FROM g JOIN cnt USING (gram))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM hot a JOIN hot b ON a.gram = b.gram AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= {EXSUB_MIN_SHARED}
+"""
+
+
+def exsub_pairs(docs: DataFrame) -> DataFrame:
+    """Doc pairs sharing >= EXSUB_MIN_SHARED distinct duplicated
+    K-grams, blocked by the gram posting cap."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos0")
+    parts = [F.col("tok")] + [
+        F.lead("tok", i).over(w) for i in range(1, EXSUB_K)
+    ]
+    g = (
+        toks.select(
+            "doc_id",
+            F.when(parts[-1].isNotNull(), F.concat_ws(" ", *parts)).alias(
+                "gram"
+            ),
+        )
+        .where(F.col("gram").isNotNull())
+        .dropDuplicates(["doc_id", "gram"])
+    )
+    hotg = (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("docs"))
+        .where((F.col("docs") >= 2) & (F.col("docs") <= EXSUB_OCC_CAP))
+        .select("gram")
+    )
+    hot = g.join(hotg, "gram", "left_semi")
+    a, b = hot.alias("a"), hot.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= EXSUB_MIN_SHARED)
+    )
+
+
+@register(
+    "dedup_exact_substring_pairs",
+    oracle=_exsub_pairs_oracle(),
+    doc=f"EXACT-substring dedup, pair stage: document pairs sharing "
+        f">= {EXSUB_MIN_SHARED} distinct duplicated {EXSUB_K}-grams — "
+        f"the document-level view of the span operator (spans say "
+        f"WHERE a doc repeats the corpus; pairs say WITH WHOM). "
+        f"Grams shared by more than {EXSUB_OCC_CAP} documents are "
+        f"excluded from pairing (the same disclosed posting-cap "
+        f"blocking as the shingle/winnowing families — a license "
+        f"header in 10k docs must not emit 10k^2 pairs; its documents "
+        f"still pair through their rarer shared grams), so pair "
+        f"volume is bounded by cap x postings. One distinct-gram "
+        f"build, one capped self-join, one pair aggregate.",
+    tags=("dedup", "text", "span", "exact", "join"),
+)
+def dedup_exact_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return exsub_pairs(docs)
+
+
+@register(
+    "dedup_exact_substring_clusters",
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+  {_exsub_pairs_oracle()}
+),
+edges(s, d) AS (
+  SELECT doc_a, doc_b FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+nodes(n) AS (
+  SELECT doc_a FROM pairs UNION SELECT doc_b FROM pairs
+),
+reach(n, l) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT e.d, r.l FROM reach r JOIN edges e ON e.s = r.n
+),
+labels AS (SELECT n, MIN(l) AS label FROM reach GROUP BY n)
+SELECT label AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM labels GROUP BY label
+HAVING COUNT(*) >= 2
+""",
+    doc="EXACT-substring dedup, cluster stage: the pair graph closed "
+        "into connected components by the engine's min-label "
+        "propagation (same lineage-truncated iterative tail as the "
+        "MinHash and winnowing cluster twins), reported as "
+        "(cluster_id = min doc id, n_docs). The oracle replays the "
+        "TRUE components with WITH RECURSIVE reachability, so the "
+        "pairing AND the iterative closure are value-certified "
+        "together. Completes the exact-substring family to full "
+        "parity with the approximate families: spans, apply, "
+        "incremental store, pairs, clusters, corpus diagnostic.",
+    tags=("dedup", "text", "exact", "clusters", "iterative"),
+)
+def dedup_exact_substring_clusters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    labels = connected_components(exsub_pairs(docs), "doc_a", "doc_b")
+    return (
+        labels.groupBy(F.col("label").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+    )

@@ -721,3 +721,93 @@ def feature_hashing_collision_stats(
             F.col("vocab_size").cast("double") / (1 << FH_BITS), 6
         ).alias("load_factor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch with per-group error certificate
+# ---------------------------------------------------------------------------
+
+from ytspark.operators.text import knuth_hash_col, knuth_hash_sql  # noqa: E402
+
+KMV_K = 64  # sketch size: estimate = (k-1) / u_(k)
+
+
+@register(
+    "kmv_distinct_sketch_eval",
+    oracle=f"""
+WITH h AS (
+  SELECT DISTINCT c_mktsegment AS seg,
+         {knuth_hash_sql('c_custkey')} AS hv
+  FROM customer
+),
+rk AS (
+  SELECT seg, hv,
+         ROW_NUMBER() OVER (PARTITION BY seg ORDER BY hv) AS r,
+         COUNT(*) OVER (PARTITION BY seg) AS n_hashes
+  FROM h
+),
+ex AS (
+  SELECT c_mktsegment AS seg,
+         CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS exact_distinct
+  FROM customer GROUP BY 1
+)
+SELECT rk.seg,
+       ex.exact_distinct,
+       CAST(rk.n_hashes AS BIGINT) AS n_hashes,
+       CASE WHEN rk.n_hashes < {KMV_K} THEN CAST(rk.n_hashes AS DOUBLE)
+            ELSE ROUND(({KMV_K} - 1) * 4294967296.0 / (rk.hv + 1), 4)
+       END AS kmv_estimate,
+       ROUND(CASE WHEN rk.n_hashes < {KMV_K} THEN CAST(rk.n_hashes AS DOUBLE)
+                  ELSE ({KMV_K} - 1) * 4294967296.0 / (rk.hv + 1)
+             END / ex.exact_distinct, 6) AS est_over_exact
+FROM rk JOIN ex USING (seg)
+WHERE rk.r = LEAST({KMV_K}, rk.n_hashes)
+""",
+    doc=f"KMV (k-minimum-values) DISTINCT sketch, k={KMV_K}, with a "
+        f"per-group error certificate against the exact count — the "
+        f"third mergeable cardinality sketch beside HLL (bit-pattern) "
+        f"and the CMS-based estimates: keep the {KMV_K} smallest "
+        f"hash values per group; the estimate is (k-1)/u_(k) with "
+        f"u_(k) the k-th minimum normalized hash, falling back to "
+        f"the exact hash count when a group is smaller than k "
+        f"(standard KMV exactness property). KMV's union-merge is "
+        f"just 'merge and keep the k smallest', which makes it THE "
+        f"sketch for distributed distinct counts with set algebra. "
+        f"Deterministic cross-engine: the shared overflow-safe Knuth "
+        f"hash, distinct-hash dedup, and rank selection all replay "
+        f"exactly in SQL — so unlike HLL (whose engine-internal hash "
+        f"the oracle can only bound), the KMV estimate itself is "
+        f"hash-certified. One distinct aggregate + one partitioned "
+        f"rank window; at 100 TB per-partition top-k pre-aggregation "
+        f"bounds the shuffle to k rows per group per partition.",
+    tags=("sketch", "aggregate", "window", "evaluation"),
+)
+def kmv_distinct_sketch_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    cust = load_tables(spark, sf_dir, "customer")["customer"]
+    h = cust.select(
+        F.col("c_mktsegment").alias("seg"),
+        knuth_hash_col(F.col("c_custkey")).alias("hv"),
+    ).dropDuplicates(["seg", "hv"])
+    wr = Window.partitionBy("seg").orderBy("hv")
+    wn = Window.partitionBy("seg")
+    rk = h.select(
+        "seg",
+        "hv",
+        F.row_number().over(wr).alias("r"),
+        F.count(F.lit(1)).over(wn).alias("n_hashes"),
+    ).where(F.col("r") == F.least(F.lit(KMV_K), F.col("n_hashes")))
+    ex = cust.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count_distinct("c_custkey").cast("long").alias("exact_distinct")
+    )
+    est = F.when(
+        F.col("n_hashes") < KMV_K, F.col("n_hashes").cast("double")
+    ).otherwise((KMV_K - 1) * 4294967296.0 / (F.col("hv") + 1))
+    return rk.join(ex, "seg").select(
+        "seg",
+        "exact_distinct",
+        F.col("n_hashes").cast("long").alias("n_hashes"),
+        F.round(est, 4).alias("kmv_estimate"),
+        F.round(est / F.col("exact_distinct"), 6).alias("est_over_exact"),
+    )

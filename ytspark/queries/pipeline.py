@@ -2098,3 +2098,53 @@ def group_sequential_obf_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("continue"))
         .alias("decision"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Running distinct users (first-occurrence flag + daily cumulative)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "running_distinct_users_daily",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events GROUP BY 1
+),
+daily AS (
+  SELECT first_day AS day, COUNT(*) AS new_users FROM firsts GROUP BY 1
+)
+SELECT STRFTIME(day, '%Y-%m-%d') AS day,
+       CAST(new_users AS BIGINT) AS new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT)
+         AS cumulative_users
+FROM daily
+""",
+    doc="RUNNING DISTINCT USERS — the growth-accounting query every "
+        "product dashboard runs, and the classic trap at scale: the "
+        "naive form (COUNT(DISTINCT user) OVER cumulative day frame) "
+        "holds an unbounded distinct set per frame and recomputes it "
+        "per day. The linear identity: cumulative distinct = running "
+        "SUM of FIRST OCCURRENCES — one user-keyed MIN(day) "
+        "aggregate, one O(days) rollup, one cumulative window over "
+        "the bounded day spine (EXPECTED_GLOBAL_WINDOW). Exact "
+        "integers; contrast with sliding_distinct_users_7d (windowed "
+        "exact) and the HLL/KMV sketches (mergeable approximate).",
+    tags=("aggregate", "retention", "window", "pipeline"),
+)
+def running_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    daily = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("new_users").cast("long").alias("new_users"),
+        F.sum("new_users").over(wc).cast("long").alias("cumulative_users"),
+    )
