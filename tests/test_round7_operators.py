@@ -95,3 +95,84 @@ def test_lds_finds_exact_length(spark):
     assert row["n_distinct_repeated"] == 1
     assert row["n_occurrences"] == 2
     assert row["example_gram"] == run
+
+
+def test_ridge_lambda_zero_matches_ols(spark, sf_dir):
+    """lambda=0 must reproduce the normal-equations OLS fit — the
+    centered formulation is an algebraic identity, not a new model."""
+    from ytspark.queries import registry
+
+    reg = registry()
+    ridge = {
+        r["lam"]: r
+        for r in reg["ridge_regression_path"].fn(spark, sf_dir).collect()
+    }
+    ols = reg["regression_normal_equations"].fn(spark, sf_dir).collect()[0]
+    r0 = ridge[0.0]
+    assert abs(r0["b1"] - ols["beta1"]) < 1e-4
+    assert abs(r0["b2"] - ols["beta2"]) < 1e-4
+    assert abs(r0["intercept"] - ols["beta0"]) < 1e-4
+    # shrinkage: coefficient magnitude is non-increasing along the path
+    lams = sorted(ridge)
+    for a, b in zip(lams, lams[1:]):
+        assert abs(ridge[b]["b1"]) <= abs(ridge[a]["b1"]) + 1e-9
+        assert ridge[b]["train_r2"] <= ridge[a]["train_r2"] + 1e-9
+
+
+def test_kmv_below_k_is_exact(spark):
+    """A group smaller than k must report its exact distinct count."""
+    from ytspark.operators.sketch import KMV_K, kmv_distinct_sketch_eval
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(i, "TINY" if i < 10 else "BIG") for i in range(500)],
+            "c_custkey long, c_mktsegment string",
+        ).write.parquet(d + "/customer.parquet")
+        rows = {
+            r["seg"]: r for r in kmv_distinct_sketch_eval(spark, d).collect()
+        }
+    assert rows["TINY"]["n_hashes"] == 10 < KMV_K
+    assert rows["TINY"]["kmv_estimate"] == 10.0
+    assert rows["TINY"]["est_over_exact"] == 1.0
+    # the BIG group uses the estimator and lands within +/-50% at k=64
+    assert 0.5 < rows["BIG"]["est_over_exact"] < 1.5
+
+
+def test_mmr_first_pick_is_top_bm25(spark, sf_dir):
+    from ytspark.queries import registry
+
+    reg = registry()
+    top = reg["bm25_search"].fn(spark, sf_dir).collect()[0]
+    picks = (
+        reg["mmr_diversified_topk"].fn(spark, sf_dir)
+        .orderBy("pick_order")
+        .collect()
+    )
+    assert picks[0]["doc_id"] == top["doc_id"]
+    assert len({p["doc_id"] for p in picks}) == len(picks)  # no repeats
+
+
+def test_nearest_click_prefers_before_on_tie(spark):
+    import tempfile
+
+    from ytspark.operators.temporal import asof_nearest_click_join
+
+    from datetime import datetime
+
+    rows = [
+        # purchase at 00:16:40; clicks at +/- 10s exactly — tie, expect BEFORE
+        (1, 100, "purchase", datetime(2024, 1, 1, 0, 16, 40), 0.0),
+        (2, 100, "click", datetime(2024, 1, 1, 0, 16, 30), 0.0),
+        (3, 100, "click", datetime(2024, 1, 1, 0, 16, 50), 0.0),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, "
+                  "ts timestamp, value double",
+        ).write.parquet(d + "/events.parquet")
+        got = asof_nearest_click_join(spark, d).collect()
+    assert len(got) == 1
+    assert got[0]["nearest_click_id"] == 2  # the before-side click
+    assert got[0]["after_purchase"] == 0
+    assert got[0]["gap_micros"] == 10_000_000
