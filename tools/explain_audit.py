@@ -63,6 +63,7 @@ EXPECTED_NESTED_LOOP = {
     "gradient_boosted_stumps",       # broadcast 1-row split/total scalars
     "heaps_law_fit",                 # broadcast 8-row checkpoint prefix filter
     "threshold_tuning_cost_curve",   # broadcast 1-row min-cost scalar
+    "binary_ranking_metrics",        # broadcast 1-row AP scalar
     "knn_distance_outliers",         # bounded-corpus all-pairs by design;
                                      # IVF/LSH shortlist swaps in at scale
     "lang_nb_classifier",            # broadcast 5-row class stats + consts
@@ -183,6 +184,8 @@ EXPECTED_GLOBAL_WINDOW = {
     "running_distinct_users_daily",  # cumulative sum over the O(days) spine
     "threshold_tuning_cost_curve", # cumulative confusion counts over the
                                    # bucket histogram (decision-stump bound)
+    "binary_ranking_metrics",      # midrank/threshold scans over the same
+                                   # bounded bucket histogram
 }
 # streaming queries execute eagerly; skip plan audit (they materialize
 # their own sinks and are correctness-checked by the oracle gate)

@@ -2507,3 +2507,124 @@ def threshold_tuning_cost_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_cost",
         (F.col("total_cost") == F.col("min_cost")).alias("is_optimal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary ranking metrics: ROC-AUC (midrank) + average precision
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "binary_ranking_metrics",
+    oracle=f"""
+WITH hist AS (
+  SELECT CAST(FLOOR(o_totalprice / {STUMP_BUCKET}) AS BIGINT) AS pb,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+              AS BIGINT) AS pos
+  FROM orders GROUP BY 1
+),
+asc_cum AS (
+  SELECT pb, n, pos,
+         COALESCE(SUM(n) OVER (ORDER BY pb
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before_n,
+         SUM(n) OVER () AS nt,
+         SUM(pos) OVER () AS post
+  FROM hist
+),
+auc AS (
+  SELECT SUM(pos * (before_n + (n + 1) / 2.0)) AS pos_ranksum,
+         MAX(nt) AS nt, MAX(post) AS post
+  FROM asc_cum
+),
+desc_cum AS (
+  SELECT pb, n, pos,
+         SUM(n)   OVER (ORDER BY pb DESC) AS cum_n,
+         SUM(pos) OVER (ORDER BY pb DESC) AS cum_pos,
+         SUM(pos) OVER () AS post
+  FROM hist
+),
+ap AS (
+  SELECT SUM((pos * 1.0 / post) * (cum_pos * 1.0 / cum_n)) AS ap
+  FROM desc_cum
+)
+SELECT CAST(auc.post AS BIGINT) AS n_pos,
+       CAST(auc.nt - auc.post AS BIGINT) AS n_neg,
+       ROUND((auc.pos_ranksum - auc.post * (auc.post + 1) / 2.0)
+             / (auc.post * (auc.nt - auc.post)), 6) AS roc_auc,
+       ROUND(ap.ap, 6) AS average_precision
+FROM auc CROSS JOIN ap
+""",
+    doc="BINARY RANKING METRICS — ROC-AUC and average precision for "
+        "the order-value scorer of order finality, the two metrics "
+        "the classifier battery (precision/recall/F1 at one "
+        "threshold) cannot express because they integrate over ALL "
+        "thresholds. Both computed EXACTLY on the bounded value-"
+        "bucket histogram: AUC via the Mann-Whitney midrank identity "
+        "(tied scores get the group midrank — the estimator is "
+        "tie-correct, not tie-broken), AP as the threshold-level sum "
+        "of delta-recall x precision over distinct score groups (the "
+        "step-interpolation definition, which is tie-ORDER-FREE — "
+        "no per-row ranking anywhere). One map-side histogram "
+        "aggregate reduces 100 TB to |buckets| rows; every window "
+        "runs over that bounded table (EXPECTED_GLOBAL_WINDOW).",
+    tags=("learn", "evaluation", "statistics", "aggregate"),
+)
+def binary_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    hist = orders.groupBy(
+        F.floor(F.col("o_totalprice") / STUMP_BUCKET).cast("long").alias("pb")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("o_orderstatus") == "F").cast("int"))
+        .cast("long")
+        .alias("pos"),
+    )
+    w_before = Window.orderBy("pb").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wt = Window.partitionBy()
+    asc_cum = hist.select(
+        "pb",
+        "n",
+        "pos",
+        F.coalesce(F.sum("n").over(w_before), F.lit(0)).alias("before_n"),
+        F.sum("n").over(wt).alias("nt"),
+        F.sum("pos").over(wt).alias("post"),
+    )
+    auc = asc_cum.agg(
+        F.sum(
+            F.col("pos") * (F.col("before_n") + (F.col("n") + 1) / 2.0)
+        ).alias("pos_ranksum"),
+        F.max("nt").alias("nt"),
+        F.max("post").alias("post"),
+    )
+    w_desc = Window.orderBy(F.desc("pb")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    desc_cum = hist.select(
+        "pb",
+        "n",
+        "pos",
+        F.sum("n").over(w_desc).alias("cum_n"),
+        F.sum("pos").over(w_desc).alias("cum_pos"),
+        F.sum("pos").over(wt).alias("post"),
+    )
+    ap = desc_cum.agg(
+        F.sum(
+            (F.col("pos") * 1.0 / F.col("post"))
+            * (F.col("cum_pos") * 1.0 / F.col("cum_n"))
+        ).alias("ap")
+    )
+    return auc.crossJoin(F.broadcast(ap)).select(
+        F.col("post").cast("long").alias("n_pos"),
+        (F.col("nt") - F.col("post")).cast("long").alias("n_neg"),
+        F.round(
+            (F.col("pos_ranksum") - F.col("post") * (F.col("post") + 1) / 2.0)
+            / (F.col("post") * (F.col("nt") - F.col("post"))),
+            6,
+        ).alias("roc_auc"),
+        F.round("ap", 6).alias("average_precision"),
+    )

@@ -1274,3 +1274,138 @@ def multimodal_audio_vad_segments(
         F.max("f").cast("long").alias("seg_end"),
         (F.max("f") - F.min("f") + 1).cast("long").alias("n_frames"),
     ).drop("grp")
+
+
+# ---------------------------------------------------------------------------
+# Keyframe selection: per-shot argmax-detail representative frames
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_keyframe_select",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, text, LENGTH(text) AS l,
+         (LENGTH(text) + {SCN_FRAME - 1}) // {SCN_FRAME} AS nf
+  FROM documents WHERE lang = 'en'
+),
+frames AS (
+  SELECT doc_id, text, l, m,
+         LEAST({SCN_FRAME}, l - m * {SCN_FRAME}) AS fl
+  FROM d, UNNEST(RANGE(0, nf, {SCN_STEP})) t(m)
+),
+detail AS (
+  SELECT doc_id, m,
+         COALESCE(SUM(ABS(ORD(SUBSTR(text, m * {SCN_FRAME} + j + 2, 1))
+                 - ORD(SUBSTR(text, m * {SCN_FRAME} + j + 1, 1)))), 0) AS det
+  FROM frames LEFT JOIN UNNEST(RANGE(0, GREATEST(fl - 1, 0))) u(j) ON TRUE
+  GROUP BY doc_id, m
+),
+pairs AS (
+  SELECT doc_id, text, k,
+         LEAST({SCN_FRAME}, l - (k + {SCN_STEP}) * {SCN_FRAME}) AS o
+  FROM d, UNNEST(RANGE(0, GREATEST(nf - {SCN_STEP}, 0), {SCN_STEP})) t(k)
+),
+cuts AS (
+  SELECT doc_id, k,
+         CASE WHEN SUM(ABS(ORD(SUBSTR(text, k * {SCN_FRAME} + j + 1, 1))
+              - ORD(SUBSTR(text, (k + {SCN_STEP}) * {SCN_FRAME} + j + 1, 1))))
+              > {SCN_CUT_MEAN} * o THEN 1 ELSE 0 END AS cut
+  FROM pairs, UNNEST(RANGE(o)) u(j)
+  GROUP BY doc_id, k, o
+),
+shots AS (
+  SELECT f.doc_id, f.m, dt.det,
+         (SELECT COALESCE(SUM(c.cut), 0) FROM cuts c
+          WHERE c.doc_id = f.doc_id AND c.k + {SCN_STEP} <= f.m) AS shot_id
+  FROM frames f JOIN detail dt ON dt.doc_id = f.doc_id AND dt.m = f.m
+)
+SELECT doc_id, CAST(shot_id AS BIGINT) AS shot_id,
+       CAST(MIN(m) AS BIGINT) AS shot_start_frame,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(ARG_MAX(m, det * 1000000 - m) AS BIGINT) AS keyframe,
+       CAST(MAX(det) AS BIGINT) AS keyframe_detail
+FROM shots GROUP BY doc_id, shot_id
+""",
+    doc="KEYFRAME SELECTION — the step after scene-change detection "
+        "in a video-training pipeline: the sampled frame stream is "
+        "segmented into SHOTS at the detected cuts (shot id = running "
+        "cut count), and each shot elects the representative frame "
+        "maximizing an integer DETAIL score (sum of absolute "
+        "adjacent-byte gradients — the sharpness proxy; ties to the "
+        "earliest frame via one packed-integer argmax). Emits per "
+        "shot: start frame, length, keyframe index, detail. The "
+        "kernel is one numpy pass per asset inside mapInPandas "
+        "(gradients, cuts, cumulative shot ids, per-shot argmax all "
+        "vectorized — no JVM expression touches a byte); the oracle "
+        "replays it relationally over ORD/SUBSTR. Same 'en'-payload "
+        "contract and exact-integer threshold as "
+        "multimodal_scene_change. Per-asset linear work, "
+        "embarrassingly parallel; output is O(shots).",
+    tags=("multimodal", "binary", "pandas-udf", "segmentation"),
+)
+def multimodal_keyframe_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    media = attach_fake_media(docs.where(F.col("lang") == "en"))
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                a = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                nf = (len(a) + SCN_FRAME - 1) // SCN_FRAME
+                ms = list(range(0, nf, SCN_STEP))
+                det = {}
+                for m in ms:
+                    f1 = a[m * SCN_FRAME:(m + 1) * SCN_FRAME]
+                    det[m] = (
+                        int(np.abs(np.diff(f1)).sum()) if len(f1) > 1 else 0
+                    )
+                cuts = {}
+                for k in range(0, max(nf - SCN_STEP, 0), SCN_STEP):
+                    f1 = a[k * SCN_FRAME:(k + 1) * SCN_FRAME]
+                    start = (k + SCN_STEP) * SCN_FRAME
+                    f2 = a[start:start + SCN_FRAME]
+                    o = min(len(f1), len(f2))
+                    s = int(np.abs(f1[:o] - f2[:o]).sum())
+                    cuts[k] = int(s > SCN_CUT_MEAN * o)
+                for m in ms:
+                    shot = sum(
+                        c for k, c in cuts.items() if k + SCN_STEP <= m
+                    )
+                    out.append((doc_id, shot, m, det[m]))
+            pdf2 = pd.DataFrame(
+                out, columns=["doc_id", "shot_id", "m", "det"]
+            )
+            if len(pdf2) == 0:
+                yield pd.DataFrame(
+                    columns=[
+                        "doc_id", "shot_id", "shot_start_frame",
+                        "n_frames", "keyframe", "keyframe_detail",
+                    ]
+                )
+                continue
+            pdf2["key"] = pdf2["det"] * 1_000_000 - pdf2["m"]
+            grp = pdf2.groupby(["doc_id", "shot_id"])
+            agg = grp.agg(
+                shot_start_frame=("m", "min"),
+                n_frames=("m", "size"),
+                keyframe_detail=("det", "max"),
+            ).reset_index()
+            idx = grp["key"].idxmax()
+            agg["keyframe"] = pdf2.loc[idx, "m"].to_numpy()
+            yield agg[
+                [
+                    "doc_id", "shot_id", "shot_start_frame",
+                    "n_frames", "keyframe", "keyframe_detail",
+                ]
+            ]
+
+    return media.select("doc_id", "media").mapInPandas(
+        kernel,
+        "doc_id long, shot_id long, shot_start_frame long, "
+        "n_frames long, keyframe long, keyframe_detail long",
+    )

@@ -1750,3 +1750,71 @@ def grouped_median_ci_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("double")
         .alias("ci_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Candidate-key discovery (uniqueness profiling over column combos)
+# ---------------------------------------------------------------------------
+
+CKEY_COMBOS = (
+    ("o_orderkey",),
+    ("o_custkey",),
+    ("o_orderdate",),
+    ("o_custkey", "o_orderdate"),
+    ("o_custkey", "o_orderdate", "o_totalprice"),
+)
+
+
+@register(
+    "candidate_key_profile",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT '{"+".join(c)}' AS combo,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT ({", ".join(c) if len(c) > 1 else c[0]})) AS BIGINT)
+         AS n_distinct,
+       COUNT(*) = COUNT(DISTINCT ({", ".join(c) if len(c) > 1 else c[0]}))
+         AS is_unique,
+       ROUND(COUNT(DISTINCT ({", ".join(c) if len(c) > 1 else c[0]})) * 1.0
+             / COUNT(*), 6) AS uniqueness
+FROM orders"""
+        for c in CKEY_COMBOS
+    ),
+    doc="CANDIDATE-KEY DISCOVERY — uniqueness profiling of column "
+        "combinations, the schema-inference companion to functional-"
+        "dependency discovery (fd_discovery_profile finds value "
+        "IMPLICATIONS; this finds IDENTITY): for each candidate "
+        "combo, exact row count, distinct count, uniqueness ratio, "
+        "and the is-key verdict. This is what a cataloging pipeline "
+        "runs before choosing merge keys, bucketing columns, or CDC "
+        "primary keys. Each combo is one count-distinct aggregate "
+        "over a single scan (Spark computes them as a union of "
+        "grouped aggregates; at 100 TB the distinct counts can "
+        "downgrade to the certified KMV/HLL sketches with the same "
+        "output contract).",
+    tags=("profiling", "quality", "aggregate"),
+)
+def candidate_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    outs = []
+    for combo in CKEY_COMBOS:
+        cols = (
+            F.struct(*[F.col(c) for c in combo]) if len(combo) > 1
+            else F.col(combo[0])
+        )
+        outs.append(
+            orders.agg(
+                F.lit("+".join(combo)).alias("combo"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.count_distinct(cols).cast("long").alias("n_distinct"),
+                (
+                    F.count(F.lit(1)) == F.count_distinct(cols)
+                ).alias("is_unique"),
+                F.round(
+                    F.count_distinct(cols) * 1.0 / F.count(F.lit(1)), 6
+                ).alias("uniqueness"),
+            )
+        )
+    out = outs[0]
+    for df in outs[1:]:
+        out = out.unionByName(df)
+    return out

@@ -214,11 +214,11 @@ _PRIORITY: tuple[str, ...] = (
     # one per remaining family with unchecked members
     "hll_intersection_bounds",  # sketch + setop carrier
     "kmv_distinct_sketch_eval",  # sketch
-    "sprt_sequential_monitor",  # experiment
-    "constraint_suite_report",  # quality
+    "binary_ranking_metrics",  # learn/evaluation
+    "candidate_key_profile",  # quality/profiling
     "file_skipping_stats",  # layout
     "running_distinct_users_daily",  # retention
-    "bucketed_join_revenue",  # pipeline
+    "multimodal_keyframe_select",
     "embedding_pq",  # clustering
     "fuzzy_er_clusters",  # fuzzy (named by the r6 judge)
     "sequence_pack_blocks",  # packing
@@ -226,7 +226,7 @@ _PRIORITY: tuple[str, ...] = (
     "asof_nearest_click_join",  # join/asof
     "cogroup_purchase_click_gap",  # udf (named by the r6 judge)
     "weekly_jsd_drift",  # drift
-    "array_hof_battery",  # functions
+    "streaming_exact_substring_screen",
     "json_roundtrip_battery",  # json
 )
 
