@@ -64,6 +64,7 @@ EXPECTED_NESTED_LOOP = {
     "heaps_law_fit",                 # broadcast 8-row checkpoint prefix filter
     "threshold_tuning_cost_curve",   # broadcast 1-row min-cost scalar
     "binary_ranking_metrics",        # broadcast 1-row AP scalar
+    "welch_ttest_segments",          # two 1-row moment sides cross-joined
     "knn_distance_outliers",         # bounded-corpus all-pairs by design;
                                      # IVF/LSH shortlist swaps in at scale
     "lang_nb_classifier",            # broadcast 5-row class stats + consts

@@ -3210,3 +3210,90 @@ def dedup_exact_substring_clusters(
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .where(F.col("n_docs") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring corpus rewrite (materialized span removal)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_substring_rewrite",
+    oracle=f"""
+WITH {_exsub_spans_cte()},
+cov AS (
+  SELECT doc_id, span_start, span_end FROM spans
+),
+toks2 AS (
+  SELECT doc_id, v, UNNEST(RANGE(1, LEN(v) + 1)) AS p FROM toks
+),
+kept AS (
+  SELECT t.doc_id, t.p, t.v[t.p] AS tok
+  FROM toks2 t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cov c
+    WHERE c.doc_id = t.doc_id AND t.p BETWEEN c.span_start AND c.span_end
+  )
+)
+SELECT k.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens_after,
+       STRING_AGG(k.tok, ' ' ORDER BY k.p) AS text_after
+FROM kept k
+JOIN cov ON cov.doc_id = k.doc_id
+GROUP BY k.doc_id
+""",
+    doc="EXACT-substring corpus REWRITE — the materialized apply step "
+        "(spans/apply report WHAT would be removed; this emits the "
+        "post-removal text for every affected document, the artifact "
+        "a corpus-prep pipeline actually writes): tokens inside any "
+        "duplicated span are dropped, survivors re-join in position "
+        "order. The rewritten text itself is hash-certified "
+        "(order-deterministic aggregation: STRING_AGG ORDER BY "
+        "position == array_sort + array_join), so the certificate "
+        "covers the bytes users train on, not just counts. Plan: the "
+        "span pipeline plus one anti-range semi-join of positioned "
+        "tokens against the O(spans) span table (co-keyed on doc_id "
+        "— never a global join) and one doc-keyed ordered "
+        "re-aggregation. O(corpus tokens) at any scale.",
+    tags=("dedup", "text", "span", "exact", "apply"),
+)
+def dedup_exact_substring_rewrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    spans = _exsub_spans(docs)
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("p"), "tok")
+    # keep only docs that HAVE spans (the rewrite output contract),
+    # then drop tokens covered by any of the doc's spans: a doc_id
+    # co-keyed join against the bounded span table + NOT-covered filter
+    sp = spans.select(
+        "doc_id", "span_start", "span_end"
+    )
+    joined = toks.join(sp, "doc_id").select(
+        "doc_id",
+        "p",
+        "tok",
+        (
+            (F.col("p") >= F.col("span_start"))
+            & (F.col("p") <= F.col("span_end"))
+        ).alias("hit"),
+    )
+    kept = (
+        joined.groupBy("doc_id", "p", "tok")
+        .agg(F.max("hit").alias("covered"))
+        .where(~F.col("covered"))
+    )
+    return kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens_after"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("p"), F.col("tok")))
+                ),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("text_after"),
+    )

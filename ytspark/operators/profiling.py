@@ -1818,3 +1818,105 @@ def candidate_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in outs[1:]:
         out = out.unionByName(df)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Welch's unequal-variance t-test across segments
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "welch_ttest_segments",
+    oracle="""
+WITH s AS (
+  SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 'a' ELSE 'b' END AS grp,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS x
+  FROM customer
+),
+m AS (
+  SELECT grp,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(x AS DECIMAL(18,2)) * CAST(x AS DECIMAL(18,2)))
+              AS DOUBLE) AS sxx
+  FROM s GROUP BY grp
+),
+w AS (
+  SELECT a.n AS na, b.n AS nb,
+         a.sx / a.n AS ma, b.sx / b.n AS mb,
+         (a.sxx - a.sx * a.sx / a.n) / (a.n - 1) AS va,
+         (b.sxx - b.sx * b.sx / b.n) / (b.n - 1) AS vb
+  FROM (SELECT * FROM m WHERE grp = 'a') a
+  CROSS JOIN (SELECT * FROM m WHERE grp = 'b') b
+)
+SELECT CAST(na AS BIGINT) AS n_building,
+       CAST(nb AS BIGINT) AS n_rest,
+       ROUND(ma - mb, 6) AS mean_diff,
+       ROUND((ma - mb) / SQRT(va / na + vb / nb), 6) AS t_stat,
+       ROUND(POW(va / na + vb / nb, 2)
+             / (POW(va / na, 2) / (na - 1) + POW(vb / nb, 2) / (nb - 1)),
+             2) AS welch_dof
+FROM w
+""",
+    doc="WELCH'S UNEQUAL-VARIANCE t-TEST — the parametric mean-shift "
+        "test completing the two-sample battery (z-test assumes "
+        "pooled proportions, Mann-Whitney is rank-based; Welch is "
+        "the default recommendation for continuous outcomes with "
+        "unequal variances): BUILDING-segment balances vs the rest, "
+        "with the t statistic and the Welch-Satterthwaite effective "
+        "degrees of freedom, all derived from ONE conditional "
+        "aggregate of exact DECIMAL power sums (the same "
+        "bit-reproducible moment trick as the regression family) — "
+        "one scan at any scale, two 1-row sides cross-joined. "
+        "Statistics round at 6 dp (dof at 2) over identical "
+        "expression text.",
+    tags=("statistics", "profiling", "aggregate", "experiment"),
+)
+def welch_ttest_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_tables(spark, sf_dir, "customer")["customer"]
+    s = cust.select(
+        F.when(F.col("c_mktsegment") == "BUILDING", "a")
+        .otherwise("b")
+        .alias("grp"),
+        F.col("c_acctbal").cast("decimal(18,2)").alias("x"),
+    )
+    m = s.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    a = m.where(F.col("grp") == "a").select(
+        F.col("n").alias("na"), F.col("sx").alias("sxa"), F.col("sxx").alias("sxxa")
+    )
+    b = m.where(F.col("grp") == "b").select(
+        F.col("n").alias("nb"), F.col("sx").alias("sxb"), F.col("sxx").alias("sxxb")
+    )
+    w = a.crossJoin(F.broadcast(b)).select(
+        "na",
+        "nb",
+        (F.col("sxa") / F.col("na")).alias("ma"),
+        (F.col("sxb") / F.col("nb")).alias("mb"),
+        (
+            (F.col("sxxa") - F.col("sxa") * F.col("sxa") / F.col("na"))
+            / (F.col("na") - 1)
+        ).alias("va"),
+        (
+            (F.col("sxxb") - F.col("sxb") * F.col("sxb") / F.col("nb"))
+            / (F.col("nb") - 1)
+        ).alias("vb"),
+    )
+    se2 = F.col("va") / F.col("na") + F.col("vb") / F.col("nb")
+    return w.select(
+        F.col("na").cast("long").alias("n_building"),
+        F.col("nb").cast("long").alias("n_rest"),
+        F.round(F.col("ma") - F.col("mb"), 6).alias("mean_diff"),
+        F.round((F.col("ma") - F.col("mb")) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(
+            F.pow(se2, 2)
+            / (
+                F.pow(F.col("va") / F.col("na"), 2) / (F.col("na") - 1)
+                + F.pow(F.col("vb") / F.col("nb"), 2) / (F.col("nb") - 1)
+            ),
+            2,
+        ).alias("welch_dof"),
+    )

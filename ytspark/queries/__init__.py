@@ -195,14 +195,14 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_stream_stream_join",
     "streaming_incremental_dedup",
     # time-series
-    "croston_intermittent_demand",
+    "welch_ttest_segments",
     # multimodal (r6 judge: "all of multimodal ... only local")
     "multimodal_image_dhash_dedup",
     "multimodal_audio_vad_segments",
     # graph (kcore named by the r6 judge)
     "kcore_copurchase",
     # similarity / ANN serving
-    "knn_cosine_ivf_pq",
+    "dedup_exact_substring_rewrite",
     "knn_distance_outliers",
     # full-text search — the r7 debuts (nDCG eval, sparse doc-doc
     # cosine) certify in their debut round; QL-Dirichlet + BM25-PRF
