@@ -52,3 +52,24 @@ def test_rotated_out_queries_remain_registered():
         "knn_cosine_bruteforce",
     ):
         assert name in reg and name not in _PRIORITY
+
+
+def test_window_fills_with_never_checked_first():
+    """Round-7 policy (r6 VERDICT item 1), enforced: the certified
+    window must carry at least 35 queries that have never appeared in
+    any committed CORRECTNESS_r*.json — the repeat-anchor set stays
+    minimal and rotation throughput stays high."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    checked: set[str] = set()
+    for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        with open(f) as fh:
+            checked.update(json.load(fh).keys())
+    first_ever = [n for n in _PRIORITY if n not in checked]
+    assert len(first_ever) >= 35, (
+        f"only {len(first_ever)} never-driver-checked queries in the "
+        "window — rotation has regressed to repeat-heavy"
+    )

@@ -176,3 +176,25 @@ def test_nearest_click_prefers_before_on_tie(spark):
     assert got[0]["nearest_click_id"] == 2  # the before-side click
     assert got[0]["after_purchase"] == 0
     assert got[0]["gap_micros"] == 10_000_000
+
+
+def test_minhash_band_store_writes_one_file_per_band(spark):
+    """Round-7 layout contract: partitioned stores repartition by the
+    partition column before writing — one parquet file per band per
+    write, not one per shuffle partition per band (the measured 256-
+    sliver append that dominated the streaming dedup profile)."""
+    import glob
+    import tempfile
+
+    from ytspark.operators.dedup import persist_minhash_store
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} " * 12) for i in range(40)], "doc_id long, text string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        persist_minhash_store(docs, d + "/store", checkable=True)
+        band_dirs = glob.glob(d + "/store/bands/band_id=*")
+        assert band_dirs, "no band partitions written"
+        for bd in band_dirs:
+            files = glob.glob(bd + "/*.parquet")
+            assert len(files) == 1, (bd, len(files))
