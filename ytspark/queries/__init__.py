@@ -192,7 +192,7 @@ _PRIORITY: tuple[str, ...] = (
     "ridge_regression_path",
     # aggregate
     # structured streaming (r6 judge: "all of streaming ... only local")
-    "streaming_stream_stream_join",
+    "streaming_running_distinct_users",
     "streaming_incremental_dedup",
     # time-series
     "welch_ttest_segments",

@@ -891,3 +891,55 @@ def streaming_exact_substring_screen(
     return spark.read.parquet(sink).select(
         "doc_id", "span_start", "span_end", "span_len"
     )
+
+
+@register(
+    "streaming_running_distinct_users",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events GROUP BY 1
+),
+daily AS (
+  SELECT first_day AS day, COUNT(*) AS new_users FROM firsts GROUP BY 1
+)
+SELECT STRFTIME(day, '%Y-%m-%d') AS day,
+       CAST(new_users AS BIGINT) AS new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT)
+         AS cumulative_users
+FROM daily
+""",
+    doc="STREAMING growth accounting — the stateful twin of "
+        "running_distinct_users_daily (they share the oracle): a "
+        "running per-user MIN(first day) aggregate holds O(distinct "
+        "users) state and is ORDER-INDEPENDENT — min is commutative, "
+        "so unlike a dropDuplicates formulation the result does not "
+        "depend on intra-batch arrival order; the complete-mode "
+        "snapshot after the availableNow drain is each user's global "
+        "first day, rolled up to the new-user series with the "
+        "cumulative sum over the bounded day spine. The same linear "
+        "first-occurrence identity that makes the batch form scale, "
+        "expressed as streaming aggregate state.",
+    tags=("streaming", "retention", "dedup", "stateful", "aggregate"),
+)
+def streaming_running_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    stream = _events_stream(spark, sf_dir)
+    firsts = stream.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("day")
+    )
+    sink = f"stream_rdu_{abs(hash(sf_dir)) % 10_000_000}"
+    _run_to_memory(firsts, sink, output_mode="complete")
+    daily = (
+        spark.table(sink)
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("new_users"))
+    )
+    wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("new_users").cast("long").alias("new_users"),
+        F.sum("new_users").over(wc).cast("long").alias("cumulative_users"),
+    )
