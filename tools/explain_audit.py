@@ -65,6 +65,8 @@ EXPECTED_NESTED_LOOP = {
     "threshold_tuning_cost_curve",   # broadcast 1-row min-cost scalar
     "binary_ranking_metrics",        # broadcast 1-row AP scalar
     "welch_ttest_segments",          # two 1-row moment sides cross-joined
+    "hill_tail_index",               # broadcast 1-row threshold scalar
+    "lsh_scurve_planner",            # 4x19 constant grid, zero data touched
     "knn_distance_outliers",         # bounded-corpus all-pairs by design;
                                      # IVF/LSH shortlist swaps in at scale
     "lang_nb_classifier",            # broadcast 5-row class stats + consts

@@ -193,11 +193,11 @@ _PRIORITY: tuple[str, ...] = (
     # aggregate
     # structured streaming (r6 judge: "all of streaming ... only local")
     "streaming_running_distinct_users",
-    "streaming_incremental_dedup",
+    "hill_tail_index",
     # time-series
     "welch_ttest_segments",
     # multimodal (r6 judge: "all of multimodal ... only local")
-    "multimodal_image_dhash_dedup",
+    "lsh_scurve_planner",
     "multimodal_audio_vad_segments",
     # graph (kcore named by the r6 judge)
     "kcore_copurchase",
