@@ -1,0 +1,184 @@
+"""Round-7 (second wave) operators: DSIR importance selection, the
+Gopher rule battery, Mann-Kendall / Kendall tau-b / Kruskal-Wallis —
+semantics pinned on hand-checkable micro-fixtures."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+
+@pytest.fixture()
+def tmp_sf(spark):
+    """Write micro-tables into a temp dir shaped like an sf_dir."""
+    with tempfile.TemporaryDirectory() as d:
+
+        def write(table, rows, schema):
+            spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+                f"{d}/{table}.parquet"
+            )
+
+        yield d, write
+
+
+def test_gopher_rules_hand_corpus(spark, tmp_sf):
+    from ytspark.operators.text import gopher_quality_rules
+
+    d, write = tmp_sf
+    good = " ".join(["the", "a", "of"] + [f"tok{i:02d}" for i in range(60)])
+    # 10 tokens => fails the 50-token band; passes alpha/stopword rules
+    short = "the a of and to tok1 tok2 tok3 tok4 tok5"
+    # one token repeated 60x in 63 => fails max_token_share AND mwl
+    # (mean word length 2.9 < 3) but passes word count + stopwords
+    reps = "the a of " + " ".join(["xx"] * 60)
+    write(
+        "documents",
+        [(1, good, "en", "s", 1), (2, short, "en", "s", 1), (3, reps, "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {r["rule"]: r for r in gopher_quality_rules(spark, d).collect()}
+    assert rows["word_count_band"]["n_pass"] == 2  # good + reps
+    assert rows["stopword_hits"]["n_pass"] == 3
+    assert rows["max_token_share"]["n_fail"] == 1  # reps
+    assert rows["alpha_word_frac"]["n_pass"] == 3
+    assert rows["all_rules"]["n_pass"] == 1  # only good survives
+    assert rows["all_rules"]["n_fail"] == 2
+
+
+def test_dsir_ranks_target_like_docs_first(spark, tmp_sf):
+    """Docs made of target-language tokens must outscore docs made of
+    tokens the target never uses."""
+    from ytspark.operators.text import dsir_importance_selection
+
+    d, write = tmp_sf
+    en_text = "alpha beta gamma delta alpha beta"
+    de_text = "zork blub quux zork blub quux"
+    rows = [(i, en_text, "en", "s0", 1) for i in range(4)]
+    rows += [(10 + i, de_text, "de", "s1", 1) for i in range(4)]
+    # a raw-pool doc that LOOKS like the target: should be selected high
+    rows += [(20, en_text, "fr", "s2", 1), (21, de_text, "fr", "s2", 1)]
+    write(
+        "documents",
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = dsir_importance_selection(spark, d).collect()
+    w = {r["doc_id"]: r["dsir_log_weight"] for r in got}
+    assert w[20] > w[21]  # target-like beats target-unlike
+    assert w[0] == w[20]  # weight depends only on the token multiset
+
+
+def test_mann_kendall_monotone_series(spark, tmp_sf):
+    from ytspark.operators.timeseries import mann_kendall_trend
+
+    d, write = tmp_sf
+    import datetime
+
+    rows = [
+        (i, 1, "O", 100.0 + 10 * i, datetime.datetime(2024, 1, 1 + i), "1-URGENT")
+        for i in range(12)
+    ]
+    write(
+        "orders",
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    row = mann_kendall_trend(spark, d).collect()[0]
+    n = 12
+    assert row["n_days"] == n
+    assert row["s_stat"] == n * (n - 1) // 2  # all pairs increasing
+    assert row["trend"] == "increasing"
+
+
+def test_kendall_tau_perfect_and_inverse(spark, tmp_sf):
+    from ytspark.operators.timeseries import kendall_tau_daily
+
+    d, write = tmp_sf
+    import datetime
+
+    # k orders on day i, each priced so revenue DECREASES with count
+    rows = []
+    key = 0
+    for i in range(6):
+        for _ in range(i + 1):
+            rows.append(
+                (
+                    key,
+                    1,
+                    "O",
+                    1000.0 / (i + 1) ** 2,
+                    datetime.datetime(2024, 2, 1 + i),
+                    "1-URGENT",
+                )
+            )
+            key += 1
+    write(
+        "orders",
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    row = kendall_tau_daily(spark, d).collect()[0]
+    assert row["n_days"] == 6
+    assert row["concordant"] == 0 and row["discordant"] == 15
+    assert row["tau_b"] == -1.0
+
+
+def test_kruskal_wallis_identical_groups_accepts(spark, tmp_sf):
+    from ytspark.queries.pipeline import kruskal_wallis_priority
+
+    d, write = tmp_sf
+    import datetime
+
+    # every priority sees the SAME value multiset => H == 0
+    rows = []
+    key = 0
+    for pri in ["1-URGENT", "2-HIGH", "3-MEDIUM"]:
+        for v in [10.0, 20.0, 30.0, 40.0]:
+            rows.append((key, 1, "O", v, datetime.datetime(2024, 3, 1), pri))
+            key += 1
+    write(
+        "orders",
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    row = kruskal_wallis_priority(spark, d).collect()[0]
+    assert row["k_groups"] == 3
+    assert row["h_stat"] == 0.0
+    assert not row["reject_h0"]
+
+
+def test_kruskal_wallis_separated_groups_rejects(spark, tmp_sf):
+    from ytspark.queries.pipeline import kruskal_wallis_priority
+
+    d, write = tmp_sf
+    import datetime
+
+    # fully separated value ranges across 3 groups, n=60: H near max
+    rows = []
+    key = 0
+    for gi, pri in enumerate(["1-URGENT", "2-HIGH", "3-MEDIUM"]):
+        for j in range(20):
+            rows.append(
+                (
+                    key,
+                    1,
+                    "O",
+                    100.0 * gi + j,
+                    datetime.datetime(2024, 3, 1),
+                    pri,
+                )
+            )
+            key += 1
+    write(
+        "orders",
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    row = kruskal_wallis_priority(spark, d).collect()[0]
+    assert row["reject_h0"]
+    assert row["tie_correction"] == 1.0  # all 60 values distinct

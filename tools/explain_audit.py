@@ -58,6 +58,9 @@ EXPECTED_NESTED_LOOP = {
     "hybrid_search_rrf",             # broadcast one-row query vector
     "token_pmi_bigrams",             # broadcast one-row corpus totals
     "jaro_winkler_verify_pairs",     # bounded probe-subset pair join
+    "mann_kendall_trend",            # day<day pair join over the
+                                     # calendar-bounded daily rollup
+    "kendall_tau_daily",             # same calendar-bounded pair join
     "ndcg_eval",                     # broadcast 1-row DCG/IDCG/n_rated scalars
     "ridge_regression_path",         # broadcast 4-row lambda grid x 1-row moments
     "gradient_boosted_stumps",       # broadcast 1-row split/total scalars
@@ -189,6 +192,8 @@ EXPECTED_GLOBAL_WINDOW = {
                                    # bucket histogram (decision-stump bound)
     "binary_ranking_metrics",      # midrank/threshold scans over the same
                                    # bounded bucket histogram
+    "kruskal_wallis_priority",     # midranks over the bounded cent-value
+                                   # grid (mann_whitney precedent)
 }
 # streaming queries execute eagerly; skip plan audit (they materialize
 # their own sinks and are correctness-checked by the oracle gate)

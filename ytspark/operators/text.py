@@ -2167,3 +2167,342 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("beta", 6).alias("heaps_beta"),
         F.round(F.exp("log_k"), 6).alias("heaps_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance selection (hashed n-gram importance resampling)
+# ---------------------------------------------------------------------------
+
+_TERM_SEED = 7
+_TERM_MUL = 131
+_TERM_MOD = 2_147_483_647
+
+
+def term_hash_col(term: Column) -> Column:
+    """Rolling char hash of a token (seed 7, base 131, mod 2^31-1) —
+    overflow-free on both engines; SQL twin: ``term_hash_sql``.
+    Shared by the hashed-feature operators (same formula the
+    feature-hashing sketch uses inline)."""
+    return F.aggregate(
+        F.split(term, ""),
+        F.lit(_TERM_SEED).cast("bigint"),
+        lambda acc, c: F.pmod(
+            acc * F.lit(_TERM_MUL) + F.ascii(c), F.lit(_TERM_MOD)
+        ),
+    )
+
+
+def term_hash_sql(expr: str) -> str:
+    """DuckDB twin of ``term_hash_col`` over a string SQL expression."""
+    return (
+        f"LIST_REDUCE(LIST_PREPEND(CAST({_TERM_SEED} AS BIGINT), "
+        f"LIST_TRANSFORM(STRING_SPLIT({expr}, ''), "
+        f"c -> CAST(UNICODE(c) AS BIGINT))), "
+        f"(acc, x) -> (acc * {_TERM_MUL} + x) % {_TERM_MOD})"
+    )
+
+
+DSIR_BITS = 9  # 2^9 = 512 hashed unigram feature buckets
+DSIR_B = 1 << DSIR_BITS
+DSIR_TOPK = 100  # documents selected for the target-like subset
+DSIR_TARGET_LANG = "en"  # the target distribution: English docs
+
+
+@register(
+    "dsir_importance_selection",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS term
+  FROM documents
+),
+b AS (
+  SELECT doc_id, lang,
+         {knuth_hash_sql(term_hash_sql('term'))} % {DSIR_B} AS bucket
+  FROM toks
+),
+tgt AS (
+  SELECT bucket, COUNT(*) AS ct FROM b
+  WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY 1
+),
+raw AS (SELECT bucket, COUNT(*) AS cr FROM b GROUP BY 1),
+tot AS (
+  SELECT (SELECT COUNT(*) FROM b WHERE lang = '{DSIR_TARGET_LANG}') AS nt,
+         (SELECT COUNT(*) FROM b) AS nr
+),
+ratio AS (
+  SELECT raw.bucket,
+         LN((COALESCE(ct, 0) + 1.0) / (nt + {DSIR_B}))
+           - LN((cr + 1.0) / (nr + {DSIR_B})) AS lr
+  FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN tot
+),
+docb AS (SELECT doc_id, bucket, COUNT(*) AS n FROM b GROUP BY 1, 2),
+w AS (
+  SELECT doc_id, SUM(n * lr) AS logw, SUM(n) AS n_tokens
+  FROM docb JOIN ratio USING (bucket) GROUP BY 1
+),
+sel AS (
+  SELECT doc_id, n_tokens, ROUND(logw, 6) AS logw_r,
+         ROW_NUMBER() OVER (ORDER BY ROUND(logw, 6) DESC, doc_id) AS rk
+  FROM w
+)
+SELECT s.doc_id, d.lang, d.source,
+       CAST(s.n_tokens AS BIGINT) AS n_tokens,
+       s.logw_r AS dsir_log_weight
+FROM sel s JOIN documents d ON s.doc_id = d.doc_id
+WHERE rk <= {DSIR_TOPK}
+""",
+    doc=f"DSIR importance selection (Xie et al. 2023, 'Data Selection "
+        f"for Language Models via Importance Resampling' — public "
+        f"arXiv:2302.03169): score every document by how much more "
+        f"likely its hashed-unigram features are under the TARGET "
+        f"distribution (lang='{DSIR_TARGET_LANG}' docs) than under the "
+        f"raw pool, log w(x) = sum_tokens ln p_tgt(b)/p_raw(b) with "
+        f"add-1 smoothing over {DSIR_B} hash buckets, and keep the "
+        f"top-{DSIR_TOPK} (the paper resamples with Gumbel noise; the "
+        f"engine does the deterministic top-k so the oracle can replay "
+        f"it). Plan: one token explode feeds three map-side-combinable "
+        f"aggregates; the bucket ratio table is <= {DSIR_B} rows and "
+        f"BROADCAST to the per-doc bucket counts, so the scoring join "
+        f"is shuffle-free; the final top-k is orderBy+limit "
+        f"(TakeOrderedAndProject: each partition keeps {DSIR_TOPK} "
+        f"rows, the merge is k-bounded — no global window). Ranks "
+        f"order by ROUND(logw, 6) then doc_id so the cross-engine "
+        f"float-sum ulp cannot reorder the selection boundary.",
+    tags=("text", "curation", "selection", "hashing"),
+)
+def dsir_importance_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    b = (
+        docs.select(
+            "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("term")
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.pmod(
+                knuth_hash_col(term_hash_col(F.col("term"))), F.lit(DSIR_B)
+            ).alias("bucket"),
+        )
+        .persist()
+    )
+    tgt = (
+        b.where(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    raw = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    tot = b.agg(
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+        ).alias("nt"),
+        F.count(F.lit(1)).alias("nr"),
+    )
+    ratio = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
+                    / (F.col("nt") + DSIR_B)
+                )
+                - F.log((F.col("cr") + 1.0) / (F.col("nr") + DSIR_B))
+            ).alias("lr"),
+        )
+    )
+    docb = b.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        docb.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("n") * F.col("lr")).alias("logw"),
+            F.sum("n").alias("n_tokens"),
+        )
+    )
+    # top-k via orderBy+limit => TakeOrderedAndProject: each partition
+    # keeps DSIR_TOPK rows, the merge is k-bounded — no global window
+    sel = (
+        w.select(
+            "doc_id",
+            "n_tokens",
+            F.round("logw", 6).alias("logw_r"),
+        )
+        .orderBy(F.desc("logw_r"), F.asc("doc_id"))
+        .limit(DSIR_TOPK)
+    )
+    out = sel.join(docs.select("doc_id", "lang", "source"), "doc_id").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("logw_r").alias("dsir_log_weight"),
+    )
+    return finish(out, b)
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality-rule battery (per-rule pass accounting)
+# ---------------------------------------------------------------------------
+
+GOPHER_WC_LO, GOPHER_WC_HI = 50, 100_000  # word-count band
+GOPHER_MWL_LO, GOPHER_MWL_HI = 3.0, 10.0  # mean word length band
+GOPHER_ALPHA_FRAC = 0.8  # min fraction of tokens with an alpha char
+GOPHER_STOP_MIN = 2  # min distinct-position stopword hits
+GOPHER_MAXTOK_FRAC = 0.2  # max share of the single most frequent token
+
+
+@register(
+    "gopher_quality_rules",
+    oracle=f"""
+WITH per AS (
+  SELECT doc_id,
+         LEN(STRING_SPLIT(text, ' ')) AS n_tok,
+         CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+           / LEN(STRING_SPLIT(text, ' ')) AS mwl,
+         CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                              t -> REGEXP_MATCHES(t, '[a-zA-Z]')))
+              AS DOUBLE) / LEN(STRING_SPLIT(text, ' ')) AS alpha_frac,
+         LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+             t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS stop_hits,
+         CAST(LIST_MAX(LIST_TRANSFORM(
+                LIST_DISTINCT(STRING_SPLIT(text, ' ')),
+                d -> LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                     t -> t = d)))) AS DOUBLE)
+           / LEN(STRING_SPLIT(text, ' ')) AS maxtok_frac
+  FROM documents
+),
+flags AS (
+  SELECT doc_id,
+         CASE WHEN n_tok BETWEEN {GOPHER_WC_LO} AND {GOPHER_WC_HI}
+              THEN 1 ELSE 0 END AS r_wc,
+         CASE WHEN mwl >= {GOPHER_MWL_LO} AND mwl <= {GOPHER_MWL_HI}
+              THEN 1 ELSE 0 END AS r_mwl,
+         CASE WHEN alpha_frac >= {GOPHER_ALPHA_FRAC} THEN 1 ELSE 0 END
+           AS r_alpha,
+         CASE WHEN stop_hits >= {GOPHER_STOP_MIN} THEN 1 ELSE 0 END
+           AS r_stop,
+         CASE WHEN maxtok_frac <= {GOPHER_MAXTOK_FRAC} THEN 1 ELSE 0 END
+           AS r_rep
+  FROM per
+),
+counts AS (
+  SELECT * FROM (
+    SELECT 'word_count_band' AS rule, SUM(r_wc) AS n_pass,
+           COUNT(*) AS n_docs FROM flags
+    UNION ALL
+    SELECT 'mean_word_len_band', SUM(r_mwl), COUNT(*) FROM flags
+    UNION ALL
+    SELECT 'alpha_word_frac', SUM(r_alpha), COUNT(*) FROM flags
+    UNION ALL
+    SELECT 'stopword_hits', SUM(r_stop), COUNT(*) FROM flags
+    UNION ALL
+    SELECT 'max_token_share', SUM(r_rep), COUNT(*) FROM flags
+    UNION ALL
+    SELECT 'all_rules',
+           SUM(r_wc * r_mwl * r_alpha * r_stop * r_rep), COUNT(*)
+    FROM flags
+  )
+)
+SELECT rule,
+       CAST(n_pass AS BIGINT) AS n_pass,
+       CAST(n_docs - n_pass AS BIGINT) AS n_fail,
+       ROUND(CAST(n_pass AS DOUBLE) / n_docs, 6) AS pass_rate
+FROM counts
+""",
+    doc=f"GOPHER quality-rule battery (Rae et al. 2021, 'Scaling "
+        f"Language Models: ... Gopher' §A1.1 — the published "
+        f"pre-training corpus filter): per-document rules — word count "
+        f"in [{GOPHER_WC_LO}, {GOPHER_WC_HI}], mean word length in "
+        f"[{GOPHER_MWL_LO}, {GOPHER_MWL_HI}], fraction of tokens with "
+        f"an alphabetic char >= {GOPHER_ALPHA_FRAC}, >= "
+        f"{GOPHER_STOP_MIN} stopword hits, most-frequent-token share "
+        f"<= {GOPHER_MAXTOK_FRAC} (the repetition rule; the line-dup "
+        f"rules degenerate on single-line docs) — reported as per-rule "
+        f"pass/fail counts plus the all-rules conjunction (the corpus "
+        f"keep rate). Unlike text_quality_score (a per-doc 3-rule "
+        f"score), this is the FILTER-TUNING report: which rule costs "
+        f"how much corpus. Plan: every rule is a built-in expression "
+        f"over the token array (JVM codegen, embarrassingly parallel); "
+        f"one map-side-combinable aggregate; output is 6 rows.",
+    tags=("text", "quality", "curation"),
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = tokens(F.col("text"))
+    n_tok = F.array_size(toks)
+    mwl = (
+        F.length(F.regexp_replace(F.col("text"), " ", "")).cast("double")
+        / n_tok
+    )
+    alpha_frac = (
+        F.size(
+            F.filter(toks, lambda t: t.rlike("[a-zA-Z]"))
+        ).cast("double")
+        / n_tok
+    )
+    stop_hits = stopword_hits(F.col("text"), LANG_STOPWORDS["en"])
+    maxtok_frac = (
+        F.array_max(
+            F.transform(
+                F.array_distinct(toks),
+                lambda d: F.size(F.filter(toks, lambda t: t == d)),
+            )
+        ).cast("double")
+        / n_tok
+    )
+    flags = docs.select(
+        F.when(n_tok.between(GOPHER_WC_LO, GOPHER_WC_HI), 1)
+        .otherwise(0)
+        .alias("r_wc"),
+        F.when(
+            (mwl >= GOPHER_MWL_LO) & (mwl <= GOPHER_MWL_HI), 1
+        )
+        .otherwise(0)
+        .alias("r_mwl"),
+        F.when(alpha_frac >= GOPHER_ALPHA_FRAC, 1).otherwise(0).alias(
+            "r_alpha"
+        ),
+        F.when(stop_hits >= GOPHER_STOP_MIN, 1).otherwise(0).alias("r_stop"),
+        F.when(maxtok_frac <= GOPHER_MAXTOK_FRAC, 1).otherwise(0).alias(
+            "r_rep"
+        ),
+    )
+    agg = flags.agg(
+        F.sum("r_wc").alias("wc"),
+        F.sum("r_mwl").alias("mwl"),
+        F.sum("r_alpha").alias("alpha"),
+        F.sum("r_stop").alias("stop"),
+        F.sum("r_rep").alias("rep"),
+        F.sum(
+            F.col("r_wc")
+            * F.col("r_mwl")
+            * F.col("r_alpha")
+            * F.col("r_stop")
+            * F.col("r_rep")
+        ).alias("all_pass"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    rules = [
+        ("word_count_band", "wc"),
+        ("mean_word_len_band", "mwl"),
+        ("alpha_word_frac", "alpha"),
+        ("stopword_hits", "stop"),
+        ("max_token_share", "rep"),
+        ("all_rules", "all_pass"),
+    ]
+    # unpivot the one aggregate row (single pass — no re-planned unions)
+    stack = F.expr(
+        "stack({n}, {args}) as (rule, n_pass)".format(
+            n=len(rules),
+            args=", ".join(f"'{rule}', {c}" for rule, c in rules),
+        )
+    )
+    return agg.select(stack, "n_docs").select(
+        "rule",
+        F.col("n_pass").cast("long").alias("n_pass"),
+        (F.col("n_docs") - F.col("n_pass")).cast("long").alias("n_fail"),
+        F.round(
+            F.col("n_pass").cast("double") / F.col("n_docs"), 6
+        ).alias("pass_rate"),
+    )

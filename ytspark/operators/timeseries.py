@@ -1580,3 +1580,231 @@ def croston_intermittent_demand(
             "forecast_per_week"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test (the significance test beside Theil-Sen)
+# ---------------------------------------------------------------------------
+
+MK_Z_CRIT = 1.959964  # two-sided 5% normal critical value
+
+
+@register(
+    "mann_kendall_trend",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS x
+  FROM orders GROUP BY 1
+),
+pairs AS (
+  SELECT CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END AS sg
+  FROM daily a JOIN daily b ON a.day < b.day
+),
+sstat AS (SELECT CAST(SUM(sg) AS BIGINT) AS s FROM pairs),
+ties AS (
+  SELECT COALESCE(SUM(CAST(t AS DOUBLE) * (t - 1) * (2 * t + 5)), 0) AS tsum
+  FROM (SELECT COUNT(*) AS t FROM daily GROUP BY x) WHERE t > 1
+),
+nrow AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+var AS (
+  SELECT n, s,
+         (CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5) - tsum) / 18.0 AS var_s
+  FROM nrow CROSS JOIN sstat CROSS JOIN ties
+)
+SELECT n AS n_days, s AS s_stat,
+       ROUND(var_s, 4) AS var_s,
+       ROUND(CASE WHEN s > 0 THEN (s - 1) / SQRT(var_s)
+                  WHEN s < 0 THEN (s + 1) / SQRT(var_s)
+                  ELSE 0.0 END, 6) AS z_score,
+       CASE WHEN s > 0 AND (s - 1) / SQRT(var_s) > {MK_Z_CRIT}
+              THEN 'increasing'
+            WHEN s < 0 AND (s + 1) / SQRT(var_s) < -{MK_Z_CRIT}
+              THEN 'decreasing'
+            ELSE 'no_trend' END AS trend
+FROM var
+""",
+    doc="MANN-KENDALL trend test over daily revenue — the "
+        "distribution-free significance test that pairs with "
+        "theil_sen_trend_robust (Theil-Sen estimates the slope, "
+        "Mann-Kendall decides whether a monotone trend EXISTS): "
+        "S = sum over day pairs i<j of sign(x_j - x_i), tie-corrected "
+        "Var(S) = (n(n-1)(2n+5) - sum t(t-1)(2t+5))/18, continuity-"
+        "corrected z, verdict at the two-sided 5% level. Daily values "
+        "are exact DECIMAL sums so the sign comparisons cannot "
+        "diverge cross-engine. Scale: the pair join is over the "
+        "CALENDAR-BOUNDED daily pre-aggregate (~2.4k days here; "
+        "bounded by the date range, never by row count — at 100 TB "
+        "the O(days^2) pair volume is unchanged while the daily "
+        "rollup is one map-side-combinable aggregate).",
+    tags=("statistics", "time", "trend", "aggregate"),
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("x")
+    ).localCheckpoint(eager=True)
+    a, bb = daily.alias("a"), daily.alias("b")
+    sstat = (
+        a.join(bb, F.col("a.day") < F.col("b.day"))
+        .select(
+            F.when(F.col("b.x") > F.col("a.x"), 1)
+            .when(F.col("b.x") < F.col("a.x"), -1)
+            .otherwise(0)
+            .alias("sg")
+        )
+        .agg(F.sum("sg").cast("long").alias("s"))
+    )
+    ties = (
+        daily.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .where(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t").cast("double")
+                    * (F.col("t") - 1)
+                    * (2 * F.col("t") + 5)
+                ),
+                F.lit(0.0),
+            ).alias("tsum")
+        )
+    )
+    nrow = daily.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    var_s = (
+        F.col("n").cast("double")
+        * (F.col("n") - 1)
+        * (2 * F.col("n") + 5)
+        - F.col("tsum")
+    ) / 18.0
+    z = (
+        F.when(F.col("s") > 0, (F.col("s") - 1) / F.sqrt(F.col("var_s")))
+        .when(F.col("s") < 0, (F.col("s") + 1) / F.sqrt(F.col("var_s")))
+        .otherwise(0.0)
+    )
+    return (
+        nrow.crossJoin(F.broadcast(sstat))
+        .crossJoin(F.broadcast(ties))
+        .withColumn("var_s", var_s)
+        .select(
+            F.col("n").alias("n_days"),
+            F.col("s").alias("s_stat"),
+            F.round("var_s", 4).alias("var_s"),
+            F.round(z, 6).alias("z_score"),
+            F.when(
+                (F.col("s") > 0)
+                & ((F.col("s") - 1) / F.sqrt(F.col("var_s")) > MK_Z_CRIT),
+                "increasing",
+            )
+            .when(
+                (F.col("s") < 0)
+                & ((F.col("s") + 1) / F.sqrt(F.col("var_s")) < -MK_Z_CRIT),
+                "decreasing",
+            )
+            .otherwise("no_trend")
+            .alias("trend"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b rank correlation between two daily series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "kendall_tau_daily",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS x,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS y
+  FROM orders GROUP BY 1
+),
+pairs AS (
+  SELECT (CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END)
+           * (CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END)
+           AS prod,
+         CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+         CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
+  FROM daily a JOIN daily b ON a.day < b.day
+),
+agg AS (
+  SELECT SUM(CASE WHEN prod = 1 THEN 1 ELSE 0 END) AS c,
+         SUM(CASE WHEN prod = -1 THEN 1 ELSE 0 END) AS d,
+         SUM(tx) AS nx, SUM(ty) AS ny, COUNT(*) AS n0
+  FROM pairs
+)
+SELECT CAST((SELECT COUNT(*) FROM daily) AS BIGINT) AS n_days,
+       CAST(c AS BIGINT) AS concordant,
+       CAST(d AS BIGINT) AS discordant,
+       CAST(nx AS BIGINT) AS tied_x_pairs,
+       CAST(ny AS BIGINT) AS tied_y_pairs,
+       ROUND((c - d) / SQRT(CAST(n0 - nx AS DOUBLE) * (n0 - ny)), 6)
+         AS tau_b
+FROM agg
+""",
+    doc="KENDALL TAU-B between daily order count and daily revenue — "
+        "the rank correlation that, unlike spearman_rank_correlation, "
+        "is a direct function of concordant/discordant PAIRS and "
+        "handles ties by the tau-b normalizer "
+        "(C-D)/sqrt((n0-nx)(n0-ny)). Counts are integers and revenue "
+        "is an exact DECIMAL sum, so every comparison is exact and "
+        "the only float is the final normalizer. Scale: same "
+        "calendar-bounded pair join as mann_kendall_trend — O(days^2) "
+        "on the daily pre-aggregate, invariant to row count.",
+    tags=("statistics", "time", "correlation", "aggregate"),
+)
+def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("x"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("y"),
+    ).localCheckpoint(eager=True)
+    a, bb = daily.alias("a"), daily.alias("b")
+    sgx = (
+        F.when(F.col("b.x") > F.col("a.x"), 1)
+        .when(F.col("b.x") < F.col("a.x"), -1)
+        .otherwise(0)
+    )
+    sgy = (
+        F.when(F.col("b.y") > F.col("a.y"), 1)
+        .when(F.col("b.y") < F.col("a.y"), -1)
+        .otherwise(0)
+    )
+    pairs = a.join(bb, F.col("a.day") < F.col("b.day")).select(
+        (sgx * sgy).alias("prod"),
+        F.when(F.col("a.x") == F.col("b.x"), 1).otherwise(0).alias("tx"),
+        F.when(F.col("a.y") == F.col("b.y"), 1).otherwise(0).alias("ty"),
+    )
+    agg = pairs.agg(
+        F.sum(F.when(F.col("prod") == 1, 1).otherwise(0)).alias("c"),
+        F.sum(F.when(F.col("prod") == -1, 1).otherwise(0)).alias("d"),
+        F.sum("tx").alias("nx"),
+        F.sum("ty").alias("ny"),
+        F.count(F.lit(1)).alias("n0"),
+    )
+    nd = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    return nd.crossJoin(F.broadcast(agg)).select(
+        "n_days",
+        F.col("c").cast("long").alias("concordant"),
+        F.col("d").cast("long").alias("discordant"),
+        F.col("nx").cast("long").alias("tied_x_pairs"),
+        F.col("ny").cast("long").alias("tied_y_pairs"),
+        F.round(
+            (F.col("c") - F.col("d"))
+            / F.sqrt(
+                (F.col("n0") - F.col("nx")).cast("double")
+                * (F.col("n0") - F.col("ny"))
+            ),
+            6,
+        ).alias("tau_b"),
+    )

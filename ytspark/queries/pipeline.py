@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ytspark.facts import union_all
+from ytspark.plans.scale import finish
 from ytspark.queries import register
 from ytspark.session import load_tables
 
@@ -2229,3 +2230,121 @@ def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("s") / F.col("k"), 6).alias("mean_log_excess"),
         (F.round(F.col("k") / F.col("s"), 6) >= 2.0).alias("finite_variance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis H: the k-group extension of the Mann-Whitney test
+# ---------------------------------------------------------------------------
+
+KW_CRIT = 9.487729  # chi-squared 5% critical value at df = 5 groups - 1
+
+
+@register(
+    "kruskal_wallis_priority",
+    oracle=f"""
+WITH s AS (
+  SELECT o_orderpriority AS g,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders
+),
+per_v AS (SELECT v, COUNT(*) AS t FROM s GROUP BY v),
+ranked AS (
+  SELECT v, t,
+         COALESCE(SUM(t) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + (t + 1) / 2.0 AS midrank
+  FROM per_v
+),
+gv AS (SELECT g, v, COUNT(*) AS c FROM s GROUP BY g, v),
+groups AS (
+  SELECT g, SUM(c) AS ng, SUM(c * midrank) AS rg
+  FROM gv JOIN ranked USING (v) GROUP BY g
+),
+agg AS (
+  SELECT COUNT(*) AS k, SUM(ng) AS n, SUM(rg * rg / ng) AS rsq,
+         (SELECT SUM(CAST(t AS DOUBLE) * t * t - t) FROM per_v
+          WHERE t > 1) AS tie3
+  FROM groups
+)
+SELECT CAST(k AS BIGINT) AS k_groups,
+       CAST(n AS BIGINT) AS n,
+       ROUND(12.0 / (n * (n + 1.0)) * rsq - 3 * (n + 1.0), 6) AS h_stat,
+       ROUND(1 - COALESCE(tie3, 0)
+             / (CAST(n AS DOUBLE) * n * n - n), 6) AS tie_correction,
+       ROUND((12.0 / (n * (n + 1.0)) * rsq - 3 * (n + 1.0))
+             / (1 - COALESCE(tie3, 0)
+                / (CAST(n AS DOUBLE) * n * n - n)), 6) AS h_corrected,
+       (12.0 / (n * (n + 1.0)) * rsq - 3 * (n + 1.0))
+         / (1 - COALESCE(tie3, 0) / (CAST(n AS DOUBLE) * n * n - n))
+         > {KW_CRIT} AS reject_h0
+FROM agg
+""",
+    doc="KRUSKAL-WALLIS H across the 5 order priorities on order "
+        "value — the k-group extension of mann_whitney_value_shift "
+        "(same midrank machinery, one test instead of 10 pairwise): "
+        "H = 12/(N(N+1)) sum R_g^2/n_g - 3(N+1), tie-corrected by "
+        "C = 1 - sum(t^3-t)/(N^3-N), rejected against the df=4 "
+        "chi-squared 5% critical value. Values land on the exact "
+        "cent grid so the rank table is over the VALUE-BOUNDED "
+        "distinct grid (the Mann-Whitney/customer_balance_quartiles "
+        "precedent — bounded by the price range in cents, not row "
+        "count; EXPECTED_GLOBAL_WINDOW), per-group rank sums are one "
+        "broadcast-joined aggregate, and every term stays integer-"
+        "exact until the final divisions.",
+    tags=("statistics", "experiment", "aggregate", "window", "pipeline"),
+)
+def kruskal_wallis_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    s = orders.select(
+        F.col("o_orderpriority").alias("g"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    ).persist()
+    per_v = s.groupBy("v").agg(F.count(F.lit(1)).alias("t"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_v.select(
+        "v",
+        "t",
+        (
+            F.coalesce(F.sum("t").over(w), F.lit(0))
+            + (F.col("t") + 1) / 2.0
+        ).alias("midrank"),
+    )
+    gv = s.groupBy("g", "v").agg(F.count(F.lit(1)).alias("c"))
+    groups = (
+        gv.join(ranked.select("v", "midrank"), "v")
+        .groupBy("g")
+        .agg(
+            F.sum("c").alias("ng"),
+            F.sum(F.col("c") * F.col("midrank")).alias("rg"),
+        )
+    )
+    tie3 = per_v.where(F.col("t") > 1).agg(
+        F.sum(
+            F.col("t").cast("double") * F.col("t") * F.col("t") - F.col("t")
+        ).alias("tie3")
+    )
+    agg = (
+        groups.agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum("ng").alias("n"),
+            F.sum(F.col("rg") * F.col("rg") / F.col("ng")).alias("rsq"),
+        )
+        .crossJoin(F.broadcast(tie3))
+    )
+    h = 12.0 / (F.col("n") * (F.col("n") + 1.0)) * F.col("rsq") - 3 * (
+        F.col("n") + 1.0
+    )
+    corr = 1 - F.coalesce(F.col("tie3"), F.lit(0.0)) / (
+        F.col("n").cast("double") * F.col("n") * F.col("n") - F.col("n")
+    )
+    out = agg.select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.col("n").cast("long").alias("n"),
+        F.round(h, 6).alias("h_stat"),
+        F.round(corr, 6).alias("tie_correction"),
+        F.round(h / corr, 6).alias("h_corrected"),
+        (h / corr > KW_CRIT).alias("reject_h0"),
+    )
+    return finish(out, s)
