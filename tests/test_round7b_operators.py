@@ -182,3 +182,150 @@ def test_kruskal_wallis_separated_groups_rejects(spark, tmp_sf):
     row = kruskal_wallis_priority(spark, d).collect()[0]
     assert row["reject_h0"]
     assert row["tie_correction"] == 1.0  # all 60 values distinct
+
+
+def test_bayes_ab_symmetric_arms_near_half(spark, tmp_sf):
+    from ytspark.queries.pipeline import bayes_ab_beta_posterior
+
+    d, write = tmp_sf
+    import datetime
+
+    rows = []
+    eid = 0
+    for et in ("click", "purchase"):
+        for i in range(40):
+            # identical success pattern in both arms: 20/40 above 50
+            rows.append(
+                (eid, datetime.datetime(2024, 1, 1), 1, et,
+                 80.0 if i % 2 == 0 else 20.0, "{}")
+            )
+            eid += 1
+    write(
+        "events",
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    row = bayes_ab_beta_posterior(spark, d).collect()[0]
+    assert row["n_a"] == row["n_b"] == 40
+    assert row["s_a"] == row["s_b"] == 20
+    assert row["expected_lift"] == 0.0
+    # identical posteriors: P(B>A) = 0.5 + half the diagonal mass
+    assert abs(row["prob_b_beats_a"] - 0.5) < 0.05
+
+
+def test_bayes_ab_dominant_arm_near_one(spark, tmp_sf):
+    from ytspark.queries.pipeline import bayes_ab_beta_posterior
+
+    d, write = tmp_sf
+    import datetime
+
+    rows = []
+    eid = 0
+    for i in range(60):  # A: 5/60 convert
+        rows.append((eid, datetime.datetime(2024, 1, 1), 1, "click",
+                     80.0 if i < 5 else 20.0, "{}"))
+        eid += 1
+    for i in range(60):  # B: 55/60 convert
+        rows.append((eid, datetime.datetime(2024, 1, 1), 1, "purchase",
+                     80.0 if i < 55 else 20.0, "{}"))
+        eid += 1
+    write(
+        "events",
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    row = bayes_ab_beta_posterior(spark, d).collect()[0]
+    assert row["prob_b_beats_a"] > 0.999
+
+
+def test_fisher_lda_separable_classes(spark, tmp_sf):
+    from ytspark.operators.learn import fisher_lda_classifier
+
+    d, write = tmp_sf
+    import datetime
+
+    rows = []
+    for i in range(30):  # class 0 ('N'): low qty, low price
+        rows.append((i, 1, 1, 1, 5.0 + (i % 3), 100.0 + i, 0.0, 0.0,
+                     "N", "O", datetime.datetime(2024, 1, 1)))
+    for i in range(30):  # class 1 ('R'): high qty, high price
+        rows.append((100 + i, 1, 1, 1, 40.0 + (i % 3), 900.0 + i, 0.0, 0.0,
+                     "R", "F", datetime.datetime(2024, 1, 1)))
+    write(
+        "lineitem",
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    row = fisher_lda_classifier(spark, d).collect()[0]
+    assert row["n_class0"] == row["n_class1"] == 30
+    assert row["train_accuracy"] == 1.0  # linearly separable
+    assert row["mean_gap_x1"] == 35.0
+
+
+def test_inclusion_dependency_verdicts(spark, tmp_sf):
+    from ytspark.operators.profiling import inclusion_dependency_profile
+
+    d, write = tmp_sf
+    import datetime
+
+    write("region", [(0, "R0")], "r_regionkey long, r_name string")
+    write(
+        "nation",
+        [(0, "N0", 0), (1, "N1", 0)],
+        "n_nationkey int, n_name string, n_regionkey long",
+    )
+    write(
+        "customer",
+        [(1, "C1", 0, 0.0, "A"), (2, "C2", 1, 0.0, "B")],
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    write(
+        "supplier",
+        [(1, "S1", 0, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    )
+    write(
+        "part",
+        [(1, "P1", "B", "T", 1, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    )
+    write(
+        "orders",
+        [(10, 1, "O", 1.0, datetime.datetime(2024, 1, 1), "1-URGENT"),
+         (11, 2, "O", 1.0, datetime.datetime(2024, 1, 1), "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    write(
+        "lineitem",
+        [(10, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+          datetime.datetime(2024, 1, 1))],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    write(
+        "events",
+        [(0, datetime.datetime(2024, 1, 1), 1, "view", 1.0, "{}"),
+         (1, datetime.datetime(2024, 1, 1), 99, "view", 1.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    rows = {r["child"]: r for r in inclusion_dependency_profile(spark, d).collect()}
+    assert rows["orders.o_custkey"]["is_inclusion"]
+    assert rows["nation.n_regionkey"]["is_inclusion"]
+    # events has user 99 with no customer: 1 of 2 contained
+    ev = rows["events.user_id"]
+    assert not ev["is_inclusion"] and ev["n_violations"] == 1
+    assert ev["containment"] == 0.5
+    # negative control: orderkeys 10,11 are not custkeys
+    neg = rows["orders.o_orderkey"]
+    assert not neg["is_inclusion"] and neg["n_violations"] == 2

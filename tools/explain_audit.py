@@ -61,6 +61,10 @@ EXPECTED_NESTED_LOOP = {
     "mann_kendall_trend",            # day<day pair join over the
                                      # calendar-bounded daily rollup
     "kendall_tau_daily",             # same calendar-bounded pair join
+    "bayes_ab_beta_posterior",       # broadcast 1-row arm stats / lgamma
+                                     # scalars onto the bounded grid
+    "fisher_lda_classifier",         # broadcast 1-row fit onto the scan
+    "inclusion_dependency_profile",  # broadcast 1-row violation counts
     "ndcg_eval",                     # broadcast 1-row DCG/IDCG/n_rated scalars
     "ridge_regression_path",         # broadcast 4-row lambda grid x 1-row moments
     "gradient_boosted_stumps",       # broadcast 1-row split/total scalars
@@ -194,6 +198,7 @@ EXPECTED_GLOBAL_WINDOW = {
                                    # bounded bucket histogram
     "kruskal_wallis_priority",     # midranks over the bounded cent-value
                                    # grid (mann_whitney precedent)
+    "bayes_ab_beta_posterior",     # CDF cumsum over the 400-row grid
 }
 # streaming queries execute eagerly; skip plan audit (they materialize
 # their own sinks and are correctness-checked by the oracle gate)

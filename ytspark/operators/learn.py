@@ -2628,3 +2628,152 @@ def binary_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("roc_auc"),
         F.round("ap", 6).alias("average_precision"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fisher linear discriminant (closed-form 2-class LDA)
+# ---------------------------------------------------------------------------
+
+# fit expressions shared VERBATIM by the Spark selectExpr and the DuckDB
+# oracle (the regression_normal_equations pattern): identical expression
+# text over identical exact inputs => identical IEEE-754 doubles, so the
+# per-row classification comparisons cannot diverge cross-engine.
+_LDA_FIT = """
+  c0_s1 / n0 AS m01,
+  c0_s2 / n0 AS m02,
+  c1_s1 / n1 AS m11,
+  c1_s2 / n1 AS m12,
+  (c0_s11 - c0_s1 * c0_s1 / n0) + (c1_s11 - c1_s1 * c1_s1 / n1) AS w11,
+  (c0_s12 - c0_s1 * c0_s2 / n0) + (c1_s12 - c1_s1 * c1_s2 / n1) AS w12,
+  (c0_s22 - c0_s2 * c0_s2 / n0) + (c1_s22 - c1_s2 * c1_s2 / n1) AS w22
+""".strip()
+
+_LDA_SOLVE = """
+  (w22 * (m11 - m01) - w12 * (m12 - m02))
+    / (w11 * w22 - w12 * w12) AS wt1,
+  (w11 * (m12 - m02) - w12 * (m11 - m01))
+    / (w11 * w22 - w12 * w12) AS wt2
+""".strip()
+
+
+@register(
+    "fisher_lda_classifier",
+    oracle=f"""
+WITH d AS (
+  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         CAST(l_quantity AS DECIMAL(18,2)) AS x1,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS x2
+  FROM lineitem
+),
+cs AS (
+  SELECT y, CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x1) AS DOUBLE) AS s1,
+         CAST(SUM(x2) AS DOUBLE) AS s2,
+         CAST(SUM(x1 * x1) AS DOUBLE) AS s11,
+         CAST(SUM(x1 * x2) AS DOUBLE) AS s12,
+         CAST(SUM(x2 * x2) AS DOUBLE) AS s22
+  FROM d GROUP BY y
+),
+p AS (
+  SELECT MAX(CASE WHEN y = 0 THEN n END) AS n0,
+         MAX(CASE WHEN y = 0 THEN s1 END) AS c0_s1,
+         MAX(CASE WHEN y = 0 THEN s2 END) AS c0_s2,
+         MAX(CASE WHEN y = 0 THEN s11 END) AS c0_s11,
+         MAX(CASE WHEN y = 0 THEN s12 END) AS c0_s12,
+         MAX(CASE WHEN y = 0 THEN s22 END) AS c0_s22,
+         MAX(CASE WHEN y = 1 THEN n END) AS n1,
+         MAX(CASE WHEN y = 1 THEN s1 END) AS c1_s1,
+         MAX(CASE WHEN y = 1 THEN s2 END) AS c1_s2,
+         MAX(CASE WHEN y = 1 THEN s11 END) AS c1_s11,
+         MAX(CASE WHEN y = 1 THEN s12 END) AS c1_s12,
+         MAX(CASE WHEN y = 1 THEN s22 END) AS c1_s22
+  FROM cs
+),
+moments AS (SELECT n0, n1, {_LDA_FIT} FROM p),
+fit AS (
+  SELECT n0, n1, m01, m02, m11, m12, {_LDA_SOLVE} FROM moments
+),
+scored AS (
+  SELECT SUM(CASE WHEN (wt1 * CAST(x1 AS DOUBLE) + wt2 * CAST(x2 AS DOUBLE)
+                        > wt1 * (m01 + m11) / 2 + wt2 * (m02 + m12) / 2)
+                       = (y = 1)
+                  THEN 1 ELSE 0 END) AS n_correct
+  FROM d CROSS JOIN fit
+)
+SELECT CAST(n0 AS BIGINT) AS n_class0,
+       CAST(n1 AS BIGINT) AS n_class1,
+       ROUND(m11 - m01, 6) AS mean_gap_x1,
+       ROUND(m12 - m02, 6) AS mean_gap_x2,
+       ROUND(wt1 * 1e6, 6) AS w1_scaled,
+       ROUND(wt2 * 1e6, 6) AS w2_scaled,
+       ROUND(wt1 * (m01 + m11) / 2 + wt2 * (m02 + m12) / 2, 9)
+         AS threshold,
+       ROUND((SELECT n_correct FROM scored) / (n0 + n1), 6)
+         AS train_accuracy
+FROM fit
+""",
+    doc="FISHER LINEAR DISCRIMINANT — the closed-form generative "
+        "classifier beside the iterative logistic fit "
+        "(quality_logreg_train) and the bucketed stumps: class = "
+        "returned lineitem, features (quantity, extended price); "
+        "w = S_w^-1 (mu1 - mu0) with the pooled within-class scatter "
+        "inverted EXPLICITLY (2x2), so training is exactly TWELVE "
+        "exact-DECIMAL sufficient statistics from one scan — the "
+        "same shape regression_normal_equations uses, extended to "
+        "per-class moments. The fit expressions are shared verbatim "
+        "with the oracle (identical text over identical exact sums "
+        "=> identical doubles), which is what makes the per-row "
+        "classification comparison hash-certifiable. Scale: one "
+        "map-side-combinable aggregate + one broadcast of the 1-row "
+        "fit back onto the scan for training accuracy — no shuffle "
+        "of the fact table at any width.",
+    tags=("learn", "classifier", "aggregate"),
+)
+def fisher_lda_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    d = li.selectExpr(
+        "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y",
+        "CAST(l_quantity AS DECIMAL(18,2)) AS x1",
+        "CAST(l_extendedprice AS DECIMAL(18,2)) AS x2",
+    )
+    cs = d.groupBy("y").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x1").cast("double").alias("s1"),
+        F.sum("x2").cast("double").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("double").alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("double").alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("double").alias("s22"),
+    )
+    p = cs.agg(
+        *[
+            F.max(F.when(F.col("y") == cls, F.col(c))).alias(
+                f"c{cls}_{c}" if c != "n" else f"n{cls}"
+            )
+            for cls in (0, 1)
+            for c in ("n", "s1", "s2", "s11", "s12", "s22")
+        ]
+    )
+    moments = p.selectExpr("n0", "n1", *_LDA_FIT.split(",\n"))
+    fit = moments.selectExpr(
+        "n0", "n1", "m01", "m02", "m11", "m12", *_LDA_SOLVE.split(",\n")
+    ).localCheckpoint(eager=True)
+    scored = (
+        d.crossJoin(F.broadcast(fit))
+        .selectExpr(
+            "CASE WHEN (wt1 * CAST(x1 AS DOUBLE) + wt2 * CAST(x2 AS DOUBLE)"
+            " > wt1 * (m01 + m11) / 2 + wt2 * (m02 + m12) / 2)"
+            " = (y = 1) THEN 1 ELSE 0 END AS ok"
+        )
+        .agg(F.sum("ok").cast("double").alias("n_correct"))
+    )
+    return fit.crossJoin(F.broadcast(scored)).selectExpr(
+        "CAST(n0 AS BIGINT) AS n_class0",
+        "CAST(n1 AS BIGINT) AS n_class1",
+        "ROUND(m11 - m01, 6) AS mean_gap_x1",
+        "ROUND(m12 - m02, 6) AS mean_gap_x2",
+        "ROUND(wt1 * 1e6, 6) AS w1_scaled",
+        "ROUND(wt2 * 1e6, 6) AS w2_scaled",
+        "ROUND(wt1 * (m01 + m11) / 2 + wt2 * (m02 + m12) / 2, 9)"
+        " AS threshold",
+        "ROUND(n_correct / (n0 + n1), 6) AS train_accuracy",
+    )

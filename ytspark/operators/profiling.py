@@ -1920,3 +1920,104 @@ def welch_ttest_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("welch_dof"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inclusion-dependency discovery (foreign-key profiling across tables)
+# ---------------------------------------------------------------------------
+
+# candidate (child table.column  REFERENCES  parent table.column) pairs:
+# the true TPC-H foreign keys, the partial events->customer link, and a
+# deliberate negative control that containment must reject.
+IND_CANDIDATES = (
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("events", "user_id", "customer", "c_custkey"),
+    ("orders", "o_orderkey", "customer", "c_custkey"),  # negative control
+)
+
+
+@register(
+    "inclusion_dependency_profile",
+    oracle="\nUNION ALL\n".join(
+        f"""
+SELECT '{ct}.{cc}' AS child, '{pt}.{pc}' AS parent,
+       CAST((SELECT COUNT(DISTINCT {cc}) FROM {ct}) AS BIGINT)
+         AS n_child_distinct,
+       CAST((SELECT COUNT(*) FROM (
+              SELECT DISTINCT {cc} FROM {ct} WHERE {cc} IS NOT NULL) c
+             WHERE NOT EXISTS (
+              SELECT 1 FROM {pt} p WHERE p.{pc} = c.{cc})) AS BIGINT)
+         AS n_violations,
+       ROUND(1.0 - CAST((SELECT COUNT(*) FROM (
+              SELECT DISTINCT {cc} FROM {ct} WHERE {cc} IS NOT NULL) c
+             WHERE NOT EXISTS (
+              SELECT 1 FROM {pt} p WHERE p.{pc} = c.{cc})) AS DOUBLE)
+             / (SELECT COUNT(DISTINCT {cc}) FROM {ct}), 6) AS containment,
+       (SELECT COUNT(*) FROM (
+              SELECT DISTINCT {cc} FROM {ct} WHERE {cc} IS NOT NULL) c
+             WHERE NOT EXISTS (
+              SELECT 1 FROM {pt} p WHERE p.{pc} = c.{cc})) = 0
+         AS is_inclusion
+""".strip()
+        for ct, cc, pt, pc in IND_CANDIDATES
+    ),
+    doc="INCLUSION-DEPENDENCY discovery — the cross-table half of "
+        "schema profiling (candidate_key_profile finds the keys, this "
+        "finds the FOREIGN keys): for each candidate child->parent "
+        "column pair, the distinct child values not present in the "
+        "parent (left ANTI join on the deduplicated child side), the "
+        "containment fraction, and the inclusion verdict. The battery "
+        "covers every true TPC-H FK, the deliberately-partial "
+        "events.user_id->customer link, and a negative control "
+        "(orderkey in custkey) that must reject. Scale: each pair "
+        "costs one distinct on the child column (map-side "
+        "combinable, shrinking the anti-join probe to key "
+        "cardinality) + one anti join on the parent key — the "
+        "dimension side broadcasts when small, and the verdict "
+        "short-circuits at the first violation only in the SQL "
+        "formulation; the engine computes the full count because the "
+        "profiler WANTS the violation magnitude (1 missing key vs a "
+        "disjoint column).",
+    tags=("profiling", "quality", "join", "aggregate"),
+)
+def inclusion_dependency_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    tables = load_tables(
+        spark, sf_dir, *sorted({t for c in IND_CANDIDATES for t in (c[0], c[2])})
+    )
+    outs = []
+    for ct, cc, pt, pc in IND_CANDIDATES:
+        child = (
+            tables[ct].where(F.col(cc).isNotNull()).select(cc).distinct()
+        )
+        parent = tables[pt].select(F.col(pc).alias(cc)).distinct()
+        viol = child.join(parent, cc, "left_anti").agg(
+            F.count(F.lit(1)).alias("n_violations")
+        )
+        nd = child.agg(F.count(F.lit(1)).alias("n_child_distinct"))
+        outs.append(
+            nd.crossJoin(F.broadcast(viol)).select(
+                F.lit(f"{ct}.{cc}").alias("child"),
+                F.lit(f"{pt}.{pc}").alias("parent"),
+                F.col("n_child_distinct").cast("long"),
+                F.col("n_violations").cast("long"),
+                F.round(
+                    1.0
+                    - F.col("n_violations").cast("double")
+                    / F.col("n_child_distinct"),
+                    6,
+                ).alias("containment"),
+                (F.col("n_violations") == 0).alias("is_inclusion"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -2348,3 +2348,174 @@ def kruskal_wallis_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         (h / corr > KW_CRIT).alias("reject_h0"),
     )
     return finish(out, s)
+
+
+# ---------------------------------------------------------------------------
+# Bayesian A/B: exact Beta-posterior P(B beats A) by grid integration
+# ---------------------------------------------------------------------------
+
+BAB_A, BAB_B = "click", "purchase"  # the two compared arms
+BAB_THRESH = 50.0  # success = value above this
+BAB_GRID = 400  # midpoint-rule integration grid
+BAB_SPINE = 250_000  # log-factorial spine (covers arms <= 250k obs)
+
+
+@register(
+    "bayes_ab_beta_posterior",
+    oracle=f"""
+WITH s AS (
+  SELECT event_type AS g, CASE WHEN value > {BAB_THRESH} THEN 1 ELSE 0 END
+           AS succ
+  FROM events
+  WHERE event_type IN ('{BAB_A}', '{BAB_B}') AND value IS NOT NULL
+),
+stats AS (
+  SELECT SUM(CASE WHEN g = '{BAB_A}' THEN 1 ELSE 0 END) AS na,
+         SUM(CASE WHEN g = '{BAB_A}' THEN succ ELSE 0 END) AS sa,
+         SUM(CASE WHEN g = '{BAB_B}' THEN 1 ELSE 0 END) AS nb,
+         SUM(CASE WHEN g = '{BAB_B}' THEN succ ELSE 0 END) AS sb
+  FROM s
+),
+lgam AS (
+  SELECT SUM(CASE WHEN j <= sa THEN LN(j) ELSE 0 END) AS lg_aa,
+         SUM(CASE WHEN j <= na - sa THEN LN(j) ELSE 0 END) AS lg_ba,
+         SUM(CASE WHEN j <= na + 1 THEN LN(j) ELSE 0 END) AS lg_na,
+         SUM(CASE WHEN j <= sb THEN LN(j) ELSE 0 END) AS lg_ab,
+         SUM(CASE WHEN j <= nb - sb THEN LN(j) ELSE 0 END) AS lg_bb,
+         SUM(CASE WHEN j <= nb + 1 THEN LN(j) ELSE 0 END) AS lg_nb
+  FROM (SELECT UNNEST(RANGE(1, {BAB_SPINE} + 1)) AS j) CROSS JOIN stats
+),
+grid AS (
+  SELECT (g - 0.5) / {BAB_GRID} AS x, g
+  FROM (SELECT UNNEST(RANGE(1, {BAB_GRID} + 1)) AS g)
+),
+pdfs AS (
+  SELECT g, x,
+         EXP(sa * LN(x) + (na - sa) * LN(1 - x)
+             - (lg_aa + lg_ba - lg_na)) AS pdf_a,
+         EXP(sb * LN(x) + (nb - sb) * LN(1 - x)
+             - (lg_ab + lg_bb - lg_nb)) AS pdf_b
+  FROM grid CROSS JOIN stats CROSS JOIN lgam
+),
+cdfs AS (
+  SELECT pdf_b,
+         SUM(pdf_a / {BAB_GRID}) OVER (ORDER BY g) AS cdf_a
+  FROM pdfs
+),
+integ AS (
+  SELECT SUM(pdf_b / {BAB_GRID} * cdf_a) AS p_b_beats_a FROM cdfs
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(sa AS BIGINT) AS s_a,
+       CAST(nb AS BIGINT) AS n_b, CAST(sb AS BIGINT) AS s_b,
+       ROUND((sa + 1.0) / (na + 2.0), 6) AS posterior_mean_a,
+       ROUND((sb + 1.0) / (nb + 2.0), 6) AS posterior_mean_b,
+       ROUND((sb + 1.0) / (nb + 2.0) - (sa + 1.0) / (na + 2.0), 6)
+         AS expected_lift,
+       ROUND((SELECT p_b_beats_a FROM integ), 6) AS prob_b_beats_a
+FROM stats
+""",
+    doc=f"BAYESIAN A/B — the decision-ready posterior beside the "
+        f"frequentist ab_test_ztest / SPRT / O'Brien-Fleming battery: "
+        f"with uniform Beta(1,1) priors, P(p_B > p_A | data) is "
+        f"integrated on a {BAB_GRID}-point midpoint grid, "
+        f"P = sum_g pdf_B(x_g) dx * CDF_A(x_g) (grid approximation "
+        f"disclosed; both engines compute the IDENTICAL discrete sum). "
+        f"Beta normalizers use exact integer-parameter log-Gammas, "
+        f"lgamma(k) = sum ln j for j < k, folded as six conditional "
+        f"sums over ONE {BAB_SPINE}-row spine scan — no special "
+        f"function needed on either engine (Spark has no lgamma "
+        f"builtin; the spine IS the cross-engine-portable lgamma). "
+        f"Scale: the success counts are one map-side-combinable "
+        f"aggregate over the events scan; spine + grid costs are "
+        f"O({BAB_SPINE}) constants independent of data volume (arms "
+        f"beyond the spine should use the normal-approximation z-test "
+        f"— at that n the posteriors are point masses anyway). The "
+        f"CDF cumsum runs over the {BAB_GRID}-row grid "
+        f"(EXPECTED_GLOBAL_WINDOW: bounded by construction).",
+    tags=("experiment", "statistics", "aggregate", "pipeline"),
+)
+def bayes_ab_beta_posterior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    s = ev.where(
+        F.col("event_type").isin(BAB_A, BAB_B) & F.col("value").isNotNull()
+    ).select(
+        F.col("event_type").alias("g"),
+        F.when(F.col("value") > BAB_THRESH, 1).otherwise(0).alias("succ"),
+    )
+    stats = s.agg(
+        F.sum(F.when(F.col("g") == BAB_A, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("g") == BAB_A, F.col("succ")).otherwise(0)).alias(
+            "sa"
+        ),
+        F.sum(F.when(F.col("g") == BAB_B, 1).otherwise(0)).alias("nb"),
+        F.sum(F.when(F.col("g") == BAB_B, F.col("succ")).otherwise(0)).alias(
+            "sb"
+        ),
+    ).localCheckpoint(eager=True)
+    spine = spark.range(1, BAB_SPINE + 1).select(F.col("id").alias("j"))
+    lgam = spine.crossJoin(F.broadcast(stats)).agg(
+        F.sum(
+            F.when(F.col("j") <= F.col("sa"), F.log("j")).otherwise(0.0)
+        ).alias("lg_aa"),
+        F.sum(
+            F.when(F.col("j") <= F.col("na") - F.col("sa"), F.log("j"))
+            .otherwise(0.0)
+        ).alias("lg_ba"),
+        F.sum(
+            F.when(F.col("j") <= F.col("na") + 1, F.log("j")).otherwise(0.0)
+        ).alias("lg_na"),
+        F.sum(
+            F.when(F.col("j") <= F.col("sb"), F.log("j")).otherwise(0.0)
+        ).alias("lg_ab"),
+        F.sum(
+            F.when(F.col("j") <= F.col("nb") - F.col("sb"), F.log("j"))
+            .otherwise(0.0)
+        ).alias("lg_bb"),
+        F.sum(
+            F.when(F.col("j") <= F.col("nb") + 1, F.log("j")).otherwise(0.0)
+        ).alias("lg_nb"),
+    )
+    grid = spark.range(1, BAB_GRID + 1).select(
+        F.col("id").alias("g"), ((F.col("id") - 0.5) / BAB_GRID).alias("x")
+    )
+    pdfs = grid.crossJoin(F.broadcast(stats)).crossJoin(
+        F.broadcast(lgam)
+    ).select(
+        "g",
+        F.exp(
+            F.col("sa") * F.log("x")
+            + (F.col("na") - F.col("sa")) * F.log(1 - F.col("x"))
+            - (F.col("lg_aa") + F.col("lg_ba") - F.col("lg_na"))
+        ).alias("pdf_a"),
+        F.exp(
+            F.col("sb") * F.log("x")
+            + (F.col("nb") - F.col("sb")) * F.log(1 - F.col("x"))
+            - (F.col("lg_ab") + F.col("lg_bb") - F.col("lg_nb"))
+        ).alias("pdf_b"),
+    )
+    wcdf = Window.orderBy("g").rowsBetween(Window.unboundedPreceding, 0)
+    integ = pdfs.select(
+        (
+            F.col("pdf_b")
+            / BAB_GRID
+            * F.sum(F.col("pdf_a") / BAB_GRID).over(wcdf)
+        ).alias("term")
+    ).agg(F.sum("term").alias("p_b_beats_a"))
+    return stats.crossJoin(F.broadcast(integ)).select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("sa").cast("long").alias("s_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.col("sb").cast("long").alias("s_b"),
+        F.round((F.col("sa") + 1.0) / (F.col("na") + 2.0), 6).alias(
+            "posterior_mean_a"
+        ),
+        F.round((F.col("sb") + 1.0) / (F.col("nb") + 2.0), 6).alias(
+            "posterior_mean_b"
+        ),
+        F.round(
+            (F.col("sb") + 1.0) / (F.col("nb") + 2.0)
+            - (F.col("sa") + 1.0) / (F.col("na") + 2.0),
+            6,
+        ).alias("expected_lift"),
+        F.round("p_b_beats_a", 6).alias("prob_b_beats_a"),
+    )
