@@ -329,3 +329,83 @@ def test_inclusion_dependency_verdicts(spark, tmp_sf):
     # negative control: orderkeys 10,11 are not custkeys
     neg = rows["orders.o_orderkey"]
     assert not neg["is_inclusion"] and neg["n_violations"] == 2
+
+
+def test_mips_differs_from_cosine_on_unnormalized(spark, tmp_sf):
+    """MIPS must pick the LARGE-norm vector cosine would rank lower."""
+    from ytspark.operators.similarity import knn_mips_norm_augmented
+
+    d, write = tmp_sf
+    rows = [
+        (0, [1.0, 0.0], 0),        # query
+        (1, [0.9, 0.0], 0),        # perfectly aligned, small norm
+        (2, [10.0, -1.0], 0),      # slightly off-axis, huge norm
+        (3, [0.5, 0.5], 0),
+    ]
+    write("embeddings", rows, "vec_id long, embedding array<float>, label int")
+    got = knn_mips_norm_augmented(spark, d).collect()
+    top = sorted(
+        (r for r in got if r["query_id"] == 0),
+        key=lambda r: -r["inner_product"],
+    )
+    assert top[0]["neighbor_id"] == 2  # dot = 10 beats dot = 0.9
+    assert top[1]["neighbor_id"] == 1
+
+
+def test_audio_zcr_matches_formula_replay(spark, tmp_sf):
+    from ytspark.operators.multimodal import ZCR_FRAME, multimodal_audio_zcr_frames
+
+    d, write = tmp_sf
+    ids = [1, 2, 64]
+    write(
+        "documents",
+        [(i, "t", "en", "s", 1) for i in ids],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r["doc_id"]: r for r in multimodal_audio_zcr_frames(spark, d).collect()}
+    for did in ids:
+        n = 64 + did % 64
+        v = [(did * 31 + i * 17) % 4096 - 2048 for i in range(n)]
+        crossings = sum(
+            1
+            for i in range(1, n)
+            if i % ZCR_FRAME != 0 and v[i - 1] * v[i] < 0
+        )
+        energies = [
+            sum(x * x for x in v[f : f + ZCR_FRAME])
+            for f in range(0, n, ZCR_FRAME)
+        ]
+        r = got[did]
+        assert r["n_samples"] == n
+        assert r["total_crossings"] == crossings
+        assert r["max_frame_energy"] == max(energies)
+        assert r["peak_frame"] == energies.index(max(energies))
+
+
+def test_page_hinkley_level_shift_alarms(spark, tmp_sf):
+    from ytspark.operators.drift import page_hinkley_daily_mean
+
+    d, write = tmp_sf
+    import datetime
+
+    rows = []
+    eid = 0
+    for day in range(20):
+        level = 50.0 if day < 10 else 58.0  # +8 shift on day 10
+        for _ in range(5):
+            rows.append(
+                (eid, datetime.datetime(2024, 1, 1 + day), 1, "view",
+                 level, "{}")
+            )
+            eid += 1
+    write(
+        "events",
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = sorted(page_hinkley_daily_mean(spark, d).collect(),
+                 key=lambda r: r["day"])
+    assert not any(r["alarm"] for r in out[:10])  # flat prefix quiet
+    assert any(r["alarm"] for r in out[10:])  # shift detected
+    assert all(r["ph_stat"] >= 0 for r in out)

@@ -65,6 +65,8 @@ EXPECTED_NESTED_LOOP = {
                                      # scalars onto the bounded grid
     "fisher_lda_classifier",         # broadcast 1-row fit onto the scan
     "inclusion_dependency_profile",  # broadcast 1-row violation counts
+    "knn_mips_norm_augmented",       # broadcast query set, != predicate
+                                     # (knn_cosine_bruteforce shape)
     "ndcg_eval",                     # broadcast 1-row DCG/IDCG/n_rated scalars
     "ridge_regression_path",         # broadcast 4-row lambda grid x 1-row moments
     "gradient_boosted_stumps",       # broadcast 1-row split/total scalars
@@ -199,6 +201,7 @@ EXPECTED_GLOBAL_WINDOW = {
     "kruskal_wallis_priority",     # midranks over the bounded cent-value
                                    # grid (mann_whitney precedent)
     "bayes_ab_beta_posterior",     # CDF cumsum over the 400-row grid
+    "page_hinkley_daily_mean",     # PH cumsums over the O(days) spine
 }
 # streaming queries execute eagerly; skip plan audit (they materialize
 # their own sinks and are correctness-checked by the oracle gate)

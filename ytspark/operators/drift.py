@@ -302,3 +302,95 @@ def weekly_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(term), 6).alias("jsd"),
         (F.sum(term) > JSD_ALERT).alias("drift_alert"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Page-Hinkley change detection over the daily mean
+# ---------------------------------------------------------------------------
+
+PH_DELTA = 0.5  # magnitude tolerance (units of event value)
+PH_LAMBDA = 5.0  # alarm threshold on the PH statistic
+
+
+@register(
+    "page_hinkley_daily_mean",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+              / COUNT(*) AS DOUBLE) AS xbar
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+run AS (
+  SELECT day, xbar,
+         SUM(xbar) OVER (ORDER BY day) / ROW_NUMBER() OVER (ORDER BY day)
+           AS rmean
+  FROM daily
+),
+cum AS (
+  SELECT day, xbar, rmean,
+         SUM(xbar - rmean - {PH_DELTA}) OVER (ORDER BY day) AS ct
+  FROM run
+),
+ph AS (
+  SELECT day, xbar, ct,
+         MIN(ct) OVER (ORDER BY day) AS mt
+  FROM cum
+)
+SELECT STRFTIME(day, '%Y-%m-%d') AS day,
+       ROUND(xbar, 6) AS daily_mean,
+       ROUND(ct - mt, 6) AS ph_stat,
+       ct - mt > {PH_LAMBDA} AS alarm
+FROM ph
+""",
+    doc=f"PAGE-HINKLEY change detection — the sequential drift "
+        f"detector beside the distributional pair (ks_psi / "
+        f"weekly_jsd) and the CUSUM changepoint: over the daily mean "
+        f"event value, PH_t = C_t - min_s C_s with "
+        f"C_t = sum (x_i - xbar_i - delta), xbar_i the RUNNING mean "
+        f"— the statistic streaming monitors maintain in O(1) state "
+        f"per metric; an alarm fires when the positive excursion "
+        f"exceeds lambda={PH_LAMBDA}. Daily means come from exact "
+        f"DECIMAL sums (identical doubles cross-engine); the three "
+        f"cumulative windows run over the CALENDAR-BOUNDED day spine "
+        f"(EXPECTED_GLOBAL_WINDOW — O(days), invariant to row "
+        f"count), and at 100 TB the daily rollup is the only "
+        f"data-sized aggregate.",
+    tags=("drift", "time", "window", "aggregate"),
+)
+def page_hinkley_daily_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    daily = ev.where(F.col("value").isNotNull()).groupBy(
+        F.col("ts").cast("date").alias("day")
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        )
+        .cast("double")
+        .alias("xbar")
+    )
+    wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    run = daily.select(
+        "day",
+        "xbar",
+        (F.sum("xbar").over(wc) / F.row_number().over(Window.orderBy("day")))
+        .alias("rmean"),
+    )
+    cum = run.select(
+        "day",
+        "xbar",
+        F.sum(F.col("xbar") - F.col("rmean") - PH_DELTA).over(wc).alias("ct"),
+    )
+    ph = cum.select(
+        "day",
+        "xbar",
+        "ct",
+        F.min("ct").over(wc).alias("mt"),
+    )
+    return ph.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round("xbar", 6).alias("daily_mean"),
+        F.round(F.col("ct") - F.col("mt"), 6).alias("ph_stat"),
+        (F.col("ct") - F.col("mt") > PH_LAMBDA).alias("alarm"),
+    )
