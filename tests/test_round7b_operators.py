@@ -409,3 +409,131 @@ def test_page_hinkley_level_shift_alarms(spark, tmp_sf):
     assert not any(r["alarm"] for r in out[:10])  # flat prefix quiet
     assert any(r["alarm"] for r in out[10:])  # shift detected
     assert all(r["ph_stat"] >= 0 for r in out)
+
+
+def test_simpson_reversal_detected(spark, tmp_sf):
+    from ytspark.operators.profiling import simpson_paradox_audit
+
+    d, write = tmp_sf
+    import datetime
+
+    rows = []
+    key = 0
+    # within each stratum y falls with x (slope -1), but the R stratum
+    # sits up-and-right of N so the POOLED slope is positive
+    for grp, x0, y0 in (("N", 1, 10), ("R", 11, 30)):
+        for i in range(5):
+            x = x0 + i
+            rows.append((key, 1, 1, 1, float(x), float(y0 - x), 0.0, 0.0,
+                         grp, "O", datetime.datetime(2024, 1, 1)))
+            key += 1
+    write(
+        "lineitem",
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    got = {r["grp"]: r for r in simpson_paradox_audit(spark, d).collect()}
+    assert got["N"]["group_slope"] == -1.0
+    assert got["R"]["group_slope"] == -1.0
+    assert got["N"]["pooled_slope"] > 0
+    assert got["N"]["sign_reversal"] and got["R"]["sign_reversal"]
+
+
+def test_assortativity_star_is_minus_one(spark, tmp_sf):
+    from ytspark.operators.graph import graph_degree_assortativity
+
+    d, write = tmp_sf
+    import datetime
+
+    # five orders, each pairing hub part 0 with a distinct leaf => star
+    rows = []
+    for i in range(1, 6):
+        for p in (0, i):
+            rows.append((i, p, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                         datetime.datetime(2024, 1, 1)))
+    write(
+        "lineitem",
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    row = graph_degree_assortativity(spark, d).collect()[0]
+    assert row["n_nodes"] == 6 and row["n_edges"] == 5
+    assert row["assortativity"] == -1.0  # pure star: perfectly disassortative
+    assert row["mixing"] == "disassortative"
+
+
+def test_effect_size_separated_groups(spark, tmp_sf):
+    from ytspark.queries.pipeline import effect_size_battery
+
+    d, write = tmp_sf
+    import datetime
+
+    rows = []
+    eid = 0
+    for i in range(20):  # click low, purchase high, tiny within-var
+        rows.append((eid, datetime.datetime(2024, 1, 1), 1, "click",
+                     20.0 + (i % 2), "{}")); eid += 1
+        rows.append((eid, datetime.datetime(2024, 1, 1), 1, "purchase",
+                     80.0 + (i % 2), "{}")); eid += 1
+    write(
+        "events",
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    row = effect_size_battery(spark, d).collect()[0]
+    assert row["mean_diff"] == -60.0
+    assert row["cliffs_delta"] == -1.0  # every click value < every purchase
+    assert row["magnitude"] == "large"
+    assert abs(row["hedges_g"]) < abs(row["cohens_d"])
+
+
+def test_kmv_set_ops_exact_below_k(spark, tmp_sf):
+    from ytspark.operators.sketch import kmv_set_operations
+
+    d, write = tmp_sf
+    import datetime
+
+    rows = []
+    eid = 0
+    for u in range(1, 31):
+        rows.append((eid, datetime.datetime(2024, 1, 1), u, "click", 1.0, "{}")); eid += 1
+    for u in range(21, 51):
+        rows.append((eid, datetime.datetime(2024, 1, 1), u, "purchase", 1.0, "{}")); eid += 1
+    write(
+        "events",
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    row = kmv_set_operations(spark, d).collect()[0]
+    assert (row["exact_a"], row["exact_b"]) == (30, 30)
+    assert row["exact_union"] == 50 and row["exact_intersection"] == 10
+    # below k=64 the KMV estimate is the exact hash count
+    assert row["est_a"] == 30.0 and row["est_union"] == 50.0
+    assert row["est_jaccard"] == row["exact_jaccard"] == 0.2
+
+
+def test_srm_check_consistency(spark, tmp_sf):
+    from ytspark.queries.pipeline import ab_srm_check
+
+    d, write = tmp_sf
+    import datetime
+
+    rows = [(u, datetime.datetime(2024, 1, 1), u, "view", 1.0, "{}")
+            for u in range(200)]
+    write(
+        "events",
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    row = ab_srm_check(spark, d).collect()[0]
+    assert row["n_a"] + row["n_b"] == 200
+    assert row["srm_detected"] == (row["chi2"] > 3.841459)

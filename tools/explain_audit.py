@@ -67,6 +67,8 @@ EXPECTED_NESTED_LOOP = {
     "inclusion_dependency_profile",  # broadcast 1-row violation counts
     "knn_mips_norm_augmented",       # broadcast query set, != predicate
                                      # (knn_cosine_bruteforce shape)
+    "kmv_set_operations",            # broadcast 1-row exact certificates
+    "simpson_paradox_audit",         # broadcast 1-row pooled slope
     "ndcg_eval",                     # broadcast 1-row DCG/IDCG/n_rated scalars
     "ridge_regression_path",         # broadcast 4-row lambda grid x 1-row moments
     "gradient_boosted_stumps",       # broadcast 1-row split/total scalars

@@ -1238,3 +1238,108 @@ def local_clustering_coefficients(
         e,
         directed,
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity (Newson r over co-purchase edges)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_degree_assortativity",
+    oracle="""
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+e AS (
+  SELECT DISTINCT a.p AS pa, b.p AS pb
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+),
+deg AS (
+  SELECT p, CAST(COUNT(*) AS DOUBLE) AS d
+  FROM (SELECT pa AS p FROM e UNION ALL SELECT pb FROM e)
+  GROUP BY p
+),
+de AS (
+  SELECT da.d AS j, db.d AS k
+  FROM e JOIN deg da ON da.p = e.pa JOIN deg db ON db.p = e.pb
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS m,
+         SUM(j * k) AS sjk,
+         SUM((j + k) / 2.0) AS sh,
+         SUM((j * j + k * k) / 2.0) AS sh2
+  FROM de
+)
+SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST(m AS BIGINT) AS n_edges,
+       ROUND(2 * m / (SELECT COUNT(*) FROM deg), 6) AS mean_degree,
+       ROUND((sjk / m - POW(sh / m, 2))
+             / (sh2 / m - POW(sh / m, 2)), 6) AS assortativity,
+       CASE WHEN (sjk / m - POW(sh / m, 2))
+                 / (sh2 / m - POW(sh / m, 2)) > 0.05 THEN 'assortative'
+            WHEN (sjk / m - POW(sh / m, 2))
+                 / (sh2 / m - POW(sh / m, 2)) < -0.05 THEN 'disassortative'
+            ELSE 'neutral' END AS mixing
+FROM agg
+""",
+    doc="DEGREE ASSORTATIVITY (Newman 2002 r) of the part "
+        "co-purchase graph — do hubs attach to hubs? The mixing "
+        "diagnostic that, with the Hill tail index, decides which "
+        "skew mitigations a 100 TB graph workload needs (a "
+        "disassortative hub-and-spoke graph concentrates joins on "
+        "hub keys; an assortative core multiplies triangle work): "
+        "r = Pearson correlation of endpoint degrees over edges, "
+        "r = (M^-1 sum jk - (M^-1 sum (j+k)/2)^2) / "
+        "(M^-1 sum (j^2+k^2)/2 - (M^-1 sum (j+k)/2)^2). Same edge "
+        "list and degree table as the triangle/k-core/LCC family "
+        "(shared oracle CTE); integer degree sums stay exact. "
+        "Scale: one edge-degree join shipping two doubles per edge, "
+        "one map-side-combinable aggregate — no windows, no pairs "
+        "beyond the edge list itself.",
+    tags=("graph", "join", "aggregate"),
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    e = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        e.select(F.col("pa").alias("p"))
+        .unionAll(e.select(F.col("pb").alias("p")))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).cast("double").alias("d"))
+    ).persist()
+    da = deg.select(F.col("p").alias("pa"), F.col("d").alias("j"))
+    db = deg.select(F.col("p").alias("pb"), F.col("d").alias("k"))
+    de = e.join(da, "pa").join(db, "pb")
+    agg = de.agg(
+        F.count(F.lit(1)).cast("double").alias("m"),
+        F.sum(F.col("j") * F.col("k")).alias("sjk"),
+        F.sum((F.col("j") + F.col("k")) / 2.0).alias("sh"),
+        F.sum(
+            (F.col("j") * F.col("j") + F.col("k") * F.col("k")) / 2.0
+        ).alias("sh2"),
+    )
+    nn = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    r = (F.col("sjk") / F.col("m") - F.pow(F.col("sh") / F.col("m"), 2)) / (
+        F.col("sh2") / F.col("m") - F.pow(F.col("sh") / F.col("m"), 2)
+    )
+    out = agg.crossJoin(F.broadcast(nn)).select(
+        "n_nodes",
+        F.col("m").cast("long").alias("n_edges"),
+        F.round(2 * F.col("m") / F.col("n_nodes"), 6).alias("mean_degree"),
+        F.round(r, 6).alias("assortativity"),
+        F.when(r > 0.05, "assortative")
+        .when(r < -0.05, "disassortative")
+        .otherwise("neutral")
+        .alias("mixing"),
+    )
+    return finish(out, e, deg)

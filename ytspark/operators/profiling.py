@@ -2021,3 +2021,91 @@ def inclusion_dependency_profile(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Simpson's-paradox audit (pooled vs per-stratum slope reversal)
+# ---------------------------------------------------------------------------
+
+_SLOPE = (
+    "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+)
+
+
+@register(
+    "simpson_paradox_audit",
+    oracle=f"""
+WITH d AS (
+  SELECT l_returnflag AS grp,
+         CAST(l_quantity AS DECIMAL(18,2)) AS x,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+  FROM lineitem
+),
+per AS (
+  SELECT grp, CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy
+  FROM d GROUP BY grp
+),
+pooled AS (
+  SELECT SUM(n) AS n, SUM(sx) AS sx, SUM(sy) AS sy,
+         SUM(sxx) AS sxx, SUM(sxy) AS sxy
+  FROM per
+),
+ps AS (SELECT {_SLOPE} AS pooled_slope FROM pooled)
+SELECT grp,
+       CAST(n AS BIGINT) AS n,
+       ROUND({_SLOPE}, 6) AS group_slope,
+       ROUND(pooled_slope, 6) AS pooled_slope,
+       SIGN({_SLOPE}) <> SIGN(pooled_slope) AS sign_reversal
+FROM per CROSS JOIN ps
+""",
+    doc="SIMPSON'S-PARADOX audit — the aggregation-bias probe every "
+        "metrics platform needs before trusting a pooled trend: the "
+        "OLS slope of extended price on quantity is fit pooled AND "
+        "per return-flag stratum from the same exact-DECIMAL "
+        "sufficient statistics (the regression_normal_equations "
+        "five-sum shape, grouped), and each stratum is flagged when "
+        "its slope sign CONTRADICTS the pooled sign — the textbook "
+        "reversal that means the pooled number answers the wrong "
+        "question. The pooled moments are the SUM of the per-group "
+        "moments (additivity of sufficient statistics — no second "
+        "scan). Scale: one map-side-combinable grouped aggregate; "
+        "everything downstream is arithmetic over |strata| rows.",
+    tags=("profiling", "statistics", "quality", "aggregate"),
+)
+def simpson_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    d = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("x"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("y"),
+    )
+    per = d.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    ).localCheckpoint(eager=True)
+    pooled = per.agg(
+        F.sum("n").alias("n"),
+        F.sum("sx").alias("sx"),
+        F.sum("sy").alias("sy"),
+        F.sum("sxx").alias("sxx"),
+        F.sum("sxy").alias("sxy"),
+    )
+    slope = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    ps = pooled.select(slope.alias("pooled_slope"))
+    return per.crossJoin(F.broadcast(ps)).select(
+        "grp",
+        F.col("n").cast("long").alias("n"),
+        F.round(slope, 6).alias("group_slope"),
+        F.round("pooled_slope", 6).alias("pooled_slope"),
+        (F.signum(slope) != F.signum(F.col("pooled_slope"))).alias(
+            "sign_reversal"
+        ),
+    )
