@@ -537,3 +537,184 @@ def test_srm_check_consistency(spark, tmp_sf):
     row = ab_srm_check(spark, d).collect()[0]
     assert row["n_a"] + row["n_b"] == 200
     assert row["srm_detected"] == (row["chi2"] > 3.841459)
+
+
+def test_kleinberg_flat_series_no_burst(spark, tmp_sf):
+    from ytspark.operators.timeseries import kleinberg_burst_days
+
+    d, write = tmp_sf
+    import datetime
+
+    rows = []
+    eid = 0
+    for day in range(14):
+        for i in range(20):
+            et = "purchase" if i < 2 else "view"  # constant 10% rate
+            rows.append((eid, datetime.datetime(2024, 1, 1 + day), 1, et,
+                         1.0, "{}")); eid += 1
+    write(
+        "events",
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = kleinberg_burst_days(spark, d).collect()
+    assert len(out) == 14
+    assert all(r["burst"] == 0 for r in out)
+
+
+def test_kleinberg_burst_episode_segmented(spark, tmp_sf):
+    from ytspark.operators.timeseries import kleinberg_burst_days
+
+    d, write = tmp_sf
+    import datetime
+
+    rows = []
+    eid = 0
+    for day in range(21):
+        hot = 7 <= day < 12
+        for i in range(40):
+            et = "purchase" if i < (30 if hot else 4) else "view"
+            rows.append((eid, datetime.datetime(2024, 2, 1 + day), 1, et,
+                         1.0, "{}")); eid += 1
+    write(
+        "events",
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = sorted(kleinberg_burst_days(spark, d).collect(),
+                 key=lambda r: r["day"])
+    bursts = [r["burst"] for r in out]
+    assert bursts[7:12] == [1] * 5  # the hot episode is labeled burst
+    assert all(b == 0 for b in bursts[:7]) and all(b == 0 for b in bursts[12:])
+
+
+def test_watermark_lateness_cross_block(spark, tmp_sf):
+    from ytspark.operators.temporal import watermark_lateness_profile
+
+    d, write = tmp_sf
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(5000):
+        ts = base + datetime.timedelta(seconds=i)
+        if i == 4500:  # arrives 4500s late (block 1; its max is in block 0)
+            ts = base
+        rows.append((i, ts, 1, "view", 1.0, "{}"))
+    write(
+        "events",
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    row = watermark_lateness_profile(spark, d).collect()[0]
+    assert row["n_events"] == 5000
+    assert row["n_late"] == 1
+    assert row["max_lateness_us"] == 4499 * 1_000_000
+    assert row["n_beyond_5m"] == 1 and row["n_beyond_1h"] == 1
+    assert row["n_beyond_1m"] == 1
+    assert row["watermark_recommendation_s"] == 4500
+
+
+def test_hard_negative_mining_excludes_same_label(spark, tmp_sf):
+    from ytspark.operators.similarity import hard_negative_mining
+
+    d, write = tmp_sf
+    rows = [
+        (0, [1.0, 0.0], 0),   # query, label 0
+        (1, [1.0, 0.01], 0),  # nearly identical but SAME label: excluded
+        (2, [0.9, 0.1], 1),   # close, different label: the hard negative
+        (3, [-1.0, 0.0], 1),  # far, different label
+    ]
+    write("embeddings", rows, "vec_id long, embedding array<float>, label int")
+    got = [r for r in hard_negative_mining(spark, d).collect()
+           if r["query_id"] == 0]
+    ids = [r["neighbor_id"] for r in got]
+    assert 1 not in ids  # same-label near-dup never mined
+    best = max(got, key=lambda r: r["cos_sim"])
+    assert best["neighbor_id"] == 2 and best["negative_label"] == 1
+
+
+def test_mixed_language_detection(spark, tmp_sf):
+    from ytspark.operators.text import mixed_language_docs
+
+    d, write = tmp_sf
+    write(
+        "documents",
+        [
+            (1, "the a of and to cat dog", "en", "s", 1),       # pure en
+            (2, "the a der die und ist of", "en", "s", 1),      # en+de mix
+            (3, "xyz qqq zzz www", "und", "s", 1),              # no hits
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r["doc_id"]: r for r in mixed_language_docs(spark, d).collect()}
+    assert got[1]["primary_lang"] == "en" and not got[1]["mixed"]
+    assert got[2]["mixed"] and got[2]["n_langs_detected"] == 2
+    assert got[3]["n_langs_detected"] == 0 and not got[3]["mixed"]
+
+
+def test_covariate_shift_identical_windows_full_ess(spark, tmp_sf):
+    from ytspark.operators.drift import covariate_shift_ess
+
+    d, write = tmp_sf
+    import datetime
+
+    rows = []
+    eid = 0
+    for day in (1, 20):  # ref day and cur day get IDENTICAL values
+        for i in range(50):
+            rows.append((eid, datetime.datetime(2024, 1, day), 1, "view",
+                         10.0 * (i % 10) + 5.0, "{}")); eid += 1
+    write(
+        "events",
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    row = covariate_shift_ess(spark, d).collect()[0]
+    assert row["n_ref"] == row["n_cur"] == 50
+    # identical distributions: every bucket weight == 1 => ESS == n
+    assert row["max_weight"] == row["min_weight"] == 1.0
+    assert row["effective_sample_size"] == 50.0
+    assert not row["severe_shift"]
+
+
+def test_holm_rejects_subset_of_bh(spark, sf_dir):
+    """Holm (FWER) is never more liberal than BH (FDR) on the same tests."""
+    from ytspark.queries.pipeline import (
+        benjamini_hochberg_nations,
+        holm_bonferroni_nations,
+    )
+
+    bh = {r["nation"]: r["rejected"]
+          for r in benjamini_hochberg_nations(spark, sf_dir).collect()}
+    holm = {r["nation"]: r["rejected"]
+            for r in holm_bonferroni_nations(spark, sf_dir).collect()}
+    assert set(holm) == set(bh)
+    for nation, rej in holm.items():
+        if rej:
+            assert bh[nation]  # holm-rejected => bh-rejected
+
+
+def test_ctfidf_surfaces_source_specific_term(spark, tmp_sf):
+    from ytspark.operators.text import ctfidf_source_keywords
+
+    d, write = tmp_sf
+    common = "data table row column"
+    write(
+        "documents",
+        [
+            (1, f"{common} zebra zebra zebra", "en", "srcA", 1),
+            (2, f"{common} {common}", "en", "srcB", 1),
+            (3, f"{common} quokka quokka", "en", "srcC", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = ctfidf_source_keywords(spark, d).collect()
+    topA = next(r for r in got if r["source"] == "srcA" and r["rk"] == 1)
+    topC = next(r for r in got if r["source"] == "srcC" and r["rk"] == 1)
+    assert topA["term"] == "zebra"  # the source-exclusive term wins
+    assert topC["term"] == "quokka"

@@ -394,3 +394,112 @@ def page_hinkley_daily_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("ct") - F.col("mt"), 6).alias("ph_stat"),
         (F.col("ct") - F.col("mt") > PH_LAMBDA).alias("alarm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Covariate-shift importance weighting + effective sample size
+# ---------------------------------------------------------------------------
+
+CS_SPLIT_DAY = 16  # reference = days < 16, current = days >= 16
+CS_BUCKETS = 20  # equal-width value buckets over [0, 500]
+CS_LO, CS_HI = 0.0, 500.0
+
+
+@register(
+    "covariate_shift_ess",
+    oracle=f"""
+WITH b AS (
+  SELECT CASE WHEN CAST(STRFTIME(CAST(ts AS DATE), '%d') AS INT)
+              < {CS_SPLIT_DAY} THEN 'ref' ELSE 'cur' END AS win,
+         LEAST(CAST(FLOOR((value - {CS_LO})
+               / (({CS_HI} - {CS_LO}) / {CS_BUCKETS})) AS INT),
+               {CS_BUCKETS} - 1) AS bkt
+  FROM events WHERE value IS NOT NULL
+),
+per AS (
+  SELECT bkt,
+         SUM(CASE WHEN win = 'ref' THEN 1 ELSE 0 END) AS nr,
+         SUM(CASE WHEN win = 'cur' THEN 1 ELSE 0 END) AS nc
+  FROM b GROUP BY bkt
+),
+tot AS (SELECT SUM(nr) AS tr, SUM(nc) AS tc FROM per),
+w AS (
+  SELECT bkt, nr, nc,
+         ((nc + 1.0) / (tc + {CS_BUCKETS}))
+           / ((nr + 1.0) / (tr + {CS_BUCKETS})) AS wgt
+  FROM per CROSS JOIN tot
+),
+ess AS (
+  SELECT SUM(nr) AS n_ref, (SELECT tc FROM tot) AS n_cur,
+         POW(SUM(nr * wgt), 2) / SUM(nr * wgt * wgt) AS ess,
+         MAX(wgt) AS max_w, MIN(wgt) AS min_w
+  FROM w
+)
+SELECT CAST(n_ref AS BIGINT) AS n_ref,
+       CAST(n_cur AS BIGINT) AS n_cur,
+       ROUND(ess, 4) AS effective_sample_size,
+       ROUND(ess / n_ref, 6) AS ess_fraction,
+       ROUND(max_w, 6) AS max_weight,
+       ROUND(min_w, 6) AS min_weight,
+       ess / n_ref < 0.5 AS severe_shift
+FROM ess
+""",
+    doc=f"COVARIATE-SHIFT importance weighting + EFFECTIVE SAMPLE "
+        f"SIZE — the reweighting feasibility check run before "
+        f"training on yesterday's data to serve today's "
+        f"distribution: density ratio w(b) = p_cur(b)/p_ref(b) on "
+        f"{CS_BUCKETS} fixed value buckets (add-1 smoothed — the "
+        f"DSIR estimator on the numeric axis), then Kish ESS = "
+        f"(sum n_b w_b)^2 / sum n_b w_b^2 over the reference rows. "
+        f"ESS/n < 0.5 means reweighting throws away over half the "
+        f"sample — retrain, don't reweight (severe_shift verdict). "
+        f"Complements the DETECTORS (KS/PSI/JSD/Page-Hinkley) with "
+        f"the remediation-cost number. One scan into a {CS_BUCKETS}-"
+        f"bucket aggregate; everything downstream is O(buckets).",
+    tags=("drift", "learn", "aggregate"),
+)
+def covariate_shift_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    width = (CS_HI - CS_LO) / CS_BUCKETS
+    b = ev.where(F.col("value").isNotNull()).select(
+        F.when(F.dayofmonth(F.col("ts").cast("date")) < CS_SPLIT_DAY, "ref")
+        .otherwise("cur")
+        .alias("win"),
+        F.least(
+            F.floor((F.col("value") - CS_LO) / width).cast("int"),
+            F.lit(CS_BUCKETS - 1),
+        ).alias("bkt"),
+    )
+    per = b.groupBy("bkt").agg(
+        F.sum(F.when(F.col("win") == "ref", 1).otherwise(0)).alias("nr"),
+        F.sum(F.when(F.col("win") == "cur", 1).otherwise(0)).alias("nc"),
+    )
+    tot = per.agg(F.sum("nr").alias("tr"), F.sum("nc").alias("tc"))
+    w = per.crossJoin(F.broadcast(tot)).select(
+        "nr",
+        "nc",
+        "tc",
+        (
+            ((F.col("nc") + 1.0) / (F.col("tc") + CS_BUCKETS))
+            / ((F.col("nr") + 1.0) / (F.col("tr") + CS_BUCKETS))
+        ).alias("wgt"),
+    )
+    ess = w.agg(
+        F.sum("nr").alias("n_ref"),
+        F.max("tc").alias("n_cur"),
+        (
+            F.pow(F.sum(F.col("nr") * F.col("wgt")), 2)
+            / F.sum(F.col("nr") * F.col("wgt") * F.col("wgt"))
+        ).alias("ess"),
+        F.max("wgt").alias("max_w"),
+        F.min("wgt").alias("min_w"),
+    )
+    return ess.select(
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        F.round("ess", 4).alias("effective_sample_size"),
+        F.round(F.col("ess") / F.col("n_ref"), 6).alias("ess_fraction"),
+        F.round("max_w", 6).alias("max_weight"),
+        F.round("min_w", 6).alias("min_weight"),
+        (F.col("ess") / F.col("n_ref") < 0.5).alias("severe_shift"),
+    )

@@ -2275,3 +2275,82 @@ def knn_mips_norm_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= TOP_K)
         .select("query_id", "neighbor_id", "inner_product")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (top-k similar with a DIFFERENT label)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hard_negative_mining",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label AS qlabel, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, q.qlabel, e.vec_id AS neighbor_id, e.label AS nlabel,
+         ROUND(LIST_DOT_PRODUCT(q.qv, e.embedding::DOUBLE[])
+               / (SQRT(LIST_DOT_PRODUCT(q.qv, q.qv))
+                  * SQRT(LIST_DOT_PRODUCT(e.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[]))), 6)
+           AS cos_sim
+  FROM q, embeddings e
+  WHERE e.label <> q.qlabel
+)
+SELECT query_id, CAST(qlabel AS INT) AS query_label,
+       neighbor_id, CAST(nlabel AS INT) AS negative_label, cos_sim
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rk
+  FROM scored
+) WHERE rk <= {TOP_K}
+""",
+    doc=f"HARD-NEGATIVE MINING — the training-data op behind every "
+        f"contrastive embedding fine-tune (and the reranker-training "
+        f"sampler): for each query vector, the top-{TOP_K} most "
+        f"SIMILAR vectors carrying a DIFFERENT label — the negatives "
+        f"that actually move the loss, vs the uninformative random "
+        f"ones negative_sample_pairs draws. Same broadcast-query x "
+        f"streamed-corpus shape as knn_cosine_bruteforce with the "
+        f"label-mismatch predicate fused into the join (pushed ahead "
+        f"of the dot product, so disqualified pairs never price a "
+        f"fold); per-query rank is partitioned. At 100 TB the "
+        f"shortlist stage swaps for the LSH/IVF index exactly as in "
+        f"knn_mips_norm_augmented — mine from the index shortlist, "
+        f"filter labels, re-rank exact.",
+    tags=("similarity", "knn", "packing", "learn"),
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    corpus = emb.select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+    queries = corpus.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+    )
+    scored = corpus.join(
+        F.broadcast(queries), F.col("label") != F.col("qlabel")
+    ).select(
+        "query_id",
+        F.col("qlabel").cast("int").alias("query_label"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").cast("int").alias("negative_label"),
+        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select(
+            "query_id", "query_label", "neighbor_id", "negative_label",
+            "cos_sim",
+        )
+    )

@@ -2286,3 +2286,123 @@ def asof_nearest_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("after_purchase"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Watermark lateness profile (distributed prefix-max out-of-orderness)
+# ---------------------------------------------------------------------------
+
+WM_BLOCK = 4096  # arrival-sequence block size for the two-level scan
+WM_THRESH_S = (60, 300, 3600)  # reporting thresholds: 1m / 5m / 1h
+
+
+@register(
+    "watermark_lateness_profile",
+    oracle=f"""
+WITH seq AS (
+  SELECT event_id, EPOCH_US(ts) AS tus,
+         MAX(EPOCH_US(ts)) OVER (ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wm
+  FROM events
+),
+late AS (SELECT event_id, wm - tus AS lateness_us FROM seq)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN lateness_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_late,
+       ROUND(CAST(SUM(CASE WHEN lateness_us > 0 THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS late_frac,
+       CAST(SUM(lateness_us) AS BIGINT) AS sum_lateness_us,
+       CAST(MAX(lateness_us) AS BIGINT) AS max_lateness_us,
+       CAST(SUM(CASE WHEN lateness_us > CAST({WM_THRESH_S[0]} AS BIGINT) * 1000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_beyond_1m,
+       CAST(SUM(CASE WHEN lateness_us > CAST({WM_THRESH_S[1]} AS BIGINT) * 1000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_beyond_5m,
+       CAST(SUM(CASE WHEN lateness_us > CAST({WM_THRESH_S[2]} AS BIGINT) * 1000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_beyond_1h,
+       CAST(CEIL(MAX(lateness_us) / 60000000.0) * 60 AS BIGINT)
+         AS watermark_recommendation_s
+FROM late
+""",
+    doc=f"WATERMARK LATENESS PROFILE — the measurement that should "
+        f"precede every Structured Streaming withWatermark() choice "
+        f"in this repo: treating event_id as the arrival sequence, "
+        f"an event's lateness is (max event-time seen so far - its "
+        f"event time), i.e. how far behind the watermark front it "
+        f"arrived; the profile reports the late fraction, total/max "
+        f"lateness, threshold exceedances (1m/5m/1h), and the "
+        f"minute-rounded max as the zero-drop watermark delay. The "
+        f"prefix max runs as the classic TWO-LEVEL SCAN "
+        f"decomposition, not a single-partition window: within-block "
+        f"running max (window PARTITIONED by event_id div {WM_BLOCK}) "
+        f"+ per-block maxes with an exclusive prefix max across the "
+        f"{WM_BLOCK}x-smaller block table, combined with GREATEST — "
+        f"the same recursion applies again if the block table is "
+        f"ever too large (EXPECTED_GLOBAL_WINDOW on the block level "
+        f"only). The oracle runs the naive global-window definition, "
+        f"so the decomposition is certified equivalent row-for-row.",
+    tags=("temporal", "streaming", "window", "aggregate", "profiling"),
+)
+def watermark_lateness_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    seq = ev.select(
+        "event_id",
+        F.unix_micros("ts").alias("tus"),
+        (F.col("event_id") / WM_BLOCK).cast("long").alias("blk"),
+    )
+    win_in = Window.partitionBy("blk").orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    within = seq.select(
+        "event_id",
+        "tus",
+        "blk",
+        F.max("tus").over(win_in).alias("in_blk_max"),
+    )
+    blocks = seq.groupBy("blk").agg(F.max("tus").alias("blk_max"))
+    win_blk = Window.orderBy("blk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prev = blocks.select(
+        "blk", F.max("blk_max").over(win_blk).alias("prev_max")
+    )
+    late = (
+        within.join(prev, "blk")
+        .select(
+            (
+                F.greatest(
+                    F.col("in_blk_max"),
+                    F.coalesce(F.col("prev_max"), F.lit(-(1 << 62))),
+                )
+                - F.col("tus")
+            ).alias("lateness_us")
+        )
+    )
+    thresholds = [
+        F.sum(
+            F.when(F.col("lateness_us") > t * 1_000_000, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias(f"n_beyond_{label}")
+        for t, label in zip(WM_THRESH_S, ("1m", "5m", "1h"))
+    ]
+    return late.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(F.col("lateness_us") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_late"),
+        F.round(
+            F.sum(F.when(F.col("lateness_us") > 0, 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("late_frac"),
+        F.sum("lateness_us").cast("long").alias("sum_lateness_us"),
+        F.max("lateness_us").cast("long").alias("max_lateness_us"),
+        *thresholds,
+        (F.ceil(F.max("lateness_us") / 60_000_000.0) * 60)
+        .cast("long")
+        .alias("watermark_recommendation_s"),
+    )

@@ -2506,3 +2506,172 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_pass").cast("double") / F.col("n_docs"), 6
         ).alias("pass_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mixed-language document detection
+# ---------------------------------------------------------------------------
+
+MIX_MIN_HITS = 2  # stopword hits needed to count a language as present
+
+
+@register(
+    "mixed_language_docs",
+    oracle=f"""
+WITH hits AS (
+  SELECT doc_id,
+         LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+             t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS h_en,
+         LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+             t -> t IN ('der', 'die', 'das', 'und', 'ist'))) AS h_de,
+         LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+             t -> t IN ('el', 'la', 'de', 'que', 'y'))) AS h_es,
+         LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+             t -> t IN ('le', 'la', 'les', 'et', 'est'))) AS h_fr
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr THEN 'en'
+            WHEN h_de >= h_es AND h_de >= h_fr THEN 'de'
+            WHEN h_es >= h_fr THEN 'es'
+            ELSE 'fr' END AS primary_lang,
+       CAST((CASE WHEN h_en >= {MIX_MIN_HITS} THEN 1 ELSE 0 END)
+          + (CASE WHEN h_de >= {MIX_MIN_HITS} THEN 1 ELSE 0 END)
+          + (CASE WHEN h_es >= {MIX_MIN_HITS} THEN 1 ELSE 0 END)
+          + (CASE WHEN h_fr >= {MIX_MIN_HITS} THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_langs_detected,
+       (CASE WHEN h_en >= {MIX_MIN_HITS} THEN 1 ELSE 0 END)
+          + (CASE WHEN h_de >= {MIX_MIN_HITS} THEN 1 ELSE 0 END)
+          + (CASE WHEN h_es >= {MIX_MIN_HITS} THEN 1 ELSE 0 END)
+          + (CASE WHEN h_fr >= {MIX_MIN_HITS} THEN 1 ELSE 0 END) >= 2
+         AS mixed
+FROM hits
+""",
+    doc=f"MIXED-LANGUAGE detection — the curation screen between "
+        f"lang_id_heuristic (one winner per doc) and the corpus "
+        f"mixers: a document with >= {MIX_MIN_HITS} stopword hits in "
+        f"two or more languages is code-switched or concatenation "
+        f"noise, and mixed docs poison both per-language training "
+        f"mixtures and lang-ID evaluation sets. Primary language by "
+        f"the deterministic preference-ordered argmax (the lang-ID "
+        f"chain), language presence by per-language hit thresholds. "
+        f"All built-in token-array expressions — one scan, no "
+        f"shuffle, embarrassingly parallel at any corpus size.",
+    tags=("text", "langid", "quality", "curation"),
+)
+def mixed_language_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    h = {
+        lang: stopword_hits(F.col("text"), words)
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    primary = (
+        F.when(
+            (h["en"] >= h["de"]) & (h["en"] >= h["es"]) & (h["en"] >= h["fr"]),
+            "en",
+        )
+        .when((h["de"] >= h["es"]) & (h["de"] >= h["fr"]), "de")
+        .when(h["es"] >= h["fr"], "es")
+        .otherwise("fr")
+    )
+    present = [
+        F.when(h[lang] >= MIX_MIN_HITS, 1).otherwise(0)
+        for lang in ("en", "de", "es", "fr")
+    ]
+    n_langs = present[0] + present[1] + present[2] + present[3]
+    return docs.select(
+        "doc_id",
+        primary.alias("primary_lang"),
+        n_langs.cast("long").alias("n_langs_detected"),
+        (n_langs >= 2).alias("mixed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# c-TF-IDF source keywords (class-based TF-IDF, the BERTopic weighting)
+# ---------------------------------------------------------------------------
+
+CTFIDF_TOPK = 5  # keywords kept per source
+
+
+@register(
+    "ctfidf_source_keywords",
+    oracle=f"""
+WITH toks AS (
+  SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT source, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+src AS (SELECT source, SUM(tf) AS n_src FROM tf GROUP BY 1),
+ft AS (SELECT term, SUM(tf) AS f_t FROM tf GROUP BY 1),
+a AS (
+  SELECT CAST(SUM(n_src) AS DOUBLE) / COUNT(*) AS avg_tokens FROM src
+),
+w AS (
+  SELECT tf.source, tf.term,
+         (CAST(tf.tf AS DOUBLE) / src.n_src)
+           * LN(1 + a.avg_tokens / ft.f_t) AS wgt
+  FROM tf JOIN src USING (source) JOIN ft USING (term) CROSS JOIN a
+)
+SELECT source, term, weight, rk FROM (
+  SELECT source, term, ROUND(wgt, 9) AS weight,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY ROUND(wgt, 9) DESC, term) AS rk
+  FROM w
+) WHERE rk <= {CTFIDF_TOPK}
+""",
+    doc=f"c-TF-IDF KEYWORDS per source (Grootendorst's BERTopic "
+        f"class-based TF-IDF — public): treat each SOURCE as one "
+        f"meta-document, weight term t in source s by "
+        f"(tf_ts / |s|) * ln(1 + A / f_t) with A the average source "
+        f"token count and f_t the corpus frequency — the weighting "
+        f"that surfaces what makes a source DIFFERENT, where plain "
+        f"TF-IDF (tfidf_top_terms, per document) surfaces what makes "
+        f"a document different. This is the labeling step after any "
+        f"clustering (swap source for cluster id and it explains "
+        f"embedding_kmeans_assign's clusters). Plan: one token "
+        f"explode into three map-side-combinable aggregates; the "
+        f"per-term corpus frequency joins on the term key (shuffle "
+        f"bounded by vocabulary, not corpus); top-{CTFIDF_TOPK} by "
+        f"partitioned rank over ROUND(w, 9) + term so float ulp "
+        f"cannot reorder the cut.",
+    tags=("text", "search", "clustering", "aggregate", "window"),
+)
+def ctfidf_source_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tf.persist()
+    src = tf.groupBy("source").agg(F.sum("tf").alias("n_src"))
+    ft = tf.groupBy("term").agg(F.sum("tf").alias("f_t"))
+    a = src.agg(
+        (F.sum("n_src").cast("double") / F.count(F.lit(1))).alias(
+            "avg_tokens"
+        )
+    )
+    w = (
+        tf.join(F.broadcast(src), "source")
+        .join(ft, "term")
+        .crossJoin(F.broadcast(a))
+        .select(
+            "source",
+            "term",
+            F.round(
+                (F.col("tf").cast("double") / F.col("n_src"))
+                * F.log(1 + F.col("avg_tokens") / F.col("f_t")),
+                9,
+            ).alias("weight"),
+        )
+    )
+    wr = Window.partitionBy("source").orderBy(
+        F.col("weight").desc(), F.col("term")
+    )
+    out = (
+        w.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") <= CTFIDF_TOPK)
+        .select("source", "term", "weight", F.col("rk").cast("long").alias("rk"))
+    )
+    return finish(out, tf)

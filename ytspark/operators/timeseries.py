@@ -1808,3 +1808,148 @@ def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("tau_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kleinberg burst detection (2-state Viterbi over the day spine)
+# ---------------------------------------------------------------------------
+
+KB_TARGET = "purchase"  # the event type whose rate is monitored
+KB_S = 2.0  # burst-state rate multiplier p1 = S * p0
+KB_GAMMA = 1.0  # state-entry cost coefficient (gamma * ln T)
+_KB_INF = 1e18
+
+
+@register(
+    "kleinberg_burst_days",
+    oracle=f"""
+WITH RECURSIVE daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         SUM(CASE WHEN event_type = '{KB_TARGET}' THEN 1 ELSE 0 END) AS r,
+         COUNT(*) AS d
+  FROM events GROUP BY 1
+),
+idx AS (
+  SELECT day, r, d, ROW_NUMBER() OVER (ORDER BY day) AS t FROM daily
+),
+params AS (
+  SELECT CAST(SUM(r) AS DOUBLE) / SUM(d) AS pp0,
+         LEAST(CAST({KB_S} AS DOUBLE) * SUM(r) / SUM(d),
+               CAST(0.9999 AS DOUBLE)) AS pp1,
+         CAST({KB_GAMMA} AS DOUBLE) * LN(COUNT(*)) AS glt
+  FROM daily
+),
+dp AS (
+  SELECT 0 AS t, CAST(0 AS DOUBLE) AS c0, CAST({_KB_INF} AS DOUBLE) AS c1,
+         '' AS p0, '' AS p1
+  UNION ALL
+  SELECT i.t,
+         LEAST(dp.c0, dp.c1)
+           - (i.r * LN(pp0) + (i.d - i.r) * LN(1 - pp0)),
+         LEAST(dp.c0 + glt, dp.c1)
+           - (i.r * LN(pp1) + (i.d - i.r) * LN(1 - pp1)),
+         (CASE WHEN dp.c0 <= dp.c1 THEN dp.p0 ELSE dp.p1 END) || '0',
+         (CASE WHEN dp.c0 + glt < dp.c1 THEN dp.p0 ELSE dp.p1 END) || '1'
+  FROM dp JOIN idx i ON i.t = dp.t + 1 CROSS JOIN params
+),
+fin AS (
+  SELECT CASE WHEN c0 <= c1 THEN p0 ELSE p1 END AS path
+  FROM dp WHERE t = (SELECT MAX(t) FROM dp)
+)
+SELECT STRFTIME(i.day, '%Y-%m-%d') AS day,
+       CAST(i.r AS BIGINT) AS n_target,
+       CAST(i.d AS BIGINT) AS n_total,
+       ROUND(i.r * 1.0 / i.d, 6) AS rate,
+       CAST(SUBSTR(fin.path, CAST(i.t AS INT), 1) AS INT) AS burst
+FROM idx i CROSS JOIN fin
+""",
+    doc=f"KLEINBERG BURST DETECTION (Kleinberg 2002, 'Bursty and "
+        f"Hierarchical Structure in Streams' — the 2-state batch "
+        f"automaton): days emit '{KB_TARGET}' counts r_t of d_t "
+        f"events; the base state emits at the corpus rate p0, the "
+        f"burst state at p1 = {KB_S}*p0; entering the burst state "
+        f"costs gamma*ln T and the VITERBI minimum-cost state path "
+        f"labels each day burst/quiet — the principled alternative "
+        f"to threshold alerts (CUSUM/Page-Hinkley detect ONE shift; "
+        f"Kleinberg segments ARBITRARY burst episodes). The DP is an "
+        f"ordered fold: Spark runs it as the ``aggregate`` HOF over "
+        f"the sorted day array carrying (cost0, cost1, path0, path1) "
+        f"— pure JVM expressions, the events_value_ewma pattern with "
+        f"a 4-field Viterbi state — and DuckDB replays the IDENTICAL "
+        f"sequential recursion as a recursive CTE, so the burst "
+        f"labels are hash-certified. Scale: the daily rollup is the "
+        f"only data-sized aggregate; the fold is O(days) on the "
+        f"calendar-bounded spine (a year of days folds in "
+        f"microseconds; per-key burst detection would partition the "
+        f"same fold by key).",
+    tags=("time", "drift", "hof", "aggregate"),
+)
+def kleinberg_burst_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(
+            F.when(F.col("event_type") == KB_TARGET, 1).otherwise(0)
+        ).alias("r"),
+        F.count(F.lit(1)).alias("d"),
+    )
+    one = daily.agg(
+        F.sort_array(F.collect_list(F.struct("day", "r", "d"))).alias("seq"),
+        (F.sum("r") * 1.0 / F.sum("d")).alias("pp0"),
+        F.least(
+            F.lit(KB_S) * F.sum("r") / F.sum("d"), F.lit(0.9999)
+        ).alias("pp1"),
+        (F.lit(KB_GAMMA) * F.log(F.count(F.lit(1)).cast("double"))).alias(
+            "glt"
+        ),
+    )
+
+    def step(acc, e):
+        r = e["r"].cast("double")
+        d = e["d"].cast("double")
+        cost0 = -(r * F.log(F.col("pp0")) + (d - r) * F.log(1 - F.col("pp0")))
+        cost1 = -(r * F.log(F.col("pp1")) + (d - r) * F.log(1 - F.col("pp1")))
+        c0, c1 = acc["c0"], acc["c1"]
+        return F.struct(
+            (F.least(c0, c1) + cost0).alias("c0"),
+            (F.least(c0 + F.col("glt"), c1) + cost1).alias("c1"),
+            F.concat(
+                F.when(c0 <= c1, acc["p0"]).otherwise(acc["p1"]), F.lit("0")
+            ).alias("p0"),
+            F.concat(
+                F.when(c0 + F.col("glt") < c1, acc["p0"]).otherwise(
+                    acc["p1"]
+                ),
+                F.lit("1"),
+            ).alias("p1"),
+        )
+
+    init = F.struct(
+        F.lit(0.0).alias("c0"),
+        F.lit(_KB_INF).alias("c1"),
+        F.lit("").alias("p0"),
+        F.lit("").alias("p1"),
+    )
+    folded = one.select(
+        "seq",
+        F.aggregate(F.col("seq"), init, step).alias("st"),
+    ).select(
+        "seq",
+        F.when(F.col("st.c0") <= F.col("st.c1"), F.col("st.p0"))
+        .otherwise(F.col("st.p1"))
+        .alias("path"),
+    )
+    zipped = folded.select(
+        F.explode(
+            F.arrays_zip(
+                F.col("seq"),
+                F.split(F.col("path"), "").alias("burst"),
+            )
+        ).alias("z")
+    )
+    return zipped.select(
+        F.date_format(F.col("z.seq.day"), "yyyy-MM-dd").alias("day"),
+        F.col("z.seq.r").cast("long").alias("n_target"),
+        F.col("z.seq.d").cast("long").alias("n_total"),
+        F.round(F.col("z.seq.r") * 1.0 / F.col("z.seq.d"), 6).alias("rate"),
+        F.col("z.burst").cast("int").alias("burst"),
+    )

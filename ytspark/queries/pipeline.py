@@ -2726,3 +2726,123 @@ def effect_size_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("magnitude"),
     )
     return finish(out, s)
+
+
+# ---------------------------------------------------------------------------
+# Holm-Bonferroni step-down (FWER control beside the BH step-up)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "holm_bonferroni_nations",
+    oracle=f"""
+WITH g AS (
+  SELECT AVG(c_acctbal) AS mu,
+         SUM(c_acctbal * c_acctbal) / COUNT(*)
+           - AVG(c_acctbal) * AVG(c_acctbal) AS var_g
+  FROM customer
+),
+per AS (
+  SELECT c_nationkey AS nation, COUNT(*) AS n, AVG(c_acctbal) AS mean_bal
+  FROM customer GROUP BY c_nationkey
+),
+z AS (
+  SELECT nation, n, mean_bal,
+         (mean_bal - g.mu) / SQRT(g.var_g / n) AS zval
+  FROM per CROSS JOIN g
+),
+p AS (
+  SELECT nation, n, zval,
+         ROUND({_norm_sf2_sql('zval')}, {BH_ROUND}) AS p_value
+  FROM z
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY p_value, nation) AS rk,
+         COUNT(*) OVER () AS m
+  FROM p
+),
+dec AS (
+  SELECT *, ROUND({BH_ALPHA} / (m - rk + 1), {BH_ROUND}) AS holm_threshold,
+         MIN(CASE WHEN p_value <= {BH_ALPHA} / (m - rk + 1)
+                  THEN 1 ELSE 0 END)
+           OVER (ORDER BY rk) AS pass_all
+  FROM ranked
+)
+SELECT CAST(nation AS BIGINT) AS nation, CAST(n AS BIGINT) AS n,
+       ROUND(zval, 6) AS z_score, p_value,
+       CAST(rk AS BIGINT) AS p_rank, holm_threshold,
+       pass_all = 1 AS rejected
+FROM dec
+""",
+    doc="HOLM-BONFERRONI step-down at FWER "
+        "alpha over the same 25 per-nation z-tests the BH query "
+        "runs — the FAMILY-WISE error control (prob of ANY false "
+        "positive) vs BH's false-discovery RATE: sort p-values, "
+        "compare p_(i) to alpha/(m-i+1), and reject only the PREFIX "
+        "where every test so far passes (a forward running MIN over "
+        "the m=25 rows — the mirror image of BH's reverse cummax). "
+        "Registering both step-up and step-down makes the registry a "
+        "complete multiple-testing toolkit: Holm for "
+        "any-false-positive-is-fatal decisions, BH for discovery "
+        "screens. Same Abramowitz-Stegun p-values, same O(m) "
+        "post-aggregate cost.",
+    tags=("statistics", "experiment", "aggregate", "window", "pipeline"),
+)
+def holm_bonferroni_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    cust = load_tables(spark, sf_dir, "customer")["customer"]
+    g = cust.agg(
+        F.avg("c_acctbal").alias("mu"),
+        (
+            F.sum(F.col("c_acctbal") * F.col("c_acctbal")) / F.count(F.lit(1))
+            - F.avg("c_acctbal") * F.avg("c_acctbal")
+        ).alias("var_g"),
+    )
+    per = cust.groupBy(F.col("c_nationkey").alias("nation")).agg(
+        F.count(F.lit(1)).alias("n"), F.avg("c_acctbal").alias("mean_bal")
+    )
+    z = per.crossJoin(F.broadcast(g)).select(
+        "nation",
+        "n",
+        (
+            (F.col("mean_bal") - F.col("mu"))
+            / F.sqrt(F.col("var_g") / F.col("n"))
+        ).alias("zval"),
+    )
+    az = F.abs(F.col("zval"))
+    t = 1.0 / (1.0 + _AS_P * az)
+    a1, a2, a3, a4, a5 = _AS_A
+    poly = (
+        a1 * t + a2 * F.pow(t, 2) + a3 * F.pow(t, 3)
+        + a4 * F.pow(t, 4) + a5 * F.pow(t, 5)
+    )
+    phi = F.exp(-az * az / 2.0) / F.sqrt(F.lit(2.0) * F.lit(3.141592653589793))
+    p = z.withColumn("p_value", F.round(2.0 * phi * poly, BH_ROUND))
+    w_rank = Window.orderBy("p_value", "nation")
+    ranked = p.withColumn("rk", F.row_number().over(w_rank)).withColumn(
+        "m", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    w_step = Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, 0)
+    dec = ranked.withColumn(
+        "holm_threshold",
+        F.round(BH_ALPHA / (F.col("m") - F.col("rk") + 1), BH_ROUND),
+    ).withColumn(
+        "pass_all",
+        F.min(
+            F.when(
+                F.col("p_value")
+                <= BH_ALPHA / (F.col("m") - F.col("rk") + 1),
+                1,
+            ).otherwise(0)
+        ).over(w_step),
+    )
+    return dec.select(
+        F.col("nation").cast("long").alias("nation"),
+        F.col("n").cast("long").alias("n"),
+        F.round("zval", 6).alias("z_score"),
+        "p_value",
+        F.col("rk").cast("long").alias("p_rank"),
+        "holm_threshold",
+        (F.col("pass_all") == 1).alias("rejected"),
+    )
