@@ -718,3 +718,44 @@ def test_ctfidf_surfaces_source_specific_term(spark, tmp_sf):
     topC = next(r for r in got if r["source"] == "srcC" and r["rk"] == 1)
     assert topA["term"] == "zebra"  # the source-exclusive term wins
     assert topC["term"] == "quokka"
+
+
+def test_partition_skew_simulator_consistency(spark, sf_dir):
+    from ytspark.operators.layout import PSK_PARTS, partition_skew_simulator
+
+    rows = {r["strategy"]: r for r in
+            partition_skew_simulator(spark, sf_dir).collect()}
+    assert set(rows) == {"hash", "salted"}
+    for r in rows.values():
+        assert r["n_partitions"] == PSK_PARTS
+        assert r["skew_ratio"] >= 1.0
+        assert r["max_partition_rows"] >= r["mean_partition_rows"]
+
+
+def test_vopt_recovers_piecewise_constant_segments(spark, tmp_sf):
+    from ytspark.operators.profiling import vopt_histogram_daily_revenue
+
+    d, write = tmp_sf
+    import datetime
+
+    rows = []
+    key = 0
+    levels = [100.0, 500.0, 100.0, 900.0]  # 4 true segments, 5 days each
+    for seg, lvl in enumerate(levels):
+        for i in range(5):
+            day = seg * 5 + i
+            rows.append((key, 1, "O", lvl,
+                         datetime.datetime(2024, 1, 1 + day), "1-URGENT"))
+            key += 1
+    write(
+        "orders",
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    out = sorted(vopt_histogram_daily_revenue(spark, d).collect(),
+                 key=lambda r: r["bucket"])
+    assert len(out) == 4
+    assert [r["n_days"] for r in out] == [5, 5, 5, 5]
+    assert all(r["sse"] == 0.0 for r in out)  # exact piecewise recovery
+    assert [r["bucket_mean"] for r in out] == levels

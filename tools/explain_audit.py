@@ -204,6 +204,10 @@ EXPECTED_GLOBAL_WINDOW = {
                                    # grid (mann_whitney precedent)
     "bayes_ab_beta_posterior",     # CDF cumsum over the 400-row grid
     "page_hinkley_daily_mean",     # PH cumsums over the O(days) spine
+    "watermark_lateness_profile",  # exclusive prefix max over the
+                                   # BLOCK_SIZE-x-smaller block table
+    "vopt_histogram_daily_revenue",  # DP/prefix windows over the
+                                     # O(days) spine + B-row cuts
 }
 # streaming queries execute eagerly; skip plan audit (they materialize
 # their own sinks and are correctness-checked by the oracle gate)

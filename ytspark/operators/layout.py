@@ -29,6 +29,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ytspark.operators.text import knuth_hash_sql
 from ytspark.plans.scale import finish
 from ytspark.queries import register
 from ytspark.session import load_tables
@@ -526,3 +527,101 @@ def rendezvous_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("moved_out"),
     )
     return report
+
+
+# ---------------------------------------------------------------------------
+# Partition-skew simulator (hash vs salted load under P reducers)
+# ---------------------------------------------------------------------------
+
+PSK_PARTS = 32  # simulated reducer count
+PSK_SALTS = 8  # salt fan-out for the salted strategy
+
+
+@register(
+    "partition_skew_simulator",
+    oracle=f"""
+WITH keyed AS (
+  SELECT l_suppkey AS k,
+         {knuth_hash_sql('l_suppkey')} % {PSK_PARTS} AS part_raw,
+         {knuth_hash_sql(f'l_suppkey * {PSK_SALTS} + ((l_orderkey % {PSK_SALTS}) + {PSK_SALTS}) % {PSK_SALTS}')} % {PSK_PARTS} AS part_salted
+  FROM lineitem
+),
+raw AS (
+  SELECT part_raw AS part, COUNT(*) AS n FROM keyed GROUP BY 1
+),
+salted AS (
+  SELECT part_salted AS part, COUNT(*) AS n FROM keyed GROUP BY 1
+),
+stats AS (
+  SELECT 'hash' AS strategy, MAX(n) AS max_rows,
+         CAST(SUM(n) AS DOUBLE) / {PSK_PARTS} AS mean_rows
+  FROM raw
+  UNION ALL
+  SELECT 'salted', MAX(n), CAST(SUM(n) AS DOUBLE) / {PSK_PARTS}
+  FROM salted
+)
+SELECT strategy,
+       CAST({PSK_PARTS} AS BIGINT) AS n_partitions,
+       CAST(max_rows AS BIGINT) AS max_partition_rows,
+       ROUND(mean_rows, 4) AS mean_partition_rows,
+       ROUND(max_rows / mean_rows, 6) AS skew_ratio,
+       ROUND(max_rows / mean_rows, 6) <= 1.5 AS balanced
+FROM stats
+""",
+    doc=f"PARTITION-SKEW SIMULATOR — the measurement behind this "
+        f"repo's salting advice (plans/scale.py salted_join): "
+        f"simulate the reducer loads a shuffle on l_suppkey would "
+        f"produce under {PSK_PARTS} partitions, hash-partitioned raw "
+        f"vs salted x{PSK_SALTS} (key + a row-deterministic salt "
+        f"from the orderkey, exactly the salted-join layout), and "
+        f"report max/mean load and the skew ratio per strategy — "
+        f"the straggler forecast BEFORE running the join. The "
+        f"simulation is the same overflow-safe Knuth hash both "
+        f"engines share, so the loads replay exactly in SQL. One "
+        f"scan, two {PSK_PARTS}-cell aggregates; at 100 TB this "
+        f"costs one pass over the key column (prune everything "
+        f"else) and is the cheap insurance against a 1000-executor "
+        f"job shipping 40% of its rows to one reducer.",
+    tags=("layout", "profiling", "aggregate"),
+)
+def partition_skew_simulator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ytspark.operators.text import knuth_hash_col
+
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    keyed = li.select(
+        F.pmod(knuth_hash_col(F.col("l_suppkey")), F.lit(PSK_PARTS)).alias(
+            "part_raw"
+        ),
+        F.pmod(
+            knuth_hash_col(
+                F.col("l_suppkey") * PSK_SALTS
+                + F.pmod(F.col("l_orderkey"), F.lit(PSK_SALTS))
+            ),
+            F.lit(PSK_PARTS),
+        ).alias("part_salted"),
+    )
+    raw = keyed.groupBy("part_raw").agg(F.count(F.lit(1)).alias("n"))
+    salted = keyed.groupBy("part_salted").agg(F.count(F.lit(1)).alias("n"))
+    stats = raw.agg(
+        F.lit("hash").alias("strategy"),
+        F.max("n").alias("max_rows"),
+        (F.sum("n").cast("double") / PSK_PARTS).alias("mean_rows"),
+    ).unionByName(
+        salted.agg(
+            F.lit("salted").alias("strategy"),
+            F.max("n").alias("max_rows"),
+            (F.sum("n").cast("double") / PSK_PARTS).alias("mean_rows"),
+        )
+    )
+    return stats.select(
+        "strategy",
+        F.lit(PSK_PARTS).cast("long").alias("n_partitions"),
+        F.col("max_rows").cast("long").alias("max_partition_rows"),
+        F.round("mean_rows", 4).alias("mean_partition_rows"),
+        F.round(F.col("max_rows") / F.col("mean_rows"), 6).alias(
+            "skew_ratio"
+        ),
+        (
+            F.round(F.col("max_rows") / F.col("mean_rows"), 6) <= 1.5
+        ).alias("balanced"),
+    )

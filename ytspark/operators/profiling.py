@@ -2109,3 +2109,246 @@ def simpson_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sign_reversal"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# V-optimal histogram (DP over the day spine — optimizer statistics)
+# ---------------------------------------------------------------------------
+
+VOPT_B = 4  # histogram buckets
+
+
+@register(
+    "vopt_histogram_daily_revenue",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+              AS DOUBLE) AS x
+  FROM orders GROUP BY 1
+),
+idx AS (
+  SELECT day, x, ROW_NUMBER() OVER (ORDER BY day) AS t FROM daily
+),
+pre AS (
+  SELECT t, day,
+         SUM(x) OVER (ORDER BY t) AS p1,
+         SUM(x * x) OVER (ORDER BY t) AS p2
+  FROM idx
+),
+c1 AS (
+  SELECT t AS j, p2 - p1 * p1 / t AS cost, '' AS path FROM pre
+),
+c2 AS (
+  SELECT j, cost, path FROM (
+    SELECT pj.t AS j,
+           s.cost + (pj.p2 - ps.p2)
+             - (pj.p1 - ps.p1) * (pj.p1 - ps.p1) / (pj.t - ps.t) AS cost,
+           s.path || ',' || s.j AS path,
+           ROW_NUMBER() OVER (PARTITION BY pj.t ORDER BY
+             s.cost + (pj.p2 - ps.p2)
+               - (pj.p1 - ps.p1) * (pj.p1 - ps.p1) / (pj.t - ps.t), s.j)
+             AS rk
+    FROM c1 s JOIN pre ps ON ps.t = s.j
+    JOIN pre pj ON pj.t > s.j AND s.j >= 1
+  ) WHERE rk = 1
+),
+c3 AS (
+  SELECT j, cost, path FROM (
+    SELECT pj.t AS j,
+           s.cost + (pj.p2 - ps.p2)
+             - (pj.p1 - ps.p1) * (pj.p1 - ps.p1) / (pj.t - ps.t) AS cost,
+           s.path || ',' || s.j AS path,
+           ROW_NUMBER() OVER (PARTITION BY pj.t ORDER BY
+             s.cost + (pj.p2 - ps.p2)
+               - (pj.p1 - ps.p1) * (pj.p1 - ps.p1) / (pj.t - ps.t), s.j)
+             AS rk
+    FROM c2 s JOIN pre ps ON ps.t = s.j
+    JOIN pre pj ON pj.t > s.j AND s.j >= 2
+  ) WHERE rk = 1
+),
+c4 AS (
+  SELECT j, cost, path FROM (
+    SELECT pj.t AS j,
+           s.cost + (pj.p2 - ps.p2)
+             - (pj.p1 - ps.p1) * (pj.p1 - ps.p1) / (pj.t - ps.t) AS cost,
+           s.path || ',' || s.j AS path,
+           ROW_NUMBER() OVER (PARTITION BY pj.t ORDER BY
+             s.cost + (pj.p2 - ps.p2)
+               - (pj.p1 - ps.p1) * (pj.p1 - ps.p1) / (pj.t - ps.t), s.j)
+             AS rk
+    FROM c3 s JOIN pre ps ON ps.t = s.j
+    JOIN pre pj ON pj.t > s.j AND s.j >= 3
+  ) WHERE rk = 1
+),
+fin AS (
+  SELECT path || ',' || j AS cuts FROM c4
+  WHERE j = (SELECT MAX(t) FROM pre)
+),
+bounds AS (
+  SELECT CAST(b.sp AS BIGINT) AS end_t,
+         ROW_NUMBER() OVER (ORDER BY CAST(b.sp AS BIGINT)) AS bucket
+  FROM fin, UNNEST(STRING_SPLIT(SUBSTR(fin.cuts, 2), ',')) AS b(sp)
+),
+seg AS (
+  SELECT bucket, end_t,
+         COALESCE(LAG(end_t) OVER (ORDER BY bucket), 0) + 1 AS start_t
+  FROM bounds
+)
+SELECT s.bucket,
+       STRFTIME(pa.day, '%Y-%m-%d') AS start_day,
+       STRFTIME(pb.day, '%Y-%m-%d') AS end_day,
+       CAST(s.end_t - s.start_t + 1 AS BIGINT) AS n_days,
+       ROUND((pb.p2 - COALESCE(pa2.p2, 0))
+             - (pb.p1 - COALESCE(pa2.p1, 0))
+               * (pb.p1 - COALESCE(pa2.p1, 0))
+               / (s.end_t - s.start_t + 1), 2) AS sse,
+       ROUND((pb.p1 - COALESCE(pa2.p1, 0))
+             / (s.end_t - s.start_t + 1), 2) AS bucket_mean
+FROM seg s
+JOIN pre pa ON pa.t = s.start_t
+JOIN pre pb ON pb.t = s.end_t
+LEFT JOIN pre pa2 ON pa2.t = s.start_t - 1
+""",
+    doc=f"V-OPTIMAL HISTOGRAM over daily revenue, {VOPT_B} buckets — "
+        f"the variance-minimal segmentation query optimizers build "
+        f"their statistics from (Jagadish et al. 1998, VLDB — "
+        f"public) and the changepoint story's exact counterpart "
+        f"(CUSUM finds ONE shift, Kleinberg labels episodes, V-opt "
+        f"finds the GLOBALLY optimal {VOPT_B}-piece constant fit): "
+        f"DP c_b(j) = min_s c_(b-1)(s) + SSE(s+1, j), with O(1) "
+        f"segment SSE from cumulative prefix sums. The engine runs "
+        f"each DP level as a bounded s<j pair join over the "
+        f"calendar-bounded day spine with a per-j argmin (PARTITIONED "
+        f"rank; ties break on the smaller cut — pinned cross-engine), "
+        f"{VOPT_B - 1} levels chained through localCheckpoints; the "
+        f"oracle replays the identical levels as chained CTEs. "
+        f"Prefix sums come from exact DECIMAL daily sums, so costs "
+        f"are identical doubles on both engines. Scale: O(days^2) "
+        f"pairs per level, invariant to row count — the data-sized "
+        f"work is one grouped aggregate.",
+    tags=("profiling", "time", "aggregate", "window"),
+)
+def vopt_histogram_daily_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .cast("double")
+        .alias("x")
+    )
+    wt = Window.orderBy("day")
+    wc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    pre = (
+        daily.withColumn("t", F.row_number().over(wt))
+        .select(
+            "t",
+            "day",
+            F.sum("x").over(wc).alias("p1"),
+            F.sum(F.col("x") * F.col("x")).over(wc).alias("p2"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    c = pre.select(
+        F.col("t").alias("j"),
+        (F.col("p2") - F.col("p1") * F.col("p1") / F.col("t")).alias("cost"),
+        F.lit("").alias("path"),
+    ).localCheckpoint(eager=True)
+    ps = pre.select(
+        F.col("t").alias("s_t"), F.col("p1").alias("s_p1"),
+        F.col("p2").alias("s_p2"),
+    )
+    pj = pre.select(
+        F.col("t").alias("j_t"), F.col("p1").alias("j_p1"),
+        F.col("p2").alias("j_p2"),
+    )
+    for level in range(2, VOPT_B + 1):
+        seg_cost = (
+            (F.col("j_p2") - F.col("s_p2"))
+            - (F.col("j_p1") - F.col("s_p1"))
+            * (F.col("j_p1") - F.col("s_p1"))
+            / (F.col("j_t") - F.col("s_t"))
+        )
+        cand = (
+            c.join(ps, c["j"] == ps["s_t"])
+            .join(
+                pj,
+                (F.col("j_t") > F.col("s_t"))
+                & (F.col("s_t") >= level - 1),
+            )
+            .select(
+                F.col("j_t").alias("jj"),
+                (F.col("cost") + seg_cost).alias("ncost"),
+                F.concat(
+                    F.col("path"), F.lit(","), F.col("j").cast("string")
+                ).alias("npath"),
+                F.col("j").alias("cut"),
+            )
+        )
+        wmin = Window.partitionBy("jj").orderBy("ncost", "cut")
+        c = (
+            cand.withColumn("rk", F.row_number().over(wmin))
+            .where(F.col("rk") == 1)
+            .select(
+                F.col("jj").alias("j"),
+                F.col("ncost").alias("cost"),
+                F.col("npath").alias("path"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    tmax = pre.agg(F.max("t").alias("mt"))
+    fin = c.join(F.broadcast(tmax), c["j"] == F.col("mt")).select(
+        F.concat(F.col("path"), F.lit(","), F.col("j").cast("string")).alias(
+            "cuts"
+        )
+    )
+    bounds = fin.select(
+        F.posexplode(F.split(F.expr("substr(cuts, 2)"), ",")).alias(
+            "pos", "sp"
+        )
+    ).select(
+        (F.col("pos") + 1).alias("bucket"),
+        F.col("sp").cast("long").alias("end_t"),
+    )
+    wlag = Window.orderBy("bucket")
+    seg = bounds.select(
+        "bucket",
+        "end_t",
+        (F.coalesce(F.lag("end_t").over(wlag), F.lit(0)) + 1).alias(
+            "start_t"
+        ),
+    )
+    pa = pre.select(F.col("t").alias("start_t"), F.col("day").alias("sday"))
+    pb = pre.select(
+        F.col("t").alias("end_t"),
+        F.col("day").alias("eday"),
+        F.col("p1").alias("e_p1"),
+        F.col("p2").alias("e_p2"),
+    )
+    pa2 = pre.select(
+        (F.col("t") + 1).alias("start_t"),
+        F.col("p1").alias("a_p1"),
+        F.col("p2").alias("a_p2"),
+    )
+    n_days = F.col("end_t") - F.col("start_t") + 1
+    sp1 = F.col("e_p1") - F.coalesce(F.col("a_p1"), F.lit(0.0))
+    sp2 = F.col("e_p2") - F.coalesce(F.col("a_p2"), F.lit(0.0))
+    return (
+        seg.join(pa, "start_t")
+        .join(pb, "end_t")
+        .join(pa2, "start_t", "left")
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.date_format("sday", "yyyy-MM-dd").alias("start_day"),
+            F.date_format("eday", "yyyy-MM-dd").alias("end_day"),
+            n_days.cast("long").alias("n_days"),
+            F.round(sp2 - sp1 * sp1 / n_days, 2).alias("sse"),
+            F.round(sp1 / n_days, 2).alias("bucket_mean"),
+        )
+    )
