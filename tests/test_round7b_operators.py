@@ -759,3 +759,32 @@ def test_vopt_recovers_piecewise_constant_segments(spark, tmp_sf):
     assert [r["n_days"] for r in out] == [5, 5, 5, 5]
     assert all(r["sse"] == 0.0 for r in out)  # exact piecewise recovery
     assert [r["bucket_mean"] for r in out] == levels
+
+
+def test_streaming_watermark_monitor_ticks(spark, tmp_sf):
+    from ytspark.streaming.queries import streaming_watermark_monitor
+
+    d, write = tmp_sf
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(100):
+        ts = base + datetime.timedelta(seconds=i)
+        if i == 60:  # slice 2 event arriving 60s behind the front
+            ts = base
+        rows.append((i, ts, 1, "view", 1.0, "{}"))
+    write(
+        "events",
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {r["batch_id"]: r for r in
+           streaming_watermark_monitor(spark, d).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    assert got[0]["n_late"] == 0  # no front before the first tick
+    assert got[2]["n_late"] == 1
+    # front after tick 1 = ts of id 49 = base+49s; event 60 has ts=base
+    assert got[2]["max_lateness_us"] == 49 * 1_000_000
+    assert sum(r["n_events"] for r in got.values()) == 100

@@ -943,3 +943,156 @@ def streaming_running_distinct_users(
         F.col("new_users").cast("long").alias("new_users"),
         F.sum("new_users").over(wc).cast("long").alias("cumulative_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming watermark-front monitor (the lateness profile, per tick)
+# ---------------------------------------------------------------------------
+
+SWM_TICKS = 4  # arrival slices == micro-batches
+SWM_LATE_S = 300  # per-tick exceedance threshold (5 minutes)
+
+
+@register(
+    "streaming_watermark_monitor",
+    oracle=f"""
+WITH n AS (SELECT COUNT(*) AS cnt FROM events),
+b AS (
+  SELECT event_id, EPOCH_US(ts) AS tus,
+         LEAST(CAST(event_id * {SWM_TICKS} // cnt AS INT),
+               {SWM_TICKS} - 1) AS batch_id
+  FROM events CROSS JOIN n
+),
+fronts AS (
+  SELECT batch_id, MAX(tus) AS bmax FROM b GROUP BY batch_id
+),
+pf AS (
+  SELECT batch_id,
+         MAX(bmax) OVER (ORDER BY batch_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS front
+  FROM fronts
+),
+late AS (
+  SELECT b.batch_id,
+         GREATEST(COALESCE(pf.front, 0) - b.tus, 0) AS lateness_us
+  FROM b JOIN pf USING (batch_id)
+)
+SELECT CAST(batch_id AS BIGINT) AS batch_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN lateness_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_late,
+       CAST(SUM(CASE WHEN lateness_us > CAST({SWM_LATE_S} AS BIGINT)
+                          * 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_beyond_5m,
+       CAST(MAX(lateness_us) AS BIGINT) AS max_lateness_us
+FROM late GROUP BY batch_id
+""",
+    doc=f"STREAMING WATERMARK MONITOR — the live sibling of "
+        f"watermark_lateness_profile: the event stream arrives in "
+        f"{SWM_TICKS} deterministic arrival slices "
+        f"(maxFilesPerTrigger=1 over explicitly-bounded event_id "
+        f"quartile files, so the oracle can replay the slicing "
+        f"exactly), and each foreachBatch tick measures its events "
+        f"against the WATERMARK FRONT left by prior ticks — the "
+        f"8-byte max-event-time scalar Structured Streaming itself "
+        f"tracks — reporting per-tick late counts, "
+        f">{SWM_LATE_S}s exceedances, and the worst lateness, then "
+        f"advances the front. This is the production dashboard that "
+        f"tells you whether the withWatermark() delay chosen from "
+        f"the batch profile still holds as arrival patterns drift. "
+        f"Lateness here is front-at-tick-granularity (first tick "
+        f"has no front => zero late by definition) — the batch twin "
+        f"measures the per-event prefix; both reconcile through the "
+        f"shared front recursion, and the oracle replays THIS "
+        f"query's tick semantics.",
+    tags=("streaming", "temporal", "quality"),
+)
+def streaming_watermark_monitor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+
+    from ytspark.plans.scratch import scratch_dir
+    from ytspark.session import load_tables
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    n = ev.count()  # bounded scalar: slice boundaries for the oracle
+    root = scratch_dir(f"stream_wm_{sf_dir}")
+    stage = os.path.join(root, "stage")
+    sink = os.path.join(root, "metrics")
+    for d in (stage, sink):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(stage, exist_ok=True)
+    base = ev.select(
+        "event_id",
+        F.unix_micros("ts").alias("tus"),
+        F.least(
+            (F.col("event_id") * SWM_TICKS / n).cast("int"),
+            F.lit(SWM_TICKS - 1),
+        ).alias("batch_id"),
+    )
+    # one file per slice, written in slice order (file source processes
+    # files in discovery order; distinct subdir writes keep it stable)
+    for i in range(SWM_TICKS):
+        base.where(F.col("batch_id") == i).coalesce(1).write.parquet(
+            os.path.join(stage, f"slice{i}")
+        )
+    schema = spark.read.parquet(os.path.join(stage, "slice0")).schema
+    state = {"front": None}
+
+    def tick(batch_df, batch_id):
+        front = state["front"]
+        agg = batch_df.agg(
+            F.min("batch_id").alias("bid"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(
+                    F.col("tus") < (front if front is not None else -(1 << 62)),
+                    1,
+                ).otherwise(0)
+            ).alias("n_late"),
+            F.sum(
+                F.when(
+                    F.col("tus")
+                    < (front if front is not None else -(1 << 62))
+                    - SWM_LATE_S * 1_000_000,
+                    1,
+                ).otherwise(0)
+            ).alias("n_beyond_5m"),
+            F.greatest(
+                F.max(
+                    (front if front is not None else F.col("tus"))
+                    - F.col("tus")
+                ),
+                F.lit(0),
+            ).alias("max_lateness_us"),
+            F.max("tus").alias("bmax"),
+        ).collect()[0]
+        spark.createDataFrame(
+            [
+                (
+                    int(agg["bid"]),
+                    int(agg["n_events"]),
+                    int(agg["n_late"]),
+                    int(agg["n_beyond_5m"]),
+                    int(agg["max_lateness_us"]),
+                )
+            ],
+            "batch_id long, n_events long, n_late long, "
+            "n_beyond_5m long, max_lateness_us long",
+        ).write.mode("append").parquet(sink)
+        state["front"] = (
+            max(front, int(agg["bmax"])) if front is not None
+            else int(agg["bmax"])
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(stage, "slice*"))
+        .writeStream.foreachBatch(tick)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink)
