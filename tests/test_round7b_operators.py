@@ -788,3 +788,51 @@ def test_streaming_watermark_monitor_ticks(spark, tmp_sf):
     # front after tick 1 = ts of id 49 = base+49s; event 60 has ts=base
     assert got[2]["max_lateness_us"] == 49 * 1_000_000
     assert sum(r["n_events"] for r in got.values()) == 100
+
+
+def test_dedup_threshold_sweep_monotone(spark, tmp_sf):
+    from ytspark.operators.dedup import dedup_threshold_sweep
+
+    d, write = tmp_sf
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [1.0, 0.001], 0),   # ~1.0 cosine with 0
+        (2, [0.8, 0.6], 0),     # 0.8 cosine with 0
+        (3, [0.0, 1.0], 0),     # orthogonal to 0
+    ]
+    write("embeddings", rows, "vec_id long, embedding array<float>, label int")
+    out = sorted(dedup_threshold_sweep(spark, d).collect(),
+                 key=lambda r: r["threshold"])
+    pairs = [r["n_pairs"] for r in out]
+    assert pairs == sorted(pairs, reverse=True)  # monotone non-increasing
+    at9 = next(r for r in out if r["threshold"] == 0.9)
+    assert at9["n_pairs"] == 1 and at9["n_docs_affected"] == 2
+    assert at9["affected_frac"] == 0.5
+
+
+def test_quantile_pinball_perfect_forecast(spark, tmp_sf):
+    from ytspark.operators.timeseries import quantile_forecast_pinball
+
+    d, write = tmp_sf
+    import datetime
+
+    rows = []
+    key = 0
+    for day in range(28):  # 4 weeks, constant value per weekday
+        v = 100.0 + (day % 7) * 10
+        rows.append((key, 1, "O", v,
+                     datetime.datetime(2024, 1, 1 + day), "1-URGENT"))
+        key += 1
+    write(
+        "orders",
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    out = {r["quantile"]: r for r in
+           quantile_forecast_pinball(spark, d).collect()}
+    for q in (0.5, 0.9):
+        r = out[q]
+        assert r["n_test_days"] == 7
+        assert r["mean_pinball_loss"] == 0.0  # per-weekday constant series
+        assert r["empirical_coverage"] == 1.0

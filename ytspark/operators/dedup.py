@@ -3359,3 +3359,148 @@ def lsh_scurve_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_threshold"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding dedup threshold sweep (dup-rate curve for threshold tuning)
+# ---------------------------------------------------------------------------
+
+SWEEP_FLOOR = 0.20  # pairs scored once above this floor
+SWEEP_GRID = [0.20, 0.30, 0.40, 0.50, 0.60, 0.70, 0.80, 0.90]
+
+
+@register(
+    "dedup_threshold_sweep",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         ROUND(LIST_DOT_PRODUCT(a.v, b.v)
+               / (SQRT(LIST_DOT_PRODUCT(a.v, a.v))
+                  * SQRT(LIST_DOT_PRODUCT(b.v, b.v))), 6) AS cs
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE ROUND(LIST_DOT_PRODUCT(a.v, b.v)
+              / (SQRT(LIST_DOT_PRODUCT(a.v, a.v))
+                 * SQRT(LIST_DOT_PRODUCT(b.v, b.v))), 6) >= {SWEEP_FLOOR}
+),
+grid AS (SELECT UNNEST({SWEEP_GRID!r}) AS threshold),
+hit AS (
+  SELECT g.threshold, p.va, p.vb
+  FROM grid g JOIN pairs p ON p.cs >= g.threshold
+),
+docs AS (
+  SELECT threshold, COUNT(DISTINCT d) AS n_docs FROM (
+    SELECT threshold, va AS d FROM hit
+    UNION ALL SELECT threshold, vb FROM hit
+  ) GROUP BY threshold
+),
+np AS (SELECT threshold, COUNT(*) AS n_pairs FROM hit GROUP BY threshold)
+SELECT g.threshold,
+       CAST(COALESCE(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(docs.n_docs, 0) AS BIGINT) AS n_docs_affected,
+       ROUND(CAST(COALESCE(docs.n_docs, 0) AS DOUBLE)
+             / (SELECT COUNT(*) FROM e), 6) AS affected_frac
+FROM grid g
+LEFT JOIN np USING (threshold)
+LEFT JOIN docs USING (threshold)
+""",
+    doc=f"DEDUP THRESHOLD SWEEP — the tuning curve every semantic-"
+        f"dedup rollout needs before picking its cosine cut (too low "
+        f"deletes paraphrases, too high keeps near-copies): pair "
+        f"similarities are scored ONCE above a {SWEEP_FLOOR} floor "
+        f"via the same block-pair numpy GEMM dedup_embedding_cosine "
+        f"runs (exact, no driver collect), then swept against the "
+        f"{len(SWEEP_GRID)}-point threshold grid — per threshold, "
+        f"surviving pair count, distinct affected documents, and the "
+        f"affected corpus fraction. One GEMM pass + one grid "
+        f"broadcast join over the (bounded) pair list; the curve is "
+        f"what threshold_tuning_cost_curve is to classifiers, on the "
+        f"dedup axis. At 100 TB swap the exact GEMM stage for the "
+        f"LSH-bucketed scorer exactly as dedup_embedding_cosine "
+        f"documents.",
+    tags=("dedup", "embedding", "similarity", "evaluation"),
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    nb = emb_block_count(emb)
+    base = emb.select(
+        "vec_id",
+        "embedding",
+        F.pmod(F.xxhash64("vec_id"), F.lit(nb)).cast("int").alias("blk"),
+    )
+    rep = base.select(
+        "vec_id",
+        "embedding",
+        "blk",
+        F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("other"),
+    ).select(
+        "vec_id",
+        "embedding",
+        "blk",
+        F.least("blk", "other").alias("pa"),
+        F.greatest("blk", "other").alias("pb"),
+    )
+
+    def score(key, pdf):
+        pa, pb = key
+        v = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+        ids = pdf["vec_id"].to_numpy()
+        norms = np.sqrt((v * v).sum(axis=1))
+        if pa == pb:
+            sims = np.round(
+                (v @ v.T) / (norms[:, None] * norms[None, :]), 6
+            )
+            ii, jj = np.nonzero(
+                (sims >= SWEEP_FLOOR) & (ids[:, None] < ids[None, :])
+            )
+            a_ids, b_ids, s = ids[ii], ids[jj], sims[ii, jj]
+        else:
+            ma = pdf["blk"].to_numpy() == pa
+            va, vb = v[ma], v[~ma]
+            na, nb_ = norms[ma], norms[~ma]
+            ia, ib = ids[ma], ids[~ma]
+            sims = np.round((va @ vb.T) / (na[:, None] * nb_[None, :]), 6)
+            ii, jj = np.nonzero(sims >= SWEEP_FLOOR)
+            a_ids = np.minimum(ia[ii], ib[jj])
+            b_ids = np.maximum(ia[ii], ib[jj])
+            s = sims[ii, jj]
+        return pd.DataFrame({"va": a_ids, "vb": b_ids, "cs": s})
+
+    pairs = rep.groupBy("pa", "pb").applyInPandas(
+        score, schema="va bigint, vb bigint, cs double"
+    ).persist()
+    grid = spark.createDataFrame(
+        [(t,) for t in SWEEP_GRID], "threshold double"
+    )
+    hit = F.broadcast(grid).join(pairs, F.col("cs") >= F.col("threshold"))
+    np_ = hit.groupBy("threshold").agg(F.count(F.lit(1)).alias("n_pairs"))
+    docs = (
+        hit.select("threshold", F.col("va").alias("d"))
+        .unionAll(hit.select("threshold", F.col("vb").alias("d")))
+        .groupBy("threshold")
+        .agg(F.count_distinct("d").alias("n_docs"))
+    )
+    tot = emb.agg(F.count(F.lit(1)).alias("n_corpus"))
+    out = (
+        grid.join(np_, "threshold", "left")
+        .join(docs, "threshold", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "threshold",
+            F.coalesce(F.col("n_pairs"), F.lit(0))
+            .cast("long")
+            .alias("n_pairs"),
+            F.coalesce(F.col("n_docs"), F.lit(0))
+            .cast("long")
+            .alias("n_docs_affected"),
+            F.round(
+                F.coalesce(F.col("n_docs"), F.lit(0)).cast("double")
+                / F.col("n_corpus"),
+                6,
+            ).alias("affected_frac"),
+        )
+    )
+    return finish(out, pairs)

@@ -1953,3 +1953,107 @@ def kleinberg_burst_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("z.seq.r") * 1.0 / F.col("z.seq.d"), 6).alias("rate"),
         F.col("z.burst").cast("int").alias("burst"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile-forecast pinball evaluation (seasonal-naive quantile baseline)
+# ---------------------------------------------------------------------------
+
+QFP_TEST_DAYS = 7  # holdout horizon
+QFP_QUANTILES = (0.5, 0.9)
+
+
+@register(
+    "quantile_forecast_pinball",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+              AS DOUBLE) AS y,
+         DAYOFWEEK(CAST(o_orderdate AS DATE)) AS dow
+  FROM orders GROUP BY 1
+),
+cutoff AS (
+  SELECT MAX(day) - INTERVAL {QFP_TEST_DAYS} DAY AS cut FROM daily
+),
+train AS (SELECT * FROM daily CROSS JOIN cutoff WHERE day <= cut),
+test AS (SELECT * FROM daily CROSS JOIN cutoff WHERE day > cut),
+fc AS (
+  SELECT dow, 0.5 AS q, QUANTILE_CONT(y, 0.5) AS yhat
+  FROM train GROUP BY dow
+  UNION ALL
+  SELECT dow, 0.9, QUANTILE_CONT(y, 0.9) FROM train GROUP BY dow
+),
+scored AS (
+  SELECT fc.q,
+         CASE WHEN t.y >= fc.yhat THEN fc.q * (t.y - fc.yhat)
+              ELSE (fc.q - 1) * (t.y - fc.yhat) END AS pinball,
+         CASE WHEN t.y <= fc.yhat THEN 1 ELSE 0 END AS covered
+  FROM test t JOIN fc ON fc.dow = t.dow AND TRUE
+)
+SELECT q AS quantile,
+       CAST(COUNT(*) AS BIGINT) AS n_test_days,
+       ROUND(AVG(pinball), 4) AS mean_pinball_loss,
+       ROUND(AVG(CAST(covered AS DOUBLE)), 6) AS empirical_coverage
+FROM scored GROUP BY q
+""",
+    doc=f"QUANTILE-FORECAST EVALUATION with PINBALL loss — the "
+        f"scoring rule that makes quantile forecasts honest (MASE "
+        f"scores the point forecast; pinball L_q = max(q(y-yhat), "
+        f"(q-1)(y-yhat)) is MINIMIZED in expectation exactly by the "
+        f"true q-quantile, so systematic over/under-forecasting "
+        f"shows up as loss): a seasonal-naive quantile baseline "
+        f"(per-weekday exact interpolated q-quantile of the training "
+        f"days) is scored on the last {QFP_TEST_DAYS} held-out days "
+        f"at q={QFP_QUANTILES}, with empirical coverage beside the "
+        f"loss (a good q=0.9 forecast covers ~90% of test days). "
+        f"Exact DECIMAL daily sums; Spark percentile() and DuckDB "
+        f"quantile_cont share linear-interpolation semantics "
+        f"(the funnel_latency precedent). Scale: one daily rollup, "
+        f"7-row-bounded quantile groups, O(days) everything else.",
+    tags=("time", "evaluation", "learn", "aggregate"),
+)
+def quantile_forecast_pinball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .cast("double")
+        .alias("y")
+    ).withColumn("dow", F.dayofweek("day")).localCheckpoint(eager=True)
+    cutoff = daily.agg(
+        F.date_sub(F.max("day"), QFP_TEST_DAYS).alias("cut")
+    )
+    train = daily.crossJoin(F.broadcast(cutoff)).where(
+        F.col("day") <= F.col("cut")
+    )
+    test = daily.crossJoin(F.broadcast(cutoff)).where(
+        F.col("day") > F.col("cut")
+    )
+    fcs = [
+        train.groupBy("dow").agg(
+            F.lit(q).alias("q"),
+            F.expr(f"percentile(y, {q})").alias("yhat"),
+        )
+        for q in QFP_QUANTILES
+    ]
+    fc = fcs[0].unionByName(fcs[1])
+    scored = test.join(F.broadcast(fc), "dow").select(
+        "q",
+        F.when(
+            F.col("y") >= F.col("yhat"),
+            F.col("q") * (F.col("y") - F.col("yhat")),
+        )
+        .otherwise((F.col("q") - 1) * (F.col("y") - F.col("yhat")))
+        .alias("pinball"),
+        F.when(F.col("y") <= F.col("yhat"), 1).otherwise(0).alias("covered"),
+    )
+    return scored.groupBy(F.col("q").alias("quantile")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_test_days"),
+        F.round(F.avg("pinball"), 4).alias("mean_pinball_loss"),
+        F.round(F.avg(F.col("covered").cast("double")), 6).alias(
+            "empirical_coverage"
+        ),
+    )
