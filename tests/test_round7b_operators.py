@@ -836,3 +836,75 @@ def test_quantile_pinball_perfect_forecast(spark, tmp_sf):
         assert r["n_test_days"] == 7
         assert r["mean_pinball_loss"] == 0.0  # per-weekday constant series
         assert r["empirical_coverage"] == 1.0
+
+
+def test_ccnet_buckets_rank_rare_docs_worse(spark, tmp_sf):
+    from ytspark.operators.text import ccnet_perplexity_buckets
+
+    d, write = tmp_sf
+    common = "data " * 40  # one dominant token => very low perplexity
+    rare = " ".join(f"rare{i}" for i in range(40))  # all singletons
+    write(
+        "documents",
+        [(1, common.strip(), "en", "s", 1), (2, rare, "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r["doc_id"]: r for r in ccnet_perplexity_buckets(spark, d).collect()}
+    assert got[1]["perplexity"] < got[2]["perplexity"]
+    assert got[1]["ccnet_bucket"] == "head"
+    assert got[2]["ccnet_bucket"] == "tail"
+
+
+def test_xbar_flags_spike_after_baseline(spark, tmp_sf):
+    from ytspark.operators.drift import xbar_control_chart
+
+    d, write = tmp_sf
+    import datetime
+
+    rows = []
+    eid = 0
+    for day in range(20):
+        mean = 50.0 + (1.0 if day % 2 == 0 else -1.0)  # tame baseline
+        if day == 17:
+            mean = 200.0  # massive spike well past 3 sigma
+        for _ in range(4):
+            rows.append((eid, datetime.datetime(2024, 1, 1 + day), 1,
+                         "view", mean, "{}")); eid += 1
+    write(
+        "events",
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = sorted(xbar_control_chart(spark, d).collect(),
+                 key=lambda r: r["day"])
+    flags = [r["out_of_control"] for r in out]
+    assert flags[17] is True
+    assert not any(flags[:14])  # baseline days inside their own limits
+    assert out[0]["center_line"] == 50.0
+
+
+def test_thompson_dominant_arm_takes_allocation(spark, tmp_sf):
+    from ytspark.queries.pipeline import thompson_allocation_grid
+
+    d, write = tmp_sf
+    import datetime
+
+    rows = []
+    eid = 0
+    for arm in ("click", "error", "purchase", "signup", "view"):
+        for i in range(60):
+            # purchase converts 55/60; everyone else 5/60
+            hot = 55 if arm == "purchase" else 5
+            rows.append((eid, datetime.datetime(2024, 1, 1), 1, arm,
+                         80.0 if i < hot else 20.0, "{}")); eid += 1
+    write(
+        "events",
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {r["arm"]: r for r in thompson_allocation_grid(spark, d).collect()}
+    assert got["purchase"]["p_best"] > 0.999
+    total = sum(r["p_best"] for r in got.values())
+    assert abs(total - 1.0) < 0.01  # grid-discretized probabilities

@@ -503,3 +503,91 @@ def covariate_shift_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("min_w", 6).alias("min_weight"),
         (F.col("ess") / F.col("n_ref") < 0.5).alias("severe_shift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-bar control chart (Shewhart SPC over daily means)
+# ---------------------------------------------------------------------------
+
+XBAR_BASELINE_DAYS = 14  # control limits estimated from the first 2 weeks
+XBAR_SIGMAS = 3.0
+
+
+@register(
+    "xbar_control_chart",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+              / COUNT(*) AS DOUBLE) AS xbar,
+         COUNT(*) AS n
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+base AS (
+  SELECT AVG(xbar) AS center,
+         SQRT(SUM(xbar * xbar) / COUNT(*) - AVG(xbar) * AVG(xbar))
+           AS sigma
+  FROM (
+    SELECT xbar, ROW_NUMBER() OVER (ORDER BY day) AS t FROM daily
+  ) WHERE t <= {XBAR_BASELINE_DAYS}
+)
+SELECT STRFTIME(day, '%Y-%m-%d') AS day,
+       CAST(n AS BIGINT) AS n_obs,
+       ROUND(xbar, 6) AS daily_mean,
+       ROUND(center, 6) AS center_line,
+       ROUND(center - {XBAR_SIGMAS} * sigma, 6) AS lcl,
+       ROUND(center + {XBAR_SIGMAS} * sigma, 6) AS ucl,
+       xbar < center - {XBAR_SIGMAS} * sigma
+         OR xbar > center + {XBAR_SIGMAS} * sigma AS out_of_control
+FROM daily CROSS JOIN base
+""",
+    doc=f"X-BAR CONTROL CHART (Shewhart SPC) over the daily mean "
+        f"event value: the center line and +/-{XBAR_SIGMAS}-sigma "
+        f"control limits are FROZEN from the first "
+        f"{XBAR_BASELINE_DAYS}-day baseline window (the SPC "
+        f"phase-I/phase-II discipline — limits estimated from "
+        f"in-control history, then every day judged against them), "
+        f"and each day is flagged out-of-control. Completes the "
+        f"monitoring spectrum: Shewhart catches LARGE sudden shifts "
+        f"immediately, CUSUM/Page-Hinkley accumulate small drifts, "
+        f"Kleinberg segments episodes. Exact DECIMAL daily sums; "
+        f"the baseline rank runs over the calendar-bounded spine "
+        f"(EXPECTED_GLOBAL_WINDOW); one data-sized aggregate total.",
+    tags=("drift", "time", "quality", "aggregate"),
+)
+def xbar_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    daily = ev.where(F.col("value").isNotNull()).groupBy(
+        F.col("ts").cast("date").alias("day")
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        )
+        .cast("double")
+        .alias("xbar"),
+        F.count(F.lit(1)).alias("n"),
+    ).localCheckpoint(eager=True)
+    ranked = daily.select(
+        "xbar", F.row_number().over(Window.orderBy("day")).alias("t")
+    ).where(F.col("t") <= XBAR_BASELINE_DAYS)
+    base = ranked.agg(
+        F.avg("xbar").alias("center"),
+        F.sqrt(
+            F.sum(F.col("xbar") * F.col("xbar")) / F.count(F.lit(1))
+            - F.avg("xbar") * F.avg("xbar")
+        ).alias("sigma"),
+    )
+    lcl = F.col("center") - XBAR_SIGMAS * F.col("sigma")
+    ucl = F.col("center") + XBAR_SIGMAS * F.col("sigma")
+    return daily.crossJoin(F.broadcast(base)).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n").cast("long").alias("n_obs"),
+        F.round("xbar", 6).alias("daily_mean"),
+        F.round("center", 6).alias("center_line"),
+        F.round(lcl, 6).alias("lcl"),
+        F.round(ucl, 6).alias("ucl"),
+        ((F.col("xbar") < lcl) | (F.col("xbar") > ucl)).alias(
+            "out_of_control"
+        ),
+    )

@@ -2675,3 +2675,89 @@ def ctfidf_source_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "term", "weight", F.col("rk").cast("long").alias("rk"))
     )
     return finish(out, tf)
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style unigram-LM perplexity bucketing
+# ---------------------------------------------------------------------------
+
+CCNET_HEAD_PPL = 25.0  # head/middle boundary
+CCNET_MIDDLE_PPL = 34.0  # middle/tail boundary
+
+
+@register(
+    "ccnet_perplexity_buckets",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents
+),
+lm AS (SELECT term, COUNT(*) AS tf FROM toks GROUP BY term),
+tot AS (
+  SELECT SUM(tf) AS n_tok, COUNT(*) AS v FROM lm
+),
+scored AS (
+  SELECT t.doc_id,
+         COUNT(*) AS n,
+         SUM(LN((lm.tf + 1.0) / (tot.n_tok + tot.v))) AS ll
+  FROM toks t JOIN lm USING (term) CROSS JOIN tot
+  GROUP BY t.doc_id
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       ROUND(EXP(-ll / n), 4) AS perplexity,
+       CASE WHEN EXP(-ll / n) < {CCNET_HEAD_PPL} THEN 'head'
+            WHEN EXP(-ll / n) < {CCNET_MIDDLE_PPL} THEN 'middle'
+            ELSE 'tail' END AS ccnet_bucket
+FROM scored
+""",
+    doc=f"CCNET PERPLEXITY BUCKETS (Wenzek et al. 2020, 'CCNet: "
+        f"Extracting High Quality Monolingual Datasets' — the "
+        f"public Common-Crawl curation pipeline): score every "
+        f"document's per-token perplexity under a corpus unigram LM "
+        f"(add-1 smoothed) and bucket into head (< {CCNET_HEAD_PPL}) "
+        f"/ middle (< {CCNET_MIDDLE_PPL}) / tail — CCNet keeps head+"
+        f"middle and drops or down-weights tail; this is the "
+        f"standard LM-based quality gate beside the rule-based "
+        f"Gopher battery (rules catch boilerplate, perplexity "
+        f"catches gibberish). Plan: the LM is one term-count "
+        f"aggregate; scoring joins tokens to the LM on the term key "
+        f"(vocabulary-bounded shuffle — at web scale the LM "
+        f"broadcasts after a frequency cut); per-doc sums are "
+        f"map-side combinable. Contrast bigram_lm_perplexity (eval "
+        f"of a LM) — this uses the LM as a FILTER with the "
+        f"published bucket semantics.",
+    tags=("text", "quality", "curation", "aggregate"),
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    lm = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    tot = lm.agg(
+        F.sum("tf").alias("n_tok"), F.count(F.lit(1)).alias("v")
+    )
+    scored = (
+        toks.join(lm, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.log(
+                    (F.col("tf") + 1.0) / (F.col("n_tok") + F.col("v"))
+                )
+            ).alias("ll"),
+        )
+    )
+    ppl = F.exp(-F.col("ll") / F.col("n"))
+    out = scored.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.round(ppl, 4).alias("perplexity"),
+        F.when(ppl < CCNET_HEAD_PPL, "head")
+        .when(ppl < CCNET_MIDDLE_PPL, "middle")
+        .otherwise("tail")
+        .alias("ccnet_bucket"),
+    )
+    return finish(out, lm)

@@ -2846,3 +2846,208 @@ def holm_bonferroni_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "holm_threshold",
         (F.col("pass_all") == 1).alias("rejected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Thompson allocation: P(arm is best) across all five arms
+# ---------------------------------------------------------------------------
+
+TH_ARMS = ("click", "error", "purchase", "signup", "view")
+
+
+def _thompson_oracle() -> str:
+    arms = TH_ARMS
+    stats = ",\n         ".join(
+        f"SUM(CASE WHEN g = '{a}' THEN 1 ELSE 0 END) AS n{i},\n"
+        f"         SUM(CASE WHEN g = '{a}' THEN succ ELSE 0 END) AS s{i}"
+        for i, a in enumerate(arms)
+    )
+    lgam = ",\n         ".join(
+        f"SUM(CASE WHEN j <= s{i} THEN LN(j) ELSE 0 END) AS lga{i},\n"
+        f"         SUM(CASE WHEN j <= n{i} - s{i} THEN LN(j) ELSE 0 END)"
+        f" AS lgb{i},\n"
+        f"         SUM(CASE WHEN j <= n{i} + 1 THEN LN(j) ELSE 0 END)"
+        f" AS lgn{i}"
+        for i in range(len(arms))
+    )
+    pdfs = ",\n         ".join(
+        f"EXP(s{i} * LN(x) + (n{i} - s{i}) * LN(1 - x)"
+        f" - (lga{i} + lgb{i} - lgn{i})) AS pdf{i}"
+        for i in range(len(arms))
+    )
+    cdfs = ",\n         ".join(
+        f"SUM(pdf{i} / {BAB_GRID}) OVER (ORDER BY g) AS cdf{i}"
+        for i in range(len(arms))
+    )
+    terms = ",\n         ".join(
+        "SUM(pdf{i} / {g} * {prod}) AS pb{i}".format(
+            i=i,
+            g=BAB_GRID,
+            prod=" * ".join(f"cdf{j}" for j in range(len(arms)) if j != i),
+        )
+        for i in range(len(arms))
+    )
+    rows = "\n  UNION ALL\n".join(
+        f"  SELECT '{a}' AS arm, CAST(n{i} AS BIGINT) AS n,"
+        f" CAST(s{i} AS BIGINT) AS successes,"
+        f" ROUND((s{i} + 1.0) / (n{i} + 2.0), 6) AS posterior_mean,"
+        f" ROUND(pb{i}, 6) AS p_best"
+        f" FROM integ CROSS JOIN stats"
+        for i, a in enumerate(arms)
+    )
+    return f"""
+WITH s AS (
+  SELECT event_type AS g,
+         CASE WHEN value > {BAB_THRESH} THEN 1 ELSE 0 END AS succ
+  FROM events WHERE value IS NOT NULL
+),
+stats AS (
+  SELECT {stats}
+  FROM s
+),
+lgam AS (
+  SELECT {lgam}
+  FROM (SELECT UNNEST(RANGE(1, {BAB_SPINE} + 1)) AS j) CROSS JOIN stats
+),
+grid AS (
+  SELECT (g - 0.5) / {BAB_GRID} AS x, g
+  FROM (SELECT UNNEST(RANGE(1, {BAB_GRID} + 1)) AS g)
+),
+pdfs AS (
+  SELECT g,
+         {pdfs}
+  FROM grid CROSS JOIN stats CROSS JOIN lgam
+),
+cdfs AS (
+  SELECT *,
+         {cdfs}
+  FROM pdfs
+),
+integ AS (
+  SELECT {terms}
+  FROM cdfs
+)
+{rows}
+"""
+
+
+@register(
+    "thompson_allocation_grid",
+    oracle=_thompson_oracle(),
+    doc=f"THOMPSON ALLOCATION across all {len(TH_ARMS)} arms — the "
+        f"k-arm generalization of bayes_ab_beta_posterior and the "
+        f"table a bandit allocates traffic from: P(arm i is best) = "
+        f"integral pdf_i(x) prod_(j!=i) CDF_j(x) dx on the shared "
+        f"{BAB_GRID}-point grid, Beta(1,1) posteriors, exclusion "
+        f"products written EXPLICITLY (no division — a zero CDF "
+        f"early in the grid can never NaN a term), log-Gammas from "
+        f"the same {BAB_SPINE}-row integer spine (Spark has no "
+        f"lgamma builtin). The five p_best values sum to ~1 (grid "
+        f"discretization disclosed) and ARE the Thompson sampling "
+        f"probabilities — a deterministic allocator samples "
+        f"proportionally to them. Scale: one events scan for the "
+        f"success counts; spine + grid are O(1) constants.",
+    tags=("experiment", "statistics", "aggregate", "window", "pipeline"),
+)
+def thompson_allocation_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    arms = TH_ARMS
+    k = len(arms)
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    s = ev.where(F.col("value").isNotNull()).select(
+        F.col("event_type").alias("g"),
+        F.when(F.col("value") > BAB_THRESH, 1).otherwise(0).alias("succ"),
+    )
+    stats = s.agg(
+        *[
+            agg
+            for i, a in enumerate(arms)
+            for agg in (
+                F.sum(F.when(F.col("g") == a, 1).otherwise(0)).alias(
+                    f"n{i}"
+                ),
+                F.sum(
+                    F.when(F.col("g") == a, F.col("succ")).otherwise(0)
+                ).alias(f"s{i}"),
+            )
+        ]
+    ).localCheckpoint(eager=True)
+    spine = spark.range(1, BAB_SPINE + 1).select(F.col("id").alias("j"))
+    lgam = spine.crossJoin(F.broadcast(stats)).agg(
+        *[
+            agg
+            for i in range(k)
+            for agg in (
+                F.sum(
+                    F.when(F.col("j") <= F.col(f"s{i}"), F.log("j"))
+                    .otherwise(0.0)
+                ).alias(f"lga{i}"),
+                F.sum(
+                    F.when(
+                        F.col("j") <= F.col(f"n{i}") - F.col(f"s{i}"),
+                        F.log("j"),
+                    ).otherwise(0.0)
+                ).alias(f"lgb{i}"),
+                F.sum(
+                    F.when(F.col("j") <= F.col(f"n{i}") + 1, F.log("j"))
+                    .otherwise(0.0)
+                ).alias(f"lgn{i}"),
+            )
+        ]
+    )
+    grid = spark.range(1, BAB_GRID + 1).select(
+        F.col("id").alias("g"), ((F.col("id") - 0.5) / BAB_GRID).alias("x")
+    )
+    pdfs = grid.crossJoin(F.broadcast(stats)).crossJoin(
+        F.broadcast(lgam)
+    ).select(
+        "g",
+        *[
+            F.exp(
+                F.col(f"s{i}") * F.log("x")
+                + (F.col(f"n{i}") - F.col(f"s{i}")) * F.log(1 - F.col("x"))
+                - (F.col(f"lga{i}") + F.col(f"lgb{i}") - F.col(f"lgn{i}"))
+            ).alias(f"pdf{i}")
+            for i in range(k)
+        ],
+    )
+    wc = Window.orderBy("g").rowsBetween(Window.unboundedPreceding, 0)
+    cdfs = pdfs.select(
+        "*",
+        *[
+            F.sum(F.col(f"pdf{i}") / BAB_GRID).over(wc).alias(f"cdf{i}")
+            for i in range(k)
+        ],
+    )
+    prod = {
+        i: [F.col(f"cdf{j}") for j in range(k) if j != i] for i in range(k)
+    }
+    integ = cdfs.agg(
+        *[
+            F.sum(
+                F.col(f"pdf{i}")
+                / BAB_GRID
+                * prod[i][0]
+                * prod[i][1]
+                * prod[i][2]
+                * prod[i][3]
+            ).alias(f"pb{i}")
+            for i in range(k)
+        ]
+    )
+    one = stats.crossJoin(F.broadcast(integ))
+    rows = [
+        one.select(
+            F.lit(a).alias("arm"),
+            F.col(f"n{i}").cast("long").alias("n"),
+            F.col(f"s{i}").cast("long").alias("successes"),
+            F.round(
+                (F.col(f"s{i}") + 1.0) / (F.col(f"n{i}") + 2.0), 6
+            ).alias("posterior_mean"),
+            F.round(F.col(f"pb{i}"), 6).alias("p_best"),
+        )
+        for i, a in enumerate(arms)
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
