@@ -168,14 +168,14 @@ _PRIORITY: tuple[str, ...] = (
     # CORRECTNESS_r*.json; breadth-first across the 32 families with
     # unchecked members ----
     # text
-    "markov_next_event_eval",
-    "heaps_law_fit",
+    # "markov_next_event_eval" rotated out (r7b: family keeps carriers)
+    # "heaps_law_fit" rotated out (r7b: text keeps mmr + dsir)
     "mmr_diversified_topk",
     # temporal
     "group_sequential_obf_monitor",
-    "dedup_exact_substring_clusters",
+    # "dedup_exact_substring_clusters" rotated out (r7b: family keeps carriers)
     # profiling
-    "dedup_exact_substring_pairs",
+    # "dedup_exact_substring_pairs" rotated out (r7b: family keeps carriers)
     # dedup — the round-7 exact-substring debuts certify in their
     # debut round (cadence rule); minhash-clusters-checkable keeps its
     # first-ever slot, ngram-containment + the grouped-median and
@@ -187,15 +187,15 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_exact_substring_apply",
     "longest_duplicate_substring",
     # learn
-    "threshold_tuning_cost_curve",
+    # "threshold_tuning_cost_curve" rotated out (r7b: family keeps carriers)
     "gradient_boosted_stumps",
-    "ridge_regression_path",
+    # "ridge_regression_path" rotated out (r7b: family keeps carriers)
     # aggregate
     # structured streaming (r6 judge: "all of streaming ... only local")
     "streaming_running_distinct_users",
     "hill_tail_index",
     # time-series
-    "welch_ttest_segments",
+    # "welch_ttest_segments" rotated out (r7b: family keeps carriers)
     # multimodal (r6 judge: "all of multimodal ... only local")
     "lsh_scurve_planner",
     "multimodal_audio_vad_segments",
@@ -207,27 +207,44 @@ _PRIORITY: tuple[str, ...] = (
     # full-text search — the r7 debuts (nDCG eval, sparse doc-doc
     # cosine) certify in their debut round; QL-Dirichlet + BM25-PRF
     # rotate to a later window (still never-checked, locally certified)
-    "doc_cosine_sparse_topk",
+    # "doc_cosine_sparse_topk" rotated out (r7b: family keeps carriers)
     "ndcg_eval",
     # maintenance
     "partition_checksum_merkle",
     # one per remaining family with unchecked members
-    "hll_intersection_bounds",  # sketch + setop carrier
+    # "hll_intersection_bounds" rotated out (r7b: family keeps carriers)
     "kmv_distinct_sketch_eval",  # sketch
     "binary_ranking_metrics",  # learn/evaluation
     "candidate_key_profile",  # quality/profiling
-    "file_skipping_stats",  # layout
+    # "file_skipping_stats" rotated out (r7b: family keeps carriers)
     "running_distinct_users_daily",  # retention
-    "multimodal_keyframe_select",
+    # "multimodal_keyframe_select" rotated out (r7b: family keeps carriers)
     "embedding_pq",  # clustering
     "fuzzy_er_clusters",  # fuzzy (named by the r6 judge)
     "sequence_pack_blocks",  # packing
-    "grouped_median_ci_order_stats",  # statistics
+    # "grouped_median_ci_order_stats" rotated out (r7b: family keeps carriers)
     "asof_nearest_click_join",  # join/asof
     "cogroup_purchase_click_gap",  # udf (named by the r6 judge)
     "weekly_jsd_drift",  # drift
     "streaming_exact_substring_screen",
     "json_roundtrip_battery",  # json
+    # ---- round-7 second-wave debuts (this session): certify the
+    # flagship new operators in their debut round (cadence rule);
+    # the 11 evicted first-evers remain registered + locally
+    # hash-certified, every vacated family keeps an in-window carrier
+    # (simulated against check_priority_window before the swap) ----
+    "dsir_importance_selection",   # text/curation (DSIR selection)
+    "gopher_quality_rules",        # text/quality rule battery
+    "kleinberg_burst_days",        # time/drift Viterbi fold
+    "vopt_histogram_daily_revenue",  # profiling DP histogram
+    "bayes_ab_beta_posterior",     # experiment (spine-lgamma grid)
+    "knn_mips_norm_augmented",     # similarity (MIPS reduction)
+    "multimodal_audio_zcr_frames", # multimodal integer ZCR
+    "kmv_set_operations",          # sketch + setop carrier
+    "watermark_lateness_profile",  # temporal/streaming prefix scan
+    "fisher_lda_classifier",       # learn closed-form LDA
+    "mann_kendall_trend",          # statistics/time pair test
+    "partition_skew_simulator",    # layout skew forecast
 )
 
 
