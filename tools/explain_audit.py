@@ -69,6 +69,16 @@ EXPECTED_NESTED_LOOP = {
                                      # (knn_cosine_bruteforce shape)
     "kmv_set_operations",            # broadcast 1-row exact certificates
     "simpson_paradox_audit",         # broadcast 1-row pooled slope
+    "covariate_shift_ess",           # broadcast 1-row bucket totals
+    "hard_negative_mining",          # broadcast query set, != label
+                                     # predicate (bruteforce-kNN shape)
+    "holm_bonferroni_nations",       # broadcast 1-row global moments
+                                     # (the BH precedent)
+    "quantile_forecast_pinball",     # broadcast 1-row cutoff + 14-row
+                                     # per-weekday quantile table
+    "thompson_allocation_grid",      # broadcast 1-row stats/lgamma onto
+                                     # the bounded grid (bayes_ab shape)
+    "xbar_control_chart",            # broadcast 1-row frozen limits
     "ndcg_eval",                     # broadcast 1-row DCG/IDCG/n_rated scalars
     "ridge_regression_path",         # broadcast 4-row lambda grid x 1-row moments
     "gradient_boosted_stumps",       # broadcast 1-row split/total scalars
@@ -208,6 +218,9 @@ EXPECTED_GLOBAL_WINDOW = {
                                    # BLOCK_SIZE-x-smaller block table
     "vopt_histogram_daily_revenue",  # DP/prefix windows over the
                                      # O(days) spine + B-row cuts
+    "holm_bonferroni_nations",     # step-down scan over the m=25 tests
+    "thompson_allocation_grid",    # CDF cumsums over the 400-row grid
+    "xbar_control_chart",          # baseline rank over the O(days) spine
 }
 # streaming queries execute eagerly; skip plan audit (they materialize
 # their own sinks and are correctness-checked by the oracle gate)
