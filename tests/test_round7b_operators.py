@@ -733,19 +733,20 @@ def test_partition_skew_simulator_consistency(spark, sf_dir):
 
 
 def test_vopt_recovers_piecewise_constant_segments(spark, tmp_sf):
-    from ytspark.operators.profiling import vopt_histogram_daily_revenue
+    from ytspark.operators.profiling import vopt_histogram_weekly_revenue
 
     d, write = tmp_sf
     import datetime
 
     rows = []
     key = 0
-    levels = [100.0, 500.0, 100.0, 900.0]  # 4 true segments, 5 days each
+    levels = [100.0, 500.0, 100.0, 900.0]  # 4 true segments, 5 WEEKS each
     for seg, lvl in enumerate(levels):
         for i in range(5):
-            day = seg * 5 + i
+            wk = seg * 5 + i  # consecutive Mondays (2024-01-01 is one)
             rows.append((key, 1, "O", lvl,
-                         datetime.datetime(2024, 1, 1 + day), "1-URGENT"))
+                         datetime.datetime(2024, 1, 1)
+                         + datetime.timedelta(days=7 * wk), "1-URGENT"))
             key += 1
     write(
         "orders",
@@ -753,10 +754,10 @@ def test_vopt_recovers_piecewise_constant_segments(spark, tmp_sf):
         "o_orderkey long, o_custkey long, o_orderstatus string, "
         "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
     )
-    out = sorted(vopt_histogram_daily_revenue(spark, d).collect(),
+    out = sorted(vopt_histogram_weekly_revenue(spark, d).collect(),
                  key=lambda r: r["bucket"])
     assert len(out) == 4
-    assert [r["n_days"] for r in out] == [5, 5, 5, 5]
+    assert [r["n_weeks"] for r in out] == [5, 5, 5, 5]
     assert all(r["sse"] == 0.0 for r in out)  # exact piecewise recovery
     assert [r["bucket_mean"] for r in out] == levels
 

@@ -216,7 +216,7 @@ EXPECTED_GLOBAL_WINDOW = {
     "page_hinkley_daily_mean",     # PH cumsums over the O(days) spine
     "watermark_lateness_profile",  # exclusive prefix max over the
                                    # BLOCK_SIZE-x-smaller block table
-    "vopt_histogram_daily_revenue",  # DP/prefix windows over the
+    "vopt_histogram_weekly_revenue",  # DP/prefix windows over the
                                      # O(days) spine + B-row cuts
     "holm_bonferroni_nations",     # step-down scan over the m=25 tests
     "thompson_allocation_grid",    # CDF cumsums over the 400-row grid

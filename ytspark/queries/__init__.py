@@ -236,7 +236,7 @@ _PRIORITY: tuple[str, ...] = (
     "dsir_importance_selection",   # text/curation (DSIR selection)
     "gopher_quality_rules",        # text/quality rule battery
     "kleinberg_burst_days",        # time/drift Viterbi fold
-    "vopt_histogram_daily_revenue",  # profiling DP histogram
+    "vopt_histogram_weekly_revenue",  # profiling DP histogram
     "bayes_ab_beta_posterior",     # experiment (spine-lgamma grid)
     "knn_mips_norm_augmented",     # similarity (MIPS reduction)
     "multimodal_audio_zcr_frames", # multimodal integer ZCR
