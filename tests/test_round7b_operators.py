@@ -909,3 +909,101 @@ def test_thompson_dominant_arm_takes_allocation(spark, tmp_sf):
     assert got["purchase"]["p_best"] > 0.999
     total = sum(r["p_best"] for r in got.values())
     assert abs(total - 1.0) < 0.01  # grid-discretized probabilities
+
+
+def test_periodogram_finds_weekly_cycle(spark, tmp_sf):
+    from ytspark.operators.timeseries import periodogram_daily_revenue
+
+    d, write = tmp_sf
+    import math
+    import datetime
+
+    rows = []
+    for day in range(56):  # 8 clean weekly cycles
+        v = 1000.0 + 500.0 * math.sin(2 * math.pi * day / 7)
+        rows.append((day, 1, "O", v,
+                     datetime.datetime(2024, 1, 1 + day % 28)
+                     + datetime.timedelta(days=28 * (day // 28)),
+                     "1-URGENT"))
+    write(
+        "orders",
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    out = {r["period_days"]: r for r in
+           periodogram_daily_revenue(spark, d).collect()}
+    assert out[7]["dominant"]
+    assert out[7]["power_share"] > 0.9
+
+
+def test_ols_diagnostics_clean_trend(spark, tmp_sf):
+    from ytspark.operators.learn import ols_residual_diagnostics
+
+    d, write = tmp_sf
+    import datetime
+
+    rows = []
+    for day in range(30):  # exact linear trend + tiny alternating noise
+        v = 1000.0 + 10.0 * day + (1.0 if day % 2 == 0 else -1.0)
+        rows.append((day, 1, "O", v,
+                     datetime.datetime(2024, 1, 1 + day % 28)
+                     + datetime.timedelta(days=28 * (day // 28)),
+                     "1-URGENT"))
+    write(
+        "orders",
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    row = ols_residual_diagnostics(spark, d).collect()[0]
+    assert row["r_squared"] > 0.999
+    # alternating residuals: strong NEGATIVE lag-1 autocorrelation
+    assert row["dw_verdict"] == "negative_autocorr"
+    assert row["resid_lag1_autocorr"] < -0.9
+
+
+def test_ams_f2_exact_certificate(spark, sf_dir):
+    from ytspark.operators.sketch import ams_f2_sketch_eval
+
+    row = ams_f2_sketch_eval(spark, sf_dir).collect()[0]
+    assert row["exact_f2"] > 0
+    assert row["n_estimators"] == 16
+    assert row["ams_estimate"] >= 0
+    assert row["rel_error"] >= 0
+
+
+def test_image_entropy_flags_flat_images(spark, tmp_sf):
+    from ytspark.operators.multimodal import (
+        multimodal_image_histogram_entropy,
+    )
+
+    d, write = tmp_sf
+    # doc 0: w=4, h=3 with pixel (x*3 + y*5) % 256 — varied levels
+    write(
+        "documents",
+        [(0, "t", "en", "s", 1), (5, "t", "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r["doc_id"]: r for r in
+           multimodal_image_histogram_entropy(spark, d).collect()}
+    for did, r in got.items():
+        w, h = 4 + did % 5, 3 + did % 4
+        vals = {(did * 7 + x * 3 + y * 5) % 256
+                for y in range(h) for x in range(w)}
+        assert r["n_pixels"] == w * h
+        assert r["distinct_levels"] == len(vals)
+        assert r["entropy_nats"] >= 0
+
+
+def test_join_strategy_advisor_verdicts(spark, sf_dir):
+    from ytspark.operators.layout import join_strategy_advisor
+
+    rows = {r["join_name"]: r for r in
+            join_strategy_advisor(spark, sf_dir).collect()}
+    # tiny dims at test SF: everything broadcasts
+    assert rows["customer_nation"]["strategy"] == "broadcast"
+    assert rows["lineitem_orders"]["dim_est_bytes"] == \
+        rows["lineitem_orders"]["dim_rows"] * 80
+    for r in rows.values():
+        assert r["key_skew_ratio"] >= 1.0

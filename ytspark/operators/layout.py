@@ -625,3 +625,109 @@ def partition_skew_simulator(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("max_rows") / F.col("mean_rows"), 6) <= 1.5
         ).alias("balanced"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-strategy advisor (broadcast / shuffle / salted recommendation)
+# ---------------------------------------------------------------------------
+
+JSA_BC_BYTES = 10 << 20  # broadcast the build side below 10 MiB
+JSA_SKEW_RATIO = 4.0  # salt / AQE-skew above this max/mean key ratio
+# deterministic per-dtype row-width estimates — the derivation of
+# JSA_DIM_WIDTH below (sum over each dim schema); pinned per-dim so
+# the SQL oracle carries the identical size model
+JSA_WIDTHS = {"bigint": 8, "int": 4, "integer": 4, "double": 8,
+              "float": 4, "string": 24, "timestamp": 8,
+              "timestamp_ntz": 8, "date": 4, "boolean": 1}
+
+# dim-side modeled widths (sum of JSA_WIDTHS over each schema; pinned
+# as constants so the SQL oracle carries the identical size model)
+JSA_DIM_WIDTH = {"orders": 80, "part": 92, "supplier": 44,
+                 "customer": 68, "nation": 32}
+
+JSA_CANDIDATES = (
+    ("lineitem_orders", "lineitem", "l_orderkey", "orders"),
+    ("lineitem_part", "lineitem", "l_partkey", "part"),
+    ("lineitem_supplier", "lineitem", "l_suppkey", "supplier"),
+    ("orders_customer", "orders", "o_custkey", "customer"),
+    ("customer_nation", "customer", "c_nationkey", "nation"),
+    ("events_customer", "events", "user_id", "customer"),
+)
+
+
+@register(
+    "join_strategy_advisor",
+    oracle="\nUNION ALL\n".join(
+        f"""
+SELECT '{name}' AS join_name,
+       CAST((SELECT COUNT(*) FROM {fact}) AS BIGINT) AS fact_rows,
+       CAST((SELECT COUNT(*) FROM {dim}) AS BIGINT) AS dim_rows,
+       CAST((SELECT COUNT(*) FROM {dim}) * {JSA_DIM_WIDTH[dim]} AS BIGINT)
+         AS dim_est_bytes,
+       ROUND((SELECT MAX(c) FROM
+               (SELECT COUNT(*) AS c FROM {fact} GROUP BY {key}))
+             / ((SELECT CAST(COUNT(*) AS DOUBLE) FROM {fact})
+                / (SELECT COUNT(DISTINCT {key}) FROM {fact})), 4)
+         AS key_skew_ratio,
+       CASE WHEN (SELECT COUNT(*) FROM {dim}) * {JSA_DIM_WIDTH[dim]}
+                 <= {JSA_BC_BYTES} THEN 'broadcast'
+            WHEN (SELECT MAX(c) FROM
+                   (SELECT COUNT(*) AS c FROM {fact} GROUP BY {key}))
+                 / ((SELECT CAST(COUNT(*) AS DOUBLE) FROM {fact})
+                    / (SELECT COUNT(DISTINCT {key}) FROM {fact}))
+                 > {JSA_SKEW_RATIO} THEN 'shuffle_salted'
+            ELSE 'shuffle_hash' END AS strategy
+""".strip()
+        for name, fact, key, dim in JSA_CANDIDATES
+    ),
+    doc=f"JOIN-STRATEGY ADVISOR — the planning table this repo's own "
+        f"scale notes hand-derive, emitted as a query: for each "
+        f"candidate fact-dim join, the dim side's modeled bytes "
+        f"(row count x documented per-dtype width constants — a size "
+        f"MODEL both engines reproduce, deliberately not file bytes), "
+        f"the fact key's max/mean skew ratio, and the verdict — "
+        f"BROADCAST below {JSA_BC_BYTES >> 20} MiB build side, "
+        f"SHUFFLE+SALT above a {JSA_SKEW_RATIO}x skew ratio (the "
+        f"salted_join / AQE-skew path), plain shuffle-hash otherwise. "
+        f"This mechanizes exactly the decisions maybe_broadcast and "
+        f"plans/scale.py make, so a user can ASK the engine why a "
+        f"join got its strategy. Scale: per candidate, one key-count "
+        f"aggregate on the fact (map-side combinable) + two row "
+        f"counts; the advisor itself is O(candidates).",
+    tags=("layout", "join", "profiling", "aggregate"),
+)
+def join_strategy_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = load_tables(
+        spark, sf_dir,
+        *sorted({t for c in JSA_CANDIDATES for t in (c[1], c[3])}),
+    )
+    outs = []
+    for name, fact, key, dim in JSA_CANDIDATES:
+        fdf, ddf = tables[fact], tables[dim]
+        width = JSA_DIM_WIDTH[dim]
+        keyc = fdf.groupBy(key).agg(F.count(F.lit(1)).alias("c"))
+        stats = keyc.agg(
+            F.max("c").alias("mx"),
+            F.sum("c").alias("n"),
+            F.count(F.lit(1)).alias("nd"),
+        )
+        drows = ddf.agg(F.count(F.lit(1)).alias("dn"))
+        skew = F.col("mx") / (F.col("n").cast("double") / F.col("nd"))
+        est_bytes = F.col("dn") * width
+        outs.append(
+            stats.crossJoin(F.broadcast(drows)).select(
+                F.lit(name).alias("join_name"),
+                F.col("n").cast("long").alias("fact_rows"),
+                F.col("dn").cast("long").alias("dim_rows"),
+                est_bytes.cast("long").alias("dim_est_bytes"),
+                F.round(skew, 4).alias("key_skew_ratio"),
+                F.when(est_bytes <= JSA_BC_BYTES, "broadcast")
+                .when(skew > JSA_SKEW_RATIO, "shuffle_salted")
+                .otherwise("shuffle_hash")
+                .alias("strategy"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -2777,3 +2777,184 @@ def fisher_lda_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS threshold",
         "ROUND(n_correct / (n0 + n1), 6) AS train_accuracy",
     )
+
+
+# ---------------------------------------------------------------------------
+# OLS residual diagnostics (Durbin-Watson, Breusch-Pagan, R^2)
+# ---------------------------------------------------------------------------
+
+_OLS_CHI2_1_CRIT = 3.841459  # 5% chi-squared critical value, df=1
+
+
+@register(
+    "ols_residual_diagnostics",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+              AS DOUBLE) AS y
+  FROM orders GROUP BY 1
+),
+idx AS (
+  SELECT y, CAST(ROW_NUMBER() OVER (ORDER BY day) AS DOUBLE) AS t,
+         day
+  FROM daily
+),
+fit AS (
+  SELECT COUNT(*) AS n,
+         (COUNT(*) * SUM(t * y) - SUM(t) * SUM(y))
+           / (COUNT(*) * SUM(t * t) - SUM(t) * SUM(t)) AS beta,
+         (SUM(y) - (COUNT(*) * SUM(t * y) - SUM(t) * SUM(y))
+           / (COUNT(*) * SUM(t * t) - SUM(t) * SUM(t)) * SUM(t))
+           / COUNT(*) AS alpha,
+         AVG(y) AS ybar
+  FROM idx
+),
+res AS (
+  SELECT t, day, y, y - (alpha + beta * t) AS e, ybar
+  FROM idx CROSS JOIN fit
+),
+lagd AS (
+  SELECT t, e, ybar, y,
+         LAG(e) OVER (ORDER BY day) AS ep
+  FROM res
+),
+agg AS (
+  SELECT COUNT(*) AS n,
+         SUM(e * e) AS sse,
+         SUM((y - ybar) * (y - ybar)) AS sst,
+         SUM(CASE WHEN ep IS NOT NULL THEN (e - ep) * (e - ep)
+                  ELSE 0 END) AS sdd,
+         SUM(CASE WHEN ep IS NOT NULL THEN e * ep ELSE 0 END) AS sce,
+         -- Breusch-Pagan auxiliary: regress e^2 on t, LM = n * R2_aux
+         SUM(t) AS st, SUM(t * t) AS stt,
+         SUM(e * e * t) AS set_, SUM(e * e * e * e) AS se4,
+         SUM(e * e) AS se2
+  FROM lagd
+),
+diag AS (
+  SELECT n, 1 - sse / sst AS r2, sdd / sse AS dw,
+         sce / sse AS rho1,
+         n * POW(n * set_ - st * se2, 2)
+           / ((n * stt - st * st) * (n * se4 - se2 * se2)) AS bp_lm
+  FROM agg
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       ROUND(r2, 6) AS r_squared,
+       ROUND(dw, 6) AS durbin_watson,
+       ROUND(rho1, 6) AS resid_lag1_autocorr,
+       ROUND(bp_lm, 6) AS breusch_pagan_lm,
+       CASE WHEN dw < 1.5 THEN 'positive_autocorr'
+            WHEN dw > 2.5 THEN 'negative_autocorr'
+            ELSE 'ok' END AS dw_verdict,
+       bp_lm > {_OLS_CHI2_1_CRIT} AS heteroscedastic
+FROM diag
+""",
+    doc="OLS RESIDUAL DIAGNOSTICS — the checks that decide whether "
+        "the trend fits (revenue_trend_ols, trend_by_priority_ols, "
+        "conformal intervals) can be TRUSTED: R^2, the Durbin-Watson "
+        "statistic sum (e_t - e_(t-1))^2 / sum e^2 with its "
+        "autocorrelation verdict (DW < 1.5 means the i.i.d. residual "
+        "assumption is violated and OLS standard errors are wrong), "
+        "the lag-1 residual autocorrelation, and the Breusch-Pagan "
+        "LM test (n x R^2 of regressing e^2 on the regressor — "
+        "heteroscedasticity flag at the df=1 chi-squared 5% level). "
+        "Everything is closed-form power sums over the calendar-"
+        "bounded daily rollup: one data-sized aggregate, one "
+        "broadcast 1-row fit, one O(days) lag window, one final "
+        "aggregate — all doubles derived from exact DECIMAL sums "
+        "with identical expression text cross-engine.",
+    tags=("learn", "statistics", "time", "aggregate"),
+)
+def ols_residual_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .cast("double")
+        .alias("y")
+    )
+    idx = daily.select(
+        "y",
+        F.row_number().over(Window.orderBy("day")).cast("double").alias("t"),
+        "day",
+    ).localCheckpoint(eager=True)
+    n = F.count(F.lit(1))
+    beta = (n * F.sum(F.col("t") * F.col("y")) - F.sum("t") * F.sum("y")) / (
+        n * F.sum(F.col("t") * F.col("t")) - F.sum("t") * F.sum("t")
+    )
+    fit = idx.agg(
+        beta.alias("beta"),
+        ((F.sum("y") - beta * F.sum("t")) / n).alias("alpha"),
+        F.avg("y").alias("ybar"),
+    )
+    res = idx.crossJoin(F.broadcast(fit)).select(
+        "t",
+        "day",
+        "y",
+        (F.col("y") - (F.col("alpha") + F.col("beta") * F.col("t"))).alias(
+            "e"
+        ),
+        "ybar",
+    )
+    lagd = res.select(
+        "t",
+        "e",
+        "ybar",
+        "y",
+        F.lag("e").over(Window.orderBy("day")).alias("ep"),
+    )
+    agg = lagd.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("e") * F.col("e")).alias("sse"),
+        F.sum(
+            (F.col("y") - F.col("ybar")) * (F.col("y") - F.col("ybar"))
+        ).alias("sst"),
+        F.sum(
+            F.when(
+                F.col("ep").isNotNull(),
+                (F.col("e") - F.col("ep")) * (F.col("e") - F.col("ep")),
+            ).otherwise(0.0)
+        ).alias("sdd"),
+        F.sum(
+            F.when(
+                F.col("ep").isNotNull(), F.col("e") * F.col("ep")
+            ).otherwise(0.0)
+        ).alias("sce"),
+        F.sum("t").alias("st"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.sum(F.col("e") * F.col("e") * F.col("t")).alias("set_"),
+        F.sum(
+            F.col("e") * F.col("e") * F.col("e") * F.col("e")
+        ).alias("se4"),
+        F.sum(F.col("e") * F.col("e")).alias("se2"),
+    )
+    dw = F.col("sdd") / F.col("sse")
+    bp = (
+        F.col("n")
+        * F.pow(
+            F.col("n") * F.col("set_") - F.col("st") * F.col("se2"), 2
+        )
+        / (
+            (F.col("n") * F.col("stt") - F.col("st") * F.col("st"))
+            * (F.col("n") * F.col("se4") - F.col("se2") * F.col("se2"))
+        )
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(1 - F.col("sse") / F.col("sst"), 6).alias("r_squared"),
+        F.round(dw, 6).alias("durbin_watson"),
+        F.round(F.col("sce") / F.col("sse"), 6).alias(
+            "resid_lag1_autocorr"
+        ),
+        F.round(bp, 6).alias("breusch_pagan_lm"),
+        F.when(dw < 1.5, "positive_autocorr")
+        .when(dw > 2.5, "negative_autocorr")
+        .otherwise("ok")
+        .alias("dw_verdict"),
+        (bp > _OLS_CHI2_1_CRIT).alias("heteroscedastic"),
+    )

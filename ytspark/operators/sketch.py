@@ -957,3 +957,109 @@ def kmv_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("exact_jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# AMS F2 (second frequency moment) sketch with exact certificate
+# ---------------------------------------------------------------------------
+
+AMS_K = 16  # estimators: 4 groups x 4 -> median of means
+AMS_GROUPS = 4
+_AMS_SALT = 1_000_003  # estimator-index salt in the sign hash
+
+
+def _ams_sign_sql(j: int) -> str:
+    return (
+        f"(1 - 2 * ((({knuth_hash_sql(f'user_id + {j} * {_AMS_SALT}')})"
+        f" // 65536) % 2))"
+    )
+
+
+@register(
+    "ams_f2_sketch_eval",
+    oracle=f"""
+WITH z AS (
+  SELECT {", ".join(f"SUM({_ams_sign_sql(j)}) AS z{j}" for j in range(AMS_K))}
+  FROM events
+),
+est AS (
+  {" UNION ALL ".join(f"SELECT {j} AS j, CAST(z{j} AS DOUBLE) * z{j} AS e FROM z" for j in range(AMS_K))}
+),
+means AS (
+  SELECT j // {AMS_K // AMS_GROUPS} AS g, AVG(e) AS m
+  FROM est GROUP BY 1
+),
+mom AS (SELECT MEDIAN(m) AS ams FROM means),
+exact AS (
+  SELECT SUM(CAST(c AS DOUBLE) * c) AS f2
+  FROM (SELECT COUNT(*) AS c FROM events GROUP BY user_id)
+)
+SELECT CAST(f2 AS BIGINT) AS exact_f2,
+       ROUND(ams, 1) AS ams_estimate,
+       ROUND(ABS(ams - f2) / f2, 6) AS rel_error,
+       CAST({AMS_K} AS BIGINT) AS n_estimators,
+       ABS(ams - f2) / f2 < 1.0 AS within_2x
+FROM mom CROSS JOIN exact
+""",
+    doc=f"AMS F2 SKETCH (Alon-Matias-Szegedy 1996 — the second "
+        f"frequency moment, i.e. the SELF-JOIN SIZE of the user_id "
+        f"frequency vector): {AMS_K} independent +/-1 sign estimators "
+        f"Z_j = sum_events s_j(user), est_j = Z_j^2, combined by "
+        f"median-of-means ({AMS_GROUPS} groups) — the third "
+        f"join-size estimator beside the CMS inner product "
+        f"(join_size_estimate_cms) and the exact count, and the one "
+        f"with O(1) state per estimator (a streaming monitor keeps "
+        f"{AMS_K} running integers). Signs come from bit 16 of the "
+        f"shared Knuth hash salted by estimator index, so the sketch "
+        f"replays EXACTLY in SQL and the estimate itself is "
+        f"hash-certified beside its exact certificate. Scale: ONE "
+        f"events scan computing {AMS_K} conditional sums (map-side "
+        f"combinable); the exact F2 costs the user groupBy the "
+        f"sketch exists to avoid.",
+    tags=("sketch", "aggregate", "evaluation"),
+)
+def ams_f2_sketch_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+
+    def sign(j: int):
+        h = knuth_hash_col(F.col("user_id") + j * _AMS_SALT)
+        return 1 - 2 * F.pmod((h / 65536).cast("long"), F.lit(2))
+
+    z = ev.agg(
+        *[F.sum(sign(j)).alias(f"z{j}") for j in range(AMS_K)]
+    )
+    est_rows = z.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        (
+                            F.col(f"z{j}").cast("double") * F.col(f"z{j}")
+                        ).alias("e"),
+                    )
+                    for j in range(AMS_K)
+                ]
+            )
+        ).alias("s")
+    ).select(F.col("s.j").alias("j"), F.col("s.e").alias("e"))
+    means = est_rows.groupBy(
+        (F.col("j") / (AMS_K // AMS_GROUPS)).cast("long").alias("g")
+    ).agg(F.avg("e").alias("m"))
+    mom = means.agg(F.median("m").alias("ams"))
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c").cast("double") * F.col("c")).alias("f2"))
+    )
+    return mom.crossJoin(F.broadcast(exact)).select(
+        F.col("f2").cast("long").alias("exact_f2"),
+        F.round("ams", 1).alias("ams_estimate"),
+        F.round(F.abs(F.col("ams") - F.col("f2")) / F.col("f2"), 6).alias(
+            "rel_error"
+        ),
+        F.lit(AMS_K).cast("long").alias("n_estimators"),
+        (F.abs(F.col("ams") - F.col("f2")) / F.col("f2") < 1.0).alias(
+            "within_2x"
+        ),
+    )

@@ -2057,3 +2057,116 @@ def quantile_forecast_pinball(spark: SparkSession, sf_dir: str) -> DataFrame:
             "empirical_coverage"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Periodogram (DFT power over candidate periods — seasonality detection)
+# ---------------------------------------------------------------------------
+
+PGRAM_PERIODS = tuple(range(2, 15))  # candidate periods in days
+
+
+@register(
+    "periodogram_daily_revenue",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+              AS DOUBLE) AS x
+  FROM orders GROUP BY 1
+),
+idx AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY day) - 1 AS t,
+         COUNT(*) OVER () AS n, AVG(x) OVER () AS mu
+  FROM daily
+),
+grid AS (SELECT UNNEST({list(PGRAM_PERIODS)!r}) AS period),
+terms AS (
+  SELECT g.period,
+         SUM((i.x - i.mu) * COS(2 * PI() * i.t / g.period)) AS re,
+         SUM((i.x - i.mu) * SIN(2 * PI() * i.t / g.period)) AS im,
+         MAX(i.n) AS n
+  FROM grid g CROSS JOIN idx i
+  GROUP BY g.period
+),
+power AS (
+  SELECT period, (re * re + im * im) / n AS pwr FROM terms
+),
+tot AS (SELECT SUM(pwr) AS tp, MAX(pwr) AS mx FROM power)
+SELECT CAST(period AS BIGINT) AS period_days,
+       ROUND(pwr, 2) AS power,
+       ROUND(pwr / tp, 6) AS power_share,
+       pwr = mx AS dominant
+FROM power CROSS JOIN tot
+""",
+    doc=f"PERIODOGRAM over daily revenue — seasonality DETECTION "
+        f"where acf_daily_counts measures one lag at a time: the "
+        f"demeaned series' DFT power |sum x_t e^(-2 pi i t / P)|^2/n "
+        f"is evaluated at candidate periods {PGRAM_PERIODS[0]}-"
+        f"{PGRAM_PERIODS[-1]} days as EXPLICIT cos/sin sums — no FFT "
+        f"library on either engine, the transform IS two aggregates "
+        f"per period — and the dominant period is flagged (weekly "
+        f"data peaks at 7). This is the test that should precede "
+        f"every seasonal_decompose_weekday-style hardcoded period. "
+        f"Scale: the day spine is calendar-bounded, the period grid "
+        f"is a {len(PGRAM_PERIODS)}-row broadcast, so the whole "
+        f"transform is O(days x periods) after one data-sized "
+        f"grouped aggregate. Spark PI() literal and DuckDB PI() are "
+        f"the same IEEE double; identical expression text keeps the "
+        f"trig sums hash-stable at 2 dp power rounding.",
+    tags=("time", "statistics", "aggregate"),
+)
+def periodogram_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .cast("double")
+        .alias("x")
+    )
+    w = Window.orderBy("day")
+    wall = Window.partitionBy()
+    idx = daily.select(
+        "x",
+        (F.row_number().over(w) - 1).alias("t"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.avg("x").over(wall).alias("mu"),
+    ).localCheckpoint(eager=True)
+    grid = spark.createDataFrame(
+        [(p,) for p in PGRAM_PERIODS], "period int"
+    )
+    two_pi = 2 * 3.141592653589793
+    terms = (
+        F.broadcast(grid)
+        .crossJoin(idx)
+        .groupBy("period")
+        .agg(
+            F.sum(
+                (F.col("x") - F.col("mu"))
+                * F.cos(F.lit(two_pi) * F.col("t") / F.col("period"))
+            ).alias("re"),
+            F.sum(
+                (F.col("x") - F.col("mu"))
+                * F.sin(F.lit(two_pi) * F.col("t") / F.col("period"))
+            ).alias("im"),
+            F.max("n").alias("n"),
+        )
+    )
+    power = terms.select(
+        "period",
+        (
+            (F.col("re") * F.col("re") + F.col("im") * F.col("im"))
+            / F.col("n")
+        ).alias("pwr"),
+    )
+    tot = power.agg(F.sum("pwr").alias("tp"), F.max("pwr").alias("mx"))
+    return power.crossJoin(F.broadcast(tot)).select(
+        F.col("period").cast("long").alias("period_days"),
+        F.round("pwr", 2).alias("power"),
+        F.round(F.col("pwr") / F.col("tp"), 6).alias("power_share"),
+        (F.col("pwr") == F.col("mx")).alias("dominant"),
+    )
