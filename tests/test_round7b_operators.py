@@ -1007,3 +1007,72 @@ def test_join_strategy_advisor_verdicts(spark, sf_dir):
         rows["lineitem_orders"]["dim_rows"] * 80
     for r in rows.values():
         assert r["key_skew_ratio"] >= 1.0
+
+
+def test_mmd_zero_for_identical_samples(spark, tmp_sf):
+    from ytspark.queries.pipeline import mmd_rbf_two_sample
+
+    d, write = tmp_sf
+    import datetime
+
+    rows = []
+    eid = 0
+    for et in ("click", "purchase"):  # identical value multisets
+        for i in range(30):
+            rows.append((eid, datetime.datetime(2024, 1, 1), 1, et,
+                         10.0 * (i % 5) + 7.0, "{}")); eid += 1
+    write(
+        "events",
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    row = mmd_rbf_two_sample(spark, d).collect()[0]
+    assert row["mmd2_biased"] == 0.0  # identical empirical distributions
+
+
+def test_mmd_positive_for_shifted_samples(spark, tmp_sf):
+    from ytspark.queries.pipeline import mmd_rbf_two_sample
+
+    d, write = tmp_sf
+    import datetime
+
+    rows = []
+    eid = 0
+    for i in range(30):
+        rows.append((eid, datetime.datetime(2024, 1, 1), 1, "click",
+                     20.0, "{}")); eid += 1
+        rows.append((eid, datetime.datetime(2024, 1, 1), 1, "purchase",
+                     200.0, "{}")); eid += 1
+    write(
+        "events",
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    row = mmd_rbf_two_sample(spark, d).collect()[0]
+    assert row["mmd2_biased"] > 0.5  # far-separated point masses
+
+
+def test_logrank_consistency(spark, sf_dir):
+    from ytspark.operators.timeseries import logrank_test_purchasers
+
+    row = logrank_test_purchasers(spark, sf_dir).collect()[0]
+    assert row["n_purchasers"] + row["n_non_purchasers"] > 0
+    if row["logrank_chi2"] is None:  # degenerate one-group design
+        assert row["reject_equal_survival"] is False
+    else:
+        assert row["logrank_chi2"] >= 0
+        assert row["reject_equal_survival"] == (
+            row["logrank_chi2"] > 3.841459
+        )
+
+
+def test_mahalanobis_mean_d2_identity(spark, sf_dir):
+    """In-sample mean Mahalanobis d^2 equals the dimension (2)."""
+    from ytspark.operators.profiling import mahalanobis_outliers_2d
+
+    row = mahalanobis_outliers_2d(spark, sf_dir).collect()[0]
+    assert abs(row["mean_d2"] - 2.0) < 1e-3
+    assert row["max_d2"] > row["mean_d2"]
+    assert 0 <= row["outlier_frac"] < 0.05

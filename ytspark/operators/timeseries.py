@@ -2170,3 +2170,164 @@ def periodogram_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("pwr") / F.col("tp"), 6).alias("power_share"),
         (F.col("pwr") == F.col("mx")).alias("dominant"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Log-rank test (two-group survival comparison)
+# ---------------------------------------------------------------------------
+
+LR_CHI2_CRIT = 3.841459  # 5% chi-squared critical value, df=1
+
+
+@register(
+    "logrank_test_purchasers",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, DATE_TRUNC('day', ts) AS day, event_type FROM events
+),
+w AS (SELECT MAX(day) AS wmax FROM ev),
+u AS (
+  SELECT user_id,
+         DATE_DIFF('day', MIN(day), MAX(day)) AS t,
+         MAX(day) >= (SELECT wmax FROM w)
+                     - INTERVAL {KM_CENSOR_TAIL_DAYS} DAY AS censored,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS grp
+  FROM ev GROUP BY user_id
+),
+byt AS (
+  SELECT t,
+         SUM(CASE WHEN grp = 1 AND NOT censored THEN 1 ELSE 0 END) AS d1,
+         SUM(CASE WHEN grp = 0 AND NOT censored THEN 1 ELSE 0 END) AS d0,
+         SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS a1,
+         SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS a0
+  FROM u GROUP BY t
+),
+risk AS (
+  SELECT t, d1, d0,
+         SUM(a1) OVER (ORDER BY t DESC) AS n1,
+         SUM(a0) OVER (ORDER BY t DESC) AS n0
+  FROM byt
+),
+terms AS (
+  SELECT SUM(d1) AS o1,
+         SUM(CAST(d1 + d0 AS DOUBLE) * n1 / (n1 + n0)) AS e1,
+         SUM(CASE WHEN n1 + n0 > 1 THEN
+               CAST(d1 + d0 AS DOUBLE) * n1 * n0
+                 * (n1 + n0 - d1 - d0)
+                 / (CAST(n1 + n0 AS DOUBLE) * (n1 + n0) * (n1 + n0 - 1))
+             ELSE 0 END) AS v
+  FROM risk WHERE d1 + d0 > 0
+),
+grps AS (
+  SELECT SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS ng1,
+         SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS ng0
+  FROM u
+)
+SELECT CAST(ng1 AS BIGINT) AS n_purchasers,
+       CAST(ng0 AS BIGINT) AS n_non_purchasers,
+       CAST(o1 AS BIGINT) AS observed_events_g1,
+       ROUND(e1, 4) AS expected_events_g1,
+       CASE WHEN v > 0 THEN ROUND(POW(o1 - e1, 2) / v, 6) END
+         AS logrank_chi2,
+       COALESCE(POW(o1 - e1, 2) / NULLIF(v, 0) > {LR_CHI2_CRIT}, FALSE)
+         AS reject_equal_survival
+FROM terms CROSS JOIN grps
+""",
+    doc="LOG-RANK TEST between purchasers and non-purchasers — the "
+        "significance test kaplan_meier_survival needs (KM draws two "
+        "curves; log-rank decides whether they differ): at each "
+        "event time, observed group-1 deaths vs the hypergeometric "
+        "expectation d * n1/n, variance-weighted into the df=1 "
+        "chi-squared. Lifetime and censoring follow the exact "
+        "KM definitions (last activity inside the censor tail = "
+        "censored), and the risk sets are reverse cumulative sums "
+        "over the CALENDAR-BOUNDED lifetime spine — same shape, one "
+        "extra group dimension. Every count is integer-exact; the "
+        "only floats are the final expectation/variance divisions.",
+    tags=("statistics", "time", "retention", "aggregate", "window"),
+)
+def logrank_test_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    e = ev.select(
+        "user_id",
+        F.date_trunc("day", "ts").alias("day"),
+        "event_type",
+    )
+    wmax = e.agg(F.max("day").alias("wmax"))
+    u = (
+        e.groupBy("user_id")
+        .agg(
+            F.datediff(F.max("day"), F.min("day")).alias("t"),
+            F.max("day").alias("last_day"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("grp"),
+        )
+        .crossJoin(F.broadcast(wmax))
+        .select(
+            "t",
+            "grp",
+            (
+                F.col("last_day")
+                >= F.col("wmax") - F.expr(f"INTERVAL {KM_CENSOR_TAIL_DAYS} DAY")
+            ).alias("censored"),
+        )
+    ).localCheckpoint(eager=True)
+    byt = u.groupBy("t").agg(
+        F.sum(
+            F.when((F.col("grp") == 1) & ~F.col("censored"), 1).otherwise(0)
+        ).alias("d1"),
+        F.sum(
+            F.when((F.col("grp") == 0) & ~F.col("censored"), 1).otherwise(0)
+        ).alias("d0"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("a1"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("a0"),
+    )
+    wrev = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = byt.select(
+        "t",
+        "d1",
+        "d0",
+        F.sum("a1").over(wrev).alias("n1"),
+        F.sum("a0").over(wrev).alias("n0"),
+    )
+    d = F.col("d1") + F.col("d0")
+    n = F.col("n1") + F.col("n0")
+    terms = risk.where(d > 0).agg(
+        F.sum("d1").alias("o1"),
+        F.sum(d.cast("double") * F.col("n1") / n).alias("e1"),
+        F.sum(
+            F.when(
+                n > 1,
+                d.cast("double")
+                * F.col("n1")
+                * F.col("n0")
+                * (n - d)
+                / (n.cast("double") * n * (n - 1)),
+            ).otherwise(0.0)
+        ).alias("v"),
+    )
+    grps = u.agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("ng1"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("ng0"),
+    )
+    # degenerate designs (a one-sided risk set at every event time,
+    # e.g. every user in one group) have v == 0: report NULL chi2 and
+    # a FALSE rejection instead of a division error
+    chi2 = F.pow(F.col("o1") - F.col("e1"), 2) / F.nullif(
+        F.col("v"), F.lit(0.0)
+    )
+    return terms.crossJoin(F.broadcast(grps)).select(
+        F.col("ng1").cast("long").alias("n_purchasers"),
+        F.col("ng0").cast("long").alias("n_non_purchasers"),
+        F.col("o1").cast("long").alias("observed_events_g1"),
+        F.round("e1", 4).alias("expected_events_g1"),
+        F.when(F.col("v") > 0, F.round(chi2, 6)).alias("logrank_chi2"),
+        F.coalesce(chi2 > LR_CHI2_CRIT, F.lit(False)).alias(
+            "reject_equal_survival"
+        ),
+    )
