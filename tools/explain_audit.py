@@ -79,6 +79,15 @@ EXPECTED_NESTED_LOOP = {
     "thompson_allocation_grid",      # broadcast 1-row stats/lgamma onto
                                      # the bounded grid (bayes_ab shape)
     "xbar_control_chart",            # broadcast 1-row frozen limits
+    "ams_f2_sketch_eval",            # broadcast 1-row exact F2
+    "join_strategy_advisor",         # broadcast 1-row dim counts
+    "ols_residual_diagnostics",      # broadcast 1-row fit onto the
+                                     # O(days) spine
+    "periodogram_daily_revenue",     # 13-row period grid x day spine
+    "mmd_rbf_two_sample",            # bounded cent-grid pair join
+                                     # (effect-size precedent)
+    "logrank_test_purchasers",       # broadcast 1-row terms/groups
+    "mahalanobis_outliers_2d",       # broadcast 1-row fit onto the scan
     "ndcg_eval",                     # broadcast 1-row DCG/IDCG/n_rated scalars
     "ridge_regression_path",         # broadcast 4-row lambda grid x 1-row moments
     "gradient_boosted_stumps",       # broadcast 1-row split/total scalars
@@ -221,6 +230,10 @@ EXPECTED_GLOBAL_WINDOW = {
     "holm_bonferroni_nations",     # step-down scan over the m=25 tests
     "thompson_allocation_grid",    # CDF cumsums over the 400-row grid
     "xbar_control_chart",          # baseline rank over the O(days) spine
+    "ols_residual_diagnostics",    # trend index/lag over the O(days) spine
+    "periodogram_daily_revenue",   # demeaning window over the O(days) spine
+    "logrank_test_purchasers",     # reverse risk cumsum over the bounded
+                                   # lifetime spine (kaplan_meier precedent)
 }
 # streaming queries execute eagerly; skip plan audit (they materialize
 # their own sinks and are correctness-checked by the oracle gate)
