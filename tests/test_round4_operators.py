@@ -470,9 +470,8 @@ class TestCogroupKernel:
             for _, row in pg.iterrows():
                 prior = cg[cg.ts <= row.ts]
                 if len(prior):
-                    gaps.append(
-                        (row.ts - prior.ts.iloc[-1]).total_seconds()
-                    )
+                    # exact integer microseconds (Timedelta.value is ns)
+                    gaps.append((row.ts - prior.ts.iloc[-1]).value // 1000)
                 else:
                     unmatched += 1
             r = got[uid]
@@ -480,10 +479,12 @@ class TestCogroupKernel:
             assert r["n_clicks"] == len(cg)
             assert r["n_unmatched"] == unmatched
             if gaps:
-                want = pd.Series(gaps).median()
-                assert abs(r["median_gap_s"] - round(want, 6)) < 2e-6
+                g = sorted(gaps)
+                n = len(g)
+                want2 = g[(n - 1) // 2] + g[n // 2]
+                assert r["median_gap_us2"] == want2
             else:
-                assert r["median_gap_s"] is None
+                assert r["median_gap_us2"] is None
 
     def test_count_only_projection_survives_pruning(self, spark, sf_dir):
         """Regression: with same-name columns on both cogroup sides,
@@ -523,8 +524,8 @@ class TestCogroupKernel:
             bm.load_tables = orig
         assert set(rows) == {2, 3}
         assert rows[2]["n_unmatched"] == 1
-        assert rows[2]["median_gap_s"] is None
-        assert rows[3]["median_gap_s"] == 1800.0
+        assert rows[2]["median_gap_us2"] is None
+        assert rows[3]["median_gap_us2"] == 2 * 1800 * 1_000_000
 
 
 class TestWinsorize:

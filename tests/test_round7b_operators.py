@@ -758,8 +758,11 @@ def test_vopt_recovers_piecewise_constant_segments(spark, tmp_sf):
                  key=lambda r: r["bucket"])
     assert len(out) == 4
     assert [r["n_weeks"] for r in out] == [5, 5, 5, 5]
-    assert all(r["sse"] == 0.0 for r in out)  # exact piecewise recovery
-    assert [r["bucket_mean"] for r in out] == levels
+    # exact piecewise recovery: zero SSE numerator per bucket
+    assert all(int(r["sse_num_cents2"]) == 0 for r in out)
+    assert [r["sum_cents"] for r in out] == [
+        int(lvl * 100) * 5 for lvl in levels
+    ]
 
 
 def test_streaming_watermark_monitor_ticks(spark, tmp_sf):

@@ -211,15 +211,38 @@ matched AS (
 ),
 click_counts AS (
   SELECT user_id, COUNT(*) AS n_clicks FROM clicks GROUP BY user_id
+),
+gaps AS (
+  SELECT user_id,
+         EPOCH_US(pts) - EPOCH_US(cts) AS gap_us,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY EPOCH_US(pts) - EPOCH_US(cts)
+         ) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM matched WHERE cts IS NOT NULL
+),
+med AS (
+  -- integer-exact 2x median: odd n -> 2*mid, even n -> lo+hi.
+  -- No float ever crosses the engine boundary (r7 driver lesson:
+  -- ROUND(MEDIAN(epoch_seconds),6) diverged by one ulp across builds).
+  SELECT user_id,
+         CASE WHEN MAX(n) % 2 = 1
+              THEN 2 * SUM(CASE WHEN rn = (n + 1) // 2
+                                THEN gap_us ELSE 0 END)
+              ELSE SUM(CASE WHEN rn = n // 2 OR rn = n // 2 + 1
+                            THEN gap_us ELSE 0 END)
+         END AS median_gap_us2
+  FROM gaps GROUP BY user_id
 )
 SELECT m.user_id,
        CAST(COUNT(*) AS BIGINT) AS n_purchases,
        CAST(COALESCE(MAX(cc.n_clicks), 0) AS BIGINT) AS n_clicks,
        CAST(SUM(CASE WHEN m.cts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
          AS n_unmatched,
-       ROUND(MEDIAN(EPOCH(m.pts) - EPOCH(m.cts)), 6) AS median_gap_s
+       CAST(MAX(md.median_gap_us2) AS BIGINT) AS median_gap_us2
 FROM matched m
 LEFT JOIN click_counts cc ON cc.user_id = m.user_id
+LEFT JOIN med md ON md.user_id = m.user_id
 GROUP BY m.user_id
 """
 
@@ -235,7 +258,11 @@ GROUP BY m.user_id
         "aligned Arrow frames and a pandas ``merge_asof`` computes "
         "each purchase's gap to its last preceding click, reduced to "
         "per-user stats (purchase/click counts, unmatched purchases, "
-        "median gap seconds). One co-partitioned shuffle on user_id; "
+        "2x-median gap in integer microseconds — doubling keeps the "
+        "even-count midpoint exact so NO float ever crosses the "
+        "engine boundary; the r7 driver window proved a rounded "
+        "float median diverges by one ulp across builds). One "
+        "co-partitioned shuffle on user_id; "
         "each side of a group is bounded by per-entity activity. The "
         "kernel is window-expressible on purpose — DuckDB's native "
         "ASOF LEFT JOIN + MEDIAN recompute certifies the cogrouped "
@@ -275,7 +302,7 @@ def cogroup_purchase_click_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_purchases",
                     "n_clicks",
                     "n_unmatched",
-                    "median_gap_s",
+                    "median_gap_us2",
                 ]
             )
         import numpy as np
@@ -288,13 +315,15 @@ def cogroup_purchase_click_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx = np.searchsorted(cts, pts, side="right") - 1
         matched = idx >= 0
         if matched.any():
-            gaps = (
+            gaps = np.sort(
                 (pts[matched] - cts[idx[matched]])
                 .astype("timedelta64[us]")
                 .astype("int64")
-                / 1e6
             )
-            med = round(float(np.median(gaps)), 6)
+            n = len(gaps)
+            # integer-exact 2x median (odd: 2*mid, even: lo+hi) —
+            # pure int64, bit-identical on every platform
+            med = int(gaps[(n - 1) // 2]) + int(gaps[n // 2])
         else:
             med = None
         return pd.DataFrame(
@@ -303,7 +332,7 @@ def cogroup_purchase_click_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_purchases": [len(p)],
                 "n_clicks": [len(c)],
                 "n_unmatched": [int(len(pts) - matched.sum())],
-                "median_gap_s": [med],
+                "median_gap_us2": [med],
             }
         )
 
@@ -313,6 +342,6 @@ def cogroup_purchase_click_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(
             gap_stats,
             "user_id long, n_purchases long, n_clicks long, "
-            "n_unmatched long, median_gap_s double",
+            "n_unmatched long, median_gap_us2 long",
         )
     )

@@ -2117,73 +2117,76 @@ def simpson_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 VOPT_B = 4  # histogram buckets
 
+# r8 env-invariance rework (r7 driver hash mismatch): the DP argmin
+# ranked RAW double costs, and FMA contraction / evaluation-order
+# differences between builds can flip a near-tie, silently moving a
+# cut. The comparison key is now FLOOR(1e6 * cost / total_SS) — a
+# BIGINT quantization whose grain (1e-6 relative) is ~1e10x the ulp
+# noise — with ties broken on the smaller cut index, so both engines
+# pick identical cuts. Outputs are integer-exact from DECIMAL cents
+# prefix sums (the old ROUND(sse, 2) rounded a ~1e17 double whose
+# cross-build ulp is ~16 — far coarser than the 0.01 grain).
+
+
+def _vopt_level_cte(name: str, prev: str, min_j: int) -> str:
+    """One DP level as a DuckDB CTE: extend every level-(b-1) state
+    by a segment (s, j], ranking candidates by the quantized key."""
+    seg = (
+        "(pj.p2d - ps.p2d) - (pj.p1d - ps.p1d) * (pj.p1d - ps.p1d)"
+        " / (pj.td - ps.td)"
+    )
+    return f"""
+{name} AS (
+  SELECT j, cost, path FROM (
+    SELECT pj.t AS j,
+           s.cost + {seg} AS cost,
+           s.path || ',' || s.j AS path,
+           ROW_NUMBER() OVER (PARTITION BY pj.t ORDER BY
+             CAST(FLOOR((s.cost + {seg}) / ssv.v
+                        * CAST(1000000 AS DOUBLE)) AS BIGINT), s.j) AS rk
+    FROM {prev} s JOIN pred ps ON ps.t = s.j
+    JOIN pred pj ON pj.t > s.j AND s.j >= {min_j}
+    CROSS JOIN ss ssv
+  ) WHERE rk = 1
+)"""
+
 
 @register(
     "vopt_histogram_weekly_revenue",
     oracle=f"""
 WITH weekly AS (
   SELECT CAST(DATE_TRUNC('week', CAST(o_orderdate AS DATE)) AS DATE) AS wk,
-         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
-              AS DOUBLE) AS x
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+              AS DECIMAL(18,0)) AS xc
   FROM orders GROUP BY 1
 ),
 idx AS (
-  SELECT wk, x, ROW_NUMBER() OVER (ORDER BY wk) AS t FROM weekly
+  SELECT wk, xc, ROW_NUMBER() OVER (ORDER BY wk) AS t FROM weekly
 ),
 pre AS (
   SELECT t, wk,
-         SUM(x) OVER (ORDER BY t) AS p1,
-         SUM(x * x) OVER (ORDER BY t) AS p2
+         CAST(SUM(xc) OVER (ORDER BY t) AS DECIMAL(38,0)) AS p1,
+         CAST(SUM(CAST(xc AS DECIMAL(19,0)) * CAST(xc AS DECIMAL(19,0)))
+              OVER (ORDER BY t) AS DECIMAL(38,0)) AS p2
   FROM idx
 ),
+pred AS (
+  SELECT t, wk, p1, p2,
+         CAST(p1 AS DOUBLE) AS p1d, CAST(p2 AS DOUBLE) AS p2d,
+         CAST(t AS DOUBLE) AS td
+  FROM pre
+),
+ss AS (
+  SELECT CASE WHEN s0 <= 0 THEN CAST(1 AS DOUBLE) ELSE s0 END AS v
+  FROM (SELECT p2d - p1d * p1d / td AS s0 FROM pred
+        WHERE t = (SELECT MAX(t) FROM pred))
+),
 c1 AS (
-  SELECT t AS j, p2 - p1 * p1 / t AS cost, '' AS path FROM pre
-),
-c2 AS (
-  SELECT j, cost, path FROM (
-    SELECT pj.t AS j,
-           s.cost + (pj.p2 - ps.p2)
-             - (pj.p1 - ps.p1) * (pj.p1 - ps.p1) / (pj.t - ps.t) AS cost,
-           s.path || ',' || s.j AS path,
-           ROW_NUMBER() OVER (PARTITION BY pj.t ORDER BY
-             s.cost + (pj.p2 - ps.p2)
-               - (pj.p1 - ps.p1) * (pj.p1 - ps.p1) / (pj.t - ps.t), s.j)
-             AS rk
-    FROM c1 s JOIN pre ps ON ps.t = s.j
-    JOIN pre pj ON pj.t > s.j AND s.j >= 1
-  ) WHERE rk = 1
-),
-c3 AS (
-  SELECT j, cost, path FROM (
-    SELECT pj.t AS j,
-           s.cost + (pj.p2 - ps.p2)
-             - (pj.p1 - ps.p1) * (pj.p1 - ps.p1) / (pj.t - ps.t) AS cost,
-           s.path || ',' || s.j AS path,
-           ROW_NUMBER() OVER (PARTITION BY pj.t ORDER BY
-             s.cost + (pj.p2 - ps.p2)
-               - (pj.p1 - ps.p1) * (pj.p1 - ps.p1) / (pj.t - ps.t), s.j)
-             AS rk
-    FROM c2 s JOIN pre ps ON ps.t = s.j
-    JOIN pre pj ON pj.t > s.j AND s.j >= 2
-  ) WHERE rk = 1
-),
-c4 AS (
-  SELECT j, cost, path FROM (
-    SELECT pj.t AS j,
-           s.cost + (pj.p2 - ps.p2)
-             - (pj.p1 - ps.p1) * (pj.p1 - ps.p1) / (pj.t - ps.t) AS cost,
-           s.path || ',' || s.j AS path,
-           ROW_NUMBER() OVER (PARTITION BY pj.t ORDER BY
-             s.cost + (pj.p2 - ps.p2)
-               - (pj.p1 - ps.p1) * (pj.p1 - ps.p1) / (pj.t - ps.t), s.j)
-             AS rk
-    FROM c3 s JOIN pre ps ON ps.t = s.j
-    JOIN pre pj ON pj.t > s.j AND s.j >= 3
-  ) WHERE rk = 1
-),
+  SELECT t AS j, p2d - p1d * p1d / td AS cost, '' AS path FROM pred
+),{_vopt_level_cte("c2", "c1", 1)},{_vopt_level_cte("c3", "c2", 2)},{_vopt_level_cte("c4", "c3", 3)},
 fin AS (
   SELECT path || ',' || j AS cuts FROM c4
-  WHERE j = (SELECT MAX(t) FROM pre)
+  WHERE j = (SELECT MAX(t) FROM pred)
 ),
 bounds AS (
   SELECT CAST(b.sp AS BIGINT) AS end_t,
@@ -2199,16 +2202,19 @@ SELECT s.bucket,
        STRFTIME(pa.wk, '%Y-%m-%d') AS start_week,
        STRFTIME(pb.wk, '%Y-%m-%d') AS end_week,
        CAST(s.end_t - s.start_t + 1 AS BIGINT) AS n_weeks,
-       ROUND((pb.p2 - COALESCE(pa2.p2, 0))
-             - (pb.p1 - COALESCE(pa2.p1, 0))
-               * (pb.p1 - COALESCE(pa2.p1, 0))
-               / (s.end_t - s.start_t + 1), 2) AS sse,
-       ROUND((pb.p1 - COALESCE(pa2.p1, 0))
-             / (s.end_t - s.start_t + 1), 2) AS bucket_mean
+       CAST(pb.p1 - COALESCE(pa2.p1, 0) AS BIGINT) AS sum_cents,
+       CAST(
+         CAST(CAST(s.end_t - s.start_t + 1 AS DECIMAL(4,0))
+              * CAST(pb.p2 - COALESCE(pa2.p2, 0) AS DECIMAL(34,0))
+              AS DECIMAL(37,0))
+         - CAST(CAST(pb.p1 - COALESCE(pa2.p1, 0) AS DECIMAL(19,0))
+                * CAST(pb.p1 - COALESCE(pa2.p1, 0) AS DECIMAL(19,0))
+                AS DECIMAL(37,0))
+         AS VARCHAR) AS sse_num_cents2
 FROM seg s
-JOIN pre pa ON pa.t = s.start_t
-JOIN pre pb ON pb.t = s.end_t
-LEFT JOIN pre pa2 ON pa2.t = s.start_t - 1
+JOIN pred pa ON pa.t = s.start_t
+JOIN pred pb ON pb.t = s.end_t
+LEFT JOIN pred pa2 ON pa2.t = s.start_t - 1
 """,
     doc=f"V-OPTIMAL HISTOGRAM over weekly revenue, {VOPT_B} buckets — "
         f"the variance-minimal segmentation query optimizers build "
@@ -2222,11 +2228,17 @@ LEFT JOIN pre pa2 ON pa2.t = s.start_t - 1
         f"calendar-bounded WEEKLY spine (~350 points for 7 years — the "
         f"granularity optimizer statistics actually use; the daily DP was "
         f"measured at 10 s vs ~1 s weekly at sf0.1, same algorithm) with a per-j argmin (PARTITIONED "
-        f"rank; ties break on the smaller cut — pinned cross-engine), "
-        f"{VOPT_B - 1} levels chained through localCheckpoints; the "
-        f"oracle replays the identical levels as chained CTEs. "
-        f"Prefix sums come from exact DECIMAL weekly sums, so costs "
-        f"are identical doubles on both engines. Scale: O(days^2) "
+        f"rank ordered by a QUANTIZED key FLOOR(1e6*cost/total_SS), "
+        f"ties on the smaller cut — the r7 driver window proved raw "
+        f"double-cost ranking is FMA/eval-order sensitive across "
+        f"builds), {VOPT_B - 1} levels chained through "
+        f"localCheckpoints; the oracle replays the identical levels "
+        f"as chained CTEs. Prefix sums are exact DECIMAL cents, and "
+        f"the outputs are integer-exact (per-bucket sum_cents BIGINT "
+        f"and the length-scaled SSE numerator n*P2-P1^2 in cents^2, "
+        f"DECIMAL-computed and emitted as an exact digit string "
+        f"since it exceeds BIGINT) — no rounded float ever crosses the "
+        f"engine boundary. Scale: O(weeks^2) "
         f"pairs per level (~60k weekly), invariant to row count — the data-sized "
         f"work is one grouped aggregate.",
     tags=("profiling", "time", "aggregate", "window"),
@@ -2242,10 +2254,9 @@ def vopt_histogram_weekly_revenue(
         .cast("date")
         .alias("wk")
     ).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("decimal(38,2)")
-        .cast("double")
-        .alias("x")
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("decimal(18,0)")
+        .alias("xc")
     )
     wt = Window.orderBy("wk")
     wc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
@@ -2254,30 +2265,49 @@ def vopt_histogram_weekly_revenue(
         .select(
             "t",
             "wk",
-            F.sum("x").over(wc).alias("p1"),
-            F.sum(F.col("x") * F.col("x")).over(wc).alias("p2"),
+            F.sum("xc").over(wc).cast("decimal(38,0)").alias("p1"),
+            F.sum(F.col("xc") * F.col("xc"))
+            .over(wc)
+            .cast("decimal(38,0)")
+            .alias("p2"),
         )
+        .withColumn("p1d", F.col("p1").cast("double"))
+        .withColumn("p2d", F.col("p2").cast("double"))
+        .withColumn("td", F.col("t").cast("double"))
         .localCheckpoint(eager=True)
+    )
+    tmax = pre.agg(F.max("t").alias("mt"))
+    # total-SS scale for the quantized comparison key (guard the
+    # degenerate all-equal spine: costs are then all 0 and ties
+    # break on the cut index identically on both engines)
+    s0 = F.col("p2d") - F.col("p1d") * F.col("p1d") / F.col("td")
+    ss = (
+        pre.join(F.broadcast(tmax), pre["t"] == F.col("mt"))
+        .select(
+            F.when(s0 <= 0, F.lit(1.0)).otherwise(s0).alias("ssv")
+        )
     )
     c = pre.select(
         F.col("t").alias("j"),
-        (F.col("p2") - F.col("p1") * F.col("p1") / F.col("t")).alias("cost"),
+        (F.col("p2d") - F.col("p1d") * F.col("p1d") / F.col("td")).alias(
+            "cost"
+        ),
         F.lit("").alias("path"),
     ).localCheckpoint(eager=True)
     ps = pre.select(
-        F.col("t").alias("s_t"), F.col("p1").alias("s_p1"),
-        F.col("p2").alias("s_p2"),
+        F.col("t").alias("s_t"), F.col("p1d").alias("s_p1"),
+        F.col("p2d").alias("s_p2"), F.col("td").alias("s_td"),
     )
     pj = pre.select(
-        F.col("t").alias("j_t"), F.col("p1").alias("j_p1"),
-        F.col("p2").alias("j_p2"),
+        F.col("t").alias("j_t"), F.col("p1d").alias("j_p1"),
+        F.col("p2d").alias("j_p2"), F.col("td").alias("j_td"),
     )
     for level in range(2, VOPT_B + 1):
         seg_cost = (
             (F.col("j_p2") - F.col("s_p2"))
             - (F.col("j_p1") - F.col("s_p1"))
             * (F.col("j_p1") - F.col("s_p1"))
-            / (F.col("j_t") - F.col("s_t"))
+            / (F.col("j_td") - F.col("s_td"))
         )
         cand = (
             c.join(ps, c["j"] == ps["s_t"])
@@ -2286,16 +2316,24 @@ def vopt_histogram_weekly_revenue(
                 (F.col("j_t") > F.col("s_t"))
                 & (F.col("s_t") >= level - 1),
             )
+            .crossJoin(F.broadcast(ss))
             .select(
                 F.col("j_t").alias("jj"),
                 (F.col("cost") + seg_cost).alias("ncost"),
+                # quantized BIGINT ranking key: 1e-6 relative grain
+                # absorbs cross-build FMA/eval-order ulp noise
+                F.floor(
+                    (F.col("cost") + seg_cost) / F.col("ssv") * 1000000.0
+                )
+                .cast("long")
+                .alias("ckey"),
                 F.concat(
                     F.col("path"), F.lit(","), F.col("j").cast("string")
                 ).alias("npath"),
                 F.col("j").alias("cut"),
             )
         )
-        wmin = Window.partitionBy("jj").orderBy("ncost", "cut")
+        wmin = Window.partitionBy("jj").orderBy("ckey", "cut")
         c = (
             cand.withColumn("rk", F.row_number().over(wmin))
             .where(F.col("rk") == 1)
@@ -2306,7 +2344,6 @@ def vopt_histogram_weekly_revenue(
             )
             .localCheckpoint(eager=True)
         )
-    tmax = pre.agg(F.max("t").alias("mt"))
     fin = c.join(F.broadcast(tmax), c["j"] == F.col("mt")).select(
         F.concat(F.col("path"), F.lit(","), F.col("j").cast("string")).alias(
             "cuts"
@@ -2341,8 +2378,18 @@ def vopt_histogram_weekly_revenue(
         F.col("p2").alias("a_p2"),
     )
     n_days = F.col("end_t") - F.col("start_t") + 1
-    sp1 = F.col("e_p1") - F.coalesce(F.col("a_p1"), F.lit(0.0))
-    sp2 = F.col("e_p2") - F.coalesce(F.col("a_p2"), F.lit(0.0))
+    dzero = F.lit(0).cast("decimal(38,0)")
+    sp1 = F.col("e_p1") - F.coalesce(F.col("a_p1"), dzero)
+    sp2 = F.col("e_p2") - F.coalesce(F.col("a_p2"), dzero)
+    # integer-exact outputs: per-bucket cents sum and the
+    # length-scaled SSE numerator n*P2 - P1^2 (cents^2) — both
+    # DECIMAL-exact, immune to cross-build double ulp drift
+    sse_num = (
+        (n_days.cast("decimal(4,0)") * sp2.cast("decimal(34,0)"))
+        .cast("decimal(37,0)")
+        - (sp1.cast("decimal(19,0)") * sp1.cast("decimal(19,0)"))
+        .cast("decimal(37,0)")
+    )
     return (
         seg.join(pa, "start_t")
         .join(pb, "end_t")
@@ -2352,8 +2399,10 @@ def vopt_histogram_weekly_revenue(
             F.date_format("sday", "yyyy-MM-dd").alias("start_week"),
             F.date_format("eday", "yyyy-MM-dd").alias("end_week"),
             n_days.cast("long").alias("n_weeks"),
-            F.round(sp2 - sp1 * sp1 / n_days, 2).alias("sse"),
-            F.round(sp1 / n_days, 2).alias("bucket_mean"),
+            sp1.cast("long").alias("sum_cents"),
+            sse_num.cast("decimal(38,0)")
+            .cast("string")
+            .alias("sse_num_cents2"),
         )
     )
 
