@@ -150,101 +150,78 @@ def register(
 # QUERIES.md, generated from this registry) and
 # tests/test_priority_window.py asserts no operator family ever falls
 # outside the certified window.
+# Round 8 rotation (r7 VERDICT item 2): every r7 window member now has
+# a driver verdict on record, so the window refills never-checked-first
+# from the 201-query backlog — 40 of 50 slots are first-ever checks,
+# led by the 8 wave-3/4 debuts the judge named (periodogram, OLS
+# diagnostics, AMS F2, image entropy, join advisor, MMD, log-rank,
+# Mahalanobis). The 10 anchors are the minimal set cover over the 9
+# families with no never-checked tag carrier PLUS the two r7
+# hash-mismatch queries (cogroup gap / v-opt histogram), re-anchored
+# deliberately so the driver certifies their environment-invariance
+# repair. Simulated against check_priority_window before the swap:
+# all 42 families retain carriers.
 _PRIORITY: tuple[str, ...] = (
-    # ---- repeat anchors (10): minimal greedy set cover over the
-    # families with no never-driver-checked tag carrier; every anchor
-    # has prior driver passes on record ----
+    # ---- repeat anchors (10): minimal greedy set cover over the 9
+    # families with no never-driver-checked tag carrier (affinity,
+    # bloom, json, limit, nulls, pareto, relational, union, unpivot)
+    # plus the two round-7 hash-mismatch queries, re-anchored so the
+    # driver re-certifies their environment-invariance repair
+    # (commit 42dd309) ----
     "mart_union_cast",  # union + reference-pipeline flagship (entry)
     "top_revenue_customers",  # limit
     "try_arithmetic_battery",  # nulls
     "unpivot_order_metrics",  # unpivot
-    "rfm_customer_segments",  # segmentation
     "abc_pareto_classes",  # pareto + relational
     "market_basket_rules",  # affinity
-    "funnel_view_click_purchase",  # sequence (+funnel), r6 pass
     "bloom_semijoin_reduction",  # bloom
-    "item_item_cosine_neighbors",  # recommend
+    "json_roundtrip_battery",  # json (r7 pass)
+    "cogroup_purchase_click_gap",  # r7 FAIL -> integer 2x-median repair
+    "vopt_histogram_weekly_revenue",  # r7 FAIL -> decimal-exact DP repair
     # ---- first-ever driver checks (40): never appeared in any
-    # CORRECTNESS_r*.json; breadth-first across the 32 families with
-    # unchecked members ----
-    # text
-    # "markov_next_event_eval" rotated out (r7b: family keeps carriers)
-    # "heaps_law_fit" rotated out (r7b: text keeps mmr + dsir)
-    "mmr_diversified_topk",
-    # temporal
-    "group_sequential_obf_monitor",
-    # "dedup_exact_substring_clusters" rotated out (r7b: family keeps carriers)
-    # profiling
-    # "dedup_exact_substring_pairs" rotated out (r7b: family keeps carriers)
-    # dedup — the round-7 exact-substring debuts certify in their
-    # debut round (cadence rule); minhash-clusters-checkable keeps its
-    # first-ever slot, ngram-containment + the grouped-median and
-    # corr-covar picks wait for the next rotation (their families keep
-    # in-window tag carriers: profiling via t_closeness_emd_audit,
-    # aggregate via funnel_view_click_purchase)
-    "dedup_exact_substring_incremental",
-    "dedup_exact_substring_spans",
-    "dedup_exact_substring_apply",
-    "longest_duplicate_substring",
-    # learn
-    # "threshold_tuning_cost_curve" rotated out (r7b: family keeps carriers)
-    "gradient_boosted_stumps",
-    # "ridge_regression_path" rotated out (r7b: family keeps carriers)
-    # aggregate
-    # structured streaming (r6 judge: "all of streaming ... only local")
-    "streaming_running_distinct_users",
-    "hill_tail_index",
-    # time-series
-    # "welch_ttest_segments" rotated out (r7b: family keeps carriers)
-    # multimodal (r6 judge: "all of multimodal ... only local")
-    "lsh_scurve_planner",
-    "multimodal_audio_vad_segments",
-    # graph (kcore named by the r6 judge)
-    "kcore_copurchase",
-    # similarity / ANN serving
-    "dedup_exact_substring_rewrite",
-    "knn_distance_outliers",
-    # full-text search — the r7 debuts (nDCG eval, sparse doc-doc
-    # cosine) certify in their debut round; QL-Dirichlet + BM25-PRF
-    # rotate to a later window (still never-checked, locally certified)
-    # "doc_cosine_sparse_topk" rotated out (r7b: family keeps carriers)
-    "ndcg_eval",
-    # maintenance
-    "partition_checksum_merkle",
-    # one per remaining family with unchecked members
-    # "hll_intersection_bounds" rotated out (r7b: family keeps carriers)
-    "kmv_distinct_sketch_eval",  # sketch
-    "binary_ranking_metrics",  # learn/evaluation
-    "candidate_key_profile",  # quality/profiling
-    # "file_skipping_stats" rotated out (r7b: family keeps carriers)
-    "running_distinct_users_daily",  # retention
-    # "multimodal_keyframe_select" rotated out (r7b: family keeps carriers)
-    "embedding_pq",  # clustering
-    "fuzzy_er_clusters",  # fuzzy (named by the r6 judge)
-    "sequence_pack_blocks",  # packing
-    # "grouped_median_ci_order_stats" rotated out (r7b: family keeps carriers)
-    "asof_nearest_click_join",  # join/asof
-    "cogroup_purchase_click_gap",  # udf (named by the r6 judge)
-    "weekly_jsd_drift",  # drift
-    "streaming_exact_substring_screen",
-    "json_roundtrip_battery",  # json
-    # ---- round-7 second-wave debuts (this session): certify the
-    # flagship new operators in their debut round (cadence rule);
-    # the 11 evicted first-evers remain registered + locally
-    # hash-certified, every vacated family keeps an in-window carrier
-    # (simulated against check_priority_window before the swap) ----
-    "dsir_importance_selection",   # text/curation (DSIR selection)
-    "gopher_quality_rules",        # text/quality rule battery
-    "kleinberg_burst_days",        # time/drift Viterbi fold
-    "vopt_histogram_weekly_revenue",  # profiling DP histogram
-    "bayes_ab_beta_posterior",     # experiment (spine-lgamma grid)
-    "knn_mips_norm_augmented",     # similarity (MIPS reduction)
-    "multimodal_audio_zcr_frames", # multimodal integer ZCR
-    "kmv_set_operations",          # sketch + setop carrier
-    "watermark_lateness_profile",  # temporal/streaming prefix scan
-    "fisher_lda_classifier",       # learn closed-form LDA
-    "mann_kendall_trend",          # statistics/time pair test
-    "partition_skew_simulator",    # layout skew forecast
+    # CORRECTNESS_r01..r07; leads with the 8 wave-3/4 debuts the r7
+    # judge named, then breadth-first round-robin across every family
+    # with unchecked members (oracle-backed members preferred) ----
+    "periodogram_daily_revenue",  # time (wave-3 debut)
+    "ols_residual_diagnostics",  # learn (wave-3 debut)
+    "ams_f2_sketch_eval",  # sketch (wave-3 debut)
+    "multimodal_image_histogram_entropy",  # multimodal (wave-3 debut)
+    "join_strategy_advisor",  # layout (wave-3 debut)
+    "mmd_rbf_two_sample",  # statistics (wave-4 debut)
+    "logrank_test_purchasers",  # statistics (wave-4 debut)
+    "mahalanobis_outliers_2d",  # profiling (wave-4 debut)
+    "bigram_lm_perplexity",  # text
+    "dedup_apply_keep_canonical",  # dedup
+    "activity_streak_histogram",  # temporal
+    "analyze_column_stats",  # profiling
+    "conformal_trend_intervals",  # learn
+    "ab_test_ztest",  # aggregate
+    "acf_daily_counts",  # time
+    "streaming_cdc_apply",  # streaming
+    "bitext_margin_mining",  # similarity
+    "multimodal_keyframe_select",  # multimodal + segmentation carrier
+    "parts_personalized_pagerank",  # graph + recommend carrier
+    "count_overdispersion_check",  # statistics
+    "bm25_prf_expansion",  # search
+    "ab_power_analysis",  # experiment
+    "compaction_plan_bins",  # maintenance
+    "hll_intersection_bounds",  # sketch + setop carrier
+    "brand_revenue_share",  # window
+    "constraint_suite_report",  # quality
+    "covariate_shift_ess",  # drift
+    "file_skipping_stats",  # layout
+    "cohort_ltv_curves",  # retention
+    "bucketed_join_revenue",  # pipeline
+    "asof_next_click_after_purchase",  # join/asof
+    "array_hof_battery",  # functions
+    "markov_next_event_eval",  # sequence
+    "label_centroid_similarity",  # clustering
+    "fuzzy_er_survivorship",  # fuzzy
+    "negative_sample_pairs",  # packing
+    "bpe_merge_table",  # text
+    "dedup_embedding_clusters",  # dedup
+    "funnel_latency_percentiles",  # temporal + funnel carrier
+    "benford_digit_audit",  # profiling
 )
 
 
