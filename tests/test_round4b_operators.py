@@ -867,9 +867,14 @@ class TestFunnelLatency:
         assert r["n_purchases"] == n_purch
         assert r["n_matched"] == len(gaps)
         assert r["max_gap_us"] == int(gaps.max())
-        for q, col in ((0.5, "p50_s"), (0.9, "p90_s"), (0.99, "p99_s")):
-            want = float(np.quantile(gaps, q, method="linear")) / 1e6
-            assert abs(r[col] - want) < 1e-4
+        for q, col, den in (
+            (0.5, "p50_us_x2", 2),
+            (0.9, "p90_us_x10", 10),
+            (0.99, "p99_us_x100", 100),
+        ):
+            # den-scaled interpolated quantile is an exact integer
+            want = float(np.quantile(gaps, q, method="linear")) * den
+            assert r[col] == int(round(want))
 
 
 class TestGroupedOls:

@@ -205,7 +205,7 @@ class TestGapFill:
         ).toPandas()
         kinds = set(out["fill_kind"])
         assert "obs" in kinds and "interp" in kinds  # gaps really exist
-        assert out["revenue_filled"].notna().all()
+        assert out["revenue_filled_cents"].notna().all()
         # every (pri, day) appears exactly once — dense spine
         assert not out.duplicated(["pri", "day"]).any()
 

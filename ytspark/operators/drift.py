@@ -437,7 +437,10 @@ ess AS (
 )
 SELECT CAST(n_ref AS BIGINT) AS n_ref,
        CAST(n_cur AS BIGINT) AS n_cur,
-       ROUND(ess, 4) AS effective_sample_size,
+       -- 2 dp: ess is an engine-ordered SUM of weighted doubles at
+       -- ~n_ref magnitude; the coarser grain keeps the rounded value
+       -- inside the 9-significant-digit hash-stability budget
+       ROUND(ess, 2) AS effective_sample_size,
        ROUND(ess / n_ref, 6) AS ess_fraction,
        ROUND(max_w, 6) AS max_weight,
        ROUND(min_w, 6) AS min_weight,
@@ -497,7 +500,7 @@ def covariate_shift_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ess.select(
         F.col("n_ref").cast("long").alias("n_ref"),
         F.col("n_cur").cast("long").alias("n_cur"),
-        F.round("ess", 4).alias("effective_sample_size"),
+        F.round("ess", 2).alias("effective_sample_size"),
         F.round(F.col("ess") / F.col("n_ref"), 6).alias("ess_fraction"),
         F.round("max_w", 6).alias("max_weight"),
         F.round("min_w", 6).alias("min_weight"),

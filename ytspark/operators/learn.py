@@ -2253,6 +2253,7 @@ f1 AS (
            AS f
   FROM r1 CROSS JOIN t1
 ),
+m0 AS (SELECT SUM(s2 - 2 * f0 * s + n * f0 * f0) / SUM(n) AS v0 FROM r1),
 m1 AS (SELECT SUM(s2 - 2 * f * s + n * f * f) / SUM(n) AS mse FROM f1),
 r2 AS (SELECT pb, n, s, s2, f, s - n * f AS rs FROM f1),
 c2 AS (
@@ -2281,12 +2282,18 @@ SELECT CAST(1 AS BIGINT) AS round,
        CAST(t1.t AS BIGINT) AS threshold_bucket,
        ROUND({lr} * t1.lv, 4) AS left_add,
        ROUND({lr} * t1.rv, 4) AS right_add,
-       ROUND(m1.mse, 2) AS train_mse
-FROM t1 CROSS JOIN m1
+       -- O(1) ratio to the round-0 variance: the raw MSE is an
+       -- engine-ordered double sum at ~1e10 magnitude where a 2 dp
+       -- grain sits within one boundary-crossing of the cross-build
+       -- error (env_sensitivity_audit class SIGDIG); the ratio's
+       -- independent ulp errors cancel to ~1e-14 relative
+       ROUND(m1.mse / m0.v0, 6) AS mse_ratio
+FROM t1 CROSS JOIN m1 CROSS JOIN m0
 UNION ALL
 SELECT CAST(2 AS BIGINT), CAST(t2.t AS BIGINT),
-       ROUND({lr} * t2.lv, 4), ROUND({lr} * t2.rv, 4), ROUND(m2.mse, 2)
-FROM t2 CROSS JOIN m2
+       ROUND({lr} * t2.lv, 4), ROUND({lr} * t2.rv, 4),
+       ROUND(m2.mse / m0.v0, 6)
+FROM t2 CROSS JOIN m2 CROSS JOIN m0
 """
 
 
@@ -2306,7 +2313,10 @@ FROM t2 CROSS JOIN m2
         f"bounded histogram with no second data pass and no driver "
         f"loop. This is why histogram-based GBMs (LightGBM's core "
         f"trick) are the 100 TB tree recipe; here the full recursion "
-        f"is expressed relationally and certified value-exact. "
+        f"is expressed relationally and certified value-exact "
+        f"(train error reported as the O(1) ratio to round-0 "
+        f"variance so no engine-ordered double sum is hashed at raw "
+        f"magnitude). "
         f"Split scores round at 6 dp before the argmax (bucket "
         f"tiebreak) so both engines select identical trees; sums are "
         f"DECIMAL-exact before the double cast. Extends "
@@ -2332,6 +2342,19 @@ def gradient_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     lr = float(GBM_LR)
     cur = hist.crossJoin(tot).select(
         "pb", "n", "s", "s2", (F.col("st") / F.col("nt")).alias("f")
+    )
+    # round-0 variance, the denominator of the scale-free mse_ratio
+    v0 = F.broadcast(
+        cur.agg(
+            (
+                F.sum(
+                    F.col("s2")
+                    - 2 * F.col("f") * F.col("s")
+                    + F.col("n") * F.col("f") * F.col("f")
+                )
+                / F.sum("n")
+            ).alias("v0")
+        )
     )
     wc = Window.orderBy("pb").rowsBetween(Window.unboundedPreceding, 0)
     wt = Window.partitionBy()
@@ -2393,7 +2416,15 @@ def gradient_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.max("t").cast("long").alias("threshold_bucket"),
                 F.round(lr * F.max("lv"), 4).alias("left_add"),
                 F.round(lr * F.max("rv"), 4).alias("right_add"),
-                F.round(mse, 2).alias("train_mse"),
+                mse.alias("_mse"),
+            )
+            .crossJoin(v0)
+            .select(
+                "round",
+                "threshold_bucket",
+                "left_add",
+                "right_add",
+                F.round(F.col("_mse") / F.col("v0"), 6).alias("mse_ratio"),
             )
         )
         cur = cur.select("pb", "n", "s", "s2", "f")

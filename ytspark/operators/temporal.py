@@ -827,9 +827,18 @@ n AS (
 )
 SELECT n.n_purchases,
        CAST(COUNT(*) AS BIGINT) AS n_matched,
-       ROUND(quantile_cont(gap_us, 0.5) / 1000000, 6) AS p50_s,
-       ROUND(quantile_cont(gap_us, 0.9) / 1000000, 6) AS p90_s,
-       ROUND(quantile_cont(gap_us, 0.99) / 1000000, 6) AS p99_s,
+       -- den-scaled interpolated quantiles are exact integers
+       -- (lo*(den-rem) + hi*rem over integer microsecond gaps); both
+       -- engines' float interpolation sits within ~1e-2 of that
+       -- integer at 1e12 magnitude, so ROUND recovers it exactly —
+       -- no engine-interpolated float ever reaches the hash (the r7
+       -- cogroup-median lesson)
+       CAST(ROUND(2 * quantile_cont(gap_us, 0.5)) AS BIGINT)
+         AS p50_us_x2,
+       CAST(ROUND(10 * quantile_cont(gap_us, 0.9)) AS BIGINT)
+         AS p90_us_x10,
+       CAST(ROUND(100 * quantile_cont(gap_us, 0.99)) AS BIGINT)
+         AS p99_us_x100,
        CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
 FROM g CROSS JOIN n
 GROUP BY n.n_purchases
@@ -842,14 +851,17 @@ GROUP BY n.n_purchases
     doc="Funnel LATENCY distribution: for every purchase, the gap to "
         "the latest preceding view by the same user (the engine's "
         "as-of join — union + ordered window, one shuffle), "
-        "summarized as exact interpolating p50/p90/p99 seconds — "
-        "'how long does consideration take', the metric funnel "
-        "COUNTS can't answer. Gaps are exact integer microseconds; "
-        "Spark's percentile and DuckDB's quantile_cont share the "
-        "linear-interpolation definition so the percentiles match to "
-        "the 6 dp report rounding. At extreme volumes the percentile "
-        "step swaps for the GK sketch with its rank-error "
-        "certificate (approx_quantile_rank_bounds pattern).",
+        "summarized as den-scaled interpolated p50/p90/p99 "
+        "microsecond integers — 'how long does consideration take', "
+        "the metric funnel COUNTS can't answer. Gaps are exact "
+        "integer microseconds; scaling the interpolated quantile by "
+        "its denominator (x2/x10/x100) lands on an exact integer "
+        "that BOTH engines' float interpolation rounds to, so no "
+        "engine-divergent float reaches the value hash "
+        "(tools/env_sensitivity_audit.py class MEDIAN_INTERP). At "
+        "extreme volumes the percentile step swaps for the GK "
+        "sketch with its rank-error certificate "
+        "(approx_quantile_rank_bounds pattern).",
     tags=("temporal", "funnel", "asof", "percentile", "aggregate"),
 )
 def funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -879,19 +891,24 @@ def funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     matched = g.where(F.col("gap_us").isNotNull())
     agg = matched.agg(
         F.count(F.lit(1)).alias("n_matched"),
-        F.round(F.expr("percentile(gap_us, 0.5)") / 1_000_000, 6).alias(
-            "p50_s"
-        ),
-        F.round(F.expr("percentile(gap_us, 0.9)") / 1_000_000, 6).alias(
-            "p90_s"
-        ),
-        F.round(F.expr("percentile(gap_us, 0.99)") / 1_000_000, 6).alias(
-            "p99_s"
-        ),
+        F.round(F.expr("percentile(gap_us, 0.5)") * 2)
+        .cast("long")
+        .alias("p50_us_x2"),
+        F.round(F.expr("percentile(gap_us, 0.9)") * 10)
+        .cast("long")
+        .alias("p90_us_x10"),
+        F.round(F.expr("percentile(gap_us, 0.99)") * 100)
+        .cast("long")
+        .alias("p99_us_x100"),
         F.max("gap_us").cast("long").alias("max_gap_us"),
     )
     return n.crossJoin(F.broadcast(agg)).select(
-        "n_purchases", "n_matched", "p50_s", "p90_s", "p99_s", "max_gap_us"
+        "n_purchases",
+        "n_matched",
+        "p50_us_x2",
+        "p90_us_x10",
+        "p99_us_x100",
+        "max_gap_us",
     )
 
 

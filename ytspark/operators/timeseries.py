@@ -1215,18 +1215,23 @@ folded AS (
 
 
 def _hw_oracle() -> str:
+    # 2 dp report grain: the sequential fold compounds per-step FMA /
+    # contraction differences between builds to ~1e-8 at the ~1e7
+    # level magnitude; 6 dp sat within one boundary-crossing of that
+    # (tools/env_sensitivity_audit.py class SIGDIG), 2 dp leaves
+    # ~5e5x slack
     m = HW_M
     fc = ",\n       ".join(
         f"ROUND(l + {h} * b + "
         + _hw_season_case(f"((n + {h} - 1) % {m}) + 1")
-        + f", 6) AS forecast_h{h}"
+        + f", 2) AS forecast_h{h}"
         for h in range(1, HW_H + 1)
     )
     return _hw_sql_core("n") + f"""
 SELECT CAST(n AS BIGINT) AS n_days,
-       ROUND(l, 6) AS level_last,
-       ROUND(b, 6) AS trend_last,
-       {", ".join(f"ROUND(s{k}, 6) AS season_{k}" for k in range(1, m + 1))},
+       ROUND(l, 2) AS level_last,
+       ROUND(b, 2) AS trend_last,
+       {", ".join(f"ROUND(s{k}, 2) AS season_{k}" for k in range(1, m + 1))},
        {fc}
 FROM folded
 """
@@ -1317,18 +1322,18 @@ def holt_winters_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = [
         F.col("n").cast("long").alias("n_days"),
-        F.round(state["l"], 6).alias("level_last"),
-        F.round(state["b"], 6).alias("trend_last"),
+        F.round(state["l"], 2).alias("level_last"),
+        F.round(state["b"], 2).alias("trend_last"),
     ]
     for k in range(1, m + 1):
-        out.append(F.round(state[f"s{k}"], 6).alias(f"season_{k}"))
+        out.append(F.round(state[f"s{k}"], 2).alias(f"season_{k}"))
     for h in range(1, HW_H + 1):
         slot = ((F.col("n") + h - 1) % m) + 1
         s_h = F.lit(None).cast("double")
         for k in range(m, 0, -1):
             s_h = F.when(slot == k, state[f"s{k}"]).otherwise(s_h)
         out.append(
-            F.round(state["l"] + float(h) * state["b"] + s_h, 6).alias(
+            F.round(state["l"] + float(h) * state["b"] + s_h, 2).alias(
                 f"forecast_h{h}"
             )
         )
@@ -2094,7 +2099,10 @@ power AS (
 ),
 tot AS (SELECT SUM(pwr) AS tp, MAX(pwr) AS mx FROM power)
 SELECT CAST(period AS BIGINT) AS period_days,
-       ROUND(pwr, 2) AS power,
+       -- log-scale the raw power: pwr is O(1e13) where one cross-build
+       -- ulp exceeds a 2 dp ROUND grain (the r7 vopt failure mode);
+       -- log10 compresses it to O(10) where 4 dp is ~1e11 ulps of slack
+       ROUND(LOG10(pwr), 4) AS log10_power,
        ROUND(pwr / tp, 6) AS power_share,
        pwr = mx AS dominant
 FROM power CROSS JOIN tot
@@ -2111,9 +2119,12 @@ FROM power CROSS JOIN tot
         f"Scale: the day spine is calendar-bounded, the period grid "
         f"is a {len(PGRAM_PERIODS)}-row broadcast, so the whole "
         f"transform is O(days x periods) after one data-sized "
-        f"grouped aggregate. Spark PI() literal and DuckDB PI() are "
-        f"the same IEEE double; identical expression text keeps the "
-        f"trig sums hash-stable at 2 dp power rounding.",
+        f"grouped aggregate. Raw DFT power is O(1e13) where one "
+        f"cross-build ulp exceeds any fixed ROUND grain, so the "
+        f"report carries log10(power) at 4 dp and the O(1) power "
+        f"share at 6 dp — both orders of magnitude inside the "
+        f"9-significant-digit hash-stability budget "
+        f"(tools/env_sensitivity_audit.py).",
     tags=("time", "statistics", "aggregate"),
 )
 def periodogram_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2166,7 +2177,7 @@ def periodogram_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = power.agg(F.sum("pwr").alias("tp"), F.max("pwr").alias("mx"))
     return power.crossJoin(F.broadcast(tot)).select(
         F.col("period").cast("long").alias("period_days"),
-        F.round("pwr", 2).alias("power"),
+        F.round(F.log10("pwr"), 4).alias("log10_power"),
         F.round(F.col("pwr") / F.col("tp"), 6).alias("power_share"),
         (F.col("pwr") == F.col("mx")).alias("dominant"),
     )

@@ -1384,11 +1384,17 @@ def _did_oracle() -> str:
                     agg.format(g=g, p=p) + f" AS {suffix}_{g}{p}"
                 )
     cell_sql = ", ".join(cells)
+    # exact DECIMAL power sums cast to double ONCE, then divided:
+    # SUM(double) accumulates in engine-specific order (the r8
+    # env-sensitivity audit class SIGDIG); decimal-exact sums make
+    # every mean/variance a deterministic scalar expression tree
     means = {
-        f"m{g}{p}": f"(s1_{g}{p} / n_{g}{p})" for g in (0, 1) for p in (0, 1)
+        f"m{g}{p}": f"(CAST(s1_{g}{p} AS DOUBLE) / n_{g}{p})"
+        for g in (0, 1)
+        for p in (0, 1)
     }
     variances = {
-        f"v{g}{p}": f"(s2_{g}{p} / n_{g}{p} - {m} * {m})"
+        f"v{g}{p}": f"(CAST(s2_{g}{p} AS DOUBLE) / n_{g}{p} - {m} * {m})"
         for (g, p), m in (
             ((g, p), means[f"m{g}{p}"]) for g in (0, 1) for p in (0, 1)
         )
@@ -1415,7 +1421,7 @@ WITH raw AS (
            AS treat,
          CASE WHEN o.o_orderdate >= DATE '{DID_POST_DATE}' THEN 1 ELSE 0 END
            AS post,
-         CAST(o.o_totalprice AS DOUBLE) AS y
+         CAST(o.o_totalprice AS DECIMAL(18,2)) AS y
   FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 ),
 cells AS (SELECT {cell_sql} FROM raw)
@@ -1442,8 +1448,10 @@ FROM cells
         "single map-side-combinable pass; the customer dim join is "
         "broadcast), then a one-row projection computes the "
         "estimate and its large-sample t statistic from the cell "
-        "variances. Experiment readout at 100 TB = one scan. "
-        "Arithmetic ordered identically cross-engine, rounded 6 dp.",
+        "variances. Experiment readout at 100 TB = one scan. Power "
+        "sums are DECIMAL-exact and cast to double once, so every "
+        "reported float is a deterministic scalar expression tree "
+        "(env_sensitivity_audit class SIGDIG repair), rounded 6 dp.",
     tags=("experiment", "statistics", "aggregate", "pipeline"),
 )
 def did_estimator_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1461,7 +1469,7 @@ def did_estimator_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_orderdate") >= F.lit(DID_POST_DATE).cast("date"))
             .cast("int")
             .alias("post"),
-            F.col("o_totalprice").cast("double").alias("y"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("y"),
         )
     )
     aggs = []
@@ -1477,12 +1485,13 @@ def did_estimator_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
     cells = raw.agg(*aggs)
     m = {
-        (g, p): F.col(f"s1_{g}{p}") / F.col(f"n_{g}{p}")
+        (g, p): F.col(f"s1_{g}{p}").cast("double") / F.col(f"n_{g}{p}")
         for g in (0, 1)
         for p in (0, 1)
     }
     v = {
-        (g, p): F.col(f"s2_{g}{p}") / F.col(f"n_{g}{p}") - m[(g, p)] * m[(g, p)]
+        (g, p): F.col(f"s2_{g}{p}").cast("double") / F.col(f"n_{g}{p}")
+        - m[(g, p)] * m[(g, p)]
         for g in (0, 1)
         for p in (0, 1)
     }

@@ -1135,7 +1135,8 @@ def calendar_zero_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH sparse AS (
   SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS d,
-         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS rev_c
   FROM orders WHERE o_orderkey % 50 < 3
   GROUP BY 1, 2
 ),
@@ -1151,16 +1152,16 @@ spine AS (
 joined AS (
   SELECT s.pri, s.d,
          DATEDIFF('day', DATE '1992-01-01', s.d) AS di,
-         CAST(sp.rev AS DOUBLE) AS rev
+         sp.rev_c
   FROM spine s LEFT JOIN sparse sp ON sp.pri = s.pri AND sp.d = s.d
 ),
 ctx AS (
-  SELECT pri, d, di, rev,
-         LAST_VALUE(rev IGNORE NULLS) OVER wp AS prev_v,
-         LAST_VALUE(CASE WHEN rev IS NOT NULL THEN di END IGNORE NULLS)
+  SELECT pri, d, di, rev_c,
+         LAST_VALUE(rev_c IGNORE NULLS) OVER wp AS prev_v,
+         LAST_VALUE(CASE WHEN rev_c IS NOT NULL THEN di END IGNORE NULLS)
            OVER wp AS prev_d,
-         FIRST_VALUE(rev IGNORE NULLS) OVER wn AS next_v,
-         FIRST_VALUE(CASE WHEN rev IS NOT NULL THEN di END IGNORE NULLS)
+         FIRST_VALUE(rev_c IGNORE NULLS) OVER wn AS next_v,
+         FIRST_VALUE(CASE WHEN rev_c IS NOT NULL THEN di END IGNORE NULLS)
            OVER wn AS next_d
   FROM joined
   WINDOW wp AS (PARTITION BY pri ORDER BY di
@@ -1169,15 +1170,20 @@ ctx AS (
                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
 )
 SELECT pri, STRFTIME(d, '%Y-%m-%d') AS day,
-       CASE WHEN rev IS NOT NULL THEN 'obs'
+       CASE WHEN rev_c IS NOT NULL THEN 'obs'
             WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN 'interp'
             ELSE 'edge' END AS fill_kind,
-       ROUND(CASE
-         WHEN rev IS NOT NULL THEN rev
+       -- all-integer interpolation in cents with floor division: a
+       -- float midpoint of two cent values lands exactly on a
+       -- half-grain boundary where the engines' ROUND of the inexact
+       -- double disagrees; integer cents never reach a float
+       CAST(CASE
+         WHEN rev_c IS NOT NULL THEN rev_c
          WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
-           THEN prev_v + (next_v - prev_v)
-                * (CAST(di - prev_d AS DOUBLE) / (next_d - prev_d))
-         ELSE COALESCE(prev_v, next_v) END, 6) AS revenue_filled
+           THEN (prev_v * (next_d - di) + next_v * (di - prev_d))
+                // (next_d - prev_d)
+         ELSE COALESCE(prev_v, next_v) END AS BIGINT)
+         AS revenue_filled_cents
 FROM ctx
 """,
     doc="Time-series gap repair by linear interpolation: a sparse "
@@ -1188,9 +1194,10 @@ FROM ctx
         "nearest observations on each side — last_value/first_value "
         "with IGNORE NULLS over two frames of ONE partitioning, so "
         "the plan shuffles/sorts once per direction pair. Edges hold "
-        "the nearest value. Interpolation arithmetic is ordered "
-        "identically on both engines (IEEE +,-,*,/ are exactly "
-        "rounded), then rounded to 6 dp.",
+        "the nearest value. Interpolation arithmetic is the same "
+        "expression tree on both engines; the 2 dp report grain "
+        "keeps ~1e4 interpolated rows clear of FMA-contraction "
+        "boundary flips (env_sensitivity_audit class SIGDIG).",
     tags=("time", "calendar", "densify", "window", "interpolation"),
 )
 def gap_fill_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1201,7 +1208,11 @@ def gap_fill_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("o_orderpriority").alias("pri"),
             F.to_date("o_orderdate").alias("d"),
         )
-        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("rev_c")
+        )
     )
     bounds = sparse.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
     cal = bounds.select(
@@ -1212,7 +1223,7 @@ def gap_fill_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame
         "pri",
         "d",
         F.datediff("d", F.lit("1992-01-01")).alias("di"),
-        F.col("rev").cast("double").alias("rev"),
+        "rev_c",
     )
     wp = (
         Window.partitionBy("pri")
@@ -1224,35 +1235,37 @@ def gap_fill_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy("di")
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
-    obs_d = F.when(F.col("rev").isNotNull(), F.col("di"))
+    obs_d = F.when(F.col("rev_c").isNotNull(), F.col("di"))
     ctx = joined.select(
         "pri",
         "d",
         "di",
-        "rev",
-        F.last("rev", ignorenulls=True).over(wp).alias("prev_v"),
+        "rev_c",
+        F.last("rev_c", ignorenulls=True).over(wp).alias("prev_v"),
         F.last(obs_d, ignorenulls=True).over(wp).alias("prev_d"),
-        F.first("rev", ignorenulls=True).over(wn).alias("next_v"),
+        F.first("rev_c", ignorenulls=True).over(wn).alias("next_v"),
         F.first(obs_d, ignorenulls=True).over(wn).alias("next_d"),
     )
     both = F.col("prev_v").isNotNull() & F.col("next_v").isNotNull()
-    interp = F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * (
-        (F.col("di") - F.col("prev_d")).cast("double")
-        / (F.col("next_d") - F.col("prev_d"))
+    # all-integer interpolation in cents with floor division (see
+    # oracle note): float midpoints of cent values land exactly on
+    # rounding half-boundaries where the engines disagree
+    interp = F.expr(
+        "(prev_v * (next_d - di) + next_v * (di - prev_d))"
+        " div (next_d - prev_d)"
     )
     return ctx.select(
         "pri",
         F.date_format("d", "yyyy-MM-dd").alias("day"),
-        F.when(F.col("rev").isNotNull(), F.lit("obs"))
+        F.when(F.col("rev_c").isNotNull(), F.lit("obs"))
         .when(both, F.lit("interp"))
         .otherwise(F.lit("edge"))
         .alias("fill_kind"),
-        F.round(
-            F.when(F.col("rev").isNotNull(), F.col("rev"))
-            .when(both, interp)
-            .otherwise(F.coalesce("prev_v", "next_v")),
-            6,
-        ).alias("revenue_filled"),
+        F.when(F.col("rev_c").isNotNull(), F.col("rev_c"))
+        .when(both, interp)
+        .otherwise(F.coalesce("prev_v", "next_v"))
+        .cast("long")
+        .alias("revenue_filled_cents"),
     )
 
 
@@ -1374,7 +1387,10 @@ SELECT COALESCE(pri, '<null>') AS pri_group,
        COUNT(price) AS n_price_nonnull,
        CAST(SUM(CASE WHEN price IS NULL THEN 1 ELSE 0 END) AS BIGINT)
          AS n_price_null,
-       ROUND(AVG(price), 6) AS avg_price_ignoring_nulls,
+       -- exact-decimal sum / count, cast once: AVG(double) accumulates
+       -- in engine-specific order (env_sensitivity_audit class SIGDIG)
+       ROUND(CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(price), 6) AS avg_price_ignoring_nulls,
        CAST(SUM(CASE WHEN pri IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END)
             AS BIGINT) AS n_nullsafe_eq_null,
        MIN(CASE WHEN price IS NOT NULL THEN k END) AS first_priced_key,
@@ -1411,7 +1427,11 @@ def null_semantics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.when(F.col("price").isNull(), 1).otherwise(0)
             ).alias("n_price_null"),
-            F.round(F.avg("price"), 6).alias("avg_price_ignoring_nulls"),
+            F.round(
+                F.sum(F.col("price").cast("decimal(18,2)")).cast("double")
+                / F.count("price"),
+                6,
+            ).alias("avg_price_ignoring_nulls"),
             F.sum(
                 F.when(F.col("pri").eqNullSafe(F.lit(None)), 1).otherwise(0)
             ).alias("n_nullsafe_eq_null"),
@@ -1442,13 +1462,17 @@ WITH daily AS (
   SELECT o_orderpriority AS pri,
          DATEDIFF('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
            AS day_no,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+         -- keep DECIMAL through the frame sum: sliding-frame double
+         -- accumulation orders differ across engines (segment tree vs
+         -- incremental add/remove), DECIMAL window sums are exact
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
   FROM orders WHERE o_orderkey <= 20000
   GROUP BY 1, 2
 )
 SELECT pri, day_no,
-       ROUND(SUM(rev) OVER (PARTITION BY pri ORDER BY day_no
-                            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
+       ROUND(CAST(SUM(rev) OVER (PARTITION BY pri ORDER BY day_no
+                            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+                  AS DOUBLE), 6)
          AS trailing_7d_rev,
        CAST(COUNT(*) OVER (PARTITION BY pri ORDER BY day_no
                            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
@@ -1479,9 +1503,9 @@ def range_frame_trailing_week(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("day_no"),
         )
         .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("rev")
+            # DECIMAL through the frame sum (see oracle note): exact
+            # window arithmetic on both engines, cast only at output
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
         )
     )
     w = (
@@ -1492,7 +1516,9 @@ def range_frame_trailing_week(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "pri",
         "day_no",
-        F.round(F.sum("rev").over(w), 6).alias("trailing_7d_rev"),
+        F.round(F.sum("rev").over(w).cast("double"), 6).alias(
+            "trailing_7d_rev"
+        ),
         F.count(F.lit(1)).over(w).alias("n_days_in_frame"),
     )
 
@@ -1538,37 +1564,115 @@ def window_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "corr_covar_battery",
     oracle="""
+WITH m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sp,
+         SUM(CAST(l_discount AS DECIMAL(18,2))) AS sd,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))
+             * CAST(l_quantity AS DECIMAL(18,2))) AS sqq,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_extendedprice AS DECIMAL(18,2))) AS spp,
+         SUM(CAST(l_discount AS DECIMAL(18,2))
+             * CAST(l_discount AS DECIMAL(18,2))) AS sdd,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))
+             * CAST(l_extendedprice AS DECIMAL(18,2))) AS sqp,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))
+             * CAST(l_discount AS DECIMAL(18,2))) AS sqd
+  FROM lineitem GROUP BY l_returnflag
+),
+d AS (
+  SELECT l_returnflag, CAST(n AS DOUBLE) AS n,
+         CAST(sq AS DOUBLE) AS sq, CAST(sp AS DOUBLE) AS sp,
+         CAST(sd AS DOUBLE) AS sd, CAST(sqq AS DOUBLE) AS sqq,
+         CAST(spp AS DOUBLE) AS spp, CAST(sdd AS DOUBLE) AS sdd,
+         CAST(sqp AS DOUBLE) AS sqp, CAST(sqd AS DOUBLE) AS sqd
+  FROM m
+)
 SELECT l_returnflag,
-       COUNT(*) AS n,
-       ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-       ROUND(CORR(l_quantity, l_discount), 6) AS corr_qty_disc,
-       ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS covar_qty_price,
-       ROUND(STDDEV_SAMP(l_extendedprice), 4) AS std_price
-FROM lineitem
-GROUP BY l_returnflag
+       CAST(n AS BIGINT) AS n,
+       ROUND((n * sqp - sq * sp)
+             / (SQRT(n * sqq - sq * sq) * SQRT(n * spp - sp * sp)), 6)
+         AS corr_qty_price,
+       ROUND((n * sqd - sq * sd)
+             / (SQRT(n * sqq - sq * sq) * SQRT(n * sdd - sd * sd)), 6)
+         AS corr_qty_disc,
+       ROUND((sqp - sq * sp / n) / (n - 1), 4) AS covar_qty_price,
+       ROUND(SQRT((spp - sp * sp / n) / (n - 1)), 4) AS std_price
+FROM d
 """,
     doc="Bivariate-statistics battery per return flag: Pearson "
         "correlation, sample covariance, and sample stddev — the "
         "column-relationship profile a feature-engineering pass "
-        "computes before training. Both engines use numerically "
-        "stable single-pass (co)moment updates whose merge is "
-        "order-sensitive only at the ulp level, absorbed by rounding "
-        "(6 dp for the dimensionless correlation, 4 dp for the "
-        "scaled moments). One map-side-combinable aggregate.",
+        "computes before training. The native CORR/COVAR/STDDEV "
+        "aggregates use engine-specific one-pass comoment merges "
+        "whose merge ORDER differs across builds, so the battery "
+        "computes explicit DECIMAL-exact power sums instead and "
+        "derives the moments as deterministic scalar expression "
+        "trees after one cast (env_sensitivity_audit class SIGDIG "
+        "repair; IEEE +,-,*,/ and SQRT are correctly rounded, so "
+        "identical trees give identical doubles). One map-side-"
+        "combinable aggregate, exactly as before.",
     tags=("aggregate", "statistics", "quality"),
 )
 def corr_covar_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
-    return li.groupBy("l_returnflag").agg(
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    m = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
-            "corr_qty_price"
-        ),
-        F.round(F.corr("l_quantity", "l_discount"), 6).alias("corr_qty_disc"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
-            "covar_qty_price"
-        ),
-        F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+        F.sum(dec("l_quantity")).alias("sq"),
+        F.sum(dec("l_extendedprice")).alias("sp"),
+        F.sum(dec("l_discount")).alias("sd"),
+        F.sum(dec("l_quantity") * dec("l_quantity")).alias("sqq"),
+        F.sum(dec("l_extendedprice") * dec("l_extendedprice")).alias("spp"),
+        F.sum(dec("l_discount") * dec("l_discount")).alias("sdd"),
+        F.sum(dec("l_quantity") * dec("l_extendedprice")).alias("sqp"),
+        F.sum(dec("l_quantity") * dec("l_discount")).alias("sqd"),
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    d = m.select(
+        "l_returnflag",
+        dbl("n").alias("nd"),
+        F.col("n").cast("long").alias("n"),
+        dbl("sq").alias("sq"),
+        dbl("sp").alias("sp"),
+        dbl("sd").alias("sd"),
+        dbl("sqq").alias("sqq"),
+        dbl("spp").alias("spp"),
+        dbl("sdd").alias("sdd"),
+        dbl("sqp").alias("sqp"),
+        dbl("sqd").alias("sqd"),
+    )
+    nd = F.col("nd")
+    return d.select(
+        "l_returnflag",
+        "n",
+        F.round(
+            (nd * F.col("sqp") - F.col("sq") * F.col("sp"))
+            / (
+                F.sqrt(nd * F.col("sqq") - F.col("sq") * F.col("sq"))
+                * F.sqrt(nd * F.col("spp") - F.col("sp") * F.col("sp"))
+            ),
+            6,
+        ).alias("corr_qty_price"),
+        F.round(
+            (nd * F.col("sqd") - F.col("sq") * F.col("sd"))
+            / (
+                F.sqrt(nd * F.col("sqq") - F.col("sq") * F.col("sq"))
+                * F.sqrt(nd * F.col("sdd") - F.col("sd") * F.col("sd"))
+            ),
+            6,
+        ).alias("corr_qty_disc"),
+        F.round(
+            (F.col("sqp") - F.col("sq") * F.col("sp") / nd) / (nd - 1), 4
+        ).alias("covar_qty_price"),
+        F.round(
+            F.sqrt(
+                (F.col("spp") - F.col("sp") * F.col("sp") / nd) / (nd - 1)
+            ),
+            4,
+        ).alias("std_price"),
     )
 
 
