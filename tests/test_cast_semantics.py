@@ -36,3 +36,64 @@ def test_lenient_cast_nulls_garbage(spark):
     assert rows[0]["view_count"] is None          # bad int -> NULL
     assert rows[0]["PublishedAt"] is None          # bad ts -> NULL
     assert rows[0]["subscriberCount"] == 5         # good values survive
+
+
+def _good_row_df(spark, *, country="US"):
+    return spark.createDataFrame(
+        [
+            Row(
+                title="T", customUrl="@t",
+                publishedAt="2026-01-01 00:00:00",
+                url="http://x", country=country, viewCount="7",
+                subscriberCount="5", videoCount="1", madeForKids=True,
+                timestamp="2026-01-01 00:00:00",
+            )
+        ]
+    )
+
+
+class TestVarcharLengthGate:
+    """SURVEY §7.4 / YT_Facts_stg.sql:3-7: the mart's varchar(n)
+    widths are ENFORCED on materialization, not just documented."""
+
+    def test_error_mode_raises_on_overflow(self, spark):
+        from ytspark.facts import enforce_varchar_lengths
+
+        mart = cast_projection(_good_row_df(spark, country="X" * 11))
+        with pytest.raises(Exception) as exc:
+            enforce_varchar_lengths(mart, mode="error").collect()
+        assert "varchar(10) overflow" in str(exc.value)
+
+    def test_truncate_mode_clips_to_width(self, spark):
+        from ytspark.facts import enforce_varchar_lengths
+
+        mart = cast_projection(_good_row_df(spark, country="X" * 11))
+        (row,) = enforce_varchar_lengths(mart, mode="truncate").collect()
+        assert row["Country"] == "X" * 10
+        assert row["title"] == "T"  # in-bounds values untouched
+
+    def test_in_bounds_passes_error_mode(self, spark):
+        from ytspark.facts import enforce_varchar_lengths
+
+        mart = cast_projection(_good_row_df(spark))
+        (row,) = enforce_varchar_lengths(mart, mode="error").collect()
+        assert row["Country"] == "US"
+
+    def test_mart_table_ddl_carries_varchar(self, spark, tmp_path):
+        """save_mart_table creates the table with bounded varchar DDL
+        (not unbounded StringType) and loads the typed rows."""
+        from ytspark.storage import save_mart_table
+
+        mart = cast_projection(_good_row_df(spark))
+        save_mart_table(mart, "yt_facts_ddl_test")
+        try:
+            ddl = spark.sql(
+                "SHOW CREATE TABLE yt_facts_ddl_test"
+            ).collect()[0][0]
+            assert "VARCHAR(50)" in ddl.upper()
+            assert "VARCHAR(300)" in ddl.upper()
+            assert "VARCHAR(10)" in ddl.upper()
+            out = spark.table("yt_facts_ddl_test").collect()
+            assert len(out) == 1 and out[0]["Country"] == "US"
+        finally:
+            spark.sql("DROP TABLE IF EXISTS yt_facts_ddl_test")

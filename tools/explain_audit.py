@@ -322,15 +322,38 @@ def main() -> int:
     table_widths = {
         t: len(df.columns) for t, df in load_tables(spark, sf_dir).items()
     }
+
+    # r7 VERDICT item 5: queries that end in localCheckpoint()/finish()
+    # collapse to "Scan ExistingRDD" by the time the returned DF is
+    # explained, hiding their joins/windows from this audit (the vopt
+    # DP was exactly such a query). Intercept localCheckpoint to
+    # capture the PRE-checkpoint plan of every lineage being truncated,
+    # then perform the real checkpoint so query behavior is unchanged.
+    from pyspark.sql import DataFrame as _SparkDF
+
+    _orig_lc = _SparkDF.localCheckpoint
+    _pre_ckpt_plans: list[str] = []
+
+    def _capturing_lc(self, eager=True):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            self.explain("formatted")
+        _pre_ckpt_plans.append(buf.getvalue())
+        return _orig_lc(self, eager=eager)
+
+    _SparkDF.localCheckpoint = _capturing_lc
+
     failures = []
     for name, q in sorted(registry().items()):
         if name.startswith(SKIP_PREFIX):
             continue
+        _pre_ckpt_plans.clear()
         df = q.fn(spark, sf_dir)
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
-        plan = buf.getvalue()
+        # audit the final plan PLUS every pre-checkpoint lineage
+        plan = "\n".join([buf.getvalue(), *_pre_ckpt_plans])
         # second plan build with auto-broadcast off: any surviving
         # BroadcastExchange is hint-FORCED, the only kind we flag
         thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

@@ -80,3 +80,66 @@ def build_mart_union(
         for k in channel_keys
     ]
     return union_all(slices)
+
+
+# ---------------------------------------------------------------------------
+# varchar(n) length enforcement (SURVEY §7.4)
+# ---------------------------------------------------------------------------
+
+# Reference column widths: YT_Facts_stg.sql:3-7 ("title"::varchar(50),
+# "customUrl"::varchar(50), "url"::varchar(300), "country"::varchar(10)).
+MART_VARCHAR_WIDTHS = {
+    "title": 50,
+    "customUrl": 50,
+    "url_": 300,
+    "Country": 10,
+}
+
+# Mart DDL with the reference's bounded string types. Snowflake
+# enforces these on INSERT (over-length -> error); Spark's native
+# CHAR/VARCHAR handling does the same when the table is created with
+# this DDL (spark.sql.legacy.charVarcharAsString defaults to false).
+MART_DDL = (
+    "title varchar(50), customUrl varchar(50), PublishedAt timestamp, "
+    "url_ varchar(300), Country varchar(10), view_count bigint, "
+    "subscriberCount bigint, videoCount bigint, madeForKids boolean, "
+    "`timestamp` timestamp"
+)
+
+
+def enforce_varchar_lengths(df: DataFrame, *, mode: str = "error") -> DataFrame:
+    """Apply the reference's varchar(n) bounds to a mart projection.
+
+    ``mode='error'`` reproduces Snowflake INSERT semantics: any
+    over-length value raises (engine-side ``raise_error``, so the check
+    runs distributed where the data lives). ``mode='truncate'`` is the
+    documented lenient alternative: values clip to the declared width.
+    Columns outside ``MART_VARCHAR_WIDTHS`` pass through untouched.
+    """
+    if mode not in ("error", "truncate"):
+        raise ValueError(f"mode must be 'error' or 'truncate', got {mode!r}")
+    cols = []
+    for field in df.columns:
+        n = MART_VARCHAR_WIDTHS.get(field)
+        if n is None:
+            cols.append(F.col(field))
+        elif mode == "truncate":
+            cols.append(F.substring(F.col(field), 1, n).alias(field))
+        else:
+            cols.append(
+                F.when(
+                    F.length(F.col(field)) > n,
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                f"varchar({n}) overflow in column "
+                                f"'{field}': "
+                            ),
+                            F.col(field),
+                        )
+                    ),
+                )
+                .otherwise(F.col(field))
+                .alias(field)
+            )
+    return df.select(*cols)

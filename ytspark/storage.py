@@ -247,3 +247,33 @@ def write_warehouse(
             props[k] = blob[k]
     kwargs.setdefault("driver", blob.get("driver"))
     write_jdbc(df, blob["url"], table, properties=props, **kwargs)
+
+
+def save_mart_table(
+    df: DataFrame,
+    name: str,
+    *,
+    length_mode: str = "error",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the typed mart as a TABLE with the reference's
+    bounded varchar(n) DDL (SURVEY §7.4; ``YT_Facts_stg.sql:3-7``).
+
+    Unlike :func:`save_table` (schema inferred from the DataFrame, so
+    strings land as unbounded StringType), this creates the table with
+    explicit ``varchar(50/50/300/10)`` columns and routes the write
+    through :func:`ytspark.facts.enforce_varchar_lengths`:
+    ``length_mode='error'`` reproduces Snowflake INSERT semantics
+    (over-length raises, distributed), ``'truncate'`` clips to the
+    declared width. Spark's native CHAR/VARCHAR length check on the
+    created table is a second, engine-level gate behind the explicit
+    one.
+    """
+    from ytspark.facts import MART_DDL, enforce_varchar_lengths
+
+    spark = df.sparkSession
+    checked = enforce_varchar_lengths(df, mode=length_mode)
+    if mode == "overwrite":
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(f"CREATE TABLE IF NOT EXISTS {name} ({MART_DDL}) USING parquet")
+    checked.write.mode("append").insertInto(name)
