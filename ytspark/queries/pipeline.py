@@ -3154,3 +3154,150 @@ def mmd_rbf_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("mmd2_biased"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-source merge: Google-Analytics-shaped sessions x YouTube channel stats
+# ---------------------------------------------------------------------------
+
+
+def _ga_yt_oracle() -> str:
+    """DuckDB twin of the two-source merge: both fixtures regenerate
+    from the literal (title, customUrl, seed) channel table plus
+    RANGE(days) with the exact integer formulas of
+    sources/ganalytics.py and sources/youtube.py — the whole merge is
+    integer arithmetic, so the join demo is hash-certifiable."""
+    from ytspark.sources.ganalytics import GA_DAYS, channel_seeds
+
+    chans = ",\n         ".join(
+        f"('{title}', '{url}', {seed})"
+        for title, url, seed in channel_seeds()
+    )
+    return f"""
+WITH chan(title, url, seed) AS (
+  VALUES {chans}
+),
+days AS (SELECT UNNEST(RANGE(0, {GA_DAYS})) AS d),
+ga AS (
+  SELECT c.title, c.url, d.d,
+         500 + c.seed % 700 + (c.seed * 131 + d.d * 37) % 400 AS sessions,
+         (500 + c.seed % 700 + (c.seed * 131 + d.d * 37) % 400) * 3
+           + (c.seed * 17 + d.d * 11) % 97 AS pageviews
+  FROM chan c CROSS JOIN days d
+),
+yt AS (
+  SELECT c.url, d.d,
+         (CAST(c.seed AS BIGINT) * 1000003 + d.d * 9871) * 1000 AS views,
+         CAST(c.seed * 10007 + d.d * 97 AS BIGINT) AS subs
+  FROM chan c CROSS JOIN days d
+),
+merged AS (
+  SELECT g.title, g.url, g.d, g.sessions, g.pageviews, y.views, y.subs
+  FROM ga g JOIN yt y ON y.url = g.url AND y.d = g.d
+)
+SELECT title AS channel,
+       url AS custom_url,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(sessions) AS BIGINT) AS total_sessions,
+       CAST(SUM(pageviews) AS BIGINT) AS total_pageviews,
+       CAST(MAX(views) - MIN(views) AS BIGINT) AS yt_view_gain,
+       CAST(MAX(subs) - MIN(subs) AS BIGINT) AS yt_sub_gain,
+       CAST((MAX(views) - MIN(views)) * 1000 // SUM(sessions) AS BIGINT)
+         AS views_per_session_x1000
+FROM merged
+GROUP BY title, url
+"""
+
+
+@register(
+    "ga_youtube_join_mart",
+    oracle=_ga_yt_oracle(),
+    doc="THE REFERENCE'S NORTH-STAR SENTENCE, demonstrated: 'merging "
+        "Google Analytics with YouTube API data'. The GA side is the "
+        "GA4-shaped sessions-by-day fixture (sources/ganalytics.py — "
+        "runReport rows with string-typed metricValues, parsed and "
+        "ANSI-cast), the YouTube side is the channels().list fixture "
+        "(sources/youtube.py — the S1 source), and the merge joins "
+        "per-channel daily site traffic to the channel's daily "
+        "subscriber/view snapshots on the customUrl bridge a "
+        "warehouse would use between a GA property and a channel. "
+        "Reports per channel: traffic totals, YouTube view/subscriber "
+        "gain over the window, and views-per-session (x1000 integer). "
+        "Every metric is exact integer arithmetic, so the two-source "
+        "merge is hash-certified against the DuckDB twin that "
+        "regenerates both fixtures. Scale: both sides arrive "
+        "pre-aggregated per (channel, day) — the join key spine is "
+        "O(channels x days) and the channel dim side broadcasts; at "
+        "real scale the GA side is a partitioned daily export and "
+        "this exact plan holds with the export path as the scan.",
+    tags=("pipeline", "join", "source", "aggregate"),
+)
+def ga_youtube_join_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ytspark.sources.ganalytics import GA_DAYS, sessions_frame
+    from ytspark.sources.youtube import (
+        REFERENCE_CHANNEL_TITLES,
+        channel_payload,
+    )
+
+    ga = sessions_frame(spark, days=GA_DAYS).select(
+        "customUrl",
+        F.datediff(
+            "date", F.lit("2026-01-01").cast("date")
+        ).alias("d"),
+        "sessions",
+        "pageviews",
+    )
+    # YouTube side: one statistics snapshot per channel per day from
+    # the S1 fixture source (string-typed counters, ANSI-cast — the
+    # same payloads the ingest path flattens)
+    yt_rows = []
+    for title in REFERENCE_CHANNEL_TITLES:
+        for d in range(GA_DAYS):
+            item = channel_payload(title, tick=d)["items"][0]
+            yt_rows.append(
+                (
+                    title,
+                    item["snippet"]["customUrl"],
+                    d,
+                    item["statistics"]["viewCount"],
+                    item["statistics"]["subscriberCount"],
+                )
+            )
+    yt = spark.createDataFrame(
+        yt_rows,
+        "title string, customUrl string, d int, "
+        "viewCount string, subscriberCount string",
+    ).select(
+        "title",
+        "customUrl",
+        "d",
+        F.col("viewCount").cast("long").alias("views"),
+        F.col("subscriberCount").cast("long").alias("subs"),
+    )
+    merged = ga.join(F.broadcast(yt), ["customUrl", "d"])
+    return (
+        merged.groupBy(
+            F.col("title").alias("channel"),
+            F.col("customUrl").alias("custom_url"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("sessions").alias("total_sessions"),
+            F.sum("pageviews").alias("total_pageviews"),
+            (F.max("views") - F.min("views")).alias("yt_view_gain"),
+            (F.max("subs") - F.min("subs")).alias("yt_sub_gain"),
+            F.expr(
+                "(max(views) - min(views)) * 1000 div sum(sessions)"
+            ).alias("views_per_session_x1000"),
+        )
+        .select(
+            "channel",
+            "custom_url",
+            F.col("n_days").cast("long"),
+            F.col("total_sessions").cast("long"),
+            F.col("total_pageviews").cast("long"),
+            F.col("yt_view_gain").cast("long"),
+            F.col("yt_sub_gain").cast("long"),
+            F.col("views_per_session_x1000").cast("long"),
+        )
+    )
