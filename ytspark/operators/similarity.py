@@ -2354,3 +2354,132 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cos_sim",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka dimension-truncation recall (MRL serving trade-off eval)
+# ---------------------------------------------------------------------------
+
+MAT_DIM = 16  # truncated prefix width evaluated against the full 64
+
+
+@register(
+    "matryoshka_truncation_recall",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ROUND(LIST_DOT_PRODUCT(q.qv, e.embedding::DOUBLE[])
+               / (SQRT(LIST_DOT_PRODUCT(q.qv, q.qv))
+                  * SQRT(LIST_DOT_PRODUCT(e.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[]))), 6)
+           AS cos_full,
+         ROUND(LIST_DOT_PRODUCT(q.qv[1:{MAT_DIM}],
+                                (e.embedding::DOUBLE[])[1:{MAT_DIM}])
+               / (SQRT(LIST_DOT_PRODUCT(q.qv[1:{MAT_DIM}],
+                                        q.qv[1:{MAT_DIM}]))
+                  * SQRT(LIST_DOT_PRODUCT(
+                        (e.embedding::DOUBLE[])[1:{MAT_DIM}],
+                        (e.embedding::DOUBLE[])[1:{MAT_DIM}]))), 6)
+           AS cos_trunc
+  FROM q, embeddings e
+  WHERE e.vec_id <> q.query_id
+),
+fullk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos_full DESC, neighbor_id) AS rk
+    FROM scored
+  ) WHERE rk <= {TOP_K}
+),
+trunck AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos_trunc DESC, neighbor_id) AS rk
+    FROM scored
+  ) WHERE rk <= {TOP_K}
+)
+SELECT f.query_id,
+       CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_overlap,
+       CAST(COUNT(t.neighbor_id) * 1000 // {TOP_K} AS BIGINT)
+         AS recall_per_mille
+FROM fullk f
+LEFT JOIN trunck t
+  ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+GROUP BY f.query_id
+""",
+    doc=f"MATRYOSHKA (MRL) TRUNCATION EVAL: top-{TOP_K} cosine "
+        f"neighbors from the first {MAT_DIM} of 64 dimensions scored "
+        f"against the full-width top-{TOP_K} as per-query recall — "
+        f"the serving trade-off measurement behind every 'store the "
+        f"prefix, rerank with the tail' MRL deployment: 4x less "
+        f"vector memory/bandwidth is worth exactly what this recall "
+        f"says it is, per query, not on average. Both rankings round "
+        f"cosines to 6 dp BEFORE ranking with a neighbor-id "
+        f"tie-break (the knn_cosine_bruteforce determinism "
+        f"discipline), recall lands as exact integer per-mille. "
+        f"Scale: broadcast query set x streamed corpus, the same "
+        f"plan as the brute-force kNN baseline; the truncated score "
+        f"costs a prefix slice of the SAME scan, no second pass.",
+    tags=("similarity", "evaluation", "knn", "embedding"),
+)
+def matryoshka_truncation_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    corpus = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    queries = corpus.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    trunc = lambda c: F.slice(c, 1, MAT_DIM)  # noqa: E731
+    scored = (
+        corpus.join(
+            F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_full"),
+            F.round(
+                cosine(trunc(F.col("qv")), trunc(F.col("v"))), 6
+            ).alias("cos_trunc"),
+        )
+    )
+    def topk(score: str) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(
+            F.col(score).desc(), F.col("neighbor_id")
+        )
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+
+    fullk = topk("cos_full")
+    trunck = (
+        topk("cos_trunc")
+        .withColumnRenamed("neighbor_id", "t_neighbor")
+        .withColumnRenamed("query_id", "t_query")
+    )
+    return (
+        fullk.join(
+            trunck,
+            (F.col("query_id") == F.col("t_query"))
+            & (F.col("neighbor_id") == F.col("t_neighbor")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("t_neighbor").cast("long").alias("n_overlap"),
+            F.expr(f"count(t_neighbor) * 1000 div {TOP_K}")
+            .cast("long")
+            .alias("recall_per_mille"),
+        )
+    )

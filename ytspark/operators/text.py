@@ -2761,3 +2761,93 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ccnet_bucket"),
     )
     return finish(out, lm)
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate chunk removal (RefinedWeb/CCNet-style line-level dedup)
+# ---------------------------------------------------------------------------
+
+BP_CHUNK_TOKENS = 8   # non-overlapping "line" width (the fixture has no \n)
+BP_DF_THRESHOLD = 3   # a chunk in >= this many distinct docs is boilerplate
+
+
+@register(
+    "boilerplate_chunk_removal",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS t,
+         LEN(STRING_SPLIT(text, ' ')) AS n
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         ARRAY_TO_STRING(t[s + 1 : s + {BP_CHUNK_TOKENS}], ' ') AS chunk
+  FROM (
+    SELECT doc_id, t,
+           UNNEST(RANGE(0, n, {BP_CHUNK_TOKENS})) AS s
+    FROM toks
+  )
+),
+df AS (
+  SELECT chunk, COUNT(DISTINCT doc_id) AS df FROM chunks GROUP BY 1
+),
+flagged AS (
+  SELECT c.doc_id,
+         CASE WHEN d.df >= {BP_DF_THRESHOLD} THEN 1 ELSE 0 END AS bp
+  FROM chunks c JOIN df d USING (chunk)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(bp) AS BIGINT) AS n_boilerplate,
+       CAST((COUNT(*) - SUM(bp)) * 1000 // COUNT(*) AS BIGINT)
+         AS retained_per_mille
+FROM flagged
+GROUP BY doc_id
+""",
+    doc=f"BOILERPLATE 'LINE'-LEVEL DEDUP (the RefinedWeb/CCNet "
+        f"curation step the document-level dedup family cannot "
+        f"express: navbars, cookie banners and footers repeat ACROSS "
+        f"documents while each document stays globally unique): "
+        f"documents split into non-overlapping {BP_CHUNK_TOKENS}-token "
+        f"chunks (the corpus has no newlines, so fixed token windows "
+        f"stand in for lines), each chunk's document frequency "
+        f"computed corpus-wide, and chunks in >= {BP_DF_THRESHOLD} "
+        f"distinct docs flagged as boilerplate — the report is each "
+        f"document's retained-content ratio in exact integer "
+        f"per-mille, the number a curation pipeline thresholds on "
+        f"before training. Scale: the chunk explosion inherits the "
+        f"scan partitioning (no shuffle), the df aggregate and the "
+        f"chunk join shuffle on the chunk key — production hashes the "
+        f"chunk to a 64-bit key first (xxhash64) to shrink shuffle "
+        f"width; the oracle joins on chunk text so values stay "
+        f"replayable in SQL. All-integer outputs.",
+    tags=("text", "dedup", "quality", "pipeline"),
+)
+def boilerplate_chunk_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    t = tokens(F.col("text"))
+    n = F.array_size(t)
+    last_start = ((n - 1) / BP_CHUNK_TOKENS).cast("int") * BP_CHUNK_TOKENS
+    starts = F.sequence(F.lit(0), last_start, F.lit(BP_CHUNK_TOKENS))
+    chunks = docs.select(
+        "doc_id", t.alias("t"), F.explode(starts).alias("s")
+    ).select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.slice(F.col("t"), F.col("s") + 1, BP_CHUNK_TOKENS)
+        ).alias("chunk"),
+    )
+    df = chunks.groupBy("chunk").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    flagged = chunks.join(df, "chunk").select(
+        "doc_id",
+        F.when(F.col("df") >= BP_DF_THRESHOLD, 1).otherwise(0).alias("bp"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum("bp").cast("long").alias("n_boilerplate"),
+        F.expr("(count(1) - sum(bp)) * 1000 div count(1)")
+        .cast("long")
+        .alias("retained_per_mille"),
+    )

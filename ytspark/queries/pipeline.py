@@ -3301,3 +3301,173 @@ def ga_youtube_join_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("views_per_session_x1000").cast("long"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling with Neyman allocation (training-mixture sampling)
+# ---------------------------------------------------------------------------
+
+NEYMAN_BUDGET = 1000  # total sample size across strata
+
+
+@register(
+    "stratified_neyman_sample",
+    oracle=f"""
+WITH pop AS (
+  SELECT c_mktsegment AS stratum,
+         c_custkey AS k,
+         CAST(c_acctbal AS DECIMAL(18,2)) AS y,
+         {knuth_hash_sql('c_custkey')} AS h
+  FROM customer
+),
+mom AS (
+  SELECT stratum, COUNT(*) AS nh,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(y * y) AS DOUBLE) AS syy
+  FROM pop GROUP BY stratum
+),
+sd AS (
+  SELECT stratum, nh, sy,
+         SQRT((syy - sy * sy / nh) / (nh - 1)) AS s
+  FROM mom
+),
+wt AS (
+  SELECT stratum, nh, s, nh * s AS w,
+         SUM(nh * s) OVER () AS wtot
+  FROM sd
+),
+alloc AS (
+  SELECT stratum, nh, s,
+         CAST(FLOOR({NEYMAN_BUDGET} * w / wtot) AS BIGINT) AS base,
+         {NEYMAN_BUDGET} * w / wtot
+           - FLOOR({NEYMAN_BUDGET} * w / wtot) AS frac,
+         CAST(SUM(FLOOR({NEYMAN_BUDGET} * w / wtot)) OVER () AS BIGINT)
+           AS base_tot
+  FROM wt
+),
+final AS (
+  SELECT stratum, nh, s, base, base_tot,
+         base + CASE WHEN ROW_NUMBER() OVER (
+                         ORDER BY frac DESC, stratum)
+                       <= {NEYMAN_BUDGET} - base_tot
+                     THEN 1 ELSE 0 END AS n_alloc
+  FROM alloc
+),
+ranked AS (
+  SELECT p.stratum, p.y,
+         ROW_NUMBER() OVER (PARTITION BY p.stratum
+                            ORDER BY p.h, p.k) AS rk
+  FROM pop p
+),
+sample AS (
+  SELECT r.stratum,
+         CAST(COUNT(*) AS BIGINT) AS n_sampled,
+         CAST(SUM(r.y) * 100 AS BIGINT) AS sample_sum_cents
+  FROM ranked r JOIN final f ON f.stratum = r.stratum
+  WHERE r.rk <= f.n_alloc
+  GROUP BY r.stratum
+)
+SELECT f.stratum,
+       CAST(f.nh AS BIGINT) AS n_pop,
+       ROUND(f.s, 4) AS pop_stddev,
+       CAST(f.n_alloc AS BIGINT) AS n_alloc,
+       s.n_sampled,
+       s.sample_sum_cents
+FROM final f JOIN sample s ON s.stratum = f.stratum
+""",
+    doc=f"STRATIFIED SAMPLING with NEYMAN ALLOCATION — the "
+        f"variance-optimal way to spend a {NEYMAN_BUDGET}-row "
+        f"labeling/eval budget across strata (n_h proportional to "
+        f"N_h x S_h, so volatile strata get more of the budget than "
+        f"proportional allocation would give): per-stratum stddev "
+        f"from DECIMAL-exact power sums (correctly-rounded SQRT, so "
+        f"the weights are deterministic scalar trees), integer "
+        f"allocation by largest-remainder rounding (floor + "
+        f"distribute the shortfall by fractional part with a stratum "
+        f"tie-break — allocations always sum exactly to the budget), "
+        f"then the sample itself drawn deterministically per stratum "
+        f"by Knuth-hash order so both engines certify the SAME rows "
+        f"(sample sum reported in exact integer cents). This is the "
+        f"training-mixture/eval-set sampling primitive; at 100 TB "
+        f"the hash rank is a per-stratum top-n_alloc "
+        f"(TakeOrderedAndProject), never a full sort.",
+    tags=("pipeline", "sampling", "statistics", "aggregate"),
+)
+def stratified_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ytspark.operators.text import knuth_hash_col
+
+    cust = load_tables(spark, sf_dir, "customer")["customer"]
+    pop = cust.select(
+        F.col("c_mktsegment").alias("stratum"),
+        F.col("c_custkey").alias("k"),
+        F.col("c_acctbal").cast("decimal(18,2)").alias("y"),
+        knuth_hash_col(F.col("c_custkey")).alias("h"),
+    )
+    mom = pop.groupBy("stratum").agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    sd = mom.select(
+        "stratum",
+        "nh",
+        F.sqrt(
+            (F.col("syy") - F.col("sy") * F.col("sy") / F.col("nh"))
+            / (F.col("nh") - 1)
+        ).alias("s"),
+    )
+    wt = sd.select(
+        "stratum",
+        "nh",
+        "s",
+        (F.col("nh") * F.col("s")).alias("w"),
+        F.sum(F.col("nh") * F.col("s"))
+        .over(Window.partitionBy())
+        .alias("wtot"),
+    )
+    share = F.lit(NEYMAN_BUDGET) * F.col("w") / F.col("wtot")
+    alloc = wt.select(
+        "stratum",
+        "nh",
+        "s",
+        F.floor(share).cast("long").alias("base"),
+        (share - F.floor(share)).alias("frac"),
+        F.sum(F.floor(share).cast("long"))
+        .over(Window.partitionBy())
+        .alias("base_tot"),
+    )
+    wrem = Window.orderBy(F.col("frac").desc(), "stratum")
+    final = alloc.select(
+        "stratum",
+        "nh",
+        "s",
+        (
+            F.col("base")
+            + F.when(
+                F.row_number().over(wrem)
+                <= F.lit(NEYMAN_BUDGET) - F.col("base_tot"),
+                1,
+            ).otherwise(0)
+        ).alias("n_alloc"),
+    )
+    wrk = Window.partitionBy("stratum").orderBy("h", "k")
+    ranked = pop.select(
+        "stratum", "y", F.row_number().over(wrk).alias("rk")
+    )
+    sample = (
+        ranked.join(F.broadcast(final.select("stratum", "n_alloc")), "stratum")
+        .where(F.col("rk") <= F.col("n_alloc"))
+        .groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sampled"),
+            (F.sum("y") * 100).cast("long").alias("sample_sum_cents"),
+        )
+    )
+    return final.join(sample, "stratum").select(
+        "stratum",
+        F.col("nh").cast("long").alias("n_pop"),
+        F.round("s", 4).alias("pop_stddev"),
+        F.col("n_alloc").cast("long").alias("n_alloc"),
+        "n_sampled",
+        "sample_sum_cents",
+    )
