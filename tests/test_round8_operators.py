@@ -1,0 +1,214 @@
+"""Round-8 operator semantics: boilerplate chunk dedup, Matryoshka
+truncation recall, Neyman sampling, retrieval metrics, chi-square
+independence, label propagation."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.01"  # stratified/chi2 need the bigger sample
+
+
+@pytest.fixture()
+def tmp_sf(spark):
+    """Write micro-tables into a temp dir shaped like an sf_dir."""
+    with tempfile.TemporaryDirectory() as d:
+
+        def write(table, rows, schema):
+            spark.createDataFrame(rows, schema).write.mode(
+                "overwrite"
+            ).parquet(f"{d}/{table}.parquet")
+
+        yield d, write
+
+
+def test_boilerplate_flags_cross_doc_chunks(spark, sf_dir):
+    from ytspark.operators.text import (
+        BP_CHUNK_TOKENS,
+        boilerplate_chunk_removal,
+    )
+
+    out = boilerplate_chunk_removal(spark, sf_dir).toPandas()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    assert len(out) == len(docs)
+    # chunk accounting: ceil(n_tokens / width) per doc
+    ntok = docs.set_index("doc_id").text.str.split(" ").str.len()
+    want_chunks = (-(-ntok // BP_CHUNK_TOKENS)).astype(int)
+    got = out.set_index("doc_id")
+    assert (got.n_chunks == want_chunks.reindex(got.index)).all()
+    assert (got.n_boilerplate <= got.n_chunks).all()
+    assert (
+        got.retained_per_mille
+        == (got.n_chunks - got.n_boilerplate) * 1000 // got.n_chunks
+    ).all()
+
+
+def test_boilerplate_detects_planted_duplicate_chunk(spark, tmp_sf):
+    from ytspark.operators.text import boilerplate_chunk_removal
+
+    d, write = tmp_sf
+    banner = "accept cookies to continue using this site today ok"
+    rows = []
+    for i in range(6):
+        unique = " ".join(f"w{i}x{j}" for j in range(8))
+        # banner chunk (8 tokens) + unique chunk (8 tokens)
+        rows.append((i, " ".join(banner.split()[:8]) + " " + unique,
+                     "en", "srcA", 100))
+    rows.append((99, " ".join(f"solo{j}" for j in range(16)),
+                 "en", "srcB", 100))
+    write("documents", rows,
+          "doc_id long, text string, lang string, source string, "
+          "n_chars long")
+    out = {r["doc_id"]: r for r in
+           boilerplate_chunk_removal(spark, d).collect()}
+    for i in range(6):  # banner shared by 6 docs -> boilerplate
+        assert out[i]["n_chunks"] == 2
+        assert out[i]["n_boilerplate"] == 1
+        assert out[i]["retained_per_mille"] == 500
+    assert out[99]["n_boilerplate"] == 0
+    assert out[99]["retained_per_mille"] == 1000
+
+
+def test_matryoshka_recall_bounds_and_self_consistency(spark, sf_dir):
+    from ytspark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+        matryoshka_truncation_recall,
+    )
+
+    out = matryoshka_truncation_recall(spark, sf_dir).toPandas()
+    assert len(out) == N_QUERIES
+    assert ((out.n_overlap >= 0) & (out.n_overlap <= TOP_K)).all()
+    assert (out.recall_per_mille == out.n_overlap * 1000 // TOP_K).all()
+    # 16 of 64 dims should retain SOME signal but not be perfect
+    assert out.n_overlap.sum() > 0
+
+
+def test_neyman_allocation_sums_to_budget(spark):
+    from ytspark.queries.pipeline import (
+        NEYMAN_BUDGET,
+        stratified_neyman_sample,
+    )
+
+    out = stratified_neyman_sample(spark, SF).toPandas()
+    assert out.n_alloc.sum() == NEYMAN_BUDGET
+    assert (out.n_sampled == out.n_alloc).all()  # population large enough
+    # Neyman: bigger n_h * s_h gets at least as much budget
+    out["priority"] = out.n_pop * out.pop_stddev
+    srt = out.sort_values("priority")
+    assert srt.n_alloc.is_monotonic_increasing or len(out) < 2
+
+
+def test_retrieval_metrics_consistency(spark, sf_dir):
+    from ytspark.operators.search import (
+        RME_KS,
+        retrieval_metrics_battery,
+    )
+
+    rows = {r["k"]: r for r in
+            retrieval_metrics_battery(spark, sf_dir).collect()}
+    assert set(rows) == set(RME_KS)
+    prev_hits = 0
+    for k in sorted(rows):
+        r = rows[k]
+        assert r["n_hits"] >= prev_hits  # hits monotone in k
+        prev_hits = r["n_hits"]
+        assert r["precision_per_mille"] == r["n_hits"] * 1000 // k
+        assert r["recall_per_mille"] == (
+            r["n_hits"] * 1000 // r["n_relevant"]
+        )
+        assert r["mrr"] == pytest.approx(
+            1.0 / r["first_relevant_rank"], abs=1e-6
+        )
+
+
+def test_chi2_independent_by_construction(spark):
+    from ytspark.queries.pipeline import chi2_independence_cramers_v
+
+    (r,) = chi2_independence_cramers_v(spark, SF).collect()
+    assert r["n_cells"] == 25 and r["dof"] == 16
+    # TPC-H segment and priority are independent: V should be tiny
+    assert r["cramers_v"] < 0.05
+    assert not r["significant_5pct"]
+
+
+def test_label_propagation_census(spark, sf_dir):
+    from ytspark.operators.graph import label_propagation_communities
+
+    out = label_propagation_communities(spark, sf_dir).toPandas()
+    # seeds exist, some labels spread, and the census partitions nodes
+    labeled = out[out.label != "<unlabeled>"]
+    assert len(labeled) >= 1
+    assert (out.n_nodes > 0).all()
+    assert (out.min_node <= out.max_node).all()
+
+
+def test_kneser_ney_discount_mass_conserved(spark, tmp_sf):
+    """On a micro-corpus, p_KN(.|w1) sums to 1 over observed+unseen
+    continuations when evaluated over the full vocab."""
+    from ytspark.operators.text import KN_DISCOUNT
+
+    d, write = tmp_sf
+    write("documents",
+          [(0, "a b a b a c", "en", "s0", 11),
+           (1, "b c a b", "en", "s1", 7)],
+          "doc_id long, text string, lang string, source string, "
+          "n_chars long")
+    import collections
+    toks0, toks1 = "a b a b a c".split(), "b c a b".split()
+    bigrams = list(zip(toks0, toks0[1:])) + list(zip(toks1, toks1[1:]))
+    cbg = collections.Counter(bigrams)
+    cw1 = collections.Counter(w1 for w1, _ in bigrams)
+    nfollow = collections.Counter(
+        w1 for w1, _ in set(bigrams))
+    nprec = collections.Counter(w2 for _, w2 in set(bigrams))
+    t = len(set(bigrams))
+    # full-vocab sum of the interpolated estimate for each context
+    vocab = set(toks0) | set(toks1)
+    for w1 in cw1:
+        total = 0.0
+        for w2 in vocab:
+            disc = max(cbg.get((w1, w2), 0) - KN_DISCOUNT, 0) / cw1[w1]
+            lam = KN_DISCOUNT * nfollow[w1] / cw1[w1]
+            total += disc + lam * nprec.get(w2, 0) / t
+        assert total == pytest.approx(1.0, abs=1e-9)
+
+    from ytspark.operators.text import kneser_ney_bigram_perplexity
+    out = {r["source"]: r for r in
+           kneser_ney_bigram_perplexity(spark, d).collect()}
+    assert set(out) == {"s0", "s1"}
+    assert all(r["perplexity"] > 1.0 for r in out.values())
+
+
+def test_aexpj_sample_is_size_biased(spark):
+    from ytspark.queries.pipeline import AEXP_K, weighted_sample_aexpj
+
+    out = weighted_sample_aexpj(spark, SF).toPandas()
+    assert out.n_sampled.sum() == AEXP_K
+    # mean sampled order value should exceed the population mean
+    pop = pd.read_parquet(
+        f"{SF}/orders.parquet", columns=["o_totalprice"]
+    ).o_totalprice
+    sample_mean = out.sample_weight_cents.sum() / 100 / AEXP_K
+    assert sample_mean > pop.mean() * 1.1
+
+
+def test_loo_influence_sums_and_pinning(spark):
+    from ytspark.queries.pipeline import loo_group_influence
+
+    out = loo_group_influence(spark, SF).toPandas()
+    assert len(out) == 5
+    # influence rounds the UNROUNDED difference; recomputing from the
+    # rounded columns can differ in the last digit
+    assert (
+        (out.influence
+         - (out.slope_without_group - out.slope_cents_per_day)).abs()
+        < 2e-6
+    ).all()
+    # removing one of five similar cohorts cannot flip the trend sign
+    assert (
+        (out.slope_without_group > 0) == (out.slope_cents_per_day > 0)
+    ).all()

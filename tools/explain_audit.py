@@ -222,6 +222,12 @@ EXPECTED_GLOBAL_WINDOW = {
     "kruskal_wallis_priority",     # midranks over the bounded cent-value
                                    # grid (mann_whitney precedent)
     "bayes_ab_beta_posterior",     # CDF cumsum over the 400-row grid
+    "stratified_neyman_sample",    # allocation windows over the 5-strata
+                                   # aggregate (stratified_sample precedent)
+    "retrieval_metrics_battery",   # rank over the df-bounded BM25 posting
+                                   # set (ndcg_eval precedent)
+    "chi2_independence_cramers_v", # marginal windows over the 25-cell
+                                   # contingency pre-aggregate
     "page_hinkley_daily_mean",     # PH cumsums over the O(days) spine
     "watermark_lateness_profile",  # exclusive prefix max over the
                                    # BLOCK_SIZE-x-smaller block table

@@ -1343,3 +1343,159 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("mixing"),
     )
     return finish(out, e, deg)
+
+
+# ---------------------------------------------------------------------------
+# Semi-supervised label propagation over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+LPA_ROUNDS = 3        # synchronous propagation rounds (unrolled)
+LPA_SEED_MOD = 20     # parts with partkey % MOD == 0 keep their brand
+LPA_W_MIN = 2         # co-purchase edge floor (the BFS/k-core floor)
+
+
+def _lpa_oracle() -> str:
+    rounds = []
+    prev = "l0"
+    for r in range(1, LPA_ROUNDS + 1):
+        rounds.append(f"""
+v{r} AS (
+  SELECT sym.v AS node, p.label, SUM(sym.w) AS wt
+  FROM sym JOIN {prev} p ON p.node = sym.u
+  WHERE p.label IS NOT NULL
+  GROUP BY sym.v, p.label
+),
+b{r} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY wt DESC, label) AS rk
+    FROM v{r}
+  ) WHERE rk = 1
+),
+l{r} AS (
+  SELECT n.node,
+         CASE WHEN s.label IS NOT NULL THEN s.label ELSE b.label END
+           AS label
+  FROM nodes n
+  LEFT JOIN seeds s ON s.node = n.node
+  LEFT JOIN b{r} b ON b.node = n.node
+)""")
+        prev = f"l{r}"
+    return f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+e AS (
+  SELECT a.p AS u, b.p AS v, CAST(COUNT(*) AS BIGINT) AS w
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p HAVING COUNT(*) >= {LPA_W_MIN}
+),
+sym AS (
+  SELECT u, v, w FROM e UNION ALL SELECT v AS u, u AS v, w FROM e
+),
+nodes AS (SELECT DISTINCT u AS node FROM sym),
+seeds AS (
+  SELECT n.node, pt.p_brand AS label
+  FROM nodes n JOIN part pt ON pt.p_partkey = n.node
+  WHERE n.node % {LPA_SEED_MOD} = 0
+),
+l0 AS (
+  SELECT n.node, s.label
+  FROM nodes n LEFT JOIN seeds s ON s.node = n.node
+),{",".join(rounds)}
+SELECT COALESCE(label, '<unlabeled>') AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(MIN(node) AS BIGINT) AS min_node,
+       CAST(MAX(node) AS BIGINT) AS max_node
+FROM {prev}
+GROUP BY 1
+"""
+
+
+@register(
+    "label_propagation_communities",
+    oracle=_lpa_oracle(),
+    doc=f"SEMI-SUPERVISED LABEL PROPAGATION: brand labels seeded on "
+        f"1/{LPA_SEED_MOD} of the co-purchase graph's parts spread "
+        f"over weighted edges for {LPA_ROUNDS} synchronous rounds — "
+        f"each node adopts the label with the highest incident edge "
+        f"weight (integer weights; ties break on label text, seeds "
+        f"stay pinned), the classic cheap community/label-completion "
+        f"pass run when only a sliver of a catalog is tagged. The "
+        f"readout is the label census with node-range fingerprints, "
+        f"so the whole propagation is hash-certified. Scale: each "
+        f"round is one (edges x labels) equi-join + one grouped "
+        f"argmax — O(E) per round with {LPA_ROUNDS} unrolled rounds, "
+        f"the same bounded-iteration discipline as BFS/PageRank; the "
+        f"edge list and round states are O(V+E), never quadratic.",
+    tags=("graph", "learn", "join", "aggregate"),
+)
+def label_propagation_communities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    op = (
+        t["lineitem"]
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    e = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= LPA_W_MIN)
+    )
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    ).persist()
+    nodes = sym.select(F.col("u").alias("node")).distinct()
+    seeds = (
+        nodes.where(F.col("node") % LPA_SEED_MOD == 0)
+        .join(
+            F.broadcast(
+                t["part"].select(
+                    F.col("p_partkey").alias("node"),
+                    F.col("p_brand").alias("seed_label"),
+                )
+            ),
+            "node",
+        )
+    )
+    cur = nodes.join(seeds, "node", "left").select(
+        "node", F.col("seed_label").alias("label")
+    )
+    wrk = Window.partitionBy("node").orderBy(F.desc("wt"), "label")
+    for _ in range(LPA_ROUNDS):
+        votes = (
+            sym.join(
+                cur.where(F.col("label").isNotNull()).withColumnRenamed(
+                    "node", "u"
+                ),
+                "u",
+            )
+            .groupBy(F.col("v").alias("node"), "label")
+            .agg(F.sum("w").alias("wt"))
+        )
+        best = (
+            votes.withColumn("rk", F.row_number().over(wrk))
+            .where(F.col("rk") == 1)
+            .select("node", F.col("label").alias("best_label"))
+        )
+        cur = (
+            nodes.join(seeds, "node", "left")
+            .join(best, "node", "left")
+            .select(
+                "node",
+                F.coalesce("seed_label", "best_label").alias("label"),
+            )
+        )
+    out = cur.groupBy(
+        F.coalesce("label", F.lit("<unlabeled>")).alias("label")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.min("node").cast("long").alias("min_node"),
+        F.max("node").cast("long").alias("max_node"),
+    )
+    return finish(out, sym)

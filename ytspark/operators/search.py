@@ -1368,3 +1368,113 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in picks[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Binary retrieval-metric battery: MRR, recall@k, precision@k
+# ---------------------------------------------------------------------------
+
+RME_KS = (5, 10, 20)      # cutoffs reported
+RME_REL_MIN = 2           # relevant = covers >= 2 distinct query terms
+
+
+@register(
+    "retrieval_metrics_battery",
+    oracle=f"""
+WITH base AS ({{base}}),
+ranked AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r
+  FROM base
+),
+rel AS (
+  SELECT doc_id
+  FROM (
+    SELECT doc_id, COUNT(DISTINCT t) AS g
+    FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t
+          FROM documents)
+    WHERE t IN ({_BM25_QUERY_SQL})
+    GROUP BY doc_id
+  ) WHERE g >= {RME_REL_MIN}
+),
+nrel AS (SELECT COUNT(*) AS n_rel FROM rel),
+firsthit AS (
+  SELECT MIN(r.r) AS first_rank
+  FROM ranked r JOIN rel ON rel.doc_id = r.doc_id
+),
+ks AS (SELECT UNNEST({list(RME_KS)!r}) AS k),
+hits AS (
+  SELECT ks.k,
+         COUNT(CASE WHEN rel.doc_id IS NOT NULL THEN 1 END) AS n_hits
+  FROM ks
+  LEFT JOIN ranked r ON r.r <= ks.k
+  LEFT JOIN rel ON rel.doc_id = r.doc_id
+  GROUP BY ks.k
+)
+SELECT CAST(h.k AS BIGINT) AS k,
+       CAST(h.n_hits AS BIGINT) AS n_hits,
+       CAST(n.n_rel AS BIGINT) AS n_relevant,
+       CAST(h.n_hits * 1000 // h.k AS BIGINT) AS precision_per_mille,
+       CAST(h.n_hits * 1000 // n.n_rel AS BIGINT) AS recall_per_mille,
+       CAST(f.first_rank AS BIGINT) AS first_relevant_rank,
+       ROUND(1.0 / f.first_rank, 6) AS mrr
+FROM hits h CROSS JOIN nrel n CROSS JOIN firsthit f
+""".format(base=_BM25_ORACLE),
+    doc=f"BINARY RETRIEVAL-METRIC BATTERY over the BM25 ranking: "
+        f"precision@k and recall@k at k={RME_KS} plus MRR — the "
+        f"set-based complements to ndcg_eval's graded metric, and "
+        f"the numbers a RAG retriever ships or doesn't ship on. "
+        f"Relevant = covers >= {RME_REL_MIN} distinct query terms "
+        f"(the ndcg relevance grades, binarized). Counts are exact "
+        f"integers, precision/recall exact integer per-mille, MRR "
+        f"the deterministic reciprocal of an integer rank. Scale: "
+        f"identical postings pushdown to bm25_search; the metric "
+        f"joins run over the bounded top-{max(RME_KS)} list and the "
+        f"df-bounded relevant set.",
+    tags=("search", "evaluation", "topk", "aggregate"),
+)
+def retrieval_metrics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    ranked = bm25_scores(docs).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .alias("r"),
+    )
+    rel = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+        .where(F.col("t").isin(*BM25_QUERY))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("t").alias("g"))
+        .where(F.col("g") >= RME_REL_MIN)
+        .select("doc_id")
+    )
+    nrel = rel.agg(F.count(F.lit(1)).alias("n_rel"))
+    firsthit = ranked.join(rel, "doc_id").agg(
+        F.min("r").alias("first_rank")
+    )
+    ks = spark.createDataFrame([(k,) for k in RME_KS], "k int")
+    hits = (
+        F.broadcast(ks)
+        .join(ranked, ranked.r <= F.col("k"), "left")
+        .join(rel.withColumnRenamed("doc_id", "rel_doc"),
+              F.col("doc_id") == F.col("rel_doc"), "left")
+        .groupBy("k")
+        .agg(F.count("rel_doc").alias("n_hits"))
+    )
+    return (
+        hits.crossJoin(F.broadcast(nrel))
+        .crossJoin(F.broadcast(firsthit))
+        .select(
+            F.col("k").cast("long").alias("k"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.col("n_rel").cast("long").alias("n_relevant"),
+            F.expr("n_hits * 1000 div k").cast("long").alias(
+                "precision_per_mille"
+            ),
+            F.expr("n_hits * 1000 div n_rel").cast("long").alias(
+                "recall_per_mille"
+            ),
+            F.col("first_rank").cast("long").alias("first_relevant_rank"),
+            F.round(F.lit(1.0) / F.col("first_rank"), 6).alias("mrr"),
+        )
+    )

@@ -3471,3 +3471,314 @@ def stratified_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_sampled",
         "sample_sum_cents",
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square test of independence + Cramer's V (categorical association)
+# ---------------------------------------------------------------------------
+
+CHI2_CRIT_DF16 = 26.296228  # 5% critical value, df = (5-1)x(5-1)
+
+
+@register(
+    "chi2_independence_cramers_v",
+    oracle=f"""
+WITH obs AS (
+  SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+mar AS (
+  SELECT seg, pri, o,
+         SUM(o) OVER (PARTITION BY seg) AS r,
+         SUM(o) OVER (PARTITION BY pri) AS c,
+         SUM(o) OVER () AS n
+  FROM obs
+),
+terms AS (
+  -- cross-multiplied form (o*n - r*c)^2 / (n*r*c): every term is an
+  -- exact-integer rational evaluated by one deterministic division
+  SELECT n,
+         CAST(o * n - r * c AS DOUBLE) * CAST(o * n - r * c AS DOUBLE)
+           / (CAST(n AS DOUBLE) * r * c) AS t
+  FROM mar
+),
+chi AS (
+  SELECT MAX(n) AS n, COUNT(*) AS n_cells, SUM(t) AS chi2 FROM terms
+)
+SELECT CAST(n AS BIGINT) AS n_orders,
+       CAST(n_cells AS BIGINT) AS n_cells,
+       CAST(16 AS BIGINT) AS dof,
+       ROUND(chi2, 4) AS chi2,
+       ROUND(SQRT(chi2 / (n * 4)), 6) AS cramers_v,
+       chi2 > {CHI2_CRIT_DF16} AS significant_5pct
+FROM chi
+""",
+    doc="CHI-SQUARE TEST OF INDEPENDENCE + CRAMER'S V for the "
+        "(market segment x order priority) contingency table — the "
+        "categorical-association readout every feature audit runs "
+        "before one-hot-encoding two columns that might be redundant "
+        "(V ~ 0 here certifies TPC-H's independence by construction; "
+        "a real warehouse uses the same query to FIND the dependent "
+        "pairs). Each chi-square term uses the cross-multiplied form "
+        "(o*n - r*c)^2 / (n*r*c), exact-integer rationals with one "
+        "deterministic division, so the 25-term sum carries only "
+        "ulp-level order sensitivity, absorbed by 4 dp at O(10) "
+        "magnitude. One join + one aggregate + window marginals over "
+        "the 25-cell table; df = (5-1)(5-1) = 16 with the 5% "
+        "critical value inlined.",
+    tags=("statistics", "quality", "aggregate", "window"),
+)
+def chi2_independence_cramers_v(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    obs = (
+        t["orders"]
+        .join(
+            F.broadcast(t["customer"].select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    mar = obs.select(
+        "o",
+        F.sum("o").over(Window.partitionBy("seg")).alias("r"),
+        F.sum("o").over(Window.partitionBy("pri")).alias("c"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    num = (F.col("o") * F.col("n") - F.col("r") * F.col("c")).cast("double")
+    term = num * num / (
+        F.col("n").cast("double") * F.col("r") * F.col("c")
+    )
+    chi = mar.select(term.alias("t"), "n").agg(
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("t").alias("chi2"),
+    )
+    return chi.select(
+        F.col("n").cast("long").alias("n_orders"),
+        F.col("n_cells").cast("long").alias("n_cells"),
+        F.lit(16).cast("long").alias("dof"),
+        F.round("chi2", 4).alias("chi2"),
+        F.round(F.sqrt(F.col("chi2") / (F.col("n") * 4)), 6).alias(
+            "cramers_v"
+        ),
+        (F.col("chi2") > CHI2_CRIT_DF16).alias("significant_5pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (A-ExpJ / A-ES exponential keys)
+# ---------------------------------------------------------------------------
+
+AEXP_K = 100  # sample size
+
+
+@register(
+    "weighted_sample_aexpj",
+    oracle=f"""
+WITH pop AS (
+  SELECT o_orderkey AS k, o_orderpriority AS pri,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS w,
+         ({knuth_hash_sql('o_orderkey')} + 1.0) / 4294967296.0 AS u
+  FROM orders
+),
+keyed AS (
+  -- Efraimidis-Spirakis: top-k by u^(1/w), equivalently ln(u)/w desc
+  SELECT k, pri, w, LN(u) / w AS rk FROM pop
+),
+topk AS (
+  SELECT k, pri, w FROM (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY rk DESC, k) AS rn FROM keyed
+  ) WHERE rn <= {AEXP_K}
+)
+SELECT pri,
+       CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       CAST(SUM(w) AS BIGINT) AS sample_weight_cents,
+       CAST(MIN(k) AS BIGINT) AS min_key,
+       CAST(MAX(k) AS BIGINT) AS max_key
+FROM topk
+GROUP BY pri
+""",
+    doc=f"WEIGHTED SAMPLING WITHOUT REPLACEMENT (Efraimidis-Spirakis "
+        f"A-ES, the distributed-systems standard): each order draws "
+        f"a deterministic hash-uniform u and the top-{AEXP_K} by "
+        f"u^(1/w) (evaluated as ln(u)/w — same order, no overflow) "
+        f"form a sample where inclusion probability tracks order "
+        f"value — the size-biased sampling every data-mixture and "
+        f"eval-set builder needs, made replayable by deriving u from "
+        f"the Knuth hash instead of an RNG so BOTH engines certify "
+        f"the identical sample. Report: sample census per priority "
+        f"with exact integer cent weights and key-range fingerprints."
+        f" Scale: the selection is a top-k (TakeOrderedAndProject), "
+        f"never a full sort — mergeable across partitions by "
+        f"construction, the property that makes A-ES the streaming/"
+        f"distributed choice. Ranking on ln(u)/w doubles is "
+        f"deterministic-tree per row; adjacent-rank near-ties are "
+        f"measure-zero for continuous u (audit class RANK_DOUBLE, "
+        f"adjudicated LOW by key-gap measurement).",
+    tags=("pipeline", "sampling", "topk", "aggregate"),
+)
+def weighted_sample_aexpj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ytspark.operators.text import knuth_hash_col
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    pop = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("w"),
+        (
+            (knuth_hash_col(F.col("o_orderkey")) + 1.0)
+            / F.lit(4294967296.0)
+        ).alias("u"),
+    )
+    keyed = pop.select(
+        "k", "pri", "w", (F.log("u") / F.col("w")).alias("rk")
+    )
+    # top-k via sort+limit so Catalyst plans TakeOrderedAndProject
+    # (per-partition heaps + merge), never a single-partition window
+    topk = keyed.orderBy(F.desc("rk"), "k").limit(AEXP_K)
+    return topk.groupBy("pri").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        F.sum("w").cast("long").alias("sample_weight_cents"),
+        F.min("k").cast("long").alias("min_key"),
+        F.max("k").cast("long").alias("max_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-group-out influence on the revenue trend (data valuation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "loo_group_influence",
+    oracle="""
+WITH pts AS (
+  SELECT o_orderpriority AS g,
+         DATEDIFF('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+           AS x,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+  FROM orders
+),
+gs AS (
+  SELECT g, COUNT(*) AS n,
+         SUM(CAST(x AS HUGEINT)) AS sx,
+         SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy
+  FROM pts GROUP BY g
+),
+tot AS (
+  SELECT SUM(n) AS n, SUM(sx) AS sx, SUM(sy) AS sy,
+         SUM(sxx) AS sxx, SUM(sxy) AS sxy
+  FROM gs
+),
+fit AS (
+  SELECT (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
+  FROM tot
+),
+loo AS (
+  SELECT g.g, g.n,
+         (CAST(t.n - g.n AS DOUBLE) * CAST(t.sxy - g.sxy AS DOUBLE)
+          - CAST(t.sx - g.sx AS DOUBLE) * CAST(t.sy - g.sy AS DOUBLE))
+         / (CAST(t.n - g.n AS DOUBLE) * CAST(t.sxx - g.sxx AS DOUBLE)
+            - CAST(t.sx - g.sx AS DOUBLE) * CAST(t.sx - g.sx AS DOUBLE))
+           AS slope_without
+  FROM gs g CROSS JOIN tot t
+)
+SELECT l.g AS grp,
+       CAST(l.n AS BIGINT) AS n_orders,
+       ROUND(f.slope, 6) AS slope_cents_per_day,
+       ROUND(l.slope_without, 6) AS slope_without_group,
+       ROUND(l.slope_without - f.slope, 6) AS influence
+FROM loo l CROSS JOIN fit f
+""",
+    doc="LEAVE-ONE-GROUP-OUT INFLUENCE — closed-form data valuation: "
+        "how much does each order-priority cohort move the global "
+        "revenue-per-day OLS slope? Because OLS is a function of "
+        "power sums, the without-group fit is (total sums - group "
+        "sums) — ONE grouped aggregate, then every LOO refit is a "
+        "scalar expression, the trick that makes group-level "
+        "influence O(groups), not O(groups x data), at any scale "
+        "(the same identity behind cross-validation of linear "
+        "models). HUGEINT/DECIMAL-exact sums feed deterministic "
+        "double trees (the normal-equations precedent), so the "
+        "influence values are pinned. A cohort whose removal flips "
+        "or widens the slope is where the trend actually lives — "
+        "the data-valuation question asked before buying, pruning, "
+        "or reweighting a source.",
+    tags=("learn", "statistics", "pipeline", "aggregate"),
+)
+def loo_group_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    pts = orders.select(
+        F.col("o_orderpriority").alias("g"),
+        F.datediff("o_orderdate", F.lit("1992-01-01")).alias("x"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("y"),
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
+    gs = pts.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * F.col("x")).alias("sxx"),
+        F.sum(xd * F.col("y")).alias("sxy"),
+    )
+    tot = gs.agg(
+        F.sum("n").alias("tn"),
+        F.sum("sx").alias("tsx"),
+        F.sum("sy").alias("tsy"),
+        F.sum("sxx").alias("tsxx"),
+        F.sum("sxy").alias("tsxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+
+    def slope(n, sx, sy, sxx, sxy):
+        return (n * sxy - sx * sy) / (n * sxx - sx * sx)
+
+    fit = tot.select(
+        slope(d("tn"), d("tsx"), d("tsy"), d("tsxx"), d("tsxy")).alias(
+            "slope"
+        ),
+        "tn",
+        "tsx",
+        "tsy",
+        "tsxx",
+        "tsxy",
+    )
+    loo = gs.crossJoin(F.broadcast(fit)).select(
+        "g",
+        "n",
+        "slope",
+        slope(
+            (F.col("tn") - F.col("n")).cast("double"),
+            (F.col("tsx") - F.col("sx")).cast("double"),
+            (F.col("tsy") - F.col("sy")).cast("double"),
+            (F.col("tsxx") - F.col("sxx")).cast("double"),
+            (F.col("tsxy") - F.col("sxy")).cast("double"),
+        ).alias("slope_without"),
+    )
+    return loo.select(
+        F.col("g").alias("grp"),
+        F.col("n").cast("long").alias("n_orders"),
+        F.round("slope", 6).alias("slope_cents_per_day"),
+        F.round("slope_without", 6).alias("slope_without_group"),
+        F.round(F.col("slope_without") - F.col("slope"), 6).alias(
+            "influence"
+        ),
+    )
