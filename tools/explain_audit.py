@@ -123,6 +123,10 @@ EXPECTED_NESTED_LOOP = {
     "ab_test_cuped",                 # broadcast one-row midpoint timestamp
     "partition_checksum_merkle",     # broadcast one-row root checksum
     "woe_encoding_iv",               # broadcast one-row class totals
+    "matryoshka_truncation_recall",  # broadcast query set, != predicate
+                                     # (knn_cosine_bruteforce shape)
+    "retrieval_metrics_battery",     # 3-row k grid x bounded top-20
+                                     # ranked list (range condition)
     "nb_source_valuation",           # docs x broadcast 5-row class grid
     "knn_cosine_ivf_pq",             # broadcast 16-cell/128-code grids (ADC)
     "ab_power_analysis",             # one-row stats x broadcast 5-row MDE grid
