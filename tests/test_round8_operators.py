@@ -212,3 +212,48 @@ def test_loo_influence_sums_and_pinning(spark):
     assert (
         (out.slope_without_group > 0) == (out.slope_cents_per_day > 0)
     ).all()
+
+
+def test_patchify_counts(spark, sf_dir):
+    from ytspark.operators.multimodal import (
+        PATCH_P,
+        multimodal_image_patchify,
+    )
+
+    out = multimodal_image_patchify(spark, sf_dir).toPandas()
+    assert len(out) == 200
+    for _, r in out.iterrows():
+        d = int(r.doc_id)
+        w, h = 4 + d % 5, 3 + d % 4
+        assert r.n_patches == (w // PATCH_P) * (h // PATCH_P)
+        assert r.min_patch_sum <= r.max_patch_sum
+        assert r.total_sum <= 255 * PATCH_P * PATCH_P * r.n_patches
+
+
+def test_bradley_terry_scores_normalized(spark, sf_dir):
+    from ytspark.queries.pipeline import bradley_terry_priorities
+
+    out = bradley_terry_priorities(spark, sf_dir).toPandas()
+    assert len(out) == 5
+    assert out.bt_score.sum() == pytest.approx(1.0, abs=1e-4)
+    assert sorted(out["rank"]) == [1, 2, 3, 4, 5]
+    # TPC-H priorities are balanced: no score should dominate
+    assert out.bt_score.max() < 0.35
+
+
+def test_propensity_ate_near_zero_on_random_assignment(spark):
+    from ytspark.queries.pipeline import propensity_stratification_ate
+
+    (r,) = propensity_stratification_ate(spark, SF).collect()
+    assert r["n_strata"] >= 8
+    assert r["n_treated"] > 0 and r["n_control"] > 0
+    # segment is assigned independently of order value in TPC-H:
+    # adjusted and unadjusted effects should both be a small fraction
+    # of the ~1.5e6-dollar mean lifetime value (sampling noise only)
+    orders = pd.read_parquet(
+        f"{SF}/orders.parquet", columns=["o_totalprice"]
+    )
+    customers = pd.read_parquet(f"{SF}/customer.parquet")
+    mean_ltv = orders.o_totalprice.sum() / len(customers)
+    assert abs(r["ate_dollars"]) < 0.10 * mean_ltv
+    assert abs(r["unadjusted_diff_dollars"]) < 0.10 * mean_ltv

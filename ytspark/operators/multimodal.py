@@ -1638,3 +1638,117 @@ def multimodal_image_histogram_entropy(
             "mode_count bigint, entropy_nats double"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# ViT-style patchify: non-overlapping PxP patches with integer stats
+# ---------------------------------------------------------------------------
+
+PATCH_P = 2  # patch side; fixture images are 4..8 x 3..6
+
+
+@register(
+    "multimodal_image_patchify",
+    oracle=f"""
+WITH px AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+  FROM documents WHERE doc_id < {N_DECODE_DOCS}
+),
+xs AS (SELECT doc_id, w, h, UNNEST(RANGE(0, (w // {PATCH_P}) * {PATCH_P}))
+              AS x FROM px),
+grid AS (SELECT doc_id, w, h, x,
+                UNNEST(RANGE(0, (h // {PATCH_P}) * {PATCH_P})) AS y
+         FROM xs),
+vals AS (
+  SELECT doc_id, x // {PATCH_P} AS px_col, y // {PATCH_P} AS px_row,
+         (doc_id * 7 + x * 3 + y * 5) % 256 AS r
+  FROM grid
+),
+patches AS (
+  SELECT doc_id, px_row, px_col, SUM(r) AS patch_sum
+  FROM vals GROUP BY 1, 2, 3
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_patches,
+       CAST(MIN(patch_sum) AS BIGINT) AS min_patch_sum,
+       CAST(MAX(patch_sum) AS BIGINT) AS max_patch_sum,
+       CAST(SUM(patch_sum) AS BIGINT) AS total_sum
+FROM patches GROUP BY doc_id
+""",
+    doc=f"ViT-STYLE PATCHIFY — the image -> token-grid expansion "
+        f"every vision-transformer ingest runs before embedding: "
+        f"each asset decodes through the REAL PPM codec round-trip, "
+        f"the red channel is cropped to a multiple of the patch side "
+        f"({PATCH_P}) and reshaped into non-overlapping "
+        f"{PATCH_P}x{PATCH_P} patches in one numpy stride trick (no "
+        f"Python pixel loop in the patch step), and per-asset patch "
+        f"statistics land as exact integers — the certifiable proxy "
+        f"for the real pipeline's per-patch embedding call. The "
+        f"oracle regenerates the identical patch sums relationally "
+        f"from the deterministic pixel formula. One Arrow-batched "
+        f"mapInPandas pass, no shuffle; per-asset work is O(pixels), "
+        f"and at real resolutions the same kernel streams "
+        f"batch-sized strided views instead of row dicts.",
+    tags=("multimodal", "binary", "pipeline", "pandas-udf"),
+)
+def multimodal_image_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    docs = (
+        load_tables(spark, sf_dir, "documents")["documents"]
+        .where(F.col("doc_id") < N_DECODE_DOCS)
+        .select("doc_id")
+    )
+    P = PATCH_P
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 4 + d % 5, 3 + d % 4
+                pixels = bytes(
+                    v
+                    for y in range(h)
+                    for x in range(w)
+                    for v in (
+                        (d * 7 + x * 3 + y * 5) % 256,
+                        (d * 11 + x * 2 + y * 7) % 256,
+                        (d * 13 + x * 5 + y * 2) % 256,
+                    )
+                )
+                dw, dh, raster = decode_ppm(encode_ppm(w, h, pixels))
+                r = (
+                    np.frombuffer(bytes(raster), dtype=np.uint8)[0::3]
+                    .reshape(dh, dw)
+                )
+                ch, cw = (dh // P) * P, (dw // P) * P
+                crop = r[:ch, :cw]
+                # (rows, cols, P, P) strided patch view, then exact
+                # integer sums per patch
+                patches = (
+                    crop.reshape(ch // P, P, cw // P, P)
+                    .swapaxes(1, 2)
+                    .reshape(-1, P * P)
+                    .astype("int64")
+                )
+                sums = patches.sum(axis=1)
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "n_patches": int(sums.size),
+                        "min_patch_sum": int(sums.min()),
+                        "max_patch_sum": int(sums.max()),
+                        "total_sum": int(sums.sum()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        kernel,
+        schema=(
+            "doc_id bigint, n_patches bigint, min_patch_sum bigint, "
+            "max_patch_sum bigint, total_sum bigint"
+        ),
+    )

@@ -3782,3 +3782,289 @@ def loo_group_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "influence"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bradley-Terry strength scores from pairwise daily wins (preference eval)
+# ---------------------------------------------------------------------------
+
+BT_ITERS = 5  # unrolled minorize-maximize iterations
+
+
+def _bt_oracle() -> str:
+    steps = []
+    prev = "p0"
+    for r in range(1, BT_ITERS + 1):
+        steps.append(f"""
+p{r} AS (
+  SELECT i.pri,
+         i.wins / SUM(g.n / (i.p + j.p)) AS p
+  FROM {prev} i
+  JOIN games g ON g.a = i.pri OR g.b = i.pri
+  JOIN {prev} j ON j.pri = CASE WHEN g.a = i.pri THEN g.b ELSE g.a END
+  GROUP BY i.pri, i.wins
+),
+p{r}w AS (
+  SELECT p{r}.pri, p{r}.p, w.wins FROM p{r} JOIN wins w USING (pri)
+)""")
+        prev = f"p{r}w"
+    return f"""
+WITH daily AS (
+  SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS d,
+         COUNT(*) AS c
+  FROM orders GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.pri AS a, b.pri AS b,
+         SUM(CASE WHEN a.c > b.c THEN 1 ELSE 0 END) AS wa,
+         SUM(CASE WHEN b.c > a.c THEN 1 ELSE 0 END) AS wb
+  FROM daily a JOIN daily b ON a.d = b.d AND a.pri < b.pri
+  GROUP BY 1, 2
+),
+games AS (
+  SELECT a, b, CAST(wa + wb AS DOUBLE) AS n FROM pairs WHERE wa + wb > 0
+),
+wins AS (
+  SELECT pri, CAST(SUM(w) AS DOUBLE) AS wins FROM (
+    SELECT a AS pri, wa AS w FROM pairs
+    UNION ALL SELECT b, wb FROM pairs
+  ) GROUP BY pri
+),
+p0 AS (SELECT pri, wins, 1.0 AS p FROM wins),{",".join(steps)},
+tot AS (SELECT SUM(p) AS tp FROM {prev})
+SELECT f.pri,
+       CAST(f.wins AS BIGINT) AS total_wins,
+       ROUND(f.p / t.tp, 6) AS bt_score,
+       CAST(ROW_NUMBER() OVER (ORDER BY ROUND(f.p / t.tp, 6) DESC,
+                               f.pri) AS BIGINT) AS rank
+FROM {prev} f CROSS JOIN tot t
+"""
+
+
+@register(
+    "bradley_terry_priorities",
+    oracle=_bt_oracle(),
+    doc=f"BRADLEY-TERRY strength estimation from pairwise outcomes — "
+        f"the model behind every preference-based eval leaderboard "
+        f"(chatbot-arena-style pairwise votes -> skill scores): "
+        f"'matches' are days, the priority with more orders that day "
+        f"beats the other (10 pairings x O(days) comparisons from "
+        f"ONE daily rollup self-join), and {BT_ITERS} unrolled "
+        f"minorize-maximize iterations p_i <- W_i / sum_j n_ij / "
+        f"(p_i + p_j) converge the scores, normalized to sum 1 and "
+        f"ranked with a deterministic tie-break. Near-uniform scores "
+        f"certify TPC-H's priority balance; on real preference data "
+        f"the same query ranks model variants. Scale: everything "
+        f"after the daily rollup is O(items^2) on the bounded item "
+        f"dimension; the iteration joins never touch data again. "
+        f"Scores are O(1) at 6 dp (4-term engine-ordered sums are "
+        f"~1e-15 relative).",
+    tags=("learn", "evaluation", "statistics", "aggregate"),
+)
+def bradley_terry_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderdate").alias("d"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.d") == F.col("b.d"))
+            & (F.col("a.pri") < F.col("b.pri")),
+        )
+        .groupBy(F.col("a.pri").alias("pa"), F.col("b.pri").alias("pb"))
+        .agg(
+            F.sum(
+                F.when(F.col("a.c") > F.col("b.c"), 1).otherwise(0)
+            ).alias("wa"),
+            F.sum(
+                F.when(F.col("b.c") > F.col("a.c"), 1).otherwise(0)
+            ).alias("wb"),
+        )
+    )
+    games = pairs.where(F.col("wa") + F.col("wb") > 0).select(
+        F.col("pa").alias("ga"),
+        F.col("pb").alias("gb"),
+        (F.col("wa") + F.col("wb")).cast("double").alias("n"),
+    ).persist()
+    wins = (
+        pairs.select(F.col("pa").alias("pri"), F.col("wa").alias("w"))
+        .unionAll(pairs.select("pb", "wb"))
+        .groupBy("pri")
+        .agg(F.sum("w").cast("double").alias("wins"))
+    )
+    cur = wins.select("pri", "wins", F.lit(1.0).alias("p"))
+    for _ in range(BT_ITERS):
+        opp = cur.select(
+            F.col("pri").alias("opp_pri"), F.col("p").alias("opp_p")
+        )
+        contrib = (
+            cur.join(
+                games,
+                (F.col("ga") == F.col("pri")) | (F.col("gb") == F.col("pri")),
+            )
+            .select(
+                "pri",
+                "wins",
+                "p",
+                "n",
+                F.when(F.col("ga") == F.col("pri"), F.col("gb"))
+                .otherwise(F.col("ga"))
+                .alias("opp_pri"),
+            )
+            .join(F.broadcast(opp), "opp_pri")
+        )
+        cur = contrib.groupBy("pri", "wins").agg(
+            (
+                F.first("wins")
+                / F.sum(F.col("n") / (F.col("p") + F.col("opp_p")))
+            ).alias("p")
+        ).select("pri", "wins", "p")
+    tot = cur.agg(F.sum("p").alias("tp"))
+    out = cur.crossJoin(F.broadcast(tot)).select(
+        "pri",
+        F.col("wins").cast("long").alias("total_wins"),
+        F.round(F.col("p") / F.col("tp"), 6).alias("bt_score"),
+    )
+    w = Window.orderBy(F.desc(F.col("bt_score")), "pri")
+    out = out.withColumn("rank", F.row_number().over(w).cast("long"))
+    return finish(out, games)
+
+
+# ---------------------------------------------------------------------------
+# Propensity-score stratification ATE (observational causal readout)
+# ---------------------------------------------------------------------------
+
+PSA_TREAT_SEGMENT = "BUILDING"
+PSA_BUCKET_W = 1100  # acctbal in [-1000, 10000) -> 10 fixed strata
+
+
+@register(
+    "propensity_stratification_ate",
+    oracle=f"""
+WITH outcome AS (
+  SELECT o_custkey AS k,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS y_cents
+  FROM orders GROUP BY 1
+),
+units AS (
+  SELECT c.c_custkey AS k,
+         CASE WHEN c.c_mktsegment = '{PSA_TREAT_SEGMENT}'
+              THEN 1 ELSE 0 END AS t,
+         CAST(FLOOR((c.c_acctbal + 1000) / {PSA_BUCKET_W}) AS BIGINT)
+           AS stratum,
+         CAST(COALESCE(o.y_cents, 0) AS BIGINT) AS y
+  FROM customer c LEFT JOIN outcome o ON o.k = c.c_custkey
+),
+cells AS (
+  SELECT stratum,
+         SUM(t) AS n1, SUM(1 - t) AS n0,
+         SUM(CASE WHEN t = 1 THEN y ELSE 0 END) AS s1,
+         SUM(CASE WHEN t = 0 THEN y ELSE 0 END) AS s0
+  FROM units GROUP BY stratum
+),
+usable AS (SELECT * FROM cells WHERE n1 > 0 AND n0 > 0),
+tot AS (SELECT SUM(n1 + n0) AS n FROM usable)
+SELECT CAST((SELECT COUNT(*) FROM usable) AS BIGINT) AS n_strata,
+       CAST((SELECT SUM(n1) FROM usable) AS BIGINT) AS n_treated,
+       CAST((SELECT SUM(n0) FROM usable) AS BIGINT) AS n_control,
+       ROUND(SUM((CAST(n1 + n0 AS DOUBLE) / t.n)
+                 * (CAST(s1 AS DOUBLE) / n1
+                    - CAST(s0 AS DOUBLE) / n0)) / 100, 4)
+         AS ate_dollars,
+       ROUND(((SELECT CAST(SUM(s1) AS DOUBLE) / SUM(n1) FROM usable)
+              - (SELECT CAST(SUM(s0) AS DOUBLE) / SUM(n0) FROM usable))
+             / 100, 4) AS unadjusted_diff_dollars
+FROM usable CROSS JOIN tot t
+GROUP BY t.n
+""",
+    doc=f"PROPENSITY-SCORE STRATIFICATION ATE — the observational "
+        f"causal estimator used when no rollout date exists for DiD: "
+        f"customers stratify on the confounder proxy (account "
+        f"balance, fixed-width strata so both engines bucket "
+        f"identically), treatment is '{PSA_TREAT_SEGMENT}' "
+        f"membership, outcome is lifetime order value in exact "
+        f"integer cents, and the ATE is the stratum-size-weighted "
+        f"mean of within-stratum treated-minus-control differences "
+        f"over strata with BOTH groups present — reported beside the "
+        f"unadjusted difference so the confounding correction is "
+        f"visible. Completes the causal family (DiD for rollouts, "
+        f"CUPED for experiments, this for pure observation). Every "
+        f"mean is an exact-integer ratio (deterministic division); "
+        f"the 10-term weighted sum is engine-ordered at O(1e2) "
+        f"magnitude, absorbed by 4 dp. One join + one grouped "
+        f"aggregate; strata are O(1).",
+    tags=("experiment", "statistics", "pipeline", "aggregate"),
+)
+def propensity_stratification_ate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    outcome = t["orders"].groupBy(F.col("o_custkey").alias("k")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100).alias(
+            "y_cents"
+        )
+    )
+    units = (
+        t["customer"]
+        .join(outcome, F.col("c_custkey") == F.col("k"), "left")
+        .select(
+            (F.col("c_mktsegment") == PSA_TREAT_SEGMENT)
+            .cast("int")
+            .alias("t"),
+            F.floor((F.col("c_acctbal") + 1000) / PSA_BUCKET_W)
+            .cast("long")
+            .alias("stratum"),
+            F.coalesce(F.col("y_cents"), F.lit(0)).cast("long").alias("y"),
+        )
+    )
+    cells = units.groupBy("stratum").agg(
+        F.sum("t").alias("n1"),
+        F.sum(1 - F.col("t")).alias("n0"),
+        F.sum(F.when(F.col("t") == 1, F.col("y")).otherwise(0)).alias("s1"),
+        F.sum(F.when(F.col("t") == 0, F.col("y")).otherwise(0)).alias("s0"),
+    )
+    usable = cells.where((F.col("n1") > 0) & (F.col("n0") > 0)).persist()
+    tot = usable.agg(
+        F.sum(F.col("n1") + F.col("n0")).alias("n"),
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum("n1").alias("nt"),
+        F.sum("n0").alias("nc"),
+        F.sum("s1").alias("st"),
+        F.sum("s0").alias("sc"),
+    )
+    weighted = usable.crossJoin(F.broadcast(tot)).select(
+        "n_strata",
+        "nt",
+        "nc",
+        "st",
+        "sc",
+        "n",
+        (
+            ((F.col("n1") + F.col("n0")).cast("double") / F.col("n"))
+            * (
+                F.col("s1").cast("double") / F.col("n1")
+                - F.col("s0").cast("double") / F.col("n0")
+            )
+        ).alias("contrib"),
+    )
+    out = weighted.groupBy("n_strata", "nt", "nc", "st", "sc").agg(
+        F.sum("contrib").alias("ate_cents")
+    ).select(
+        F.col("n_strata").cast("long").alias("n_strata"),
+        F.col("nt").cast("long").alias("n_treated"),
+        F.col("nc").cast("long").alias("n_control"),
+        F.round(F.col("ate_cents") / 100, 4).alias("ate_dollars"),
+        F.round(
+            (
+                F.col("st").cast("double") / F.col("nt")
+                - F.col("sc").cast("double") / F.col("nc")
+            )
+            / 100,
+            4,
+        ).alias("unadjusted_diff_dollars"),
+    )
+    return finish(out, usable)
