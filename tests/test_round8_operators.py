@@ -257,3 +257,18 @@ def test_propensity_ate_near_zero_on_random_assignment(spark):
     mean_ltv = orders.o_totalprice.sum() / len(customers)
     assert abs(r["ate_dollars"]) < 0.10 * mean_ltv
     assert abs(r["unadjusted_diff_dollars"]) < 0.10 * mean_ltv
+
+
+def test_dpo_pairs_margin_and_blocking(spark, sf_dir):
+    from ytspark.operators.text import (
+        DPO_MARGIN_PM,
+        DPO_PAIRS_PER_SOURCE,
+        dpo_preference_pairs,
+    )
+
+    out = dpo_preference_pairs(spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert (out.margin_pm >= DPO_MARGIN_PM).all()
+    assert (out.chosen_q_pm > out.rejected_q_pm).all()
+    assert (out.chosen_doc != out.rejected_doc).all()
+    assert (out.groupby("source").size() <= DPO_PAIRS_PER_SOURCE).all()

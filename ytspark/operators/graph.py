@@ -1468,6 +1468,10 @@ def label_propagation_communities(
     )
     wrk = Window.partitionBy("node").orderBy(F.desc("wt"), "label")
     for _ in range(LPA_ROUNDS):
+        # checkpoint the O(V) label state: each round reads it in the
+        # vote join and the rebuild, and unbroken lineage re-runs the
+        # edge join 2^ROUNDS times (the Bradley-Terry lesson)
+        cur = cur.localCheckpoint(eager=True)
         votes = (
             sym.join(
                 cur.where(F.col("label").isNotNull()).withColumnRenamed(

@@ -2966,3 +2966,113 @@ def kneser_ney_bigram_perplexity(
         )
     )
     return finish(out, cbg)
+
+
+# ---------------------------------------------------------------------------
+# DPO preference-pair construction (chosen/rejected with a margin gate)
+# ---------------------------------------------------------------------------
+
+DPO_PAIRS_PER_SOURCE = 3
+DPO_MARGIN_PM = 50  # minimum lexical-diversity gap, per-mille
+
+
+@register(
+    "dpo_preference_pairs",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) * 1000
+           // LEN(STRING_SPLIT(text, ' ')) AS q_pm
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, source, q_pm,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY q_pm DESC, doc_id) AS top_rk,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY q_pm ASC, doc_id DESC) AS bot_rk
+  FROM scored
+)
+SELECT t.source,
+       CAST(t.top_rk AS BIGINT) AS pair_idx,
+       t.doc_id AS chosen_doc,
+       b.doc_id AS rejected_doc,
+       CAST(t.q_pm AS BIGINT) AS chosen_q_pm,
+       CAST(b.q_pm AS BIGINT) AS rejected_q_pm,
+       CAST(t.q_pm - b.q_pm AS BIGINT) AS margin_pm
+FROM ranked t
+JOIN ranked b
+  ON b.source = t.source AND b.bot_rk = t.top_rk
+WHERE t.top_rk <= {DPO_PAIRS_PER_SOURCE}
+  AND t.q_pm - b.q_pm >= {DPO_MARGIN_PM}
+  AND t.doc_id <> b.doc_id
+""",
+    doc=f"DPO/RLHF PREFERENCE-PAIR CONSTRUCTION — the data-prep step "
+        f"between scoring and preference tuning: within each source, "
+        f"the top-{DPO_PAIRS_PER_SOURCE} documents by lexical-"
+        f"diversity score (exact integer per-mille) pair with the "
+        f"bottom-{DPO_PAIRS_PER_SOURCE} as (chosen, rejected), gated "
+        f"by a >= {DPO_MARGIN_PM} per-mille margin so near-ties never "
+        f"become training pairs (the margin filter is what keeps DPO "
+        f"gradients informative). Blocking within source prevents "
+        f"cross-domain pairs that teach style, not quality. All "
+        f"scores and margins are exact integers; ranks tie-break on "
+        f"doc_id both ways. Scale: two rank windows per source "
+        f"partition + one self-join on (source, rank) — O(docs) with "
+        f"a bounded output of sources x {DPO_PAIRS_PER_SOURCE} rows.",
+    tags=("text", "learn", "pipeline", "window"),
+)
+def dpo_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    q_pm = F.expr(
+        "size(array_distinct(split(text, ' '))) * 1000"
+        " div size(split(text, ' '))"
+    )
+    scored = docs.select("doc_id", "source", q_pm.alias("q_pm"))
+    wt = Window.partitionBy("source").orderBy(F.desc("q_pm"), "doc_id")
+    wb = Window.partitionBy("source").orderBy(
+        F.asc("q_pm"), F.desc("doc_id")
+    )
+    ranked = scored.select(
+        "doc_id",
+        "source",
+        "q_pm",
+        F.row_number().over(wt).alias("top_rk"),
+        F.row_number().over(wb).alias("bot_rk"),
+    )
+    t = ranked.where(F.col("top_rk") <= DPO_PAIRS_PER_SOURCE).select(
+        "source",
+        F.col("top_rk").alias("pair_idx"),
+        F.col("doc_id").alias("chosen_doc"),
+        F.col("q_pm").alias("chosen_q_pm"),
+    )
+    b = ranked.select(
+        F.col("source").alias("b_source"),
+        F.col("bot_rk").alias("b_rk"),
+        F.col("doc_id").alias("rejected_doc"),
+        F.col("q_pm").alias("rejected_q_pm"),
+    )
+    return (
+        t.join(
+            b,
+            (F.col("b_source") == F.col("source"))
+            & (F.col("b_rk") == F.col("pair_idx")),
+        )
+        .where(
+            (F.col("chosen_q_pm") - F.col("rejected_q_pm") >= DPO_MARGIN_PM)
+            & (F.col("chosen_doc") != F.col("rejected_doc"))
+        )
+        .select(
+            "source",
+            F.col("pair_idx").cast("long").alias("pair_idx"),
+            "chosen_doc",
+            "rejected_doc",
+            F.col("chosen_q_pm").cast("long").alias("chosen_q_pm"),
+            F.col("rejected_q_pm").cast("long").alias("rejected_q_pm"),
+            (F.col("chosen_q_pm") - F.col("rejected_q_pm"))
+            .cast("long")
+            .alias("margin_pm"),
+        )
+    )

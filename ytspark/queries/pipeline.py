@@ -3885,6 +3885,10 @@ def bradley_terry_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("wb"),
         )
     )
+    # checkpoint the 10-row pair table: wins, games and every MM
+    # iteration read it, and unbroken lineage would re-run the daily
+    # self-join 2^ITERS times (measured 17.7 s -> 1.1 s at sf0.1)
+    pairs = pairs.localCheckpoint(eager=True)
     games = pairs.where(F.col("wa") + F.col("wb") > 0).select(
         F.col("pa").alias("ga"),
         F.col("pb").alias("gb"),
@@ -3898,6 +3902,9 @@ def bradley_terry_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cur = wins.select("pri", "wins", F.lit(1.0).alias("p"))
     for _ in range(BT_ITERS):
+        # each iteration reads cur TWICE (self + opponent side):
+        # checkpoint the 5-row state so lineage stays linear
+        cur = cur.localCheckpoint(eager=True)
         opp = cur.select(
             F.col("pri").alias("opp_pri"), F.col("p").alias("opp_p")
         )
