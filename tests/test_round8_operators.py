@@ -272,3 +272,110 @@ def test_dpo_pairs_margin_and_blocking(spark, sf_dir):
     assert (out.chosen_q_pm > out.rejected_q_pm).all()
     assert (out.chosen_doc != out.rejected_doc).all()
     assert (out.groupby("source").size() <= DPO_PAIRS_PER_SOURCE).all()
+
+
+def test_relational_division_counting_idiom(spark, sf_dir):
+    from ytspark.queries.relational import relational_division_priorities
+
+    out = relational_division_priorities(spark, sf_dir).toPandas()
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_orderpriority"])
+    complete = (
+        o.groupby("o_custkey").o_orderpriority.nunique() == 5
+    ).sum()
+    assert out.n_complete_customers.sum() == complete
+
+
+def test_pivot_unpivot_identity(spark, sf_dir):
+    from ytspark.queries.relational import pivot_unpivot_roundtrip
+
+    out = pivot_unpivot_roundtrip(spark, sf_dir).toPandas()
+    assert out.identical.all()
+    assert (out.n_roundtrip == out.n_direct).all()
+
+
+def test_null_join_counts(spark, sf_dir):
+    from ytspark.queries.relational import null_join_semantics_battery
+
+    (r,) = null_join_semantics_battery(spark, sf_dir).collect()
+    # null keys never inner-match; left join >= inner + null rows
+    assert r["n_inner"] + r["n_anti"] + r["n_left_null_keys"] >= r["n_left"]
+    assert r["n_left_join"] >= r["n_left"]
+    assert r["n_nullsafe_join"] >= r["n_inner"]
+
+
+def test_keyset_equals_offset_page(spark, sf_dir):
+    from ytspark.queries.relational import (
+        PAGE_SIZE,
+        keyset_pagination_battery,
+    )
+
+    (r,) = keyset_pagination_battery(spark, sf_dir).collect()
+    assert r["n_rows"] == PAGE_SIZE
+    assert r["n_agreeing"] == PAGE_SIZE  # both methods: same page
+
+
+def test_time_bounded_funnel_monotone(spark, sf_dir):
+    from ytspark.operators.temporal import funnel_time_bounded
+
+    (r,) = funnel_time_bounded(spark, sf_dir).collect()
+    assert r["n_viewers"] >= r["n_clicked_1h"] >= r["n_purchased_24h"]
+    assert 0 <= r["click_rate_pm"] <= 1000
+
+
+def test_brand_lift_ordering(spark, sf_dir):
+    from ytspark.operators.affinity import BAL_TOP, brand_affinity_lift
+
+    out = brand_affinity_lift(spark, sf_dir).toPandas()
+    assert len(out) == BAL_TOP
+    assert (out.lift.values == sorted(out.lift.values)[::-1]).all()
+    assert (out.n_both <= out[["n_a", "n_b"]].min(axis=1)).all()
+
+
+def test_recommendations_exclude_owned(spark, sf_dir):
+    from ytspark.operators.affinity import (
+        REC_TOP_N,
+        user_topn_recommendations,
+    )
+
+    out = user_topn_recommendations(spark, sf_dir).toPandas()
+    assert (out.groupby("custkey").size() <= REC_TOP_N).all()
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey"])
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    owned = o.merge(li, left_on="o_orderkey", right_on="l_orderkey")
+    owned_set = set(zip(owned.o_custkey, owned.l_partkey))
+    assert not any(
+        (u, p) in owned_set for u, p in zip(out.custkey, out.part_rec)
+    )
+
+
+def test_recency_segments_partition_users(spark, sf_dir):
+    from ytspark.operators.segmentation import engagement_recency_segments
+
+    out = engagement_recency_segments(spark, sf_dir).toPandas()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    assert out.n_users.sum() == ev.user_id.nunique()
+    assert set(out.segment) <= {"active", "lapsed", "churned"}
+
+
+def test_pareto_layers_disjoint_and_dominant(spark, sf_dir):
+    from ytspark.operators.pareto import pareto_frontier_layers
+
+    out = {r["layer"]: r for r in
+           pareto_frontier_layers(spark, sf_dir).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_points"] > 0 and out[2]["n_points"] > 0
+    # layer 1 contains the global min price and max size by definition
+    assert out[1]["min_price_cents"] <= out[2]["min_price_cents"]
+    assert out[1]["max_size"] >= out[2]["max_size"]
+
+
+def test_bloom_fpr_within_bound(spark, sf_dir):
+    from ytspark.operators.bloom import bloom_fpr_calibration
+
+    (r,) = bloom_fpr_calibration(spark, sf_dir).collect()
+    assert r["n_false_pos"] <= r["n_probes"]
+    assert r["within_bound"]
+    assert r["n_set_bits"] <= 4096

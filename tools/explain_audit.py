@@ -232,6 +232,9 @@ EXPECTED_GLOBAL_WINDOW = {
                                    # set (ndcg_eval precedent)
     "chi2_independence_cramers_v", # marginal windows over the 25-cell
                                    # contingency pre-aggregate
+    "keyset_pagination_battery",   # the OFFSET side IS the measured
+                                   # anti-pattern; the keyset side is
+                                   # the scale path (filter + top-k)
     "page_hinkley_daily_mean",     # PH cumsums over the O(days) spine
     "watermark_lateness_profile",  # exclusive prefix max over the
                                    # BLOCK_SIZE-x-smaller block table

@@ -257,3 +257,204 @@ def item_item_cosine_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cosine", 6).alias("cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Brand-level affinity lift matrix
+# ---------------------------------------------------------------------------
+
+BAL_TOP = 10  # top pairs reported
+
+
+@register(
+    "brand_affinity_lift",
+    oracle=f"""
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM ob),
+sup AS (SELECT b, COUNT(*) AS c FROM ob GROUP BY b),
+pairs AS (
+  SELECT a.b AS brand_a, c.b AS brand_b, COUNT(*) AS both_c
+  FROM ob a JOIN ob c ON a.o = c.o AND a.b < c.b
+  GROUP BY 1, 2
+)
+SELECT brand_a, brand_b,
+       CAST(both_c AS BIGINT) AS n_both,
+       CAST(sa.c AS BIGINT) AS n_a,
+       CAST(sb.c AS BIGINT) AS n_b,
+       ROUND(CAST(both_c AS DOUBLE) * n.n_orders / (sa.c * sb.c), 6)
+         AS lift
+FROM pairs
+JOIN sup sa ON sa.b = brand_a
+JOIN sup sb ON sb.b = brand_b
+CROSS JOIN n
+ORDER BY ROUND(CAST(both_c AS DOUBLE) * n.n_orders / (sa.c * sb.c), 6)
+         DESC, brand_a, brand_b
+LIMIT {BAL_TOP}
+""",
+    doc=f"BRAND AFFINITY LIFT — market-basket analysis lifted to the "
+        f"brand grain where the support counts are dense enough to "
+        f"rank: lift(a,b) = P(a,b)/(P(a)P(b)) over order baskets, "
+        f"top-{BAL_TOP} pairs. Lift is an exact rational of integer "
+        f"counts evaluated by one deterministic expression, ROUNDED "
+        f"BEFORE the ranking with a pair tie-break (the "
+        f"knn/bradley-terry rank discipline). Complements "
+        f"market_basket_rules (part-grain support/confidence) with "
+        f"the grain a merchandiser actually reads. Scale: basket "
+        f"pairs at brand grain are bounded by |brands|^2 per order "
+        f"after the DISTINCT projection; the pair aggregate carries "
+        f"the only data-sized shuffle.",
+    tags=("affinity", "join", "aggregate", "topk"),
+)
+def brand_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    ob = (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
+        .distinct()
+        .persist()
+    )
+    n = ob.select("o").distinct().count()
+    sup = ob.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    a, c = ob.alias("a"), ob.alias("c")
+    pairs = (
+        a.join(c, (F.col("a.o") == F.col("c.o")) & (F.col("a.b") < F.col("c.b")))
+        .groupBy(F.col("a.b").alias("brand_a"), F.col("c.b").alias("brand_b"))
+        .agg(F.count(F.lit(1)).alias("both_c"))
+    )
+    sa = sup.select(F.col("b").alias("brand_a"), F.col("c").alias("n_a"))
+    sb = sup.select(F.col("b").alias("brand_b"), F.col("c").alias("n_b"))
+    lift = F.round(
+        F.col("both_c").cast("double") * n / (F.col("n_a") * F.col("n_b")), 6
+    )
+    out = (
+        pairs.join(F.broadcast(sa), "brand_a")
+        .join(F.broadcast(sb), "brand_b")
+        .select(
+            "brand_a",
+            "brand_b",
+            F.col("both_c").cast("long").alias("n_both"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            lift.alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "brand_a", "brand_b")
+        .limit(BAL_TOP)
+    )
+    return finish(out, ob)
+
+
+# ---------------------------------------------------------------------------
+# User top-N recommendations from item co-occurrence
+# ---------------------------------------------------------------------------
+
+REC_TOP_N = 3
+REC_MIN_CO = 2
+REC_USER_MOD = 100  # report users with custkey % MOD == 0 (bounded demo)
+
+
+@register(
+    "user_topn_recommendations",
+    oracle=f"""
+WITH up AS (
+  SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS p
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+co AS (
+  SELECT a.p AS pa, b.p AS pb, COUNT(*) AS c
+  FROM (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem) b
+    ON a.o = b.o AND a.p <> b.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= {REC_MIN_CO}
+),
+cand AS (
+  SELECT up.u, co.pb AS rec, SUM(co.c) AS score
+  FROM up JOIN co ON co.pa = up.p
+  WHERE up.u % {REC_USER_MOD} = 0
+  GROUP BY 1, 2
+),
+unseen AS (
+  SELECT c.u, c.rec, c.score
+  FROM cand c LEFT JOIN up ON up.u = c.u AND up.p = c.rec
+  WHERE up.p IS NULL
+)
+SELECT u AS custkey, rec AS part_rec,
+       CAST(score AS BIGINT) AS co_score,
+       CAST(rk AS BIGINT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY u
+                               ORDER BY score DESC, rec) AS rk
+  FROM unseen
+) WHERE rk <= {REC_TOP_N}
+""",
+    doc=f"ITEM-TO-USER TOP-{REC_TOP_N} RECOMMENDATIONS from basket "
+        f"co-occurrence — the classic 'customers who bought X also "
+        f"bought Y' recommender composed end to end: the item-item "
+        f"co-occurrence matrix (support floor {REC_MIN_CO}) scores "
+        f"every candidate next to a user's OWNED set, owned items "
+        f"are anti-joined out (a recommender that recommends what "
+        f"you already bought is a bug the test data would hide), "
+        f"and the per-user top-{REC_TOP_N} ranks on the exact "
+        f"integer score with an item tie-break. The 1-in-"
+        f"{REC_USER_MOD} user sample bounds the demo output; at "
+        f"scale the same plan serves every user. Scale: candidate "
+        f"generation is one (user-items x co-matrix) equi-join on "
+        f"the item key; the co-matrix support floor caps its size "
+        f"(the hot-item df-cap discipline).",
+    tags=("recommend", "affinity", "join", "topk"),
+)
+def user_topn_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    op = (
+        t["lineitem"]
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .persist()
+    )
+    up = (
+        t["orders"]
+        .select(F.col("o_orderkey").alias("o"), F.col("o_custkey").alias("u"))
+        .join(op, "o")
+        .select("u", "p")
+        .distinct()
+        .persist()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    co = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") != F.col("b.p")))
+        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= REC_MIN_CO)
+    )
+    sample = up.where(F.col("u") % REC_USER_MOD == 0)
+    cand = (
+        sample.join(co, F.col("p") == F.col("pa"))
+        .groupBy("u", F.col("pb").alias("rec"))
+        .agg(F.sum("c").alias("score"))
+    )
+    owned = up.select(F.col("u").alias("ou"), F.col("p").alias("op_"))
+    unseen = cand.join(
+        owned,
+        (F.col("u") == F.col("ou")) & (F.col("rec") == F.col("op_")),
+        "left_anti",
+    )
+    w = Window.partitionBy("u").orderBy(F.desc("score"), "rec")
+    out = (
+        unseen.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= REC_TOP_N)
+        .select(
+            F.col("u").alias("custkey"),
+            F.col("rec").alias("part_rec"),
+            F.col("score").cast("long").alias("co_score"),
+            F.col("rk").cast("long").alias("rank"),
+        )
+    )
+    return finish(out, op, up)

@@ -188,3 +188,103 @@ def bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("pass_bloom") & F.col("hit").isNull()).cast("long")
         ).alias("n_false_pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom false-positive-rate calibration against the analytic bound
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bloom_fpr_calibration",
+    oracle=f"""
+WITH dim AS (
+  SELECT DISTINCT c_custkey AS key FROM customer WHERE c_acctbal < 0
+),
+bits AS (
+  {" UNION ".join(f"SELECT DISTINCT {_hash_sql(i, 'key')} AS pos FROM dim" for i in range(N_HASHES))}
+),
+probes AS (
+  SELECT DISTINCT c_custkey AS key FROM customer WHERE c_acctbal >= 0
+),
+hits AS (
+  SELECT p.key
+  FROM probes p
+  WHERE {" AND ".join(f"{_hash_sql(i, 'p.key')} IN (SELECT pos FROM bits)" for i in range(N_HASHES))}
+),
+stats AS (
+  SELECT (SELECT COUNT(*) FROM dim) AS n_keys,
+         (SELECT COUNT(*) FROM probes) AS n_probes,
+         (SELECT COUNT(*) FROM hits) AS n_false_pos,
+         (SELECT COUNT(*) FROM bits) AS n_set_bits
+)
+SELECT CAST(n_keys AS BIGINT) AS n_keys,
+       CAST(n_set_bits AS BIGINT) AS n_set_bits,
+       CAST(n_probes AS BIGINT) AS n_probes,
+       CAST(n_false_pos AS BIGINT) AS n_false_pos,
+       CAST(n_false_pos * 1000000 // n_probes AS BIGINT)
+         AS realized_fpr_ppm,
+       CAST(ROUND(POW(CAST(n_set_bits AS DOUBLE) / {M_BITS},
+                      {N_HASHES}) * 1000000) AS BIGINT)
+         AS expected_fpr_ppm,
+       n_false_pos * 1000000 // n_probes
+         <= 4 * ROUND(POW(CAST(n_set_bits AS DOUBLE) / {M_BITS},
+                          {N_HASHES}) * 1000000) + 1000
+         AS within_bound
+FROM stats
+""",
+    doc=f"BLOOM FALSE-POSITIVE CALIBRATION — the measurement that "
+        f"decides whether a runtime filter is worth its broadcast: "
+        f"the {M_BITS}-bit/{N_HASHES}-hash filter is built over the "
+        f"delinquent-customer keys (the bloom_semijoin_reduction "
+        f"filter), probed with every key KNOWN to be outside the set, "
+        f"and the realized false-positive rate (exact integer ppm) "
+        f"is certified against the occupancy-based analytic "
+        f"expectation (set-bit fraction ^ k — computed from the "
+        f"MEASURED n_set_bits, so the bound is exact, not the e^-kn/m "
+        f"approximation). A realized rate far above the bound means "
+        f"correlated hash positions — the failure mode that silently "
+        f"turns a semi-join reducer into a no-op. All counts exact; "
+        f"the expectation is a deterministic scalar tree over "
+        f"integers. Scale: the filter build is O(k x keys) tiny "
+        f"rows; the probe side is one map-side predicate.",
+    tags=("bloom", "sketch", "evaluation", "aggregate"),
+)
+def bloom_fpr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_tables(spark, sf_dir, "customer")["customer"]
+    dim = cust.where(F.col("c_acctbal") < 0).select(
+        F.col("c_custkey").alias("key")
+    ).distinct()
+    bloom = bloom_build(dim, "key").persist()
+    probes = cust.where(F.col("c_acctbal") >= 0).select(
+        F.col("c_custkey").alias("key")
+    ).distinct()
+    n_keys = dim.count()
+    n_probes = probes.count()
+    n_false = bloom_filter_fact(probes, bloom, "key").count()
+    n_set_bits = bloom.select(
+        F.aggregate(
+            F.map_values(F.col("bloom")),
+            F.lit(0),
+            lambda acc, w: acc + F.bit_count(w),
+        ).alias("b")
+    ).collect()[0]["b"]
+    bloom.unpersist()
+    expected_ppm = int(round((n_set_bits / M_BITS) ** N_HASHES * 1_000_000))
+    realized_ppm = n_false * 1_000_000 // n_probes
+    return spark.createDataFrame(
+        [
+            (
+                n_keys,
+                n_set_bits,
+                n_probes,
+                n_false,
+                realized_ppm,
+                expected_ppm,
+                realized_ppm <= 4 * expected_ppm + 1000,
+            )
+        ],
+        "n_keys long, n_set_bits long, n_probes long, n_false_pos long, "
+        "realized_fpr_ppm long, expected_fpr_ppm long, "
+        "within_bound boolean",
+    )

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ytspark.plans.scale import finish
 from ytspark.queries import register
 from ytspark.session import load_tables
 
@@ -177,3 +178,106 @@ def abc_pareto_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_parts"),
         F.sum("rev").cast("double").alias("class_revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-layer Pareto frontier (skyline peeling)
+# ---------------------------------------------------------------------------
+
+PFL_LAYERS = 2
+
+
+def _pfl_layer_sql(src: str) -> str:
+    # a part is dominated if another part is <= price AND >= size with
+    # at least one strict inequality
+    return f"""
+  SELECT s.*
+  FROM {src} s
+  WHERE NOT EXISTS (
+    SELECT 1 FROM {src} d
+    WHERE d.price_c <= s.price_c AND d.size >= s.size
+      AND (d.price_c < s.price_c OR d.size > s.size)
+  )"""
+
+
+@register(
+    "pareto_frontier_layers",
+    oracle=f"""
+WITH pts AS (
+  SELECT p_partkey AS k,
+         CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS price_c,
+         CAST(p_size AS BIGINT) AS size
+  FROM part WHERE p_partkey % 10 = 0
+),
+l1 AS ({_pfl_layer_sql("pts")}),
+rest AS (SELECT * FROM pts WHERE k NOT IN (SELECT k FROM l1)),
+l2 AS ({_pfl_layer_sql("rest")}),
+tagged AS (
+  SELECT 1 AS layer, * FROM l1
+  UNION ALL SELECT 2, * FROM l2
+)
+SELECT CAST(layer AS BIGINT) AS layer,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(MIN(price_c) AS BIGINT) AS min_price_cents,
+       CAST(MAX(size) AS BIGINT) AS max_size,
+       CAST(SUM(k) AS BIGINT) AS key_checksum
+FROM tagged GROUP BY layer
+""",
+    doc=f"MULTI-LAYER PARETO FRONTIER (skyline peeling, {PFL_LAYERS} "
+        f"layers): layer 1 is the classic minimize-price / "
+        f"maximize-size skyline, layer 2 is the skyline of what "
+        f"remains — the 'next-best frontier' a buyer falls back to "
+        f"when layer 1 is out of stock, and the onion-peeling "
+        f"primitive behind depth-based multivariate ranking. "
+        f"Dominance via anti-join per layer over the thinned part "
+        f"sample (the skyline_pareto_parts sweep-line is the "
+        f"single-layer scale path; peeling composes it). All-integer "
+        f"cents/sizes with per-layer key checksums so the exact "
+        f"layer MEMBERSHIP is hash-certified, not just counts.",
+    tags=("pareto", "relational", "join", "aggregate"),
+)
+def pareto_frontier_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_tables(spark, sf_dir, "part")["part"]
+    pts = (
+        part.where(F.col("p_partkey") % 10 == 0)
+        .select(
+            F.col("p_partkey").alias("k"),
+            (F.col("p_retailprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("price_c"),
+            F.col("p_size").cast("long").alias("size"),
+        )
+        .persist()
+    )
+
+    def skyline(df: DataFrame) -> DataFrame:
+        d = df.select(
+            F.col("k").alias("dk"),
+            F.col("price_c").alias("dp"),
+            F.col("size").alias("ds"),
+        )
+        dominated = (
+            (F.col("dp") <= F.col("price_c"))
+            & (F.col("ds") >= F.col("size"))
+            & ((F.col("dp") < F.col("price_c")) | (F.col("ds") > F.col("size")))
+        )
+        return df.join(d, dominated, "left_anti")
+
+    l1 = skyline(pts).persist()
+    rest = pts.join(
+        l1.select(F.col("k").alias("k1")), F.col("k") == F.col("k1"),
+        "left_anti",
+    )
+    l2 = skyline(rest)
+    tagged = l1.select(F.lit(1).alias("layer"), "k", "price_c", "size").unionByName(
+        l2.select(F.lit(2).alias("layer"), "k", "price_c", "size")
+    )
+    out = tagged.groupBy("layer").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.min("price_c").cast("long").alias("min_price_cents"),
+        F.max("size").cast("long").alias("max_size"),
+        F.sum("k").cast("long").alias("key_checksum"),
+    ).select(F.col("layer").cast("long").alias("layer"), "n_points",
+             "min_price_cents", "max_size", "key_checksum")
+    return finish(out, pts, l1)

@@ -188,3 +188,83 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         rfm,
     )
+
+
+# ---------------------------------------------------------------------------
+# Engagement-recency lifecycle segments
+# ---------------------------------------------------------------------------
+
+ERS_ACTIVE_D = 7
+ERS_LAPSED_D = 30
+
+
+@register(
+    "engagement_recency_segments",
+    oracle=f"""
+WITH anchor AS (SELECT MAX(CAST(ts AS DATE)) AS a FROM events),
+per_user AS (
+  SELECT user_id,
+         DATEDIFF('day', MAX(CAST(ts AS DATE)), anchor.a) AS rec_days,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT))
+              AS BIGINT) AS value_cents
+  FROM events CROSS JOIN anchor
+  GROUP BY user_id, anchor.a
+)
+SELECT CASE WHEN rec_days <= {ERS_ACTIVE_D} THEN 'active'
+            WHEN rec_days <= {ERS_LAPSED_D} THEN 'lapsed'
+            ELSE 'churned' END AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST(SUM(value_cents) AS BIGINT) AS total_value_cents,
+       CAST(SUM(value_cents) // SUM(n_events) AS BIGINT)
+         AS cents_per_event,
+       CAST(MIN(rec_days) AS BIGINT) AS min_recency_days,
+       CAST(MAX(rec_days) AS BIGINT) AS max_recency_days
+FROM per_user
+GROUP BY 1
+""",
+    doc=f"LIFECYCLE SEGMENTATION by engagement recency — the "
+        f"active(<= {ERS_ACTIVE_D}d) / lapsed(<= {ERS_LAPSED_D}d) / "
+        f"churned cut every growth dashboard leads with, anchored to "
+        f"the corpus max date so the segmentation is replayable "
+        f"(wall-clock anchors would drift between engine runs). "
+        f"Complements rfm_customer_segments (value tiers on orders) "
+        f"with the TIME axis on events. Integer day arithmetic, "
+        f"cent-exact value sums, integer-division rates. One grouped "
+        f"aggregate per user then a 3-row census.",
+    tags=("segmentation", "retention", "temporal", "aggregate"),
+)
+def engagement_recency_segments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    anchor = ev.agg(F.max(F.to_date("ts")).alias("a"))
+    per_user = (
+        ev.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id", "a")
+        .agg(
+            F.datediff("a", F.max(F.to_date("ts"))).alias("rec_days"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.round(F.coalesce(F.col("value"), F.lit(0)) * 100).cast(
+                    "long"
+                )
+            ).alias("value_cents"),
+        )
+    )
+    seg = (
+        F.when(F.col("rec_days") <= ERS_ACTIVE_D, "active")
+        .when(F.col("rec_days") <= ERS_LAPSED_D, "lapsed")
+        .otherwise("churned")
+    )
+    return per_user.groupBy(seg.alias("segment")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum("value_cents").cast("long").alias("total_value_cents"),
+        F.expr("sum(value_cents) div sum(n_events)")
+        .cast("long")
+        .alias("cents_per_event"),
+        F.min("rec_days").cast("long").alias("min_recency_days"),
+        F.max("rec_days").cast("long").alias("max_recency_days"),
+    )

@@ -2423,3 +2423,121 @@ def watermark_lateness_profile(
         .cast("long")
         .alias("watermark_recommendation_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-bounded funnel: view -> click (<=1h) -> purchase (<=24h)
+# ---------------------------------------------------------------------------
+
+TBF_VC_US = 3_600_000_000        # view->click window: 1 hour
+TBF_CP_US = 86_400_000_000       # click->purchase window: 24 hours
+
+
+@register(
+    "funnel_time_bounded",
+    oracle=f"""
+WITH v AS (SELECT user_id, epoch_us(ts) AS t FROM events
+           WHERE event_type = 'view'),
+c AS (SELECT user_id, epoch_us(ts) AS t FROM events
+      WHERE event_type = 'click'),
+p AS (SELECT user_id, epoch_us(ts) AS t FROM events
+      WHERE event_type = 'purchase'),
+vc AS (
+  SELECT DISTINCT v.user_id
+  FROM v JOIN c ON c.user_id = v.user_id
+   AND c.t > v.t AND c.t - v.t <= {TBF_VC_US}
+),
+vcp AS (
+  SELECT DISTINCT vc.user_id
+  FROM vc
+  JOIN c ON c.user_id = vc.user_id
+  JOIN v ON v.user_id = vc.user_id
+   AND c.t > v.t AND c.t - v.t <= {TBF_VC_US}
+  JOIN p ON p.user_id = vc.user_id
+   AND p.t > c.t AND p.t - c.t <= {TBF_CP_US}
+)
+SELECT CAST((SELECT COUNT(DISTINCT user_id) FROM v) AS BIGINT)
+         AS n_viewers,
+       CAST((SELECT COUNT(*) FROM vc) AS BIGINT) AS n_clicked_1h,
+       CAST((SELECT COUNT(*) FROM vcp) AS BIGINT)
+         AS n_purchased_24h,
+       CAST((SELECT COUNT(*) FROM vc) * 1000
+            // (SELECT COUNT(DISTINCT user_id) FROM v) AS BIGINT)
+         AS click_rate_pm,
+       CAST((SELECT COUNT(*) FROM vcp) * 1000
+            // GREATEST((SELECT COUNT(*) FROM vc), 1) AS BIGINT)
+         AS purchase_rate_pm
+FROM (SELECT 1)
+""",
+    doc="TIME-BOUNDED FUNNEL — the conversion-window semantics plain "
+        "funnel COUNTS ignore: a user converts only if a click lands "
+        "within 1 HOUR of some view AND a purchase within 24 HOURS "
+        "of a qualifying click (marketing attribution contracts are "
+        "written in exactly these windows). Stage membership is per "
+        "USER (distinct), rates in exact integer per-mille. The "
+        "oracle certifies the chained interval joins; the engine "
+        "side blocks each stage join by user_id so the time "
+        "predicates never see a cartesian. Complements "
+        "funnel_view_click_purchase (unbounded ordering) and "
+        "funnel_latency_percentiles (gap distribution). Scale: three "
+        "user-keyed equi-joins; per-user event lists bound the "
+        "interval checks.",
+    tags=("funnel", "temporal", "join", "aggregate"),
+)
+def funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+
+    def stage(et):
+        return ev.where(F.col("event_type") == et).select(
+            "user_id", F.unix_micros("ts").alias("t")
+        )
+
+    v, c, p = stage("view"), stage("click"), stage("purchase")
+    vt = v.select("user_id", F.col("t").alias("vt"))
+    ct = c.select("user_id", F.col("t").alias("ct"))
+    pt = p.select("user_id", F.col("t").alias("pt"))
+    vc = (
+        vt.join(ct, "user_id")
+        .where(
+            (F.col("ct") > F.col("vt"))
+            & (F.col("ct") - F.col("vt") <= TBF_VC_US)
+        )
+        .select("user_id")
+        .distinct()
+        .persist()
+    )
+    qualified_clicks = (
+        vt.join(ct, "user_id")
+        .where(
+            (F.col("ct") > F.col("vt"))
+            & (F.col("ct") - F.col("vt") <= TBF_VC_US)
+        )
+        .select("user_id", "ct")
+        .distinct()
+    )
+    vcp = (
+        qualified_clicks.join(pt, "user_id")
+        .where(
+            (F.col("pt") > F.col("ct"))
+            & (F.col("pt") - F.col("ct") <= TBF_CP_US)
+        )
+        .select("user_id")
+        .distinct()
+    )
+    n_viewers = v.select("user_id").distinct().count()
+    n_vc = vc.count()
+    n_vcp = vcp.count()
+    vc.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                n_viewers,
+                n_vc,
+                n_vcp,
+                n_vc * 1000 // n_viewers,
+                n_vcp * 1000 // max(n_vc, 1),
+            )
+        ],
+        "n_viewers long, n_clicked_1h long, n_purchased_24h long, "
+        "click_rate_pm long, purchase_rate_pm long",
+    )

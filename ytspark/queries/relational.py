@@ -2136,3 +2136,345 @@ def window_ties_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rk") < F.min("n") * (F.min("n") + 1) / 2
         ).alias("has_ties"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Relational division: customers whose orders cover EVERY priority
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "relational_division_priorities",
+    oracle="""
+WITH cover AS (
+  SELECT o_custkey AS k
+  FROM orders
+  GROUP BY o_custkey
+  HAVING COUNT(DISTINCT o_orderpriority) = 5
+)
+SELECT c.c_nationkey AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_complete_customers,
+       CAST(MIN(cover.k) AS BIGINT) AS min_custkey,
+       CAST(MAX(cover.k) AS BIGINT) AS max_custkey
+FROM cover JOIN customer c ON c.c_custkey = cover.k
+GROUP BY c.c_nationkey
+""",
+    doc="RELATIONAL DIVISION — the textbook operator SQL lacks a "
+        "keyword for ('customers who ordered at EVERY priority "
+        "level'): expressed by the counting idiom, one grouped "
+        "aggregate with COUNT(DISTINCT divisor-key) equal to the "
+        "divisor cardinality, which is the division plan that "
+        "SCALES (the double-NOT-EXISTS textbook form plans two "
+        "correlated anti-joins). Per-nation census of the complete "
+        "customers with key-range fingerprints. One aggregate + one "
+        "broadcast dim join.",
+    tags=("relational", "aggregate", "join"),
+)
+def relational_division_priorities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    cover = (
+        t["orders"]
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count_distinct("o_orderpriority").alias("npri"))
+        .where(F.col("npri") == 5)
+    )
+    return (
+        cover.join(
+            F.broadcast(t["customer"].select("c_custkey", "c_nationkey")),
+            F.col("k") == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_complete_customers"),
+            F.min("k").cast("long").alias("min_custkey"),
+            F.max("k").cast("long").alias("max_custkey"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot -> unpivot roundtrip identity certificate
+# ---------------------------------------------------------------------------
+
+_PIVOT_PRIS = (
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+)
+
+
+@register(
+    "pivot_unpivot_roundtrip",
+    oracle=f"""
+WITH direct AS (
+  SELECT o_orderstatus AS status, o_orderpriority AS pri,
+         COUNT(*) AS n
+  FROM orders GROUP BY 1, 2
+),
+wide AS (
+  SELECT status,
+         {", ".join(
+             'SUM(CASE WHEN pri = ' + repr(p) + ' THEN n ELSE 0 END)'
+             + ' AS c' + str(i) for i, p in enumerate(_PIVOT_PRIS))}
+  FROM direct GROUP BY status
+),
+tall AS (
+  {" UNION ALL ".join(
+      'SELECT status, ' + repr(p) + ' AS pri, c' + str(i) + ' AS n'
+      + ' FROM wide' for i, p in enumerate(_PIVOT_PRIS))}
+)
+SELECT t.status, t.pri,
+       CAST(t.n AS BIGINT) AS n_roundtrip,
+       CAST(COALESCE(d.n, 0) AS BIGINT) AS n_direct,
+       t.n = COALESCE(d.n, 0) AS identical
+FROM tall t
+LEFT JOIN direct d ON d.status = t.status AND d.pri = t.pri
+""",
+    doc="PIVOT -> UNPIVOT ROUNDTRIP certificate: grouped counts are "
+        "pivoted to one column per priority (the reporting shape) "
+        "and melted back with stack(), then certified cell-for-cell "
+        "against the direct aggregate — the identity that proves the "
+        "engine's reshape pair is lossless INCLUDING the zero-fill "
+        "cells pivot materializes for absent (status, priority) "
+        "combinations, which a naive melt silently drops or "
+        "NULL-fills. Exact integer counts; one aggregate plus "
+        "bounded-width reshapes.",
+    tags=("unpivot", "pivot", "relational", "aggregate"),
+)
+def pivot_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    direct = o.groupBy(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("pri"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wide = (
+        direct.groupBy("status")
+        .pivot("pri", list(_PIVOT_PRIS))
+        .agg(F.coalesce(F.sum("n"), F.lit(0)))
+        .na.fill(0)
+    )
+    cols = ", ".join(
+        f"'{p}', `{p}`" for p in _PIVOT_PRIS
+    )
+    tall = wide.selectExpr(
+        "status",
+        f"stack({len(_PIVOT_PRIS)}, {cols}) AS (pri, n)",
+    )
+    d2 = direct.select(
+        F.col("status").alias("d_status"),
+        F.col("pri").alias("d_pri"),
+        F.col("n").alias("d_n"),
+    )
+    return (
+        tall.join(
+            d2,
+            (F.col("status") == F.col("d_status"))
+            & (F.col("pri") == F.col("d_pri")),
+            "left",
+        )
+        .select(
+            "status",
+            "pri",
+            F.col("n").cast("long").alias("n_roundtrip"),
+            F.coalesce(F.col("d_n"), F.lit(0))
+            .cast("long")
+            .alias("n_direct"),
+            (F.col("n") == F.coalesce(F.col("d_n"), F.lit(0))).alias(
+                "identical"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Null-key JOIN semantics battery
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "null_join_semantics_battery",
+    oracle="""
+WITH l AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL
+              ELSE o_custkey END AS ck
+  FROM orders WHERE o_orderkey <= 4000
+),
+r AS (
+  SELECT c_custkey AS ck2,
+         CASE WHEN c_custkey % 5 = 0 THEN NULL
+              ELSE c_custkey END AS ck_null
+  FROM customer
+)
+SELECT CAST((SELECT COUNT(*) FROM l) AS BIGINT) AS n_left,
+       CAST((SELECT COUNT(*) FROM l WHERE ck IS NULL) AS BIGINT)
+         AS n_left_null_keys,
+       CAST((SELECT COUNT(*) FROM l JOIN r ON l.ck = r.ck2) AS BIGINT)
+         AS n_inner,
+       CAST((SELECT COUNT(*) FROM l LEFT JOIN r ON l.ck = r.ck2)
+            AS BIGINT) AS n_left_join,
+       CAST((SELECT COUNT(*) FROM l
+             WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.ck2 = l.ck))
+            AS BIGINT) AS n_anti,
+       CAST((SELECT COUNT(*) FROM l JOIN r
+             ON l.ck IS NOT DISTINCT FROM r.ck_null) AS BIGINT)
+         AS n_nullsafe_join
+FROM (SELECT 1)
+""",
+    doc="NULL-KEY JOIN SEMANTICS battery — the contract every "
+        "warehouse migration re-proves: NULL keys match NOTHING in "
+        "inner joins (they vanish), survive as unmatched rows in "
+        "LEFT joins, count as 'no match' in anti-joins (NOT EXISTS "
+        "with a non-nullable probe side), and match EACH OTHER only "
+        "under the null-safe operator (<=> / IS NOT DISTINCT FROM) — "
+        "where every null-left row pairs with every null-right row. "
+        "Deterministically nulled keys on both sides; all six counts "
+        "exact integers in one row, so any engine default that "
+        "diverges flips the hash. Scale: each count is one "
+        "equi-join/aggregate; the null-safe join keys a shuffle on "
+        "the coalesced key exactly like a regular equi-join.",
+    tags=("nulls", "join", "semantics", "aggregate"),
+)
+def null_join_semantics_battery(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    l = (
+        t["orders"]
+        .where(F.col("o_orderkey") <= 4000)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+            .otherwise(F.col("o_custkey"))
+            .alias("ck"),
+        )
+        .persist()
+    )
+    r = t["customer"].select(
+        F.col("c_custkey").alias("ck2"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit(None))
+        .otherwise(F.col("c_custkey"))
+        .alias("ck_null"),
+    ).persist()
+    n_left = l.count()
+    n_left_null = l.where(F.col("ck").isNull()).count()
+    n_inner = l.join(r, F.col("ck") == F.col("ck2")).count()
+    n_left_join = l.join(r, F.col("ck") == F.col("ck2"), "left").count()
+    n_anti = l.join(
+        r, F.col("ck") == F.col("ck2"), "left_anti"
+    ).count()
+    n_nullsafe = l.join(r, F.col("ck").eqNullSafe(F.col("ck_null"))).count()
+    l.unpersist()
+    r.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                n_left,
+                n_left_null,
+                n_inner,
+                n_left_join,
+                n_anti,
+                n_nullsafe,
+            )
+        ],
+        "n_left long, n_left_null_keys long, n_inner long, "
+        "n_left_join long, n_anti long, n_nullsafe_join long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Keyset pagination vs OFFSET pagination equivalence
+# ---------------------------------------------------------------------------
+
+PAGE_SIZE = 20
+
+
+@register(
+    "keyset_pagination_battery",
+    oracle=f"""
+WITH ranked AS (
+  SELECT o_orderkey AS k,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS price_c,
+         ROW_NUMBER() OVER (
+           ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC,
+                    o_orderkey) AS rn
+  FROM orders
+),
+page2_offset AS (
+  SELECT k, price_c FROM ranked
+  WHERE rn > {PAGE_SIZE} AND rn <= 2 * {PAGE_SIZE}
+),
+anchor AS (
+  SELECT price_c AS ap, k AS ak FROM ranked WHERE rn = {PAGE_SIZE}
+),
+page2_keyset AS (
+  SELECT r.k, r.price_c
+  FROM ranked r CROSS JOIN anchor a
+  WHERE (r.price_c < a.ap OR (r.price_c = a.ap AND r.k > a.ak))
+  ORDER BY r.price_c DESC, r.k
+  LIMIT {PAGE_SIZE}
+)
+SELECT CAST(2 AS BIGINT) AS page,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(o.k) AS BIGINT) AS min_key,
+       CAST(MAX(o.k) AS BIGINT) AS max_key,
+       CAST(SUM(o.price_c) AS BIGINT) AS sum_cents,
+       CAST((SELECT COUNT(*) FROM page2_offset po
+             JOIN page2_keyset pk ON pk.k = po.k) AS BIGINT)
+         AS n_agreeing
+FROM page2_offset o
+""",
+    doc=f"KEYSET (seek-method) PAGINATION certified against OFFSET "
+        f"pagination: page 2 of the price-ranked orders is computed "
+        f"both ways — OFFSET/LIMIT via a rank window, and the "
+        f"seek-predicate (price, key) < anchor form that real APIs "
+        f"use because OFFSET re-scans and re-sorts everything it "
+        f"skips — and the battery certifies the two pages are the "
+        f"SAME {PAGE_SIZE} rows (n_agreeing = n_rows). The total "
+        f"order ties on the unique key, the precondition that makes "
+        f"keyset pagination correct at all. Prices carried as exact "
+        f"integer cents. Scale: the keyset page is a pushed-down "
+        f"filter + top-k (TakeOrderedAndProject); OFFSET is the "
+        f"anti-pattern being measured against.",
+    tags=("limit", "topk", "relational", "window"),
+)
+def keyset_pagination_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    ranked = o.select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("price_c"),
+    )
+    w = Window.orderBy(F.desc("price_c"), "k")
+    rn = ranked.withColumn("rn", F.row_number().over(w))
+    page2_offset = rn.where(
+        (F.col("rn") > PAGE_SIZE) & (F.col("rn") <= 2 * PAGE_SIZE)
+    ).select("k", "price_c")
+    anchor = rn.where(F.col("rn") == PAGE_SIZE).select(
+        F.col("price_c").alias("ap"), F.col("k").alias("ak")
+    )
+    page2_keyset = (
+        ranked.crossJoin(F.broadcast(anchor))
+        .where(
+            (F.col("price_c") < F.col("ap"))
+            | ((F.col("price_c") == F.col("ap")) & (F.col("k") > F.col("ak")))
+        )
+        .orderBy(F.desc("price_c"), "k")
+        .limit(PAGE_SIZE)
+        .select(F.col("k").alias("kk"))
+    )
+    agree = page2_offset.join(
+        page2_keyset, F.col("k") == F.col("kk")
+    ).count()
+    return page2_offset.agg(
+        F.lit(2).cast("long").alias("page"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("k").cast("long").alias("min_key"),
+        F.max("k").cast("long").alias("max_key"),
+        F.sum("price_c").cast("long").alias("sum_cents"),
+        F.lit(agree).cast("long").alias("n_agreeing"),
+    )
