@@ -379,3 +379,65 @@ def test_bloom_fpr_within_bound(spark, sf_dir):
     assert r["n_false_pos"] <= r["n_probes"]
     assert r["within_bound"]
     assert r["n_set_bits"] <= 4096
+
+
+def test_business_day_formula_vs_bruteforce(spark, sf_dir):
+    from ytspark.operators.temporal import (
+        BDL_SLA_BDAYS,
+        business_day_shipping_lag,
+    )
+
+    # the closed form must equal the day-by-day weekend count
+    def brute(e0, n):
+        return sum(1 for k in range(n) if (e0 + k + 3) % 7 < 5)
+
+    def closed(e0, n):
+        wd0 = (e0 + 3) % 7
+        rem = n % 7
+        return (
+            (n // 7) * 5
+            + max(0, min(5 - wd0, rem))
+            + max(0, min(rem - (7 - wd0), 5))
+        )
+
+    for e0 in range(14):
+        for n in range(40):
+            assert closed(e0, n) == brute(e0, n)
+
+    out = business_day_shipping_lag(spark, sf_dir).toPandas()
+    assert len(out) == 5
+    assert (out.within_sla_pm <= 1000).all()
+    # business days never exceed calendar days: mean lag sanity
+    assert (out.mean_bdays_x100 >= 0).all()
+
+
+def test_curation_pipeline_monotone_stages(spark, sf_dir):
+    from ytspark.operators.text import curation_pipeline_report
+
+    out = curation_pipeline_report(spark, sf_dir).toPandas()
+    assert (out.n_after_quality <= out.n_docs_in).all()
+    assert (out.n_after_lang <= out.n_after_quality).all()
+    assert (out.n_after_dedup <= out.n_after_lang).all()
+    assert (out.tokens_retained <= out.tokens_in).all()
+    assert (out.doc_retention_pm <= 1000).all()
+
+
+def test_curation_pipeline_dedup_among_passers(spark, tmp_sf):
+    """A rejected duplicate must not absorb rank 1 from a passing
+    twin: two identical GOOD docs keep exactly one; an identical BAD
+    doc earlier in doc_id order must not evict both."""
+    from ytspark.operators.text import curation_pipeline_report
+
+    d, write = tmp_sf
+    good = " ".join(["the", "a", "of"]
+                    + [f"tok{i:03d}" for i in range(60)])
+    write("documents",
+          [(0, good, "de", "s0", 100),   # fails lang gate, same text
+           (1, good, "en", "s0", 100),   # passes -> kept
+           (2, good, "en", "s0", 100)],  # passes -> duplicate, dropped
+          "doc_id long, text string, lang string, source string, "
+          "n_chars long")
+    (r,) = curation_pipeline_report(spark, d).collect()
+    assert r["n_docs_in"] == 3
+    assert r["n_after_lang"] == 2
+    assert r["n_after_dedup"] == 1  # the doc_id=1 passer survives

@@ -127,6 +127,12 @@ EXPECTED_NESTED_LOOP = {
                                      # (knn_cosine_bruteforce shape)
     "retrieval_metrics_battery",     # 3-row k grid x bounded top-20
                                      # ranked list (range condition)
+    "keyset_pagination_battery",     # broadcast 1-row page anchor
+                                     # (seek predicate is a range)
+    "pareto_frontier_layers",        # dominance anti-join over the
+                                     # thinned sample (bounded)
+    "bloom_fpr_calibration",         # broadcast 1-row packed bitmap
+    "engagement_recency_segments",   # broadcast 1-row date anchor
     "nb_source_valuation",           # docs x broadcast 5-row class grid
     "knn_cosine_ivf_pq",             # broadcast 16-cell/128-code grids (ADC)
     "ab_power_analysis",             # one-row stats x broadcast 5-row MDE grid
@@ -235,6 +241,13 @@ EXPECTED_GLOBAL_WINDOW = {
     "keyset_pagination_battery",   # the OFFSET side IS the measured
                                    # anti-pattern; the keyset side is
                                    # the scale path (filter + top-k)
+    "pareto_frontier_layers",      # dominance anti-join over the
+                                   # thinned sample; sweep-line is the
+                                   # single-layer scale path
+    "bloom_fpr_calibration",       # broadcast 1-row packed bitmap map
+                                   # (bloom_semijoin_reduction shape)
+    "engagement_recency_segments", # broadcast 1-row corpus max-date
+                                   # anchor
     "page_hinkley_daily_mean",     # PH cumsums over the O(days) spine
     "watermark_lateness_profile",  # exclusive prefix max over the
                                    # BLOCK_SIZE-x-smaller block table

@@ -2541,3 +2541,99 @@ def funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_viewers long, n_clicked_1h long, n_purchased_24h long, "
         "click_rate_pm long, purchase_rate_pm long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Business-day shipping lag (closed-form weekend exclusion)
+# ---------------------------------------------------------------------------
+
+BDL_SLA_BDAYS = 5  # ship-within SLA measured in business days
+
+
+@register(
+    "business_day_shipping_lag",
+    oracle=f"""
+WITH lag AS (
+  SELECT o.o_orderpriority AS pri,
+         DATEDIFF('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE))
+           AS e0,
+         DATEDIFF('day', CAST(o.o_orderdate AS DATE),
+                  CAST(l.l_shipdate AS DATE)) AS n
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_shipdate >= o.o_orderdate
+),
+bd AS (
+  -- weekday index 0=Mon..6=Sun: epoch day 0 (1970-01-01) was a
+  -- Thursday, so wd = (epoch_days + 3) % 7. Business days in
+  -- [order, ship): full weeks x 5 plus the partial-week count of
+  -- positions wd0..wd0+rem-1 (mod 7) that land on Mon..Fri —
+  -- closed-form integer arithmetic, no calendar UDF on either engine
+  SELECT pri, n,
+         (n // 7) * 5
+         + GREATEST(0, LEAST(5 - ((e0 + 3) % 7), n % 7))
+         + GREATEST(0, LEAST((n % 7) - (7 - ((e0 + 3) % 7)), 5))
+           AS bdays
+  FROM lag
+)
+SELECT pri,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+       CAST(SUM(bdays) * 100 // COUNT(*) AS BIGINT)
+         AS mean_bdays_x100,
+       CAST(MAX(bdays) AS BIGINT) AS max_bdays,
+       CAST(SUM(CASE WHEN bdays <= {BDL_SLA_BDAYS} THEN 1 ELSE 0 END)
+            * 1000 // COUNT(*) AS BIGINT) AS within_sla_pm
+FROM bd GROUP BY pri
+""",
+    doc=f"BUSINESS-DAY SHIPPING LAG — SLA accounting in the calendar "
+        f"operations actually contract on (weekends excluded): the "
+        f"order->ship gap converts to business days by CLOSED-FORM "
+        f"integer arithmetic (full weeks x 5 + a two-term partial-"
+        f"week count over the Monday-anchored weekday index), no "
+        f"calendar table and no per-day explode, which is what keeps "
+        f"the conversion O(1) per row at any scale. Per priority: "
+        f"mean lag (x100 integer), worst case, and the share shipped "
+        f"within the {BDL_SLA_BDAYS}-business-day SLA in exact "
+        f"per-mille. A holiday calendar would swap in as a broadcast "
+        f"anti-join on the same integer day spine. One equi-join + "
+        f"one aggregate.",
+    tags=("temporal", "calendar", "join", "aggregate"),
+)
+def business_day_shipping_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    lag = (
+        t["orders"]
+        .join(
+            t["lineitem"].select("l_orderkey", "l_shipdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .where(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            F.col("o_orderpriority").alias("pri"),
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+            .alias("e0"),
+            F.datediff(
+                F.to_date("l_shipdate"), F.to_date("o_orderdate")
+            ).alias("n"),
+        )
+    )
+    wd0 = (F.col("e0") + 3) % 7
+    rem = F.col("n") % 7
+    bdays = (
+        (F.col("n") / 7).cast("long") * 5
+        + F.greatest(F.lit(0), F.least(F.lit(5) - wd0, rem))
+        + F.greatest(F.lit(0), F.least(rem - (F.lit(7) - wd0), F.lit(5)))
+    )
+    bd = lag.select("pri", bdays.alias("bdays"))
+    return bd.groupBy("pri").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        F.expr("sum(bdays) * 100 div count(1)")
+        .cast("long")
+        .alias("mean_bdays_x100"),
+        F.max("bdays").cast("long").alias("max_bdays"),
+        F.expr(
+            f"sum(case when bdays <= {BDL_SLA_BDAYS} then 1 else 0 end)"
+            " * 1000 div count(1)"
+        )
+        .cast("long")
+        .alias("within_sla_pm"),
+    )

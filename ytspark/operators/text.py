@@ -3076,3 +3076,122 @@ def dpo_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("margin_pm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation pipeline report (filter chain with stage counts)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "curation_pipeline_report",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, source, lang, text,
+         LEN(STRING_SPLIT(text, ' ')) AS n_tok,
+         CASE WHEN LEN(STRING_SPLIT(text, ' ')) BETWEEN 50 AND 400
+              THEN 1 ELSE 0 END
+       + CASE WHEN CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' ')))
+                   AS DOUBLE) / LEN(STRING_SPLIT(text, ' ')) >= 0.1
+              THEN 1 ELSE 0 END
+       + CASE WHEN LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                t -> t IN ('the', 'a', 'of', 'and', 'to'))) > 0
+              THEN 1 ELSE 0 END AS q
+  FROM documents
+),
+staged AS (
+  SELECT *,
+         CASE WHEN q >= 2 THEN 1 ELSE 0 END AS pass_quality,
+         CASE WHEN q >= 2 AND lang = 'en' THEN 1 ELSE 0 END AS pass_lang,
+         -- rank among GATE-PASSERS only: a rejected duplicate must
+         -- not absorb rank 1 from a passing twin
+         CASE WHEN q >= 2 AND lang = 'en'
+              AND ROW_NUMBER() OVER (
+                    PARTITION BY text,
+                                 CASE WHEN q >= 2 AND lang = 'en'
+                                      THEN 1 ELSE 0 END
+                    ORDER BY doc_id) = 1
+              THEN 1 ELSE 0 END AS pass_dedup
+  FROM base
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs_in,
+       CAST(SUM(pass_quality) AS BIGINT) AS n_after_quality,
+       CAST(SUM(pass_lang) AS BIGINT) AS n_after_lang,
+       CAST(SUM(pass_dedup) AS BIGINT) AS n_after_dedup,
+       CAST(SUM(n_tok) AS BIGINT) AS tokens_in,
+       CAST(SUM(CASE WHEN pass_dedup = 1 THEN n_tok ELSE 0 END)
+            AS BIGINT) AS tokens_retained,
+       CAST(SUM(pass_dedup) * 1000 // COUNT(*) AS BIGINT)
+         AS doc_retention_pm,
+       CAST(SUM(CASE WHEN pass_dedup = 1 THEN n_tok ELSE 0 END) * 1000
+            // SUM(n_tok) AS BIGINT) AS token_retention_pm
+FROM staged GROUP BY source
+""",
+    doc="END-TO-END CURATION PIPELINE report — the filter chain a "
+        "pre-training data pass actually runs, composed as ONE "
+        "certified query: rule-based quality gate (the "
+        "text_quality_score rules, >= 2 of 3), language gate, exact "
+        "dedup keep-first (rank-1 per identical text, doc_id order), "
+        "with per-SOURCE document and TOKEN retention at every stage "
+        "in exact integer per-mille — the funnel a data lead reads "
+        "before signing off a mixture, and the per-stage attribution "
+        "('which gate costs this source its tokens') that single "
+        "filter queries can't show. Every gate is a flag in one "
+        "projection, so the whole pipeline is one scan + the dedup "
+        "window on the text key + one rollup. At 100 TB the dedup "
+        "key becomes xxhash64(text) and the same plan holds.",
+    tags=("text", "quality", "dedup", "pipeline", "aggregate"),
+)
+def curation_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = tokens(F.col("text"))
+    n_tok = F.array_size(toks)
+    ttr = F.array_size(F.array_distinct(toks)).cast("double") / n_tok
+    has_stop = stopword_hits(F.col("text"), LANG_STOPWORDS["en"]) > 0
+    q = (
+        F.when(n_tok.between(50, 400), 1).otherwise(0)
+        + F.when(ttr >= 0.1, 1).otherwise(0)
+        + F.when(has_stop, 1).otherwise(0)
+    )
+    base = docs.select(
+        "doc_id", "source", "lang", "text",
+        n_tok.alias("n_tok"), q.alias("q"),
+    )
+    gate = F.when(
+        (F.col("q") >= 2) & (F.col("lang") == "en"), 1
+    ).otherwise(0)
+    # rank among GATE-PASSERS only (see oracle note)
+    wdup = Window.partitionBy("text", gate).orderBy("doc_id")
+    staged = base.select(
+        "source",
+        "n_tok",
+        F.when(F.col("q") >= 2, 1).otherwise(0).alias("pass_quality"),
+        gate.alias("pass_lang"),
+        F.when(
+            (gate == 1) & (F.row_number().over(wdup) == 1), 1
+        )
+        .otherwise(0)
+        .alias("pass_dedup"),
+    )
+    return staged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_in"),
+        F.sum("pass_quality").cast("long").alias("n_after_quality"),
+        F.sum("pass_lang").cast("long").alias("n_after_lang"),
+        F.sum("pass_dedup").cast("long").alias("n_after_dedup"),
+        F.sum("n_tok").cast("long").alias("tokens_in"),
+        F.sum(F.when(F.col("pass_dedup") == 1, F.col("n_tok")).otherwise(0))
+        .cast("long")
+        .alias("tokens_retained"),
+        F.expr("sum(pass_dedup) * 1000 div count(1)")
+        .cast("long")
+        .alias("doc_retention_pm"),
+        F.expr(
+            "sum(case when pass_dedup = 1 then n_tok else 0 end) * 1000"
+            " div sum(n_tok)"
+        )
+        .cast("long")
+        .alias("token_retention_pm"),
+    )
