@@ -133,6 +133,8 @@ EXPECTED_NESTED_LOOP = {
                                      # thinned sample (bounded)
     "bloom_fpr_calibration",         # broadcast 1-row packed bitmap
     "engagement_recency_segments",   # broadcast 1-row date anchor
+    "loo_group_influence",           # broadcast 1-row global fit onto
+                                     # the 5-group power-sum table
     "nb_source_valuation",           # docs x broadcast 5-row class grid
     "knn_cosine_ivf_pq",             # broadcast 16-cell/128-code grids (ADC)
     "ab_power_analysis",             # one-row stats x broadcast 5-row MDE grid
