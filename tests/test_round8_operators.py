@@ -441,3 +441,17 @@ def test_curation_pipeline_dedup_among_passers(spark, tmp_sf):
     assert r["n_docs_in"] == 3
     assert r["n_after_lang"] == 2
     assert r["n_after_dedup"] == 1  # the doc_id=1 passer survives
+
+
+def test_map_hof_reductions(spark, sf_dir):
+    from ytspark.operators.text import map_hof_battery
+
+    out = map_hof_battery(spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert (out.n_entries <= 5).all()  # 5 priorities max
+    assert (out.n_after_filter <= out.n_entries).all()
+    # zip-with-self of positive ints is >= doubled iff every c >= 2;
+    # globally the totals obey sum(c*c) >= sum(2c) - n (AM-GM-ish)
+    assert (
+        out.total_self_zipped >= out.total_doubled - out.n_entries
+    ).all()

@@ -3195,3 +3195,79 @@ def curation_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("token_retention_pm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Map higher-order-function battery
+# ---------------------------------------------------------------------------
+
+MAPHOF_USER_MOD = 200  # bounded demo sample
+
+
+@register(
+    "map_hof_battery",
+    oracle=f"""
+WITH per AS (
+  SELECT o_custkey AS k, o_orderpriority AS pri, COUNT(*) AS c
+  FROM orders WHERE o_custkey % {MAPHOF_USER_MOD} = 0
+  GROUP BY 1, 2
+)
+SELECT k AS custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_entries,
+       CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_after_filter,
+       CAST(SUM(c * 2) AS BIGINT) AS total_doubled,
+       CAST(SUM(c * c) AS BIGINT) AS total_self_zipped,
+       MAX(pri) AS max_key,
+       CAST(MAX(CASE WHEN pri = '1-URGENT' THEN c END) AS BIGINT)
+         AS urgent_count
+FROM per GROUP BY k
+""",
+    doc="MAP HIGHER-ORDER-FUNCTION battery — the MapType half of the "
+        "HOF surface next to array_hof_battery: per sampled customer "
+        "a priority->count map is built with map_from_entries, then "
+        "transform_values (double each count), map_filter (counts >= "
+        "2), map_zip_with (the map joined with itself -> c*c), "
+        "element_at lookup, map_keys + array_max, and an "
+        "aggregate-over-map_values reduction are all exercised and "
+        "reduced to INTEGER columns (maps never reach the hash — "
+        "map iteration order is engine-private, scalar reductions "
+        "are not). The oracle computes the identical integers "
+        "relationally from the raw group, certifying Spark's map-HOF "
+        "semantics against plain-SQL reference semantics. Map "
+        "construction is one grouped collect per key; every HOF is "
+        "codegen'd expression work on the bounded 5-entry maps.",
+    tags=("functions", "map", "hof", "aggregate"),
+)
+def map_hof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    per = (
+        orders.where(F.col("o_custkey") % MAPHOF_USER_MOD == 0)
+        .groupBy(
+            F.col("o_custkey").alias("k"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    m = per.groupBy("k").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("pri", "c")))
+        ).alias("m")
+    )
+    doubled = F.transform_values("m", lambda _, v: v * 2)
+    filtered = F.map_filter("m", lambda _, v: v >= 2)
+    zipped = F.map_zip_with(
+        "m", "m", lambda _, a, b: a * b
+    )
+    sum_vals = lambda mp: F.aggregate(  # noqa: E731
+        F.map_values(mp), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+    return m.select(
+        F.col("k").alias("custkey"),
+        F.size("m").cast("long").alias("n_entries"),
+        F.size(filtered).cast("long").alias("n_after_filter"),
+        sum_vals(doubled).alias("total_doubled"),
+        sum_vals(zipped).alias("total_self_zipped"),
+        F.array_max(F.map_keys("m")).alias("max_key"),
+        F.element_at("m", "1-URGENT").cast("long").alias("urgent_count"),
+    )
