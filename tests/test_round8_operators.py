@@ -455,3 +455,63 @@ def test_map_hof_reductions(spark, sf_dir):
     assert (
         out.total_self_zipped >= out.total_doubled - out.n_entries
     ).all()
+
+
+def test_theil_decomposition_identity(spark, sf_dir):
+    from ytspark.queries.pipeline import theil_inequality_decomposition
+
+    out = theil_inequality_decomposition(spark, sf_dir).toPandas()
+    assert len(out) == 5
+    # decomposition identity: T = within + between, computed directly
+    import numpy as np
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_totalprice"])
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_mktsegment"])
+    y = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    v = y.o_totalprice.round(2).to_numpy()
+    mu = v.mean()
+    t_total = float(np.mean(v / mu * np.log(v / mu)))
+    got = out.theil_within_total.iloc[0] + out.theil_between_total.iloc[0]
+    assert got == pytest.approx(t_total, abs=1e-4)
+    # Theil components are non-negative
+    assert (out.theil_within_group >= 0).all()
+
+
+def test_ece_brier_identity(spark, sf_dir):
+    from ytspark.queries.pipeline import ece_brier_decomposition
+
+    (r,) = ece_brier_decomposition(spark, sf_dir).collect()
+    assert r["n_bins"] >= 2
+    assert 0 <= r["ece"] <= 1
+    assert r["reliability"] >= 0 and r["resolution"] >= 0
+    assert 0 <= r["uncertainty"] <= 0.25
+    # Murphy identity reconstruction is internally consistent
+    assert r["brier_reconstructed"] == pytest.approx(
+        r["reliability"] - r["resolution"] + r["uncertainty"], abs=2e-6
+    )
+
+
+def test_nelson_aalen_monotone_and_bounds(spark, sf_dir):
+    from ytspark.operators.timeseries import nelson_aalen_hazard
+
+    out = nelson_aalen_hazard(spark, sf_dir).toPandas()
+    out = out.sort_values("lifetime_days")
+    assert (out.cum_hazard.diff().fillna(out.cum_hazard) >= -1e-12).all()
+    assert (out.survival_fleming_harrington <= 1.0).all()
+    assert out.n_risk.iloc[0] == out.n_risk.max()  # risk set shrinks
+
+
+def test_dbscan_labels_partition_points(spark, sf_dir):
+    from ytspark.operators.spatial import dbscan_core_census
+
+    out = dbscan_core_census(spark, sf_dir).toPandas()
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey"])
+    assert out.n_points.sum() == len(c)
+    by = out.set_index("label")
+    if "core" in by.index:
+        # every core point has >= minPts neighbors -> degree_sum bound
+        assert by.loc["core"].degree_sum >= 3 * by.loc["core"].n_points
+    if "noise" in by.index and "core" in by.index:
+        assert by.loc["noise"].n_points > 0

@@ -240,6 +240,10 @@ EXPECTED_GLOBAL_WINDOW = {
                                    # set (ndcg_eval precedent)
     "chi2_independence_cramers_v", # marginal windows over the 25-cell
                                    # contingency pre-aggregate
+    "nelson_aalen_hazard",         # risk/hazard windows over the
+                                   # O(lifetimes) rollup (KM precedent)
+    "theil_inequality_decomposition",  # share windows over the 5-group
+                                   # aggregate
     "keyset_pagination_battery",   # the OFFSET side IS the measured
                                    # anti-pattern; the keyset side is
                                    # the scale path (filter + top-k)

@@ -36,6 +36,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ytspark.operators.text import SPLIT_MOD, knuth_hash_col, knuth_hash_sql
+from ytspark.plans.scale import finish
 from ytspark.queries import register
 from ytspark.session import load_tables
 
@@ -177,3 +178,96 @@ def radius_join(points: DataFrame, radius_km: float) -> DataFrame:
         .where(F.col("dist_km") <= radius_km)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN core/border/noise census over the radius-join neighborhood
+# ---------------------------------------------------------------------------
+
+DBSCAN_MINPTS = 3  # core = at least this many neighbors within RADIUS_KM
+
+
+@register(
+    "dbscan_core_census",
+    oracle=f"""
+WITH pairs AS ({_SPATIAL_ORACLE}),
+sym AS (
+  SELECT point_a AS p, point_b AS q FROM pairs
+  UNION ALL SELECT point_b, point_a FROM pairs
+),
+deg AS (SELECT p, COUNT(*) AS k FROM sym GROUP BY p),
+pts AS (SELECT c_custkey AS p FROM customer),
+labeled AS (
+  SELECT pts.p,
+         COALESCE(deg.k, 0) AS k,
+         CASE WHEN COALESCE(deg.k, 0) >= {DBSCAN_MINPTS} THEN 'core'
+              WHEN EXISTS (
+                SELECT 1 FROM sym
+                JOIN deg d2 ON d2.p = sym.q
+                WHERE sym.p = pts.p AND d2.k >= {DBSCAN_MINPTS})
+                THEN 'border'
+              ELSE 'noise' END AS label
+  FROM pts LEFT JOIN deg ON deg.p = pts.p
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(SUM(k) AS BIGINT) AS degree_sum,
+       CAST(MIN(p) AS BIGINT) AS min_point,
+       CAST(MAX(p) AS BIGINT) AS max_point
+FROM labeled GROUP BY label
+""",
+    doc=f"DBSCAN POINT CLASSIFICATION (eps = {RADIUS_KM:.0f} km, "
+        f"minPts = {DBSCAN_MINPTS}) over the certified radius-join "
+        f"neighborhood: CORE points have >= minPts neighbors within "
+        f"eps, BORDER points are non-core within eps of a core, the "
+        f"rest is NOISE — the density-based clustering primitive "
+        f"whose cluster expansion is a connected-components pass over "
+        f"core-core edges (the MinHash-CC operator, reusable as-is); "
+        f"this query certifies the classification layer with exact "
+        f"integer degree sums and per-label key-range fingerprints. "
+        f"Scale: neighbor degrees come from the grid-blocked radius "
+        f"join (never all-pairs in the engine plan); the census is "
+        f"one aggregate.",
+    tags=("spatial", "clustering", "join", "aggregate"),
+)
+def dbscan_core_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_tables(spark, sf_dir, "customer")["customer"]
+    pts = synth_points(cust)
+    pairs = radius_join(pts, RADIUS_KM).select("point_a", "point_b")
+    sym = pairs.select(
+        F.col("point_a").alias("p"), F.col("point_b").alias("q")
+    ).unionAll(
+        pairs.select(F.col("point_b").alias("p"), F.col("point_a").alias("q"))
+    ).persist()
+    deg = sym.groupBy("p").agg(F.count(F.lit(1)).alias("k"))
+    core = deg.where(F.col("k") >= DBSCAN_MINPTS).select(
+        F.col("p").alias("core_p")
+    )
+    near_core = (
+        sym.join(core, F.col("q") == F.col("core_p"))
+        .select("p")
+        .distinct()
+        .withColumn("nc", F.lit(1))
+    )
+    labeled = (
+        pts.select(F.col("point_id").alias("p"))
+        .join(deg, "p", "left")
+        .join(near_core, "p", "left")
+        .select(
+            "p",
+            F.coalesce(F.col("k"), F.lit(0)).alias("k"),
+            F.when(
+                F.coalesce(F.col("k"), F.lit(0)) >= DBSCAN_MINPTS, "core"
+            )
+            .when(F.col("nc") == 1, "border")
+            .otherwise("noise")
+            .alias("label"),
+        )
+    )
+    out = labeled.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum("k").cast("long").alias("degree_sum"),
+        F.min("p").cast("long").alias("min_point"),
+        F.max("p").cast("long").alias("max_point"),
+    )
+    return finish(out, sym)

@@ -4075,3 +4075,226 @@ def propensity_stratification_ate(
         ).alias("unadjusted_diff_dollars"),
     )
     return finish(out, usable)
+
+
+# ---------------------------------------------------------------------------
+# Theil inequality index with within/between decomposition
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "theil_inequality_decomposition",
+    oracle="""
+WITH y AS (
+  SELECT c.c_mktsegment AS seg,
+         CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS v
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+g AS (
+  SELECT seg, COUNT(*) AS n, SUM(v) AS s, SUM(v * LN(v)) AS l
+  FROM y GROUP BY seg
+),
+tot AS (SELECT SUM(n) AS nt, SUM(s) AS st FROM g),
+terms AS (
+  SELECT g.seg, g.n, g.s, g.l,
+         t.nt, t.st,
+         g.s / g.n AS mu_g, t.st / t.nt AS mu,
+         (g.l - g.s * LN(g.s / g.n)) / g.s AS t_g
+  FROM g CROSS JOIN tot t
+)
+SELECT seg,
+       CAST(n AS BIGINT) AS n_orders,
+       ROUND(mu_g, 2) AS mean_value,
+       ROUND(t_g, 6) AS theil_within_group,
+       ROUND((s / st) * LN(mu_g / mu), 6) AS between_contribution,
+       ROUND(SUM((s / st) * t_g) OVER (), 6) AS theil_within_total,
+       ROUND(SUM((s / st) * LN(mu_g / mu)) OVER (), 6)
+         AS theil_between_total
+FROM terms
+""",
+    doc="THEIL INDEX with the WITHIN/BETWEEN decomposition — the "
+        "inequality measure whose decomposability is the whole point "
+        "(Gini, already shipped per segment, does not decompose): "
+        "T = sum_g w_g T_g + sum_g w_g ln(mu_g/mu) with income-share "
+        "weights w_g = S_g/S, answering 'is revenue concentration a "
+        "segment story or a within-segment story' in one query. "
+        "Identity T_g = (sum v ln v - S_g ln mu_g) / S_g needs only "
+        "per-group (n, sum, sum v ln v) — one map-side-combinable "
+        "aggregate, O(groups) everything after. The v ln v sums are "
+        "engine-ordered doubles feeding O(1) outputs at 6 dp "
+        "(~1e-15 relative error; inside the 9-sig-digit budget).",
+    tags=("statistics", "segmentation", "aggregate", "window"),
+)
+def theil_inequality_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    y = (
+        t["orders"]
+        .join(
+            F.broadcast(t["customer"].select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_totalprice")
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("v"),
+        )
+    )
+    g = y.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.log("v")).alias("l"),
+    )
+    tot = g.agg(F.sum("n").alias("nt"), F.sum("s").alias("st"))
+    terms = g.crossJoin(F.broadcast(tot)).select(
+        "seg",
+        "n",
+        "s",
+        (F.col("s") / F.col("n")).alias("mu_g"),
+        (F.col("st") / F.col("nt")).alias("mu"),
+        ((F.col("l") - F.col("s") * F.log(F.col("s") / F.col("n")))
+         / F.col("s")).alias("t_g"),
+        F.col("st"),
+    )
+    wall = Window.partitionBy()
+    share = F.col("s") / F.col("st")
+    return terms.select(
+        "seg",
+        F.col("n").cast("long").alias("n_orders"),
+        F.round("mu_g", 2).alias("mean_value"),
+        F.round("t_g", 6).alias("theil_within_group"),
+        F.round(share * F.log(F.col("mu_g") / F.col("mu")), 6).alias(
+            "between_contribution"
+        ),
+        F.round(F.sum(share * F.col("t_g")).over(wall), 6).alias(
+            "theil_within_total"
+        ),
+        F.round(
+            F.sum(share * F.log(F.col("mu_g") / F.col("mu"))).over(wall), 6
+        ).alias("theil_between_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calibration: ECE + Brier reliability/resolution/uncertainty decomposition
+# ---------------------------------------------------------------------------
+
+ECE_BINS = 10
+# fixed logistic scoring coefficients (no training — the decomposition
+# is the operator under test; the score just needs spread)
+ECE_B0 = -1.5
+ECE_B1 = 0.004  # per value unit
+
+
+@register(
+    "ece_brier_decomposition",
+    oracle=f"""
+WITH scored AS (
+  SELECT 1.0 / (1.0 + EXP(-({ECE_B0} + {ECE_B1}
+             * CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT) / 100.0)))
+           AS p,
+         CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+  FROM events
+),
+binned AS (
+  SELECT LEAST(CAST(FLOOR(p * {ECE_BINS}) AS BIGINT), {ECE_BINS} - 1)
+           AS b,
+         COUNT(*) AS n, SUM(p) AS sp, SUM(y) AS sy
+  FROM scored GROUP BY 1
+),
+tot AS (SELECT SUM(n) AS nt, SUM(sy) AS syt FROM binned),
+dec AS (
+  SELECT SUM(CAST(b.n AS DOUBLE) / t.nt
+             * ABS(b.sy / b.n - b.sp / b.n)) AS ece,
+         SUM(CAST(b.n AS DOUBLE) / t.nt
+             * (b.sp / b.n - b.sy / b.n) * (b.sp / b.n - b.sy / b.n))
+           AS reliability,
+         SUM(CAST(b.n AS DOUBLE) / t.nt
+             * (b.sy / b.n - t.syt / t.nt) * (b.sy / b.n - t.syt / t.nt))
+           AS resolution,
+         (t.syt / t.nt) * (1 - t.syt / t.nt) AS uncertainty,
+         CAST(t.nt AS BIGINT) AS n_events,
+         CAST(COUNT(*) AS BIGINT) AS n_bins
+  FROM binned b CROSS JOIN tot t
+  GROUP BY t.nt, t.syt
+)
+SELECT n_events, n_bins,
+       ROUND(ece, 6) AS ece,
+       ROUND(reliability, 6) AS reliability,
+       ROUND(resolution, 6) AS resolution,
+       ROUND(uncertainty, 6) AS uncertainty,
+       ROUND(reliability - resolution + uncertainty, 6)
+         AS brier_reconstructed
+FROM dec
+""",
+    doc=f"ECE + MURPHY DECOMPOSITION of the Brier score — the "
+        f"calibration HEADLINE numbers next to the per-band "
+        f"reliability table (logreg_calibration_report): expected "
+        f"calibration error, and Brier = RELIABILITY (calibration "
+        f"gap) - RESOLUTION (how much the bins separate outcomes) + "
+        f"UNCERTAINTY (base-rate variance), the identity that holds "
+        f"EXACTLY when confidences are bin means — so "
+        f"brier_reconstructed doubles as a self-certificate. The "
+        f"score is a FIXED logistic of the cent-quantized event "
+        f"value (deterministic scalar tree; no training dependency), "
+        f"y = purchase. One scan into {ECE_BINS} fixed bins, "
+        f"O(bins) after; bin-mean divisions are exact-count ratios "
+        f"with engine-ordered p-sums feeding O(1) outputs at 6 dp.",
+    tags=("learn", "evaluation", "statistics", "aggregate"),
+)
+def ece_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    cents = F.round(F.coalesce(F.col("value"), F.lit(0)) * 100).cast("long")
+    p = 1.0 / (1.0 + F.exp(-(F.lit(ECE_B0) + ECE_B1 * cents / 100.0)))
+    scored = ev.select(
+        p.alias("p"),
+        F.when(F.col("event_type") == "purchase", 1.0)
+        .otherwise(0.0)
+        .alias("y"),
+    )
+    binned = scored.groupBy(
+        F.least(
+            F.floor(F.col("p") * ECE_BINS).cast("long"),
+            F.lit(ECE_BINS - 1),
+        ).alias("b")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("p").alias("sp"),
+        F.sum("y").alias("sy"),
+    )
+    tot = binned.agg(F.sum("n").alias("nt"), F.sum("sy").alias("syt"))
+    j = binned.crossJoin(F.broadcast(tot))
+    w = F.col("n").cast("double") / F.col("nt")
+    conf = F.col("sp") / F.col("n")
+    acc = F.col("sy") / F.col("n")
+    ybar = F.col("syt") / F.col("nt")
+    dec = j.groupBy("nt", "syt").agg(
+        F.sum(w * F.abs(acc - conf)).alias("ece"),
+        F.sum(w * (conf - acc) * (conf - acc)).alias("reliability"),
+        F.sum(w * (acc - ybar) * (acc - ybar)).alias("resolution"),
+        F.count(F.lit(1)).alias("n_bins"),
+    )
+    return dec.select(
+        F.col("nt").cast("long").alias("n_events"),
+        F.col("n_bins").cast("long").alias("n_bins"),
+        F.round("ece", 6).alias("ece"),
+        F.round("reliability", 6).alias("reliability"),
+        F.round(
+            (F.col("syt") / F.col("nt")) * (1 - F.col("syt") / F.col("nt")),
+            6,
+        ).alias("uncertainty"),
+        F.round("resolution", 6).alias("resolution"),
+        F.round(
+            F.col("reliability")
+            - F.col("resolution")
+            + (F.col("syt") / F.col("nt"))
+            * (1 - F.col("syt") / F.col("nt")),
+            6,
+        ).alias("brier_reconstructed"),
+    ).select(
+        "n_events", "n_bins", "ece", "reliability", "resolution",
+        "uncertainty", "brier_reconstructed",
+    )
