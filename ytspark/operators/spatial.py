@@ -228,7 +228,9 @@ FROM labeled GROUP BY label
         f"Scale: neighbor degrees come from the grid-blocked radius "
         f"join (never all-pairs in the engine plan); the census is "
         f"one aggregate.",
-    tags=("spatial", "clustering", "join", "aggregate"),
+    # clustering-first: the window gate keys families off the FIRST
+    # tag, and the spatial tag keeps riding on spatial_radius_join
+    tags=("clustering", "spatial", "join", "aggregate"),
 )
 def dbscan_core_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_tables(spark, sf_dir, "customer")["customer"]
