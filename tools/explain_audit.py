@@ -135,6 +135,12 @@ EXPECTED_NESTED_LOOP = {
     "engagement_recency_segments",   # broadcast 1-row date anchor
     "loo_group_influence",           # broadcast 1-row global fit onto
                                      # the 5-group power-sum table
+    "theil_inequality_decomposition",  # broadcast 1-row totals onto
+                                     # the 5-group aggregate
+    "ece_brier_decomposition",       # broadcast 1-row totals onto the
+                                     # 10-bin aggregate
+    "nelson_aalen_hazard",           # broadcast 1-row corpus max-day
+                                     # anchor (KM precedent)
     "nb_source_valuation",           # docs x broadcast 5-row class grid
     "knn_cosine_ivf_pq",             # broadcast 16-cell/128-code grids (ADC)
     "ab_power_analysis",             # one-row stats x broadcast 5-row MDE grid
