@@ -150,78 +150,83 @@ def register(
 # QUERIES.md, generated from this registry) and
 # tests/test_priority_window.py asserts no operator family ever falls
 # outside the certified window.
-# Round 8 rotation (r7 VERDICT item 2): every r7 window member now has
-# a driver verdict on record, so the window refills never-checked-first
-# from the 201-query backlog — 40 of 50 slots are first-ever checks,
-# led by the 8 wave-3/4 debuts the judge named (periodogram, OLS
-# diagnostics, AMS F2, image entropy, join advisor, MMD, log-rank,
-# Mahalanobis). The 10 anchors are the minimal set cover over the 9
-# families with no never-checked tag carrier PLUS the two r7
-# hash-mismatch queries (cogroup gap / v-opt histogram), re-anchored
-# deliberately so the driver certifies their environment-invariance
-# repair. Simulated against check_priority_window before the swap:
-# all 42 families retain carriers.
+# Round 8 rotation (r7 VERDICT item 2): every r7 window member now had
+# a driver verdict on record, so the window refilled never-checked-first
+# from the 201-query backlog — 40 of 50 slots were first-ever checks.
+# All 50 passed (CORRECTNESS_r08.json, zero red rows).
+# Round 9 rotation (r8 VERDICT item 1): with CORRECTNESS_r08 on record
+# the backlog is 192; the 10 micro-family members widened in r8
+# (relational division, pivot roundtrip, null joins, keyset pagination,
+# bounded funnel, brand lift, recommendations, recency segments, pareto
+# layers, bloom FPR) mean almost no family needs a repeat anchor — only
+# 4 anchors remain (the flagship plus the three families whose every
+# member is already driver-certified: json, sequence, setop; union rides
+# on the flagship). 46 of 50 slots are FIRST-EVER driver checks, led by
+# the workhorses the r8 judge named (corr_covar_battery — changed in r8
+# to DECIMAL-exact power sums and never driver-checked —
+# copurchase_triangle_count, ab_srm_check, ab_test_cuped,
+# cusum_changepoint_daily, curation_pipeline_report,
+# ccnet_perplexity_buckets, dedup_threshold_sweep,
+# bradley_terry_priorities), then the three never-checked queries whose
+# secondary tags keep fuzzy/packing/udf covered without anchors, then a
+# breadth-first round-robin across every family with unchecked members
+# (oracle-backed preferred). Simulated against check_priority_window
+# before the swap: all 42 families retain carriers.
 _PRIORITY: tuple[str, ...] = (
-    # ---- repeat anchors (10): minimal greedy set cover over the 9
-    # families with no never-driver-checked tag carrier (affinity,
-    # bloom, json, limit, nulls, pareto, relational, union, unpivot)
-    # plus the two round-7 hash-mismatch queries, re-anchored so the
-    # driver re-certifies their environment-invariance repair
-    # (commit 42dd309) ----
+    # ---- repeat anchors (4): flagship + the 3 fully-certified
+    # families with no never-checked tag carrier anywhere ----
     "mart_union_cast",  # union + reference-pipeline flagship (entry)
-    "top_revenue_customers",  # limit
-    "try_arithmetic_battery",  # nulls
-    "unpivot_order_metrics",  # unpivot
-    "abc_pareto_classes",  # pareto + relational
-    "market_basket_rules",  # affinity
-    "bloom_semijoin_reduction",  # bloom
-    "json_roundtrip_battery",  # json (r7 pass)
-    "cogroup_purchase_click_gap",  # r7 FAIL -> integer 2x-median repair
-    "vopt_histogram_weekly_revenue",  # r7 FAIL -> decimal-exact DP repair
-    # ---- first-ever driver checks (40): never appeared in any
-    # CORRECTNESS_r01..r07; leads with the 8 wave-3/4 debuts the r7
-    # judge named, then breadth-first round-robin across every family
-    # with unchecked members (oracle-backed members preferred) ----
-    "periodogram_daily_revenue",  # time (wave-3 debut)
-    "ols_residual_diagnostics",  # learn (wave-3 debut)
-    "ams_f2_sketch_eval",  # sketch (wave-3 debut)
-    "multimodal_image_histogram_entropy",  # multimodal (wave-3 debut)
-    "join_strategy_advisor",  # layout (wave-3 debut)
-    "mmd_rbf_two_sample",  # statistics (wave-4 debut)
-    "logrank_test_purchasers",  # statistics (wave-4 debut)
-    "mahalanobis_outliers_2d",  # profiling (wave-4 debut)
-    "bigram_lm_perplexity",  # text
-    "dedup_apply_keep_canonical",  # dedup
-    "activity_streak_histogram",  # temporal
-    "analyze_column_stats",  # profiling
-    "conformal_trend_intervals",  # learn
-    "ab_test_ztest",  # aggregate
-    "acf_daily_counts",  # time
-    "streaming_cdc_apply",  # streaming
-    "bitext_margin_mining",  # similarity
-    "multimodal_keyframe_select",  # multimodal + segmentation carrier
-    "parts_personalized_pagerank",  # graph + recommend carrier
-    "count_overdispersion_check",  # statistics
-    "bm25_prf_expansion",  # search
-    "ab_power_analysis",  # experiment
-    "compaction_plan_bins",  # maintenance
-    "hll_intersection_bounds",  # sketch + setop carrier
-    "brand_revenue_share",  # window
-    "constraint_suite_report",  # quality
-    "covariate_shift_ess",  # drift
-    "file_skipping_stats",  # layout
-    "cohort_ltv_curves",  # retention
-    "bucketed_join_revenue",  # pipeline
-    "asof_next_click_after_purchase",  # join/asof
-    "array_hof_battery",  # functions
-    "markov_next_event_eval",  # sequence
-    "label_centroid_similarity",  # clustering
-    "fuzzy_er_survivorship",  # fuzzy
-    "negative_sample_pairs",  # packing
-    "bpe_merge_table",  # text
-    "dedup_embedding_clusters",  # dedup
-    "funnel_latency_percentiles",  # temporal + funnel carrier
-    "benford_digit_audit",  # profiling
+    "json_roundtrip_battery",  # json (r7+r8 passes)
+    "markov_next_event_eval",  # sequence (r8 pass)
+    "hll_intersection_bounds",  # setop (r8 pass)
+    # ---- first-ever driver checks (46): never appeared in any
+    # CORRECTNESS_r01..r08 ----
+    "corr_covar_battery",  # statistics workhorse; changed in r8
+    "copurchase_triangle_count",  # graph workhorse
+    "ab_srm_check",  # experiment workhorse
+    "ab_test_cuped",  # experiment workhorse
+    "cusum_changepoint_daily",  # time workhorse
+    "curation_pipeline_report",  # text workhorse (r8 debut)
+    "ccnet_perplexity_buckets",  # text workhorse
+    "dedup_threshold_sweep",  # dedup workhorse
+    "bradley_terry_priorities",  # learn workhorse
+    "name_edit_distance_profile",  # text + fuzzy carrier
+    "hard_negative_mining",  # similarity + packing carrier
+    "dedup_semantic_clusters",  # dedup + udf carrier
+    "boilerplate_chunk_removal",  # text
+    "allen_interval_relations",  # temporal
+    "eb_shrunk_nation_rates",  # learn
+    "categorical_association_battery",  # statistics
+    "funnel_time_bounded",  # funnel (r8 debut micro-family)
+    "chi2_independence_cramers_v",  # statistics
+    "calendar_zero_fill",  # time
+    "multimodal_audio_decode",  # multimodal
+    "streaming_cms_heavy_hitters",  # streaming
+    "event_type_first_last",  # aggregate
+    "embedding_label_stats",  # profiling
+    "doc_cosine_sparse_topk",  # similarity
+    "copurchase_link_prediction",  # graph
+    "incremental_rollup_maintenance",  # maintenance
+    "ga_youtube_join_mart",  # pipeline (GA second-source join mart)
+    "did_estimator_orders",  # experiment
+    "approx_quantile_rank_bounds",  # sketch
+    "customer_running_revenue",  # window
+    "histogram_profile_totalprice",  # profiling
+    "page_hinkley_daily_mean",  # drift
+    "hilbert_layout_stats",  # layout
+    "map_hof_battery",  # functions (r8 debut)
+    "cohort_retention_matrix",  # retention
+    "relational_division_priorities",  # relational (r8 debut)
+    "pivot_unpivot_roundtrip",  # unpivot (r8 debut)
+    "null_join_semantics_battery",  # nulls (r8 debut)
+    "keyset_pagination_battery",  # limit (r8 debut)
+    "brand_affinity_lift",  # affinity (r8 debut)
+    "user_topn_recommendations",  # recommend (r8 debut)
+    "bloom_fpr_calibration",  # bloom (r8 debut)
+    "pareto_frontier_layers",  # pareto (r8 debut)
+    "engagement_recency_segments",  # segmentation (r8 debut)
+    "spatial_radius_join",  # join/spatial
+    "dbscan_core_census",  # clustering (r8 debut)
 )
 
 
