@@ -208,8 +208,26 @@ TIEBREAK_RX = re.compile(
     # after the float key counts as a deterministic tie-break
     r"ORDER\s+BY.*,\s*[\w.]+\s*(ASC|DESC)?\s*$", re.I | re.S,
 )
-# "ROUND(<balanced-ish>, d) AS col" -> per-column grain
-COL_ROUND_RX = re.compile(r",\s*(\d+)\s*\)\s*(?:AS\s+)?(\w+)", re.I)
+# "ROUND(" opener; the matching close paren is found by a depth scan so
+# nested calls attribute correctly and non-ROUND two-arg calls ending in
+# an alias (POWER(x, 2) AS t) no longer steal a rounding grain
+ROUND_OPEN_RX = re.compile(r"\bROUND\s*\(", re.I)
+ROUND_DIGITS_RX = re.compile(r",\s*(\d+)\s*$")
+ALIAS_RX = re.compile(r"\s*(?:AS\s+)?([A-Za-z_]\w*)", re.I)
+# divergence only enters a raw (un-ROUNDed) float through ordered
+# double accumulation, libm transcendentals, or engine-specific
+# algorithms — a plain ratio of exact sums is build-stable
+RAW_RISK_RX = re.compile(
+    r"\b(STDDEV|VAR_SAMP|VAR_POP|CORR|COVAR_SAMP|COVAR_POP|EXP|LN|LOG"
+    r"|LOG10|LOG2|POWER|POW|SIN|COS|TAN|ATAN|ATAN2|ASIN|ACOS|REGR_"
+    r"|MEDIAN|QUANTILE_CONT|PERCENTILE_CONT)\s*\(",
+    re.I,
+)
+NON_ALIAS_KEYWORDS = frozenset(
+    "FROM WHERE GROUP ORDER AS END THEN ELSE WHEN AND OR NOT DESC ASC "
+    "OVER JOIN ON UNION LIMIT HAVING IS IN BETWEEN CASE SELECT CROSS "
+    "INNER LEFT RIGHT FULL USING WINDOW QUALIFY".split()
+)
 
 
 def scan_sql(sql: str) -> list[str]:
@@ -225,9 +243,33 @@ def scan_sql(sql: str) -> list[str]:
 
 
 def column_grains(sql: str) -> dict[str, int]:
+    """Map ``alias -> max ROUND grain`` via balanced-paren attribution.
+
+    Only a genuine ``ROUND(<expr>, d)`` whose close paren is directly
+    followed by an (optionally AS-prefixed) alias contributes a grain;
+    unattributed float columns fall back to grain 0 in the caller
+    (i.e. they are flagged only when the raw magnitude alone busts the
+    significant-digit budget).
+    """
     grains: dict[str, int] = {}
-    for digits, col in COL_ROUND_RX.findall(sql):
-        grains[col.lower()] = max(grains.get(col.lower(), 0), int(digits))
+    for m in ROUND_OPEN_RX.finditer(sql):
+        depth, i = 1, m.end()
+        while i < len(sql) and depth:
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+            i += 1
+        if depth:  # unbalanced tail; ignore
+            continue
+        digits_m = ROUND_DIGITS_RX.search(sql[m.end() : i - 1])
+        if not digits_m:
+            continue  # one-arg ROUND -> integer grain 0, the fallback
+        alias_m = ALIAS_RX.match(sql, i)
+        if not alias_m or alias_m.group(1).upper() in NON_ALIAS_KEYWORDS:
+            continue
+        col = alias_m.group(1).lower()
+        grains[col] = max(grains.get(col, 0), int(digits_m.group(1)))
     return grains
 
 
@@ -252,19 +294,36 @@ def main() -> int:
         stripped = re.sub(r"--[^\n]*", "", sql)
         flags = scan_sql(stripped)
         grains = column_grains(stripped)
-        fallback = max(grains.values(), default=0)
+        # unattributed float columns get grain 0: flagged only when raw
+        # magnitude alone busts the budget (the old max-grain fallback
+        # mis-attributed other columns' grains in both directions)
+        fallback = 0
         try:
             df = con.execute(sql).df()
         except Exception as e:  # noqa: BLE001
             rows.append((name, ["ORACLE_ERROR"], str(e).splitlines()[0][:80]))
             continue
         worst = 0.0
+        raw_cols = []
         for col in df.columns:
             if df[col].dtype.kind != "f":
                 continue
             vals = df[col].dropna()
             if not len(vals):
                 continue
+            # a hash-visible float with no ROUND attribution and >6dp of
+            # true precision is effectively unrounded: the %.10g hash
+            # sees it at 1e-9 RELATIVE grain regardless of magnitude.
+            # Only divergence-capable expressions matter (ordered double
+            # accumulation / libm / engine algorithms) — a lone division
+            # of exact sums is correctly rounded on any build, so gate
+            # the flag on a risk marker in the SQL
+            if (
+                col.lower() not in grains
+                and not (vals == vals.round(6)).all()
+                and RAW_RISK_RX.search(stripped)
+            ):
+                raw_cols.append(col)
             mx = float(vals.abs().max())
             if mx <= 0:
                 continue
@@ -275,6 +334,8 @@ def main() -> int:
             worst = max(worst, math.log10(mx) + grain)
         if worst > SIGDIG_BUDGET:
             flags.append(f"SIGDIG({worst:.1f})")
+        if raw_cols:
+            flags.append(f"RAW_FLOAT({','.join(sorted(raw_cols)[:4])})")
         if flags:
             verdict = ADJUDICATED.get(name, "")
             rows.append((name, flags, verdict))
