@@ -178,12 +178,15 @@ class TestTransformWithStateGate:
     def test_tws_gated_on_protobuf(self, spark, sf_dir):
         """transformWithStateInPandas is environment-gated: its Python
         state client needs google.protobuf, absent in this container.
-        The probe must agree with reality, and the implementation must
-        either run (protobuf present) or fail with the documented
-        ImportError — never crash obscurely."""
+        The probe must agree with reality; the NATIVE path must either
+        run (protobuf present) or fail with the documented ImportError
+        — never crash obscurely — and the REGISTERED query must run in
+        both environments (falling back to the applyInPandasWithState
+        twin, r8 verdict item 5)."""
         import pytest
 
         from ytspark.streaming.queries import (
+            _tws_user_stats_native,
             streaming_tws_user_stats,
             transform_with_state_available,
         )
@@ -197,7 +200,23 @@ class TestTransformWithStateGate:
         assert transform_with_state_available() == has_pb
         if not has_pb:
             with pytest.raises(ImportError, match="protobuf"):
-                streaming_tws_user_stats(spark, sf_dir)
-        else:  # pragma: no cover - runs only where protobuf exists
-            out = streaming_tws_user_stats(spark, sf_dir)
-            assert out.count() > 0
+                _tws_user_stats_native(spark, sf_dir)
+        out = streaming_tws_user_stats(spark, sf_dir)
+        rows = {r["user_id"]: r for r in out.collect()}
+        assert rows, "registered query must produce rows in any env"
+        # spot-check one user's stats against a batch recompute
+        from pyspark.sql import functions as F
+
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        uid = next(iter(rows))
+        exp = events.filter(F.col("user_id") == uid).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("tv"),
+            F.countDistinct("event_type").alias("nt"),
+        ).first()
+        got = rows[uid]
+        assert got["n_events"] == exp["n"]
+        assert got["n_event_types"] == exp["nt"]
+        assert abs(got["total_value"] - exp["tv"]) < 1e-9

@@ -605,13 +605,7 @@ def transform_with_state_available() -> bool:
         return False
 
 
-# NOT @register'ed: the oracle-certified stateful coverage is
-# streaming_stateful_user_stats (applyInPandasWithState); this is the
-# successor-API twin, environment-gated on protobuf. Register it the
-# day the environment ships protobuf:
-#   register("streaming_tws_user_stats", oracle=<same SQL as the
-#   applyInPandasWithState twin plus DECIMAL value sum>)(...)
-def streaming_tws_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _tws_user_stats_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user running stats via Spark 4's transformWithStateInPandas:
     a StatefulProcessor with a ValueState (count + integer-cents value
     sum — exact under any merge order) and a MapState keyed by
@@ -656,7 +650,12 @@ def streaming_tws_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n, cents = self.totals.get()
             for pdf in rows:
                 n += len(pdf)
-                cents += int(round(float(pdf["value"].sum()) * 100))
+                # per-ELEMENT rounding to cents (each 2dp value is
+                # half-ulp-exact), then integer sum: order-invariant,
+                # no accumulated float error
+                cents += int(
+                    (pdf["value"] * 100).round().astype("int64").sum()
+                )
                 for t in pdf["event_type"].unique():
                     self.types.updateValue((str(t),), (1,))
             self.totals.update((n, cents))
@@ -685,6 +684,79 @@ def streaming_tws_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = f"stream_tws_{abs(hash(sf_dir)) % 10_000_000}"
     _run_to_memory(stats, sink, output_mode="append")
     return spark.table(sink)
+
+
+def _tws_user_stats_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Protobuf-free twin of ``_tws_user_stats_native``: the SAME state
+    semantics (ValueState count + integer-cents sum; MapState of seen
+    event types) expressed through ``applyInPandasWithState``, whose
+    pickled-struct state client needs no protobuf. The MapState becomes
+    a seen-types array in the tuple state — same bounded cardinality
+    (event_type is a 5-value enum), same per-micro-batch merge."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = _events_stream(spark, sf_dir)
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, cents, seen = (
+            state.get if state.exists else (0, 0, [])
+        )
+        seen = set(seen or [])
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+            seen.update(str(t) for t in pdf["event_type"].unique())
+        state.update((n, cents, sorted(seen)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [cents / 100.0],
+                "n_event_types": [len(seen)],
+            }
+        )
+
+    stats = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id bigint, n_events bigint, total_value double, "
+            "n_event_types bigint"
+        ),
+        stateStructType="n bigint, cents bigint, seen array<string>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = f"stream_tws_fb_{abs(hash(sf_dir)) % 10_000_000}"
+    _run_to_memory(stats, sink, output_mode="append")
+    return spark.table(sink)
+
+
+@register(
+    "streaming_tws_user_stats",
+    oracle="""
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_event_types
+FROM events
+GROUP BY user_id
+""",
+    doc="Spark 4 transformWithStateInPandas user stats (ValueState "
+        "count + integer-cents sum, MapState of event types, RocksDB "
+        "provider) where google.protobuf is available; in protobuf-"
+        "free environments the identical state semantics run through "
+        "applyInPandasWithState with pickled-struct state (the r8 "
+        "verdict's prescribed re-expression). Both paths are exact: "
+        "per-element cent rounding then integer sums, so the value "
+        "total is order- and batch-slicing-invariant.",
+    tags=("streaming", "stateful", "pandas-udf"),
+)
+def streaming_tws_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    if transform_with_state_available():  # pragma: no cover - needs protobuf
+        return _tws_user_stats_native(spark, sf_dir)
+    return _tws_user_stats_fallback(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
