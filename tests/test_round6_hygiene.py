@@ -46,6 +46,38 @@ def test_overlap_default_budget_is_module_constant(spark, sf_dir):
     assert OVERLAP_PAIR_BUDGET == 100_000_000
 
 
+def test_basket_budget_trips_on_synthetic_hot_order(spark):
+    """r8 VERDICT item 6: the co-purchase projections' per-order
+    fan-out is data-model-bounded today, but a hot basket would
+    square at scale — the guard must refuse BEFORE the self-join.
+    One synthetic order with 20k parts = ~2e8 pairs > budget."""
+    from pyspark.sql import functions as F
+
+    from ytspark.operators.graph import (
+        COPURCHASE_PAIR_BUDGET,
+        _basket_budget,
+    )
+
+    hot = spark.range(20_000).select(
+        F.lit(1).alias("o"), F.col("id").alias("p")
+    )
+    n = 20_000
+    assert n * (n - 1) // 2 > COPURCHASE_PAIR_BUDGET
+    with pytest.raises(PairBudgetExceededError, match="candidate pairs"):
+        _basket_budget(hot, "synthetic_hot_order")
+
+
+def test_basket_budget_passing_path_unchanged(spark, sf_dir):
+    """The guarded co-purchase queries still run (and still release
+    their persisted intermediates) under the default budget."""
+    from ytspark.queries import registry
+
+    release_all_cached(spark)
+    df = registry()["copurchase_triangle_count"].fn(spark, sf_dir)
+    assert df.count() >= 0
+    release_all_cached(spark)
+
+
 @pytest.mark.parametrize(
     "qname",
     [

@@ -26,6 +26,33 @@ from ytspark.plans.scale import finish
 from ytspark.queries import register
 from ytspark.session import load_tables
 
+# Per-order basket fan-out is data-model-bounded today (<= 7 lineitems
+# per order -> <= 21 pairs), but at 100 TB a hot basket (or a foreign
+# join key from a second source, e.g. the GA mart) would square. Every
+# co-purchase projection below therefore runs the SAME enforced
+# pre-flight as the interval-join family (temporal.enforce_pair_budget,
+# r8 VERDICT item 6): the exact per-block pair volume — sum over orders
+# of n*(n-1)/2, one tiny aggregate over the (order, part) projection —
+# must fit the budget or the operator refuses with
+# PairBudgetExceededError before planning the blow-up join.
+COPURCHASE_PAIR_BUDGET = 100_000_000
+
+
+def _basket_budget(
+    op: DataFrame, op_name: str, budget: int | None = None
+) -> DataFrame:
+    """Enforce the co-purchase pair budget on an (o, part) projection;
+    returns ``op`` unchanged so call sites chain it."""
+    from ytspark.operators.temporal import enforce_pair_budget
+
+    enforce_pair_budget(
+        op,
+        "o",
+        op_name,
+        COPURCHASE_PAIR_BUDGET if budget is None else budget,
+    )
+    return op
+
 PR_DAMPING = 0.85
 PR_ITERS = 3
 PR_ROUND = 8  # decimal places in reported scores (see pagerank())
@@ -297,6 +324,7 @@ def copurchase_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     op = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     ).distinct()
+    op = _basket_budget(op, "copurchase_triangle_count")
     a, b = op.alias("a"), op.alias("b")
     # e feeds THREE consumers (degrees, orientation, the edge count):
     # persist so the per-order pair join + distinct runs once
@@ -442,6 +470,7 @@ def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     op = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     ).distinct()
+    op = _basket_budget(op, "kcore_copurchase")
     a, b = op.alias("a"), op.alias("b")
     e = (
         a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
@@ -550,6 +579,7 @@ def graph_modularity_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     op = t["lineitem"].select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     ).distinct()
+    op = _basket_budget(op, "graph_modularity_brands")
     a, b = op.alias("a"), op.alias("b")
     e = (
         a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
@@ -650,6 +680,7 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     op = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     ).distinct()
+    op = _basket_budget(op, "graph_bfs_distance")
     a, b = op.alias("a"), op.alias("b")
     e = (
         a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
@@ -772,6 +803,7 @@ def parts_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     op = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pk")
     ).distinct()
+    op = _basket_budget(op, "parts_personalized_pagerank")
     a, b = op.alias("a"), op.alias("b")
     eg = (
         a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.pk") < F.col("b.pk")))
@@ -1053,6 +1085,7 @@ def copurchase_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     op = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     ).distinct()
+    op = _basket_budget(op, "copurchase_link_prediction")
     a, b = op.alias("a"), op.alias("b")
     e = (
         a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
@@ -1177,6 +1210,7 @@ def local_clustering_coefficients(
     op = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     ).distinct()
+    op = _basket_budget(op, "local_clustering_coefficients")
     a, b = op.alias("a"), op.alias("b")
     e = (
         a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
@@ -1304,6 +1338,7 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     op = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     ).distinct()
+    op = _basket_budget(op, "graph_degree_assortativity")
     a, b = op.alias("a"), op.alias("b")
     e = (
         a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
@@ -1440,6 +1475,7 @@ def label_propagation_communities(
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
         .distinct()
     )
+    op = _basket_budget(op, "label_propagation_communities")
     a, b = op.alias("a"), op.alias("b")
     e = (
         a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
