@@ -106,6 +106,14 @@ MART_DDL = (
     "`timestamp` timestamp"
 )
 
+# DDL column order, the positional contract for insertInto writes —
+# four adjacent string columns (title, customUrl, url_, Country) mean
+# a reordered caller frame would silently column-swap, so writers
+# MUST re-select by name against this list first.
+MART_COLUMN_ORDER = tuple(
+    c.strip().split()[0].strip("`") for c in MART_DDL.split(",")
+)
+
 
 def enforce_varchar_lengths(df: DataFrame, *, mode: str = "error") -> DataFrame:
     """Apply the reference's varchar(n) bounds to a mart projection.

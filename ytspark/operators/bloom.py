@@ -30,6 +30,8 @@ run by the n_match <= n_pass_bloom accounting the oracle hash-checks.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -270,7 +272,12 @@ def bloom_fpr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("b")
     ).collect()[0]["b"]
     bloom.unpersist()
-    expected_ppm = int(round((n_set_bits / M_BITS) ** N_HASHES * 1_000_000))
+    # half-UP rounding (math.floor(x + 0.5), value always positive) to
+    # match DuckDB's half-away-from-zero ROUND — Python round() is
+    # banker's and would flip the cross-engine hash on an exact .5
+    expected_ppm = math.floor(
+        (n_set_bits / M_BITS) ** N_HASHES * 1_000_000 + 0.5
+    )
     realized_ppm = n_false * 1_000_000 // n_probes
     return spark.createDataFrame(
         [

@@ -1468,6 +1468,8 @@ def retrieval_metrics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("k").cast("long").alias("k"),
             F.col("n_hits").cast("long").alias("n_hits"),
             F.col("n_rel").cast("long").alias("n_relevant"),
+            # `div` (trunc-toward-zero) pairs with DuckDB `//` (floor):
+            # they agree only because hit/size counts are nonnegative
             F.expr("n_hits * 1000 div k").cast("long").alias(
                 "precision_per_mille"
             ),

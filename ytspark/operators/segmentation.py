@@ -262,6 +262,9 @@ def engagement_recency_segments(
         F.count(F.lit(1)).cast("long").alias("n_users"),
         F.sum("n_events").cast("long").alias("n_events"),
         F.sum("value_cents").cast("long").alias("total_value_cents"),
+        # `div` (trunc) pairs with DuckDB `//` (floor): agreement
+        # relies on value cents being nonnegative — if refunds
+        # (negative cents) ever appear, use (a - pmod(a, b)) / b
         F.expr("sum(value_cents) div sum(n_events)")
         .cast("long")
         .alias("cents_per_event"),

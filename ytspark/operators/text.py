@@ -2847,6 +2847,8 @@ def boilerplate_chunk_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_chunks"),
         F.sum("bp").cast("long").alias("n_boilerplate"),
+        # `div` (trunc) pairs with DuckDB `//` (floor): agreement
+        # relies on the retained-count dividend being nonnegative
         F.expr("(count(1) - sum(bp)) * 1000 div count(1)")
         .cast("long")
         .alias("retained_per_mille"),

@@ -1249,7 +1249,12 @@ def gap_fill_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame
     both = F.col("prev_v").isNotNull() & F.col("next_v").isNotNull()
     # all-integer interpolation in cents with floor division (see
     # oracle note): float midpoints of cent values land exactly on
-    # rounding half-boundaries where the engines disagree
+    # rounding half-boundaries where the engines disagree.
+    # PRECONDITION: the dividend is NONNEGATIVE (revenue cents; both
+    # interpolation endpoints >= 0). Spark `div` truncates toward zero
+    # while DuckDB `//` floors — they agree only on nonnegative
+    # operands; if refunds/credits (negative cents) ever enter this
+    # table, switch both engines to (a - pmod(a, b)) / b.
     interp = F.expr(
         "(prev_v * (next_d - di) + next_v * (di - prev_d))"
         " div (next_d - prev_d)"

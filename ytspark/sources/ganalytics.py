@@ -64,6 +64,9 @@ def run_report(*, days: int = GA_DAYS) -> list[dict]:
     """GA4 ``properties.runReport``-shaped rows: one dict per
     (property, date) with string-typed dimension/metric values, exactly
     as the Data API v1 returns them."""
+    import datetime
+
+    start = datetime.date.fromisoformat(GA_START_DATE)
     out = []
     for title, url, seed in channel_seeds():
         for d in range(days):
@@ -71,7 +74,14 @@ def run_report(*, days: int = GA_DAYS) -> list[dict]:
             out.append(
                 {
                     "dimensionValues": [
-                        {"value": f"{GA_START_DATE[:8]}{d + 1:02d}"},
+                        # real date arithmetic: days > 31 rolls into the
+                        # next month instead of emitting '2026-01-32'
+                        # for ANSI to_date to throw on downstream
+                        {
+                            "value": (
+                                start + datetime.timedelta(days=d)
+                            ).isoformat()
+                        },
                         {"value": url},
                     ],
                     "metricValues": [

@@ -269,10 +269,19 @@ def save_mart_table(
     created table is a second, engine-level gate behind the explicit
     one.
     """
-    from ytspark.facts import MART_DDL, enforce_varchar_lengths
+    from ytspark.facts import (
+        MART_COLUMN_ORDER,
+        MART_DDL,
+        enforce_varchar_lengths,
+    )
 
     spark = df.sparkSession
     checked = enforce_varchar_lengths(df, mode=length_mode)
+    # insertInto resolves POSITIONALLY against the table DDL; with four
+    # adjacent string columns a reordered caller frame would silently
+    # column-swap, so re-select by name into DDL order first (missing
+    # columns raise here instead of corrupting the table)
+    checked = checked.select(*MART_COLUMN_ORDER)
     if mode == "overwrite":
         spark.sql(f"DROP TABLE IF EXISTS {name}")
     spark.sql(f"CREATE TABLE IF NOT EXISTS {name} ({MART_DDL}) USING parquet")
