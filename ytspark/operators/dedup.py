@@ -1549,8 +1549,10 @@ def incremental_minhash_dedup(
     try:
         if append:
             new_sigs.write.mode("append").parquet(path + "/sigs")
-            # one file per band per append (see persist_minhash_store)
-            _banded(new_sigs, checkable=checkable).repartition(
+            # one file per band per append (see persist_minhash_store);
+            # new_bands reuses the banding projection computed for the
+            # candidate join (same expression over the cached sigs)
+            new_bands.repartition(
                 "band_id"
             ).write.mode("append").partitionBy("band_id").parquet(
                 path + "/bands"
