@@ -447,6 +447,35 @@ class TestPersistedLshIndex:
         # hamming-1 probing strictly widens the candidate set
         assert recall(r1) >= recall(r0)
 
+    def test_registered_serving_queries_build_index_once(
+        self, spark, sf_dir
+    ):
+        """r9: the registered serving queries amortize the index build
+        (the documented 'bucket once, partition-prune forever' cost
+        model) — a second invocation must NOT rewrite the index."""
+        import os
+
+        from ytspark.operators.similarity import (
+            knn_cosine_ivf,
+            knn_lsh_index_serving,
+        )
+        from ytspark.plans.scratch import scratch_dir
+
+        for fn, tag in (
+            (knn_lsh_index_serving, "lsh"),
+            (knn_cosine_ivf, "ivf"),
+        ):
+            first = fn(spark, sf_dir).collect()
+            marker = os.path.join(
+                scratch_dir(f"{tag}_{sf_dir}"), "index", "_SUCCESS"
+            )
+            mtime = os.path.getmtime(marker)
+            second = fn(spark, sf_dir).collect()
+            assert os.path.getmtime(marker) == mtime, (
+                f"{tag} index rebuilt on repeat invocation"
+            )
+            assert first == second
+
 
 class TestPersistedIvfIndex:
     def test_pruned_probe_scan_and_recall(self, spark, sf_dir, tmp_path):
