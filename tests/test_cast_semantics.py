@@ -97,3 +97,29 @@ class TestVarcharLengthGate:
             assert len(out) == 1 and out[0]["Country"] == "US"
         finally:
             spark.sql("DROP TABLE IF EXISTS yt_facts_ddl_test")
+
+    def test_mart_write_resolves_columns_by_name(self, spark):
+        """r9 (advisor finding): insertInto resolves positionally, and
+        four adjacent string columns would silently column-swap on a
+        reordered caller frame — save_mart_table must write correct
+        values regardless of the input column order, and must raise on
+        a missing column rather than corrupt."""
+        import pytest
+
+        from ytspark.facts import MART_COLUMN_ORDER
+        from ytspark.storage import save_mart_table
+
+        mart = cast_projection(_good_row_df(spark))
+        # adversarial order: reverse the DDL order entirely
+        shuffled = mart.select(*reversed(MART_COLUMN_ORDER))
+        save_mart_table(shuffled, "yt_facts_order_test")
+        try:
+            (row,) = spark.table("yt_facts_order_test").collect()
+            ref = mart.collect()[0]
+            for c in MART_COLUMN_ORDER:
+                assert row[c] == ref[c], f"column {c} corrupted"
+        finally:
+            spark.sql("DROP TABLE IF EXISTS yt_facts_order_test")
+        with pytest.raises(Exception, match="url_|UNRESOLVED|cannot"):
+            save_mart_table(mart.drop("url_"), "yt_facts_missing_test")
+        spark.sql("DROP TABLE IF EXISTS yt_facts_missing_test")
