@@ -391,6 +391,14 @@ def main() -> None:
     # end-of-session hygiene receipt: after the final sweep the JVM
     # must hold no cached blocks at all (the r5 judge's "done" check)
     leftover_cached = spark.sparkContext._jsc.getPersistentRDDs().size()
+    # host-load receipt (r9): a bench taken under outside-VM contention
+    # is garbage (a load-7-10 window inflated one run 15% with 9
+    # spurious early-order flags) — record 1/5/15-min loadavg so any
+    # run's numbers carry their own contamination evidence
+    try:
+        loadavg = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        loadavg = None
     verbose = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -404,6 +412,7 @@ def main() -> None:
         "cross_round_regressions": cross_round,
         "cross_round_baseline": baseline_origin,
         "leftover_cached_rdds": leftover_cached,
+        "loadavg_at_end": loadavg,
     }
     # Full per-query detail: one JSON line on stdout plus a file artifact,
     # so the numbers are auditable even when a log-tail capture truncates
@@ -449,6 +458,7 @@ def main() -> None:
                 "n_regressions": len(regressions),
                 "n_cross_round_regressions": len(cross_round),
                 "leftover_cached_rdds": leftover_cached,
+                "loadavg_at_end": loadavg,
                 "oracle_local": oracle_summary,
                 "detail": "BENCH_DETAIL.json",
             }
