@@ -172,61 +172,91 @@ def register(
 # breadth-first round-robin across every family with unchecked members
 # (oracle-backed preferred). Simulated against check_priority_window
 # before the swap: all 42 families retain carriers.
+# Round 10 rotation (r9 VERDICT item 1): with CORRECTNESS_r09 on record
+# the backlog is 147 and 21 families are now FULLY driver-certified
+# (every member has a pass in some CORRECTNESS_r*.json). Re-anchoring
+# all of them would need an 11-query minimal set cover (computed
+# exactly: max matching over checked-query tag pairs is 4, leaving 7
+# singleton tags), capping first-evers at 38 — below both the r9
+# mandate (>=40) and the backlog target (<=100 at close). So
+# check_priority_window gained rule (b): a family whose EVERY member
+# is ever-driver-checked is covered by that record, and any NEW
+# registration in it reinstates the window requirement (the tripwire
+# intent is unchanged — nothing uncertified can ship outside the
+# window). That frees all 49 non-flagship slots for FIRST-EVER checks:
+# the one repeat anchor is the flagship (entry/union carrier), then
+# the r9-verdict-named leads — the five similarity serving paths whose
+# build-once memoization changed in r9 (knn_lsh_index_serving,
+# knn_cosine_ivf_pq, knn_cosine_lsh, knn_cosine_lsh_multitable,
+# ivf_index_incremental_add), streaming_tws_user_stats (registered r9,
+# never driver-checked), hybrid_search_rrf,
+# label_propagation_communities, local_clustering_coefficients (new
+# pair-budget pre-flight in plan), gap_fill_linear_interpolation,
+# grouped_exact_median_two_pass, kneser_ney_bigram_perplexity,
+# dedup_weighted_jaccard — plus session_path_conversion (funnel tag
+# carrier) and theil_inequality_decomposition (segmentation tag
+# carrier), then a deterministic breadth-first round-robin
+# (alphabetical family order, oracle-backed preferred) across the 21
+# families with unchecked members. All 49 first-evers are
+# oracle-backed. Simulated against check_priority_window before the
+# swap: clean under rules (a)+(b).
 _PRIORITY: tuple[str, ...] = (
-    # ---- repeat anchors (4): flagship + the 3 fully-certified
-    # families with no never-checked tag carrier anywhere ----
-    "mart_union_cast",  # union + reference-pipeline flagship (entry)
-    "json_roundtrip_battery",  # json (r7+r8 passes)
-    "markov_next_event_eval",  # sequence (r8 pass)
-    "hll_intersection_bounds",  # setop (r8 pass)
-    # ---- first-ever driver checks (46): never appeared in any
-    # CORRECTNESS_r01..r08 ----
-    "corr_covar_battery",  # statistics workhorse; changed in r8
-    "copurchase_triangle_count",  # graph workhorse
-    "ab_srm_check",  # experiment workhorse
-    "ab_test_cuped",  # experiment workhorse
-    "cusum_changepoint_daily",  # time workhorse
-    "curation_pipeline_report",  # text workhorse (r8 debut)
-    "ccnet_perplexity_buckets",  # text workhorse
-    "dedup_threshold_sweep",  # dedup workhorse
-    "bradley_terry_priorities",  # learn workhorse
-    "name_edit_distance_profile",  # text + fuzzy carrier
-    "hard_negative_mining",  # similarity + packing carrier
-    "dedup_semantic_clusters",  # dedup + udf carrier
-    "boilerplate_chunk_removal",  # text
-    "allen_interval_relations",  # temporal
-    "eb_shrunk_nation_rates",  # learn
-    "categorical_association_battery",  # statistics
-    "funnel_time_bounded",  # funnel (r8 debut micro-family)
-    "chi2_independence_cramers_v",  # statistics
-    "calendar_zero_fill",  # time
-    "multimodal_audio_decode",  # multimodal
-    "streaming_cms_heavy_hitters",  # streaming
-    "event_type_first_last",  # aggregate
-    "embedding_label_stats",  # profiling
-    "doc_cosine_sparse_topk",  # similarity
-    "copurchase_link_prediction",  # graph
-    "incremental_rollup_maintenance",  # maintenance
-    "ga_youtube_join_mart",  # pipeline (GA second-source join mart)
-    "did_estimator_orders",  # experiment
-    "approx_quantile_rank_bounds",  # sketch
-    "customer_running_revenue",  # window
-    "histogram_profile_totalprice",  # profiling
-    "page_hinkley_daily_mean",  # drift
-    "hilbert_layout_stats",  # layout
-    "map_hof_battery",  # functions (r8 debut)
-    "cohort_retention_matrix",  # retention
-    "relational_division_priorities",  # relational (r8 debut)
-    "pivot_unpivot_roundtrip",  # unpivot (r8 debut)
-    "null_join_semantics_battery",  # nulls (r8 debut)
-    "keyset_pagination_battery",  # limit (r8 debut)
-    "brand_affinity_lift",  # affinity (r8 debut)
-    "user_topn_recommendations",  # recommend (r8 debut)
-    "bloom_fpr_calibration",  # bloom (r8 debut)
-    "pareto_frontier_layers",  # pareto (r8 debut)
-    "engagement_recency_segments",  # segmentation (r8 debut)
-    "spatial_radius_join",  # join/spatial
-    "dbscan_core_census",  # clustering (r8 debut)
+    # ---- repeat anchor (1): the flagship (entry; union + pipeline) ----
+    "mart_union_cast",
+    # ---- first-ever driver checks (49): never appeared in any
+    # CORRECTNESS_r01..r09 ---- r9-verdict-named leads first:
+    "knn_lsh_index_serving",  # similarity — build-once path changed r9
+    "knn_cosine_ivf_pq",  # similarity — IVF build-once path changed r9
+    "knn_cosine_lsh",  # similarity — LSH serving path
+    "knn_cosine_lsh_multitable",  # similarity — LSH serving path
+    "ivf_index_incremental_add",  # similarity — incremental IVF store
+    "streaming_tws_user_stats",  # streaming — registered r9, never checked
+    "hybrid_search_rrf",  # search workhorse
+    "label_propagation_communities",  # graph workhorse
+    "local_clustering_coefficients",  # graph — new pair-budget pre-flight
+    "gap_fill_linear_interpolation",  # time workhorse
+    "grouped_exact_median_two_pass",  # profiling workhorse
+    "kneser_ney_bigram_perplexity",  # text workhorse
+    "dedup_weighted_jaccard",  # dedup workhorse
+    "session_path_conversion",  # temporal + funnel tag carrier
+    "theil_inequality_decomposition",  # statistics + segmentation carrier
+    # breadth-first round-robin, pass 1 (alphabetical family order,
+    # oracle-backed preferred within each family):
+    "segment_price_approx_quantiles",  # aggregate
+    "dedup_prefix_clusters",  # dedup
+    "xbar_control_chart",  # drift
+    "sprt_sequential_monitor",  # experiment
+    "hierarchy_pointer_doubling",  # graph
+    "rendezvous_rebalance_audit",  # layout
+    "loo_group_influence",  # learn
+    "scd2_order_status_history",  # maintenance
+    "multimodal_decode_stats",  # multimodal
+    "schema_evolution_read",  # pipeline
+    "fd_repair_majority",  # profiling
+    "referential_integrity_audit",  # quality
+    "inverted_index_stats",  # search
+    "embedding_norm_outliers",  # similarity
+    "hll_union_rollup_bounds",  # sketch
+    "kruskal_wallis_priority",  # statistics
+    "streaming_sliding_counts",  # streaming
+    "purchase_touch_attribution",  # temporal
+    "text_quality_score",  # text
+    "events_value_holt",  # time
+    "priority_price_rank_stats",  # window
+    # pass 2 (alphabetical until the 50 slots fill):
+    "events_user_reach_sketch",  # aggregate
+    "dedup_minhash_clusters_checkable",  # dedup
+    "thompson_allocation_grid",  # experiment
+    "graph_modularity_brands",  # graph
+    "ece_brier_decomposition",  # learn
+    "table_diff_audit",  # maintenance
+    "multimodal_frame_sample",  # multimodal
+    "stratified_neyman_sample",  # pipeline
+    "column_mutual_information",  # profiling
+    "tfidf_top_terms",  # search
+    "matryoshka_truncation_recall",  # similarity
+    "hll_retention_estimate_bounds",  # sketch
+    "effect_size_battery",  # statistics
 )
 
 
