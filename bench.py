@@ -286,8 +286,70 @@ def bench_names(reg) -> list[str]:
     ]
 
 
+# Host-load gate (r9 VERDICT item 2): the r9 driver bench ran at
+# loadavg 12.8 and produced 12 uniform 3-6x false flags on sub-second
+# queries; the r9-close's own first attempt under load 7-10 showed the
+# same signature and was discarded. Recording load at the END (r9,
+# commit f4d1240) documents contamination after the fact — this gate
+# decides it BEFORE the first query.
+LOADAVG_MAX_DEFAULT = 2.0
+
+
+def host_quiet_check(now_loadavg=None):
+    """Return (loadavg_at_start, comparable, threshold).
+
+    ``comparable`` is False when the 1-minute loadavg at start exceeds
+    the threshold (env ``SPARK_GRAFT_LOADAVG_MAX``, default 2.0) — the
+    artifact is stamped so regression flags taken under contention are
+    never mistaken for code drift. With
+    ``SPARK_GRAFT_BENCH_REQUIRE_QUIET=1`` the caller should refuse to
+    run instead (the builder's close-run mode; the driver's default
+    keeps producing a stamped artifact). ``now_loadavg`` is injectable
+    for tests.
+    """
+    threshold = float(
+        os.environ.get("SPARK_GRAFT_LOADAVG_MAX", str(LOADAVG_MAX_DEFAULT))
+    )
+    if now_loadavg is None:
+        try:
+            now_loadavg = [round(x, 2) for x in os.getloadavg()]
+        except OSError:
+            return None, True, threshold  # no measurement -> no verdict
+    else:
+        now_loadavg = [round(float(x), 2) for x in now_loadavg]
+    return now_loadavg, now_loadavg[0] <= threshold, threshold
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    loadavg_start, comparable, load_threshold = host_quiet_check()
+    # optional settle-wait (close-run convenience): the 1-minute average
+    # decays slowly after the checklist's own pytest/audit runs finish,
+    # so give it up to N seconds to fall below the threshold before
+    # deciding comparability
+    wait_budget = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT", "0"))
+    while not comparable and wait_budget > 0:
+        step = min(15.0, wait_budget)
+        time.sleep(step)
+        wait_budget -= step
+        loadavg_start, comparable, load_threshold = host_quiet_check()
+    if not comparable and os.environ.get("SPARK_GRAFT_BENCH_REQUIRE_QUIET"):
+        # builder close-run mode: a contaminated close baseline is worse
+        # than no run — refuse before paying the session startup
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_queries_total_wall",
+                    "error": "host not quiet",
+                    "loadavg_at_start": loadavg_start,
+                    "loadavg_threshold": load_threshold,
+                    "comparable": False,
+                }
+            )
+        )
+        raise SystemExit(2)
+
     from ytspark import get_spark
     from ytspark.plans.scale import release_all_cached
     from ytspark.queries import registry
@@ -412,17 +474,22 @@ def main() -> None:
         "cross_round_regressions": cross_round,
         "cross_round_baseline": baseline_origin,
         "leftover_cached_rdds": leftover_cached,
+        "loadavg_at_start": loadavg_start,
         "loadavg_at_end": loadavg,
+        "loadavg_threshold": load_threshold,
+        "comparable": comparable,
     }
     # Full per-query detail: one JSON line on stdout plus a file artifact,
     # so the numbers are auditable even when a log-tail capture truncates
-    # long lines.
+    # long lines. A non-comparable (loaded-host) run must NOT become the
+    # next run's regression baseline.
     print(json.dumps(verbose))
-    try:
-        with open(detail_path, "w") as fh:
-            json.dump(verbose, fh, indent=2)
-    except OSError:
-        pass
+    if comparable:
+        try:
+            with open(detail_path, "w") as fh:
+                json.dump(verbose, fh, indent=2)
+        except OSError:
+            pass
     # Surface the last committed full-registry oracle_check summary so
     # the uncapped correctness counts ride along in the recorded bench
     # artifact (VERDICT r3 item 7: externally record the full-registry
@@ -458,7 +525,9 @@ def main() -> None:
                 "n_regressions": len(regressions),
                 "n_cross_round_regressions": len(cross_round),
                 "leftover_cached_rdds": leftover_cached,
+                "loadavg_at_start": loadavg_start,
                 "loadavg_at_end": loadavg,
+                "comparable": comparable,
                 "oracle_local": oracle_summary,
                 "detail": "BENCH_DETAIL.json",
             }

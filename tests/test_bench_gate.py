@@ -1,0 +1,51 @@
+"""The bench host-load gate (r9 VERDICT item 2): a run started under
+outside-VM contention must stamp its artifact non-comparable (or, in
+require-quiet mode, refuse to start) — the r9 driver bench at loadavg
+12.8 produced 12 uniform 3-6x false regression flags on sub-second
+queries that were pure host noise."""
+
+from __future__ import annotations
+
+import os
+
+import bench
+
+
+def test_quiet_host_is_comparable(monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_LOADAVG_MAX", raising=False)
+    load, comparable, threshold = bench.host_quiet_check([0.8, 1.2, 1.5])
+    assert load == [0.8, 1.2, 1.5]
+    assert comparable is True
+    assert threshold == bench.LOADAVG_MAX_DEFAULT
+
+
+def test_loaded_host_is_stamped_non_comparable(monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_LOADAVG_MAX", raising=False)
+    load, comparable, _ = bench.host_quiet_check([7.4, 5.0, 3.0])
+    assert comparable is False
+
+
+def test_threshold_is_env_overridable(monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_LOADAVG_MAX", "8.0")
+    _, comparable, threshold = bench.host_quiet_check([7.4, 5.0, 3.0])
+    assert threshold == 8.0
+    assert comparable is True
+
+
+def test_boundary_is_inclusive(monkeypatch):
+    # exactly at the threshold still counts as quiet — the gate fires
+    # on EXCEEDING it, matching the docstring
+    monkeypatch.delenv("SPARK_GRAFT_LOADAVG_MAX", raising=False)
+    _, comparable, _ = bench.host_quiet_check([2.0, 9.9, 9.9])
+    assert comparable is True
+
+
+def test_unmeasurable_load_yields_no_verdict(monkeypatch):
+    def boom():  # pragma: no cover - trivial stub
+        raise OSError("no loadavg on this platform")
+
+    monkeypatch.delenv("SPARK_GRAFT_LOADAVG_MAX", raising=False)
+    monkeypatch.setattr(os, "getloadavg", boom)
+    load, comparable, _ = bench.host_quiet_check()
+    assert load is None
+    assert comparable is True  # absence of evidence is not contamination
