@@ -56,6 +56,53 @@ class TestColumnGrains:
         sql = "SELECT ROUND(a, 2) AS y FROM t UNION ALL SELECT ROUND(b, 5) AS y FROM u"
         assert self._grains(sql) == {"y": 5}
 
+    def test_suffix_cast_between_round_and_alias(self):
+        # r9 ADVICE: ROUND(x,2)::DOUBLE AS y lost attribution
+        assert self._grains("SELECT ROUND(x, 2)::DOUBLE AS y FROM t") == {"y": 2}
+        assert self._grains(
+            "SELECT ROUND(x, 4)::DECIMAL(18,4) AS y FROM t"
+        ) == {"y": 4}
+
+    def test_enclosing_cast_between_round_and_alias(self):
+        # r9 ADVICE: CAST(ROUND(x,2) AS DOUBLE) AS y attributed the
+        # grain to a column literally named "double"
+        sql = "SELECT CAST(ROUND(x, 2) AS DOUBLE) AS y FROM t"
+        assert self._grains(sql) == {"y": 2}
+
+    def test_subquery_tail_is_not_eaten_as_a_cast(self):
+        # `AS y)` at the end of a subquery select list must stay an
+        # alias, not be skipped as an enclosing-cast tail
+        sql = "SELECT * FROM (SELECT ROUND(x, 3) AS y FROM t) s"
+        assert self._grains(sql) == {"y": 3}
+
+
+class TestRiskySumAvg:
+    def _risky(self, sql):
+        from env_sensitivity_audit import risky_sum_avg
+
+        return risky_sum_avg(sql)
+
+    def test_plain_double_sum_is_risky(self):
+        # the r9 advisor's medium finding: ordered double accumulation
+        # (the round-7 failure class) was never RAW_FLOAT-gated
+        assert self._risky("SELECT SUM(price) AS s FROM t")
+        assert self._risky("SELECT AVG(score) AS a FROM t")
+
+    def test_decimal_cast_sum_is_exact(self):
+        assert not self._risky(
+            "SELECT SUM(CAST(price AS DECIMAL(18,2))) AS s FROM t"
+        )
+        assert not self._risky("SELECT SUM(price::DECIMAL(18,2)) AS s FROM t")
+
+    def test_integer_cast_sum_is_exact(self):
+        assert not self._risky("SELECT SUM(qty::BIGINT) AS s FROM t")
+
+    def test_one_risky_among_exact_still_flags(self):
+        sql = (
+            "SELECT SUM(CAST(a AS DECIMAL(18,2))) AS s1, SUM(b) AS s2 FROM t"
+        )
+        assert self._risky(sql)
+
 
 class TestSecondEnvComparator:
     def test_normalize_detects_a_single_float_divergence(self):

@@ -75,6 +75,33 @@ ADJUDICATED = {
         "PINNED: per-row scalar trees over exact inputs, no "
         "accumulation, no libm"
     ),
+    # --- r10: flags raised by the new SUM/AVG-over-unmarked-arg
+    # detector; in each, the bare-identifier argument is DECIMAL-typed
+    # in its defining CTE (invisible to the textual scan), so the
+    # accumulation is exact and the reported float is a deterministic
+    # scalar tree over exact casts ---
+    "brand_revenue_share": (
+        "PINNED: rev is SUM(DECIMAL) in the CTE; share_of_type is one "
+        "correctly-rounded division of two exact-valued doubles"
+    ),
+    "daily_revenue_moving_avg": (
+        "PINNED: day_rev is SUM(DECIMAL); ma7 is exact frame-sum cast "
+        "once then divided by an integer count"
+    ),
+    "q17_small_quantity_revenue": (
+        "PINNED: avg_yearly is CAST(SUM(DECIMAL) AS DOUBLE)/7.0; the "
+        "AVG(l_quantity) filter threshold is an exact-sum/count "
+        "division of cent-quantized decimals (correctly rounded, "
+        "build-identical)"
+    ),
+    "q8_market_share": (
+        "PINNED: both numerator and denominator are SUM(DECIMAL) cast "
+        "once; mkt_share is a single correctly-rounded division"
+    ),
+    "segment_balance_moments": (
+        "PINNED: b and b*b accumulate in DECIMAL; mean/stddev are "
+        "scalar trees over the exact sums (IEEE sqrt correctly rounded)"
+    ),
     "benford_digit_audit": (
         "PINNED: exact count ratios; libm log10 terms rounded at 3 dp "
         "against O(1e4) magnitude (5e-11 error vs 5e-4 half-grain)"
@@ -214,6 +241,20 @@ TIEBREAK_RX = re.compile(
 ROUND_OPEN_RX = re.compile(r"\bROUND\s*\(", re.I)
 ROUND_DIGITS_RX = re.compile(r",\s*(\d+)\s*$")
 ALIAS_RX = re.compile(r"\s*(?:AS\s+)?([A-Za-z_]\w*)", re.I)
+# cast plumbing that may sit between ROUND's close paren and the alias
+# (r9 ADVICE): a `::double` suffix cast, or the `AS <type>)` tail of an
+# enclosing CAST(ROUND(...) AS <type>). Without skipping these, the
+# suffix form loses attribution and the CAST form attributes the grain
+# to a column literally named after the type.
+SUFFIX_CAST_RX = re.compile(r"\s*::\s*\w+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?")
+ENCLOSING_CAST_TAIL_RX = re.compile(
+    # the word after AS must be a TYPE name, else `(SELECT ROUND(x,2)
+    # AS y)` at the end of a subquery would be eaten as a cast tail
+    r"\s*AS\s+(?:DOUBLE(?:\s+PRECISION)?|FLOAT[48]?|REAL|DECIMAL|NUMERIC"
+    r"|U?(?:TINY|SMALL|BIG|HUGE)?INT(?:EGER)?)"
+    r"(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?\s*\)",
+    re.I,
+)
 # divergence only enters a raw (un-ROUNDed) float through ordered
 # double accumulation, libm transcendentals, or engine-specific
 # algorithms — a plain ratio of exact sums is build-stable
@@ -223,6 +264,36 @@ RAW_RISK_RX = re.compile(
     r"|MEDIAN|QUANTILE_CONT|PERCENTILE_CONT)\s*\(",
     re.I,
 )
+SUM_AVG_OPEN_RX = re.compile(r"\b(SUM|AVG)\s*\(", re.I)
+# textual exactness markers inside a SUM/AVG argument: an explicit
+# DECIMAL/HUGEINT cast makes the accumulation exact (the house rule),
+# and ::BIGINT/::INTEGER arguments accumulate in integer arithmetic
+EXACT_ARG_RX = re.compile(r"DECIMAL|NUMERIC|HUGEINT|BIGINT|::\s*INT", re.I)
+
+
+def risky_sum_avg(sql: str) -> bool:
+    """True when any SUM()/AVG() argument lacks an exactness marker.
+
+    Plain SUM/AVG over a DOUBLE is ordered accumulation — the exact
+    divergence class behind the round-7 driver failures — yet the
+    transcendental-oriented RAW_RISK_RX never matched it (r9 ADVICE,
+    medium). Balanced-paren scan per call; errs toward risky (an
+    integer column summed without a cast is textually indistinguishable
+    from a double, and a false flag only asks for an adjudication).
+    """
+    for m in SUM_AVG_OPEN_RX.finditer(sql):
+        depth, i = 1, m.end()
+        while i < len(sql) and depth:
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            continue  # unbalanced tail; ignore
+        if not EXACT_ARG_RX.search(sql[m.end() : i - 1]):
+            return True
+    return False
 NON_ALIAS_KEYWORDS = frozenset(
     "FROM WHERE GROUP ORDER AS END THEN ELSE WHEN AND OR NOT DESC ASC "
     "OVER JOIN ON UNION LIMIT HAVING IS IN BETWEEN CASE SELECT CROSS "
@@ -265,6 +336,22 @@ def column_grains(sql: str) -> dict[str, int]:
         digits_m = ROUND_DIGITS_RX.search(sql[m.end() : i - 1])
         if not digits_m:
             continue  # one-arg ROUND -> integer grain 0, the fallback
+        # skip cast plumbing between the close paren and the alias:
+        # any run of `::type` suffix casts, then (when the ROUND sits
+        # inside CAST(... AS type)) the enclosing cast's `AS type)` tail
+        while True:
+            suffix = SUFFIX_CAST_RX.match(sql, i)
+            if not suffix:
+                break
+            i = suffix.end()
+        tail = ENCLOSING_CAST_TAIL_RX.match(sql, i)
+        if tail:
+            i = tail.end()
+            while True:  # the enclosing CAST may itself be suffix-cast
+                suffix = SUFFIX_CAST_RX.match(sql, i)
+                if not suffix:
+                    break
+                i = suffix.end()
         alias_m = ALIAS_RX.match(sql, i)
         if not alias_m or alias_m.group(1).upper() in NON_ALIAS_KEYWORDS:
             continue
@@ -321,7 +408,7 @@ def main() -> int:
             if (
                 col.lower() not in grains
                 and not (vals == vals.round(6)).all()
-                and RAW_RISK_RX.search(stripped)
+                and (RAW_RISK_RX.search(stripped) or risky_sum_avg(stripped))
             ):
                 raw_cols.append(col)
             mx = float(vals.abs().max())

@@ -25,10 +25,17 @@ machine:
 Exit 0 when every checked query is stable under both perturbations;
 exit 1 listing the sensitive ones. Usage::
 
-    python tools/second_env_check.py [sf_dir] [name ...]
+    python tools/second_env_check.py [--full-spark] [sf_dir] [name ...]
 
 With no names: DuckDB pass over ALL oracles + Spark pass over the
-50-query certified window. With names: both passes over those names.
+50-query certified window, or over the FULL registry with
+``--full-spark`` (the standing round-close mode per r9 VERDICT item 5
+— partition-count sensitivity in backlog queries is caught before
+their first driver check). With names: both passes over those names —
+a requested name that is not registered is an ERROR (exit 1), and a
+registered oracle-less name still gets the Spark pass (r9 ADVICE: such
+names used to be silently skipped from both passes while the tool
+reported success).
 """
 
 from __future__ import annotations
@@ -58,8 +65,10 @@ def _duck_run(sf_dir: str, sql: str, threads: int):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    full_spark = "--full-spark" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     sys.path.insert(
@@ -71,6 +80,10 @@ def main() -> int:
     from ytspark.queries import _PRIORITY, registry
 
     reg = registry()
+    unknown = sorted(only - set(reg))
+    if unknown:  # a typo'd name must not report exit 0 as if checked
+        print(f"ERROR: requested names not in the registry: {unknown}")
+        return 1
     sensitive: list[tuple[str, str]] = []
 
     # ---- DuckDB thread-order pass ----
@@ -78,6 +91,9 @@ def main() -> int:
         n for n, q in sorted(reg.items())
         if q.oracle is not None and (not only or n in only)
     ]
+    for name in sorted(only):
+        if reg[name].oracle is None:
+            print(f"skip  {name}: no oracle — duckdb pass not applicable")
     for name in duck_names:
         try:
             a = normalize(_duck_run(sf_dir, reg[name].oracle, threads=8))
@@ -94,11 +110,16 @@ def main() -> int:
             print(f"ok    {name}: duckdb thread-order stable")
 
     # ---- Spark shuffle-partition pass ----
-    spark_names = (
-        [n for n in duck_names if n in only]
-        if only
-        else [n for n in _PRIORITY if reg[n].oracle is not None]
-    )
+    # explicit names run the Spark pass even when oracle-less (the
+    # perturbation compares Spark against itself, no SQL needed); with
+    # no names, --full-spark covers the whole registry (round-close
+    # mode), else the certified window
+    if only:
+        spark_names = sorted(only)
+    elif full_spark:
+        spark_names = list(reg)
+    else:
+        spark_names = [n for n in _PRIORITY]
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
     spark = get_spark("second-env-check")
     base_parts = spark.conf.get("spark.sql.shuffle.partitions")
