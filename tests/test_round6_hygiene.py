@@ -67,6 +67,54 @@ def test_basket_budget_trips_on_synthetic_hot_order(spark):
         _basket_budget(hot, "synthetic_hot_order")
 
 
+def test_basket_budget_force_retrips_after_memo(spark):
+    """r9 ADVICE: once a (plan, budget) is memoized, an explicit budget
+    alone skipped the pre-flight — force=True must re-run it, and
+    clear_basket_budget_cache() must empty the memo."""
+    from pyspark.sql import functions as F
+
+    from ytspark.operators.graph import (
+        _BASKET_BUDGET_OK,
+        _basket_budget,
+        clear_basket_budget_cache,
+    )
+
+    clear_basket_budget_cache()
+    df = spark.range(100).select(F.lit(1).alias("o"), F.col("id").alias("p"))
+    key = (df.semanticHash(), 10)
+    _BASKET_BUDGET_OK.add(key)  # simulate a stale passing verdict
+    _basket_budget(df, "stale_probe", budget=10)  # memo: silently passes
+    with pytest.raises(PairBudgetExceededError):
+        _basket_budget(df, "stale_probe", budget=10, force=True)
+    clear_basket_budget_cache()
+    assert not _BASKET_BUDGET_OK
+
+
+def test_grid_budget_trips_on_wide_value_domain(spark):
+    """r9 VERDICT item 3: a kernel-grid aggregate is |distinct v|^2 —
+    an open-ended value domain must trip the pre-flight before the
+    grid crossJoin is planned."""
+    from pyspark.sql import functions as F
+
+    from ytspark.operators.temporal import enforce_grid_budget
+
+    wide = spark.range(100_000).select(F.col("id").alias("v"))
+    with pytest.raises(PairBudgetExceededError, match="value-pair products"):
+        enforce_grid_budget(wide, "synthetic_wide_domain", 100_000_000)
+
+
+def test_grid_budget_passing_path_unchanged(spark, sf_dir):
+    """The guarded grid kernels (MMD, Cliff's delta) still run and
+    still hash the same answer under the default budget."""
+    from ytspark.queries import registry
+
+    release_all_cached(spark)
+    for qname in ("mmd_rbf_two_sample", "effect_size_battery"):
+        df = registry()[qname].fn(spark, sf_dir)
+        assert df.count() >= 1
+    release_all_cached(spark)
+
+
 def test_basket_budget_passing_path_unchanged(spark, sf_dir):
     """The guarded co-purchase queries still run (and still release
     their persisted intermediates) under the default budget."""

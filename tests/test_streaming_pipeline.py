@@ -220,3 +220,54 @@ class TestTransformWithStateGate:
         assert got["n_events"] == exp["n"]
         assert got["n_event_types"] == exp["nt"]
         assert abs(got["total_value"] - exp["tv"]) < 1e-9
+
+    def test_tws_fallback_is_batch_slicing_invariant(
+        self, spark, sf_dir, tmp_path
+    ):
+        """r9 ADVICE: the fallback's append-mode cumulative emissions
+        used to depend on the single-file source producing exactly one
+        micro-batch — a multi-batch source yielded duplicate per-user
+        rows with stale counts. Drive a deliberately 3-batch source
+        through the same code path and assert the finalized result
+        matches the batch recompute exactly (one row per user)."""
+        from pyspark.sql import functions as F
+
+        from ytspark.streaming.queries import _tws_user_stats_fallback
+
+        events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "user_id", "event_type", F.col("value").cast("double").alias("value"),
+        )
+        stage = str(tmp_path / "slices")
+        # 3 slices by user_id mod 3 — most users land in ONE slice, but
+        # slicing by event_id % 3 puts every user in EVERY batch; use
+        # that to force multi-batch per-user emissions
+        events.withColumn(
+            "slice", F.monotonically_increasing_id() % 3
+        ).write.partitionBy("slice").parquet(stage)
+        schema = spark.read.parquet(f"{stage}/slice=0").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{stage}/slice=*")
+        )
+        out = _tws_user_stats_fallback(spark, sf_dir, stream=stream)
+        got = {r["user_id"]: r for r in out.collect()}
+        exp = {
+            r["user_id"]: r
+            for r in events.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                (
+                    F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0
+                ).alias("total_value"),
+                F.countDistinct("event_type").alias("n_event_types"),
+            )
+            .collect()
+        }
+        assert set(got) == set(exp)
+        assert len(got) == out.count()  # exactly one finalized row/user
+        for uid, e in exp.items():
+            g = got[uid]
+            assert g["n_events"] == e["n_events"], uid
+            assert g["n_event_types"] == e["n_event_types"], uid
+            assert abs(g["total_value"] - e["total_value"]) < 1e-9, uid

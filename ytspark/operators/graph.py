@@ -44,21 +44,32 @@ COPURCHASE_PAIR_BUDGET = 100_000_000
 # nine times. Session-lifetime caching is sound here because the probe
 # is a ROUTING check, not a correctness input, and a production
 # deployment creates a session per job run; a same-session caller that
-# mutates the underlying table between calls re-verifies by passing an
-# explicit budget (which still memoizes only per exact budget).
+# mutates the underlying table between calls re-verifies with
+# ``force=True`` (r9 ADVICE: an explicit budget alone does NOT bypass
+# the memo once that budget has been memoized) or by calling
+# ``clear_basket_budget_cache()`` first.
 _BASKET_BUDGET_OK: set[tuple[int, int]] = set()
 
 
+def clear_basket_budget_cache() -> None:
+    """Drop every memoized pre-flight verdict — the escape hatch for a
+    same-session caller that mutated the underlying data."""
+    _BASKET_BUDGET_OK.clear()
+
+
 def _basket_budget(
-    op: DataFrame, op_name: str, budget: int | None = None
+    op: DataFrame, op_name: str, budget: int | None = None,
+    force: bool = False,
 ) -> DataFrame:
     """Enforce the co-purchase pair budget on an (o, part) projection;
-    returns ``op`` unchanged so call sites chain it."""
+    returns ``op`` unchanged so call sites chain it. ``force=True``
+    re-runs the pre-flight aggregate even when this (plan, budget) has
+    already been verified this session."""
     from ytspark.operators.temporal import enforce_pair_budget
 
     b = COPURCHASE_PAIR_BUDGET if budget is None else budget
     key = (op.semanticHash(), b)
-    if key in _BASKET_BUDGET_OK:
+    if not force and key in _BASKET_BUDGET_OK:
         return op
     enforce_pair_budget(op, "o", op_name, b)
     if len(_BASKET_BUDGET_OK) < 1024:  # bound the memo

@@ -350,6 +350,26 @@ def enforce_pair_budget(
         )
 
 
+def enforce_grid_budget(grid: DataFrame, op_name: str, budget: int) -> None:
+    """ENFORCED pre-flight for value-histogram kernel grids (r9 VERDICT
+    item 3): a grid-squared aggregate (MMD kernel sums, Cliff's-delta
+    gt/lt mass) crossJoins the per-value count table with itself, so
+    its cost is |distinct values|^2 — row-count-invariant, but squared
+    in the value DOMAIN. Bounded value enums (cent-quantized prices)
+    keep it tiny; an open-ended domain at 100 TB squares the grid
+    itself. One cheap count() decides: over budget, the operator
+    refuses and the caller coarsens the quantization grain (cents ->
+    dollars shrinks the grid 1e4x) or routes to a sketch."""
+    n = grid.count()
+    if n * n > budget:
+        raise PairBudgetExceededError(
+            f"{op_name}: kernel grid would evaluate {n:,}^2 = "
+            f"{n * n:,} value-pair products > budget {budget:,}; "
+            "coarsen the quantization grain (e.g. cents -> whole "
+            "units) or route the comparison to a sketch family."
+        )
+
+
 _OVERLAP_ORACLE = f"""
 WITH spans AS (
   SELECT user_id, CAST(ts AS DATE) AS d,

@@ -2693,7 +2693,12 @@ def effect_size_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     pergrid = s.groupBy("v").agg(
         F.sum(F.when(F.col("g") == MWU_A, 1).otherwise(0)).alias("ca"),
         F.sum(F.when(F.col("g") == MWU_B, 1).otherwise(0)).alias("cb"),
-    )
+    ).localCheckpoint(eager=True)
+    # Cliff's delta is the same grid-squared shape as the MMD kernel —
+    # same enforced pre-flight (r9 VERDICT item 3 sweep)
+    from ytspark.operators.temporal import enforce_grid_budget
+
+    enforce_grid_budget(pergrid, "effect_size_battery", GRID_PAIR_BUDGET)
     a, b = pergrid.alias("a"), pergrid.alias("b")
     cliff = a.crossJoin(b).agg(
         F.sum(
@@ -3067,6 +3072,10 @@ def thompson_allocation_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 MMD_SIGMA_CENTS = 5000.0  # RBF bandwidth: 50 value units
+# routing budget for the grid-squared kernel aggregates (MMD, Cliff's
+# delta): |distinct quantized values|^2 products — same routing scale
+# as the interval-join pair budget (r9 VERDICT item 3)
+GRID_PAIR_BUDGET = 100_000_000
 
 
 @register(
@@ -3130,6 +3139,11 @@ def mmd_rbf_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("g") == MWU_A, 1).otherwise(0)).alias("ca"),
         F.sum(F.when(F.col("g") == MWU_B, 1).otherwise(0)).alias("cb"),
     ).localCheckpoint(eager=True)
+    # the grid crossJoin below is |distinct v|^2 — enforce the routing
+    # budget before planning it (the checkpoint makes the count free)
+    from ytspark.operators.temporal import enforce_grid_budget
+
+    enforce_grid_budget(pergrid, "mmd_rbf_two_sample", GRID_PAIR_BUDGET)
     tot = pergrid.agg(F.sum("ca").alias("n1"), F.sum("cb").alias("n2"))
     a, b = pergrid.alias("a"), pergrid.alias("b")
     two_s2 = 2 * MMD_SIGMA_CENTS * MMD_SIGMA_CENTS

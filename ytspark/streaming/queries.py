@@ -683,19 +683,42 @@ def _tws_user_stats_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink = f"stream_tws_{abs(hash(sf_dir)) % 10_000_000}"
     _run_to_memory(stats, sink, output_mode="append")
-    return spark.table(sink)
+    # same batch-slicing finalization as the fallback twin: keep each
+    # user's max-n_events (final cumulative) row
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        spark.table(sink)
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .drop("_rk")
+    )
 
 
-def _tws_user_stats_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _tws_user_stats_fallback(
+    spark: SparkSession, sf_dir: str, stream: DataFrame | None = None
+) -> DataFrame:
     """Protobuf-free twin of ``_tws_user_stats_native``: the SAME state
     semantics (ValueState count + integer-cents sum; MapState of seen
     event types) expressed through ``applyInPandasWithState``, whose
     pickled-struct state client needs no protobuf. The MapState becomes
     a seen-types array in the tuple state — same bounded cardinality
-    (event_type is a 5-value enum), same per-micro-batch merge."""
+    (event_type is a 5-value enum), same per-micro-batch merge.
+
+    Append mode emits one CUMULATIVE row per key per micro-batch, so a
+    multi-batch source yields several rows per user, the last one
+    final (r9 ADVICE: this used to silently depend on _events_stream's
+    single-file source producing exactly one batch). The finalization
+    below keeps only each user's max-``n_events`` row — cumulative
+    counts strictly increase whenever a user has rows in a batch, so
+    that row IS the final state and the result is batch-slicing-
+    invariant by construction. ``stream`` is injectable so tests can
+    drive a deliberately multi-batch source through the same path."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    stream = _events_stream(spark, sf_dir)
+    if stream is None:
+        stream = _events_stream(spark, sf_dir)
 
     def update(key, pdfs, state: GroupState):
         import pandas as pd
@@ -730,7 +753,15 @@ def _tws_user_stats_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink = f"stream_tws_fb_{abs(hash(sf_dir)) % 10_000_000}"
     _run_to_memory(stats, sink, output_mode="append")
-    return spark.table(sink)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        spark.table(sink)
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .drop("_rk")
+    )
 
 
 @register(
