@@ -2735,8 +2735,8 @@ SELECT CAST(n0 AS BIGINT) AS n_class0,
        CAST(n1 AS BIGINT) AS n_class1,
        ROUND(m11 - m01, 6) AS mean_gap_x1,
        ROUND(m12 - m02, 6) AS mean_gap_x2,
-       ROUND(wt1 * 1e6, 6) AS w1_scaled,
-       ROUND(wt2 * 1e6, 6) AS w2_scaled,
+       ROUND(wt1 * 1e6, 6) + 0 AS w1_scaled,
+       ROUND(wt2 * 1e6, 6) + 0 AS w2_scaled,
        ROUND(wt1 * (m01 + m11) / 2 + wt2 * (m02 + m12) / 2, 9)
          AS threshold,
        ROUND((SELECT n_correct FROM scored) / (n0 + n1), 6)
@@ -2802,8 +2802,11 @@ def fisher_lda_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(n1 AS BIGINT) AS n_class1",
         "ROUND(m11 - m01, 6) AS mean_gap_x1",
         "ROUND(m12 - m02, 6) AS mean_gap_x2",
-        "ROUND(wt1 * 1e6, 6) AS w1_scaled",
-        "ROUND(wt2 * 1e6, 6) AS w2_scaled",
+        # + 0 normalizes IEEE signed zero: a weight that rounds to
+        # zero from below lands at -0.0 in DuckDB and +0.0 in Spark
+        # (observed at sf0.1), and the %.10g hash sees "-0" vs "0"
+        "ROUND(wt1 * 1e6, 6) + 0 AS w1_scaled",
+        "ROUND(wt2 * 1e6, 6) + 0 AS w2_scaled",
         "ROUND(wt1 * (m01 + m11) / 2 + wt2 * (m02 + m12) / 2, 9)"
         " AS threshold",
         "ROUND(n_correct / (n0 + n1), 6) AS train_accuracy",

@@ -664,8 +664,16 @@ def search_rank_agreement_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nstats = common.agg(
         F.count(F.lit(1)).alias("n_common"),
-        F.sum(
-            ((F.col("rb") <= AGREE_AT) & (F.col("rc") <= AGREE_AT)).cast("int")
+        # COALESCE: the overlap is a COUNT — over an EMPTY common list
+        # (the retrievers can fully disagree; they do at sf0.1) it must
+        # be 0 like the oracle's COUNT(*), not SUM's NULL
+        F.coalesce(
+            F.sum(
+                (
+                    (F.col("rb") <= AGREE_AT) & (F.col("rc") <= AGREE_AT)
+                ).cast("int")
+            ),
+            F.lit(0),
         ).alias("ov"),
     )
     tau_den = F.col("concordant") + F.col("discordant")

@@ -3073,9 +3073,16 @@ def thompson_allocation_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MMD_SIGMA_CENTS = 5000.0  # RBF bandwidth: 50 value units
 # routing budget for the grid-squared kernel aggregates (MMD, Cliff's
-# delta): |distinct quantized values|^2 products — same routing scale
-# as the interval-join pair budget (r9 VERDICT item 3)
-GRID_PAIR_BUDGET = 100_000_000
+# delta): |distinct quantized values|^2 integer-weighted products
+# (r9 VERDICT item 3). Sized ABOVE the certified workload — the cent
+# grid is 13,241 distinct values at sf0.1 (1.75e8 products, seconds of
+# work; the r10 multi-SF sweep measured it) and the value domain is a
+# bounded enum, so the grid grows sublinearly with rows. 1e10 (a 100k
+# grid) stays tractable on a cluster; the guard exists for the
+# OPEN-ENDED domain (an unquantized or high-cardinality value column:
+# millions of distinct values -> 1e12+ products), where the right move
+# is coarsening the quantization grain, not a bigger cluster.
+GRID_PAIR_BUDGET = 10_000_000_000
 
 
 @register(
