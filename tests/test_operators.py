@@ -405,6 +405,50 @@ class TestConnectedComponents:
         assert labels[1] == labels[2] == labels[3] == labels[4] == 1
         assert labels[10] == labels[11] == 10
 
+    def test_connected_components_deep_chain_converges(self, spark):
+        """r10 regression: the sf0.1 multi-SF sweep caught plain
+        min-label propagation splitting components whose diameter
+        exceeds the round bound (an edit-distance name chain). The
+        Shiloach-Vishkin cluster hook must resolve a 2000-hop chain —
+        ids ordered so the min sits at one END, the adversarial case
+        for per-node propagation — within the default 15 rounds, one
+        component, label = min id."""
+        from pyspark.sql import functions as F
+
+        from ytspark.operators.dedup import connected_components
+
+        n = 2000
+        pairs = (
+            spark.range(1, n)
+            .select(
+                F.col("id").alias("doc_a"),
+                (F.col("id") + 1).alias("doc_b"),
+            )
+        )
+        labels = connected_components(pairs, "doc_a", "doc_b")
+        assert labels.select("label").distinct().count() == 1
+        assert labels.agg(F.max("label")).first()[0] == 1
+        assert labels.count() == n
+
+    def test_connected_components_raises_rather_than_splits(self, spark):
+        """A graph that cannot converge within max_rounds must raise —
+        silently returning split components corrupts every downstream
+        dedup (the exact sf0.1 failure mode, now loud)."""
+        import pytest
+        from pyspark.sql import functions as F
+
+        from ytspark.operators.dedup import connected_components
+
+        pairs = (
+            spark.range(1, 64)
+            .select(
+                F.col("id").alias("doc_a"),
+                (F.col("id") + 1).alias("doc_b"),
+            )
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(pairs, "doc_a", "doc_b", max_rounds=1)
+
 
 class TestPersistedLshIndex:
     def test_partition_pruning_and_multiprobe_recall(self, spark, sf_dir, tmp_path):
