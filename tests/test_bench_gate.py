@@ -49,3 +49,18 @@ def test_unmeasurable_load_yields_no_verdict(monkeypatch):
     load, comparable, _ = bench.host_quiet_check()
     assert load is None
     assert comparable is True  # absence of evidence is not contamination
+
+def test_midrun_threshold_adds_own_work_allowance(monkeypatch):
+    # mid-run, our own 32 worker threads contribute to loadavg; the
+    # mid-run gate only fires on load ABOVE start-threshold + allowance
+    monkeypatch.delenv("SPARK_GRAFT_LOADAVG_OWN_WORK", raising=False)
+    assert bench.midrun_quiet_threshold(2.0) == 10.0
+    monkeypatch.setenv("SPARK_GRAFT_LOADAVG_OWN_WORK", "4.0")
+    assert bench.midrun_quiet_threshold(2.0) == 6.0
+
+
+def test_contamination_signature_threshold_documented():
+    # the r10 close run carried 28 cross-round flags, the r9 driver run
+    # 12; every genuine code regression on record flagged 1-2 names.
+    # 6 splits those populations with margin on both sides.
+    assert bench.CONTAMINATION_FLAG_COUNT == 6

@@ -54,22 +54,55 @@ def test_rotated_out_queries_remain_registered():
         assert name in reg and name not in _PRIORITY
 
 
-def test_window_fills_with_never_checked_first():
-    """Round-7 policy (r6 VERDICT item 1), enforced: the certified
-    window must carry at least 35 queries that have never appeared in
-    any committed CORRECTNESS_r*.json — the repeat-anchor set stays
-    minimal and rotation throughput stays high."""
-    import glob
+def test_window_rotation_stamp_is_current():
+    """Rotation tripwire, rotation-stamp keyed (r10 VERDICT item 3 —
+    the old form compared _PRIORITY against ALL CORRECTNESS files, so
+    it went red the moment the driver wrote the round's own results,
+    i.e. at every judged HEAD). The stamp form preserves the guard's
+    intent and stays green at close:
+
+      (1) WINDOW_ROTATION.json matches the live _PRIORITY (the stamp
+          and the code rotate together, or loudly don't);
+      (2) no committed CORRECTNESS round is NEWER than the stamp's
+          target round — a driver run on a stale window is the actual
+          failure being guarded;
+      (3) >=35 window names had no driver PASS in any round BEFORE the
+          stamp's round — stable even after the stamp round's own
+          CORRECTNESS file lands, which is the whole point.
+    """
     import json
     import os
+    import re
+
+    from tools.check_priority_window import (
+        _correctness_files,
+        _is_driver_pass,
+    )
+    from tools.rotate_window import window_sha
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    checked: set[str] = set()
-    for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
-        with open(f) as fh:
-            checked.update(json.load(fh).keys())
-    first_ever = [n for n in _PRIORITY if n not in checked]
+    with open(os.path.join(root, "WINDOW_ROTATION.json")) as fh:
+        stamp = json.load(fh)
+    assert stamp["window_sha"] == window_sha(list(_PRIORITY)), (
+        "_PRIORITY changed without re-running tools/rotate_window.py "
+        "(or the stamp was edited by hand)"
+    )
+    passed_before: set[str] = set()
+    for f in _correctness_files():
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", f)
+        rnd = int(m.group(1)) if m else 0
+        assert rnd <= stamp["round"], (
+            f"CORRECTNESS_r{rnd:02d} post-dates the window rotation "
+            f"(stamped for round {stamp['round']}) — a round opened "
+            "without re-rotating the certified window"
+        )
+        if rnd < stamp["round"]:
+            with open(f) as fh:
+                for name, entry in json.load(fh).items():
+                    if isinstance(entry, dict) and _is_driver_pass(entry):
+                        passed_before.add(name)
+    first_ever = [n for n in _PRIORITY if n not in passed_before]
     assert len(first_ever) >= 35, (
-        f"only {len(first_ever)} never-driver-checked queries in the "
-        "window — rotation has regressed to repeat-heavy"
+        f"only {len(first_ever)} never-driver-passed queries in the "
+        "window at rotation time — rotation regressed to repeat-heavy"
     )

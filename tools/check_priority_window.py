@@ -45,13 +45,45 @@ import sys
 WINDOW = 50
 
 
-def _ever_driver_checked() -> set[str]:
-    """Names that appear in any committed CORRECTNESS_r*.json."""
+def _correctness_files() -> list[str]:
+    """Committed CORRECTNESS_r*.json paths (git-tracked), so an
+    uncommitted or hand-edited working-tree file cannot satisfy the
+    gate (r10 ADVICE). Falls back to the disk glob when git is
+    unavailable (e.g. an exported tree)."""
+    import subprocess
+
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        out = subprocess.run(
+            ["git", "ls-files", "CORRECTNESS_r*.json"],
+            cwd=root, capture_output=True, text=True, timeout=30,
+        )
+        if out.returncode == 0 and out.stdout.strip():
+            return [os.path.join(root, f) for f in out.stdout.split()]
+    except (OSError, subprocess.SubprocessError):
+        pass
+    return sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+
+
+def _is_driver_pass(entry: dict) -> bool:
+    """A driver PASS, not mere key presence (r10 ADVICE: 4 names on
+    record only ever FAILED — rows/hash mismatch or err set — and must
+    not exempt their family from window coverage)."""
+    return (
+        entry.get("rows_match") is True
+        and entry.get("hash_match") is True
+        and not entry.get("err")
+    )
+
+
+def _ever_driver_checked() -> set[str]:
+    """Names with a PASSING entry in any committed CORRECTNESS_r*.json."""
     checked: set[str] = set()
-    for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+    for f in _correctness_files():
         with open(f) as fh:
-            checked.update(json.load(fh).keys())
+            for name, entry in json.load(fh).items():
+                if isinstance(entry, dict) and _is_driver_pass(entry):
+                    checked.add(name)
     return checked
 
 
@@ -85,6 +117,34 @@ def family_coverage():
 
 
 def main() -> int:
+    # Round-open rotation check (r10 VERDICT item 3): if the rotation
+    # stamp's target round already has a committed CORRECTNESS file,
+    # the current window has been consumed — a new round is opening on
+    # a stale window. This tool runs at round open (memory checklist),
+    # so it is the early catch; the pytest tripwire
+    # (tests/test_priority_window.py) is the late one.
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        with open(os.path.join(root, "WINDOW_ROTATION.json")) as fh:
+            stamp_round = json.load(fh)["round"]
+    except (OSError, ValueError, KeyError):
+        stamp_round = None
+    if stamp_round is not None:
+        consumed = [
+            f for f in _correctness_files()
+            if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", f))
+            and int(m.group(1)) >= stamp_round
+        ]
+        if consumed:
+            print(
+                f"FAIL: window rotation stamped for round {stamp_round} "
+                f"already consumed ({os.path.basename(consumed[-1])} is "
+                "committed) — run tools/rotate_window.py before this "
+                "round's registrations"
+            )
+            return 1
     cover, missing = family_coverage()
     for fam, (inw, total) in cover.items():
         print(f"{fam:14s} {inw:2d}/{total:2d} in first-{WINDOW} window")

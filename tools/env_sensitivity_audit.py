@@ -267,8 +267,19 @@ RAW_RISK_RX = re.compile(
 SUM_AVG_OPEN_RX = re.compile(r"\b(SUM|AVG)\s*\(", re.I)
 # textual exactness markers inside a SUM/AVG argument: an explicit
 # DECIMAL/HUGEINT cast makes the accumulation exact (the house rule),
-# and ::BIGINT/::INTEGER arguments accumulate in integer arithmetic
-EXACT_ARG_RX = re.compile(r"DECIMAL|NUMERIC|HUGEINT|BIGINT|::\s*INT", re.I)
+# and ::BIGINT/::INTEGER arguments accumulate in integer arithmetic.
+# Anchored to CAST SYNTAX, not bare substrings (r10 ADVICE: a column
+# merely NAMED decimal_price, or ::INTERVAL matching ::\s*INT, would
+# otherwise suppress the flag — a false negative in a detector
+# documented to err toward risky): either `CAST(... AS <type>` /
+# `TRY_CAST(... AS <type>` or a `::<type>` suffix cast, with word
+# boundaries on the type name.
+EXACT_ARG_RX = re.compile(
+    r"(?:\bAS\s+|::\s*)"
+    r"(?:DECIMAL|NUMERIC|HUGEINT|BIGINT|INTEGER|INT|SMALLINT|TINYINT"
+    r"|UBIGINT|UINTEGER)\b",
+    re.I,
+)
 
 
 def risky_sum_avg(sql: str) -> bool:

@@ -200,63 +200,74 @@ def register(
 # families with unchecked members. All 49 first-evers are
 # oracle-backed. Simulated against check_priority_window before the
 # swap: clean under rules (a)+(b).
+# Round 11 rotation (r10 VERDICT item 2), generated by
+# tools/rotate_window.py (deterministic; stamp in WINDOW_ROTATION.json):
+# with CORRECTNESS_r10 on record the PASS-counted backlog is 102 (the
+# r10 ADVICE tightened 'driver-checked' to rows+hash-pass with err
+# null, which returns the four only-ever-FAILED names to the backlog;
+# 99 are oracle-backed — the three hash-seeded rows-only signatures
+# can never convert a slot into a pass and are certified via their
+# _checkable twins). The one repeat anchor is the flagship, then 49
+# FIRST-EVERS: the two repaired r01 hash-failures first
+# (events_json_props, q12_late_lines_by_class — both 414/414 green in
+# the local multi-SF sweep since), then the two heavy families the r10
+# verdict named as costliest-to-reverify (all 7 streaming backlog
+# members, all 7 substring/winnowing/minhash-eval dedup members), then
+# a breadth-first round-robin (alphabetical family order and names)
+# across the remaining 15 families with certifiable backlog. Simulated
+# against check_priority_window before the swap: clean under rules
+# (a)+(b). Backlog after an all-pass round: 53.
 _PRIORITY: tuple[str, ...] = (
-    # ---- repeat anchor (1): the flagship (entry; union + pipeline) ----
-    "mart_union_cast",
-    # ---- first-ever driver checks (49): never appeared in any
-    # CORRECTNESS_r01..r09 ---- r9-verdict-named leads first:
-    "knn_lsh_index_serving",  # similarity — build-once path changed r9
-    "knn_cosine_ivf_pq",  # similarity — IVF build-once path changed r9
-    "knn_cosine_lsh",  # similarity — LSH serving path
-    "knn_cosine_lsh_multitable",  # similarity — LSH serving path
-    "ivf_index_incremental_add",  # similarity — incremental IVF store
-    "streaming_tws_user_stats",  # streaming — registered r9, never checked
-    "hybrid_search_rrf",  # search workhorse
-    "label_propagation_communities",  # graph workhorse
-    "local_clustering_coefficients",  # graph — new pair-budget pre-flight
-    "gap_fill_linear_interpolation",  # time workhorse
-    "grouped_exact_median_two_pass",  # profiling workhorse
-    "kneser_ney_bigram_perplexity",  # text workhorse
-    "dedup_weighted_jaccard",  # dedup workhorse
-    "session_path_conversion",  # temporal + funnel tag carrier
-    "theil_inequality_decomposition",  # statistics + segmentation carrier
-    # breadth-first round-robin, pass 1 (alphabetical family order,
-    # oracle-backed preferred within each family):
-    "segment_price_approx_quantiles",  # aggregate
-    "dedup_prefix_clusters",  # dedup
-    "xbar_control_chart",  # drift
-    "sprt_sequential_monitor",  # experiment
-    "hierarchy_pointer_doubling",  # graph
-    "rendezvous_rebalance_audit",  # layout
-    "loo_group_influence",  # learn
-    "scd2_order_status_history",  # maintenance
-    "multimodal_decode_stats",  # multimodal
-    "schema_evolution_read",  # pipeline
-    "fd_repair_majority",  # profiling
-    "referential_integrity_audit",  # quality
-    "inverted_index_stats",  # search
-    "embedding_norm_outliers",  # similarity
-    "hll_union_rollup_bounds",  # sketch
-    "kruskal_wallis_priority",  # statistics
-    "streaming_sliding_counts",  # streaming
-    "purchase_touch_attribution",  # temporal
-    "text_quality_score",  # text
-    "events_value_holt",  # time
-    "priority_price_rank_stats",  # window
-    # pass 2 (alphabetical until the 50 slots fill):
-    "events_user_reach_sketch",  # aggregate
-    "dedup_minhash_clusters_checkable",  # dedup
-    "thompson_allocation_grid",  # experiment
-    "graph_modularity_brands",  # graph
-    "ece_brier_decomposition",  # learn
-    "table_diff_audit",  # maintenance
-    "multimodal_frame_sample",  # multimodal
-    "stratified_neyman_sample",  # pipeline
-    "column_mutual_information",  # profiling
-    "tfidf_top_terms",  # search
-    "matryoshka_truncation_recall",  # similarity
-    "hll_retention_estimate_bounds",  # sketch
-    "effect_size_battery",  # statistics
+    "mart_union_cast",  # repeat anchor: the flagship
+    "events_json_props",
+    "q12_late_lines_by_class",
+    "streaming_dedup_events",
+    "streaming_dq_monitor",
+    "streaming_incremental_dedup",
+    "streaming_session_windows",
+    "streaming_static_enrich_join",
+    "streaming_stream_stream_join",
+    "streaming_watermark_monitor",
+    "dedup_embedding_cosine_lsh",
+    "dedup_exact_substring_clusters",
+    "dedup_exact_substring_pairs",
+    "dedup_ngram_containment",
+    "dedup_winnowing_clusters",
+    "dedup_winnowing_incremental",
+    "minhash_estimate_error_eval",
+    "join_explosion_profile",
+    "propensity_stratification_ate",
+    "graph_bfs_distance",
+    "isotonic_calibration_pav",
+    "scd2_asof_snapshot",
+    "multimodal_audio_fingerprint_dedup",
+    "weighted_sample_aexpj",
+    "grouped_weighted_median_two_pass",
+    "phrase_search_positional",
+    "feature_hashing_collision_stats",
+    "grouped_median_ci_order_stats",
+    "business_day_shipping_lag",
+    "corpus_global_shuffle",
+    "croston_intermittent_demand",
+    "window_ties_battery",
+    "key_skew_profile",
+    "graph_degree_assortativity",
+    "logreg_calibration_report",
+    "scd2_integrity_audit",
+    "multimodal_audio_resample",
+    "inclusion_dependency_profile",
+    "query_likelihood_dirichlet",
+    "holm_bonferroni_nations",
+    "interarrival_profile",
+    "corpus_mixture_upsample",
+    "forecast_backtest_mase",
+    "revenue_gini_by_segment",
+    "nb_crossval_metrics",
+    "multimodal_image_dhash_dedup",
+    "percentile_sketch_error_eval",
+    "retrieval_metrics_battery",
+    "kendall_tau_daily",
+    "label_return_within_window",
 )
 
 
