@@ -321,17 +321,28 @@ def host_quiet_check(now_loadavg=None):
 
 
 # The benchmark process itself keeps up to 32 executor threads busy, so
-# the loadavg SEEN MID-RUN includes our own work. The mid-run threshold
-# is therefore start-threshold + the worker-thread budget: outside
-# contention shows up as load ABOVE what our own JVM can generate.
-# The r10 close run ended at loadavg 14.58 with 28 uniform 3-11x flags
-# while our own sustained contribution measured in prior quiet closes
-# stays under ~6 on this host (most queries are sub-second and the
-# inter-query release_all_cached gap idles the pool), so the default
-# own-work allowance of 8 splits those populations cleanly.
+# the loadavg SEEN MID-RUN includes our own work — and the 1-minute
+# average legitimately reaches the POOL WIDTH during heavy parallel
+# stages (measured: a fully quiet r11 run, 417 s with a single
+# sub-second flag, peaked at midrun loadavg 16.0 purely from its own
+# stages). The own-work allowance therefore defaults to the executor
+# thread count: mid-run load can only exceed start-threshold + pool
+# width when ANOTHER process is competing for the cores.
 def midrun_quiet_threshold(threshold: float) -> float:
-    own = float(os.environ.get("SPARK_GRAFT_LOADAVG_OWN_WORK", "8.0"))
-    return threshold + own
+    own = os.environ.get("SPARK_GRAFT_LOADAVG_OWN_WORK")
+    if own is not None:
+        return threshold + float(own)
+    return threshold + float(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+# End-of-run check: the final loadavg is sampled with our own pool idle
+# (after the last query + cache sweep), so only the 1-minute DECAY of
+# our own tail work remains. Allowance 8 splits the two anecdotes on
+# record: the contaminated r10 close ended at 14.58 (outside load),
+# the clean r11 run at 4.84 (own decay after its streaming tail).
+def end_quiet_threshold(threshold: float) -> float:
+    decay = float(os.environ.get("SPARK_GRAFT_LOADAVG_END_DECAY", "8.0"))
+    return threshold + decay
 
 
 # Contamination signature (r10 VERDICT item 1): a quiet-start run that
@@ -511,6 +522,14 @@ def main() -> None:
             "midrun loadavg %.2f exceeded %.2f (start threshold %.2f + "
             "own-work allowance)" % (
                 midrun_load_max, midrun_threshold, load_threshold)
+        )
+    end_threshold = end_quiet_threshold(load_threshold)
+    if comparable and loadavg and loadavg[0] > end_threshold:
+        comparable = False
+        comparable_reason = (
+            "end loadavg %.2f exceeded %.2f (start threshold %.2f + "
+            "own-decay allowance) — the r10-close contamination shape"
+            % (loadavg[0], end_threshold, load_threshold)
         )
     if comparable and len(cross_round) >= CONTAMINATION_FLAG_COUNT:
         comparable = False

@@ -51,12 +51,22 @@ def test_unmeasurable_load_yields_no_verdict(monkeypatch):
     assert comparable is True  # absence of evidence is not contamination
 
 def test_midrun_threshold_adds_own_work_allowance(monkeypatch):
-    # mid-run, our own 32 worker threads contribute to loadavg; the
-    # mid-run gate only fires on load ABOVE start-threshold + allowance
+    # mid-run, our own worker pool contributes up to its WIDTH to the
+    # 1-minute loadavg (measured 16.0 on a fully quiet 32-thread run),
+    # so the default allowance is the executor thread count
     monkeypatch.delenv("SPARK_GRAFT_LOADAVG_OWN_WORK", raising=False)
-    assert bench.midrun_quiet_threshold(2.0) == 10.0
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "32")
+    assert bench.midrun_quiet_threshold(2.0) == 34.0
     monkeypatch.setenv("SPARK_GRAFT_LOADAVG_OWN_WORK", "4.0")
     assert bench.midrun_quiet_threshold(2.0) == 6.0
+
+
+def test_end_threshold_adds_decay_allowance(monkeypatch):
+    # end-of-run the pool is idle; only our own 1-minute decay remains.
+    # 8 splits the two anecdotes on record (contaminated r10 close
+    # ended at 14.58; clean r11 run at 4.84)
+    monkeypatch.delenv("SPARK_GRAFT_LOADAVG_END_DECAY", raising=False)
+    assert bench.end_quiet_threshold(2.0) == 10.0
 
 
 def test_contamination_signature_threshold_documented():
