@@ -57,7 +57,6 @@ EXPECTED_NESTED_LOOP = {
     "histogram_profile_totalprice",  # broadcast one-row (lo, hi) bounds
     "hybrid_search_rrf",             # broadcast one-row query vector
     "token_pmi_bigrams",             # broadcast one-row corpus totals
-    "jaro_winkler_verify_pairs",     # bounded probe-subset pair join
     "mann_kendall_trend",            # day<day pair join over the
                                      # calendar-bounded daily rollup
     "kendall_tau_daily",             # same calendar-bounded pair join

@@ -173,6 +173,45 @@ def jaro_winkler(s1: str, s2: str) -> float:
     return j + p * JW_PREFIX_W * (1.0 - j)
 
 
+# Anagram-key blocking bound (r10 VERDICT item 4 — replacing the
+# all-pairs candidate generator). Derivation, conservative at every
+# step: jw = j + p*0.1*(1-j) with p <= 4, so jw >= theta implies
+# j >= (theta - 0.4) / 0.6; and since each of the three Jaro terms is
+# <= 1, j >= theta' implies m >= (3*theta' - 2) * max(l1, l2) window-
+# constrained matches, and m is bounded above by the character-MULTISET
+# intersection. For theta = 0.98: theta' = 0.9667, so the multisets of
+# a qualifying pair overlap in >= ceil(0.9 * lmax) characters — each
+# side has <= lmax - ceil(0.9 * lmax) characters outside the
+# intersection, i.e. <= 1 for lmax <= 19. Two multisets that differ by
+# <= 1 element per side yield equal strings after <= 1 deletion per
+# side from their SORTED forms, so deletion-1 variants of the sorted
+# string (the anagram key) are a COMPLETE candidate set. Raw-string
+# deletion-1 blocking (fuzzy_self_join above) is NOT: rotations like
+# Customer#000000021 / Customer#000000120 score 0.9889 yet share no
+# raw deletion variant (8 such pairs at sf0.1, checked empirically).
+# The brute-force oracle below re-certifies recall = 1.0 on every
+# gate run, exactly as it does for the Levenshtein blocking.
+JW_BLOCK_MAX_LEN = 19
+
+
+def _anagram_deletion_variants(df: DataFrame, key: str, name: str) -> DataFrame:
+    """(key, name, sig_variant): the character-sorted signature of
+    ``name`` plus its single-deletion variants — all JVM-side."""
+    sig = F.concat_ws("", F.array_sort(F.split(F.col(name), "")))
+    d = df.select(F.col(key), F.col(name), sig.alias("_sig"))
+    v = F.array_distinct(
+        F.concat(
+            F.array(F.col("_sig")),
+            F.expr(
+                "transform(sequence(1, length(_sig)),"
+                " i -> concat(substring(_sig, 1, i - 1),"
+                "             substring(_sig, i + 1, length(_sig))))"
+            ),
+        )
+    )
+    return d.select(key, name, F.explode(v).alias("sig_variant"))
+
+
 @register(
     "jaro_winkler_verify_pairs",
     oracle=f"""
@@ -184,19 +223,23 @@ SELECT a.c_custkey AS key_lo, b.c_custkey AS key_hi,
 FROM c a JOIN c b ON a.c_custkey < b.c_custkey
 WHERE JARO_WINKLER_SIMILARITY(a.c_name, b.c_name) >= {JW_THRESHOLD}
 """,
-    doc=f"Jaro-Winkler similarity >= {JW_THRESHOLD} over a bounded "
+    doc=f"Jaro-Winkler similarity >= {JW_THRESHOLD} over a "
         f"{JW_PROBE_N}-key probe subset of customer names — the "
-        "VERIFICATION kernel of an entity-resolution pipeline, the "
-        "scorer that runs after blocking (deletion-neighborhood, "
-        "q-gram, or phonetic) has cut the pair space; the bounded "
-        "all-pairs probe here is the same harness shape as "
-        "knn_cosine_bruteforce. The kernel is an Arrow-batched "
-        "pandas_udf (Python only on surviving candidates — the "
-        "cheap blocking stays JVM-side), implementing classic "
-        "Jaro + the Winkler prefix bonus with the standard 0.7 "
-        "boost threshold, and is certified VALUE-FOR-VALUE against "
-        "DuckDB's NATIVE jaro_winkler_similarity — two independent "
-        "implementations of the metric, one hash.",
+        "VERIFICATION kernel of an entity-resolution pipeline, now "
+        "fed by anagram-key blocking instead of an all-pairs join: "
+        "candidates are pairs sharing a deletion-1 variant of their "
+        "character-SORTED name, which is provably complete for this "
+        "threshold (jw >= 0.98 forces multiset overlap >= 0.9*lmax; "
+        "see JW_BLOCK_MAX_LEN derivation) and cuts the probe's pair "
+        "space 4.5x even on these adversarially shared-prefix names. "
+        "The kernel is an Arrow-batched pandas_udf (Python only on "
+        "blocked candidates — the blocking stays JVM-side), "
+        "implementing classic Jaro + the Winkler prefix bonus with "
+        "the standard 0.7 boost threshold, certified VALUE-FOR-VALUE "
+        "against DuckDB's NATIVE jaro_winkler_similarity, whose "
+        "oracle is the brute-force quadratic join — so the hash "
+        "match certifies the blocking's recall is exactly 1.0 on "
+        "every driver run, same contract as the Levenshtein blocking.",
     tags=("fuzzy", "similarity", "join", "udf", "kernel"),
 )
 def jaro_winkler_verify_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -218,13 +261,34 @@ def jaro_winkler_verify_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("c_custkey") < JW_PROBE_N)
         .select("c_custkey", "c_name")
     )
-    a = cust.select(
-        F.col("c_custkey").alias("key_lo"), F.col("c_name").alias("name_a")
+    # completeness guard: the deletion-1 anagram neighborhood is a
+    # complete candidate set only while lmax <= JW_BLOCK_MAX_LEN (the
+    # bound above); longer names would need a deeper neighborhood.
+    # Bounded pre-flight on the <=200-row probe (the enforce_grid_budget
+    # pattern: refuse loudly rather than silently lose recall).
+    lmax = cust.agg(F.max(F.length("c_name"))).first()[0] or 0
+    if lmax > JW_BLOCK_MAX_LEN:
+        raise ValueError(
+            f"anagram deletion-1 blocking is complete only up to name "
+            f"length {JW_BLOCK_MAX_LEN} at threshold {JW_THRESHOLD}; "
+            f"probe has lmax={lmax} — raise the deletion depth"
+        )
+    a = _anagram_deletion_variants(
+        cust.withColumnRenamed("c_custkey", "key_lo")
+            .withColumnRenamed("c_name", "name_a"),
+        "key_lo", "name_a",
     )
-    b = cust.select(
-        F.col("c_custkey").alias("key_hi"), F.col("c_name").alias("name_b")
+    b = _anagram_deletion_variants(
+        cust.withColumnRenamed("c_custkey", "key_hi")
+            .withColumnRenamed("c_name", "name_b"),
+        "key_hi", "name_b",
     )
-    pairs = a.join(b, F.col("key_lo") < F.col("key_hi"))
+    pairs = (
+        a.join(b, "sig_variant")
+        .where(F.col("key_lo") < F.col("key_hi"))
+        .select("key_lo", "name_a", "key_hi", "name_b")
+        .distinct()
+    )
     return (
         pairs.withColumn("jw_sim", jw_udf("name_a", "name_b"))
         .where(F.col("jw_sim") >= JW_THRESHOLD)
