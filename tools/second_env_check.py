@@ -22,10 +22,28 @@ machine:
   means the Spark side is partition-count-sensitive, which also implies
   cluster-size sensitivity at 100 TB.
 
+- **Alt-build pass (``--alt-build``, r10 VERDICT item 8):** the float
+  queries the env-sensitivity audit flagged-and-adjudicated (the
+  PINNED list) re-run under the closest available proxies for a
+  DIFFERENT BUILD of each engine, and each result is compared to the
+  same engine's default-build result. Spark: whole-stage codegen OFF
+  (interpreted expression evaluation — a different compiled path for
+  every scalar expression) plus Arrow ``maxRecordsPerBatch`` dropped
+  10000 → 1000 (different pandas_udf kernel batch boundaries, so any
+  batch-order accumulation diverges). DuckDB: the expression-rewriter
+  and statistics-propagation optimizers disabled (constant folding and
+  plan choices move from optimize-time to run-time — a different
+  evaluation path for the same SQL). A PINNED verdict claims the value
+  is a deterministic scalar expression tree over exact inputs; these
+  flips exercise exactly the paths a real build change would.
+
 Exit 0 when every checked query is stable under both perturbations;
 exit 1 listing the sensitive ones. Usage::
 
-    python tools/second_env_check.py [--full-spark] [sf_dir] [name ...]
+    python tools/second_env_check.py [--full-spark] [--alt-build] [--alt-only] [sf_dir] [name ...]
+
+``--alt-build`` adds the alt-build pass to the standard two;
+``--alt-only`` runs JUST the alt-build pass (the standalone receipt).
 
 With no names: DuckDB pass over ALL oracles + Spark pass over the
 50-query certified window, or over the FULL registry with
@@ -49,11 +67,18 @@ TABLES = (
 ).split()
 
 
-def _duck_run(sf_dir: str, sql: str, threads: int):
+def _duck_run(sf_dir: str, sql: str, threads: int, alt_build: bool = False):
     import duckdb
 
     con = duckdb.connect()
     con.execute(f"SET threads={threads}")
+    if alt_build:
+        # different-build proxy: constant folding and stats-based plan
+        # choices move from optimize-time to run-time evaluation paths
+        con.execute(
+            "SET disabled_optimizers="
+            "'expression_rewriter,statistics_propagation'"
+        )
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
@@ -67,6 +92,8 @@ def _duck_run(sf_dir: str, sql: str, threads: int):
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     full_spark = "--full-spark" in sys.argv[1:]
+    alt_build = "--alt-build" in sys.argv[1:] or "--alt-only" in sys.argv[1:]
+    alt_only = "--alt-only" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
@@ -90,7 +117,7 @@ def main() -> int:
     duck_names = [
         n for n, q in sorted(reg.items())
         if q.oracle is not None and (not only or n in only)
-    ]
+    ] if not alt_only else []
     for name in sorted(only):
         if reg[name].oracle is None:
             print(f"skip  {name}: no oracle — duckdb pass not applicable")
@@ -114,7 +141,9 @@ def main() -> int:
     # perturbation compares Spark against itself, no SQL needed); with
     # no names, --full-spark covers the whole registry (round-close
     # mode), else the certified window
-    if only:
+    if alt_only:
+        spark_names = []
+    elif only:
         spark_names = sorted(only)
     elif full_spark:
         spark_names = list(reg)
@@ -144,10 +173,77 @@ def main() -> int:
         else:
             print(f"ok    {name}: spark partition-count stable")
 
+    # ---- Alt-build pass over the adjudicated (PINNED) float list ----
+    n_alt = 0
+    if alt_build:
+        from env_sensitivity_audit import ADJUDICATED
+
+        alt_names = sorted(
+            n for n in ADJUDICATED
+            if n in reg and (not only or n in only)
+        )
+        n_alt = len(alt_names)
+        for name in alt_names:
+            q = reg[name]
+            # DuckDB: default build vs optimizer-path flip
+            if q.oracle is not None:
+                try:
+                    a = normalize(_duck_run(sf_dir, q.oracle, threads=8))
+                    b = normalize(
+                        _duck_run(sf_dir, q.oracle, threads=8, alt_build=True)
+                    )
+                except Exception as e:  # noqa: BLE001
+                    sensitive.append(
+                        (name, f"duckdb alt-build error: "
+                               f"{str(e).splitlines()[0][:120]}")
+                    )
+                    print(f"FAIL  {name}: duckdb alt-build error")
+                    a = b = None
+                if a is not None and a != b:
+                    diff = [(x, y) for x, y in zip(a, b) if x != y][:2]
+                    sensitive.append(
+                        (name, f"duckdb alt-build (optimizers off): {diff}")
+                    )
+                    print(f"SENS  {name}: duckdb alt-build divergence")
+                elif a is not None:
+                    print(f"ok    {name}: duckdb alt-build stable")
+            # Spark: default build vs interpreted + small-Arrow-batch
+            alt_confs = {
+                "spark.sql.codegen.wholeStage": "false",
+                "spark.sql.execution.arrow.maxRecordsPerBatch": "1000",
+            }
+            saved = {k: spark.conf.get(k) for k in alt_confs}
+            try:
+                a = normalize(q.fn(spark, sf_dir).toPandas())
+                spark.catalog.clearCache()
+                for k, v in alt_confs.items():
+                    spark.conf.set(k, v)
+                b = normalize(q.fn(spark, sf_dir).toPandas())
+                spark.catalog.clearCache()
+            except Exception as e:  # noqa: BLE001
+                sensitive.append(
+                    (name, f"spark alt-build error: "
+                           f"{str(e).splitlines()[0][:120]}")
+                )
+                print(f"FAIL  {name}: spark alt-build error")
+                continue
+            finally:
+                for k, v in saved.items():
+                    spark.conf.set(k, v)
+            if a != b:
+                diff = [(x, y) for x, y in zip(a, b) if x != y][:2]
+                sensitive.append(
+                    (name, f"spark alt-build (no codegen, arrow 1k): {diff}")
+                )
+                print(f"SENS  {name}: spark alt-build divergence")
+            else:
+                print(f"ok    {name}: spark alt-build stable")
+
     print(
         f"\nchecked {len(duck_names)} oracles (duckdb) + "
-        f"{len(spark_names)} queries (spark); "
-        f"{len(sensitive)} environment-sensitive"
+        f"{len(spark_names)} queries (spark)"
+        + (f" + {n_alt} alt-build (both engines)" if alt_build else "")
+        + f"; {len(sensitive)} environment-sensitive"
     )
     for name, why in sensitive:
         print(f"  SENSITIVE: {name} — {why}")

@@ -458,6 +458,44 @@ def salted_skew_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "salted_events_hot_key_join",
+    oracle="""
+SELECT c.c_mktsegment, e.event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment, e.event_type
+""",
+    doc="Salted enrichment join on the EVENTS fact's user key — the "
+        "one join key the skew-amplified certification sweep "
+        "(tools/gen_skew_data.py) re-draws Zipf(1), putting ~9.5% of "
+        "all rows on a single key (~142x uniform). The events side is "
+        "salted deterministically from event_id (16 salts), the "
+        "customer dim replicated 16 ways, so the hot user's rows "
+        "spread across 16 shuffle partitions instead of one straggler "
+        "task; the oracle is the PLAIN join, so the driver gate (and "
+        "the skew sweep) prove row-identical results under real hot "
+        "keys — the property that makes salting safe to deploy at "
+        "100 TB. Partial aggregation then collapses each salt "
+        "partition map-side before the 5x|event_type| group shuffle.",
+    tags=("join", "skew", "salt", "aggregate", "events"),
+)
+def salted_events_hot_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ytspark.plans.scale import salted_join
+
+    t = load_tables(spark, sf_dir, "events", "customer")
+    ev = t["events"].withColumnRenamed("user_id", "custkey")
+    cust = t["customer"].withColumnRenamed("c_custkey", "custkey")
+    joined = salted_join(ev, cust, "custkey", salt_col="event_id", n_salts=16)
+    return joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+@register(
     "intersect_all_segments",
     oracle="""
 SELECT c_mktsegment FROM customer WHERE c_acctbal > 8000
