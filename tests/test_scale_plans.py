@@ -421,3 +421,46 @@ def test_stump_cumulative_over_histogram_only(spark, sf_dir):
     plan = _plan(df)
     assert plan.count("orders.parquet") == 1
     assert "TakeOrderedAndProject" in plan  # argmax is top-1, no sort-all
+
+
+def test_salted_join_spreads_zipf_hot_key(spark):
+    """The skew-amplified dataset (tools/gen_skew_data.py) is the
+    adversarial case salting exists for: one user carries ~9.5% of all
+    events. The salted join must (a) return row-identical results on
+    that data and (b) actually SPREAD the hot key across every salt
+    bucket — otherwise the straggler task just moved."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    import pyspark.sql.functions as F
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    skew = os.path.join(root, "testdata_skew")
+    if not os.path.exists(os.path.join(skew, "events.parquet")):
+        # derived + gitignored: regenerate deterministically on demand
+        subprocess.run(
+            [_sys.executable, os.path.join(root, "tools", "gen_skew_data.py")],
+            cwd=root, check=True, capture_output=True,
+        )
+    ev = (
+        spark.read.parquet(os.path.join(skew, "events.parquet"))
+        .withColumnRenamed("user_id", "custkey")
+    )
+    cust = (
+        spark.read.parquet(os.path.join(skew, "customer.parquet"))
+        .withColumnRenamed("c_custkey", "custkey")
+    )
+    hot = ev.groupBy("custkey").count().orderBy(F.desc("count")).first()
+    total = ev.count()
+    assert hot["count"] > 0.05 * total, "skew dataset lost its hot key"
+    salted = salted_join(ev, cust, "custkey", salt_col="event_id", n_salts=16)
+    plain = ev.join(cust, on="custkey")
+    assert salted.count() == plain.count()
+    spread = (
+        ev.where(F.col("custkey") == hot["custkey"])
+        .select(F.pmod(F.xxhash64("event_id"), F.lit(16)).alias("salt"))
+        .distinct()
+        .count()
+    )
+    assert spread == 16, "hot key did not reach every salt bucket"
