@@ -204,7 +204,13 @@ SELECT user_id,
 FROM gaps GROUP BY user_id
 """,
     doc="Sessionization (30-min inactivity gap): lag + cumulative flag — "
-        "the batch equivalent of a session window.",
+        "the batch equivalent of a session window. Gap compare is "
+        "unix_micros (fractional-second safe): the original "
+        "cast('long') truncated each timestamp to whole seconds, so a "
+        "gap of 1800.04 s read as 1800 and merged two sessions the "
+        "oracle's INTERVAL compare split — invisible on uniform data, "
+        "caught by the round-11 zipf-skew sweep when a hot user's "
+        "9,500 events finally produced a boundary-straddling gap.",
     tags=("window", "sessionize", "pipeline"),
 )
 def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -213,7 +219,10 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_ts = F.lag("ts").over(w)
     new_session = F.when(
         prev_ts.isNull()
-        | (F.col("ts").cast("long") - prev_ts.cast("long") > 30 * 60),
+        | (
+            F.unix_micros("ts") - F.unix_micros(prev_ts)
+            > 30 * 60 * 1_000_000
+        ),
         1,
     ).otherwise(0)
     return (
