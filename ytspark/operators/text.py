@@ -2103,7 +2103,7 @@ fit AS (
   FROM ll
 )
 SELECT ll.ck AS checkpoint_docs, ll.n_tokens, ll.vocab,
-       ROUND(fit.beta, 6) AS heaps_beta,
+       ROUND(fit.beta, 6) + 0 AS heaps_beta,
        ROUND(EXP(fit.log_k), 6) AS heaps_k
 FROM ll CROSS JOIN fit
 """,
@@ -2164,7 +2164,13 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ck").alias("checkpoint_docs"),
         "n_tokens",
         "vocab",
-        F.round("beta", 6).alias("heaps_beta"),
+        # + 0: signed-zero normalization (audit rule 7) — at sf0.1 the
+        # vocabulary saturates across the checkpoints and beta is
+        # mathematically ~0, computed as +-1e-16 depending on the
+        # engine's accumulation order, so ROUND lands on -0.0 or +0.0
+        # per RUN (DuckDB threads=8 varies); IEEE -0.0 + 0 = +0.0 in
+        # both engines. heaps_k = exp(...) > 0 needs no guard.
+        (F.round("beta", 6) + F.lit(0)).alias("heaps_beta"),
         F.round(F.exp("log_k"), 6).alias("heaps_k"),
     )
 
