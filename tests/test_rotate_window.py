@@ -14,8 +14,18 @@ def test_rotate_produces_a_full_window_of_first_evers():
     assert len(set(names)) == WINDOW
     assert names[0] == ANCHOR
     passed = _ever_driver_checked()
-    # every non-anchor slot converts into a first-ever driver pass
-    assert all(n not in passed for n in names[1:])
+    # every slot the backlog can fill converts into a first-ever pass;
+    # only once the certifiable backlog runs dry may already-certified
+    # names backfill (and then first-evers == the whole backlog)
+    from ytspark.queries import registry
+
+    reg = registry()
+    backlog = sum(
+        1 for n in reg
+        if n not in passed and reg[n].oracle is not None and n != ANCHOR
+    )
+    first_ever = sum(1 for n in names[1:] if n not in passed)
+    assert first_ever == min(WINDOW - 1, backlog)
 
 
 def test_rotate_is_deterministic():

@@ -122,7 +122,18 @@ def rotate() -> list[str]:
             if len(picks) >= WINDOW - 1:
                 break
         if not progressed:
-            break  # backlog smaller than the window — done
+            break  # backlog smaller than the window
+    # 4. backfill: once the certifiable backlog is smaller than the
+    #    window (the end state this whole rotation discipline drives
+    #    toward), re-anchor already-certified oracle-backed names in
+    #    registry order — repeat passes, not wasted slots, and the
+    #    window stays exactly WINDOW long for the driver.
+    if len(picks) < WINDOW - 1:
+        for n in reg:
+            if len(picks) >= WINDOW - 1:
+                break
+            if n != ANCHOR and n not in picks and reg[n].oracle is not None:
+                picks.append(n)
     return [ANCHOR] + picks
 
 
