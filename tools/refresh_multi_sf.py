@@ -48,6 +48,11 @@ def main() -> int:
                       "n_rows_only", "n_fail")
         }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # test hook: redirect the receipt so unit tests never overwrite
+    # the committed artifact
+    out_path = os.environ.get(
+        "MULTI_SF_OUT", os.path.join(root, "ORACLE_MULTI_SF.json")
+    )
     commit = subprocess.run(
         ["git", "rev-parse", "--short", "HEAD"],
         cwd=root, capture_output=True, text=True,
@@ -66,7 +71,7 @@ def main() -> int:
         ),
         "sweeps": entries,
     }
-    with open(os.path.join(root, "ORACLE_MULTI_SF.json"), "w") as fh:
+    with open(out_path, "w") as fh:
         json.dump(out, fh, indent=1)
     print(f"wrote ORACLE_MULTI_SF.json with {len(entries)} sweeps @ {commit}")
     return 0
