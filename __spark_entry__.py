@@ -41,9 +41,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL per query; keys without oracles
-    (hash-function-dependent ops: MinHash/SimHash/LSH) are omitted and
-    get the driver's rows-only check."""
+    """DuckDB-runnable ANSI SQL per query. Since r12 EVERY registered
+    query has one (the last hash-seeded MinHash/SimHash holdouts were
+    re-keyed on the DuckDB-exact portable_hash64), so the driver
+    hash-certifies the full registry — no rows-only entries remain."""
     from ytspark.queries import registry
 
     return {name: q.oracle for name, q in registry().items() if q.oracle is not None}

@@ -321,18 +321,25 @@ def host_quiet_check(now_loadavg=None):
 
 
 # The benchmark process itself keeps up to 32 executor threads busy, so
-# the loadavg SEEN MID-RUN includes our own work — and the 1-minute
-# average legitimately reaches the POOL WIDTH during heavy parallel
-# stages (measured: a fully quiet r11 run, 417 s with a single
-# sub-second flag, peaked at midrun loadavg 16.0 purely from its own
-# stages). The own-work allowance therefore defaults to the executor
-# thread count: mid-run load can only exceed start-threshold + pool
-# width when ANOTHER process is competing for the cores.
+# the loadavg SEEN MID-RUN includes our own work. Measured own-work
+# midrun peaks on fully QUIET runs: 16.0 (r11 open, 417 s) and 19.53
+# (r11 close, 397.8 s — the committed BENCH_DETAIL receipt). The
+# allowance defaults to that measured ceiling plus margin, NOT the CPU
+# count: the r11 ADVICE showed threshold+32 only fires above loadavg
+# ~34 and so missed the documented load-7-10 contention window, while
+# the suggested 16 would retro-downgrade the very receipt that
+# calibrated it (19.53 own-work peak). 22 ≈ max measured own-work +
+# 12% margin; the gate now fires at ~24, catching moderate outside
+# load during our own parallel peaks without false-flagging any quiet
+# run on record. SPARK_GRAFT_LOADAVG_OWN_WORK stays the override.
+MIDRUN_OWN_WORK_DEFAULT = 22.0
+
+
 def midrun_quiet_threshold(threshold: float) -> float:
     own = os.environ.get("SPARK_GRAFT_LOADAVG_OWN_WORK")
     if own is not None:
         return threshold + float(own)
-    return threshold + float(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    return threshold + MIDRUN_OWN_WORK_DEFAULT
 
 
 # End-of-run check: the final loadavg is sampled with our own pool idle
@@ -350,7 +357,12 @@ def end_quiet_threshold(threshold: float) -> float:
 # sub-second queries across unrelated families (r10 close: 28 flags; r9
 # driver: 12). A real code regression flags the touched queries only —
 # every genuine regression on record flagged 1-2 names. 6+ flags in one
-# run has only ever meant host contention.
+# run has only ever meant host contention — but per the r11 ADVICE the
+# count alone must not downgrade comparability: a genuine WIDE code
+# regression (a shared helper slowing 6+ queries) would otherwise be
+# permanently mislabeled as contention. The signature downgrades only
+# when corroborated by an elevated load measurement; uncorroborated it
+# stamps the run comparable with an explicit adjudicate-me note.
 CONTAMINATION_FLAG_COUNT = 6
 
 
@@ -358,11 +370,17 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     loadavg_start, comparable, load_threshold = host_quiet_check()
-    # optional settle-wait (close-run convenience): the 1-minute average
-    # decays slowly after the checklist's own pytest/audit runs finish,
-    # so give it up to N seconds to fall below the threshold before
-    # deciding comparability
-    wait_budget = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT", "0"))
+    # settle-wait: the 1-minute average decays slowly after other work
+    # (the close checklist's own pytest/audit runs; in driver context,
+    # whatever ran before the bench), so give it up to N seconds to
+    # fall below the threshold before deciding comparability. Default
+    # 240 s (r11 VERDICT "What's wrong" item 2: the driver-side bench
+    # had NEVER produced a comparable artifact — r9 start 8.97, r10
+    # 8.97, r11 3.91, every one discarded; a bounded self-delay lets a
+    # driver-context run become comparable instead of burning the only
+    # independent timing receipt). A quiet host pays nothing — the
+    # loop is skipped when the first sample is already below threshold.
+    wait_budget = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT", "240"))
     while not comparable and wait_budget > 0:
         step = min(15.0, wait_budget)
         time.sleep(step)
@@ -531,13 +549,41 @@ def main() -> None:
             "own-decay allowance) — the r10-close contamination shape"
             % (loadavg[0], end_threshold, load_threshold)
         )
+    wide_regression_note = None
     if comparable and len(cross_round) >= CONTAMINATION_FLAG_COUNT:
-        comparable = False
-        comparable_reason = (
-            "%d cross-round flags matches the host-contention signature "
-            "(threshold %d); re-run on a quiet host to adjudicate"
-            % (len(cross_round), CONTAMINATION_FLAG_COUNT)
+        # r11 ADVICE: the flag-count signature downgrades only when an
+        # elevated load measurement corroborates it (above half the
+        # respective allowance — elevated, but under the hard gates
+        # that already fired above). Uncorroborated, the run stays
+        # comparable and carries an explicit adjudicate-me note: a
+        # genuine wide code regression must be able to produce a
+        # comparable artifact.
+        midrun_elevated = midrun_load_max > (
+            load_threshold + (midrun_threshold - load_threshold) / 2
         )
+        end_elevated = bool(loadavg) and loadavg[0] > (
+            load_threshold + (end_threshold - load_threshold) / 2
+        )
+        if midrun_elevated or end_elevated:
+            comparable = False
+            comparable_reason = (
+                "%d cross-round flags matches the host-contention "
+                "signature (threshold %d), corroborated by elevated "
+                "load (midrun %.2f, end %s); re-run on a quiet host to "
+                "adjudicate" % (
+                    len(cross_round), CONTAMINATION_FLAG_COUNT,
+                    midrun_load_max,
+                    "%.2f" % loadavg[0] if loadavg else "n/a",
+                )
+            )
+        else:
+            wide_regression_note = (
+                "%d cross-round flags with NO elevated load measurement "
+                "— possible wide code regression (shared-helper "
+                "slowdown); adjudicate with isolated re-times before "
+                "trusting or refreshing the baseline"
+                % len(cross_round)
+            )
     verbose = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -558,6 +604,7 @@ def main() -> None:
         "loadavg_threshold": load_threshold,
         "comparable": comparable,
         "comparable_downgrade_reason": comparable_reason,
+        "wide_regression_note": wide_regression_note,
     }
     # Full per-query detail: one JSON line on stdout plus a file artifact,
     # so the numbers are auditable even when a log-tail capture truncates

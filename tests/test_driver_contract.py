@@ -22,18 +22,14 @@ def test_contract_functions_exist_and_align():
     assert set(oracles) <= set(qs)  # every oracle belongs to a query
     assert all(callable(fn) for fn in qs.values())
     assert all(isinstance(sql, str) and sql.strip() for sql in oracles.values())
-    # the rows-only set stays small and intentional. Round 4 converted
-    # the two store-lifecycle incremental dedups (checkable-hash store
-    # + batch-recompute oracles). What remains is genuinely non-SQL:
-    # xxhash64-keyed MinHash/SimHash production variants (their
-    # cross-engine-checkable twins ARE hash-gated) and iterative
-    # label propagation.
+    # r12 closed the last rows-only gap: the three xxhash64-keyed
+    # MinHash/SimHash production variants were re-keyed on the
+    # md5-derived portable_hash64 (as strongly mixed, DuckDB-exact) and
+    # given full replay oracles — every registered query is now
+    # hash-gated. Keep it that way: a new rows-only registration needs
+    # a documented reason here, not a silent set-membership change.
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {
-        "dedup_minhash_clusters",
-        "dedup_minhash_lsh",
-        "dedup_simhash",
-    }, sorted(rows_only)
+    assert rows_only == set(), sorted(rows_only)
 
 
 def test_registry_docs_and_tags_complete():

@@ -297,10 +297,15 @@ class TestMinhash:
         from ytspark.session import load_tables
 
         base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+        # append-one-word chain: each neighbor pair's true Jaccard is
+        # ~0.9, far above the banding miss region for ANY hash
+        # realization (a mid-string substitution sat near J=0.65, where
+        # 8 bands x 4 rows misses ~20% of hash families — the r12
+        # portable-hash swap exposed exactly that sensitivity)
         rows = [
             (1, base + "one extra tail"),
             (2, base + "one extra tail word"),
-            (3, base + "one other tail word"),
+            (3, base + "one extra tail word more"),
             (10, "totally unrelated text " * 20),
         ]
         docs = spark.createDataFrame(rows, "doc_id bigint, text string")

@@ -21,37 +21,25 @@ def test_every_family_has_a_certified_representative():
 
 
 def test_rotated_out_queries_remain_registered():
-    # rotation moves near-duplicates below the window; they must stay
-    # registered (and locally oracle-checked), not vanish
+    """Rotation moves already-certified names below the window; they
+    must stay registered (and locally oracle-checked), not vanish.
+    r11 VERDICT item 6: the rotated-out list is DERIVED from the
+    committed driver-pass record rather than hardcoded, so it tracks
+    every rotation automatically — any name the driver ever certified
+    that later disappears from the registry fails here, whichever
+    round rotated it out."""
+    from tools.check_priority_window import _ever_driver_checked
+
     reg = registry()
-    for name in (
-        "q13_customer_order_distribution",
-        "q16_part_supplier_counts",
-        "q18_large_orders",
-        "cube_segment_priority",
-        "except_all_order_priorities",
-        "event_transition_matrix",
-        "daily_revenue_moving_avg",
-        "segment_price_percentiles",
-        "customer_balance_quartiles",
-        "pivot_segment_status",
-        "dedup_simhash",
-        # round-3 rotation for the search/fuzzy/layout families:
-        # certified in r1+r2 (incremental_append_union), covered by a
-        # window twin (top3 via q21/top_revenue topk+window tags), or
-        # rows-only with its hash-certified twin still inside
-        # (dedup_minhash_lsh -> dedup_minhash_lsh_checkable)
-        "incremental_append_union",
-        "top3_orders_per_priority",
-        "dedup_minhash_lsh",
-        # rotated for the sketch family; its tags all remain covered
-        "text_stats",
-        # rotated for the unpivot/null-semantics batteries: both were
-        # certified in r1+r2 and every tag keeps a window member
-        "q7_nation_trade",
-        "knn_cosine_bruteforce",
-    ):
-        assert name in reg and name not in _PRIORITY
+    rotated_out = _ever_driver_checked() - set(_PRIORITY)
+    assert rotated_out, (
+        "no driver-certified names outside the window — either the "
+        "pass record is unreadable or rotation never happened"
+    )
+    vanished = sorted(n for n in rotated_out if n not in reg)
+    assert not vanished, (
+        f"driver-certified queries vanished from the registry: {vanished}"
+    )
 
 
 def test_window_rotation_stamp_is_current():
@@ -77,6 +65,7 @@ def test_window_rotation_stamp_is_current():
     from tools.check_priority_window import (
         _correctness_files,
         _is_driver_pass,
+        _load_correctness,
     )
     from tools.rotate_window import window_sha
 
@@ -97,10 +86,9 @@ def test_window_rotation_stamp_is_current():
             "without re-rotating the certified window"
         )
         if rnd < stamp["round"]:
-            with open(f) as fh:
-                for name, entry in json.load(fh).items():
-                    if isinstance(entry, dict) and _is_driver_pass(entry):
-                        passed_before.add(name)
+            for name, entry in _load_correctness(f).items():
+                if isinstance(entry, dict) and _is_driver_pass(entry):
+                    passed_before.add(name)
     first_ever = [n for n in _PRIORITY if n not in passed_before]
     assert len(first_ever) >= 35, (
         f"only {len(first_ever)} never-driver-passed queries in the "

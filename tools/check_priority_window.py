@@ -47,9 +47,11 @@ WINDOW = 50
 
 def _correctness_files() -> list[str]:
     """Committed CORRECTNESS_r*.json paths (git-tracked), so an
-    uncommitted or hand-edited working-tree file cannot satisfy the
-    gate (r10 ADVICE). Falls back to the disk glob when git is
-    unavailable (e.g. an exported tree)."""
+    uncommitted working-tree file cannot satisfy the gate (r10 ADVICE).
+    Falls back to the disk glob when git is unavailable (e.g. an
+    exported tree). Pair with ``_load_correctness`` — the r11 ADVICE
+    point is that the LIST coming from git is not enough if the
+    CONTENT is then read from a possibly hand-edited working tree."""
     import subprocess
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -63,6 +65,30 @@ def _correctness_files() -> list[str]:
     except (OSError, subprocess.SubprocessError):
         pass
     return sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+
+
+def _load_correctness(path: str) -> dict:
+    """Entry content for a tracked CORRECTNESS file, read from the
+    COMMIT (``git show HEAD:<file>``) rather than the working tree, so
+    edits appended to an already-tracked file don't count as driver
+    passes (r11 ADVICE — previously only the file LIST came from git).
+    Falls back to the on-disk file when git can't serve the blob
+    (exported tree, or the file is tracked-but-new at HEAD)."""
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rel = os.path.relpath(path, root)
+    try:
+        out = subprocess.run(
+            ["git", "show", f"HEAD:{rel}"],
+            cwd=root, capture_output=True, text=True, timeout=30,
+        )
+        if out.returncode == 0 and out.stdout.strip():
+            return json.loads(out.stdout)
+    except (OSError, subprocess.SubprocessError, ValueError):
+        pass
+    with open(path) as fh:
+        return json.load(fh)
 
 
 def _is_driver_pass(entry: dict) -> bool:
@@ -80,10 +106,9 @@ def _ever_driver_checked() -> set[str]:
     """Names with a PASSING entry in any committed CORRECTNESS_r*.json."""
     checked: set[str] = set()
     for f in _correctness_files():
-        with open(f) as fh:
-            for name, entry in json.load(fh).items():
-                if isinstance(entry, dict) and _is_driver_pass(entry):
-                    checked.add(name)
+        for name, entry in _load_correctness(f).items():
+            if isinstance(entry, dict) and _is_driver_pass(entry):
+                checked.add(name)
     return checked
 
 

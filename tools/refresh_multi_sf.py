@@ -25,6 +25,12 @@ def main() -> int:
         if not path:
             print(f"bad arg (want LABEL=LOGFILE): {arg}")
             return 1
+        # r11 ADVICE: 'finished' must be tied to THIS summary, not any
+        # completion line anywhere in the log — a log holding an old
+        # green sweep plus a newer rerun that emitted a summary but
+        # crashed before completing must be refused. Track order: the
+        # 'all queries match' marker counts only when it appears AFTER
+        # the last summary line.
         summary = None
         finished = False
         with open(path) as fh:
@@ -32,12 +38,16 @@ def main() -> int:
                 if '"oracle_local_summary"' in line:
                     try:
                         summary = json.loads(line)
+                        finished = False  # new sweep: needs its own marker
                     except ValueError:
                         pass
                 if "all queries match" in line:
                     finished = True
         if summary is None or not finished:
-            print(f"{label}: no finished summary in {path} — refusing")
+            print(
+                f"{label}: no completion marker after the last summary "
+                f"in {path} — refusing"
+            )
             return 1
         if summary.get("n_fail"):
             print(f"{label}: {summary['n_fail']} failures — refusing")

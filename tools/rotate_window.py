@@ -38,14 +38,17 @@ import os
 import re
 import sys
 
+# repo root only — inserting the tools dir too would shadow repo-root
+# modules on a name collision (r11 VERDICT hygiene item); the package
+# import below is the same one the tests use
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from check_priority_window import (  # noqa: E402
+from tools.check_priority_window import (  # noqa: E402
     WINDOW,
     _correctness_files,
     _ever_driver_checked,
     _is_driver_pass,
+    _load_correctness,
 )
 
 ANCHOR = "mart_union_cast"
@@ -68,11 +71,10 @@ def ever_failed() -> set[str]:
     """Names whose ONLY driver record is a failure (oracle-backed)."""
     failed: set[str] = set()
     for f in _correctness_files():
-        with open(f) as fh:
-            for name, entry in json.load(fh).items():
-                if isinstance(entry, dict) and not _is_driver_pass(entry):
-                    if entry.get("err") != "no_oracle":
-                        failed.add(name)
+        for name, entry in _load_correctness(f).items():
+            if isinstance(entry, dict) and not _is_driver_pass(entry):
+                if entry.get("err") != "no_oracle":
+                    failed.add(name)
     return failed - _ever_driver_checked()
 
 

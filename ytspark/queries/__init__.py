@@ -217,57 +217,72 @@ def register(
 # across the remaining 15 families with certifiable backlog. Simulated
 # against check_priority_window before the swap: clean under rules
 # (a)+(b). Backlog after an all-pass round: 53.
+# Round 12 rotation (r11 VERDICT "What's missing" item 1), generated by
+# tools/rotate_window.py (deterministic; stamp in WINDOW_ROTATION.json):
+# with CORRECTNESS_r11 on record (50/50 pass) the PASS-counted backlog
+# is 54 — and ALL 54 are now oracle-backed, because this round
+# re-keyed the three hash-seeded rows-only MinHash/SimHash production
+# queries on the md5-derived portable_hash64 and gave them full replay
+# oracles (r11 missing-item 3), so for the first time every backlog
+# member can convert a window slot into a hash-certified driver pass.
+# The one repeat anchor is the flagship; the 49 FIRST-EVERS lead with
+# those three conversions (dedup is a verdict-named heavy family),
+# then the deterministic breadth-first round-robin (alphabetical
+# family order and names) across every family with certifiable
+# backlog. Backlog after an all-pass round: 5 — within one round of
+# zero. Simulated against check_priority_window before the swap:
+# clean under rules (a)+(b).
 _PRIORITY: tuple[str, ...] = (
     "mart_union_cast",  # repeat anchor: the flagship
-    "events_json_props",
-    "q12_late_lines_by_class",
-    "streaming_dedup_events",
-    "streaming_dq_monitor",
-    "streaming_incremental_dedup",
-    "streaming_session_windows",
-    "streaming_static_enrich_join",
-    "streaming_stream_stream_join",
-    "streaming_watermark_monitor",
-    "dedup_embedding_cosine_lsh",
-    "dedup_exact_substring_clusters",
-    "dedup_exact_substring_pairs",
-    "dedup_ngram_containment",
-    "dedup_winnowing_clusters",
-    "dedup_winnowing_incremental",
-    "minhash_estimate_error_eval",
-    "join_explosion_profile",
-    "propensity_stratification_ate",
-    "graph_bfs_distance",
-    "isotonic_calibration_pav",
-    "scd2_asof_snapshot",
-    "multimodal_audio_fingerprint_dedup",
-    "weighted_sample_aexpj",
-    "grouped_weighted_median_two_pass",
-    "phrase_search_positional",
-    "feature_hashing_collision_stats",
-    "grouped_median_ci_order_stats",
-    "business_day_shipping_lag",
-    "corpus_global_shuffle",
-    "croston_intermittent_demand",
-    "window_ties_battery",
-    "key_skew_profile",
-    "graph_degree_assortativity",
-    "logreg_calibration_report",
-    "scd2_integrity_audit",
-    "multimodal_audio_resample",
-    "inclusion_dependency_profile",
-    "query_likelihood_dirichlet",
-    "holm_bonferroni_nations",
-    "interarrival_profile",
-    "corpus_mixture_upsample",
-    "forecast_backtest_mase",
-    "revenue_gini_by_segment",
-    "nb_crossval_metrics",
-    "multimodal_image_dhash_dedup",
-    "percentile_sketch_error_eval",
-    "retrieval_metrics_battery",
-    "kendall_tau_daily",
-    "label_return_within_window",
+    "dedup_minhash_clusters",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "segment_balance_moments",
+    "salted_events_hot_key_join",
+    "nb_source_valuation",
+    "multimodal_image_patchify",
+    "quantile_normalize_apply",
+    "search_rank_agreement_eval",
+    "value_winsorize_stats",
+    "markov_attribution_removal",
+    "corpus_temperature_mixture",
+    "nelson_aalen_hazard",
+    "sliding_distinct_users_7d",
+    "regression_normal_equations",
+    "multimodal_image_resize",
+    "quantile_normalize_sources",
+    "welch_ttest_segments",
+    "overlap_pair_explosion_guard",
+    "ctfidf_source_keywords",
+    "quantile_forecast_pinball",
+    "ridge_regression_path",
+    "multimodal_scene_change",
+    "rare_category_collapse",
+    "sequence_pattern_funnel",
+    "doc_fingerprint_rolling",
+    "seasonal_adjusted_anomalies",
+    "target_encode_oof",
+    "simpson_paradox_audit",
+    "session_feature_vectors",
+    "doc_overlap_chunks",
+    "seasonal_decompose_weekday",
+    "threshold_tuning_cost_curve",
+    "t_closeness_emd_audit",
+    "sessionization_gap_sweep",
+    "dpo_preference_pairs",
+    "trend_by_priority_ols",
+    "state_duration_accounting",
+    "heaps_law_fit",
+    "woe_encoding_iv",
+    "twap_value_by_type_day",
+    "lang_id_confusion_matrix",
+    "user_activity_overlap_pairs",
+    "mixed_language_docs",
+    "ngram_novelty_curve",
+    "rake_keywords",
+    "source_vocab_overlap",
+    "stratified_sample_exact",
+    "term_burstiness_profile",
 )
 
 
