@@ -366,6 +366,73 @@ def end_quiet_threshold(threshold: float) -> float:
 CONTAMINATION_FLAG_COUNT = 6
 
 
+def comparability_downgrade(
+    comparable: bool,
+    midrun_load_max: float,
+    midrun_threshold: float,
+    load_threshold: float,
+    end_loadavg,
+    n_cross_flags: int,
+):
+    """Retroactive comparability downgrade (r10 VERDICT item 1): a run
+    that started quiet but got contended mid-run must NOT be stamped
+    comparable (and must not overwrite the consecutive-run regression
+    baseline). Returns (comparable, reason, wide_regression_note).
+
+    Downgrades, in order:
+      (a) measured: max mid-run loadavg exceeded threshold + own-work
+          allowance;
+      (b) measured: end loadavg exceeded threshold + decay allowance;
+      (c) signature: cross-round flag count >= CONTAMINATION_FLAG_COUNT
+          — but per the r11 ADVICE only when CORROBORATED by an
+          elevated load sample (above half the respective allowance:
+          elevated, yet under the hard gates that didn't fire).
+          Uncorroborated, the run STAYS comparable and carries an
+          explicit adjudicate-me note, so a genuine wide code
+          regression (a shared helper slowing 6+ queries) can still
+          produce a comparable artifact instead of being permanently
+          mislabeled as host contention.
+    """
+    if comparable and midrun_load_max > midrun_threshold:
+        return False, (
+            "midrun loadavg %.2f exceeded %.2f (start threshold %.2f + "
+            "own-work allowance)" % (
+                midrun_load_max, midrun_threshold, load_threshold)
+        ), None
+    end_threshold = end_quiet_threshold(load_threshold)
+    if comparable and end_loadavg and end_loadavg[0] > end_threshold:
+        return False, (
+            "end loadavg %.2f exceeded %.2f (start threshold %.2f + "
+            "own-decay allowance) — the r10-close contamination shape"
+            % (end_loadavg[0], end_threshold, load_threshold)
+        ), None
+    if comparable and n_cross_flags >= CONTAMINATION_FLAG_COUNT:
+        midrun_elevated = midrun_load_max > (
+            load_threshold + (midrun_threshold - load_threshold) / 2
+        )
+        end_elevated = bool(end_loadavg) and end_loadavg[0] > (
+            load_threshold + (end_threshold - load_threshold) / 2
+        )
+        if midrun_elevated or end_elevated:
+            return False, (
+                "%d cross-round flags matches the host-contention "
+                "signature (threshold %d), corroborated by elevated "
+                "load (midrun %.2f, end %s); re-run on a quiet host to "
+                "adjudicate" % (
+                    n_cross_flags, CONTAMINATION_FLAG_COUNT,
+                    midrun_load_max,
+                    "%.2f" % end_loadavg[0] if end_loadavg else "n/a",
+                )
+            ), None
+        return comparable, None, (
+            "%d cross-round flags with NO elevated load measurement "
+            "— possible wide code regression (shared-helper "
+            "slowdown); adjudicate with isolated re-times before "
+            "trusting or refreshing the baseline" % n_cross_flags
+        )
+    return comparable, None, None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -524,66 +591,12 @@ def main() -> None:
         loadavg = [round(x, 2) for x in os.getloadavg()]
     except OSError:
         loadavg = None
-    # Retroactive comparability downgrade (r10 VERDICT item 1): a run
-    # that started quiet but got contended mid-run must NOT be stamped
-    # comparable (and must not overwrite the consecutive-run regression
-    # baseline below). Two independent downgrades:
-    #   (a) measured: max mid-run loadavg exceeded threshold + own-work
-    #       allowance;
-    #   (b) signature: the cross-round flag count matches the
-    #       documented contamination shape (>=6 flags has only ever
-    #       meant host contention, never a code change).
-    comparable_reason = None
-    if comparable and midrun_load_max > midrun_threshold:
-        comparable = False
-        comparable_reason = (
-            "midrun loadavg %.2f exceeded %.2f (start threshold %.2f + "
-            "own-work allowance)" % (
-                midrun_load_max, midrun_threshold, load_threshold)
+    comparable, comparable_reason, wide_regression_note = (
+        comparability_downgrade(
+            comparable, midrun_load_max, midrun_threshold,
+            load_threshold, loadavg, len(cross_round),
         )
-    end_threshold = end_quiet_threshold(load_threshold)
-    if comparable and loadavg and loadavg[0] > end_threshold:
-        comparable = False
-        comparable_reason = (
-            "end loadavg %.2f exceeded %.2f (start threshold %.2f + "
-            "own-decay allowance) — the r10-close contamination shape"
-            % (loadavg[0], end_threshold, load_threshold)
-        )
-    wide_regression_note = None
-    if comparable and len(cross_round) >= CONTAMINATION_FLAG_COUNT:
-        # r11 ADVICE: the flag-count signature downgrades only when an
-        # elevated load measurement corroborates it (above half the
-        # respective allowance — elevated, but under the hard gates
-        # that already fired above). Uncorroborated, the run stays
-        # comparable and carries an explicit adjudicate-me note: a
-        # genuine wide code regression must be able to produce a
-        # comparable artifact.
-        midrun_elevated = midrun_load_max > (
-            load_threshold + (midrun_threshold - load_threshold) / 2
-        )
-        end_elevated = bool(loadavg) and loadavg[0] > (
-            load_threshold + (end_threshold - load_threshold) / 2
-        )
-        if midrun_elevated or end_elevated:
-            comparable = False
-            comparable_reason = (
-                "%d cross-round flags matches the host-contention "
-                "signature (threshold %d), corroborated by elevated "
-                "load (midrun %.2f, end %s); re-run on a quiet host to "
-                "adjudicate" % (
-                    len(cross_round), CONTAMINATION_FLAG_COUNT,
-                    midrun_load_max,
-                    "%.2f" % loadavg[0] if loadavg else "n/a",
-                )
-            )
-        else:
-            wide_regression_note = (
-                "%d cross-round flags with NO elevated load measurement "
-                "— possible wide code regression (shared-helper "
-                "slowdown); adjudicate with isolated re-times before "
-                "trusting or refreshing the baseline"
-                % len(cross_round)
-            )
+    )
     verbose = {
         "metric": "headline_queries_total_wall",
         "value": total,

@@ -79,3 +79,53 @@ def test_contamination_signature_threshold_documented():
     # 12; every genuine code regression on record flagged 1-2 names.
     # 6 splits those populations with margin on both sides.
     assert bench.CONTAMINATION_FLAG_COUNT == 6
+
+
+def test_downgrade_midrun_gate_fires(monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_LOADAVG_END_DECAY", raising=False)
+    comparable, reason, note = bench.comparability_downgrade(
+        True, midrun_load_max=30.0, midrun_threshold=24.0,
+        load_threshold=2.0, end_loadavg=[1.0, 1.0, 1.0], n_cross_flags=0,
+    )
+    assert comparable is False and "midrun" in reason and note is None
+
+
+def test_downgrade_end_gate_fires(monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_LOADAVG_END_DECAY", raising=False)
+    comparable, reason, note = bench.comparability_downgrade(
+        True, midrun_load_max=5.0, midrun_threshold=24.0,
+        load_threshold=2.0, end_loadavg=[14.58, 9.0, 5.0], n_cross_flags=0,
+    )
+    assert comparable is False and "end loadavg" in reason
+
+
+def test_flag_signature_needs_load_corroboration(monkeypatch):
+    # r11 ADVICE: >=6 flags with NO elevated load sample must stay
+    # comparable (a genuine wide code regression needs to be able to
+    # produce a comparable artifact) but carry the adjudicate-me note
+    monkeypatch.delenv("SPARK_GRAFT_LOADAVG_END_DECAY", raising=False)
+    comparable, reason, note = bench.comparability_downgrade(
+        True, midrun_load_max=8.0, midrun_threshold=24.0,
+        load_threshold=2.0, end_loadavg=[2.5, 2.0, 1.5], n_cross_flags=9,
+    )
+    assert comparable is True and reason is None
+    assert "wide code regression" in note
+
+
+def test_flag_signature_downgrades_when_corroborated(monkeypatch):
+    # same 9 flags, but the midrun sample sits above half the own-work
+    # allowance (elevated, below the hard gate): contention signature
+    monkeypatch.delenv("SPARK_GRAFT_LOADAVG_END_DECAY", raising=False)
+    comparable, reason, note = bench.comparability_downgrade(
+        True, midrun_load_max=15.0, midrun_threshold=24.0,
+        load_threshold=2.0, end_loadavg=[2.5, 2.0, 1.5], n_cross_flags=9,
+    )
+    assert comparable is False and "corroborated" in reason and note is None
+
+
+def test_quiet_clean_run_untouched():
+    comparable, reason, note = bench.comparability_downgrade(
+        True, midrun_load_max=10.0, midrun_threshold=24.0,
+        load_threshold=2.0, end_loadavg=[1.0, 1.0, 1.0], n_cross_flags=1,
+    )
+    assert comparable is True and reason is None and note is None
