@@ -2781,18 +2781,19 @@ BP_DF_THRESHOLD = 3   # a chunk in >= this many distinct docs is boilerplate
     "boilerplate_chunk_removal",
     oracle=f"""
 WITH toks AS (
-  SELECT doc_id, STRING_SPLIT(text, ' ') AS t,
-         LEN(STRING_SPLIT(text, ' ')) AS n
+  -- token-level unnest + ordered STRING_AGG per chunk index: linear
+  -- in tokens. The previous form (unnest the chunk starts, slice the
+  -- full token list per start row) duplicated the whole list once per
+  -- chunk — quadratic per document, a multi-minute stall on the
+  -- size-skew sweep's ~1000x-median documents.
+  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w,
+         UNNEST(RANGE(1, LEN(STRING_SPLIT(text, ' ')) + 1)) AS pos
   FROM documents
 ),
 chunks AS (
-  SELECT doc_id,
-         ARRAY_TO_STRING(t[s + 1 : s + {BP_CHUNK_TOKENS}], ' ') AS chunk
-  FROM (
-    SELECT doc_id, t,
-           UNNEST(RANGE(0, n, {BP_CHUNK_TOKENS})) AS s
-    FROM toks
-  )
+  SELECT doc_id, STRING_AGG(w, ' ' ORDER BY pos) AS chunk
+  FROM toks
+  GROUP BY doc_id, (pos - 1) // {BP_CHUNK_TOKENS}
 ),
 df AS (
   SELECT chunk, COUNT(DISTINCT doc_id) AS df FROM chunks GROUP BY 1
@@ -2835,12 +2836,23 @@ def boilerplate_chunk_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.array_size(t)
     last_start = ((n - 1) / BP_CHUNK_TOKENS).cast("int") * BP_CHUNK_TOKENS
     starts = F.sequence(F.lit(0), last_start, F.lit(BP_CHUNK_TOKENS))
+    # Chunk INSIDE the row (transform over the starts array), then
+    # explode only the finished chunk strings. Exploding the starts
+    # first and slicing after made GenerateExec re-emit the full token
+    # array once per chunk row — O(n_tokens * n_chunks) per document,
+    # which the size-skew sweep (tools/gen_longdoc_data.py, documents
+    # up to ~1000x median length) turned from invisible into a
+    # multi-minute stall. The transform keeps the token array
+    # materialized once per document: O(n_tokens) total.
     chunks = docs.select(
-        "doc_id", t.alias("t"), F.explode(starts).alias("s")
-    ).select(
         "doc_id",
-        F.concat_ws(
-            " ", F.slice(F.col("t"), F.col("s") + 1, BP_CHUNK_TOKENS)
+        F.explode(
+            F.transform(
+                starts,
+                lambda s: F.concat_ws(
+                    " ", F.slice(t, s + 1, BP_CHUNK_TOKENS)
+                ),
+            )
         ).alias("chunk"),
     )
     df = chunks.groupBy("chunk").agg(

@@ -1605,7 +1605,7 @@ SELECT
               - 2 * th * (xyt / nt - (xt / nt) * (yt / nt))
               + th * th * (xxt / nt - (xt / nt) * (xt / nt))))
           / ((yyc / nc - (yc / nc) * (yc / nc))
-             + (yyt / nt - (yt / nt) * (yt / nt))), 6)
+             + (yyt / nt - (yt / nt) * (yt / nt))), 6) + 0
     AS var_reduction
 FROM theta
 """,
@@ -1703,7 +1703,15 @@ def ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(diff_cuped / F.sqrt(vac / nc + vat / nt), 6).alias(
             "z_cuped"
         ),
-        F.round(1.0 - (vac + vat) / (vyc + vyt), 6).alias("var_reduction"),
+        # + 0: signed-zero normalization (audit rule 7) — under heavy
+        # value skew (tools/gen_longdoc_data.py) the pre/post means
+        # decorrelate, theta is ~1e-4 and the realized variance
+        # reduction is mathematically ~theta-scale tiny, computed as
+        # +-1e-7 depending on accumulation order, so ROUND lands on
+        # -0.0 or +0.0 per engine; IEEE -0.0 + 0 = +0.0 in both.
+        (F.round(1.0 - (vac + vat) / (vyc + vyt), 6) + F.lit(0)).alias(
+            "var_reduction"
+        ),
     )
 
 
