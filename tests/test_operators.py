@@ -451,8 +451,63 @@ class TestConnectedComponents:
                 (F.col("id") + 1).alias("doc_b"),
             )
         )
+        # local_edge_budget=0 forces the iterative path: the guard
+        # under test lives there (the single-task union-find route is
+        # exact by construction and never splits)
         with pytest.raises(RuntimeError, match="did not converge"):
-            connected_components(pairs, "doc_a", "doc_b", max_rounds=1)
+            connected_components(
+                pairs, "doc_a", "doc_b", max_rounds=1, local_edge_budget=0
+            )
+
+    def test_local_route_matches_iterative(self, spark):
+        """The r12 scale-adaptive routing: below the edge budget CC
+        runs as a single-task union-find. Its output must be
+        bit-identical to the converged iterative propagation on an
+        adversarial mix (chain with min at one end, star, isolated
+        pair, self-loop, cross-links)."""
+        from pyspark.sql import functions as F
+
+        from ytspark.operators.dedup import connected_components
+
+        edges = (
+            [(i, i + 1) for i in range(2, 40)]  # chain, min at the end
+            + [(100, t) for t in range(101, 110)]  # star
+            + [(200, 201), (300, 300)]  # pair + self-loop
+            + [(39, 1), (105, 108)]  # closes the chain onto node 1
+        )
+        pairs = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+        local = {
+            (r["node"], r["label"])
+            for r in connected_components(pairs, "doc_a", "doc_b").collect()
+        }
+        iterative = {
+            (r["node"], r["label"])
+            for r in connected_components(
+                pairs, "doc_a", "doc_b", local_edge_budget=0
+            ).collect()
+        }
+        assert local == iterative
+        # labels really are component minima
+        assert {lbl for n, lbl in local if n <= 40} == {1}
+        assert {lbl for n, lbl in local if 100 <= n < 200} == {100}
+
+    def test_local_route_budget_boundary(self, spark):
+        """Exactly-at-budget routes local; one-over routes iterative
+        (and still converges) — both give the same labels."""
+        from ytspark.operators.dedup import connected_components
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "doc_a bigint, doc_b bigint"
+        )
+        at = connected_components(
+            pairs, "doc_a", "doc_b", local_edge_budget=3
+        ).collect()
+        over = connected_components(
+            pairs, "doc_a", "doc_b", local_edge_budget=2
+        ).collect()
+        assert {(r["node"], r["label"]) for r in at} == {
+            (r["node"], r["label"]) for r in over
+        } == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
 
 
 class TestPersistedLshIndex:

@@ -31,6 +31,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ytspark.plans.scale import finish
 from ytspark.queries import register
@@ -843,8 +844,85 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Scale-adaptive routing for the CC tail (r12 optimization round,
+# guide §1.2 "the distributed algorithm" + §3.1 "pick the strategy
+# deliberately"): a dedup/ER pair graph is usually MUCH smaller than
+# the corpus that produced it (pairs are the rare event blocking
+# exists to find), and running ~30 distributed hook/jump/convergence
+# jobs over a few thousand edges is pure fixed overhead — measured
+# 8.5 s across 36 jobs for the 21k-edge sf0.1 fuzzy-ER graph. Below
+# this edge budget the exact components are computed in ONE executor
+# task (single-partition Arrow kernel, union-find with path
+# compression — same bounded-kernel pattern as the codebook/centroid
+# trainers); above it, the O(log) Shiloach-Vishkin propagation runs
+# unchanged. The budget is a row count over the already-materialized
+# candidate pairs (one cheap aggregate on the checkpoint), so routing
+# never re-executes the pair pipeline, and it is env-tunable for
+# clusters where a bigger single-task graph is acceptable.
+CC_LOCAL_EDGE_BUDGET = int(
+    os.environ.get("SPARK_GRAFT_CC_LOCAL_EDGE_BUDGET", "250000")
+)
+
+
+def _cc_local_labels(edges: DataFrame) -> DataFrame:
+    """Exact components of a BOUNDED edge list in one executor task:
+    union-find with path compression, roots kept at the component-min
+    node id, so the output (node, label = min node id of component)
+    is bit-identical to the converged iterative propagation."""
+    import pandas as pd  # noqa: F401 — schema doc; imported in kernel
+
+    node_t = edges.schema["src"].dataType
+    out_schema = T.StructType(
+        [T.StructField("node", node_t), T.StructField("label", node_t)]
+    )
+
+    def part(batches):
+        import numpy as np
+        import pandas as pd
+
+        srcs, dsts = [], []
+        for b in batches:
+            srcs.append(b["src"].to_numpy())
+            dsts.append(b["dst"].to_numpy())
+        if not srcs:
+            return
+        s = np.concatenate(srcs)
+        d = np.concatenate(dsts)
+        nodes, idx = np.unique(np.concatenate([s, d]), return_inverse=True)
+        si, di = idx[: len(s)], idx[len(s):]
+        parent = np.arange(len(nodes))
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        # nodes[] is sorted ascending, so the smaller INDEX is the
+        # smaller node id: keeping the min-index root makes every
+        # root the component-min by induction.
+        for a, b_ in zip(si.tolist(), di.tolist()):
+            ra, rb = find(a), find(b_)
+            if ra == rb:
+                continue
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+        roots = np.array([find(i) for i in range(len(nodes))])
+        yield pd.DataFrame({"node": nodes, "label": nodes[roots]})
+
+    return edges.coalesce(1).mapInPandas(part, out_schema)
+
+
 def connected_components(
-    pairs: DataFrame, left: str, right: str, max_rounds: int = 15
+    pairs: DataFrame,
+    left: str,
+    right: str,
+    max_rounds: int = 15,
+    local_edge_budget: int | None = None,
 ) -> DataFrame:
     """Connected components over an undirected pair graph, Shiloach-
     Vishkin style: per round (1) each node takes the min label in its
@@ -855,6 +933,12 @@ def connected_components(
     Returns (node, label) with label = min node id of the component.
     This is the shared tail of every large-scale dedup: candidate
     pairs → components → one canonical representative (keep = label).
+
+    Pair graphs at or under ``local_edge_budget`` edges (default
+    ``CC_LOCAL_EDGE_BUDGET``, env-tunable) route to a single-task
+    union-find instead (see ``_cc_local_labels``): identical output,
+    one job instead of ~30. Pass ``local_edge_budget=0`` to force the
+    iterative path (the non-convergence guard tests do).
 
     Round-10 repair, caught by the multi-SF sweep: the previous plain
     min-label propagation converged at sf0.01 but is O(diameter) —
@@ -873,10 +957,21 @@ def connected_components(
     monotone non-increasing with the unique fixpoint label = component
     min; the convergence check (no label changed over a full round)
     certifies the fixpoint was reached."""
+    budget = (
+        CC_LOCAL_EDGE_BUDGET if local_edge_budget is None else local_edge_budget
+    )
+    # one materialization of the pair pipeline, shared by BOTH routes:
+    # the budget probe is a count over the checkpoint (cheap), and the
+    # iterative path's doubled edge list derives from the checkpoint
+    # instead of re-running the candidate join per direction.
+    base = pairs.select(
+        F.col(left).alias("src"), F.col(right).alias("dst")
+    ).localCheckpoint(eager=True)
+    if base.count() <= budget:
+        return _cc_local_labels(base)
     edges = (
-        pairs.select(F.col(left).alias("src"), F.col(right).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(right).alias("src"), F.col(left).alias("dst"))
+        base.unionByName(
+            base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .persist()
     )
