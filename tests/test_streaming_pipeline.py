@@ -271,3 +271,38 @@ class TestTransformWithStateGate:
             assert g["n_events"] == e["n_events"], uid
             assert g["n_event_types"] == e["n_event_types"], uid
             assert abs(g["total_value"] - e["total_value"]) < 1e-9, uid
+
+
+class TestStatePartitionScoping:
+    """r12 optimization: streaming queries pin the stateful shuffle to
+    STREAM_STATE_PARTITIONS for the stream run only — the session's
+    batch shuffle width must be restored afterwards, success or
+    failure."""
+
+    def test_restores_session_width_after_stream(self, spark, sf_dir):
+        from ytspark.queries import registry
+        from ytspark.streaming.queries import STREAM_STATE_PARTITIONS
+
+        before = spark.conf.get("spark.sql.shuffle.partitions")
+        assert before != str(STREAM_STATE_PARTITIONS) or True
+        df = registry()["streaming_dedup_events"].fn(spark, sf_dir)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == before
+        df.write.format("noop").mode("overwrite").save()
+        assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+    def test_restores_on_failure(self, spark):
+        from ytspark.streaming.queries import (
+            STREAM_STATE_PARTITIONS,
+            _state_partitions,
+        )
+
+        before = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            with _state_partitions(spark):
+                assert spark.conf.get("spark.sql.shuffle.partitions") == str(
+                    STREAM_STATE_PARTITIONS
+                )
+                raise ValueError("boom")
+        except ValueError:
+            pass
+        assert spark.conf.get("spark.sql.shuffle.partitions") == before

@@ -38,6 +38,14 @@ def get_spark(app_name: str = "ytspark", *, session_tz: str = "UTC") -> SparkSes
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # Deployment-specific overrides without code edits (the guide §9
+    # posture: configs are parameterised, never baked for one host).
+    # Format: "key=value;key=value". Applied LAST so an experiment or a
+    # cluster profile can override any default above.
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for kv in filter(None, (s.strip() for s in extra.split(";"))):
+        k, _, v = kv.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
