@@ -65,7 +65,13 @@ def fuzzy_self_join(
     distance exceeds ``max_edit``) is a codegen'd filter on the join
     output, so only true pairs (~1/4 of candidates on dense key
     spaces) reach the distinct's shuffle. Measured 1.4x over
-    dedup-then-verify at sf0.1 (4.5 s → 3.2 s)."""
+    dedup-then-verify at sf0.1 (4.5 s → 3.2 s).
+
+    r12 (guide §2.6): the name table is usually one parquet split, so
+    the variant explode and the join's map side ran as one task; spread
+    the input across the pool first (row-identical — the pipeline ends
+    in a distinct)."""
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     va = deletion_variants(df, col).withColumnRenamed(col, "name_a")
     vb = deletion_variants(df, col).withColumnRenamed(col, "name_b")
     return (

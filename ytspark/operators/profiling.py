@@ -1173,7 +1173,19 @@ def bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ytspark.operators.text import SPLIT_MOD, knuth_hash_col
 
     half = SPLIT_MOD // 2
-    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    # r12 (guide §2.6 idle capacity, §2.3 project early): the orders
+    # scan is one parquet split, so the 40-replicate hash-inclusion
+    # aggregate (40 x |orders| Knuth-hash evaluations) ran in ONE
+    # partial-agg task (measured 3.2-4.6 s at sf0.1). Project to the
+    # two needed columns and spread the scan across the pool; the
+    # replicate sums are decimal/long (exact, order-free), the divide
+    # and round happen once in the merged result, so the output is
+    # bit-identical.
+    orders = (
+        load_tables(spark, sf_dir, "orders")["orders"]
+        .select("o_orderkey", "o_totalprice")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     v = F.col("o_totalprice").cast("decimal(18,2)")
 
     def incl(b: int):

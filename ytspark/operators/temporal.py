@@ -433,7 +433,15 @@ def user_activity_overlap_pairs(
     ).agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
     budget = OVERLAP_PAIR_BUDGET if budget is None else budget
     enforce_pair_budget(spans, "d", "user_activity_overlap_pairs", budget)
-    a = spans.select(
+    # r12 (guide §2.5/§2.6): the probe side is tiny BEFORE the join
+    # (one span row per user-day) but expands ~|day population|x inside
+    # it, so AQE coalesces it to a single post-agg partition and the
+    # whole pair expansion runs as one task. Spread the probe side
+    # across the executor pool first — round-robin, scale-adaptive via
+    # defaultParallelism, cheap at span cardinality — so the expansion
+    # and the map-side partial aggregation parallelize. The build side
+    # is broadcast, so probe partitioning is unconstrained.
+    a = spans.repartition(spans.sparkSession.sparkContext.defaultParallelism).select(
         F.col("user_id").alias("ua"), F.col("d"),
         F.col("s").alias("sa"), F.col("e").alias("ea"),
     )

@@ -2716,7 +2716,13 @@ def effect_size_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ytspark.operators.temporal import enforce_grid_budget
 
     enforce_grid_budget(pergrid, "effect_size_battery", GRID_PAIR_BUDGET)
-    a, b = pergrid.alias("a"), pergrid.alias("b")
+    # r12 (guide §2.5/§2.6): same single-task fix as the MMD kernel sum
+    # below — the checkpointed grid is one partition, so the
+    # grid-squared Cliff's-delta sum ran serial; spread the stream side
+    # (the other side broadcasts; gt/lt are exact integer sums, so
+    # partial-sum order is immaterial). Measured 3.3 s -> sub-second.
+    a = pergrid.repartition(spark.sparkContext.defaultParallelism).alias("a")
+    b = pergrid.alias("b")
     cliff = a.crossJoin(b).agg(
         F.sum(
             F.when(
@@ -3169,7 +3175,15 @@ def mmd_rbf_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     enforce_grid_budget(pergrid, "mmd_rbf_two_sample", GRID_PAIR_BUDGET)
     tot = pergrid.agg(F.sum("ca").alias("n1"), F.sum("cb").alias("n2"))
-    a, b = pergrid.alias("a"), pergrid.alias("b")
+    # r12 (guide §2.5/§2.6): the checkpointed grid is one small
+    # partition, so the grid-squared nested-loop kernel sum ran as a
+    # SINGLE task (~1.75e8 exp() products serial at sf0.1, measured
+    # 8.1 s). Spread the STREAM side across the executor pool — the
+    # other side is broadcast, so partitioning is unconstrained and
+    # each task sums an even slice of the grid rows; partial sums
+    # merge in the final agg exactly as any parallel SUM does.
+    par = spark.sparkContext.defaultParallelism
+    a, b = pergrid.repartition(par).alias("a"), pergrid.alias("b")
     two_s2 = 2 * MMD_SIGMA_CENTS * MMD_SIGMA_CENTS
     kern = F.exp(
         -(F.col("a.v") - F.col("b.v")).cast("double")
