@@ -233,7 +233,15 @@ def hilbert_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
-    h = pts.withColumn("d", hilbert_col(F.col("x"), F.col("y")))
+    # r12 (guide §2.6): the orders scan is one split, so the state-
+    # machine fold (the expensive per-row expression) ran as one task
+    # (1.4 s at sf0.1); spread the (x, y) points across the pool BEFORE
+    # computing d — downstream re-shuffles by bucket anyway, so the
+    # layout of the fold's input is free.
+    par = orders.sparkSession.sparkContext.defaultParallelism
+    h = pts.repartition(par).withColumn(
+        "d", hilbert_col(F.col("x"), F.col("y"))
+    )
     # equal-row file cuts via the exact NTILE arithmetic computed with
     # the bucketed-offsets distributed rank (the quartiles recipe) —
     # NO data-sized single-partition window: curve distances bucket by

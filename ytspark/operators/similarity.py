@@ -1596,8 +1596,14 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = emb.select(
         "vec_id", "label", as_double(F.col("embedding")).alias("v")
     )
-    a = base.where(F.col("label") == BITEXT_SIDE_A).select(
-        F.col("vec_id").alias("x_id"), F.col("v").alias("xv")
+    # r12 (guide §2.6): the x side is a filter of a one-split scan, so
+    # the |A|x|B| cosine expansion ran as one task (1.3 s stages at
+    # sf0.1); spread it — the y side is broadcast, so the probe
+    # partitioning is unconstrained.
+    a = (
+        base.where(F.col("label") == BITEXT_SIDE_A)
+        .select(F.col("vec_id").alias("x_id"), F.col("v").alias("xv"))
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     b = base.where(F.col("label") == BITEXT_SIDE_B).select(
         F.col("vec_id").alias("y_id"), F.col("v").alias("yv")

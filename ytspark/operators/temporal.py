@@ -1780,7 +1780,12 @@ def allen_interval_relations(
     ).agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
     budget = OVERLAP_PAIR_BUDGET if budget is None else budget
     enforce_pair_budget(spans, "d", "allen_interval_relations", budget)
-    a = spans.select(
+    # r12 (guide §2.5/§2.6): same probe-side spread as
+    # user_activity_overlap_pairs — the span table is tiny pre-join
+    # and AQE coalesces it to one partition, serializing the day-
+    # blocked pair expansion (2.3 s single-task stage at sf0.1); the
+    # build side broadcasts, so probe partitioning is free to choose.
+    a = spans.repartition(spans.sparkSession.sparkContext.defaultParallelism).select(
         F.col("user_id").alias("ua"), "d",
         F.col("s").alias("sa"), F.col("e").alias("ea"),
     )
