@@ -46,6 +46,40 @@ def test_gopher_rules_hand_corpus(spark, tmp_sf):
     assert rows["all_rules"]["n_fail"] == 2
 
 
+def test_gopher_sorted_run_max_equals_multiplicity_max(spark, tmp_sf):
+    """r12: max_token_share is computed as the max RUN length over the
+    sorted token array (O(n log n)) instead of the quadratic
+    distinct-x-filter scan. Pin equality against a brute-force Python
+    count on adversarial shapes: all-same, all-distinct, interleaved
+    duplicates, a doc whose max-share token sits exactly ON the 0.2
+    boundary (5 of 25 -> share 0.2, rule passes <=), and one just over."""
+    import collections
+
+    from ytspark.operators.text import GOPHER_MAXTOK_FRAC, gopher_quality_rules
+
+    d, write = tmp_sf
+    docs = {
+        1: " ".join(["same"] * 60),                        # share 1.0
+        2: " ".join(f"t{i}" for i in range(60)),           # share 1/60
+        3: " ".join(["a b c"] * 20),                       # interleaved, 1/3
+        4: " ".join(["hot"] * 5 + [f"u{i}" for i in range(20)]),  # 5/25 = .2
+        5: " ".join(["hot"] * 6 + [f"u{i}" for i in range(19)]),  # 6/25 > .2
+    }
+    write(
+        "documents",
+        [(i, t, "en", "s", 1) for i, t in docs.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    expected_fail = 0
+    for t in docs.values():
+        toks = t.split(" ")
+        share = max(collections.Counter(toks).values()) / len(toks)
+        if share > GOPHER_MAXTOK_FRAC:
+            expected_fail += 1
+    rows = {r["rule"]: r for r in gopher_quality_rules(spark, d).collect()}
+    assert rows["max_token_share"]["n_fail"] == expected_fail == 3
+
+
 def test_dsir_ranks_target_like_docs_first(spark, tmp_sf):
     """Docs made of target-language tokens must outscore docs made of
     tokens the target never uses."""

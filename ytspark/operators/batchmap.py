@@ -58,7 +58,20 @@ def minmax_normalize(
         pdf[out_col] = (v - lo) / (hi - lo) if hi > lo else 0.5
         return pdf
 
-    return df.groupBy(*key_cols).applyInPandas(kernel, schema=schema)
+    # r12 (guide §2.5): the grouped-map exchange is small enough that
+    # AQE coalesces it to ONE partition, serializing every per-group
+    # Python call (measured 3.2 s single-task stage at sf0.1). An
+    # explicit repartition on the group key with a pinned width
+    # satisfies the groupBy's required distribution (no extra
+    # exchange) and is exempt from AQE coalescing, so the kernel runs
+    # across the pool. Group-to-partition placement never affects the
+    # per-group result.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.repartition(par, *key_cols)
+        .groupBy(*key_cols)
+        .applyInPandas(kernel, schema=schema)
+    )
 
 
 @register(
@@ -349,9 +362,14 @@ def cogroup_purchase_click_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
+    # r12 (guide §2.5): same AQE-coalesce-to-one fix as
+    # minmax_normalize — pin the cogroup exchanges' width so the
+    # per-group Arrow kernel parallelizes (2.1 s single-task stage at
+    # sf0.1 otherwise).
+    par = spark.sparkContext.defaultParallelism
     return (
-        purchases.groupBy("user_id")
-        .cogroup(clicks.groupBy("user_id"))
+        purchases.repartition(par, "user_id").groupBy("user_id")
+        .cogroup(clicks.repartition(par, "user_id").groupBy("user_id"))
         .applyInArrow(
             gap_stats,
             "user_id long, n_purchases long, n_clicks long, "

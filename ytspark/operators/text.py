@@ -2278,6 +2278,14 @@ WHERE rk <= {DSIR_TOPK}
 )
 def dsir_importance_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
+    # r12 (guide §2.6): the token explode + per-token portable hash ran
+    # as ONE task on the one-split docs scan — and because the four
+    # consumers of `b` include concurrently-built broadcasts, the
+    # serial 6 s map stage materialized the cache redundantly up to
+    # four times in parallel (stage audit: 4 x 6.1 s one-task stages).
+    # Spreading the scan makes the hash map stage parallel AND bounds
+    # the redundant materialization to cheap per-task work.
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     b = (
         docs.select(
             "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("term")
@@ -2435,6 +2443,15 @@ FROM counts
 )
 def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
+    # r12 (guide §2.6 + §1.2 per-task work): the whole battery ran as
+    # ONE 9.2 s task — a one-split scan times an O(|toks| x |distinct|)
+    # interpreted HOF for the max-token share. Spread the scan across
+    # the pool, and compute the max run length over the SORTED token
+    # array instead (one O(n log n) sort + one O(n) fold per doc —
+    # max over sorted-run lengths IS the max token multiplicity,
+    # exactly; all counts stay exact integers so every rule flag is
+    # bit-identical to the quadratic form the oracle still runs).
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     toks = tokens(F.col("text"))
     n_tok = F.array_size(toks)
     mwl = (
@@ -2448,15 +2465,27 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         / n_tok
     )
     stop_hits = stopword_hits(F.col("text"), LANG_STOPWORDS["en"])
-    maxtok_frac = (
-        F.array_max(
-            F.transform(
-                F.array_distinct(toks),
-                lambda d: F.size(F.filter(toks, lambda t: t == d)),
-            )
-        ).cast("double")
-        / n_tok
+    run_state = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            F.when(t.eqNullSafe(acc["prev"]), acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(t.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(
+                    F.lit(1)
+                ),
+            ).alias("best"),
+        ),
     )
+    maxtok_frac = run_state["best"].cast("double") / n_tok
     flags = docs.select(
         F.when(n_tok.between(GOPHER_WC_LO, GOPHER_WC_HI), 1)
         .otherwise(0)
