@@ -357,11 +357,14 @@ def copurchase_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
+    # deg feeds the two orientation joins AND the wedge/max-degree
+    # stats: persist, or each consumer re-runs the union+agg (r12)
     deg = (
         e.select(F.col("pa").alias("p"))
         .unionAll(e.select(F.col("pb").alias("p")))
         .groupBy("p")
         .agg(F.count(F.lit(1)).alias("d"))
+        .persist()
     )
     # degree orientation by DIRECT (degree, id) tuple comparison — the
     # orientation needs only a total order over nodes, not a dense
@@ -383,7 +386,11 @@ def copurchase_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # outdeg^2 rows — the 100x blowup on dense graphs); it ships each
     # edge twice to pick up two out-neighbor arrays (outdeg <= O(sqrt m)
     # under degree orientation) and intersects per row, map-side.
-    adj = directed.groupBy("u").agg(F.collect_set("v").alias("nbrs"))
+    # adj feeds BOTH sides of the probe: persist, or the collect_set
+    # aggregation runs twice (r12)
+    adj = (
+        directed.groupBy("u").agg(F.collect_set("v").alias("nbrs")).persist()
+    )
     au = adj.select(F.col("u"), F.col("nbrs").alias("nu"))
     av = adj.select(F.col("u").alias("v"), F.col("nbrs").alias("nv"))
     tri = (
@@ -415,7 +422,9 @@ def copurchase_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
         e,
+        deg,
         directed,
+        adj,
     )
 
 
@@ -1241,11 +1250,14 @@ def local_clustering_coefficients(
         .distinct()
         .persist()
     )
+    # deg feeds the two orientation joins AND the closing d>=2 filter:
+    # persist, or each consumer re-runs the union+agg over e (r12)
     deg = (
         e.select(F.col("pa").alias("p"))
         .unionAll(e.select(F.col("pb").alias("p")))
         .groupBy("p")
         .agg(F.count(F.lit(1)).alias("d"))
+        .persist()
     )
     ra = deg.select(F.col("p").alias("pa"), F.col("d").alias("da"))
     rb = deg.select(F.col("p").alias("pb"), F.col("d").alias("db"))
@@ -1257,12 +1269,20 @@ def local_clustering_coefficients(
         F.when(a_first, F.col("pa")).otherwise(F.col("pb")).alias("u"),
         F.when(a_first, F.col("pb")).otherwise(F.col("pa")).alias("v"),
     ).persist()
-    adj = directed.groupBy("u").agg(F.collect_set("v").alias("nbrs"))
+    # adj feeds BOTH sides of the triangle probe: persist, or the
+    # collect_set aggregation runs twice (r12)
+    adj = (
+        directed.groupBy("u").agg(F.collect_set("v").alias("nbrs")).persist()
+    )
     au = adj.select(F.col("u"), F.col("nbrs").alias("nu"))
     av = adj.select(F.col("u").alias("v"), F.col("nbrs").alias("nv"))
     # one row per (triangle, member role): explode the intersection
-    # hits (u, v, w) and stack the three roles
-    tri_rows = (
+    # hits (u, v, w) and stack the three roles in ONE pass —
+    # explode(array(u, v, w)) yields the identical multiset that the
+    # previous 3-way unionAll produced, without recomputing the
+    # triangle enumeration three times (r12: the unionAll's three
+    # subtree copies each re-ran the adjacency joins + intersect)
+    per_node = (
         directed.join(au, "u")
         .join(av, "v")
         .select(
@@ -1270,11 +1290,7 @@ def local_clustering_coefficients(
             "v",
             F.explode(F.array_intersect("nu", "nv")).alias("w"),
         )
-    )
-    per_node = (
-        tri_rows.select(F.col("u").alias("p"))
-        .unionAll(tri_rows.select(F.col("v").alias("p")))
-        .unionAll(tri_rows.select(F.col("w").alias("p")))
+        .select(F.explode(F.array("u", "v", "w")).alias("p"))
         .groupBy("p")
         .agg(F.count(F.lit(1)).alias("t"))
     )
@@ -1293,7 +1309,9 @@ def local_clustering_coefficients(
             ).alias("local_clustering"),
         ),
         e,
+        deg,
         directed,
+        adj,
     )
 
 
@@ -1509,7 +1527,10 @@ def label_propagation_communities(
     sym = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
     ).persist()
-    nodes = sym.select(F.col("u").alias("node")).distinct()
+    # nodes and seeds are re-read by every unrolled round's label
+    # rebuild: persist both, or each round re-runs the node distinct
+    # and the seed broadcast join (r12)
+    nodes = sym.select(F.col("u").alias("node")).distinct().persist()
     seeds = (
         nodes.where(F.col("node") % LPA_SEED_MOD == 0)
         .join(
@@ -1521,6 +1542,7 @@ def label_propagation_communities(
             ),
             "node",
         )
+        .persist()
     )
     cur = nodes.join(seeds, "node", "left").select(
         "node", F.col("seed_label").alias("label")
@@ -1561,4 +1583,4 @@ def label_propagation_communities(
         F.min("node").cast("long").alias("min_node"),
         F.max("node").cast("long").alias("max_node"),
     )
-    return finish(out, sym)
+    return finish(out, sym, nodes, seeds)
