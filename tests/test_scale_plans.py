@@ -464,3 +464,46 @@ def test_salted_join_spreads_zipf_hot_key(spark):
         .count()
     )
     assert spread == 16, "hot key did not reach every salt bucket"
+
+
+def test_concurrent_jobs_returns_in_order_and_propagates_errors():
+    """r12: concurrent_jobs overlaps independent driver actions
+    (guide §2.6). Results come back in thunk order; a failing thunk
+    raises only after every thread has finished, so no write can race
+    the caller's cleanup."""
+    import threading
+    import time
+
+    from ytspark.plans.scale import concurrent_jobs
+
+    order = []
+
+    def slow():
+        time.sleep(0.2)
+        order.append("slow")
+        return "a"
+
+    def fast():
+        order.append("fast")
+        return "b"
+
+    assert concurrent_jobs(slow, fast) == ["a", "b"]
+    assert order == ["fast", "slow"]  # they really overlapped
+
+    done = threading.Event()
+
+    def boom():
+        raise ValueError("boom")
+
+    def finishes_anyway():
+        time.sleep(0.2)
+        done.set()
+        return 1
+
+    try:
+        concurrent_jobs(boom, finishes_anyway)
+    except ValueError as e:
+        assert "boom" in str(e)
+    else:  # pragma: no cover
+        raise AssertionError("exception was swallowed")
+    assert done.is_set()  # the raise waited for the other thread

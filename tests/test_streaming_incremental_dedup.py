@@ -127,6 +127,50 @@ def test_within_batch_pairing_catches_same_tick_dups(spark, tmp_path):
     assert all(12 not in p for p in with_wb)  # novel doc matches nothing
 
 
+def test_sink_fn_mode_matches_default_mode(spark, sf_dir, fresh_dirs):
+    """r12: ``sink_fn`` replaces the checkpoint-then-rewrite with a
+    single sink-write materialization and overlaps the two store
+    appends — the pairs it sinks AND the post-append store contents
+    must be identical to the default mode's."""
+    store_a, store_b, stage = fresh_dirs
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    corpus = docs.where(F.col("doc_id") < INCR_SPLIT)
+    batch = docs.where(F.col("doc_id") >= INCR_SPLIT)
+    persist_minhash_store(corpus, store_a, checkable=True)
+    persist_minhash_store(corpus, store_b, checkable=True)
+    default_pairs = _normalized(
+        incremental_minhash_dedup(
+            spark, batch, store_a, threshold=0.2, append=True,
+            checkable=True, within_batch=True,
+        )
+    )
+    sink = stage + "_sink"
+    ret = incremental_minhash_dedup(
+        spark, batch, store_b, threshold=0.2, append=True,
+        checkable=True, within_batch=True,
+        sink_fn=lambda pairs: pairs.write.mode("append").parquet(sink),
+    )
+    assert ret is None  # caller owns the sink in this mode
+    sink_pairs = _normalized(spark.read.parquet(sink))
+    assert sink_pairs == default_pairs and sink_pairs
+
+    def store_rows(store, sub, cols):
+        return sorted(
+            tuple(tuple(v) if isinstance(v, list) else v for v in r)
+            for r in spark.read.parquet(store + "/" + sub)
+            .select(*cols)
+            .collect()
+        )
+
+    for sub, cols in (
+        ("sigs", ["doc_id", "sig"]),
+        ("bands", ["doc_id", "band_id", "band_hash"]),
+    ):
+        assert store_rows(store_a, sub, cols) == store_rows(
+            store_b, sub, cols
+        )
+
+
 def test_registered_query_is_deterministic(spark, sf_dir):
     from ytspark.streaming.queries import streaming_incremental_dedup
 

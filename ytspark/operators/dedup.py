@@ -601,14 +601,23 @@ def checkable_minhash_signatures_df(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_pairs_checkable(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+def minhash_pairs_checkable(
+    docs: DataFrame, threshold: float = 0.5, hashes: DataFrame | None = None
+) -> DataFrame:
     """``minhash_pairs`` with the cross-engine shingle hash and a
     polynomial band hash instead of xxhash64 — identical plan shape
     (explode → 32 codegen'd MIN aggregates → band equi-join), but every
     intermediate is reproducible in DuckDB, so the driver can
-    hash-certify the banded-LSH pipeline itself, not just row counts."""
+    hash-certify the banded-LSH pipeline itself, not just row counts.
+
+    ``hashes``: an optional precomputed ``checkable_shingle_hashes(docs)``
+    relation (non-distinct), for callers that also need the hash table
+    themselves — the estimate-error eval scores exact Jaccard from the
+    same hashes, and sharing one persisted pass avoids re-running the
+    explode+window shingler (guide §1.2)."""
     rows = N_PERMUTATIONS // N_BANDS
-    mins = checkable_shingle_hashes(docs).groupBy("doc_id").agg(
+    h = checkable_shingle_hashes(docs) if hashes is None else hashes
+    mins = h.groupBy("doc_id").agg(
         *[
             F.min(
                 F.pmod(
@@ -1796,7 +1805,8 @@ def incremental_minhash_dedup(
     append: bool = True,
     checkable: bool = False,
     within_batch: bool = False,
-) -> DataFrame:
+    sink_fn=None,
+) -> DataFrame | None:
     """Dedup a NEW batch against the persisted corpus without touching
     old documents' text: signatures are computed for the batch only,
     banded, and LSH-joined against the stored band table; candidate
@@ -1816,6 +1826,18 @@ def incremental_minhash_dedup(
     newer-id-as-new); with it, the union of per-tick results is
     independent of how a document stream is sliced into ticks — the
     property the streaming twin's batch-collapse oracle certifies.
+
+    ``sink_fn`` (optional): a callable that MATERIALIZES the pair set
+    itself — e.g. the streaming tick's parquet-sink append. When
+    given, that single write replaces the eager ``localCheckpoint``
+    as the pre-append materialization (one full computation of the
+    pairs instead of compute-then-re-read-and-write), and the two
+    store appends then run CONCURRENTLY (guide §2.6 — independent
+    jobs over the already-persisted batch signatures). The function
+    returns ``None`` in this mode: the caller owns the materialized
+    result, and the in-memory ``pairs`` lineage must not be reused
+    after the appends mutate the store. ``sink_fn`` must fully
+    compute every row it is handed (a parquet write does).
     """
     sig_fn = checkable_minhash_signatures_df if checkable else minhash_signatures_df
     new_sigs = sig_fn(new_docs).persist()
@@ -1899,6 +1921,31 @@ def incremental_minhash_dedup(
             .where(F.col("est_jaccard") >= threshold)
         )
         pairs = pairs.unionByName(wb_pairs)
+    def _append_sigs():
+        new_sigs.write.mode("append").parquet(path + "/sigs")
+
+    def _append_bands():
+        # one file per band per append (see persist_minhash_store);
+        # new_bands reuses the banding projection computed for the
+        # candidate join (same expression over the cached sigs)
+        new_bands.repartition("band_id").write.mode("append").partitionBy(
+            "band_id"
+        ).parquet(path + "/bands")
+
+    if sink_fn is not None:
+        # the sink write materializes the pairs BEFORE the store
+        # mutation (reads the store as-is at write time), so no
+        # checkpoint is needed; the appends are then independent of
+        # each other and run overlapped
+        try:
+            sink_fn(pairs)
+            if append:
+                from ytspark.plans.scale import concurrent_jobs
+
+                concurrent_jobs(_append_sigs, _append_bands)
+        finally:
+            new_sigs.unpersist()
+        return None
     # eager localCheckpoint: computes the result NOW and truncates
     # lineage, so the append below cannot leak the batch's own
     # signatures back into this result on a later recompute (a cache()
@@ -1906,15 +1953,11 @@ def incremental_minhash_dedup(
     result = pairs.localCheckpoint(eager=True)
     try:
         if append:
-            new_sigs.write.mode("append").parquet(path + "/sigs")
-            # one file per band per append (see persist_minhash_store);
-            # new_bands reuses the banding projection computed for the
-            # candidate join (same expression over the cached sigs)
-            new_bands.repartition(
-                "band_id"
-            ).write.mode("append").partitionBy("band_id").parquet(
-                path + "/bands"
-            )
+            # result is already checkpointed, so the two appends are
+            # independent here too — overlap them (guide §2.6)
+            from ytspark.plans.scale import concurrent_jobs
+
+            concurrent_jobs(_append_sigs, _append_bands)
     finally:
         # result is checkpointed and the append is flushed — the
         # batch-signature cache has no consumers left
@@ -2842,12 +2885,17 @@ FROM scaled
 )
 def minhash_estimate_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
+    # ONE shingle-hash pass feeds both halves (r12, guide §1.2): the
+    # signature/banding side consumes it as-is (min over duplicates ==
+    # min over distinct) and the exact-Jaccard side after its dedup —
+    # previously each half re-ran the explode+window shingler.
+    h_all = checkable_shingle_hashes(docs).persist()
     # ALL banded candidates (threshold 0): the error profile must
     # include low-estimate pairs, not just the ones that pass dedup
-    cand = minhash_pairs_checkable(docs, threshold=0.0).select(
+    cand = minhash_pairs_checkable(docs, threshold=0.0, hashes=h_all).select(
         "doc_a", "doc_b", F.col("est_jaccard").alias("est")
     )
-    hs = checkable_shingle_hashes(docs).dropDuplicates(["doc_id", "h"])
+    hs = h_all.dropDuplicates(["doc_id", "h"])
     sizes = hs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = hs.select(F.col("doc_id").alias("doc_a"), "h")
     b = hs.select(F.col("doc_id").alias("doc_b"), "h")
@@ -2871,14 +2919,18 @@ def minhash_estimate_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("e")
         )
     )
-    return scaled.agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.round(
-            F.sum("e").cast("double") / (F.count(F.lit(1)) * _ERR_SCALE), 6
-        ).alias("mean_abs_err"),
-        F.round(F.max("e").cast("double") / _ERR_SCALE, 6).alias(
-            "max_abs_err"
+    return finish(
+        scaled.agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(
+                F.sum("e").cast("double") / (F.count(F.lit(1)) * _ERR_SCALE),
+                6,
+            ).alias("mean_abs_err"),
+            F.round(F.max("e").cast("double") / _ERR_SCALE, 6).alias(
+                "max_abs_err"
+            ),
         ),
+        h_all,
     )
 
 

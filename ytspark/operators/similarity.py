@@ -1077,15 +1077,81 @@ def _register_recall() -> None:
         tags=("similarity", "evaluation", "knn", "lsh", "join"),
     )
     def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-        bf = knn_cosine_bruteforce(spark, sf_dir).select(
-            "query_id", "neighbor_id"
+        # r12 (guide §1.2 "don't compute things you throw away"): the
+        # three component pipelines each re-scored the corpus against
+        # the query set — but every pair the LSH variants score is a
+        # subset of the brute-force pair set, scored with the SAME
+        # rounded-cosine expression. One scored pass therefore carries
+        # per-pair bucket-collision flags, and each index's top-k is a
+        # rank window over its own filtered subset: bf over all pairs,
+        # 1-table over same-bucket pairs, 4-table over pairs colliding
+        # in ANY table (positional zip — tables are independent). The
+        # candidate sets and scores are construction-identical to
+        # knn_cosine_lsh / knn_cosine_lsh_multitable (same hyperplanes,
+        # same expression), so the result is unchanged — certified by
+        # the unchanged three-pipeline oracle. Measured: one corpus ×
+        # query cosine pass instead of three (the multitable pass alone
+        # re-scored every colliding pair).
+        from pyspark.sql import Window
+
+        emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+        dim = 64
+        planes1 = [hyperplane(dim, seed=s + 1) for s in range(N_HYPERPLANES)]
+        tables4 = [
+            [
+                hyperplane(dim, seed=1009 * t + s + 1)
+                for s in range(N_HYPERPLANES)
+            ]
+            for t in range(N_LSH_TABLES)
+        ]
+        corpus = emb.select(
+            "vec_id", as_double(F.col("embedding")).alias("v")
+        ).select(
+            "vec_id",
+            "v",
+            bucket_id(F.col("v"), planes1).alias("b1"),
+            F.array(
+                *[bucket_id(F.col("v"), tables4[t]) for t in range(N_LSH_TABLES)]
+            ).alias("b4"),
         )
-        a1 = knn_cosine_lsh(spark, sf_dir).select(
-            "query_id", "neighbor_id", F.lit(1).alias("hit1")
+        queries = corpus.where(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("b1").alias("qb1"),
+            F.col("b4").alias("qb4"),
         )
-        a4 = knn_cosine_lsh_multitable(spark, sf_dir).select(
-            "query_id", "neighbor_id", F.lit(1).alias("hit4")
+        scored = (
+            corpus.join(
+                F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+            )
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+                (F.col("b1") == F.col("qb1")).alias("c1"),
+                F.exists(
+                    F.zip_with(F.col("b4"), F.col("qb4"), lambda x, y: x == y),
+                    lambda m: m,
+                ).alias("c4"),
+            )
+            # three windows consume this; materialize the pair scores
+            # once (released by the harness's release_all_cached)
+            .localCheckpoint(eager=True)
         )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor_id")
+        )
+
+        def topk(df: DataFrame) -> DataFrame:
+            return (
+                df.withColumn("rk", F.row_number().over(w))
+                .where(F.col("rk") <= TOP_K)
+                .select("query_id", "neighbor_id")
+            )
+
+        bf = topk(scored)
+        a1 = topk(scored.where("c1")).withColumn("hit1", F.lit(1))
+        a4 = topk(scored.where("c4")).withColumn("hit4", F.lit(1))
         return (
             bf.join(a1, ["query_id", "neighbor_id"], "left")
             .join(a4, ["query_id", "neighbor_id"], "left")

@@ -154,6 +154,31 @@ def finish(result: DataFrame, *cached: DataFrame) -> DataFrame:
     return out
 
 
+def concurrent_jobs(*thunks) -> list:
+    """Run independent driver-blocking Spark actions concurrently
+    (guide §2.6 "overlap independent jobs"): actions are only
+    sequential because driver code calls them sequentially, so N
+    mutually independent writes/counts submitted from a small thread
+    pool let the scheduler back-fill executors freed by one job's tail
+    with the next job's tasks. Results are returned in thunk order;
+    the first exception (if any) propagates after all threads finish,
+    so a failure cannot leave a concurrent write racing the caller's
+    cleanup. Use ONLY for actions with no data dependency between
+    them — e.g. the two store appends of an incremental-dedup tick,
+    or a store bootstrap beside a stage write."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        done = [f.exception() or f for f in futures]
+    for d in done:
+        if isinstance(d, BaseException):
+            raise d
+    return [f.result() for f in futures]
+
+
 def release_all_cached(spark: SparkSession) -> int:
     """Drop every cached DataFrame and persistent RDD block in the
     session; return how many RDDs were released.

@@ -19,6 +19,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ytspark.plans.scale import concurrent_jobs
 from ytspark.queries import register
 
 
@@ -429,25 +430,32 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # invocations requires a fresh bootstrap + stage + sink every run
     for d in (store, stage, sink):
         shutil.rmtree(d, ignore_errors=True)
-    persist_minhash_store(
-        docs.where(F.col("doc_id") < INCR_SPLIT), store, checkable=True
-    )
     # four range-sliced files -> four micro-batches with
-    # maxFilesPerTrigger=1: ticks see each other through the store
+    # maxFilesPerTrigger=1: ticks see each other through the store.
+    # Store bootstrap and stage write share no data — overlap them
+    # (guide §2.6).
     batch = docs.where(F.col("doc_id") >= INCR_SPLIT)
-    batch.repartitionByRange(4, "doc_id").write.parquet(stage)
+    concurrent_jobs(
+        lambda: persist_minhash_store(
+            docs.where(F.col("doc_id") < INCR_SPLIT), store, checkable=True
+        ),
+        lambda: batch.repartitionByRange(4, "doc_id").write.parquet(stage),
+    )
     schema = spark.read.parquet(stage).schema
 
     def tick(batch_df, batch_id):
-        pairs = incremental_minhash_dedup(
+        # sink_fn mode: the pairs-sink append IS the materialization
+        # (one computation instead of checkpoint-then-rewrite), and the
+        # two store appends run overlapped after it
+        incremental_minhash_dedup(
             spark, batch_df, store, threshold=INCR_THRESHOLD, append=True,
             checkable=True, within_batch=True,
+            sink_fn=lambda pairs: pairs.select(
+                F.least("new_doc_id", "existing_doc_id").alias("doc_lo"),
+                F.greatest("new_doc_id", "existing_doc_id").alias("doc_hi"),
+                F.col("est_jaccard"),
+            ).write.mode("append").parquet(sink),
         )
-        pairs.select(
-            F.least("new_doc_id", "existing_doc_id").alias("doc_lo"),
-            F.greatest("new_doc_id", "existing_doc_id").alias("doc_hi"),
-            F.col("est_jaccard"),
-        ).write.mode("append").parquet(sink)
 
     with _state_partitions(spark):
         q = (
@@ -993,9 +1001,15 @@ def streaming_exact_substring_screen(
     sink = os.path.join(root, "spans")
     for d in (store, stage, sink):
         shutil.rmtree(d, ignore_errors=True)
-    persist_exsub_store(docs.where(F.col("doc_id") < INCR_SPLIT), store)
+    # store bootstrap and stage write are independent — overlap them
+    # (guide §2.6)
     batch = docs.where(F.col("doc_id") >= INCR_SPLIT)
-    batch.repartitionByRange(4, "doc_id").write.parquet(stage)
+    concurrent_jobs(
+        lambda: persist_exsub_store(
+            docs.where(F.col("doc_id") < INCR_SPLIT), store
+        ),
+        lambda: batch.repartitionByRange(4, "doc_id").write.parquet(stage),
+    )
     schema = spark.read.parquet(stage).schema
 
     def tick(batch_df, batch_id):
@@ -1170,10 +1184,11 @@ def streaming_watermark_monitor(
     n = ev.count()  # bounded scalar: slice boundaries for the oracle
     root = scratch_dir(f"stream_wm_{sf_dir}")
     stage = os.path.join(root, "stage")
-    sink = os.path.join(root, "metrics")
-    for d in (stage, sink):
-        shutil.rmtree(d, ignore_errors=True)
+    shutil.rmtree(stage, ignore_errors=True)
     os.makedirs(stage, exist_ok=True)
+    # persisted: each of the four slice writes below filters this same
+    # projection — without the persist every write re-scans events
+    # (guide §2.4 "don't compute things you throw away")
     base = ev.select(
         "event_id",
         F.unix_micros("ts").alias("tus"),
@@ -1181,15 +1196,22 @@ def streaming_watermark_monitor(
             (F.col("event_id") * SWM_TICKS / n).cast("int"),
             F.lit(SWM_TICKS - 1),
         ).alias("batch_id"),
-    )
+    ).persist()
     # one file per slice, written in slice order (file source processes
-    # files in discovery order; distinct subdir writes keep it stable)
+    # files in discovery order; distinct subdir writes keep it stable —
+    # deliberately NOT overlapped: concurrent writes could interleave
+    # modification times and reorder tick delivery)
     for i in range(SWM_TICKS):
         base.where(F.col("batch_id") == i).coalesce(1).write.parquet(
             os.path.join(stage, f"slice{i}")
         )
+    base.unpersist()
     schema = spark.read.parquet(os.path.join(stage, "slice0")).schema
-    state = {"front": None}
+    # per-tick metrics are FIVE integers — they are already collected
+    # on the driver for the front recursion, so the result accumulates
+    # here (bounded by the tick count) instead of paying a 1-row
+    # parquet append per tick plus a final read-back (4 jobs saved)
+    state = {"front": None, "rows": []}
 
     def tick(batch_df, batch_id):
         front = state["front"]
@@ -1219,19 +1241,15 @@ def streaming_watermark_monitor(
             ).alias("max_lateness_us"),
             F.max("tus").alias("bmax"),
         ).collect()[0]
-        spark.createDataFrame(
-            [
-                (
-                    int(agg["bid"]),
-                    int(agg["n_events"]),
-                    int(agg["n_late"]),
-                    int(agg["n_beyond_5m"]),
-                    int(agg["max_lateness_us"]),
-                )
-            ],
-            "batch_id long, n_events long, n_late long, "
-            "n_beyond_5m long, max_lateness_us long",
-        ).write.mode("append").parquet(sink)
+        state["rows"].append(
+            (
+                int(agg["bid"]),
+                int(agg["n_events"]),
+                int(agg["n_late"]),
+                int(agg["n_beyond_5m"]),
+                int(agg["max_lateness_us"]),
+            )
+        )
         state["front"] = (
             max(front, int(agg["bmax"])) if front is not None
             else int(agg["bmax"])
@@ -1247,4 +1265,8 @@ def streaming_watermark_monitor(
             .start()
         )
         q.awaitTermination()
-    return spark.read.parquet(sink)
+    return spark.createDataFrame(
+        state["rows"],
+        "batch_id long, n_events long, n_late long, "
+        "n_beyond_5m long, max_lateness_us long",
+    )
