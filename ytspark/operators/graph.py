@@ -854,7 +854,13 @@ def parts_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)  # read by every unrolled iteration;
     # eager checkpoint truncates the expensive edge-build lineage so
     # each iteration plans against a leaf (measured ~2x at sf0.1)
-    nodes = sym.select(F.col("u").alias("node")).distinct()
+    # r12: derive the node set from the CHECKPOINTED p, not from sym —
+    # sym's src set equals p's (p is a per-edge projection of sym), but
+    # sym re-runs the whole basket self-join per consumer, and nodes
+    # feeds THREE subtrees below (sb, seeds, the teleport vector), so
+    # the un-checkpointed form re-built the edge list up to four times
+    # inside the e materialization alone (guide §1.2).
+    nodes = p.select(F.col("src").alias("node")).distinct()
     pk = part.select(F.col("p_partkey").alias("node"), "p_brand")
     sb = nodes.join(pk, "node").agg(F.min("p_brand").alias("b"))
     seeds = (
