@@ -99,6 +99,9 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.p").alias("pi"), F.col("b.p").alias("pj"))
         .agg(F.count(F.lit(1)).alias("nij"))
         .where(F.col("nij") >= MIN_PAIR_SUPPORT)
+        # both rule directions union this aggregate — persist, or the
+        # basket self-join runs twice (r12, guide §1.2)
+        .persist()
     )
     rules = pair.select(
         F.col("pi").alias("antecedent"),
@@ -136,7 +139,8 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
-    # top-k rules; release the basket-item cache (3 consumers)
+    # top-k rules; release the basket-item cache (3 consumers) and the
+    # two-direction pair cache
     return finish(
         scored.orderBy(
             F.col("lift").desc(),
@@ -145,6 +149,7 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "consequent",
         ).limit(RULES_TOP_K),
         op,
+        pair,
     )
 
 
@@ -225,6 +230,11 @@ def item_item_cosine_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
         .where(F.col("c") >= COSINE_MIN_COMMON)
     )
+    # NOT persisted (r12, measured): an interleaved A/B of persisting
+    # op+pair here was a timing wash — the self-join's exchange is
+    # already reused and the extra materialization cancels the saving
+    # (unlike market_basket_rules, whose two-direction union re-ran a
+    # support-filtered aggregate worth caching).
     sym = pair.unionAll(
         pair.select(F.col("j").alias("i"), F.col("i").alias("j"), "c")
     )
