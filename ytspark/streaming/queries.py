@@ -399,14 +399,16 @@ from ytspark.operators.dedup import _streaming_incremental_oracle
         "region. Streaming twin of dedup_minhash_incremental. "
         "Measured cost split (tools/streaming_floor.py, sf0.1, r7): "
         "the 4-tick no-op foreachBatch FLOOR is ~1.7s (~10%); the "
-        "other ~90% is per-tick kernel jobs — candidate/sig joins, "
-        "the eager checkpoint, and THREE writes per tick (pairs "
-        "sink, sigs append, bands append) — i.e. fixed per-job "
-        "overhead at sf0.1 batch sizes, not data volume; it "
-        "amortizes at production batch sizes. The band store writes "
-        "one file per band per tick (repartition before partitionBy "
-        "— without it each tick wrote 256 slivers and the store hit "
-        "1280 files by tick 4).",
+        "rest is per-tick kernel jobs. r12 cut the per-tick job "
+        "count: the pairs-sink write IS the materialization (sink_fn "
+        "mode — no separate eager checkpoint) and the two store "
+        "appends (sigs, bands) run overlapped after it; the store "
+        "bootstrap overlaps the stage write at setup (guide §2.6). "
+        "Remaining cost is fixed per-job overhead at sf0.1 batch "
+        "sizes, not data volume; it amortizes at production batch "
+        "sizes. The band store writes one file per band per tick "
+        "(repartition before partitionBy — without it each tick "
+        "wrote 256 slivers and the store hit 1280 files by tick 4).",
     tags=("streaming", "dedup", "minhash", "incremental", "store"),
 )
 def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
