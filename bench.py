@@ -352,6 +352,37 @@ def end_quiet_threshold(threshold: float) -> float:
     return threshold + decay
 
 
+# CPU-throttle probe (r12 VERDICT item 2): loadavg gates cannot see CPU
+# throttling — the r12 close host ran 2.5-4x slow at loadavg 11.98 under
+# a 24.0 allowance (burst-credit-style capping; verified with fixed
+# single-core probes: 1.28 s idle vs 2.55 s degraded on identical code).
+# A fixed single-core calibration kernel timed at run start / middle /
+# end measures the host's instantaneous speed DIRECTLY; when the slowest
+# sample exceeds the fastest by more than the drift allowance, the run
+# was throttled mid-flight and its numbers are not comparable. The
+# kernel is pure-Python fixed work (no I/O, no Spark), ~0.5 s idle, and
+# each sample is taken while the executor pool is idle (between
+# queries), so it measures the host, not our own parallel load.
+CALIBRATION_LOOP_N = 4_000_000
+PROBE_DRIFT_MAX_DEFAULT = 1.3
+
+
+def calibration_probe() -> float:
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(CALIBRATION_LOOP_N):
+        s += i * i
+    return round(time.perf_counter() - t0, 3)
+
+
+def probe_drift_max() -> float:
+    return float(
+        os.environ.get(
+            "SPARK_GRAFT_PROBE_DRIFT_MAX", str(PROBE_DRIFT_MAX_DEFAULT)
+        )
+    )
+
+
 # Contamination signature (r10 VERDICT item 1): a quiet-start run that
 # got contended mid-run shows MANY uniform multi-x cross-round flags on
 # sub-second queries across unrelated families (r10 close: 28 flags; r9
@@ -373,6 +404,8 @@ def comparability_downgrade(
     load_threshold: float,
     end_loadavg,
     n_cross_flags: int,
+    probe_times=None,
+    drift_max: float | None = None,
 ):
     """Retroactive comparability downgrade (r10 VERDICT item 1): a run
     that started quiet but got contended mid-run must NOT be stamped
@@ -383,6 +416,9 @@ def comparability_downgrade(
       (a) measured: max mid-run loadavg exceeded threshold + own-work
           allowance;
       (b) measured: end loadavg exceeded threshold + decay allowance;
+      (b2) measured: the single-core calibration probe (r12 VERDICT
+          item 2) drifted more than ``drift_max`` between its fastest
+          and slowest sample — CPU throttling that loadavg cannot see;
       (c) signature: cross-round flag count >= CONTAMINATION_FLAG_COUNT
           — but per the r11 ADVICE only when CORROBORATED by an
           elevated load sample (above half the respective allowance:
@@ -406,6 +442,24 @@ def comparability_downgrade(
             "own-decay allowance) — the r10-close contamination shape"
             % (end_loadavg[0], end_threshold, load_threshold)
         ), None
+    if comparable and probe_times:
+        samples = [t for t in probe_times.values() if t and t > 0]
+        if len(samples) >= 2:
+            drift = max(samples) / min(samples)
+            allowed = drift_max if drift_max is not None else probe_drift_max()
+            if drift > allowed:
+                return False, (
+                    "calibration probe drifted %.2fx (%s; allowance "
+                    "%.2fx) — CPU throttling invisible to loadavg "
+                    "(the r12-close signature)" % (
+                        drift,
+                        ", ".join(
+                            "%s %.3fs" % (k, v)
+                            for k, v in probe_times.items()
+                        ),
+                        allowed,
+                    )
+                ), None
     if comparable and n_cross_flags >= CONTAMINATION_FLAG_COUNT:
         midrun_elevated = midrun_load_max > (
             load_threshold + (midrun_threshold - load_threshold) / 2
@@ -469,10 +523,14 @@ def main() -> None:
         )
         raise SystemExit(2)
 
+    # single-core speed sample BEFORE any Spark work (r12 VERDICT item 2)
+    probe_times = {"start": calibration_probe()}
+
     from ytspark import get_spark
     from ytspark.plans.scale import release_all_cached
     from ytspark.queries import registry
 
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark("ytspark-bench")
     reg = registry()
 
@@ -497,7 +555,13 @@ def main() -> None:
     # threads (midrun_quiet_threshold above).
     midrun_load_max = 0.0
     midrun_threshold = midrun_quiet_threshold(load_threshold)
-    for name in bench_names(reg):
+    names = bench_names(reg)
+    probe_mid_at = len(names) // 2
+    for qi, name in enumerate(names):
+        if qi == probe_mid_at:
+            # executor pool idle between queries: the sample times the
+            # host, not our own load
+            probe_times["mid"] = calibration_probe()
         q = reg[name]
         samples = []
         for _ in range(runs):
@@ -525,6 +589,8 @@ def main() -> None:
         )
         medians[name] = round(med, 3)
 
+    probe_times["end"] = calibration_probe()
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val = float(sf)
@@ -540,11 +606,17 @@ def main() -> None:
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    # Per-core-count receipts (r12 VERDICT item 7): a low-core scaling
+    # run must neither diff against nor overwrite the main-core-count
+    # baseline. Receipts predating r13 carry no "cpus" key; all of them
+    # were taken at 32 cores (historical fact, not a tuning knob).
     regressions: list[dict] = []
+    prev_cpus = None
     try:
         with open(detail_path) as fh:
             prev = json.load(fh)
-        if prev.get("sf") == sf_val:
+        prev_cpus = int(prev.get("cpus", 32))
+        if prev.get("sf") == sf_val and prev_cpus == cpus:
             for name, t in timings.items():
                 p = prev.get("queries", {}).get(name)
                 if p and p > 0 and t / p > 2.5:
@@ -569,7 +641,7 @@ def main() -> None:
             )
         ) as fh:
             base = json.load(fh)
-        if base.get("sf") == sf_val:
+        if base.get("sf") == sf_val and int(base.get("cpus", 32)) == cpus:
             baseline_origin = base.get("origin")
             for name, t in timings.items():
                 p = base.get("queries", {}).get(name)
@@ -595,6 +667,7 @@ def main() -> None:
         comparability_downgrade(
             comparable, midrun_load_max, midrun_threshold,
             load_threshold, loadavg, len(cross_round),
+            probe_times=probe_times,
         )
     )
     verbose = {
@@ -606,6 +679,8 @@ def main() -> None:
         "runs_per_query": runs,
         "estimator": "min",
         "sf": sf_val,
+        "cpus": cpus,
+        "calibration_probe_sec": probe_times,
         "regressions": regressions,
         "cross_round_regressions": cross_round,
         "cross_round_baseline": baseline_origin,
@@ -624,12 +699,29 @@ def main() -> None:
     # long lines. A non-comparable (loaded-host) run must NOT become the
     # next run's regression baseline.
     print(json.dumps(verbose))
+    detail_written = None
     if comparable:
+        # per-core-count detail is ALWAYS written (r12 VERDICT item 7:
+        # the c8 scaling run overwrote the c32 detail and erased the
+        # per-query scaling evidence); the consecutive-run baseline file
+        # is only refreshed by a run at ITS core count.
+        cpus_detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_DETAIL_c%d.json" % cpus,
+        )
         try:
-            with open(detail_path, "w") as fh:
+            with open(cpus_detail_path, "w") as fh:
                 json.dump(verbose, fh, indent=2)
+            detail_written = os.path.basename(cpus_detail_path)
         except OSError:
             pass
+        if prev_cpus is None or prev_cpus == cpus:
+            try:
+                with open(detail_path, "w") as fh:
+                    json.dump(verbose, fh, indent=2)
+                detail_written = os.path.basename(detail_path)
+            except OSError:
+                pass
     # Surface the last committed full-registry oracle_check summary so
     # the uncapped correctness counts ride along in the recorded bench
     # artifact (VERDICT r3 item 7: externally record the full-registry
@@ -662,8 +754,10 @@ def main() -> None:
                 "n_queries": len(timings),
                 "runs_per_query": runs,
                 "estimator": "min",
+                "cpus": cpus,
                 "n_regressions": len(regressions),
                 "n_cross_round_regressions": len(cross_round),
+                "calibration_probe_sec": probe_times,
                 "leftover_cached_rdds": leftover_cached,
                 "loadavg_at_start": loadavg_start,
                 "loadavg_at_end": loadavg,
@@ -673,7 +767,7 @@ def main() -> None:
                 "oracle_local": oracle_summary,
                 # ADVICE r10: a non-comparable run does NOT rewrite the
                 # detail file — don't point auditors at a stale one.
-                "detail": "BENCH_DETAIL.json" if comparable else None,
+                "detail": detail_written,
             }
         )
     )

@@ -129,3 +129,63 @@ def test_quiet_clean_run_untouched():
         load_threshold=2.0, end_loadavg=[1.0, 1.0, 1.0], n_cross_flags=1,
     )
     assert comparable is True and reason is None and note is None
+
+
+def test_probe_drift_downgrades(monkeypatch):
+    # r12 VERDICT item 2: the r12 close host ran 2.5-4x slow at loadavg
+    # 11.98 under a 24.0 allowance — no loadavg gate can see CPU
+    # throttling, only a direct speed probe can. 1.28 s idle vs 2.55 s
+    # degraded is drift 1.99x; the 1.3x default allowance catches it
+    # while the documented quiet-host run-to-run probe scatter (<1.1x)
+    # stays clear.
+    monkeypatch.delenv("SPARK_GRAFT_PROBE_DRIFT_MAX", raising=False)
+    comparable, reason, note = bench.comparability_downgrade(
+        True, midrun_load_max=10.0, midrun_threshold=24.0,
+        load_threshold=2.0, end_loadavg=[1.0, 1.0, 1.0], n_cross_flags=0,
+        probe_times={"start": 1.28, "mid": 2.55, "end": 2.4},
+    )
+    assert comparable is False
+    assert "calibration probe" in reason and "2.55" in reason
+    assert note is None
+
+
+def test_probe_within_allowance_stays_comparable(monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_PROBE_DRIFT_MAX", raising=False)
+    comparable, reason, note = bench.comparability_downgrade(
+        True, midrun_load_max=10.0, midrun_threshold=24.0,
+        load_threshold=2.0, end_loadavg=[1.0, 1.0, 1.0], n_cross_flags=0,
+        probe_times={"start": 1.30, "mid": 1.41, "end": 1.35},
+    )
+    assert comparable is True and reason is None
+
+
+def test_probe_allowance_env_overridable(monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_PROBE_DRIFT_MAX", "3.0")
+    comparable, reason, _ = bench.comparability_downgrade(
+        True, midrun_load_max=10.0, midrun_threshold=24.0,
+        load_threshold=2.0, end_loadavg=[1.0, 1.0, 1.0], n_cross_flags=0,
+        probe_times={"start": 1.28, "mid": 2.55, "end": 2.4},
+    )
+    assert comparable is True and reason is None
+
+
+def test_probe_missing_or_partial_yields_no_verdict(monkeypatch):
+    # absence of evidence is not contamination (same contract as the
+    # unmeasurable-loadavg case)
+    monkeypatch.delenv("SPARK_GRAFT_PROBE_DRIFT_MAX", raising=False)
+    for probes in (None, {}, {"start": 1.3}):
+        comparable, reason, _ = bench.comparability_downgrade(
+            True, midrun_load_max=10.0, midrun_threshold=24.0,
+            load_threshold=2.0, end_loadavg=[1.0, 1.0, 1.0],
+            n_cross_flags=0, probe_times=probes,
+        )
+        assert comparable is True and reason is None
+
+
+def test_calibration_probe_is_fixed_work():
+    # two adjacent samples on an idle host agree well inside the 1.3x
+    # allowance — the probe's own scatter cannot downgrade a quiet run
+    a = bench.calibration_probe()
+    b = bench.calibration_probe()
+    assert a > 0 and b > 0
+    assert max(a, b) / min(a, b) < 1.3
