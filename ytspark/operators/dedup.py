@@ -853,6 +853,38 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_minhash_clusters_distributed",
+    oracle=_minhash_clusters_oracle(),
+    doc="dedup_minhash_clusters with the connected-components LOCAL "
+        "route disabled (local_edge_budget=0): every run takes the "
+        "O(log) Shiloach-Vishkin hook+jump propagation — the path a "
+        "100 TB pair graph over the single-task budget actually "
+        "executes. Exists so the distributed CC code stays TIMED in "
+        "every bench (r12 VERDICT item 6: after the r12 scale-adaptive "
+        "routing, all sf0.1 pair graphs fit the 250k-edge local budget "
+        "and no timed artifact exercised the iterative path; equality "
+        "tests alone don't measure it). Shares the recursive-CC oracle "
+        "with dedup_minhash_clusters — both routes must produce the "
+        "identical component census, so this entry also certifies the "
+        "route equivalence on real data at every SF, not just the "
+        "adversarial test graph.",
+    tags=("dedup", "clustering", "iterative", "distributed"),
+)
+def dedup_minhash_clusters_distributed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    pairs = minhash_pairs(docs).select("doc_a", "doc_b")
+    labels = connected_components(pairs, "doc_a", "doc_b", local_edge_budget=0)
+    return (
+        labels.groupBy(F.col("label").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .orderBy("cluster_id")
+    )
+
+
 # Scale-adaptive routing for the CC tail (r12 optimization round,
 # guide §1.2 "the distributed algorithm" + §3.1 "pick the strategy
 # deliberately"): a dedup/ER pair graph is usually MUCH smaller than
