@@ -483,7 +483,10 @@ def minhash_signatures_df(docs: DataFrame, n_perm: int = N_PERMUTATIONS) -> Data
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    return minhash_pairs(docs).orderBy("doc_a", "doc_b")
+    # no terminal sort: the pair set is the result; output order is
+    # cosmetic (the driver's value hash is order-insensitive) and the
+    # global sort cost an extra exchange+stage per call (guide §2.4)
+    return minhash_pairs(docs)
 
 
 def minhash_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
@@ -767,7 +770,7 @@ SELECT doc_a, doc_b, est_jaccard FROM (
 )
 def dedup_minhash_lsh_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    return minhash_pairs_checkable(docs).orderBy("doc_a", "doc_b")
+    return minhash_pairs_checkable(docs)  # terminal sort removed (guide §2.4)
 
 
 def _checkable_clusters_oracle() -> str:
@@ -820,7 +823,7 @@ def dedup_minhash_clusters_checkable(spark: SparkSession, sf_dir: str) -> DataFr
         labels.groupBy(F.col("label").alias("cluster_id"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .where(F.col("n_docs") >= 2)
-        .orderBy("cluster_id")
+        # terminal sort removed (guide §2.4): cosmetic output order
     )
 
 
@@ -849,7 +852,7 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.groupBy(F.col("label").alias("cluster_id"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .where(F.col("n_docs") >= 2)
-        .orderBy("cluster_id")
+        # terminal sort removed (guide §2.4): cosmetic output order
     )
 
 
@@ -881,7 +884,7 @@ def dedup_minhash_clusters_distributed(
         labels.groupBy(F.col("label").alias("cluster_id"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .where(F.col("n_docs") >= 2)
-        .orderBy("cluster_id")
+        # terminal sort removed (guide §2.4): cosmetic output order
     )
 
 
@@ -1144,7 +1147,7 @@ def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.groupBy(F.col("label").alias("cluster_id"))
         .agg(F.count(F.lit(1)).alias("n_vectors"))
         .where(F.col("n_vectors") >= 2)
-        .orderBy("cluster_id")
+        # terminal sort removed (guide §2.4): cosmetic output order
     )
 
 
@@ -1311,8 +1314,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             hamming.alias("hamming"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
-        .where(F.col("hamming") <= 8)
-        .orderBy("doc_a", "doc_b"),
+        .where(F.col("hamming") <= 8),
+        # terminal sort removed (guide §2.4): cosmetic output order
         sig,
     )
 
@@ -1470,8 +1473,8 @@ def dedup_simhash_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
             hamming.alias("hamming"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
-        .where(F.col("hamming") <= SIM_CHK_HAMMING)
-        .orderBy("doc_a", "doc_b"),
+        .where(F.col("hamming") <= SIM_CHK_HAMMING),
+        # terminal sort removed (guide §2.4): cosmetic output order
         sig,
     )
 
