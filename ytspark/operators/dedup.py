@@ -1968,16 +1968,27 @@ def incremental_minhash_dedup(
         ).parquet(path + "/bands")
 
     if sink_fn is not None:
-        # the sink write materializes the pairs BEFORE the store
-        # mutation (reads the store as-is at write time), so no
-        # checkpoint is needed; the appends are then independent of
-        # each other and run overlapped
+        # r13: all THREE tick writes overlap (guide §2.6). Safe because
+        # (a) the pair plan's store scans hold the file listing
+        # snapshot taken at spark.read.parquet() above — a parquet
+        # APPEND only adds new part-files, never touches listed ones,
+        # so the sink write computes the same pre-append pair set
+        # whether or not the appends run beside it; (b) the batch
+        # signature pipeline is materialized into the cache ONCE first
+        # (the count below), so the three concurrent consumers read the
+        # cache instead of racing to compute it thrice. Sequential
+        # spans per tick: sig-compute + max(sink, appends) instead of
+        # (sig + sink) + appends.
         try:
-            sink_fn(pairs)
+            new_sigs.count()  # fill the cache once
             if append:
                 from ytspark.plans.scale import concurrent_jobs
 
-                concurrent_jobs(_append_sigs, _append_bands)
+                concurrent_jobs(
+                    lambda: sink_fn(pairs), _append_sigs, _append_bands
+                )
+            else:
+                sink_fn(pairs)
         finally:
             new_sigs.unpersist()
         return None

@@ -68,24 +68,43 @@ STREAM_STATE_PARTITIONS = int(
 )
 
 
+# AQE inside stream runs (r13, guide §1.2 "configuration third"):
+# stateful streaming plans ignore AQE by design, but foreachBatch tick
+# bodies are BATCH plans, and on micro-batch-sized inputs AQE turns
+# every exchange into its own job + re-planning round — the
+# incremental-dedup tick ran 16 driver-sequenced jobs under AQE vs 3
+# without, all to "optimize" a few-thousand-row batch whose shuffle
+# width the _state_partitions pin already sizes. Off by default for
+# the duration of a stream run (restored afterwards — batch queries
+# keep session AQE); a deployment with big micro-batches turns it
+# back on with SPARK_GRAFT_STREAM_TICK_AQE=1.
+STREAM_TICK_AQE = os.environ.get("SPARK_GRAFT_STREAM_TICK_AQE", "0") == "1"
+
+
 class _state_partitions:
     """Context manager: pin spark.sql.shuffle.partitions to the
-    streaming state width for the duration of a stream run, restoring
-    the session's batch setting afterwards (queries run sequentially,
-    and the lazy batch post-processing of a memory sink executes after
-    restore, so batch plans never see the streaming width)."""
+    streaming state width (and AQE to the stream-tick setting) for the
+    duration of a stream run, restoring the session's batch settings
+    afterwards (queries run sequentially, and the lazy batch
+    post-processing of a memory sink executes after restore, so batch
+    plans never see the streaming width)."""
 
     def __init__(self, spark: SparkSession):
         self.spark = spark
 
     def __enter__(self):
         self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.old_aqe = self.spark.conf.get("spark.sql.adaptive.enabled")
         self.spark.conf.set(
             "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
+        )
+        self.spark.conf.set(
+            "spark.sql.adaptive.enabled", "true" if STREAM_TICK_AQE else "false"
         )
 
     def __exit__(self, *exc):
         self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+        self.spark.conf.set("spark.sql.adaptive.enabled", self.old_aqe)
         return False
 
 
